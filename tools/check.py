@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads each <name>/ parquet written by graft.Verify, runs the matching
+oracle SQL from oracle_sql.json in DuckDB (tables = views over the same
+parquet dir), and compares: schema (column names), row count, and a hash
+of values with columns sorted by name (rows compared in order AND as a
+sorted multiset, so we catch both kinds of mismatch).
+"""
+import json, sys, math, glob
+import duckdb
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # normalize -0.0 and print with repr for full precision
+        if v == 0.0:
+            v = 0.0
+        return repr(v)
+    return str(v)
+
+def table(con, rel_sql):
+    rows = con.execute(rel_sql).fetchall()
+    cols = [d[0] for d in con.description]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    return [cols[i] for i in order], out
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    n_pass = n_fail = 0
+    names = sorted(oracles.keys())
+    for name in names:
+        try:
+            got_cols, got = table(con, f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            exp_cols, exp = table(con, oracles[name])
+        except Exception as e:
+            print(f"FAIL {name}: error {e}")
+            n_fail += 1
+            continue
+        if got_cols != exp_cols:
+            print(f"FAIL {name}: columns {got_cols} vs {exp_cols}")
+            n_fail += 1
+            continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} vs {len(exp)}")
+            n_fail += 1
+            continue
+        if got == exp:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+        elif sorted(got) == sorted(exp):
+            print(f"WARN {name}: set-equal but ORDER differs")
+            n_fail += 1
+        else:
+            diffs = [(g, e) for g, e in zip(got, exp) if g != e][:3]
+            print(f"FAIL {name}: value diffs (first 3): {diffs}")
+            n_fail += 1
+    # queries with no oracle: rows-only check
+    import os
+    for d in sorted(glob.glob(f"{out_dir}/*/")):
+        name = d.rstrip("/").split("/")[-1]
+        if name not in oracles:
+            n = con.execute(f"SELECT count(*) FROM '{d}*.parquet'").fetchone()[0]
+            print(f"ROWS {name}: {n} rows (no oracle)")
+    print(f"\n{n_pass} pass / {n_fail} fail of {len(names)} oracled")
+    sys.exit(1 if n_fail else 0)
+
+main()
