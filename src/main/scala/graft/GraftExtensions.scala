@@ -1,0 +1,14 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Catalyst extension point: native expressions the reference has that Spark
+  * lacks are injected here (SURVEY.md §7.3). Populated by the functions
+  * module; kept separate so every session (Verify/Bench/specs) gets the same
+  * registry via [[Sessions.builder]].
+  */
+object GraftExtensions {
+  val inject: SparkSessionExtensions => Unit = { ext =>
+    functions.GraftFunctions.registrations.foreach(ext.injectFunction)
+  }
+}

@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place every entry point (Verify / Bench / specs) builds its
+  * SparkSession, so session-wide flags are uniform from creation instead of
+  * being mutated mid-flight by table loads (order-independence).
+  *
+  * local[N] with N shuffle partitions models an N-slot cluster; at real scale
+  * the same code runs unchanged with `spark.sql.shuffle.partitions` sized to
+  * the cluster and AQE coalescing/skew-handling left on (defaults in Spark 4).
+  */
+object Sessions {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  def builder(appName: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.ts is parquet TIMESTAMP(NANOS); map it to raw Long once,
+      // globally (see Tables.load) rather than as a per-read side effect.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(GraftExtensions.inject)
+}

@@ -19,10 +19,14 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by default
-      // (PARQUET_TYPE_ILLEGAL). Read it as raw nanos and convert with integer
-      // division — going through double would lose precision at ~1.7e18 ns.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // (PARQUET_TYPE_ILLEGAL). Sessions.builder sets nanosAsLong=true at
+      // session creation; the guarded set below only covers foreign sessions
+      // (e.g. the driver's own) and never flips an explicit setting.
+      if (!spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false").toBoolean)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/$name.parquet")
+        // raw nanos → micros via integer division — going through double
+        // would lose precision at ~1.7e18 ns.
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 

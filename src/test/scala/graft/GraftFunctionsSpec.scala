@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for the injected Catalyst expressions (field / hive_hash /
+  * parse_url_tuple), checked against Hive-0.8 reference semantics computed
+  * by hand (Java hashCode rules, GenericUDFField 1-based indexing).
+  */
+class GraftFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("field: 1-based index, 0 on miss, 0 on null needle") {
+    val r = Seq(("b", "x"), ("z", "y"), (null, "w"))
+      .toDF("needle", "pad")
+      .selectExpr("field(needle, 'a', 'b', 'c') as f")
+      .collect().map(_.getInt(0)).toSeq
+    assert(r == Seq(2, 0, 0))
+  }
+
+  test("hive_hash matches Java hash semantics (≠ murmur3 hash())") {
+    val row = spark.range(1).selectExpr(
+      "hive_hash('abc') as hs",
+      "hive_hash(5) as hi",
+      "hive_hash(5L) as hl",
+      "hive_hash(cast(1.5 as double)) as hd",
+      "hive_hash(true) as hb",
+      "hive_hash('a', 2) as hmulti",
+      "hive_hash(cast(null as string)) as hnull").head()
+    assert(row.getInt(0) == "abc".hashCode)
+    assert(row.getInt(1) == 5)
+    assert(row.getInt(2) == (5L ^ (5L >>> 32)).toInt)
+    val dbits = java.lang.Double.doubleToLongBits(1.5)
+    assert(row.getInt(3) == (dbits ^ (dbits >>> 32)).toInt)
+    assert(row.getInt(4) == 1)
+    assert(row.getInt(5) == 31 * "a".hashCode + 2)
+    assert(row.getInt(6) == 0)
+    // and it really differs from Spark's murmur3 on the same input
+    val (h1, h2) = spark.range(1)
+      .selectExpr("hive_hash('abc')", "hash('abc')")
+      .as[(Int, Int)].head()
+    assert(h1 != h2)
+  }
+
+  test("parse_url_tuple explodes url parts incl QUERY:<key>") {
+    val df = Seq("http://user@example.com:8080/a/b.html?k=v&x=1#frag")
+      .toDF("url")
+      .selectExpr(
+        "parse_url_tuple(url, 'HOST', 'PATH', 'QUERY', 'REF', 'PROTOCOL', 'QUERY:x', 'QUERY:missing') as (host, path, q, ref, proto, qx, qm)")
+    val Row(host: String, path: String, q: String, ref: String,
+      proto: String, qx: String, qm) = df.head()
+    assert(host == "example.com")
+    assert(path == "/a/b.html")
+    assert(q == "k=v&x=1")
+    assert(ref == "frag")
+    assert(proto == "http")
+    assert(qx == "1")
+    assert(qm == null)
+  }
+
+  test("parse_url_tuple yields nulls for malformed urls") {
+    val r = Seq("ht tp://bad url").toDF("url")
+      .selectExpr("parse_url_tuple(url, 'HOST', 'PATH') as (h, p)")
+      .head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+}

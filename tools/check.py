@@ -10,11 +10,17 @@ of values with columns sorted by name (rows compared in order AND as a
 sorted multiset, so we catch both kinds of mismatch).
 """
 import json, sys, math, glob
+from decimal import Decimal
 import duckdb
 
 def norm(v):
     if v is None:
         return "NULL"
+    # canonicalize every numeric through float so a double-vs-decimal type
+    # divergence between Spark parquet and the oracle can't produce
+    # trailing-zero formatting FAILs ('123.4' vs '123.40')
+    if isinstance(v, Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
