@@ -23,5 +23,16 @@ object Sessions {
       // globally (see Tables.load) rather than as a per-read side effect.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")
       .withExtensions(GraftExtensions.inject)
+
+  /** Build + finish session-scoped setup (typed-Aggregator UDAFs can only be
+    * registered on a live session, not via extensions).
+    */
+  def get(appName: String): SparkSession = {
+    val spark = builder(appName).getOrCreate()
+    functions.GraftUdfs.register(spark)
+    spark
+  }
 }

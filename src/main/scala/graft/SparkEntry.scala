@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** Ordered module registry — one module per SURVEY.md §2 capability area. */
   def modules: Seq[QueryModule] = Seq(
-    operators.Relational)
+    operators.Relational,
+    operators.HiveFunctions)
 
   private lazy val all: Seq[QueryDef] = {
     val ds = modules.flatMap(_.defs)

@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Column-level helpers for reference semantics that compose from Spark
+  * built-ins (no custom expression needed).
+  */
+object HiveCompat {
+
+  /** Hive's `uniontype<T0..Tn>` has no Spark equivalent; the engine encodes a
+    * union as `struct<tag: tinyint, field0: T0, ..., fieldN: Tn>` with exactly
+    * one non-null payload field (SURVEY.md §1.2). `create_union` (ref
+    * ql/udf/generic/GenericUDFUnion, registered FunctionRegistry.java:413)
+    * becomes this composition.
+    */
+  def createUnion(tag: Column, values: Column*): Column =
+    struct(
+      (tag.cast("tinyint").as("tag") +:
+        values.zipWithIndex.map { case (v, i) =>
+          when(tag.cast("int") === i, v).as(s"field$i")
+        }): _*)
+
+  /** 0-based tag of an encoded union value. */
+  def unionTag(u: Column): Column = u.getField("tag")
+}
+
+/** Session-scoped function registrations that need a live SparkSession
+  * (typed Aggregators can't go through SparkSessionExtensions' expression
+  * injection). Idempotent — re-registering overwrites.
+  */
+object GraftUdfs {
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("ngrams_topk", udaf(NGramsTopK))
+  }
+}

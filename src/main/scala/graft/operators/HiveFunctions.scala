@@ -1,0 +1,281 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.functions.HiveCompat
+import org.apache.spark.sql.functions._
+
+/** Scalar/generator/UDAF function surface of the reference
+  * (SURVEY.md §2.8/§2.9): URL parsing, string battery beyond q18, complex
+  * types incl. the uniontype encoding, numeric conv/bin/hex + bitwise ops,
+  * JSON functions, UDTFs (posexplode/stack), and the ngrams UDAF.
+  *
+  * Every query projects ground-truth-reconstructible values so the DuckDB
+  * oracle states the expected result independently (it does not need the
+  * same function to exist in DuckDB).
+  */
+object HiveFunctions extends QueryModule {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- parse_url + parse_url_tuple (ref GenericUDFParseUrl registry :284,
+    //      GenericUDTFParseUrlTuple :436) against URLs built from columns
+    QueryDef(
+      "q33_url_funcs",
+      (s, dir) => t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 300)
+        .selectExpr(
+          "o_orderkey",
+          """concat('https://shop.example.com/', o_orderstatus, '/', o_orderkey,
+             '?prio=', substr(o_orderpriority, 1, 1), '&cust=', o_custkey,
+             '#f', o_orderkey) AS url""")
+        .selectExpr(
+          "o_orderkey",
+          "parse_url(url, 'HOST') AS host",
+          "parse_url(url, 'PATH') AS path",
+          "parse_url(url, 'QUERY', 'prio') AS q_prio",
+          "parse_url_tuple(url, 'QUERY:cust', 'REF') AS (q_cust, ref)")
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+        'shop.example.com' AS host,
+        '/' || o_orderstatus || '/' || o_orderkey AS path,
+        substr(o_orderpriority, 1, 1) AS q_prio,
+        CAST(o_custkey AS VARCHAR) AS q_cust,
+        'f' || o_orderkey AS ref
+        FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey""")),
+
+    // ---- string battery #2: str_to_map, find_in_set, elt, instr, locate,
+    //      translate, initcap, repeat, space, ascii, field (custom)
+    //      (ref FunctionRegistry.java:276-286,420-423)
+    QueryDef(
+      "q34_string_funcs2",
+      (s, dir) => t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 1000)
+        .selectExpr(
+          "o_orderkey",
+          "str_to_map(concat('status:', o_orderstatus, ',prio:', split(o_orderpriority, '-')[0]), ',', ':')['status'] AS st",
+          "str_to_map(concat('status:', o_orderstatus, ',prio:', split(o_orderpriority, '-')[0]), ',', ':')['prio'] AS pr",
+          "find_in_set(o_orderstatus, 'F,O,P') AS fis",
+          "elt(2, 'x', o_orderstatus) AS e2",
+          "instr(o_orderpriority, '-') AS ins",
+          "locate('R', o_orderpriority) AS loc",
+          "concat_ws('|', o_orderstatus, o_orderpriority) AS cw",
+          "translate(o_orderstatus, 'FOP', 'fop') AS tr",
+          "initcap(lower(o_orderstatus)) AS ic",
+          "field(o_orderstatus, 'F', 'O', 'P') AS fld",
+          "repeat(o_orderstatus, 2) AS rep",
+          "concat('a', space(2), 'b') AS spc",
+          "ascii(o_orderstatus) AS asc")
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+        o_orderstatus AS st,
+        split_part(o_orderpriority, '-', 1) AS pr,
+        CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'O' THEN 2 WHEN 'P' THEN 3 ELSE 0 END AS fis,
+        o_orderstatus AS e2,
+        position('-' IN o_orderpriority) AS ins,
+        position('R' IN o_orderpriority) AS loc,
+        o_orderstatus || '|' || o_orderpriority AS cw,
+        translate(o_orderstatus, 'FOP', 'fop') AS tr,
+        o_orderstatus AS ic,
+        CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'O' THEN 2 WHEN 'P' THEN 3 ELSE 0 END AS fld,
+        repeat(o_orderstatus, 2) AS rep,
+        'a  b' AS spc,
+        unicode(o_orderstatus) AS asc
+        FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""")),
+
+    // ---- complex types: array/map/struct/named_struct/size/array_contains/
+    //      map_keys + the uniontype encoding (ref FunctionRegistry.java:409-427,
+    //      create_union :413; SURVEY.md §1.2)
+    QueryDef(
+      "q35_complex_types",
+      (s, dir) => {
+        val u = HiveCompat.createUnion(
+          col("l_linenumber") % 2, col("l_orderkey"), col("l_returnflag"))
+        t(s, dir, "lineitem")
+          .filter(col("l_orderkey") <= 50)
+          .withColumn("u", u)
+          .selectExpr(
+            "l_orderkey", "l_linenumber",
+            "array(l_linenumber, l_linenumber * 2)[0] AS a0",
+            "size(array(l_linenumber, l_linenumber * 2)) AS sz",
+            "array_contains(array(l_linenumber, l_linenumber * 2), 2) AS has2",
+            "map('a', l_linenumber, 'b', 7)['a'] AS ma",
+            "aggregate(map_values(map('a', l_linenumber, 'b', 7)), 0, (acc, x) -> acc + x) AS mvsum",
+            "concat_ws(',', sort_array(map_keys(map('a', l_linenumber, 'b', 7)))) AS mk",
+            "named_struct('q', l_quantity, 'ln', l_linenumber).q AS stq",
+            "cast(u.tag AS INT) AS utag",
+            "coalesce(cast(u.field0 AS string), u.field1) AS uval")
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+        l_linenumber AS a0,
+        2 AS sz,
+        (l_linenumber = 2 OR l_linenumber = 1) AS has2,
+        l_linenumber AS ma,
+        l_linenumber + 7 AS mvsum,
+        'a,b' AS mk,
+        l_quantity AS stq,
+        l_linenumber % 2 AS utag,
+        CASE WHEN l_linenumber % 2 = 0 THEN CAST(l_orderkey AS VARCHAR)
+             ELSE l_returnflag END AS uval
+        FROM lineitem WHERE l_orderkey <= 50
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- numeric/bitwise battery: conv, bin, hex, unhex, pmod, degrees,
+    //      radians, atan2, log2/log10/cbrt, shifts, & | ^ ~
+    //      (ref FunctionRegistry.java:234-265,326-329)
+    QueryDef(
+      "q36_numeric_funcs",
+      (s, dir) => t(s, dir, "orders")
+        .filter(col("o_orderkey").between(1, 500))
+        .selectExpr(
+          "o_orderkey",
+          "conv(cast(o_orderkey AS string), 10, 16) AS hx16",
+          "bin(o_orderkey) AS bn",
+          "hex(o_orderkey) AS hx",
+          "decode(unhex(hex(encode(o_orderstatus, 'UTF-8'))), 'UTF-8') AS rt",
+          "pmod(0 - o_orderkey, 7) AS pm",
+          "round(degrees(acos(-1) / 2), 6) AS deg",
+          "round(radians(180), 6) AS rad",
+          "round(atan2(1, o_orderkey), 6) AS at2",
+          "round(log2(o_orderkey), 6) AS lg2",
+          "round(log10(o_orderkey), 6) AS lg10",
+          "round(cbrt(o_orderkey), 6) AS cb",
+          "shiftleft(o_orderkey, 2) AS shl",
+          "shiftright(o_orderkey, 1) AS shr",
+          "o_orderkey & 255 AS band",
+          "o_orderkey | 256 AS bor",
+          "o_orderkey ^ 85 AS bxor",
+          "~o_orderkey AS bnot")
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+        hex(o_orderkey) AS hx16,
+        bin(o_orderkey) AS bn,
+        hex(o_orderkey) AS hx,
+        o_orderstatus AS rt,
+        ((-o_orderkey % 7) + 7) % 7 AS pm,
+        90.0 AS deg,
+        round(pi(), 6) AS rad,
+        round(atan2(1, o_orderkey), 6) AS at2,
+        round(log2(o_orderkey), 6) AS lg2,
+        round(log10(o_orderkey), 6) AS lg10,
+        round(cbrt(o_orderkey), 6) AS cb,
+        o_orderkey * 4 AS shl,
+        o_orderkey // 2 AS shr,
+        o_orderkey & 255 AS band,
+        o_orderkey | 256 AS bor,
+        xor(o_orderkey, 85) AS bxor,
+        ~o_orderkey AS bnot
+        FROM orders WHERE o_orderkey BETWEEN 1 AND 500 ORDER BY o_orderkey""")),
+
+    // ---- JSON: json_tuple (ref GenericUDTFJSONTuple :435), from_json/to_json
+    //      round trip on the events props column
+    QueryDef(
+      "q37_json_funcs",
+      (s, dir) => t(s, dir, "events")
+        .filter(col("event_id") <= 2000)
+        .selectExpr(
+          "event_id",
+          "json_tuple(props, 'k') AS jk",
+          "from_json(props, 'k INT').k AS fk",
+          "to_json(named_struct('k', from_json(props, 'k INT').k)) AS js")
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+        regexp_extract(props, '"k": (-?\d+)', 1) AS jk,
+        CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INT) AS fk,
+        '{"k":' || regexp_extract(props, '"k": (-?\d+)', 1) || '}' AS js
+        FROM events WHERE event_id <= 2000 ORDER BY event_id""")),
+
+    // ---- posexplode generator (ref UDTFOperator.java:41; explode's
+    //      positional variant)
+    QueryDef(
+      "q38_posexplode",
+      (s, dir) => t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 100)
+        .selectExpr("o_orderkey",
+          "posexplode(split(o_orderpriority, '-')) AS (pos, token)")
+        .orderBy(col("o_orderkey"), col("pos")),
+      Some("""SELECT o_orderkey, unnest(range(0, len(l))) AS pos, unnest(l) AS token
+        FROM (SELECT o_orderkey, str_split(o_orderpriority, '-') AS l
+              FROM orders WHERE o_orderkey <= 100) t
+        ORDER BY o_orderkey, pos""")),
+
+    // ---- stack generator: n-row pivot-longer without a UNION of scans
+    QueryDef(
+      "q39_stack",
+      (s, dir) => t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 100)
+        .selectExpr("o_orderkey",
+          "stack(2, 'status', o_orderstatus, 'prio', o_orderpriority) AS (tag, v)")
+        .orderBy(col("o_orderkey"), col("tag")),
+      Some("""SELECT o_orderkey, tag, v FROM (
+          SELECT o_orderkey, 'status' AS tag, o_orderstatus AS v FROM orders WHERE o_orderkey <= 100
+          UNION ALL
+          SELECT o_orderkey, 'prio' AS tag, o_orderpriority AS v FROM orders WHERE o_orderkey <= 100)
+        ORDER BY o_orderkey, tag""")),
+
+    // ---- ngrams UDAF (ref GenericUDAFnGrams.java:361) — custom Aggregator,
+    //      top-10 bigrams per language over documents
+    QueryDef(
+      "q40_ngrams",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("lang"), split(lower(col("text")), " ").as("words"))
+        .groupBy(col("lang"))
+        .agg(expr("ngrams_topk(words, 2, 10)").as("grams"))
+        .select(col("lang"), explode(col("grams")).as("g"))
+        .select(col("lang"), col("g.ngram").as("ngram"), col("g.freq").as("freq"))
+        .orderBy(col("lang"), col("freq").desc, col("ngram")),
+      Some("""WITH w AS (SELECT lang, str_split(lower(text), ' ') AS words FROM documents),
+        b AS (SELECT lang,
+                unnest(list_transform(range(1, len(words)),
+                                      i -> words[i] || ' ' || words[i + 1])) AS ngram
+              FROM w),
+        c AS (SELECT lang, ngram, count(*) AS freq FROM b GROUP BY 1, 2)
+        SELECT lang, ngram, freq FROM c
+        QUALIFY row_number() OVER (PARTITION BY lang ORDER BY freq DESC, ngram) <= 10
+        ORDER BY lang, freq DESC, ngram""")),
+
+    // ---- HiveQL dialect through spark.sql: DISTRIBUTE BY / SORT BY parse
+    //      natively (Hive.g:1769/:1777); outer ORDER BY makes it oracle-able
+    QueryDef(
+      "q41_hiveql_sortby",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT l_orderkey, l_linenumber, l_quantity FROM (
+                   SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+                   WHERE l_orderkey <= 2000
+                   DISTRIBUTE BY l_orderkey SORT BY l_orderkey, l_linenumber)
+                 ORDER BY l_orderkey, l_linenumber""")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        WHERE l_orderkey <= 2000 ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- LATERAL VIEW in SQL (ref Hive.g:1628-1633, LateralViewJoinOperator)
+    QueryDef(
+      "q42_hiveql_lateral_view",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT o_orderkey, token
+                 FROM orders
+                 LATERAL VIEW explode(split(o_orderpriority, '-')) tok AS token
+                 WHERE o_orderkey <= 200
+                 ORDER BY o_orderkey, token""")
+      },
+      Some("""SELECT o_orderkey, unnest(str_split(o_orderpriority, '-')) AS token
+        FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey, token""")),
+
+    // ---- TRANSFORM ... USING (script operator, ref ScriptOperator.java:54) —
+    //      rows piped through /bin/cat and read back, Spark's native
+    //      no-serde script transform
+    QueryDef(
+      "q43_hiveql_transform",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT k, v FROM (
+                   SELECT TRANSFORM(o_orderkey, o_orderstatus) USING 'cat' AS (k STRING, v STRING)
+                   FROM orders WHERE o_orderkey <= 100)
+                 ORDER BY cast(k AS BIGINT)""")
+      },
+      Some("""SELECT CAST(o_orderkey AS VARCHAR) AS k, o_orderstatus AS v
+        FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey"""))
+  )
+}

@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 object SparkTestSession {
   lazy val spark: SparkSession = {
-    val s = Sessions.builder("graft-test").getOrCreate()
+    val s = Sessions.get("graft-test")
     s.sparkContext.setLogLevel("WARN")
     s
   }
