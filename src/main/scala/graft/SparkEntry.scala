@@ -14,7 +14,8 @@ object SparkEntry {
   /** Ordered module registry — one module per SURVEY.md §2 capability area. */
   def modules: Seq[QueryModule] = Seq(
     operators.Relational,
-    operators.HiveFunctions)
+    operators.HiveFunctions,
+    operators.Dedup)
 
   private lazy val all: Seq[QueryDef] = {
     val ds = modules.flatMap(_.defs)

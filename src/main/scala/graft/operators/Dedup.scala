@@ -1,0 +1,271 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data deduplication + similarity-search operators (capability
+  * extension beyond the reference, which has no document tooling — SURVEY.md
+  * §7.2 M6). Five dedup families over `documents` and ANN search over
+  * `embeddings`, each with a DuckDB oracle computing the identical algorithm.
+  *
+  * Scale design (100 TB posture):
+  *  - signatures (minhash/simhash) are pure per-row projections via
+  *    higher-order functions — no shuffle, no UDF, fully codegen'd;
+  *  - candidate generation is an equi-join on (band, hash) — the inverted-
+  *    index pattern — never an all-pairs cross join;
+  *  - the only cross joins below are against a broadcast query set (knn) or
+  *    inside an explicitly windowed doc_id subset (pair listings for the
+  *    oracle), each O(n) in the big table.
+  */
+object Dedup extends QueryModule {
+
+  /** 32-bit int from the first 8 hex chars of md5 — the deterministic,
+    * engine-portable hash used by every sketch here (DuckDB computes the
+    * same bytes).
+    */
+  private def h32(e: String): String =
+    s"cast(conv(substr(md5($e), 1, 8), 16, 10) AS bigint)"
+
+  /** IEEE-identical cosine: double-cast elementwise product, sequential sum. */
+  private val cosine =
+    """aggregate(zip_with(qe, ne, (x, y) -> double(x) * double(y)),
+                 cast(0 AS double), (acc, v) -> acc + v)
+       / (sqrt(aggregate(transform(qe, x -> double(x) * double(x)),
+                         cast(0 AS double), (acc, v) -> acc + v))
+          * sqrt(aggregate(transform(ne, x -> double(x) * double(x)),
+                           cast(0 AS double), (acc, v) -> acc + v)))"""
+
+  private val cosineDuck =
+    """list_sum(list_transform(range(1, len(qe) + 1),
+                               i -> CAST(qe[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)))
+       / (sqrt(list_sum(list_transform(range(1, len(qe) + 1),
+                                       i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
+          * sqrt(list_sum(list_transform(range(1, len(ne) + 1),
+                                         i -> CAST(ne[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)))))"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- Exact dedup: hash-groupBy on a normalized content key (here the
+    //      lowercased 5-word prefix); survivors = min doc_id per group.
+    //      One shuffle on the key — the canonical 100 TB exact-dedup plan.
+    QueryDef(
+      "q50_dedup_exact",
+      (s, dir) => t(s, dir, "documents")
+        .selectExpr("doc_id",
+          "md5(array_join(slice(split(lower(text), ' '), 1, 5), ' ')) AS dup_key")
+        .groupBy(col("dup_key"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("survivor"))
+        .filter(col("n_copies") > 1)
+        .orderBy(col("dup_key")),
+      Some("""SELECT md5(array_to_string((str_split(lower(text), ' '))[1:5], ' ')) AS dup_key,
+        count(*) AS n_copies, min(doc_id) AS survivor
+        FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY dup_key""")),
+
+    // ---- n-gram Jaccard near-dup: exact set similarity over 3-word
+    //      shingles; pairs found via the shingle inverted index (equi-join),
+    //      intersection counted per pair, union from per-doc shingle counts.
+    QueryDef(
+      "q51_dedup_jaccard",
+      (s, dir) => {
+        val sh = t(s, dir, "documents")
+          .filter(col("doc_id") < 120)
+          .selectExpr("doc_id",
+            """array_distinct(transform(sequence(0, size(split(lower(text), ' ')) - 3),
+                 i -> concat_ws(' ', slice(split(lower(text), ' '), i + 1, 3)))) AS shingles""")
+          .selectExpr("doc_id", "size(shingles) AS nsh", "explode(shingles) AS sh")
+        val a = sh.toDF("a_id", "na", "sh")
+        val b = sh.toDF("b_id", "nb", "sh")
+        a.join(b, Seq("sh")).filter(col("a_id") < col("b_id"))
+          .groupBy(col("a_id"), col("b_id"))
+          .agg(count(lit(1)).as("inter"),
+            first(col("na")).as("na"), first(col("nb")).as("nb"))
+          .selectExpr("a_id", "b_id", "inter", "na + nb - inter AS uni",
+            "round(inter / (na + nb - inter), 6) AS jaccard")
+          .filter(col("jaccard") >= 0.02)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH s AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh,
+                 len(list_distinct(list_transform(range(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS nsh
+          FROM (SELECT doc_id, str_split(lower(text), ' ') AS w
+                FROM documents WHERE doc_id < 120)),
+        p AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter,
+                 any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+          FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT a_id, b_id, inter, na + nb - inter AS uni,
+               round(inter / (na + nb - inter), 6) AS jaccard
+        FROM p WHERE round(inter / (na + nb - inter), 6) >= 0.02
+        ORDER BY a_id, b_id""")),
+
+    // ---- MinHash + LSH near-dup: 16 minhashes per doc computed as a single
+    //      shuffle-free projection (aggregate/transform over the word set),
+    //      banded 2×8, candidates = equi-join on (band, band_hash). The
+    //      doc_id < 200 window only bounds the emitted pair list.
+    QueryDef(
+      "q52_dedup_minhash",
+      (s, dir) => {
+        val bands = t(s, dir, "documents")
+          .filter(col("doc_id") < 200)
+          .selectExpr("doc_id",
+            "array_distinct(split(lower(text), ' ')) AS words")
+          .selectExpr("doc_id",
+            s"""transform(sequence(0, 15),
+                  i -> array_min(transform(words,
+                         w -> ${h32("concat(cast(i AS string), ':', w)")}))) AS sig""")
+          .selectExpr("doc_id",
+            """posexplode(transform(sequence(0, 1),
+                 j -> md5(array_join(transform(slice(sig, j * 8 + 1, 8),
+                                               v -> cast(v AS string)), ',')))) AS (band, bh)""")
+        val a = bands.toDF("a_id", "band", "bh")
+        val b = bands.toDF("b_id", "band", "bh")
+        a.join(b, Seq("band", "bh")).filter(col("a_id") < col("b_id"))
+          .groupBy(col("a_id"), col("b_id"))
+          .agg(count(lit(1)).as("n_bands"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH w AS (
+          SELECT doc_id, list_distinct(str_split(lower(text), ' ')) AS words
+          FROM documents WHERE doc_id < 200),
+        sig AS (
+          SELECT doc_id,
+                 list_transform(range(0, 16),
+                   i -> list_min(list_transform(words,
+                          w2 -> CAST(('0x' || substr(md5(i || ':' || w2), 1, 8)) AS BIGINT)))) AS s
+          FROM w),
+        bands AS (
+          SELECT doc_id, unnest(range(0, 2)) AS band,
+                 unnest(list_transform(range(0, 2),
+                        j -> md5(array_to_string(s[j*8+1:j*8+8], ',')))) AS bh
+          FROM sig)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_bands
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 ORDER BY a_id, b_id""")),
+
+    // ---- SimHash near-dup: 32-bit signature as a shuffle-free projection;
+    //      near pairs = hamming ≤ 2 over a bounded window (at scale the
+    //      pair stage buckets on signature prefixes instead of cross-joining).
+    QueryDef(
+      "q53_dedup_simhash",
+      (s, dir) => {
+        val sh = t(s, dir, "documents")
+          .filter(col("doc_id") < 100)
+          .selectExpr("doc_id",
+            s"transform(array_distinct(split(lower(text), ' ')), x -> ${h32("x")}) AS hs")
+          .selectExpr("doc_id",
+            """transform(sequence(0, 31),
+                 b -> aggregate(hs, 0,
+                        (acc, h) -> acc + if((shiftright(h, cast(b AS int)) & 1) = 1, 1, -1))) AS sums""")
+          .selectExpr("doc_id",
+            """aggregate(transform(sequence(0, 31),
+                 b -> if(sums[b] > 0, shiftleft(cast(1 AS bigint), cast(b AS int)), cast(0 AS bigint))),
+                 cast(0 AS bigint), (acc, x) -> acc + x) AS simhash""")
+        val a = sh.toDF("a_id", "sh_a")
+        val b = sh.toDF("b_id", "sh_b")
+        a.crossJoin(b).filter(col("a_id") < col("b_id"))
+          .selectExpr("a_id", "b_id",
+            "cast(bit_count(sh_a ^ sh_b) AS int) AS hamming")
+          .filter(col("hamming") <= 2)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH w AS (
+          SELECT doc_id,
+                 list_transform(list_distinct(str_split(lower(text), ' ')),
+                   x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)) AS hs
+          FROM documents WHERE doc_id < 100),
+        s AS (
+          SELECT doc_id,
+                 list_transform(range(0, 32),
+                   b -> list_sum(list_transform(hs,
+                          h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END))) AS sums
+          FROM w),
+        sh AS (
+          SELECT doc_id,
+                 list_sum(list_transform(range(0, 32),
+                   b -> CASE WHEN sums[b+1] > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS simhash
+          FROM s)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        ORDER BY a_id, b_id""")),
+
+    // ---- Brute-force cosine top-k (the ANN baseline): small query set
+    //      broadcast against the full embedding table, per-query top-3 via
+    //      TakeOrdered-style window. At 100 TB the scan side stays
+    //      partition-parallel; only the query set is replicated.
+    QueryDef(
+      "q54_embed_knn",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.selectExpr("vec_id AS q_id", "embedding AS qe").filter(col("q_id") < 10)
+        val n = emb.selectExpr("vec_id AS nb_id", "embedding AS ne")
+        broadcast(q).crossJoin(n)
+          .filter(col("q_id") =!= col("nb_id"))
+          .selectExpr("q_id", "nb_id", s"round($cosine, 4) AS sim")
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("q_id"))
+              .orderBy(col("sim").desc, col("nb_id"))))
+          .filter(col("rk") <= 3)
+          .orderBy(col("q_id"), col("rk"))
+      },
+      Some(s"""SELECT q_id, nb_id, sim, rk FROM (
+          SELECT q.vec_id AS q_id, n.vec_id AS nb_id,
+                 round($cosineDuck, 4) AS sim,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY round($cosineDuck, 4) DESC, n.vec_id) AS rk
+          FROM (SELECT vec_id, embedding AS qe FROM embeddings WHERE vec_id < 10) q
+               CROSS JOIN (SELECT vec_id, embedding AS ne FROM embeddings) n
+          WHERE q.vec_id != n.vec_id)
+        WHERE rk <= 3 ORDER BY q_id, rk""")),
+
+    // ---- LSH-bucketed ANN (the scale path): random-hyperplane sign bits
+    //      (axis planes on dims 0-3) → 16 buckets; candidates share the
+    //      query's bucket, so the cross join becomes a hash equi-join.
+    QueryDef(
+      "q55_ann_lsh",
+      (s, dir) => {
+        val bucketExpr =
+          """cast(if(element_at(%s, 1) > 0, 1, 0) + if(element_at(%s, 2) > 0, 2, 0)
+               + if(element_at(%s, 3) > 0, 4, 0) + if(element_at(%s, 4) > 0, 8, 0) AS int)"""
+        val emb = t(s, dir, "embeddings")
+        val q = emb.selectExpr("vec_id AS q_id", "embedding AS qe",
+          bucketExpr.format("embedding", "embedding", "embedding", "embedding") + " AS bucket")
+          .filter(col("q_id") < 10)
+        val n = emb.selectExpr("vec_id AS nb_id", "embedding AS ne",
+          bucketExpr.format("embedding", "embedding", "embedding", "embedding") + " AS bucket")
+        q.join(n, Seq("bucket"))
+          .filter(col("q_id") =!= col("nb_id"))
+          .selectExpr("q_id", "bucket", "nb_id", s"round($cosine, 4) AS sim")
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("q_id"))
+              .orderBy(col("sim").desc, col("nb_id"))))
+          .filter(col("rk") === 1).drop("rk")
+          .orderBy(col("q_id"))
+      },
+      Some(s"""WITH e AS (
+          SELECT vec_id, embedding,
+                 CAST(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+                    + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+                    + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+                    + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END AS INT) AS bucket
+          FROM embeddings)
+        SELECT q_id, bucket, nb_id, sim FROM (
+          SELECT q.vec_id AS q_id, q.bucket AS bucket, n.vec_id AS nb_id,
+                 round($cosineDuck, 4) AS sim,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY round($cosineDuck, 4) DESC, n.vec_id) AS rk
+          FROM (SELECT vec_id, embedding AS qe, bucket FROM e WHERE vec_id < 10) q
+               JOIN (SELECT vec_id, embedding AS ne, bucket FROM e) n USING (bucket)
+          WHERE q.vec_id != n.vec_id)
+        WHERE rk = 1 ORDER BY q_id"""))
+  )
+}
