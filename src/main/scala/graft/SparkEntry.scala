@@ -15,7 +15,8 @@ object SparkEntry {
   def modules: Seq[QueryModule] = Seq(
     operators.Relational,
     operators.HiveFunctions,
-    operators.Dedup)
+    operators.Dedup,
+    operators.TextAnalysis)
 
   private lazy val all: Seq[QueryDef] = {
     val ds = modules.flatMap(_.defs)

@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (extension surface;
+  * lineage: the reference's only text analytics are `sentences`/`ngrams`/
+  * `context_ngrams`, FunctionRegistry.java:425 + §2.5). Everything here is a
+  * per-row projection built from codegen'd higher-order functions — no UDFs,
+  * no shuffle except the final aggregations — so the same plan runs unchanged
+  * over a 100 TB corpus.
+  *
+  * The synthetic corpus has identical vocabulary across `lang` labels, so
+  * language-ID is verified as a deterministic mechanism (fixed marker-word
+  * profiles, priority-ordered argmax), not on accuracy.
+  */
+object TextAnalysis extends QueryModule {
+
+  private val stopwords = "'the', 'a', 'of', 'and', 'is', 'to', 'in'"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- Language-ID: marker-word profile scores + deterministic argmax;
+    //      output is the lang×pred confusion matrix
+    QueryDef(
+      "q60_langid",
+      (s, dir) => t(s, dir, "documents")
+        .selectExpr("lang", "split(lower(text), ' ') AS words")
+        .selectExpr("lang",
+          "size(filter(words, w -> w IN ('the', 'a', 'of', 'and', 'is'))) AS s_en",
+          "size(filter(words, w -> w IN ('el', 'la', 'de', 'que', 'y'))) AS s_es",
+          "size(filter(words, w -> w IN ('le', 'les', 'et', 'un', 'une'))) AS s_fr",
+          "size(filter(words, w -> w IN ('der', 'die', 'und', 'das', 'ein'))) AS s_de",
+          "size(filter(words, w -> w IN ('shi', 'de_', 'le_', 'zai', 'you'))) AS s_zh")
+        .selectExpr("lang",
+          """CASE WHEN s_en >= greatest(s_es, s_fr, s_de, s_zh) THEN 'en'
+                  WHEN s_de >= greatest(s_es, s_fr, s_zh) THEN 'de'
+                  WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+                  WHEN s_fr >= s_zh THEN 'fr'
+                  ELSE 'zh' END AS pred""")
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred")),
+      Some(s"""WITH d AS (SELECT lang, str_split(lower(text), ' ') AS words FROM documents),
+        sc AS (SELECT lang,
+          len(list_filter(words, w -> w IN ('the', 'a', 'of', 'and', 'is'))) AS s_en,
+          len(list_filter(words, w -> w IN ('el', 'la', 'de', 'que', 'y'))) AS s_es,
+          len(list_filter(words, w -> w IN ('le', 'les', 'et', 'un', 'une'))) AS s_fr,
+          len(list_filter(words, w -> w IN ('der', 'die', 'und', 'das', 'ein'))) AS s_de,
+          len(list_filter(words, w -> w IN ('shi', 'de_', 'le_', 'zai', 'you'))) AS s_zh
+          FROM d)
+        SELECT lang,
+          CASE WHEN s_en >= greatest(s_es, s_fr, s_de, s_zh) THEN 'en'
+               WHEN s_de >= greatest(s_es, s_fr, s_zh) THEN 'de'
+               WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+               WHEN s_fr >= s_zh THEN 'fr'
+               ELSE 'zh' END AS pred,
+          count(*) AS n
+        FROM sc GROUP BY 1, 2 ORDER BY lang, pred""")),
+
+    // ---- Quality scoring: length / word / stopword / punctuation /
+    //      alpha-ratio features + a weighted score
+    QueryDef(
+      "q61_quality",
+      (s, dir) => t(s, dir, "documents")
+        .filter(col("doc_id") < 300)
+        .selectExpr("doc_id", "lang",
+          "length(text) AS n_chars_calc",
+          "size(split(text, ' ')) AS n_words",
+          "round(length(replace(text, ' ', '')) / size(split(text, ' ')), 4) AS avg_word_len",
+          s"round(size(filter(split(lower(text), ' '), w -> w IN ($stopwords))) / size(split(text, ' ')), 4) AS stop_ratio",
+          "round(length(regexp_replace(text, '[a-z ]', '')) / length(text), 4) AS punct_ratio",
+          "round(length(regexp_replace(text, '[^a-z]', '')) / length(text), 4) AS alpha_ratio",
+          // score from the RAW ratios (not the rounded display columns):
+          // pre-rounding manufactures exact decimal halfway points whose
+          // round(…, 4) is engine-dependent; raw ratios are non-terminating
+          // so both engines see the same IEEE double
+          """round(least(size(split(text, ' ')) / 50, 1.0) * 0.4
+               + (1.0 - size(filter(split(lower(text), ' '), w -> w IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) / size(split(text, ' '))) * 0.3
+               + (length(regexp_replace(text, '[^a-z]', '')) / length(text)) * 0.2
+               + (1.0 - length(regexp_replace(text, '[a-z ]', '')) / length(text)) * 0.1, 4) AS quality""")
+        .orderBy(col("doc_id")),
+      Some(s"""WITH q AS (SELECT doc_id, lang,
+          length(text) AS n_chars_calc,
+          len(str_split(text, ' ')) AS n_words,
+          round(length(replace(text, ' ', '')) / len(str_split(text, ' ')), 4) AS avg_word_len,
+          round(len(list_filter(str_split(lower(text), ' '), w -> w IN ($stopwords))) / len(str_split(text, ' ')), 4) AS stop_ratio,
+          round(length(regexp_replace(text, '[a-z ]', '', 'g')) / length(text), 4) AS punct_ratio,
+          round(length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text), 4) AS alpha_ratio,
+          round(least(len(str_split(text, ' ')) / 50, 1.0) * 0.4
+            + (1.0 - len(list_filter(str_split(lower(text), ' '), w -> w IN ($stopwords))) / len(str_split(text, ' '))) * 0.3
+            + (length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text)) * 0.2
+            + (1.0 - length(regexp_replace(text, '[a-z ]', '', 'g')) / length(text)) * 0.1, 4) AS quality
+        FROM documents WHERE doc_id < 300)
+        SELECT doc_id, lang, n_chars_calc, n_words, avg_word_len, stop_ratio,
+          punct_ratio, alpha_ratio, quality
+        FROM q ORDER BY doc_id""")),
+
+    // ---- Token counting: whitespace, regex (BPE-ish \w+|punct), 4-char
+    //      subword chunks, chars/4 estimate, and `sentences` word count
+    QueryDef(
+      "q62_tokens",
+      (s, dir) => t(s, dir, "documents")
+        .filter(col("doc_id") < 300)
+        .selectExpr("doc_id",
+          "size(split(text, ' ')) AS n_ws",
+          "regexp_count(text, '[a-z0-9]+|[^a-z0-9 ]') AS n_re",
+          "aggregate(split(text, ' '), 0, (acc, w) -> acc + cast(ceil(length(w) / 4.0) AS int)) AS n_bpe",
+          "cast(round(length(text) / 4.0, 0) AS int) AS n_est",
+          "size(element_at(sentences(text), 1)) AS n_sent_words")
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        len(str_split(text, ' ')) AS n_ws,
+        len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS n_re,
+        CAST(list_sum(list_transform(str_split(text, ' '),
+             w -> ceil(length(w) / 4.0))) AS INT) AS n_bpe,
+        CAST(round(length(text) / 4.0, 0) AS INT) AS n_est,
+        len(str_split(text, ' ')) AS n_sent_words
+        FROM documents WHERE doc_id < 300 ORDER BY doc_id""")),
+
+    // ---- Winnowing document fingerprint (the MOSS scheme): char-5-gram
+    //      rolling hashes, per-window (w=4) minima, distinct set → digest.
+    //      Entirely projection-level → shuffle-free at any corpus size.
+    QueryDef(
+      "q63_fingerprint",
+      (s, dir) => t(s, dir, "documents")
+        .selectExpr("doc_id",
+          """transform(sequence(1, length(text) - 4),
+               i -> cast(conv(substr(md5(substring(text, i, 5)), 1, 8), 16, 10) AS bigint)) AS hs""")
+        .selectExpr("doc_id",
+          "size(hs) AS n_kgrams",
+          """array_sort(array_distinct(transform(sequence(1, size(hs) - 3),
+               j -> array_min(slice(hs, j, 4))))) AS mins""")
+        .selectExpr("doc_id", "n_kgrams",
+          "size(mins) AS n_fp",
+          "md5(array_join(transform(mins, v -> cast(v AS string)), ',')) AS fp_md5")
+        .orderBy(col("doc_id")),
+      Some("""WITH h AS (
+          SELECT doc_id,
+                 list_transform(range(1, length(text) - 3),
+                   i -> CAST(('0x' || substr(md5(substr(text, i, 5)), 1, 8)) AS BIGINT)) AS hs
+          FROM documents),
+        m AS (
+          SELECT doc_id, len(hs) AS n_kgrams,
+                 list_sort(list_distinct(list_transform(range(1, len(hs) - 2),
+                   j -> list_min(hs[j:j+3])))) AS mins
+          FROM h)
+        SELECT doc_id, n_kgrams, len(mins) AS n_fp,
+               md5(array_to_string(mins, ',')) AS fp_md5
+        FROM m ORDER BY doc_id"""))
+  )
+}
