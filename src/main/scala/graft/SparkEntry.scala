@@ -16,7 +16,8 @@ object SparkEntry {
     operators.Relational,
     operators.HiveFunctions,
     operators.Dedup,
-    operators.TextAnalysis)
+    operators.TextAnalysis,
+    streaming.Streaming)
 
   private lazy val all: Seq[QueryDef] = {
     val ds = modules.flatMap(_.defs)

@@ -1,0 +1,154 @@
+package graft.streaming
+
+import graft.{QueryDef, QueryModule}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.10 — pure extension: the
+  * reference is batch-MR only). The same `events` table is consumed as a
+  * file stream; windowed aggregations run through a real StreamingQuery so
+  * the driver's oracle checks streaming results against batch SQL.
+  *
+  * Scale posture: file-source streaming with `maxFilesPerTrigger` batches,
+  * event-time watermarks bound state, and the stateful sessionizer keys by
+  * user_id so state partitions across executors like any keyed shuffle.
+  */
+object Streaming extends QueryModule {
+
+  /** events schema for readStream (streaming requires an explicit schema);
+    * ts arrives as raw nanos (nanosAsLong) and is converted exactly like the
+    * batch path in Tables.load.
+    */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Runs a streaming DataFrame to completion into an in-memory sink and
+    * returns the materialized result.
+    */
+  def runToTable(spark: SparkSession, streamed: DataFrame, name: String,
+      mode: OutputMode): DataFrame = {
+    val q = streamed.writeStream
+      .queryName(name)
+      .outputMode(mode)
+      .format("memory")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- Tumbling event-time window over a real stream (readStream →
+    //      watermark → window agg → memory sink, AvailableNow). Complete
+    //      mode so every window is emitted for the oracle comparison.
+    QueryDef(
+      "q70_stream_tumbling",
+      (s, dir) => {
+        val agg = eventsStream(s, dir)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        runToTable(s, agg, "q70_sink", OutputMode.Complete())
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("event_type"), col("n"), col("total_value"))
+          .orderBy(col("hour"), col("event_type"))
+      },
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
+
+    // ---- session_window (30-min gap) batch aggregation — the declarative
+    //      sibling of the stateful sessionizer below; oracled against the
+    //      classic lag/cumsum sessionization SQL
+    QueryDef(
+      "q71_session_window",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("s_start"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("s_start")),
+      Some("""WITH e AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        s AS (SELECT user_id, ts, value,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM e)
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+               count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM s GROUP BY user_id, sid ORDER BY user_id, s_start"""))
+  )
+}
+
+/** Emitted session record of the stateful sessionizer. */
+final case class UserSession(
+    user_id: Long, start_us: Long, end_us: Long, n_events: Long, total: Double)
+
+/** In-flight state: session bounds + running aggregates (micros since epoch
+  * — Long state keeps the encoder simple and exact).
+  */
+final case class SessionState(
+    startUs: Long, lastUs: Long, n: Long, total: Double)
+
+/** Stateful sessionization via flatMapGroupsWithState (the KeyValueGrouped
+  * custom-state API the reference's batch engine has no analogue for;
+  * closest lineage is the memory-bounded per-group flush in
+  * GroupByOperator.java:694-778). Sessions close after `gap` of event-time
+  * silence; the event-time timeout emits them as the watermark passes.
+  */
+object Sessionizer {
+  val GapUs: Long = 30L * 60 * 1000 * 1000
+
+  private def toUs(t: java.sql.Timestamp): Long =
+    t.getTime * 1000 + (t.getNanos / 1000) % 1000
+
+  def sessionize(
+      key: Long,
+      rows: Iterator[(Long, java.sql.Timestamp, Double)], // (user_id, ts, value)
+      state: GroupState[SessionState]): Iterator[UserSession] = {
+    val sorted = rows.map { case (u, t, v) => (u, toUs(t), v) }.toSeq.sortBy(_._2)
+    var closed = List.empty[UserSession]
+    var cur = state.getOption
+    if (sorted.nonEmpty) {
+      sorted.foreach { case (_, us, v) =>
+        cur match {
+          case Some(st) if us - st.lastUs < GapUs =>
+            cur = Some(st.copy(lastUs = us, n = st.n + 1, total = st.total + v))
+          case Some(st) =>
+            closed ::= UserSession(key, st.startUs, st.lastUs + GapUs, st.n, st.total)
+            cur = Some(SessionState(us, us, 1, v))
+          case None =>
+            cur = Some(SessionState(us, us, 1, v))
+        }
+      }
+      state.update(cur.get)
+      state.setTimeoutTimestamp((cur.get.lastUs + GapUs) / 1000)
+      closed.reverseIterator
+    } else if (state.hasTimedOut) {
+      val st = state.get
+      state.remove()
+      Iterator.single(UserSession(key, st.startUs, st.lastUs + GapUs, st.n, st.total))
+    } else Iterator.empty
+  }
+}
