@@ -17,6 +17,7 @@ object SparkEntry {
     operators.HiveFunctions,
     operators.Dedup,
     operators.TextAnalysis,
+    operators.Multimodal,
     streaming.Streaming)
 
   private lazy val all: Seq[QueryDef] = {

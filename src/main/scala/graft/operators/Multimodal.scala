@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule}
+import org.apache.spark.sql.functions._
+
+/** Opaque media value: binary payload + typed metadata — the multimodal
+  * column model (image/audio/video as `binary` with a metadata struct).
+  */
+final case class Media(doc_id: Long, payload: Array[Byte], fmt: String,
+    width: Int, height: Int)
+
+final case class MediaFeatures(doc_id: Long, n_bytes: Int,
+    f0: Double, f1: Double, f2: Double, f3: Double,
+    f4: Double, f5: Double, f6: Double, f7: Double)
+
+/** Multimodal-column operators (extension surface; the reference's closest
+  * abstraction is the pluggable SerDe byte-interpretation layer,
+  * serde2/SerDe.java). Payloads here are deterministic fakes built by
+  * UTF-8-encoding the document text — the *real* image/audio decoder is the
+  * clearly-marked stub in [[MediaCodec.decodeBytes]]; everything around it
+  * (binary columns, metadata structs, frame slicing, batched per-partition
+  * feature extraction) is the real Spark plumbing and is oracle-checked.
+  *
+  * Scale posture: payload bytes never leave their partition; feature
+  * extraction is mapPartitions with batched iteration (the Scala analogue of
+  * an Arrow-batched decode UDF), and all slicing/digesting is codegen'd
+  * binary expressions.
+  */
+object Multimodal extends QueryModule {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- Binary column + metadata plumbing: byte length, digest, head
+    //      slice, metadata struct fields
+    QueryDef(
+      "q80_multimodal_meta",
+      (s, dir) => t(s, dir, "documents")
+        .selectExpr("doc_id",
+          "encode(text, 'UTF-8') AS payload",
+          "named_struct('fmt', 'txt8', 'width', cast(n_chars % 64 + 16 AS int), " +
+            "'height', cast(n_chars div 64 + 1 AS int)) AS meta")
+        .selectExpr("doc_id",
+          "length(payload) AS n_bytes",
+          "md5(payload) AS digest",
+          "decode(substring(payload, 1, 12), 'UTF-8') AS head",
+          "meta.fmt AS fmt", "meta.width AS width", "meta.height AS height")
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        length(text) AS n_bytes,
+        md5(text) AS digest,
+        substr(text, 1, 12) AS head,
+        'txt8' AS fmt,
+        length(text) % 64 + 16 AS width,
+        length(text) // 64 + 1 AS height
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- Frame sampling: fixed 32-byte frames, every 3rd frame — video
+    //      keyframe extraction as pure binary slicing
+    QueryDef(
+      "q81_frame_sample",
+      (s, dir) => t(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload",
+          "cast(ceil(length(text) / 32.0) AS int) AS n_frames")
+        .selectExpr("doc_id", "n_frames",
+          "posexplode(sequence(0, n_frames - 1)) AS (pos, frame_no)",
+          "payload")
+        .filter(col("frame_no") % 3 === 0)
+        .selectExpr("doc_id", "frame_no",
+          "decode(substring(payload, frame_no * 32 + 1, 32), 'UTF-8') AS frame_text",
+          "length(substring(payload, frame_no * 32 + 1, 32)) AS frame_len")
+        .orderBy(col("doc_id"), col("frame_no")),
+      Some("""SELECT doc_id, frame_no,
+        substr(text, frame_no * 32 + 1, 32) AS frame_text,
+        length(substr(text, frame_no * 32 + 1, 32)) AS frame_len
+        FROM (SELECT doc_id, text,
+                unnest(range(0, CAST(ceil(length(text) / 32.0) AS INT))) AS frame_no
+              FROM documents WHERE doc_id < 200)
+        WHERE frame_no % 3 = 0 ORDER BY doc_id, frame_no""")),
+
+    // ---- Batched per-partition feature extraction over the decoded
+    //      payload: 8 per-chunk byte means (the fake "pixel" statistics)
+    QueryDef(
+      "q82_media_features",
+      (s, dir) => {
+        val session = s
+        import session.implicits._
+        t(s, dir, "documents")
+          .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload",
+            "'txt8' AS fmt", "cast(16 AS int) AS width", "cast(16 AS int) AS height")
+          .as[Media]
+          .mapPartitions(it => it.grouped(64).flatMap(MediaCodec.extractFeatures))
+          .toDF()
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, length(text) AS n_bytes,
+        """ + (0 until 8).map { c =>
+          s"""round(list_avg(list_transform(
+                range((length(text) * $c) // 8 + 1, (length(text) * ${c + 1}) // 8 + 1),
+                i -> unicode(substr(text, CAST(i AS INT), 1)))), 4) AS f$c"""
+        }.mkString(",\n        ") + """
+        FROM documents ORDER BY doc_id"""))
+  )
+}
+
+/** The decode/extract kernel. Batched (caller passes 64-row groups) to model
+  * a vectorized decoder's calling convention.
+  */
+object MediaCodec {
+
+  /** STUB — stands in for a real image/audio decoder (codec libraries are
+    * not available in this environment). Deterministic fake: the "decoded
+    * pixels" are the raw payload bytes. A real build plugs libjpeg/ffmpeg
+    * here; nothing outside this function changes.
+    */
+  def decodeBytes(payload: Array[Byte]): Array[Int] =
+    payload.map(b => b & 0xFF)
+
+  /** 8 per-chunk means over the decoded bytes (chunk c spans
+    * [floor(n*c/8), floor(n*(c+1)/8)) — mirrored exactly by the oracle SQL).
+    */
+  def extractFeatures(batch: Seq[Media]): Seq[MediaFeatures] =
+    batch.map { m =>
+      val px = decodeBytes(m.payload)
+      val n = px.length
+      val f = (0 until 8).map { c =>
+        val lo = n * c / 8
+        val hi = n * (c + 1) / 8
+        val cnt = hi - lo
+        if (cnt == 0) 0.0
+        else {
+          var sum = 0L
+          var i = lo
+          while (i < hi) { sum += px(i); i += 1 }
+          BigDecimal(sum.toDouble / cnt)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      }
+      MediaFeatures(m.doc_id, n, f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+    }
+}
