@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+
+/** DDL + write-path surface (SURVEY.md §2.11, §7.2 M3): multi-insert
+  * (Hive.g:1385-1419), dynamic partition overwrite (FileSinkOperator
+  * dynamic-partition fan-out, FileSinkOperator.java:294), bucketed tables
+  * (CLUSTERED BY ... INTO n BUCKETS → bucketBy) incl. the SMB-join
+  * no-exchange guarantee (SMBMapJoinOperator.java:51), TABLESAMPLE, and
+  * catalog statements.
+  */
+class SqlDialectSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def collectShuffles(plan: SparkPlan): Seq[ShuffleExchangeExec] =
+    plan.collect { case e: ShuffleExchangeExec => e }
+
+  test("multi-insert: one FROM fans out to several INSERTs (single statement)") {
+    val wh = tmp("graft-mi")
+    spark.sql(s"CREATE TABLE mi_small (k BIGINT, price DOUBLE) USING parquet LOCATION '$wh/small'")
+    spark.sql(s"CREATE TABLE mi_large (k BIGINT, price DOUBLE) USING parquet LOCATION '$wh/large'")
+    Tables.registerAll(spark, sfDir)
+    spark.sql("""
+      FROM orders
+      INSERT OVERWRITE TABLE mi_small SELECT o_orderkey, o_totalprice WHERE o_totalprice < 50000
+      INSERT OVERWRITE TABLE mi_large SELECT o_orderkey, o_totalprice WHERE o_totalprice >= 50000""")
+    val nSmall = spark.table("mi_small").count()
+    val nLarge = spark.table("mi_large").count()
+    val total = Tables.load(spark, sfDir, "orders").count()
+    assert(nSmall > 0 && nLarge > 0 && nSmall + nLarge == total)
+    spark.sql("DROP TABLE mi_small")
+    spark.sql("DROP TABLE mi_large")
+  }
+
+  test("dynamic partition overwrite replaces only touched partitions") {
+    val dir = tmp("graft-dynpart")
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+    li.write.partitionBy("l_returnflag").mode("overwrite").parquet(dir)
+    val before = spark.read.parquet(dir)
+      .groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // overwrite ONLY the 'A' partition with a single sentinel row
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.createDataFrame(Seq((-1L, 0.0, "A")))
+        .toDF("l_orderkey", "l_quantity", "l_returnflag")
+        .write.partitionBy("l_returnflag").mode("overwrite").parquet(dir)
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+
+    val after = spark.read.parquet(dir)
+      .groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after("A") == 1, s"A should be replaced: $after")
+    assert(after("N") == before("N") && after("R") == before("R"),
+      s"untouched partitions must survive: $before -> $after")
+  }
+
+  test("bucketed+sorted tables join without a shuffle (SMB join)") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    Tables.load(spark, sfDir, "orders")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey")).agg(sum(col("l_quantity")).as("q"))
+    val n = joined.count()
+    assert(n > 0)
+    val shuffles = collectShuffles(joined.queryExecution.executedPlan)
+    // join keys == bucket keys on both sides -> the join itself needs no
+    // exchange; the only permissible shuffle is the final groupBy's, and
+    // since grouping is also on the bucket key there should be none at all
+    assert(shuffles.isEmpty,
+      s"expected zero exchanges, got:\n${joined.queryExecution.executedPlan}")
+    spark.sql("DROP TABLE b_orders")
+    spark.sql("DROP TABLE b_lineitem")
+  }
+
+  test("TABLESAMPLE and catalog statements parse and run") {
+    Tables.registerAll(spark, sfDir)
+    val sampled = spark.sql(
+      "SELECT count(*) AS n FROM lineitem TABLESAMPLE (10 PERCENT)").head().getLong(0)
+    val total = Tables.load(spark, sfDir, "lineitem").count()
+    assert(sampled > 0 && sampled < total)
+
+    assert(spark.sql("SHOW TABLES").collect().nonEmpty)
+    assert(spark.sql("DESCRIBE lineitem").collect()
+      .exists(_.getString(0) == "l_orderkey"))
+    assert(spark.sql("SELECT * FROM VALUES (1), (2) t(x)").count() == 2)
+  }
+
+  test("CLUSTER BY / DISTRIBUTE BY / SORT BY SQL clauses parse and execute") {
+    Tables.registerAll(spark, sfDir)
+    val n1 = spark.sql(
+      "SELECT l_orderkey FROM lineitem CLUSTER BY l_orderkey").count()
+    val n2 = spark.sql(
+      "SELECT l_orderkey FROM lineitem DISTRIBUTE BY l_orderkey SORT BY l_orderkey").count()
+    val total = Tables.load(spark, sfDir, "lineitem").count()
+    assert(n1 == total && n2 == total)
+  }
+}
