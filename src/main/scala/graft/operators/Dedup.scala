@@ -68,11 +68,16 @@ object Dedup extends QueryModule {
     QueryDef(
       "q51_dedup_jaccard",
       (s, dir) => {
+        // w is bound as its own column (two references → CollapseProject
+        // keeps it) so the per-shingle lambda slices an attribute instead of
+        // re-splitting the text ~250× per row
         val sh = t(s, dir, "documents")
           .filter(col("doc_id") < 120)
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("doc_id", "split(lower(text), ' ') AS w")
           .selectExpr("doc_id",
-            """array_distinct(transform(sequence(0, size(split(lower(text), ' ')) - 3),
-                 i -> concat_ws(' ', slice(split(lower(text), ' '), i + 1, 3)))) AS shingles""")
+            """array_distinct(transform(sequence(0, size(w) - 3),
+                 i -> concat_ws(' ', slice(w, i + 1, 3)))) AS shingles""")
           .selectExpr("doc_id", "size(shingles) AS nsh", "explode(shingles) AS sh")
         val a = sh.toDF("a_id", "na", "sh")
         val b = sh.toDF("b_id", "nb", "sh")
@@ -154,18 +159,24 @@ object Dedup extends QueryModule {
     QueryDef(
       "q53_dedup_simhash",
       (s, dir) => {
+        // single expression: the word-hash array is bound exactly once and
+        // the 32 bit-sums accumulate in one pass over it (a staged
+        // formulation re-evaluates the inlined array per bit — measured 20×
+        // slower); repartition fans the single-row-group input across cores
         val sh = t(s, dir, "documents")
           .filter(col("doc_id") < 100)
+          .repartition(s.sparkContext.defaultParallelism)
           .selectExpr("doc_id",
-            s"transform(array_distinct(split(lower(text), ' ')), x -> ${h32("x")}) AS hs")
-          .selectExpr("doc_id",
-            """transform(sequence(0, 31),
-                 b -> aggregate(hs, 0,
-                        (acc, h) -> acc + if((shiftright(h, cast(b AS int)) & 1) = 1, 1, -1))) AS sums""")
-          .selectExpr("doc_id",
-            """aggregate(transform(sequence(0, 31),
-                 b -> if(sums[b] > 0, shiftleft(cast(1 AS bigint), cast(b AS int)), cast(0 AS bigint))),
-                 cast(0 AS bigint), (acc, x) -> acc + x) AS simhash""")
+            s"""aggregate(
+                  zip_with(
+                    aggregate(
+                      transform(array_distinct(split(lower(text), ' ')), x -> ${h32("x")}),
+                      array_repeat(0, 32),
+                      (acc, h) -> zip_with(acc, sequence(0, 31),
+                                    (a, b) -> a + if((shiftright(h, b) & 1) = 1, 1, -1))),
+                    sequence(0, 31),
+                    (s2, b) -> if(s2 > 0, shiftleft(cast(1 AS bigint), b), cast(0 AS bigint))),
+                  cast(0 AS bigint), (acc, x) -> acc + x) AS simhash""")
         val a = sh.toDF("a_id", "sh_a")
         val b = sh.toDF("b_id", "sh_b")
         a.crossJoin(b).filter(col("a_id") < col("b_id"))

@@ -124,6 +124,10 @@ object TextAnalysis extends QueryModule {
     QueryDef(
       "q63_fingerprint",
       (s, dir) => t(s, dir, "documents")
+        // fixture tables are single-row-group parquet (one scan partition);
+        // fan the hash-heavy projection across cores — at real scale the
+        // many-file input arrives pre-split and this repartition disappears
+        .repartition(s.sparkContext.defaultParallelism)
         .selectExpr("doc_id",
           """transform(sequence(1, length(text) - 4),
                i -> cast(conv(substr(md5(substring(text, i, 5)), 1, 8), 16, 10) AS bigint)) AS hs""")
