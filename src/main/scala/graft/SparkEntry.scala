@@ -18,6 +18,7 @@ object SparkEntry {
     operators.Dedup,
     operators.TextAnalysis,
     operators.Multimodal,
+    operators.Misc,
     streaming.Streaming)
 
   private lazy val all: Seq[QueryDef] = {

@@ -35,7 +35,14 @@ object GraftFunctions {
   val registrations: Seq[Registration] = Seq(
     reg("field", classOf[Field], Field(_)),
     reg("hive_hash", classOf[HiveHash08], HiveHash08(_)),
-    reg("parse_url_tuple", classOf[ParseUrlTuple], ParseUrlTuple(_)))
+    reg("parse_url_tuple", classOf[ParseUrlTuple], ParseUrlTuple(_)),
+    reg("bitmap_agg", classOf[BitmapAgg],
+      es => BitmapAgg(es.head).toAggregateExpression()),
+    reg("bitmap_and", classOf[BitmapCombine],
+      es => BitmapCombine(es(0), es(1), isAnd = true)),
+    reg("bitmap_or", classOf[BitmapCombine],
+      es => BitmapCombine(es(0), es(1), isAnd = false)),
+    reg("bitmap_count", classOf[BitmapCount], es => BitmapCount(es.head)))
 }
 
 /** `field(needle, v1..vn)`: 1-based index of the first vi equal to needle,

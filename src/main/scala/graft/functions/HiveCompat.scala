@@ -32,5 +32,6 @@ object HiveCompat {
 object GraftUdfs {
   def register(spark: SparkSession): Unit = {
     spark.udf.register("ngrams_topk", udaf(NGramsTopK))
+    spark.udf.register("context_ngrams_topk", udaf(ContextNGramsTopK))
   }
 }

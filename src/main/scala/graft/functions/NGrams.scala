@@ -64,3 +64,52 @@ object NGramsTopK extends Aggregator[(Seq[String], Int, Int), NGramBuf, Seq[NGra
   override def outputEncoder: org.apache.spark.sql.Encoder[Seq[NGramFreq]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[NGramFreq]]()
 }
+
+/** `context_ngrams` (ref GenericUDAFContextNGrams.java:424): counts the
+  * words that fill the null slots of a context pattern — e.g. pattern
+  * ('the', null) counts what follows 'the'. Null pattern entries are
+  * wildcards; matched wildcard words (joined by space when several) are the
+  * counted grams. Same pruned-buffer top-k contract as [[NGramsTopK]].
+  */
+object ContextNGramsTopK
+    extends Aggregator[(Seq[String], Seq[String], Int), NGramBuf, Seq[NGramFreq]] {
+
+  override def zero: NGramBuf = NGramBuf(Map.empty, 0, 0)
+
+  override def reduce(b: NGramBuf, in: (Seq[String], Seq[String], Int)): NGramBuf = {
+    val (words, pattern, k) = in
+    val n = pattern.length
+    val m = collection.mutable.HashMap.empty[String, Long] ++= b.counts
+    var i = 0
+    val last = words.length - n
+    while (i <= last) {
+      var j = 0
+      var ok = true
+      while (ok && j < n) {
+        val p = pattern(j)
+        if (p != null && p != words(i + j)) ok = false
+        j += 1
+      }
+      if (ok) {
+        val gram = (0 until n).collect {
+          case j2 if pattern(j2) == null => words(i + j2)
+        }.mkString(" ")
+        m.update(gram, m.getOrElse(gram, 0L) + 1L)
+      }
+      i += 1
+    }
+    val grown = NGramBuf(m.toMap, n, k)
+    if (k > 0 && grown.counts.size > 100 * k)
+      grown.copy(counts = grown.counts.toSeq
+        .sortBy { case (g, c) => (-c, g) }.take(100 * k).toMap)
+    else grown
+  }
+
+  override def merge(a: NGramBuf, b: NGramBuf): NGramBuf =
+    NGramsTopK.merge(a, b)
+  override def finish(b: NGramBuf): Seq[NGramFreq] = NGramsTopK.finish(b)
+  override def bufferEncoder: org.apache.spark.sql.Encoder[NGramBuf] =
+    org.apache.spark.sql.Encoders.product[NGramBuf]
+  override def outputEncoder: org.apache.spark.sql.Encoder[Seq[NGramFreq]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[NGramFreq]]()
+}

@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule}
+import org.apache.spark.sql.functions._
+
+/** Remaining reference-parity surface: pinned coercion/null-order semantics
+  * (SURVEY.md §7.4 hard part 2), the ewah-bitmap family, virtual columns
+  * (§1.4), the UNIQUEJOIN/PRESERVE rewrite (§2.4 #7), and context_ngrams.
+  */
+object Misc extends QueryModule {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- Coercion semantics pinned against the oracle: string↔numeric
+    //      compare (FunctionRegistry.java:1121-1190), int `/` → double,
+    //      `div` integer division, ASC sort = NULLS FIRST
+    //      (BinarySortableSerDe null-byte prefix)
+    QueryDef(
+      "q44_coercions",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 200)
+        .selectExpr(
+          "l_orderkey", "l_linenumber",
+          "CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_linenumber END AS nullable_ln",
+          "'0042' = 42 AS str_eq_int",
+          "'3.5' > '3' AS str_gt",
+          "l_quantity / 2 AS half_q",
+          "l_orderkey div 7 AS div7",
+          "cast(l_orderkey AS string) = l_orderkey AS roundtrip_eq")
+        .orderBy(col("nullable_ln").asc, col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber,
+        CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_linenumber END AS nullable_ln,
+        '0042' = 42 AS str_eq_int,
+        '3.5' > '3' AS str_gt,
+        l_quantity / 2 AS half_q,
+        l_orderkey // 7 AS div7,
+        CAST(l_orderkey AS VARCHAR) = CAST(l_orderkey AS VARCHAR) AS roundtrip_eq
+        FROM lineitem WHERE l_orderkey <= 200
+        ORDER BY nullable_ln ASC NULLS FIRST, l_orderkey, l_linenumber""")),
+
+    // ---- ewah_bitmap family (GenericUDAFEWAHBitmap.java:53 + and/or/empty
+    //      scalars): per-flag supplier bitmaps, then set algebra on the
+    //      serialized bitmaps; oracled via INTERSECT/UNION cardinalities
+    QueryDef(
+      "q45_bitmap",
+      (s, dir) => {
+        val bm = t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(expr("bitmap_agg(l_suppkey)").as("bm"))
+        val a = bm.filter(col("l_returnflag") === "A").select(col("bm").as("bm_a"))
+        val n = bm.filter(col("l_returnflag") === "N").select(col("bm").as("bm_n"))
+        a.crossJoin(n).selectExpr(
+          "bitmap_count(bm_a) AS n_a",
+          "bitmap_count(bm_n) AS n_n",
+          "bitmap_count(bitmap_and(bm_a, bm_n)) AS n_both",
+          "bitmap_count(bitmap_or(bm_a, bm_n)) AS n_any")
+      },
+      Some("""SELECT
+        (SELECT count(DISTINCT l_suppkey) FROM lineitem WHERE l_returnflag = 'A') AS n_a,
+        (SELECT count(DISTINCT l_suppkey) FROM lineitem WHERE l_returnflag = 'N') AS n_n,
+        (SELECT count(*) FROM (
+           SELECT DISTINCT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+           INTERSECT
+           SELECT DISTINCT l_suppkey FROM lineitem WHERE l_returnflag = 'N')) AS n_both,
+        (SELECT count(*) FROM (
+           SELECT DISTINCT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+           UNION
+           SELECT DISTINCT l_suppkey FROM lineitem WHERE l_returnflag = 'N')) AS n_any""")),
+
+    // ---- Virtual columns (VirtualColumn.java:34-38): INPUT__FILE__NAME →
+    //      input_file_name(), ROW__OFFSET → monotonically_increasing_id
+    //      (uniqueness checked, values engine-specific)
+    QueryDef(
+      "q46_virtual_cols",
+      (s, dir) => t(s, dir, "lineitem")
+        .select(
+          regexp_extract(input_file_name(), "[^/]+$", 0).as("file"),
+          monotonically_increasing_id().as("rid"))
+        .agg(
+          first(col("file")).as("file"),
+          countDistinct(col("rid")).as("n_ids"),
+          count(lit(1)).as("n_rows"))
+        .select(col("file"), (col("n_ids") === col("n_rows")).as("ids_unique"),
+          col("n_rows")),
+      Some("""SELECT 'lineitem.parquet' AS file, true AS ids_unique,
+        count(*) AS n_rows FROM lineitem""")),
+
+    // ---- UNIQUEJOIN ... PRESERVE (Hive.g:1596-1614, JoinDesc.UNIQUE_JOIN)
+    //      re-expressed as chained FULL OUTER joins on the key tuple: every
+    //      key from every PRESERVEd side survives with per-side presence
+    QueryDef(
+      "q47_uniquejoin",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .select(col("c_custkey").as("k")).distinct()
+          .withColumn("in_cust", lit(1))
+        val o = t(s, dir, "orders")
+          .select(col("o_custkey").as("k")).distinct()
+          .withColumn("in_ord", lit(1))
+        val big = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey").as("k")).distinct()
+          .withColumn("in_big", lit(1))
+        c.join(o, Seq("k"), "full_outer")
+          .join(big, Seq("k"), "full_outer")
+          .selectExpr("k", "coalesce(in_cust, 0) AS in_cust",
+            "coalesce(in_ord, 0) AS in_ord", "coalesce(in_big, 0) AS in_big")
+          .groupBy(col("in_cust"), col("in_ord"), col("in_big"))
+          .agg(count(lit(1)).as("n_keys"))
+          .orderBy(col("in_cust"), col("in_ord"), col("in_big"))
+      },
+      Some("""WITH c AS (SELECT DISTINCT c_custkey AS k, 1 AS in_cust FROM customer),
+        o AS (SELECT DISTINCT o_custkey AS k, 1 AS in_ord FROM orders),
+        big AS (SELECT DISTINCT o_custkey AS k, 1 AS in_big FROM orders
+                WHERE o_totalprice > 300000)
+        SELECT coalesce(in_cust, 0) AS in_cust, coalesce(in_ord, 0) AS in_ord,
+               coalesce(in_big, 0) AS in_big, count(*) AS n_keys
+        FROM c FULL OUTER JOIN o USING (k) FULL OUTER JOIN big USING (k)
+        GROUP BY 1, 2, 3 ORDER BY in_cust, in_ord, in_big""")),
+
+    // ---- context_ngrams (GenericUDAFContextNGrams.java:424): top-10 words
+    //      following 'the' per language
+    QueryDef(
+      "q48_context_ngrams",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("lang"), split(lower(col("text")), " ").as("words"))
+        .groupBy(col("lang"))
+        .agg(expr("context_ngrams_topk(words, array('the', cast(null AS string)), 10)")
+          .as("grams"))
+        .select(col("lang"), explode(col("grams")).as("g"))
+        .select(col("lang"), col("g.ngram").as("follower"), col("g.freq").as("freq"))
+        .orderBy(col("lang"), col("freq").desc, col("follower")),
+      Some("""WITH w AS (SELECT lang, str_split(lower(text), ' ') AS words FROM documents),
+        b AS (SELECT lang,
+                unnest(list_transform(range(1, len(words)),
+                       i -> CASE WHEN words[i] = 'the' THEN words[i + 1] END)) AS follower
+              FROM w),
+        c AS (SELECT lang, follower, count(*) AS freq FROM b
+              WHERE follower IS NOT NULL GROUP BY 1, 2)
+        SELECT lang, follower, freq FROM c
+        QUALIFY row_number() OVER (PARTITION BY lang ORDER BY freq DESC, follower) <= 10
+        ORDER BY lang, freq DESC, follower"""))
+  )
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Approximate aggregates whose algorithms differ from DuckDB's (SURVEY.md
+  * §2.5: percentile_approx is histogram-based in the reference, GK/KLL-style
+  * in engines) — verified by tolerance against the exact answer instead of
+  * the hash oracle, plus bitmap-aggregate algebra laws.
+  */
+class ApproxAggSpec extends SparkSpec {
+
+  test("percentile_approx within 1% of exact percentile") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val r = li.agg(
+      expr("percentile(l_extendedprice, 0.5)").as("exact"),
+      expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("approx")).head()
+    val (exact, approx) = (r.getDouble(0), r.getDouble(1))
+    assert(math.abs(approx - exact) / exact < 0.01, s"exact=$exact approx=$approx")
+  }
+
+  test("histogram_numeric bins cover the data (counts sum to rows)") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val bins = li.agg(expr("histogram_numeric(l_quantity, 10)").as("h"))
+      .selectExpr("explode(h) AS b").selectExpr("b.x", "b.y")
+      .collect()
+    assert(bins.length == 10)
+    val total = bins.map(_.getDouble(1)).sum
+    assert(math.round(total) == li.count())
+  }
+
+  test("bitmap_agg algebra: and/or cardinalities match set semantics") {
+    Tables.registerAll(spark, sfDir)
+    val r = spark.sql("""
+      WITH bm AS (SELECT l_returnflag, bitmap_agg(l_suppkey) AS b
+                  FROM lineitem GROUP BY l_returnflag)
+      SELECT bitmap_count(a.b) AS ca, bitmap_count(n.b) AS cn,
+             bitmap_count(bitmap_and(a.b, n.b)) AS cand,
+             bitmap_count(bitmap_or(a.b, n.b)) AS cor
+      FROM (SELECT b FROM bm WHERE l_returnflag = 'A') a,
+           (SELECT b FROM bm WHERE l_returnflag = 'N') n""").head()
+    val Seq(ca, cn, cand, cor) =
+      (0 to 3).map(i => r.getAs[Number](i).intValue)
+    // inclusion-exclusion must hold exactly for exact bitmaps
+    assert(ca + cn - cand == cor, s"|A|+|N|-|A∩N| != |A∪N|: $ca $cn $cand $cor")
+    assert(cand <= math.min(ca, cn) && cor >= math.max(ca, cn))
+  }
+}
