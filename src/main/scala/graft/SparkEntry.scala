@@ -19,6 +19,7 @@ object SparkEntry {
     operators.TextAnalysis,
     operators.Multimodal,
     operators.Misc,
+    operators.ScaleOps,
     streaming.Streaming)
 
   private lazy val all: Seq[QueryDef] = {

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Scale-technique operators: explicit skew-salting (the manual form of the
+  * reference's runtime skew path, SkewJoinHandler.java:73 / AQE skew join),
+  * the extended window-function battery, and ROLLUP (absent in the
+  * reference's grammar — capability extension like §2.6).
+  */
+object ScaleOps extends QueryModule {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- Salted skew join: big side derives a deterministic salt, small
+    //      side replicates across the salt domain; join on (key, salt) then
+    //      aggregate — result provably equals the unsalted join. The manual
+    //      fallback when a single hot key overwhelms one reducer and AQE
+    //      splitting isn't available (e.g. pre-shuffle bucketing decisions).
+    QueryDef(
+      "q49_salted_join",
+      (s, dir) => {
+        val salts = 8
+        val big = t(s, dir, "lineitem")
+          .withColumn("salt", pmod(col("l_linenumber"), lit(salts)))
+        val small = t(s, dir, "supplier")
+          .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+        big.join(small,
+            col("l_suppkey") === col("s_suppkey")
+              && big("salt") === small("salt"))
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("rev"))
+          .orderBy(col("s_nationkey"))
+      },
+      Some("""SELECT s_nationkey, count(*) AS n, round(sum(l_extendedprice), 2) AS rev
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
+    // ---- Window battery #2: lead/lag/ntile/first/last/dense_rank/
+    //      percent_rank over frames (extension surface, §2.6)
+    QueryDef(
+      "q56_window_battery",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .filter(col("o_custkey") <= 200)
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            lag(col("o_orderkey"), 1).over(w).as("prev_ord"),
+            lead(col("o_orderkey"), 1).over(w).as("next_ord"),
+            ntile(4).over(w).as("quartile"),
+            first(col("o_orderkey")).over(w).as("first_ord"),
+            dense_rank().over(w).as("drk"),
+            round(percent_rank().over(w), 6).as("prk"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        lag(o_orderkey, 1) OVER w AS prev_ord,
+        lead(o_orderkey, 1) OVER w AS next_ord,
+        ntile(4) OVER w AS quartile,
+        first_value(o_orderkey) OVER w AS first_ord,
+        dense_rank() OVER w AS drk,
+        round(percent_rank() OVER w, 6) AS prk
+        FROM orders WHERE o_custkey <= 200
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // ---- ROLLUP (absent in Hive 0.8 — no KW_ROLLUP in Hive.g; Catalyst
+    //      Expand-based grouping sets)
+    QueryDef(
+      "q57_rollup",
+      (s, dir) => t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+        round(sum(l_quantity), 2) AS qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
+  )
+}
