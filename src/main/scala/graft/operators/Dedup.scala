@@ -237,6 +237,32 @@ object Dedup extends QueryModule {
           WHERE q.vec_id != n.vec_id)
         WHERE rk <= 3 ORDER BY q_id, rk""")),
 
+    // ---- Vector column ops: norms, extrema, component stats — the
+    //      embedding-hygiene projections a training pipeline runs before
+    //      similarity work; pure codegen'd/HOF projections
+    QueryDef(
+      "q59_vector_ops",
+      (s, dir) => t(s, dir, "embeddings")
+        .selectExpr("vec_id", "label",
+          "size(embedding) AS dim",
+          """round(sqrt(aggregate(transform(embedding, x -> double(x) * double(x)),
+               cast(0 AS double), (acc, v) -> acc + v)), 4) AS l2""",
+          """round(aggregate(transform(embedding, x -> double(x)),
+               cast(0 AS double), (acc, v) -> acc + v) / size(embedding), 6) AS mean""",
+          "round(double(array_max(embedding)), 6) AS mx",
+          "round(double(array_min(embedding)), 6) AS mn",
+          "size(filter(embedding, x -> x > 0)) AS n_pos")
+        .orderBy(col("vec_id")),
+      Some("""SELECT vec_id, label, len(embedding) AS dim,
+        round(sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2,
+        round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+              / len(embedding), 6) AS mean,
+        round(CAST(list_max(embedding) AS DOUBLE), 6) AS mx,
+        round(CAST(list_min(embedding) AS DOUBLE), 6) AS mn,
+        len(list_filter(embedding, x -> x > 0)) AS n_pos
+        FROM embeddings ORDER BY vec_id""")),
+
     // ---- LSH-bucketed ANN (the scale path): random-hyperplane sign bits
     //      (axis planes on dims 0-3) → 16 buckets; candidates share the
     //      query's bucket, so the cross join becomes a hash equi-join.

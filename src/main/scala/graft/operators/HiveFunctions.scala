@@ -234,6 +234,27 @@ object HiveFunctions extends QueryModule {
         QUALIFY row_number() OVER (PARTITION BY lang ORDER BY freq DESC, ngram) <= 10
         ORDER BY lang, freq DESC, ngram""")),
 
+    // ---- xpath battery (ref xpath_string/boolean/number..., registry
+    //      :309-317) over XML built from columns so the oracle states
+    //      ground truth without a DuckDB xpath
+    QueryDef(
+      "q58_xpath",
+      (s, dir) => t(s, dir, "part")
+        .filter(col("p_partkey") <= 500)
+        .selectExpr("p_partkey",
+          "concat('<r><b>', p_brand, '</b><s>', p_size, '</s></r>') AS x")
+        .selectExpr("p_partkey",
+          "xpath_string(x, 'r/b') AS xb",
+          "xpath_int(x, 'r/s') AS xs",
+          "xpath_boolean(x, 'r/b') AS has_b",
+          "xpath_boolean(x, 'r/missing') AS has_missing",
+          "size(xpath(x, 'r/*/text()')) AS n_parts")
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+        p_brand AS xb, p_size AS xs, true AS has_b, false AS has_missing,
+        2 AS n_parts
+        FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""")),
+
     // ---- HiveQL dialect through spark.sql: DISTRIBUTE BY / SORT BY parse
     //      natively (Hive.g:1769/:1777); outer ORDER BY makes it oracle-able
     QueryDef(

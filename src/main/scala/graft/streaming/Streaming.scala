@@ -71,6 +71,26 @@ object Streaming extends QueryModule {
         event_type, count(*) AS n, round(sum(value), 2) AS total_value
         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
 
+    // ---- Stream-static join: the events stream enriched against the
+    //      static customer dimension (broadcast per micro-batch), then
+    //      aggregated — the canonical streaming-enrichment topology
+    QueryDef(
+      "q72_stream_static_join",
+      (s, dir) => {
+        val cust = graft.Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val agg = eventsStream(s, dir)
+          .join(broadcast(cust), col("user_id") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        runToTable(s, agg, "q72_sink", OutputMode.Complete())
+          .orderBy(col("c_mktsegment"), col("event_type"))
+      },
+      Some("""SELECT c_mktsegment, event_type, count(*) AS n,
+        round(sum(value), 2) AS total_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""")),
+
     // ---- session_window (30-min gap) batch aggregation — the declarative
     //      sibling of the stateful sessionizer below; oracled against the
     //      classic lag/cumsum sessionization SQL
