@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Asserts the physical plans are the ones a 100 TB deployment needs — not
+  * just that results match: filters/projections reach the parquet scan,
+  * small sides broadcast, top-k plans use TakeOrderedAndProject, semi joins
+  * stay semi.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  private def run(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  test("q02: predicates are pushed to the parquet scan, schema pruned") {
+    val p = plan("q02_filter")
+    // plan toString truncates long filter lists — match a stable prefix
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(l_shipda"),
+      s"shipdate filter not pushed:\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("l_orderkey"),
+      s"scan should not read unused columns:\n$p")
+  }
+
+  test("q04: explicit broadcast hint yields BroadcastHashJoin") {
+    assert(plan("q04_broadcast_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q14: ORDER BY + LIMIT plans as TakeOrderedAndProject") {
+    assert(plan("q14_orderby_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("q09/q10: semi and anti joins keep their join type") {
+    assert(plan("q09_semi_join").contains("LeftSemi"))
+    assert(plan("q10_anti_join").contains("LeftAnti"))
+  }
+
+  test("q52: LSH candidate generation is an equi-join, never cartesian") {
+    val p = plan("q52_dedup_minhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"minhash candidates must come from the band equi-join:\n$p")
+  }
+
+  test("q01: aggregation splits into partial + final HashAggregate") {
+    val p = plan("q01_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial/final split:\n$p")
+  }
+
+  test("whole-stage codegen covers the relational hot path") {
+    // AQE reveals codegen spans only in the finalized plan — execute first
+    val df = run("q01_agg")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // '*(n)' prefixes mark WholeStageCodegen spans in the plan string
+    assert(p.contains("*(1)") && p.contains("isFinalPlan=true"),
+      s"codegen missing:\n$p")
+  }
+}

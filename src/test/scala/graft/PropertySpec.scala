@@ -1,0 +1,65 @@
+package graft
+
+import graft.functions.NGramsTopK
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based laws for the custom aggregation/hash kernels — the
+  * partial/final contract (split-merge equivalence, commutativity, identity)
+  * that a distributed run depends on but single-partition tests never
+  * exercise. Drives scalacheck Gens with explicit seeds (scalatestplus glue
+  * is not available offline), so every run checks the same 100 cases.
+  */
+class PropertySpec extends SparkSpec {
+
+  private val word = Gen.oneOf("a", "b", "c", "the", "scan", "join", "fast")
+  private val doc = Gen.listOf(word).map(_.toSeq)
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  test("ngrams: reduce-all equals split-reduce-then-merge (partial/final contract)") {
+    (1 to 100).foreach { s =>
+      val docs = sample(Gen.listOfN(6, doc), s)
+      val whole = docs.foldLeft(NGramsTopK.zero)(
+        (b, d) => NGramsTopK.reduce(b, (d, 2, 5)))
+      val (l, r) = docs.splitAt(3)
+      val left = l.foldLeft(NGramsTopK.zero)((b, d) => NGramsTopK.reduce(b, (d, 2, 5)))
+      val right = r.foldLeft(NGramsTopK.zero)((b, d) => NGramsTopK.reduce(b, (d, 2, 5)))
+      val merged = NGramsTopK.merge(left, right)
+      assert(NGramsTopK.finish(whole) == NGramsTopK.finish(merged), s"seed=$s")
+    }
+  }
+
+  test("ngrams: merge is commutative after finish; zero is identity") {
+    (1 to 100).foreach { s =>
+      val d1 = sample(doc, s)
+      val d2 = sample(doc, s + 1000)
+      val b1 = NGramsTopK.reduce(NGramsTopK.zero, (d1, 2, 5))
+      val b2 = NGramsTopK.reduce(NGramsTopK.zero, (d2, 2, 5))
+      assert(NGramsTopK.finish(NGramsTopK.merge(b1, b2)) ==
+        NGramsTopK.finish(NGramsTopK.merge(b2, b1)), s"seed=$s")
+      assert(NGramsTopK.finish(NGramsTopK.merge(b1, NGramsTopK.zero)) ==
+        NGramsTopK.finish(b1), s"seed=$s")
+    }
+  }
+
+  test("hive_hash on strings equals Java String.hashCode for arbitrary input") {
+    import spark.implicits._
+    val ss = (1 to 50).map(s => sample(Gen.alphaNumStr.map(_.take(40)), s)) :+
+      "" :+ "héllo wörld ünïcode ✓"
+    val got = ss.toDF("s").selectExpr("hive_hash(s) AS h").as[Int].collect().toSeq
+    assert(got == ss.map(_.hashCode))
+  }
+
+  test("field returns an index its own arguments justify") {
+    import spark.implicits._
+    val ss = (1 to 60).map(s => sample(Gen.oneOf("x", "y", "z", "w"), s))
+    val got = ss.toDF("s").selectExpr("field(s, 'x', 'y', 'z') AS f")
+      .as[Int].collect().toSeq
+    got.zip(ss).foreach { case (f, s) =>
+      val expected = Seq("x", "y", "z").indexOf(s) + 1
+      assert(f == (if (expected > 0) expected else 0))
+    }
+  }
+}
