@@ -234,6 +234,33 @@ object HiveFunctions extends QueryModule {
         QUALIFY row_number() OVER (PARTITION BY lang ORDER BY freq DESC, ngram) <= 10
         ORDER BY lang, freq DESC, ngram""")),
 
+    // ---- date/time battery #2: last_day, add_months, next_day, trunc,
+    //      from/to_utc_timestamp (registry :291-305, :429-430) — timezone
+    //      cases use the DST-free Etc/GMT+5 so both engines agree exactly
+    QueryDef(
+      "q64_datetime2",
+      (s, dir) => t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 500)
+        .selectExpr(
+          "o_orderkey",
+          "date_format(last_day(o_orderdate), 'yyyy-MM-dd') AS ld",
+          "date_format(add_months(o_orderdate, 2), 'yyyy-MM-dd') AS am2",
+          "date_format(next_day(o_orderdate, 'Monday'), 'yyyy-MM-dd') AS nmon",
+          "date_format(trunc(cast(o_orderdate AS date), 'MM'), 'yyyy-MM-dd') AS mstart",
+          "date_format(from_utc_timestamp(o_orderdate, 'Etc/GMT+5'), 'yyyy-MM-dd HH:mm:ss') AS minus5",
+          "date_format(to_utc_timestamp(o_orderdate, 'Etc/GMT+5'), 'yyyy-MM-dd HH:mm:ss') AS plus5")
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+        strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS ld,
+        strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE), '%Y-%m-%d') AS am2,
+        strftime(CAST(o_orderdate AS DATE)
+                 + ((7 - dayofweek(CAST(o_orderdate AS DATE))) % 7 + 1) * INTERVAL 1 DAY,
+                 '%Y-%m-%d') AS nmon,
+        strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m-%d') AS mstart,
+        strftime(o_orderdate - INTERVAL 5 HOUR, '%Y-%m-%d %H:%M:%S') AS minus5,
+        strftime(o_orderdate + INTERVAL 5 HOUR, '%Y-%m-%d %H:%M:%S') AS plus5
+        FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""")),
+
     // ---- xpath battery (ref xpath_string/boolean/number..., registry
     //      :309-317) over XML built from columns so the oracle states
     //      ground truth without a DuckDB xpath
