@@ -128,21 +128,24 @@ object TextAnalysis extends QueryModule {
         // fan the hash-heavy projection across cores — at real scale the
         // many-file input arrives pre-split and this repartition disappears
         .repartition(s.sparkContext.defaultParallelism)
+        // hashes stay as fixed-width hex strings: lexicographic min ==
+        // numeric min, and dropping the hex→bigint conv (BigInteger-based)
+        // nearly halves the per-kgram cost
         .selectExpr("doc_id",
           """transform(sequence(1, length(text) - 4),
-               i -> cast(conv(substr(md5(substring(text, i, 5)), 1, 8), 16, 10) AS bigint)) AS hs""")
+               i -> substr(md5(substring(text, i, 5)), 1, 8)) AS hs""")
         .selectExpr("doc_id",
           "size(hs) AS n_kgrams",
           """array_sort(array_distinct(transform(sequence(1, size(hs) - 3),
                j -> array_min(slice(hs, j, 4))))) AS mins""")
         .selectExpr("doc_id", "n_kgrams",
           "size(mins) AS n_fp",
-          "md5(array_join(transform(mins, v -> cast(v AS string)), ',')) AS fp_md5")
+          "md5(array_join(mins, ',')) AS fp_md5")
         .orderBy(col("doc_id")),
       Some("""WITH h AS (
           SELECT doc_id,
                  list_transform(range(1, length(text) - 3),
-                   i -> CAST(('0x' || substr(md5(substr(text, i, 5)), 1, 8)) AS BIGINT)) AS hs
+                   i -> substr(md5(substr(text, i, 5)), 1, 8)) AS hs
           FROM documents),
         m AS (
           SELECT doc_id, len(hs) AS n_kgrams,
