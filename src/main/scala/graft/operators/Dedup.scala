@@ -237,6 +237,29 @@ object Dedup extends QueryModule {
           WHERE q.vec_id != n.vec_id)
         WHERE rk <= 3 ORDER BY q_id, rk""")),
 
+    // ---- Embedding-cosine near-dup pairs: every pair above the similarity
+    //      bar inside a bounded window (thresholding on the 4dp-rounded
+    //      value, which both engines compute identically — proven by the
+    //      kNN hash matches). At scale the window becomes an LSH bucket
+    //      (q55) and the pair join an equi-join.
+    QueryDef(
+      "q65_dedup_cosine",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val a = emb.selectExpr("vec_id AS a_id", "embedding AS qe").filter(col("a_id") < 300)
+        val b = emb.selectExpr("vec_id AS b_id", "embedding AS ne").filter(col("b_id") < 300)
+        a.crossJoin(b).filter(col("a_id") < col("b_id"))
+          .selectExpr("a_id", "b_id", s"round($cosine, 4) AS sim")
+          .filter(col("sim") >= 0.35)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some(s"""SELECT a_id, b_id, sim FROM (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id, round($cosineDuck, 4) AS sim
+          FROM (SELECT vec_id, embedding AS qe FROM embeddings WHERE vec_id < 300) a
+               CROSS JOIN (SELECT vec_id, embedding AS ne FROM embeddings WHERE vec_id < 300) b
+          WHERE a.vec_id < b.vec_id)
+        WHERE sim >= 0.35 ORDER BY a_id, b_id""")),
+
     // ---- Vector column ops: norms, extrema, component stats — the
     //      embedding-hygiene projections a training pipeline runs before
     //      similarity work; pure codegen'd/HOF projections
