@@ -78,7 +78,10 @@ object Dedup extends QueryModule {
           .selectExpr("doc_id",
             """array_distinct(transform(sequence(0, size(w) - 3),
                  i -> concat_ws(' ', slice(w, i + 1, 3)))) AS shingles""")
-          .selectExpr("doc_id", "size(shingles) AS nsh", "explode(shingles) AS sh")
+          // explode_outer: no size(shingles)>0 Generate-constraint gets
+          // inferred and pushed into the scan filter (where it would
+          // re-evaluate the shingle array); null sh rows can't join anyway
+          .selectExpr("doc_id", "size(shingles) AS nsh", "explode_outer(shingles) AS sh")
         val a = sh.toDF("a_id", "na", "sh")
         val b = sh.toDF("b_id", "nb", "sh")
         a.join(b, Seq("sh")).filter(col("a_id") < col("b_id"))

@@ -433,9 +433,11 @@ object Relational extends QueryModule {
       (s, dir) => t(s, dir, "lineitem")
         .groupBy(col("l_linestatus"))
         .agg(
-          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+          // one array-percentile call = one value buffer for both quantiles
+          expr("percentile(l_quantity, array(0.5D, 0.9D))").as("pq"),
           round(expr("percentile(l_extendedprice, 0.25)"), 4).as("price_p25"))
+        .selectExpr("l_linestatus",
+          "round(pq[0], 4) AS p50", "round(pq[1], 4) AS p90", "price_p25")
         .orderBy(col("l_linestatus")),
       Some("""SELECT l_linestatus,
         round(quantile_cont(l_quantity, 0.5),4) AS p50,
