@@ -117,6 +117,25 @@ object Misc extends QueryModule {
         FROM c FULL OUTER JOIN o USING (k) FULL OUTER JOIN big USING (k)
         GROUP BY 1, 2, 3 ORDER BY in_cust, in_ord, in_big""")),
 
+    // ---- histogram_numeric + percentile_approx (registry :255/:70; same
+    //      NumericHistogram algorithm family as the reference). Both are
+    //      approximation-algorithm-specific, so no cross-engine oracle —
+    //      the driver records the rows-only check and ApproxAggSpec bounds
+    //      the error against exact percentile.
+    QueryDef(
+      "q66_histogram",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("histogram_numeric(l_quantity, 5)").as("hist"),
+          round(expr("percentile_approx(l_extendedprice, 0.5, 1000)"), 2).as("p50_approx"))
+        .select(col("l_returnflag"), col("p50_approx"),
+          posexplode(col("hist")))
+        .selectExpr("l_returnflag", "p50_approx", "pos AS bin",
+          "round(col.x, 2) AS bin_center", "round(col.y, 2) AS bin_height")
+        .orderBy(col("l_returnflag"), col("bin")),
+      None),
+
     // ---- context_ngrams (GenericUDAFContextNGrams.java:424): top-10 words
     //      following 'the' per language
     QueryDef(
