@@ -250,8 +250,11 @@ object Dedup extends QueryModule {
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val a = emb.selectExpr("vec_id AS a_id", "embedding AS qe").filter(col("a_id") < 300)
+          // stream side of the nested-loop join: fan the single-row-group
+          // scan across cores so the interpreted cosine HOF parallelizes
+          .repartition(s.sparkContext.defaultParallelism)
         val b = emb.selectExpr("vec_id AS b_id", "embedding AS ne").filter(col("b_id") < 300)
-        a.crossJoin(b).filter(col("a_id") < col("b_id"))
+        a.crossJoin(broadcast(b)).filter(col("a_id") < col("b_id"))
           .selectExpr("a_id", "b_id", s"round($cosine, 4) AS sim")
           .filter(col("sim") >= 0.35)
           .orderBy(col("a_id"), col("b_id"))

@@ -74,8 +74,11 @@ object Misc extends QueryModule {
       "q46_virtual_cols",
       (s, dir) => t(s, dir, "lineitem")
         .select(
+          // both virtual columns must bind in the scan stage
+          // (input_file_name is empty after an exchange)
           regexp_extract(input_file_name(), "[^/]+$", 0).as("file"),
           monotonically_increasing_id().as("rid"))
+        .repartition(s.sparkContext.defaultParallelism)
         .agg(
           first(col("file")).as("file"),
           countDistinct(col("rid")).as("n_ids"),
