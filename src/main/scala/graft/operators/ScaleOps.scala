@@ -67,6 +67,23 @@ object ScaleOps extends QueryModule {
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         ORDER BY o_custkey, o_orderkey""")),
 
+    // ---- PIVOT (extension — no grammar support in the reference): explicit
+    //      value list keeps the output schema static and plannable
+    QueryDef(
+      "q67_pivot",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .selectExpr("l_linestatus",
+          "coalesce(A, 0) AS qty_a", "coalesce(N, 0) AS qty_n", "coalesce(R, 0) AS qty_r")
+        .orderBy(col("l_linestatus")),
+      Some("""SELECT l_linestatus,
+        coalesce(round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2), 0) AS qty_a,
+        coalesce(round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2), 0) AS qty_n,
+        coalesce(round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2), 0) AS qty_r
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
     // ---- ROLLUP (absent in Hive 0.8 — no KW_ROLLUP in Hive.g; Catalyst
     //      Expand-based grouping sets)
     QueryDef(
