@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, QueryModule}
+import graft.{QueryDef, QueryModule, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -83,6 +83,37 @@ object ScaleOps extends QueryModule {
         coalesce(round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2), 0) AS qty_n,
         coalesce(round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2), 0) AS qty_r
         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // ---- CUBE and explicit GROUPING SETS with grouping() markers
+    //      (extension alongside ROLLUP; Catalyst Expand)
+    QueryDef(
+      "q68_cube",
+      (s, dir) => t(s, dir, "orders")
+        .cube(col("o_orderstatus"), substring(col("o_orderpriority"), 1, 1).as("prio"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("o_orderstatus")).as("g_status"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("prio").asc_nulls_first,
+          col("g_status")),
+      Some("""SELECT o_orderstatus, substr(o_orderpriority, 1, 1) AS prio,
+        count(*) AS n, CAST(grouping(o_orderstatus) AS INT) AS g_status
+        FROM orders GROUP BY CUBE (o_orderstatus, prio)
+        ORDER BY o_orderstatus ASC NULLS FIRST, prio ASC NULLS FIRST, g_status""")),
+
+    QueryDef(
+      "q69_grouping_sets",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+                        round(sum(l_quantity), 2) AS qty
+                 FROM lineitem
+                 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+                 ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+        round(sum(l_quantity), 2) AS qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
 
     // ---- ROLLUP (absent in Hive 0.8 — no KW_ROLLUP in Hive.g; Catalyst
     //      Expand-based grouping sets)
