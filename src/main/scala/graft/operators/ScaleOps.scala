@@ -84,6 +84,38 @@ object ScaleOps extends QueryModule {
         coalesce(round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2), 0) AS qty_r
         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
 
+    // ---- As-of join (capability extension; absent in the reference —
+    //      §2.4 notes no range/as-of joins): latest event at-or-before each
+    //      order date per customer. The scalable shape: hash equi-join on
+    //      the key (never an inequality-only join), inequality as a
+    //      post-join filter, then a per-order window picks the latest.
+    QueryDef(
+      "q73_asof_join",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderkey") <= 2000)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        val e = t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderkey"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        o.join(e, col("o_custkey") === col("user_id") && col("ts") <= col("o_orderdate"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("o_orderkey"), col("event_id").as("asof_event"),
+            col("event_type").as("asof_type"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("asof_ts"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, event_id AS asof_event, event_type AS asof_type,
+        strftime(ts, '%Y-%m-%d %H:%M:%S') AS asof_ts
+        FROM orders JOIN events ON o_custkey = user_id AND ts <= o_orderdate
+        WHERE o_orderkey <= 2000
+        QUALIFY row_number() OVER (PARTITION BY o_orderkey
+                                   ORDER BY ts DESC, event_id DESC) = 1
+        ORDER BY o_orderkey""")),
+
     // ---- CUBE and explicit GROUPING SETS with grouping() markers
     //      (extension alongside ROLLUP; Catalyst Expand)
     QueryDef(
