@@ -120,6 +120,45 @@ object Misc extends QueryModule {
         FROM c FULL OUTER JOIN o USING (k) FULL OUTER JOIN big USING (k)
         GROUP BY 1, 2, 3 ORDER BY in_cust, in_ord, in_big""")),
 
+    // ---- Null semantics battery: null propagation through arithmetic,
+    //      aggregate null-skipping, count(*) vs count(col), null-safe
+    //      equality (<=> ↔ IS NOT DISTINCT FROM), all-null groups
+    QueryDef(
+      "q74_null_semantics",
+      (s, dir) => t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 5000)
+        .selectExpr("o_orderstatus",
+          "CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS maybe_price",
+          "CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_custkey END AS maybe_cust")
+        .selectExpr("o_orderstatus", "maybe_price", "maybe_cust",
+          "maybe_price + 1 AS plus1",
+          "maybe_cust <=> NULL AS nse_null",
+          "maybe_cust <=> maybe_cust AS nse_self")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("maybe_price")).as("n_nonnull"),
+          round(sum(col("maybe_price")), 2).as("sum_skipnull"),
+          round(avg(col("maybe_price")), 4).as("avg_skipnull"),
+          round(max(col("plus1")), 2).as("max_plus1"),
+          sum(when(col("nse_null"), 1).otherwise(0)).as("n_null_cust"),
+          sum(when(col("nse_self"), 1).otherwise(0)).as("n_self_eq"))
+        .orderBy(col("o_orderstatus")),
+      Some("""WITH t AS (
+          SELECT o_orderstatus,
+                 CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS maybe_price,
+                 CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_custkey END AS maybe_cust
+          FROM orders WHERE o_orderkey <= 5000)
+        SELECT o_orderstatus,
+               count(*) AS n_rows,
+               count(maybe_price) AS n_nonnull,
+               round(sum(maybe_price), 2) AS sum_skipnull,
+               round(avg(maybe_price), 4) AS avg_skipnull,
+               round(max(maybe_price + 1), 2) AS max_plus1,
+               sum(CASE WHEN maybe_cust IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS n_null_cust,
+               sum(CASE WHEN maybe_cust IS NOT DISTINCT FROM maybe_cust THEN 1 ELSE 0 END) AS n_self_eq
+        FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // ---- histogram_numeric + percentile_approx (registry :255/:70; same
     //      NumericHistogram algorithm family as the reference). Both are
     //      approximation-algorithm-specific, so no cross-engine oracle —

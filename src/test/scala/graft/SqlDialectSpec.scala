@@ -84,8 +84,37 @@ class SqlDialectSpec extends SparkSpec {
     // since grouping is also on the bucket key there should be none at all
     assert(shuffles.isEmpty,
       s"expected zero exchanges, got:\n${joined.queryExecution.executedPlan}")
+
+    // ANALYZE feeds row-count stats into the catalog (StatsTask parity)
+    spark.sql("ANALYZE TABLE b_orders COMPUTE STATISTICS")
+    val stats = spark.sql("DESCRIBE TABLE EXTENDED b_orders").collect()
+      .find(_.getString(0) == "Statistics").map(_.getString(1)).getOrElse("")
+    val expectedRows = Tables.load(spark, sfDir, "orders").count()
+    assert(stats.contains(s"$expectedRows rows"), s"stats missing rows: '$stats'")
+
     spark.sql("DROP TABLE b_orders")
     spark.sql("DROP TABLE b_lineitem")
+  }
+
+  test("TRANSFORM with custom ROW FORMAT DELIMITED delimiters") {
+    Tables.registerAll(spark, sfDir)
+    val rows = spark.sql(
+      """SELECT TRANSFORM(o_orderkey, o_orderstatus)
+           ROW FORMAT DELIMITED FIELDS TERMINATED BY '|'
+           USING 'cat' AS (k STRING, v STRING)
+           ROW FORMAT DELIMITED FIELDS TERMINATED BY '|'
+         FROM orders WHERE o_orderkey <= 50""").collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getString(0).toLong <= 50))
+  }
+
+  test("SHUFFLE_HASH join hint is honored") {
+    Tables.registerAll(spark, sfDir)
+    val df = spark.sql(
+      """SELECT /*+ SHUFFLE_HASH(nation) */ n_name, count(*) AS n
+         FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name""")
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"),
+      s"hint ignored:\n${df.queryExecution.executedPlan}")
   }
 
   test("TABLESAMPLE and catalog statements parse and run") {
