@@ -266,6 +266,63 @@ object Dedup extends QueryModule {
           WHERE a.vec_id < b.vec_id)
         WHERE sim >= 0.35 ORDER BY a_id, b_id""")),
 
+    // ---- IVF ANN (the second scale path beside LSH): a fixed coarse
+    //      quantizer (the first 8 vectors as centroids — deterministic, so
+    //      the oracle can replicate; a trained quantizer would slot in the
+    //      same plan), every vector assigned to its nearest centroid via a
+    //      broadcast argmax, queries probe only their centroid's posting
+    //      list. Assignment compares 6dp-rounded similarities with centroid
+    //      id tie-break so both engines pick identical cells.
+    QueryDef(
+      "q75_ann_ivf",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cents = emb.filter(col("vec_id") < 8)
+          .selectExpr("vec_id AS c_id", "embedding AS ce")
+        val assigned = emb.selectExpr("vec_id", "embedding")
+          .repartition(s.sparkContext.defaultParallelism)
+          .crossJoin(broadcast(cents))
+          .selectExpr("vec_id", "embedding", "c_id",
+            s"""round(${cosine.replace("qe", "embedding").replace("ne", "ce")}, 6) AS csim""")
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("vec_id"))
+              .orderBy(col("csim").desc, col("c_id"))))
+          .filter(col("rk") === 1)
+          .select(col("vec_id"), col("embedding"), col("c_id"))
+        val q = assigned.selectExpr("vec_id AS q_id", "embedding AS qe", "c_id")
+          .filter(col("q_id") < 10)
+        val n = assigned.selectExpr("vec_id AS nb_id", "embedding AS ne", "c_id")
+        q.join(n, Seq("c_id"))
+          .filter(col("q_id") =!= col("nb_id"))
+          .selectExpr("q_id", "c_id", "nb_id", s"round($cosine, 4) AS sim")
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("q_id"))
+              .orderBy(col("sim").desc, col("nb_id"))))
+          .filter(col("rk") === 1).drop("rk")
+          .orderBy(col("q_id"))
+      },
+      Some(s"""WITH cents AS (
+          SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id < 8),
+        assigned AS (
+          SELECT vec_id, embedding, c_id FROM (
+            SELECT e.vec_id, e.embedding, c.c_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(${cosineDuck.replace("qe", "e.embedding").replace("ne", "c.ce")}, 6) DESC,
+                              c.c_id) AS rk
+            FROM embeddings e CROSS JOIN cents c)
+          WHERE rk = 1)
+        SELECT q_id, c_id, nb_id, sim FROM (
+          SELECT q.vec_id AS q_id, q.c_id AS c_id, n.vec_id AS nb_id,
+                 round(${cosineDuck.replace("qe", "q.embedding").replace("ne", "n.embedding")}, 4) AS sim,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round(${cosineDuck.replace("qe", "q.embedding").replace("ne", "n.embedding")}, 4) DESC,
+                            n.vec_id) AS rk
+          FROM assigned q JOIN assigned n USING (c_id)
+          WHERE q.vec_id < 10 AND q.vec_id != n.vec_id)
+        WHERE rk = 1 ORDER BY q_id""")),
+
     // ---- Vector column ops: norms, extrema, component stats — the
     //      embedding-hygiene projections a training pipeline runs before
     //      similarity work; pure codegen'd/HOF projections
