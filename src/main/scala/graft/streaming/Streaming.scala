@@ -91,6 +91,40 @@ object Streaming extends QueryModule {
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""")),
 
+    // ---- Stream-stream interval self-join: pairs of events by the same
+    //      user within 10 minutes, both sides watermarked (join state is
+    //      bounded by the watermark + interval, the 100 TB-safe topology)
+    QueryDef(
+      "q73b_stream_stream_join",
+      (s, dir) => {
+        val left = eventsStream(s, dir)
+          .select(col("user_id"), col("ts").as("ts1"), col("event_id").as("e1"))
+          .withWatermark("ts1", "10 minutes")
+          .filter(col("user_id") < 20)
+        val right = eventsStream(s, dir)
+          .select(col("user_id").as("user_id2"), col("ts").as("ts2"),
+            col("event_id").as("e2"))
+          .withWatermark("ts2", "10 minutes")
+          .filter(col("user_id2") < 20)
+        val joined = left.join(right,
+          col("user_id") === col("user_id2")
+            && col("ts2") >= col("ts1")
+            && col("ts2") <= col("ts1") + expr("INTERVAL 10 MINUTES")
+            && col("e1") < col("e2"))
+        runToTable(s, joined, "q73b_sink", OutputMode.Append())
+          .selectExpr("user_id", "e1", "e2",
+            "unix_millis(ts2) - unix_millis(ts1) AS gap_ms")
+          .orderBy(col("user_id"), col("e1"), col("e2"))
+      },
+      Some("""SELECT a.user_id, a.event_id AS e1, b.event_id AS e2,
+        epoch_ms(b.ts) - epoch_ms(a.ts) AS gap_ms
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+         AND a.event_id < b.event_id
+        WHERE a.user_id < 20 AND b.user_id < 20
+        ORDER BY a.user_id, e1, e2""")),
+
     // ---- session_window (30-min gap) batch aggregation — the declarative
     //      sibling of the stateful sessionizer below; oracled against the
     //      classic lag/cumsum sessionization SQL
