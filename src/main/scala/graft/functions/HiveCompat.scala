@@ -23,6 +23,12 @@ object HiveCompat {
 
   /** 0-based tag of an encoded union value. */
   def unionTag(u: Column): Column = u.getField("tag")
+
+  /** Hive-0.8 `to_date` returned STRING, not DATE (SURVEY.md §7.4 hard part
+    * 2 — documented compat decision: modern DATE semantics by default, this
+    * shim where byte-for-byte reference output matters).
+    */
+  def toDateCompat(c: Column): Column = date_format(to_date(c), "yyyy-MM-dd")
 }
 
 /** Session-scoped function registrations that need a live SparkSession

@@ -118,6 +118,46 @@ object TextAnalysis extends QueryModule {
         len(str_split(text, ' ')) AS n_sent_words
         FROM documents WHERE doc_id < 300 ORDER BY doc_id""")),
 
+    // ---- TF-IDF: corpus-level term weighting — term/document frequencies
+    //      via two aggregations over the exploded term index, idf joined
+    //      back (broadcast: vocabulary ≪ corpus), top-3 terms per doc.
+    QueryDef(
+      "q64b_tfidf",
+      (s, dir) => {
+        val terms = t(s, dir, "documents")
+          .selectExpr("doc_id", "explode(split(lower(text), ' ')) AS term")
+        val tf = terms.filter(col("doc_id") < 100)
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val dfreq = terms.select(col("doc_id"), col("term")).distinct()
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = t(s, dir, "documents").count()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term"))
+        tf.join(broadcast(dfreq), Seq("term"))
+          .selectExpr("doc_id", "term", "tf", "df",
+            s"round(tf * ln(($n + 1) / (df + 1.0)), 6) AS tfidf")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("tfidf"))
+          .orderBy(col("doc_id"), col("rk"))
+      },
+      Some("""WITH terms AS (
+          SELECT doc_id, unnest(str_split(lower(text), ' ')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+               WHERE doc_id < 100 GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS df
+                  FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents)
+        SELECT doc_id, rk, term, tf, df, tfidf FROM (
+          SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                 round(tf.tf * ln((n.n + 1) / (dfreq.df + 1.0)), 6) AS tfidf,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                   ORDER BY round(tf.tf * ln((n.n + 1) / (dfreq.df + 1.0)), 6) DESC,
+                            tf.term) AS rk
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        WHERE rk <= 3 ORDER BY doc_id, rk""")),
+
     // ---- Winnowing document fingerprint (the MOSS scheme): char-5-gram
     //      rolling hashes, per-window (w=4) minima, distinct set → digest.
     //      Entirely projection-level → shuffle-free at any corpus size.

@@ -58,6 +58,13 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(qm == null)
   }
 
+  test("toDateCompat returns the Hive-0.8 string form of to_date") {
+    val r = Seq("2026-08-12 13:45:00").toDF("ts")
+      .select(graft.functions.HiveCompat.toDateCompat(col("ts")).as("d"))
+      .head()
+    assert(r.getString(0) == "2026-08-12")
+  }
+
   test("parse_url_tuple yields nulls for malformed urls") {
     val r = Seq("ht tp://bad url").toDF("url")
       .selectExpr("parse_url_tuple(url, 'HOST', 'PATH') as (h, p)")
