@@ -97,15 +97,17 @@ object Streaming extends QueryModule {
     QueryDef(
       "q73b_stream_stream_join",
       (s, dir) => {
+        // filter BEFORE the watermark node so only the selected users'
+        // events ever enter the join state store
         val left = eventsStream(s, dir)
+          .filter(col("user_id") < 20)
           .select(col("user_id"), col("ts").as("ts1"), col("event_id").as("e1"))
           .withWatermark("ts1", "10 minutes")
-          .filter(col("user_id") < 20)
         val right = eventsStream(s, dir)
+          .filter(col("user_id") < 20)
           .select(col("user_id").as("user_id2"), col("ts").as("ts2"),
             col("event_id").as("e2"))
           .withWatermark("ts2", "10 minutes")
-          .filter(col("user_id2") < 20)
         val joined = left.join(right,
           col("user_id") === col("user_id2")
             && col("ts2") >= col("ts1")
