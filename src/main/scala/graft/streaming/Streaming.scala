@@ -127,6 +127,28 @@ object Streaming extends QueryModule {
         WHERE a.user_id < 20 AND b.user_id < 20
         ORDER BY a.user_id, e1, e2""")),
 
+    // ---- Streaming dedup: dropDuplicates on the dedup key with state
+    //      (the streaming form of exact dedup — q50's batch counterpart);
+    //      projecting only the key makes survivor choice irrelevant, so
+    //      the streamed result equals batch DISTINCT exactly
+    QueryDef(
+      "q76_stream_dedup",
+      (s, dir) => {
+        val deduped = eventsStream(s, dir)
+          .withWatermark("ts", "10 minutes")
+          .selectExpr("user_id", "event_type",
+            "date_trunc('hour', ts) AS hr")
+          .dropDuplicates("user_id", "event_type", "hr")
+        val agg = runToTable(s, deduped, "q76_sink", OutputMode.Append())
+        agg.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_distinct"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n_distinct
+        FROM (SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
+              FROM events)
+        GROUP BY event_type ORDER BY event_type""")),
+
     // ---- session_window (30-min gap) batch aggregation — the declarative
     //      sibling of the stateful sessionizer below; oracled against the
     //      classic lag/cumsum sessionization SQL
