@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.{QueryDef, QueryModule}
-import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Training-data deduplication + similarity-search operators (capability
