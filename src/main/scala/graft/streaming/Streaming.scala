@@ -36,16 +36,28 @@ object Streaming extends QueryModule {
 
   /** Runs a streaming DataFrame to completion into an in-memory sink and
     * returns the materialized result.
+    *
+    * Streaming state partitioning is pinned at first run to
+    * `spark.sql.shuffle.partitions`; every partition is a separate
+    * checkpointed state store, so an oversized count is pure per-batch IO
+    * overhead. The stream runs with a state-sized partition count (restored
+    * afterwards) — on a real cluster this knob scales with stateful-op
+    * parallelism, not with the batch shuffle width.
     */
   def runToTable(spark: SparkSession, streamed: DataFrame, name: String,
-      mode: OutputMode): DataFrame = {
-    val q = streamed.writeStream
-      .queryName(name)
-      .outputMode(mode)
-      .format("memory")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      mode: OutputMode, statePartitions: Int = 8): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, statePartitions.toString)
+    try {
+      val q = streamed.writeStream
+        .queryName(name)
+        .outputMode(mode)
+        .format("memory")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, saved)
     spark.table(name)
   }
 
