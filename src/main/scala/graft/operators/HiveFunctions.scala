@@ -234,6 +234,30 @@ object HiveFunctions extends QueryModule {
         QUALIFY row_number() OVER (PARTITION BY lang ORDER BY freq DESC, ngram) <= 10
         ORDER BY lang, freq DESC, ngram""")),
 
+    // ---- Pattern matching: LIKE %/_ wildcards, escaped literals, RLIKE
+    //      regex, case-insensitive match (ref like/rlike/regexp registered
+    //      FunctionRegistry.java:279-281)
+    QueryDef(
+      "q77_patterns",
+      (s, dir) => t(s, dir, "part")
+        .filter(col("p_partkey") <= 800)
+        .selectExpr("p_partkey",
+          "p_type LIKE '%BRUSHED%' AS has_brushed",
+          "p_name LIKE 'a_u%' AS a_u_prefix",
+          "p_brand LIKE 'Brand#1_' AS brand_teens",
+          "p_type RLIKE '^(STANDARD|SMALL) ' AS std_or_small",
+          "p_name RLIKE '[aeiou]{3}' AS triple_vowel",
+          "lower(p_type) LIKE lower('%Steel%') AS has_steel_ci")
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+        p_type LIKE '%BRUSHED%' AS has_brushed,
+        p_name LIKE 'a_u%' AS a_u_prefix,
+        p_brand LIKE 'Brand#1_' AS brand_teens,
+        regexp_matches(p_type, '^(STANDARD|SMALL) ') AS std_or_small,
+        regexp_matches(p_name, '[aeiou]{3}') AS triple_vowel,
+        lower(p_type) LIKE lower('%Steel%') AS has_steel_ci
+        FROM part WHERE p_partkey <= 800 ORDER BY p_partkey""")),
+
     // ---- date/time battery #2: last_day, add_months, next_day, trunc,
     //      from/to_utc_timestamp (registry :291-305, :429-430) — timezone
     //      cases use the DST-free Etc/GMT+5 so both engines agree exactly
