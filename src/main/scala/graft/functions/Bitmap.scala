@@ -30,14 +30,18 @@ case class BitmapAgg(
   override def update(buf: JBitSet, input: InternalRow): JBitSet = {
     val v = child.eval(input)
     if (v != null) {
+      // keys outside [0, Int.MaxValue] are dropped, never aliased: a
+      // truncating toInt would silently map 2^32 onto bit 0. (Like the
+      // reference's EWAH bitmaps this is a positive-int-key structure;
+      // dense far-apart keys should be dictionary-encoded first.)
       val bit = v match {
-        case i: Int => i
-        case l: Long => l.toInt
-        case s: Short => s.toInt
-        case b: Byte => b.toInt
-        case _ => -1
+        case i: Int => i.toLong
+        case l: Long => l
+        case s: Short => s.toLong
+        case b: Byte => b.toLong
+        case _ => -1L
       }
-      if (bit >= 0) buf.set(bit)
+      if (bit >= 0 && bit <= Int.MaxValue) buf.set(bit.toInt)
     }
     buf
   }

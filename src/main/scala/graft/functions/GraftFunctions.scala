@@ -93,6 +93,9 @@ case class HiveHash08(children: Seq[Expression]) extends Expression {
   override def nullable: Boolean = false
   override def dataType: DataType = IntegerType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (children.isEmpty)
+      return org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "hive_hash needs at least one argument")
     val ok = children.forall(c => c.dataType match {
       case BooleanType | ByteType | ShortType | IntegerType | LongType |
            FloatType | DoubleType | StringType | TimestampType | DateType => true

@@ -24,7 +24,11 @@ final case class NGramBuf(counts: Map[String, Long], n: Int, k: Int)
   * pf).
   */
 object NGramsTopK extends Aggregator[(Seq[String], Int, Int), NGramBuf, Seq[NGramFreq]] {
-  private val PruneFactor = 100
+  // a gram pruned from a partial buffer and re-encountered later is
+  // undercounted (same posture as the reference's estimation pf); 1000×k
+  // keeps counts exact whenever the per-partition gram vocabulary fits
+  // 1000k while still bounding memory at O(k)
+  private[functions] val PruneFactor = 1000
 
   override def zero: NGramBuf = NGramBuf(Map.empty, 0, 0)
 
@@ -99,9 +103,10 @@ object ContextNGramsTopK
       i += 1
     }
     val grown = NGramBuf(m.toMap, n, k)
-    if (k > 0 && grown.counts.size > 100 * k)
+    val cap = NGramsTopK.PruneFactor * k
+    if (k > 0 && grown.counts.size > cap)
       grown.copy(counts = grown.counts.toSeq
-        .sortBy { case (g, c) => (-c, g) }.take(100 * k).toMap)
+        .sortBy { case (g, c) => (-c, g) }.take(cap).toMap)
     else grown
   }
 

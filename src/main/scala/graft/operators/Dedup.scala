@@ -75,8 +75,12 @@ object Dedup extends QueryModule {
           .repartition(s.sparkContext.defaultParallelism)
           .selectExpr("doc_id", "split(lower(text), ' ') AS w")
           .selectExpr("doc_id",
-            """array_distinct(transform(sequence(0, size(w) - 3),
-                 i -> concat_ws(' ', slice(w, i + 1, 3)))) AS shingles""")
+            // guard: sequence(0, n) DESCENDS when n < 0 (docs under 3
+            // words would then slice at index 0 and throw)
+            """CASE WHEN size(w) >= 3 THEN
+                 array_distinct(transform(sequence(0, size(w) - 3),
+                   i -> concat_ws(' ', slice(w, i + 1, 3))))
+               ELSE array() END AS shingles""")
           // explode_outer: no size(shingles)>0 Generate-constraint gets
           // inferred and pushed into the scan filter (where it would
           // re-evaluate the shingle array); null sh rows can't join anyway

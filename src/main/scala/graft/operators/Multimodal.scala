@@ -63,7 +63,10 @@ object Multimodal extends QueryModule {
         .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload",
           "cast(ceil(length(text) / 32.0) AS int) AS n_frames")
         .selectExpr("doc_id", "n_frames",
-          "posexplode(sequence(0, n_frames - 1)) AS (pos, frame_no)",
+          // empty payload → zero frames; bare sequence(0, -1) would DESCEND
+          // and emit a spurious frame the oracle's range() never produces
+          """posexplode(CASE WHEN n_frames > 0 THEN sequence(0, n_frames - 1)
+                             ELSE array() END) AS (pos, frame_no)""",
           "payload")
         .filter(col("frame_no") % 3 === 0)
         .selectExpr("doc_id", "frame_no",
@@ -93,11 +96,15 @@ object Multimodal extends QueryModule {
           .toDF()
           .orderBy(col("doc_id"))
       },
+      // coalesce(…, 0.0) mirrors extractFeatures' 0.0 for empty chunks
+      // (payload < 8 bytes); char indexing equals byte indexing because the
+      // synthetic corpus is pure ASCII — a real multibyte corpus would
+      // compare decoded code points instead
       Some("""SELECT doc_id, length(text) AS n_bytes,
         """ + (0 until 8).map { c =>
-          s"""round(list_avg(list_transform(
+          s"""coalesce(round(list_avg(list_transform(
                 range((length(text) * $c) // 8 + 1, (length(text) * ${c + 1}) // 8 + 1),
-                i -> unicode(substr(text, CAST(i AS INT), 1)))), 4) AS f$c"""
+                i -> unicode(substr(text, CAST(i AS INT), 1)))), 4), 0.0) AS f$c"""
         }.mkString(",\n        ") + """
         FROM documents ORDER BY doc_id"""))
   )

@@ -75,8 +75,8 @@ object TextAnalysis extends QueryModule {
           // pre-rounding manufactures exact decimal halfway points whose
           // round(…, 4) is engine-dependent; raw ratios are non-terminating
           // so both engines see the same IEEE double
-          """round(least(size(split(text, ' ')) / 50, 1.0) * 0.4
-               + (1.0 - size(filter(split(lower(text), ' '), w -> w IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) / size(split(text, ' '))) * 0.3
+          s"""round(least(size(split(text, ' ')) / 50, 1.0) * 0.4
+               + (1.0 - size(filter(split(lower(text), ' '), w -> w IN ($stopwords))) / size(split(text, ' '))) * 0.3
                + (length(regexp_replace(text, '[^a-z]', '')) / length(text)) * 0.2
                + (1.0 - length(regexp_replace(text, '[a-z ]', '')) / length(text)) * 0.1, 4) AS quality""")
         .orderBy(col("doc_id")),
@@ -130,13 +130,16 @@ object TextAnalysis extends QueryModule {
           .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
         val dfreq = terms.select(col("doc_id"), col("term")).distinct()
           .groupBy(col("term")).agg(count(lit(1)).as("df"))
-        val n = t(s, dir, "documents").count()
+        // corpus size as an in-plan broadcast scalar — a driver-side
+        // count() here would run a job at plan-construction time
+        val nDf = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id"))
           .orderBy(col("tfidf").desc, col("term"))
         tf.join(broadcast(dfreq), Seq("term"))
+          .crossJoin(broadcast(nDf))
           .selectExpr("doc_id", "term", "tf", "df",
-            s"round(tf * ln(($n + 1) / (df + 1.0)), 6) AS tfidf")
+            "round(tf * ln((n_docs + 1) / (df + 1.0)), 6) AS tfidf")
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 3)
           .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("tfidf"))
@@ -172,12 +175,18 @@ object TextAnalysis extends QueryModule {
         // numeric min, and dropping the hex→bigint conv (BigInteger-based)
         // nearly halves the per-kgram cost
         .selectExpr("doc_id",
-          """transform(sequence(1, length(text) - 4),
-               i -> substr(md5(substring(text, i, 5)), 1, 8)) AS hs""")
+          // guard: Spark sequence(a, b) descends when b < a (texts under 5
+          // chars would then slice out of range); DuckDB range() is empty
+          """CASE WHEN length(text) >= 5 THEN
+               transform(sequence(1, length(text) - 4),
+                 i -> substr(md5(substring(text, i, 5)), 1, 8))
+             ELSE array() END AS hs""")
         .selectExpr("doc_id",
           "size(hs) AS n_kgrams",
-          """array_sort(array_distinct(transform(sequence(1, size(hs) - 3),
-               j -> array_min(slice(hs, j, 4))))) AS mins""")
+          """CASE WHEN size(hs) >= 4 THEN
+               array_sort(array_distinct(transform(sequence(1, size(hs) - 3),
+                 j -> array_min(slice(hs, j, 4)))))
+             ELSE array() END AS mins""")
         .selectExpr("doc_id", "n_kgrams",
           "size(mins) AS n_fp",
           "md5(array_join(mins, ',')) AS fp_md5")
