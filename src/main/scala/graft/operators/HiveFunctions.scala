@@ -234,6 +234,49 @@ object HiveFunctions extends QueryModule {
         QUALIFY row_number() OVER (PARTITION BY lang ORDER BY freq DESC, ngram) <= 10
         ORDER BY lang, freq DESC, ngram""")),
 
+    // ---- Array-function battery (extension beyond the reference's
+    //      size/array/index surface): set algebra, flatten, zip, slicing,
+    //      containment — flattened to scalars for the oracle
+    QueryDef(
+      "q78_array_funcs",
+      (s, dir) => t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 500)
+        .selectExpr("o_orderkey", "o_orderstatus",
+          "split(o_orderpriority, '-') AS toks",
+          "array(o_orderstatus, 'X') AS st")
+        .selectExpr("o_orderkey",
+          "concat_ws(',', sort_array(array_union(toks, st))) AS au",
+          "concat_ws(',', array_intersect(toks, array('1', '2', '3'))) AS ai",
+          "concat_ws(',', array_except(toks, array('URGENT'))) AS ae",
+          "concat_ws(',', flatten(array(toks, st))) AS fl",
+          "concat_ws(',', array_compact(array(o_orderstatus, NULL, 'Z'))) AS ac",
+          "concat_ws(',', slice(toks, 1, 1)) AS sl",
+          "concat_ws(',', array_repeat(o_orderstatus, 2)) AS ar",
+          "concat_ws(',', zip_with(toks, st, (a, b) -> concat(a, '+', b))) AS zw",
+          "array_position(toks, 'URGENT') AS ap",
+          "concat_ws(',', array_remove(st, 'X')) AS arm",
+          "concat_ws(',', sort_array(st, false)) AS sa")
+        .orderBy(col("o_orderkey")),
+      Some("""WITH t AS (
+          SELECT o_orderkey, o_orderstatus,
+                 str_split(o_orderpriority, '-') AS toks,
+                 [o_orderstatus, 'X'] AS st
+          FROM orders WHERE o_orderkey <= 500)
+        SELECT o_orderkey,
+          array_to_string(list_sort(list_distinct(list_concat(toks, st))), ',') AS au,
+          coalesce(array_to_string(list_filter(toks, x -> x IN ('1', '2', '3')), ','), '') AS ai,
+          array_to_string(list_filter(toks, x -> x != 'URGENT'), ',') AS ae,
+          array_to_string(list_concat(toks, st), ',') AS fl,
+          array_to_string([x for x in [o_orderstatus, NULL, 'Z'] if x IS NOT NULL], ',') AS ac,
+          array_to_string(toks[1:1], ',') AS sl,
+          o_orderstatus || ',' || o_orderstatus AS ar,
+          array_to_string(list_transform(range(1, greatest(len(toks), len(st)) + 1),
+            i -> toks[i] || '+' || st[i]), ',') AS zw,
+          coalesce(list_position(toks, 'URGENT'), 0) AS ap,
+          array_to_string(list_filter(st, x -> x != 'X'), ',') AS arm,
+          array_to_string(list_sort(st, 'DESC'), ',') AS sa
+        FROM t ORDER BY o_orderkey""")),
+
     // ---- Pattern matching: LIKE %/_ wildcards, escaped literals, RLIKE
     //      regex, case-insensitive match (ref like/rlike/regexp registered
     //      FunctionRegistry.java:279-281)
