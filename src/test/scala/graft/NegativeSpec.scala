@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.AnalysisException
+
+/** Error-path coverage — the analogue of the reference's clientnegative
+  * corpus (285 error tests, SURVEY.md §5): bad SQL, type-check failures of
+  * the custom expressions, and unresolvable references must fail with
+  * diagnosable errors, not wrong results.
+  */
+class NegativeSpec extends SparkSpec {
+
+  test("parse error surfaces as an exception, not a silent empty result") {
+    val e = intercept[Exception](spark.sql("SELEC o_orderkey FRUM orders"))
+    assert(e.getMessage.toUpperCase.contains("SYNTAX"))
+  }
+
+  test("field() rejects mixed argument types at analysis time") {
+    val e = intercept[AnalysisException](
+      spark.range(1).selectExpr("field('a', 'b', 3)").collect())
+    assert(e.getMessage.contains("needle's type"), e.getMessage)
+  }
+
+  test("field() rejects a lone needle") {
+    val e = intercept[AnalysisException](
+      spark.range(1).selectExpr("field('a')").collect())
+    assert(e.getMessage.contains("at least one candidate"), e.getMessage)
+  }
+
+  test("hive_hash rejects zero args and non-primitive args") {
+    val e1 = intercept[AnalysisException](
+      spark.range(1).selectExpr("hive_hash()").collect())
+    assert(e1.getMessage.contains("at least one argument"), e1.getMessage)
+    val e2 = intercept[AnalysisException](
+      spark.range(1).selectExpr("hive_hash(array(1, 2))").collect())
+    assert(e2.getMessage.contains("primitive"), e2.getMessage)
+  }
+
+  test("parse_url_tuple rejects non-string parts") {
+    val e = intercept[AnalysisException](
+      spark.range(1).selectExpr("parse_url_tuple('http://x', 1) AS (a)").collect())
+    assert(e.getMessage.contains("strings"), e.getMessage)
+  }
+
+  test("unresolved column names the candidates") {
+    Tables.registerAll(spark, sfDir)
+    val e = intercept[AnalysisException](
+      spark.sql("SELECT no_such_col FROM orders").collect())
+    assert(e.getMessage.contains("no_such_col"))
+  }
+}
