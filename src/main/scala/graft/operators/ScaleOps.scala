@@ -84,6 +84,32 @@ object ScaleOps extends QueryModule {
         coalesce(round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2), 0) AS qty_r
         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
 
+    // ---- UNPIVOT/melt (extension; inverse of q67's PIVOT, the Dataset
+    //      unpivot API rather than the stack generator of q39)
+    QueryDef(
+      "q79_unpivot",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 300)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "value")
+        .withColumn("value", round(col("value"), 2))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure")),
+      Some("""SELECT l_orderkey, l_linenumber, measure, round(value, 2) AS value
+        FROM (
+          SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+          FROM lineitem WHERE l_orderkey <= 300
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+          FROM lineitem WHERE l_orderkey <= 300
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+          FROM lineitem WHERE l_orderkey <= 300)
+        ORDER BY l_orderkey, l_linenumber, measure""")),
+
     // ---- As-of join (capability extension; absent in the reference —
     //      §2.4 notes no range/as-of joins): latest event at-or-before each
     //      order date per customer. The scalable shape: hash equi-join on
