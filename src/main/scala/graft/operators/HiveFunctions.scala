@@ -104,7 +104,7 @@ object HiveFunctions extends QueryModule {
             "named_struct('q', l_quantity, 'ln', l_linenumber).q AS stq",
             "cast(u.tag AS INT) AS utag",
             "coalesce(cast(u.field0 AS string), u.field1) AS uval")
-          .orderBy(col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("stq"), col("uval"))
       },
       Some("""SELECT l_orderkey, l_linenumber,
         l_linenumber AS a0,
@@ -118,7 +118,7 @@ object HiveFunctions extends QueryModule {
         CASE WHEN l_linenumber % 2 = 0 THEN CAST(l_orderkey AS VARCHAR)
              ELSE l_returnflag END AS uval
         FROM lineitem WHERE l_orderkey <= 50
-        ORDER BY l_orderkey, l_linenumber""")),
+        ORDER BY l_orderkey, l_linenumber, stq, uval""")),
 
     // ---- numeric/bitwise battery: conv, bin, hex, unhex, pmod, degrees,
     //      radians, atan2, log2/log10/cbrt, shifts, & | ^ ~
@@ -359,10 +359,10 @@ object HiveFunctions extends QueryModule {
                    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
                    WHERE l_orderkey <= 2000
                    DISTRIBUTE BY l_orderkey SORT BY l_orderkey, l_linenumber)
-                 ORDER BY l_orderkey, l_linenumber""")
+                 ORDER BY l_orderkey, l_linenumber, l_quantity""")
       },
       Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        WHERE l_orderkey <= 2000 ORDER BY l_orderkey, l_linenumber""")),
+        WHERE l_orderkey <= 2000 ORDER BY l_orderkey, l_linenumber, l_quantity""")),
 
     // ---- LATERAL VIEW in SQL (ref Hive.g:1628-1633, LateralViewJoinOperator)
     QueryDef(

@@ -27,7 +27,8 @@ object Misc extends QueryModule {
           "l_quantity / 2 AS half_q",
           "l_orderkey div 7 AS div7",
           "cast(l_orderkey AS string) = l_orderkey AS roundtrip_eq")
-        .orderBy(col("nullable_ln").asc, col("l_orderkey"), col("l_linenumber")),
+        .orderBy(col("nullable_ln").asc, col("l_orderkey"), col("l_linenumber"),
+          col("half_q")),
       Some("""SELECT l_orderkey, l_linenumber,
         CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_linenumber END AS nullable_ln,
         '0042' = 42 AS str_eq_int,
@@ -36,7 +37,7 @@ object Misc extends QueryModule {
         l_orderkey // 7 AS div7,
         CAST(l_orderkey AS VARCHAR) = CAST(l_orderkey AS VARCHAR) AS roundtrip_eq
         FROM lineitem WHERE l_orderkey <= 200
-        ORDER BY nullable_ln ASC NULLS FIRST, l_orderkey, l_linenumber""")),
+        ORDER BY nullable_ln ASC NULLS FIRST, l_orderkey, l_linenumber, half_q""")),
 
     // ---- ewah_bitmap family (GenericUDAFEWAHBitmap.java:53 + and/or/empty
     //      scalars): per-flag supplier bitmaps, then set algebra on the

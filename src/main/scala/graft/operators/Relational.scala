@@ -345,7 +345,9 @@ object Relational extends QueryModule {
           round(pow(col("l_quantity"), 2), 2).as("p2"),
           signum(col("l_discount") - 0.05).as("sg"),
           (col("l_orderkey") % 7).as("m7"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")),
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture;
+        // appending source-derived cols makes remaining ties identical rows
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("r1"), col("ad"), col("sq")),
       Some("""SELECT l_orderkey, l_linenumber,
         round(l_extendedprice,1) AS r1, CAST(floor(l_extendedprice) AS BIGINT) AS flr,
         CAST(ceil(l_extendedprice) AS BIGINT) AS cl, abs(l_discount - 0.05) AS ad,
@@ -354,7 +356,7 @@ object Relational extends QueryModule {
         CASE WHEN l_discount - 0.05 > 0 THEN 1.0 WHEN l_discount - 0.05 < 0 THEN -1.0 ELSE 0.0 END AS sg,
         l_orderkey % 7 AS m7
         FROM lineitem WHERE l_orderkey <= 100
-        ORDER BY l_orderkey, l_linenumber""")),
+        ORDER BY l_orderkey, l_linenumber, r1, ad, sq""")),
 
     // ---- Date/time battery (ref FunctionRegistry.java:291-305 —
     //      year/month/day/hour/…, datediff, date_add)
@@ -518,21 +520,23 @@ object Relational extends QueryModule {
       "q30_window_running",
       (s, dir) => {
         val w = Window.partitionBy(col("l_suppkey"))
-          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         t(s, dir, "lineitem")
           .filter(col("l_suppkey") <= 5)
           .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
             round(sum(col("l_quantity")).over(w), 2).as("running_qty"))
-          .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            col("running_qty"))
       },
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber, round(running_qty,2) AS running_qty
         FROM (SELECT l_suppkey, l_orderkey, l_linenumber,
                sum(l_quantity) OVER (PARTITION BY l_suppkey
-                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
               FROM lineitem WHERE l_suppkey <= 5)
-        ORDER BY l_suppkey, l_orderkey, l_linenumber""")),
+        ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""")),
 
     // ---- Time-bucketed aggregation over the events table (batch analogue of
     //      the streaming tumbling window, §2.10)
@@ -562,7 +566,8 @@ object Relational extends QueryModule {
           col("l_extendedprice").cast("bigint").as("price_long"),
           (col("l_linenumber").cast("double") / 2).as("half_line"),
           col("l_returnflag").cast("string").as("flag"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")),
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("q_str"), col("price_long"), col("flag")),
       Some("""SELECT l_orderkey, l_linenumber,
         CAST(l_quantity AS INT) AS q_int,
         CAST(l_quantity AS VARCHAR) AS q_str,
@@ -570,6 +575,6 @@ object Relational extends QueryModule {
         CAST(l_linenumber AS DOUBLE) / 2 AS half_line,
         CAST(l_returnflag AS VARCHAR) AS flag
         FROM lineitem WHERE l_orderkey <= 50
-        ORDER BY l_orderkey, l_linenumber"""))
+        ORDER BY l_orderkey, l_linenumber, q_str, price_long, flag"""))
   )
 }

@@ -97,7 +97,10 @@ object ScaleOps extends QueryModule {
           Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
           "measure", "value")
         .withColumn("value", round(col("value"), 2))
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure")),
+        // value joins the sort key: the synthetic fixture duplicates
+        // (l_orderkey, l_linenumber) pairs, so without it the order of
+        // tied rows would be engine-defined
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"), col("value")),
       Some("""SELECT l_orderkey, l_linenumber, measure, round(value, 2) AS value
         FROM (
           SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
@@ -108,7 +111,7 @@ object ScaleOps extends QueryModule {
           UNION ALL
           SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
           FROM lineitem WHERE l_orderkey <= 300)
-        ORDER BY l_orderkey, l_linenumber, measure""")),
+        ORDER BY l_orderkey, l_linenumber, measure, round(value, 2)""")),
 
     // ---- As-of join (capability extension; absent in the reference —
     //      §2.4 notes no range/as-of joins): latest event at-or-before each
