@@ -44,6 +44,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("context_ngrams: split-reduce-merge equals reduce-all; wildcard matching correct") {
+    val pattern = Seq("the", null)
+    import graft.functions.ContextNGramsTopK
+    (1 to 60).foreach { s =>
+      val docs = sample(Gen.listOfN(4, doc), s)
+      val whole = docs.foldLeft(ContextNGramsTopK.zero)(
+        (b, d) => ContextNGramsTopK.reduce(b, (d, pattern, 5)))
+      val (l, r) = docs.splitAt(2)
+      val left = l.foldLeft(ContextNGramsTopK.zero)(
+        (b, d) => ContextNGramsTopK.reduce(b, (d, pattern, 5)))
+      val right = r.foldLeft(ContextNGramsTopK.zero)(
+        (b, d) => ContextNGramsTopK.reduce(b, (d, pattern, 5)))
+      assert(ContextNGramsTopK.finish(ContextNGramsTopK.merge(left, right)) ==
+        ContextNGramsTopK.finish(whole), s"seed=$s")
+      // every reported follower really follows 'the' somewhere
+      val followers = docs.flatMap(d => d.sliding(2).collect {
+        case Seq("the", w) => w
+      })
+      ContextNGramsTopK.finish(whole).foreach { g =>
+        assert(followers.contains(g.ngram), s"phantom follower ${g.ngram} seed=$s")
+        assert(g.freq == followers.count(_ == g.ngram), s"wrong count seed=$s")
+      }
+    }
+  }
+
+  test("bitmap serialize/deserialize round trip preserves cardinality and bits") {
+    import graft.functions.BitmapAgg
+    val agg = BitmapAgg(org.apache.spark.sql.catalyst.expressions.Literal(1))
+    (1 to 40).foreach { s =>
+      val bits = sample(Gen.listOf(Gen.choose(0, 100000)), s).distinct
+      val buf = agg.createAggregationBuffer()
+      bits.foreach(buf.set)
+      val back = agg.deserialize(agg.serialize(buf))
+      assert(back.cardinality() == bits.size, s"seed=$s")
+      bits.foreach(b => assert(back.get(b), s"bit $b lost seed=$s"))
+    }
+  }
+
   test("hive_hash on strings equals Java String.hashCode for arbitrary input") {
     import spark.implicits._
     val ss = (1 to 50).map(s => sample(Gen.alphaNumStr.map(_.take(40)), s)) :+
