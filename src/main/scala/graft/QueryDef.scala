@@ -16,6 +16,10 @@ final case class QueryDef(
 
 trait QueryModule {
   def defs: Seq[QueryDef]
-  protected def t(s: SparkSession, dir: String, name: String): DataFrame =
+  protected def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // queries must run on ANY session, incl. one the driver built without
+    // graft's extensions — registration is idempotent
+    Sessions.ensureRegistered(s)
     Tables.load(s, dir, name)
+  }
 }

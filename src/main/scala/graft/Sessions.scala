@@ -35,4 +35,17 @@ object Sessions {
     functions.GraftUdfs.register(spark)
     spark
   }
+
+  /** Defensive post-hoc registration for sessions NOT built by [[builder]]
+    * (e.g. a driver-owned session calling into SparkEntry.queries directly):
+    * injects the custom expressions and UDAFs idempotently so every query
+    * runs on any session.
+    */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    functions.GraftUdfs.register(spark)
+    val reg = spark.sessionState.functionRegistry
+    functions.GraftFunctions.registrations.foreach { case (ident, info, builder) =>
+      if (!reg.functionExists(ident)) reg.registerFunction(ident, info, builder)
+    }
+  }
 }
