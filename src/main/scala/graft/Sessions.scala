@@ -28,11 +28,13 @@ object Sessions {
       .withExtensions(GraftExtensions.inject)
 
   /** Build + finish session-scoped setup (typed-Aggregator UDAFs can only be
-    * registered on a live session, not via extensions).
+    * registered on a live session, not via extensions; builtin-shadowing
+    * names need a live-registry force-register — extension injection does
+    * not reliably beat the builtin).
     */
   def get(appName: String): SparkSession = {
     val spark = builder(appName).getOrCreate()
-    functions.GraftUdfs.register(spark)
+    ensureRegistered(spark)
     spark
   }
 
@@ -45,7 +47,11 @@ object Sessions {
     functions.GraftUdfs.register(spark)
     val reg = spark.sessionState.functionRegistry
     functions.GraftFunctions.registrations.foreach { case (ident, info, builder) =>
-      if (!reg.functionExists(ident)) reg.registerFunction(ident, info, builder)
+      // names in overridesBuiltin exist in every registry (they shadow a
+      // Spark builtin) — force-register those, skip-if-present for the rest
+      if (functions.GraftFunctions.overridesBuiltin(ident.funcName) ||
+          !reg.functionExists(ident))
+        reg.registerFunction(ident, info, builder)
     }
   }
 }

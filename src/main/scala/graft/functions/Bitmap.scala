@@ -1,39 +1,61 @@
 package graft.functions
 
-import java.util.{BitSet => JBitSet}
+import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
+import org.roaringbitmap.RoaringBitmap
 
 /** The reference's ewah_bitmap UDAF family (GenericUDAFEWAHBitmap.java:53 +
   * scalar ewah_bitmap_and/or/empty, FunctionRegistry.java:349-351) as a
   * Catalyst [[TypedImperativeAggregate]]: the buffer is a live
-  * `java.util.BitSet` held object-form between rows and only serialized at
+  * [[RoaringBitmap]] held object-form between rows and only serialized at
   * shuffle boundaries (the same partial/final contract the reference's
-  * evaluator implements with EWAH-compressed words).
+  * evaluator implements).
+  *
+  * Compressed on purpose: the reference chose EWAH word compression so a
+  * sparse key domain never allocates dense space; RoaringBitmap gives the
+  * same guarantee (memory ~ O(cardinality), not O(max_key)) — a stray key
+  * near 2^31 costs one 2-byte container entry, not a ~256 MB dense buffer.
   */
+object BitmapCodec {
+  // RoaringBitmap's portable format is little-endian and its ByteBuffer
+  // serialize/deserialize REQUIRE the buffer order set; ByteBuffer.wrap
+  // defaults to BIG_ENDIAN, which corrupts run-compressed containers.
+  def toBytes(rb: RoaringBitmap): Array[Byte] = {
+    rb.runOptimize()
+    val out = new Array[Byte](rb.serializedSizeInBytes())
+    rb.serialize(ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN))
+    out
+  }
+  def fromBytes(bytes: Array[Byte]): RoaringBitmap = {
+    val rb = new RoaringBitmap()
+    rb.deserialize(ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN))
+    rb
+  }
+}
+
 case class BitmapAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[JBitSet] {
+  extends TypedImperativeAggregate[RoaringBitmap] {
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
 
-  override def createAggregationBuffer(): JBitSet = new JBitSet()
+  override def createAggregationBuffer(): RoaringBitmap = new RoaringBitmap()
 
-  override def update(buf: JBitSet, input: InternalRow): JBitSet = {
+  override def update(buf: RoaringBitmap, input: InternalRow): RoaringBitmap = {
     val v = child.eval(input)
     if (v != null) {
       // keys outside [0, Int.MaxValue] are dropped, never aliased: a
       // truncating toInt would silently map 2^32 onto bit 0. (Like the
-      // reference's EWAH bitmaps this is a positive-int-key structure;
-      // dense far-apart keys should be dictionary-encoded first.)
+      // reference's EWAH bitmaps this is a positive-int-key structure.)
       val bit = v match {
         case i: Int => i.toLong
         case l: Long => l
@@ -41,15 +63,18 @@ case class BitmapAgg(
         case b: Byte => b.toLong
         case _ => -1L
       }
-      if (bit >= 0 && bit <= Int.MaxValue) buf.set(bit.toInt)
+      if (bit >= 0 && bit <= Int.MaxValue) buf.add(bit.toInt)
     }
     buf
   }
 
-  override def merge(a: JBitSet, b: JBitSet): JBitSet = { a.or(b); a }
-  override def eval(buf: JBitSet): Any = buf.toByteArray
-  override def serialize(buf: JBitSet): Array[Byte] = buf.toByteArray
-  override def deserialize(bytes: Array[Byte]): JBitSet = JBitSet.valueOf(bytes)
+  override def merge(a: RoaringBitmap, b: RoaringBitmap): RoaringBitmap = {
+    a.or(b); a
+  }
+  override def eval(buf: RoaringBitmap): Any = BitmapCodec.toBytes(buf)
+  override def serialize(buf: RoaringBitmap): Array[Byte] = BitmapCodec.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): RoaringBitmap =
+    BitmapCodec.fromBytes(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): BitmapAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -66,10 +91,10 @@ case class BitmapCombine(left: Expression, right: Expression, isAnd: Boolean)
   override def dataType: DataType = BinaryType
   override def prettyName: String = if (isAnd) "bitmap_and" else "bitmap_or"
   override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = JBitSet.valueOf(l.asInstanceOf[Array[Byte]])
-    val b = JBitSet.valueOf(r.asInstanceOf[Array[Byte]])
+    val a = BitmapCodec.fromBytes(l.asInstanceOf[Array[Byte]])
+    val b = BitmapCodec.fromBytes(r.asInstanceOf[Array[Byte]])
     if (isAnd) a.and(b) else a.or(b)
-    a.toByteArray
+    BitmapCodec.toBytes(a)
   }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -84,7 +109,7 @@ case class BitmapCount(child: Expression)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "bitmap_count"
   override protected def nullSafeEval(v: Any): Any =
-    JBitSet.valueOf(v.asInstanceOf[Array[Byte]]).cardinality()
+    BitmapCodec.fromBytes(v.asInstanceOf[Array[Byte]]).getCardinality
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -31,17 +31,58 @@ object GraftFunctions {
     (new FunctionIdentifier(name),
       new ExpressionInfo(clazz.getCanonicalName, name), builder)
 
+  /** `create_union(tag, v0..vn)` → the engine's uniontype encoding
+    * `struct<tag: tinyint, field0.., fieldN>` with exactly one live payload
+    * (SURVEY.md §1.2; ref GenericUDFUnion, FunctionRegistry.java:413). SQL
+    * twin of [[HiveCompat.createUnion]] — built from Catalyst expressions so
+    * HiveQL text calls it directly. The null branch is an untyped NULL
+    * literal; TypeCoercion's If rule widens it to the payload type.
+    */
+  private def createUnionBuilder(es: Seq[Expression]): Expression = {
+    require(es.size >= 2, "create_union needs a tag and at least one value")
+    val tag = es.head
+    val entries =
+      Seq(Literal("tag"), Cast(tag, ByteType)) ++
+        es.tail.zipWithIndex.flatMap { case (v, i) =>
+          Seq(Literal(s"field$i"),
+            If(EqualTo(Cast(tag, IntegerType), Literal(i)), v, Literal(null)))
+        }
+    CreateNamedStruct(entries)
+  }
+
   val registrations: Seq[Registration] = Seq(
     reg("field", classOf[Field], Field(_)),
     reg("hive_hash", classOf[HiveHash08], HiveHash08(_)),
+    // Hive-NAMED registrations so ported HiveQL text runs unmodified:
+    // `hash(x)` must be the reference's Java-style hash
+    // (FunctionRegistry.java:417), not Spark's murmur3 — a silent wrong
+    // answer for any query that buckets or samples by hash(). Overrides the
+    // builtin (Sessions force-registers names in `overridesBuiltin`).
+    reg("hash", classOf[HiveHash08], HiveHash08(_)),
+    reg("create_union", classOf[CreateNamedStruct], createUnionBuilder),
     reg("parse_url_tuple", classOf[ParseUrlTuple], ParseUrlTuple(_)),
-    reg("bitmap_agg", classOf[BitmapAgg],
-      es => BitmapAgg(es.head).toAggregateExpression()),
-    reg("bitmap_and", classOf[BitmapCombine],
-      es => BitmapCombine(es(0), es(1), isAnd = true)),
-    reg("bitmap_or", classOf[BitmapCombine],
-      es => BitmapCombine(es(0), es(1), isAnd = false)),
-    reg("bitmap_count", classOf[BitmapCount], es => BitmapCount(es.head)))
+    // NOTE: fully qualified on purpose. The wildcard import of
+    // catalyst.expressions._ SHADOWS same-package classes from other files
+    // (Scala precedence: wildcard import > package-clause members), and
+    // Spark 4 ships its own catalyst BitmapCount — an unqualified reference
+    // silently registers Spark's popcount expression under our name.
+    reg("bitmap_agg", classOf[graft.functions.BitmapAgg],
+      es => graft.functions.BitmapAgg(es.head).toAggregateExpression()),
+    reg("bitmap_and", classOf[graft.functions.BitmapCombine],
+      es => graft.functions.BitmapCombine(es(0), es(1), isAnd = true)),
+    reg("bitmap_or", classOf[graft.functions.BitmapCombine],
+      es => graft.functions.BitmapCombine(es(0), es(1), isAnd = false)),
+    reg("bitmap_count", classOf[graft.functions.BitmapCount],
+      es => graft.functions.BitmapCount(es.head)))
+
+  /** Names that deliberately shadow a Spark builtin (Hive parity beats Spark
+    * default for ported text); [[graft.Sessions.ensureRegistered]] must
+    * force-register these instead of skipping on functionExists — a skipped
+    * registration silently resolves to the builtin (murmur3 for `hash`;
+    * Spark 3.5+'s raw-popcount `bitmap_count`, which reads compressed
+    * bitmap bytes as garbage).
+    */
+  val overridesBuiltin: Set[String] = Set("hash", "bitmap_count")
 }
 
 /** `field(needle, v1..vn)`: 1-based index of the first vi equal to needle,
@@ -83,6 +124,16 @@ object HiveHashUtil {
   def hashDouble(v: Double): Int = hashLong(java.lang.Double.doubleToLongBits(v))
   def hashFloat(v: Float): Int = java.lang.Float.floatToIntBits(v)
   def hashString(s: UTF8String): Int = s.toString.hashCode
+  /** TIMESTAMP hashes via the reference's TimestampWritable.hashCode
+    * (serde2/io/TimestampWritable.java:337): `(seconds << 32) | nanos`
+    * folded long→int — NOT the raw micros long. Input is Spark's
+    * TimestampType payload (micros since epoch).
+    */
+  def hashTimestamp(micros: Long): Int = {
+    val seconds = Math.floorDiv(micros, 1000000L)
+    val nanos = Math.floorMod(micros, 1000000L) * 1000L
+    hashLong((seconds << 32) | nanos)
+  }
 }
 
 /** Variadic Hive-0.8 hash: h = 31*h + hash(arg_i), null contributes 0.
@@ -111,7 +162,8 @@ case class HiveHash08(children: Seq[Expression]) extends Expression {
     case ByteType => v.asInstanceOf[Byte].toInt
     case ShortType => v.asInstanceOf[Short].toInt
     case IntegerType | DateType => v.asInstanceOf[Int]
-    case LongType | TimestampType => HiveHashUtil.hashLong(v.asInstanceOf[Long])
+    case TimestampType => HiveHashUtil.hashTimestamp(v.asInstanceOf[Long])
+    case LongType => HiveHashUtil.hashLong(v.asInstanceOf[Long])
     case FloatType => HiveHashUtil.hashFloat(v.asInstanceOf[Float])
     case DoubleType => HiveHashUtil.hashDouble(v.asInstanceOf[Double])
     case StringType => HiveHashUtil.hashString(v.asInstanceOf[UTF8String])
@@ -135,7 +187,8 @@ case class HiveHash08(children: Seq[Expression]) extends Expression {
       case BooleanType => s"($value ? 1 : 0)"
       case ByteType | ShortType => s"(int) $value"
       case IntegerType | DateType => value
-      case LongType | TimestampType => s"$util.hashLong($value)"
+      case TimestampType => s"$util.hashTimestamp($value)"
+      case LongType => s"$util.hashLong($value)"
       case FloatType => s"$util.hashFloat($value)"
       case DoubleType => s"$util.hashDouble($value)"
       case StringType => s"$util.hashString($value)"

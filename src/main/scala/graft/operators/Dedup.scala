@@ -26,6 +26,12 @@ object Dedup extends QueryModule {
   private def h32(e: String): String =
     s"cast(conv(substr(md5($e), 1, 8), 16, 10) AS bigint)"
 
+  /** Stop-shingle bound for Jaccard dedup (q51): a shingle seen in more than
+    * this many documents is dropped before the inverted-index self-join,
+    * capping any one shingle's candidate bucket at ~DfCap²/2 pairs.
+    */
+  private val JaccardDfCap = 50
+
   /** IEEE-identical cosine: double-cast elementwise product, sequential sum. */
   private val cosine =
     """aggregate(zip_with(qe, ne, (x, y) -> double(x) * double(y)),
@@ -64,13 +70,20 @@ object Dedup extends QueryModule {
     // ---- n-gram Jaccard near-dup: exact set similarity over 3-word
     //      shingles; pairs found via the shingle inverted index (equi-join),
     //      intersection counted per pair, union from per-doc shingle counts.
+    //      Hot-shingle guard: shingles whose document frequency exceeds
+    //      JaccardDfCap are dropped as stop-shingles BEFORE the self-join —
+    //      on a real corpus one ubiquitous shingle ("in the the", boilerplate
+    //      headers) otherwise creates a quadratic candidate bucket. Jaccard
+    //      is then computed over the kept-shingle sets on BOTH engines (the
+    //      standard stop-shingle semantics, mirrored in the oracle).
     QueryDef(
       "q51_dedup_jaccard",
       (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
         // w is bound as its own column (two references → CollapseProject
         // keeps it) so the per-shingle lambda slices an attribute instead of
         // re-splitting the text ~250× per row
-        val sh = t(s, dir, "documents")
+        val exploded = t(s, dir, "documents")
           .filter(col("doc_id") < 120)
           .repartition(s.sparkContext.defaultParallelism)
           .selectExpr("doc_id", "split(lower(text), ' ') AS w")
@@ -84,7 +97,13 @@ object Dedup extends QueryModule {
           // explode_outer: no size(shingles)>0 Generate-constraint gets
           // inferred and pushed into the scan filter (where it would
           // re-evaluate the shingle array); null sh rows can't join anyway
-          .selectExpr("doc_id", "size(shingles) AS nsh", "explode_outer(shingles) AS sh")
+          .selectExpr("doc_id", "explode_outer(shingles) AS sh")
+        val sh = exploded
+          // df window shuffles on sh — the same key the self-join needs
+          .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+          .filter(col("df") <= JaccardDfCap)
+          .withColumn("nsh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+          .select(col("doc_id"), col("nsh"), col("sh"))
         val a = sh.toDF("a_id", "na", "sh")
         val b = sh.toDF("b_id", "nb", "sh")
         a.join(b, Seq("sh")).filter(col("a_id") < col("b_id"))
@@ -96,14 +115,15 @@ object Dedup extends QueryModule {
           .filter(col("jaccard") >= 0.02)
           .orderBy(col("a_id"), col("b_id"))
       },
-      Some("""WITH s AS (
+      Some(s"""WITH s0 AS (
           SELECT doc_id,
                  unnest(list_distinct(list_transform(range(1, len(w) - 1),
-                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh,
-                 len(list_distinct(list_transform(range(1, len(w) - 1),
-                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS nsh
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
           FROM (SELECT doc_id, str_split(lower(text), ' ') AS w
                 FROM documents WHERE doc_id < 120)),
+        s1 AS (SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM s0),
+        s AS (SELECT doc_id, sh, count(*) OVER (PARTITION BY doc_id) AS nsh
+              FROM s1 WHERE df <= $JaccardDfCap),
         p AS (
           SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter,
                  any_value(a.nsh) AS na, any_value(b.nsh) AS nb
@@ -160,8 +180,12 @@ object Dedup extends QueryModule {
         GROUP BY 1, 2 ORDER BY a_id, b_id""")),
 
     // ---- SimHash near-dup: 32-bit signature as a shuffle-free projection;
-    //      near pairs = hamming ≤ 2 over a bounded window (at scale the
-    //      pair stage buckets on signature prefixes instead of cross-joining).
+    //      candidate pairs via banded signature-prefix buckets — hamming ≤ 2
+    //      flips bits in at most 2 of the 4 8-bit bands, so by pigeonhole a
+    //      qualifying pair agrees on ≥ 2 bands and a (band, value) equi-join
+    //      finds EVERY such pair (lossless, unlike probabilistic LSH). The
+    //      exact hamming filter then runs only on bucket-mates, never on the
+    //      n² pair space.
     QueryDef(
       "q53_dedup_simhash",
       (s, dir) => {
@@ -183,9 +207,15 @@ object Dedup extends QueryModule {
                     sequence(0, 31),
                     (s2, b) -> if(s2 > 0, shiftleft(cast(1 AS bigint), b), cast(0 AS bigint))),
                   cast(0 AS bigint), (acc, x) -> acc + x) AS simhash""")
-        val a = sh.toDF("a_id", "sh_a")
-        val b = sh.toDF("b_id", "sh_b")
-        a.crossJoin(b).filter(col("a_id") < col("b_id"))
+        val bands = sh.selectExpr("doc_id", "simhash",
+          """posexplode(transform(sequence(0, 3),
+               j -> cast(shiftright(simhash, j * 8) & 255 AS int))) AS (band, bv)""")
+        val a = bands.toDF("a_id", "sh_a", "band", "bv")
+        val b = bands.toDF("b_id", "sh_b", "band", "bv")
+        a.join(b, Seq("band", "bv")).filter(col("a_id") < col("b_id"))
+          // a pair sharing m bands surfaces m times → dedup before the
+          // (cheap) exact check; signatures ride along so no re-join
+          .select(col("a_id"), col("b_id"), col("sh_a"), col("sh_b")).distinct()
           .selectExpr("a_id", "b_id",
             "cast(bit_count(sh_a ^ sh_b) AS int) AS hamming")
           .filter(col("hamming") <= 2)
@@ -243,30 +273,58 @@ object Dedup extends QueryModule {
           WHERE q.vec_id != n.vec_id)
         WHERE rk <= 3 ORDER BY q_id, rk""")),
 
-    // ---- Embedding-cosine near-dup pairs: every pair above the similarity
-    //      bar inside a bounded window (thresholding on the 4dp-rounded
-    //      value, which both engines compute identically — proven by the
-    //      kNN hash matches). At scale the window becomes an LSH bucket
-    //      (q55) and the pair join an equi-join.
+    // ---- Embedding-cosine near-dup pairs, LSH-bucketed (the scale plan):
+    //      candidates = pairs agreeing on EITHER of two 4-sign-bit hyperplane
+    //      bands (an OR-construction boosts recall over one band), found by a
+    //      per-band equi-join — the n² pair space is never materialized.
+    //      Candidate generation is approximate BY DESIGN (standard for
+    //      embedding dedup at scale); the oracle replicates the identical
+    //      bucketing, so the gate still checks exact equality of the plan's
+    //      semantics. Brute-force exact pairing remains available as q54's
+    //      broadcast pattern.
     QueryDef(
       "q65_dedup_cosine",
       (s, dir) => {
-        val emb = t(s, dir, "embeddings")
-        val a = emb.selectExpr("vec_id AS a_id", "embedding AS qe").filter(col("a_id") < 300)
-          // stream side of the nested-loop join: fan the single-row-group
-          // scan across cores so the interpreted cosine HOF parallelizes
+        val bands = t(s, dir, "embeddings")
+          .filter(col("vec_id") < 300)
           .repartition(s.sparkContext.defaultParallelism)
-        val b = emb.selectExpr("vec_id AS b_id", "embedding AS ne").filter(col("b_id") < 300)
-        a.crossJoin(broadcast(b)).filter(col("a_id") < col("b_id"))
+          .selectExpr("vec_id", "embedding",
+            """posexplode(transform(sequence(0, 1),
+                 j -> cast(if(element_at(embedding, j * 4 + 1) > 0, 1, 0)
+                         + if(element_at(embedding, j * 4 + 2) > 0, 2, 0)
+                         + if(element_at(embedding, j * 4 + 3) > 0, 4, 0)
+                         + if(element_at(embedding, j * 4 + 4) > 0, 8, 0) AS int)))
+               AS (band, bv)""")
+        val a = bands.toDF("a_id", "qe", "band", "bv")
+        val b = bands.toDF("b_id", "ne", "band", "bv")
+        a.join(b, Seq("band", "bv")).filter(col("a_id") < col("b_id"))
+          // a pair agreeing on both bands surfaces twice → dedup before the
+          // (interpreted, expensive) cosine runs once per candidate
+          .groupBy(col("a_id"), col("b_id"))
+          .agg(first(col("qe")).as("qe"), first(col("ne")).as("ne"))
           .selectExpr("a_id", "b_id", s"round($cosine, 4) AS sim")
           .filter(col("sim") >= 0.35)
           .orderBy(col("a_id"), col("b_id"))
       },
-      Some(s"""SELECT a_id, b_id, sim FROM (
-          SELECT a.vec_id AS a_id, b.vec_id AS b_id, round($cosineDuck, 4) AS sim
-          FROM (SELECT vec_id, embedding AS qe FROM embeddings WHERE vec_id < 300) a
-               CROSS JOIN (SELECT vec_id, embedding AS ne FROM embeddings WHERE vec_id < 300) b
-          WHERE a.vec_id < b.vec_id)
+      Some(s"""WITH e AS (
+          SELECT vec_id, embedding,
+                 CAST(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+                    + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+                    + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+                    + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END AS INT) AS bv0,
+                 CAST(CASE WHEN embedding[5] > 0 THEN 1 ELSE 0 END
+                    + CASE WHEN embedding[6] > 0 THEN 2 ELSE 0 END
+                    + CASE WHEN embedding[7] > 0 THEN 4 ELSE 0 END
+                    + CASE WHEN embedding[8] > 0 THEN 8 ELSE 0 END AS INT) AS bv1
+          FROM embeddings WHERE vec_id < 300),
+        cand AS (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                 any_value(a.embedding) AS qe, any_value(b.embedding) AS ne
+          FROM e a JOIN e b
+            ON a.vec_id < b.vec_id AND (a.bv0 = b.bv0 OR a.bv1 = b.bv1)
+          GROUP BY 1, 2)
+        SELECT a_id, b_id, sim FROM (
+          SELECT a_id, b_id, round($cosineDuck, 4) AS sim FROM cand)
         WHERE sim >= 0.35 ORDER BY a_id, b_id""")),
 
     // ---- IVF ANN (the second scale path beside LSH): a fixed coarse

@@ -139,8 +139,15 @@ object Misc extends QueryModule {
         .agg(
           count(lit(1)).as("n_rows"),
           count(col("maybe_price")).as("n_nonnull"),
-          round(sum(col("maybe_price")), 2).as("sum_skipnull"),
-          round(avg(col("maybe_price")), 4).as("avg_skipnull"),
+          // Exact arithmetic for the oracle compare: double sum/avg are
+          // accumulation-order-dependent (Spark's partial/final tree order ≠
+          // DuckDB's sequential order), so sum cents as BIGINT and divide
+          // once at the end — one integer division is IEEE-identical across
+          // engines. Null-skipping behavior (GenericUDAFSum/Count) unchanged.
+          (sum(expr("cast(round(maybe_price * 100) as bigint)")) / 100.0)
+            .as("sum_skipnull"),
+          (sum(expr("cast(round(maybe_price * 100) as bigint)")) /
+            (lit(100.0) * count(col("maybe_price")))).as("avg_skipnull"),
           round(max(col("plus1")), 2).as("max_plus1"),
           sum(when(col("nse_null"), 1).otherwise(0)).as("n_null_cust"),
           sum(when(col("nse_self"), 1).otherwise(0)).as("n_self_eq"))
@@ -153,8 +160,8 @@ object Misc extends QueryModule {
         SELECT o_orderstatus,
                count(*) AS n_rows,
                count(maybe_price) AS n_nonnull,
-               round(sum(maybe_price), 2) AS sum_skipnull,
-               round(avg(maybe_price), 4) AS avg_skipnull,
+               sum(CAST(round(maybe_price * 100) AS BIGINT)) / 100.0 AS sum_skipnull,
+               sum(CAST(round(maybe_price * 100) AS BIGINT)) / (100.0 * count(maybe_price)) AS avg_skipnull,
                round(max(maybe_price + 1), 2) AS max_plus1,
                sum(CASE WHEN maybe_cust IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS n_null_cust,
                sum(CASE WHEN maybe_cust IS NOT DISTINCT FROM maybe_cust THEN 1 ELSE 0 END) AS n_self_eq
@@ -178,6 +185,39 @@ object Misc extends QueryModule {
           "round(col.x, 2) AS bin_center", "round(col.y, 2) AS bin_height")
         .orderBy(col("l_returnflag"), col("bin")),
       None),
+
+    // ---- Hive-NAMED function registrations exercised through SQL text:
+    //      `hash` = reference Java hash (FunctionRegistry.java:417, NOT
+    //      murmur3), `create_union` (registry :413) as the uniontype struct
+    //      encoding, `reflect` (registry :407, Spark ships it natively).
+    //      Oracle side pins Hive hash algebra: hash(int)=int,
+    //      hash(a,b)=31*a+b, hash(1-char string)=char code.
+    QueryDef(
+      "q83_hive_named_fns",
+      (s, dir) => {
+        graft.Sessions.ensureRegistered(s)
+        graft.Tables.registerAll(s, dir)
+        s.sql("""SELECT o_orderkey,
+                   hash(o_orderkey) AS h_key,
+                   hash(o_orderkey, o_custkey) AS h_pair,
+                   hash(o_orderstatus) AS h_status,
+                   reflect('java.lang.String', 'valueOf', o_orderkey) AS str_key,
+                   u.tag AS u_tag, u.field0 AS u_status, u.field1 AS u_cust
+                 FROM (SELECT *,
+                         create_union(cast(o_orderkey % 2 AS INT),
+                                      o_orderstatus, o_custkey) AS u
+                       FROM orders WHERE o_orderkey <= 500)
+                 ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey,
+        CAST(o_orderkey AS INT) AS h_key,
+        CAST(31 * o_orderkey + o_custkey AS INT) AS h_pair,
+        ascii(o_orderstatus) AS h_status,
+        CAST(o_orderkey AS VARCHAR) AS str_key,
+        o_orderkey % 2 AS u_tag,
+        CASE WHEN o_orderkey % 2 = 0 THEN o_orderstatus END AS u_status,
+        CASE WHEN o_orderkey % 2 = 1 THEN o_custkey END AS u_cust
+        FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""")),
 
     // ---- context_ngrams (GenericUDAFContextNGrams.java:424): top-10 words
     //      following 'the' per language

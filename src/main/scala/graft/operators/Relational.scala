@@ -430,9 +430,16 @@ object Relational extends QueryModule {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---- Exact percentile / median (ref UDAFPercentile.java, registry :403)
+    //      Scale contract: exact percentile buffers O(distinct values) per
+    //      group — fine for bounded-domain columns like quantities/prices;
+    //      unbounded domains should use percentile_approx (q66). The
+    //      repartition fans the single-row-group fixture scan out so the
+    //      partial aggregation (the compute-heavy phase) runs on all cores;
+    //      at real scale multi-file input makes this a no-op decision.
     QueryDef(
       "q24_percentile",
       (s, dir) => t(s, dir, "lineitem")
+        .repartition(s.sparkContext.defaultParallelism)
         .groupBy(col("l_linestatus"))
         .agg(
           // one array-percentile call = one value buffer for both quantiles

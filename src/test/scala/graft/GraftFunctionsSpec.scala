@@ -35,11 +35,51 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(row.getInt(4) == 1)
     assert(row.getInt(5) == 31 * "a".hashCode + 2)
     assert(row.getInt(6) == 0)
-    // and it really differs from Spark's murmur3 on the same input
-    val (h1, h2) = spark.range(1)
-      .selectExpr("hive_hash('abc')", "hash('abc')")
+  }
+
+  test("hash (Hive name) overrides murmur3 and equals hive_hash") {
+    // FunctionRegistry.java:417: ported HiveQL calling hash() must get the
+    // Java-style hash, not Spark's murmur3 (which returns 'abc' -> murmur3
+    // seed 42, never "abc".hashCode)
+    val (h, hh) = spark.range(1)
+      .selectExpr("hash('abc')", "hive_hash('abc')")
       .as[(Int, Int)].head()
-    assert(h1 != h2)
+    assert(h == "abc".hashCode && hh == h)
+  }
+
+  test("hash of timestamp follows TimestampWritable.hashCode (seconds/nanos)") {
+    // serde2/io/TimestampWritable.java:337: (seconds << 32 | nanos) folded
+    val micros = 1723475105123456L // 2024-08-12T...Z with sub-second part
+    val seconds = Math.floorDiv(micros, 1000000L)
+    val nanos = Math.floorMod(micros, 1000000L) * 1000L
+    val expected = {
+      val v = (seconds << 32) | nanos
+      (v ^ (v >>> 32)).toInt
+    }
+    val got = spark.range(1)
+      .selectExpr(s"hive_hash(timestamp_micros(${micros}L)) AS h")
+      .as[Int].head()
+    assert(got == expected)
+  }
+
+  test("create_union (SQL name) encodes tagged struct with one live field") {
+    val rows = spark.range(4)
+      .selectExpr("create_union(cast(id % 2 AS int), 'str' || id, id * 10) AS u")
+      .selectExpr("u.tag AS tag", "u.field0 AS f0", "u.field1 AS f1")
+      .collect()
+    rows.foreach { r =>
+      val tag = r.getByte(0)
+      if (tag == 0) assert(r.getString(1) != null && r.isNullAt(2))
+      else assert(r.isNullAt(1) && !r.isNullAt(2))
+    }
+  }
+
+  test("reflect is callable under its Hive name (FunctionRegistry.java:407)") {
+    val r = spark.range(1)
+      .selectExpr("reflect('java.lang.String', 'valueOf', 42) AS s",
+        "java_method('java.lang.Math', 'abs', -7) AS a")
+      .head()
+    assert(r.getString(0) == "42" && r.getString(1) == "7")
   }
 
   test("parse_url_tuple explodes url parts incl QUERY:<key>") {

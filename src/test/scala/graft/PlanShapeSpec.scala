@@ -43,6 +43,14 @@ class PlanShapeSpec extends SparkSpec {
       s"minhash candidates must come from the band equi-join:\n$p")
   }
 
+  test("q53/q65: banded dedup pairing never plans a cartesian product") {
+    Seq("q53_dedup_simhash", "q65_dedup_cosine").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q candidates must come from the band equi-join:\n$p")
+    }
+  }
+
   test("q01: aggregation splits into partial + final HashAggregate") {
     val p = plan("q01_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial/final split:\n$p")

@@ -75,11 +75,26 @@ class PropertySpec extends SparkSpec {
     (1 to 40).foreach { s =>
       val bits = sample(Gen.listOf(Gen.choose(0, 100000)), s).distinct
       val buf = agg.createAggregationBuffer()
-      bits.foreach(buf.set)
+      bits.foreach(buf.add)
       val back = agg.deserialize(agg.serialize(buf))
-      assert(back.cardinality() == bits.size, s"seed=$s")
-      bits.foreach(b => assert(back.get(b), s"bit $b lost seed=$s"))
+      assert(back.getCardinality == bits.size, s"seed=$s")
+      bits.foreach(b => assert(back.contains(b), s"bit $b lost seed=$s"))
     }
+  }
+
+  test("bitmap buffer stays compressed for sparse keys near Int.MaxValue") {
+    // The reference chose EWAH compression so memory tracks cardinality, not
+    // key magnitude (GenericUDAFEWAHBitmap.java:53). A dense positional
+    // BitSet would allocate ~256 MB for this buffer; compressed it must
+    // serialize to well under a kilobyte.
+    import graft.functions.BitmapAgg
+    val agg = BitmapAgg(org.apache.spark.sql.catalyst.expressions.Literal(1))
+    val buf = agg.createAggregationBuffer()
+    Seq(0, 7, 1 << 20, Int.MaxValue - 1, Int.MaxValue).foreach(buf.add)
+    val bytes = agg.serialize(buf)
+    assert(bytes.length < 1024, s"sparse bitmap serialized to ${bytes.length}B")
+    val back = agg.deserialize(bytes)
+    assert(back.getCardinality == 5 && back.contains(Int.MaxValue))
   }
 
   test("hive_hash on strings equals Java String.hashCode for arbitrary input") {
