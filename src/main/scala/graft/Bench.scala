@@ -23,8 +23,21 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // total sums successful durations only — the -1 sentinels would shrink
+    // the aggregate and mix units; failures are reported by name instead
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failed = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},""" +
+        s""""failed":${failed.mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}"""
+    // stdout AND a file: the driver's tail capture has truncated the head of
+    // a long stdout line before; the file copy is always machine-readable
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(json)
     spark.stop()
   }
 }

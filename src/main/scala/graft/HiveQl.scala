@@ -4,20 +4,111 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** HiveQL dialect entry point (SURVEY.md §7.2 M1). Spark 4 parses nearly the
   * whole Hive-0.8 grammar natively (SORT/DISTRIBUTE/CLUSTER BY, LATERAL
-  * VIEW, TABLESAMPLE, TRANSFORM, multi-insert); this layer rewrites only
-  * the hint comments whose spelling changed: MAPJOIN(t) (Hive.g:1472-1499)
-  * becomes BROADCAST(t), and STREAMTABLE(t) (JoinReorder.java:39) is
-  * dropped — Catalyst's CBO join reordering subsumes the manual
-  * streaming-side choice.
+  * VIEW, TABLESAMPLE, TRANSFORM, multi-insert); this layer handles the
+  * remaining statement forms:
+  *
+  *  - hint comments whose spelling changed: MAPJOIN(t) (Hive.g:1472-1499)
+  *    becomes BROADCAST(t), and STREAMTABLE(t) (JoinReorder.java:39) is
+  *    dropped — Catalyst's CBO join reordering subsumes the manual
+  *    streaming-side choice;
+  *  - `LOAD DATA [LOCAL] INPATH '..' [OVERWRITE] INTO TABLE t`
+  *    (LoadSemanticAnalyzer.java:1) executed via [[sources.HiveLoad]];
+  *  - `FROM UNIQUEJOIN [PRESERVE] t1 a (a.k), ... SELECT ...`
+  *    (Hive.g:1595-1614, JoinDesc.UNIQUE_JOIN) rewritten to a chained
+  *    FULL OUTER join + presence filter — a key row survives iff it appears
+  *    in some PRESERVEd source or in every source.
   */
 object HiveQl {
   private val MapJoin = """(?i)/\*\+\s*MAPJOIN\s*\(([^)]*)\)\s*\*/""".r
   private val StreamTable = """(?i)/\*\+\s*STREAMTABLE\s*\(([^)]*)\)\s*\*/""".r
+  private val LoadData =
+    """(?is)^\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+'([^']+)'\s+(OVERWRITE\s+)?INTO\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
+  // SELECT <sel> FROM UNIQUEJOIN <sources> [WHERE/GROUP/ORDER/LIMIT tail]
+  private val UniqueJoin =
+    """(?is)^(.*?\bFROM)\s+UNIQUEJOIN\s+(.*?)\s*((?:\bWHERE\b|\bGROUP\b|\bORDER\b|\bLIMIT\b).*)?$""".r
+  // one source: [PRESERVE] table alias (key expressions)
+  private val UjSource =
+    """(?is)^\s*(PRESERVE\s+)?([\w.]+)\s+(\w+)\s*\(([^)]*)\)\s*$""".r
 
   def rewrite(q: String): String = {
     val noStream = StreamTable.replaceAllIn(q, "")
-    MapJoin.replaceAllIn(noStream, m => s"/*+ BROADCAST(${m.group(1)}) */")
+    val hinted = MapJoin.replaceAllIn(noStream, m => s"/*+ BROADCAST(${m.group(1)}) */")
+    hinted match {
+      case UniqueJoin(head, srcs, tail) if srcs.toUpperCase.contains("(") =>
+        rewriteUniqueJoin(head, srcs, Option(tail).getOrElse(""))
+      case other => other
+    }
   }
 
-  def sql(spark: SparkSession, q: String): DataFrame = spark.sql(rewrite(q))
+  private case class UjSrc(preserve: Boolean, table: String, alias: String,
+      keys: Seq[String])
+
+  /** Split the UNIQUEJOIN source list on commas at paren depth zero (key
+    * expression lists contain their own commas).
+    */
+  private def splitSources(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    val cur = new StringBuilder
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.result()
+  }
+
+  private def rewriteUniqueJoin(head: String, srcText: String, tail: String): String = {
+    val srcs = splitSources(srcText).map {
+      case UjSource(p, tbl, alias, keys) =>
+        UjSrc(p != null, tbl, alias, keys.split(",").map(_.trim).toSeq)
+      case other =>
+        throw new IllegalArgumentException(s"cannot parse UNIQUEJOIN source: $other")
+    }
+    require(srcs.size >= 2, "UNIQUEJOIN needs at least two sources")
+    val nKeys = srcs.head.keys.size
+    require(srcs.forall(_.keys.size == nKeys),
+      "UNIQUEJOIN sources must list the same number of key expressions")
+
+    // chained FULL OUTER joins; source i joins on each key position equal to
+    // the coalesce of that position over all prior sources
+    val from = new StringBuilder(s"${srcs.head.table} ${srcs.head.alias}")
+    srcs.zipWithIndex.drop(1).foreach { case (s, i) =>
+      val conds = (0 until nKeys).map { p =>
+        val prior = srcs.take(i).map(_.keys(p))
+        val lhs = if (prior.size == 1) prior.head
+                  else s"coalesce(${prior.mkString(", ")})"
+        s"$lhs = ${s.keys(p)}"
+      }
+      from ++= s" FULL OUTER JOIN ${s.table} ${s.alias} ON ${conds.mkString(" AND ")}"
+    }
+
+    // presence: in some PRESERVEd source, or in every source
+    val present = srcs.map(s => s"${s.keys.head} IS NOT NULL")
+    val preserved = srcs.zip(present).collect { case (s, c) if s.preserve => c }
+    val all = present.mkString("(", " AND ", ")")
+    val presence = (preserved :+ all).mkString("(", " OR ", ")")
+
+    val where =
+      if (tail.toUpperCase.startsWith("WHERE")) {
+        // split the WHERE condition from any trailing GROUP/ORDER/LIMIT
+        val rest = tail.drop(5)
+        val m = """(?i)\b(GROUP|ORDER|LIMIT)\b""".r.findFirstMatchIn(rest)
+        val (cond, clauses) = m match {
+          case Some(mm) => (rest.substring(0, mm.start), rest.substring(mm.start))
+          case None => (rest, "")
+        }
+        s" WHERE ($cond) AND $presence $clauses"
+      } else s" WHERE $presence $tail"
+    s"$head $from$where"
+  }
+
+  def sql(spark: SparkSession, q: String): DataFrame = q match {
+    case LoadData(path, overwrite, table) =>
+      sources.HiveLoad.loadData(spark, path, table, overwrite != null)
+      spark.emptyDataFrame
+    case _ => spark.sql(rewrite(q))
+  }
 }

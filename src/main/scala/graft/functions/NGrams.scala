@@ -28,7 +28,7 @@ object NGramsTopK extends Aggregator[(Seq[String], Int, Int), NGramBuf, Seq[NGra
   // undercounted (same posture as the reference's estimation pf); 1000×k
   // keeps counts exact whenever the per-partition gram vocabulary fits
   // 1000k while still bounding memory at O(k)
-  private[functions] val PruneFactor = 1000
+  private[graft] val PruneFactor = 1000
 
   override def zero: NGramBuf = NGramBuf(Map.empty, 0, 0)
 

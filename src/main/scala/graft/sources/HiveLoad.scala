@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** `LOAD DATA INPATH` (ref ql/parse/LoadSemanticAnalyzer.java:1, dispatched
+  * from SemanticAnalyzerFactory.java:119): land a Hive-delimited text file in
+  * a catalog table. The reference moves files into the table's location and
+  * trusts the SerDe at read time; on Spark the equivalent contract is
+  * parse-with-the-table's-schema + insertInto, which also validates rows at
+  * load instead of deferring corruption to the first query.
+  *
+  * Nested columns arrive text-encoded with LazySimpleSerDe's one-level
+  * delimiters ( for collections,  for map keys — HiveText) and are
+  * decoded to the table's array/map types before the insert.
+  */
+object HiveLoad {
+
+  def loadData(spark: SparkSession, path: String, table: String,
+      overwrite: Boolean): Unit = {
+    val target = spark.table(table).schema
+    // read nested columns as raw text, then decode to the declared type
+    val flat = StructType(target.map { f =>
+      f.dataType match {
+        case _: ArrayType | _: MapType => f.copy(dataType = StringType)
+        case _ => f
+      }
+    })
+    val decoded = target.foldLeft(HiveText.read(spark, path, flat)) { (df, f) =>
+      f.dataType match {
+        case at: ArrayType =>
+          df.withColumn(f.name, HiveText.decodeArray(col(f.name)).cast(at))
+        case mt: MapType =>
+          df.withColumn(f.name, HiveText.decodeMap(col(f.name)).cast(mt))
+        case _ => df
+      }
+    }
+    decoded.write
+      .mode(if (overwrite) "overwrite" else "append")
+      .insertInto(table)
+  }
+}
+
+/** SequenceFile source (ref QTestUtil.java:476-477 creates
+  * `src_sequencefile` via `SequenceFileInputFormat`/`OutputFormat`): rows are
+  * (Text key, Text value) records whose value carries the Hive-delimited
+  * columns. Read through the Hadoop RDD API — the one place the engine drops
+  * below DataFrames, because Spark has no DataFrame SequenceFile source —
+  * then parsed by the same CSV options HiveText uses, so text/sequencefile
+  * fixtures stay byte-compatible.
+  */
+object HiveSequenceFile {
+
+  /** Raw (key, value) pairs. */
+  def readKV(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.sequenceFile[String, String](path).toDF("key", "value")
+  }
+
+  /** Values parsed into `schema` with LazySimpleSerDe delimiters. */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    readKV(spark, path)
+      .select(from_csv(col("value"), schema, Map(
+        "sep" -> HiveText.FieldDelim,
+        "nullValue" -> HiveText.NullSequence,
+        "emptyValue" -> "",
+        "quote" -> HiveText.NoQuote,
+        "escape" -> HiveText.NoQuote)).as("r"))
+      .select(col("r.*"))
+
+  /** Test-fixture writer (the reference's SequenceFile *writer* path is a
+    * documented drop, SURVEY §7.5; this emits the same (Text, Text) layout
+    * its reader consumes).
+    */
+  def writeKV(df: DataFrame, path: String): Unit =
+    df.rdd.map(r => (r.getString(0), r.getString(1))).saveAsSequenceFile(path)
+}

@@ -17,11 +17,19 @@ object HiveText {
   val MapKeyDelim = "\u0003"
   val NullSequence = "\\N"
 
+  // LazySimpleSerDe neither quotes nor escapes: a '"' or '\' in a field is a
+  // literal byte. Spark CSV defaults (quote='"', escape='\') would quote on
+  // write and strip on read — interchange with the reference engine's files
+  // would misparse any field containing those bytes. U+0000 disables both (univocity: NUL = no such char).
+  val NoQuote = "\u0000"
+
   def write(df: DataFrame, path: String): Unit =
     df.write
       .option("sep", FieldDelim)
       .option("nullValue", NullSequence)
       .option("emptyValue", "")
+      .option("quote", NoQuote)
+      .option("escape", NoQuote)
       .mode("overwrite")
       .csv(path)
 
@@ -30,6 +38,8 @@ object HiveText {
       .option("sep", FieldDelim)
       .option("nullValue", NullSequence)
       .option("emptyValue", "")
+      .option("quote", NoQuote)
+      .option("escape", NoQuote)
       .schema(schema)
       .csv(path)
 

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.NGramsTopK
+import graft.functions.{NGramFreq, NGramsTopK}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -66,6 +66,42 @@ class PropertySpec extends SparkSpec {
         assert(followers.contains(g.ngram), s"phantom follower ${g.ngram} seed=$s")
         assert(g.freq == followers.count(_ == g.ngram), s"wrong count seed=$s")
       }
+    }
+  }
+
+  test("ngrams prune path: memory bounded, clear heavy hitters stay exact") {
+    // vocabulary ≫ PruneFactor*k forces the prune branch (the 7-word-vocab
+    // laws above never reach it). Documented contract: the buffer stays
+    // O(PruneFactor*k); grams that are always inside the kept margin when a
+    // prune fires keep EXACT counts; a pruned-then-reencountered gram may
+    // undercount but never overcounts.
+    val k = 2
+    val cap = NGramsTopK.PruneFactor * k
+    // 5000 distinct noise unigrams (freq 1) with two heavy hitters woven in
+    val words = (0 until 5000).flatMap { i =>
+      Seq(s"w$i") ++ (if (i % 10 == 0) Seq("hot1") else Nil) ++
+        (if (i % 25 == 0) Seq("hot2") else Nil)
+    }
+    val docs = words.grouped(50).toSeq
+    var buf = NGramsTopK.zero
+    docs.foreach { d =>
+      buf = NGramsTopK.reduce(buf, (d, 1, k))
+      assert(buf.counts.size <= cap, s"buffer ${buf.counts.size} exceeds $cap")
+    }
+    assert(NGramsTopK.finish(buf) ==
+      Seq(NGramFreq("hot1", 500), NGramFreq("hot2", 200)))
+    // split/merge across partials agrees despite pruning in every partial
+    val (l, r) = docs.splitAt(docs.size / 2)
+    val left = l.foldLeft(NGramsTopK.zero)((b, d) => NGramsTopK.reduce(b, (d, 1, k)))
+    val right = r.foldLeft(NGramsTopK.zero)((b, d) => NGramsTopK.reduce(b, (d, 1, k)))
+    val merged = NGramsTopK.merge(left, right)
+    assert(merged.counts.size <= cap)
+    assert(NGramsTopK.finish(merged) ==
+      Seq(NGramFreq("hot1", 500), NGramFreq("hot2", 200)))
+    // no overcounting anywhere: every reported freq ≤ true frequency
+    val truth = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    merged.counts.foreach { case (g, c) =>
+      assert(c <= truth(g), s"$g overcounted: $c > ${truth(g)}")
     }
   }
 

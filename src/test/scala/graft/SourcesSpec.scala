@@ -42,6 +42,89 @@ class SourcesSpec extends SparkSpec {
     assert(probe.getString(2) == origRow.getString(0))
   }
 
+  test("hive text does not quote or escape (LazySimpleSerDe byte semantics)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-noquote").toString
+    // fields containing the CSV-default quote and escape characters must
+    // round trip as literal bytes, like the reference engine writes them
+    val df = Seq((1L, """he said "hi""""), (2L, """back\slash and , comma"""))
+      .toDF("id", "s")
+    HiveText.write(df, dir)
+    // raw bytes on disk: no quoting added
+    val raw = spark.read.text(dir).as[String].collect().sorted
+    assert(raw.exists(_.endsWith("""he said "hi"""")), raw.mkString("|"))
+    assert(raw.exists(_.contains("""back\slash""")), raw.mkString("|"))
+    val back = HiveText.read(spark, dir, df.schema).orderBy("id").collect()
+    assert(back.map(_.getString(1)).toSeq ==
+      Seq("""he said "hi"""", """back\slash and , comma"""))
+  }
+
+  test("LOAD DATA INPATH lands a hive text file in a catalog table (nested types)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-loaddata").toString + "/f"
+    spark.sql("DROP TABLE IF EXISTS load_target")
+    spark.sql("""CREATE TABLE load_target
+      (id BIGINT, name STRING, tags ARRAY<STRING>, attrs MAP<STRING, INT>)
+      USING parquet""")
+    // the staged file: nested columns in LazySimpleSerDe one-level encoding
+    val staged = Seq(
+      (1L, "alpha", Seq("x", "y"), Map("a" -> 1, "b" -> 2)),
+      (2L, null: String, Seq("z"), Map("c" -> 3)))
+      .toDF("id", "name", "tags", "attrs")
+      .select(col("id"), col("name"),
+        HiveText.encodeArray(col("tags")).as("tags"),
+        HiveText.encodeMap(col("attrs").cast("map<string,string>")).as("attrs"))
+    HiveText.write(staged, dir)
+
+    HiveQl.sql(spark, s"LOAD DATA INPATH '$dir' INTO TABLE load_target")
+    val got = spark.table("load_target").orderBy("id").collect()
+    assert(got.length == 2)
+    assert(got(0).getSeq[String](2) == Seq("x", "y"))
+    assert(got(0).getMap[String, Int](3) == Map("a" -> 1, "b" -> 2))
+    assert(got(1).isNullAt(1) && got(1).getMap[String, Int](3) == Map("c" -> 3))
+
+    // OVERWRITE replaces instead of appending
+    HiveQl.sql(spark, s"LOAD DATA INPATH '$dir' OVERWRITE INTO TABLE load_target")
+    assert(spark.table("load_target").count() == 2)
+    spark.sql("DROP TABLE load_target")
+  }
+
+  test("sequencefile round trip parses hive-delimited values (QTestUtil src_sequencefile)") {
+    import graft.sources.HiveSequenceFile
+    val dir = Files.createTempDirectory("graft-seq").toString + "/sf"
+    val src = Tables.load(spark, sfDir, "nation")
+      .selectExpr("cast(n_nationkey AS string) AS key",
+        s"concat_ws('${HiveText.FieldDelim}', n_nationkey, n_name, n_regionkey) AS value")
+    HiveSequenceFile.writeKV(src, dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+    val back = HiveSequenceFile.read(spark, dir, schema).orderBy("n_nationkey")
+    val orig = Tables.load(spark, sfDir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+    assert(back.collect().toSeq == orig.collect().toSeq)
+  }
+
+  test("UNIQUEJOIN ... PRESERVE grammar parses into the chained-outer-join plan") {
+    import spark.implicits._
+    Seq(1, 2, 3).toDF("k").createOrReplaceTempView("uj_a")
+    Seq(2, 3, 4).toDF("k").createOrReplaceTempView("uj_b")
+    Seq(3, 5).toDF("k").createOrReplaceTempView("uj_c")
+    // PRESERVE a and c: keys survive iff in a PRESERVEd source or in all
+    // three (Hive.g:1595-1614 JoinDesc.UNIQUE_JOIN semantics)
+    val got = HiveQl.sql(spark,
+      """SELECT a.k, b.k, c.k FROM UNIQUEJOIN
+           PRESERVE uj_a a (a.k), uj_b b (b.k), PRESERVE uj_c c (c.k)
+         ORDER BY coalesce(a.k, b.k, c.k)""").collect()
+      .map(r => (r.get(0), r.get(1), r.get(2))).toSeq
+    assert(got == Seq((1, null, null), (2, 2, null), (3, 3, 3), (null, null, 5)),
+      got.toString)
+    // without any PRESERVE it degenerates to the inner intersection
+    val inner = HiveQl.sql(spark,
+      "SELECT a.k FROM UNIQUEJOIN uj_a a (a.k), uj_b b (b.k) ORDER BY a.k")
+      .collect().map(_.getInt(0)).toSeq
+    assert(inner == Seq(2, 3))
+  }
+
   test("HiveQl rewrites MAPJOIN to a broadcast plan and drops STREAMTABLE") {
     Tables.registerAll(spark, sfDir)
     val df = HiveQl.sql(spark,
