@@ -73,7 +73,18 @@ object GraftFunctions {
     reg("bitmap_or", classOf[graft.functions.BitmapCombine],
       es => graft.functions.BitmapCombine(es(0), es(1), isAnd = false)),
     reg("bitmap_count", classOf[graft.functions.BitmapCount],
-      es => graft.functions.BitmapCount(es.head)))
+      es => graft.functions.BitmapCount(es.head)),
+    // the reference's own names for the bitmap family (FunctionRegistry.java
+    // :401 ewah_bitmap UDAF, :349-351 scalar and/or/empty) — same
+    // implementations, Hive spelling, so ported HiveQL runs unmodified
+    reg("ewah_bitmap", classOf[graft.functions.BitmapAgg],
+      es => graft.functions.BitmapAgg(es.head).toAggregateExpression()),
+    reg("ewah_bitmap_and", classOf[graft.functions.BitmapCombine],
+      es => graft.functions.BitmapCombine(es(0), es(1), isAnd = true)),
+    reg("ewah_bitmap_or", classOf[graft.functions.BitmapCombine],
+      es => graft.functions.BitmapCombine(es(0), es(1), isAnd = false)),
+    reg("ewah_bitmap_empty", classOf[graft.functions.BitmapCount],
+      es => EqualTo(graft.functions.BitmapCount(es.head), Literal(0))))
 
   /** Names that deliberately shadow a Spark builtin (Hive parity beats Spark
     * default for ported text); [[graft.Sessions.ensureRegistered]] must

@@ -21,18 +21,18 @@ object HiveLoad {
       overwrite: Boolean): Unit = {
     val target = spark.table(table).schema
     // read nested columns as raw text, then decode to the declared type
+    // (arbitrary nesting depth via LazySimpleSerDe's 8-level separators)
     val flat = StructType(target.map { f =>
       f.dataType match {
-        case _: ArrayType | _: MapType => f.copy(dataType = StringType)
+        case _: ArrayType | _: MapType | _: StructType =>
+          f.copy(dataType = StringType)
         case _ => f
       }
     })
     val decoded = target.foldLeft(HiveText.read(spark, path, flat)) { (df, f) =>
       f.dataType match {
-        case at: ArrayType =>
-          df.withColumn(f.name, HiveText.decodeArray(col(f.name)).cast(at))
-        case mt: MapType =>
-          df.withColumn(f.name, HiveText.decodeMap(col(f.name)).cast(mt))
+        case dt @ (_: ArrayType | _: MapType | _: StructType) =>
+          df.withColumn(f.name, HiveText.decodeNested(col(f.name), dt))
         case _ => df
       }
     }

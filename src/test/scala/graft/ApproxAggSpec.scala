@@ -43,5 +43,26 @@ class ApproxAggSpec extends SparkSpec {
     // inclusion-exclusion must hold exactly for exact bitmaps
     assert(ca + cn - cand == cor, s"|A|+|N|-|A∩N| != |A∪N|: $ca $cn $cand $cor")
     assert(cand <= math.min(ca, cn) && cor >= math.max(ca, cn))
+    // and the cardinality must be the true distinct count, not a byte-level
+    // artifact (guards against builtin bitmap_count popcount shadowing)
+    val exact = spark.sql(
+      "SELECT count(DISTINCT l_suppkey) FROM lineitem WHERE l_returnflag = 'A'")
+      .head().getLong(0).toInt
+    assert(ca == exact, s"bitmap cardinality $ca != exact distinct $exact")
+  }
+
+  test("ewah_* reference names resolve to the bitmap family (registry :349-351,:401)") {
+    Tables.registerAll(spark, sfDir)
+    val r = spark.sql("""
+      WITH bm AS (SELECT l_returnflag, ewah_bitmap(l_suppkey) AS b
+                  FROM lineitem GROUP BY l_returnflag)
+      SELECT bitmap_count(ewah_bitmap_and(a.b, n.b)) AS cand,
+             bitmap_count(ewah_bitmap_or(a.b, n.b)) AS cor,
+             ewah_bitmap_empty(ewah_bitmap_and(a.b, n.b)) AS and_empty,
+             ewah_bitmap_empty(ewah_bitmap_or(a.b, n.b)) AS or_empty
+      FROM (SELECT b FROM bm WHERE l_returnflag = 'A') a,
+           (SELECT b FROM bm WHERE l_returnflag = 'N') n""").head()
+    assert(r.getInt(1) >= r.getInt(0))
+    assert(r.getBoolean(2) == (r.getInt(0) == 0) && !r.getBoolean(3))
   }
 }

@@ -104,6 +104,35 @@ class SourcesSpec extends SparkSpec {
     assert(back.collect().toSeq == orig.collect().toSeq)
   }
 
+  test("nested collections deeper than one level round trip (8-level separators)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(Seq("a", "b"), Seq("c")), Map("k1" -> Seq(1, 2), "k2" -> Seq(3)),
+        ("x", Seq("p", "q"))),
+      (2L, Seq(Seq.empty[String]), Map("k3" -> Seq(4)), ("y", Seq("r"))))
+      .toDF("id", "aa", "mai", "st")
+    val target = df.schema
+    val encoded = df.select(col("id"),
+      HiveText.encodeNested(col("aa"), target("aa").dataType).as("aa"),
+      HiveText.encodeNested(col("mai"), target("mai").dataType).as("mai"),
+      HiveText.encodeNested(col("st"), target("st").dataType).as("st"))
+    val dir = Files.createTempDirectory("graft-nested").toString
+    HiveText.write(encoded, dir)
+    val flat = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, aa STRING, mai STRING, st STRING")
+    val back = HiveText.read(spark, dir, flat)
+      .select(col("id"),
+        HiveText.decodeNested(col("aa"), target("aa").dataType).as("aa"),
+        HiveText.decodeNested(col("mai"), target("mai").dataType).as("mai"),
+        HiveText.decodeNested(col("st"), target("st").dataType).as("st"))
+      .orderBy("id").collect()
+    val want = df.orderBy("id").collect()
+    assert(back(0).getSeq[Seq[String]](1) == want(0).getSeq[Seq[String]](1))
+    assert(back(0).getMap[String, Seq[Int]](2) == want(0).getMap[String, Seq[Int]](2))
+    assert(back(0).getStruct(3) == want(0).getStruct(3))
+    assert(back(1).getMap[String, Seq[Int]](2) == want(1).getMap[String, Seq[Int]](2))
+  }
+
   test("UNIQUEJOIN ... PRESERVE grammar parses into the chained-outer-join plan") {
     import spark.implicits._
     Seq(1, 2, 3).toDF("k").createOrReplaceTempView("uj_a")
