@@ -79,13 +79,19 @@ object Misc extends QueryModule {
           // (input_file_name is empty after an exchange)
           regexp_extract(input_file_name(), "[^/]+$", 0).as("file"),
           monotonically_increasing_id().as("rid"))
-        .repartition(s.sparkContext.defaultParallelism)
+        // uniqueness proof without a full-width distinct shuffle: the id is
+        // (scanPartition << 33) + consecutive offset, so ids are globally
+        // unique iff every scan partition's count equals its max-min+1 span
+        // (high bits keep partitions disjoint). Partial-aggregates to one
+        // row per scan partition — O(partitions) crosses the wire, not rows.
+        .groupBy(shiftright(col("rid"), 33).as("src_part"))
+        .agg(first(col("file")).as("file"), count(lit(1)).as("cnt"),
+          (max(col("rid")) - min(col("rid")) + 1).as("span"))
         .agg(
           first(col("file")).as("file"),
-          countDistinct(col("rid")).as("n_ids"),
-          count(lit(1)).as("n_rows"))
-        .select(col("file"), (col("n_ids") === col("n_rows")).as("ids_unique"),
-          col("n_rows")),
+          (sum(when(col("cnt") === col("span"), 0).otherwise(1)) === 0)
+            .as("ids_unique"),
+          sum(col("cnt")).as("n_rows")),
       Some("""SELECT 'lineitem.parquet' AS file, true AS ids_unique,
         count(*) AS n_rows FROM lineitem""")),
 

@@ -430,27 +430,58 @@ object Relational extends QueryModule {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---- Exact percentile / median (ref UDAFPercentile.java, registry :403)
-    //      Scale contract: exact percentile buffers O(distinct values) per
-    //      group — fine for bounded-domain columns like quantities/prices;
-    //      unbounded domains should use percentile_approx (q66). The
-    //      repartition fans the single-row-group fixture scan out so the
-    //      partial aggregation (the compute-heavy phase) runs on all cores;
-    //      at real scale multi-file input makes this a no-op decision.
+    //      Scale contract: the percentile UDAF buffers O(distinct values)
+    //      per group, so it is reserved for the small-domain quantity column
+    //      (the reference's percentile is integer-typed for the same
+    //      reason); the wide-domain price percentile is computed exactly
+    //      from the (group, value) count map — counts pre-aggregate in a
+    //      parallel shuffle, the cumulative walk touches distinct values,
+    //      not rows, and no oversized buffer ever crosses the wire. Same
+    //      interpolation formula as Spark's Percentile/DuckDB quantile_cont:
+    //      v_lo + (v_hi - v_lo) * frac at position (n-1)*q.
     QueryDef(
       "q24_percentile",
-      (s, dir) => t(s, dir, "lineitem")
-        .repartition(s.sparkContext.defaultParallelism)
-        .groupBy(col("l_linestatus"))
-        .agg(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = t(s, dir, "lineitem")
+        // no repartition here: with a ≤50-value domain the partial buffer is
+        // tiny and the partial agg keeps up with the scan; a pre-shuffle of
+        // raw rows costs more than it saves (measured 0.28s vs 1.0s at
+        // sf0.1). At real scale multi-file input parallelizes the scan side.
+        val qpct = li
+          .groupBy(col("l_linestatus"))
           // one array-percentile call = one value buffer for both quantiles
-          expr("percentile(l_quantity, array(0.5D, 0.9D))").as("pq"),
-          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("price_p25"))
-        .selectExpr("l_linestatus",
-          "round(pq[0], 4) AS p50", "round(pq[1], 4) AS p90", "price_p25")
-        .orderBy(col("l_linestatus")),
+          .agg(expr("percentile(cast(l_quantity AS bigint), array(0.5D, 0.9D))").as("pq"))
+        val wOrd = Window.partitionBy(col("l_linestatus")).orderBy(col("l_extendedprice"))
+        val wAll = Window.partitionBy(col("l_linestatus"))
+        val ppct = li
+          .groupBy(col("l_linestatus"), col("l_extendedprice"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(wOrd))
+          .withColumn("n", sum(col("c")).over(wAll))
+          .withColumn("pos", (col("n") - 1) * lit(0.25))
+          .withColumn("lo", floor(col("pos")))
+          .withColumn("hi", ceil(col("pos")))
+          // keep the distinct values whose 0-based index range
+          // [cum - c, cum - 1] covers the lo or hi interpolation index
+          .filter(col("cum") - col("c") <= col("hi") && col("cum") - 1 >= col("lo"))
+          .groupBy(col("l_linestatus"))
+          .agg(
+            max(when(col("cum") - col("c") <= col("lo") && col("cum") - 1 >= col("lo"),
+              col("l_extendedprice"))).as("v_lo"),
+            max(when(col("cum") - col("c") <= col("hi") && col("cum") - 1 >= col("hi"),
+              col("l_extendedprice"))).as("v_hi"),
+            first(col("pos") - col("lo")).as("frac"))
+          .selectExpr("l_linestatus",
+            "round(v_lo + (v_hi - v_lo) * frac, 4) AS price_p25")
+        qpct.join(ppct, Seq("l_linestatus"))
+          .selectExpr("l_linestatus",
+            "round(pq[0], 4) AS p50", "round(pq[1], 4) AS p90", "price_p25")
+          .orderBy(col("l_linestatus"))
+      },
       Some("""SELECT l_linestatus,
-        round(quantile_cont(l_quantity, 0.5),4) AS p50,
-        round(quantile_cont(l_quantity, 0.9),4) AS p90,
+        round(quantile_cont(CAST(l_quantity AS BIGINT), 0.5),4) AS p50,
+        round(quantile_cont(CAST(l_quantity AS BIGINT), 0.9),4) AS p90,
         round(quantile_cont(l_extendedprice, 0.25),4) AS price_p25
         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
 
