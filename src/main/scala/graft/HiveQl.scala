@@ -23,6 +23,12 @@ object HiveQl {
   private val StreamTable = """(?i)/\*\+\s*STREAMTABLE\s*\(([^)]*)\)\s*\*/""".r
   private val LoadData =
     """(?is)^\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+'([^']+)'\s+(OVERWRITE\s+)?INTO\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
+  // t TABLESAMPLE (BUCKET x OUT OF y ON col) — Hive.g tableSample; Spark's
+  // TABLESAMPLE BUCKET form is a random fraction, so the deterministic
+  // ON-column semantics (SamplePruner: rows where hash(col) % y == x-1,
+  // 1-based buckets) are rewritten to an explicit predicate over OUR `hash`
+  private val TableSample =
+    """(?i)([\w.]+)\s+TABLESAMPLE\s*\(\s*BUCKET\s+(\d+)\s+OUT\s+OF\s+(\d+)\s+ON\s+(\w+)\s*\)""".r
   // SELECT <sel> FROM UNIQUEJOIN <sources> [WHERE/GROUP/ORDER/LIMIT tail]
   private val UniqueJoin =
     """(?is)^(.*?\bFROM)\s+UNIQUEJOIN\s+(.*?)\s*((?:\bWHERE\b|\bGROUP\b|\bORDER\b|\bLIMIT\b).*)?$""".r
@@ -33,7 +39,11 @@ object HiveQl {
   def rewrite(q: String): String = {
     val noStream = StreamTable.replaceAllIn(q, "")
     val hinted = MapJoin.replaceAllIn(noStream, m => s"/*+ BROADCAST(${m.group(1)}) */")
-    hinted match {
+    val sampled = TableSample.replaceAllIn(hinted, m => {
+      val (tbl, x, y, c) = (m.group(1), m.group(2).toInt, m.group(3), m.group(4))
+      s"(SELECT * FROM $tbl WHERE pmod(hash($c), $y) = ${x - 1}) $tbl"
+    })
+    sampled match {
       case UniqueJoin(head, srcs, tail) if srcs.toUpperCase.contains("(") =>
         rewriteUniqueJoin(head, srcs, Option(tail).getOrElse(""))
       case other => other

@@ -450,6 +450,90 @@ object Dedup extends QueryModule {
           FROM (SELECT vec_id, embedding AS qe, bucket FROM e WHERE vec_id < 10) q
                JOIN (SELECT vec_id, embedding AS ne, bucket FROM e) n USING (bucket)
           WHERE q.vec_id != n.vec_id)
-        WHERE rk = 1 ORDER BY q_id"""))
+        WHERE rk = 1 ORDER BY q_id""")),
+
+    // ---- Near-dup CLUSTER assignment (connected components): the step that
+    //      turns pairwise candidates into survivor groups — every doc gets
+    //      the min doc_id of its connected component over the q52-style
+    //      minhash band edges. Iterative min-label propagation, the Pregel
+    //      superstep pattern: per iteration one equi-join + keyed min-agg,
+    //      labels checkpointed via cache, convergence checked with a scalar
+    //      count (the one irreducible driver-side signal of any iterative
+    //      graph algorithm; iterations are bounded by component diameter,
+    //      tiny for near-dup graphs). The oracle replicates the closure with
+    //      a recursive CTE.
+    QueryDef(
+      "q86_dedup_clusters",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+        val bands = docs
+          .selectExpr("doc_id", "array_distinct(split(lower(text), ' ')) AS words")
+          .selectExpr("doc_id",
+            s"""transform(sequence(0, 15),
+                  i -> array_min(transform(words,
+                         w -> ${h32("concat(cast(i AS string), ':', w)")}))) AS sig""")
+          .selectExpr("doc_id",
+            """posexplode(transform(sequence(0, 1),
+                 j -> md5(array_join(transform(slice(sig, j * 8 + 1, 8),
+                                               v -> cast(v AS string)), ',')))) AS (band, bh)""")
+        val a = bands.toDF("a_id", "band", "bh")
+        val b = bands.toDF("b_id", "band", "bh")
+        val pairs = a.join(b, Seq("band", "bh")).filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id")).distinct()
+        val edges = pairs
+          .union(pairs.select(col("b_id"), col("a_id")))
+          .toDF("src", "dst").cache()
+        var labels = docs.select(col("doc_id"), col("doc_id").as("label")).cache()
+        labels.count()
+        var changed = 1L
+        var iter = 0
+        while (changed > 0 && iter < 20) {
+          val nbrMin = edges
+            .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+            .groupBy(col("dst").as("doc_id"))
+            .agg(min(col("label")).as("nbr_label"))
+          val next = labels.join(nbrMin, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("label"), coalesce(col("nbr_label"), col("label")))
+                .as("label"))
+            .cache()
+          changed = next
+            .join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+            .filter(col("label") =!= col("old")).count()
+          labels.unpersist()
+          labels = next
+          iter += 1
+        }
+        edges.unpersist()
+        labels.select(col("doc_id"), col("label").as("cluster"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE w AS (
+          SELECT doc_id, list_distinct(str_split(lower(text), ' ')) AS words
+          FROM documents WHERE doc_id < 200),
+        sig AS (
+          SELECT doc_id,
+                 list_transform(range(0, 16),
+                   i -> list_min(list_transform(words,
+                          w2 -> CAST(('0x' || substr(md5(i || ':' || w2), 1, 8)) AS BIGINT)))) AS s
+          FROM w),
+        bands AS (
+          SELECT doc_id, unnest(range(0, 2)) AS band,
+                 unnest(list_transform(range(0, 2),
+                        j -> md5(array_to_string(s[j*8+1:j*8+8], ',')))) AS bh
+          FROM sig),
+        p AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        ebi AS (SELECT a_id AS src, b_id AS dst FROM p
+                UNION ALL SELECT b_id, a_id FROM p),
+        r(node, reached) AS (
+          SELECT doc_id, doc_id FROM w
+          UNION
+          SELECT r.node, e.dst FROM r JOIN ebi e ON e.src = r.reached)
+        SELECT node AS doc_id, min(reached) AS cluster
+        FROM r GROUP BY node ORDER BY doc_id"""))
   )
 }

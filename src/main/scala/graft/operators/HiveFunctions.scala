@@ -378,6 +378,26 @@ object HiveFunctions extends QueryModule {
       Some("""SELECT o_orderkey, unnest(str_split(o_orderpriority, '-')) AS token
         FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey, token""")),
 
+    // ---- TABLESAMPLE (BUCKET x OUT OF y ON col) — Hive.g tableSample +
+    //      SamplePruner semantics (rows where hash(col) % y == x-1): the
+    //      grammar form parses through HiveQl's rewrite and the predicate
+    //      uses the Hive-named `hash`, so a bucket sample here selects the
+    //      exact rows the reference's bucket pruning would read.
+    QueryDef(
+      "q84_tablesample",
+      (s, dir) => {
+        graft.Sessions.ensureRegistered(s)
+        graft.Tables.registerAll(s, dir)
+        graft.HiveQl.sql(s,
+          """SELECT l_suppkey, count(*) AS n
+             FROM lineitem TABLESAMPLE (BUCKET 1 OUT OF 32 ON l_suppkey)
+             GROUP BY l_suppkey ORDER BY l_suppkey""")
+      },
+      // hash(bigint) folds to the value itself for small positives, so the
+      // oracle's arithmetic form is the same bucket function
+      Some("""SELECT l_suppkey, count(*) AS n FROM lineitem
+        WHERE l_suppkey % 32 = 0 GROUP BY l_suppkey ORDER BY l_suppkey""")),
+
     // ---- TRANSFORM ... USING (script operator, ref ScriptOperator.java:54) —
     //      rows piped through /bin/cat and read back, Spark's native
     //      no-serde script transform

@@ -203,6 +203,32 @@ object TextAnalysis extends QueryModule {
           FROM h)
         SELECT doc_id, n_kgrams, len(mins) AS n_fp,
                md5(array_to_string(mins, ',')) AS fp_md5
-        FROM m ORDER BY doc_id"""))
+        FROM m ORDER BY doc_id""")),
+
+    // ---- Stratified deterministic sampling: per class (lang), keep the k
+    //      docs with the smallest content-independent hash — reproducible
+    //      across runs/engines (no RNG), balanced across classes, one
+    //      shuffle on the class key. The per-class top-k window is the
+    //      rank-based pattern q14 pins; at 100 TB a huge class first gets a
+    //      cheap hash-prefix pre-filter (hash < threshold) to bound the
+    //      sort input — same plan shape.
+    QueryDef(
+      "q85_stratified_sample",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+        t(s, dir, "documents")
+          .selectExpr("lang", "doc_id", "md5(cast(doc_id AS string)) AS h")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 20)
+          .select(col("lang"), col("doc_id"), col("rk"))
+          .orderBy(col("lang"), col("rk"))
+      },
+      Some("""SELECT lang, doc_id, rk FROM (
+          SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents)
+        WHERE rk <= 20 ORDER BY lang, rk"""))
   )
 }
