@@ -488,20 +488,23 @@ object Dedup extends QueryModule {
         var changed = 1L
         var iter = 0
         while (changed > 0 && iter < 20) {
+          // labels stay small (one row per doc in the window) → broadcast
+          // both superstep joins; only the edge list ever shuffles, and the
+          // moved flag rides along so convergence needs no extra join
           val nbrMin = edges
-            .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+            .join(broadcast(labels.withColumnRenamed("doc_id", "src")), Seq("src"))
             .groupBy(col("dst").as("doc_id"))
             .agg(min(col("label")).as("nbr_label"))
-          val next = labels.join(nbrMin, Seq("doc_id"), "left")
+          val next = labels.join(broadcast(nbrMin), Seq("doc_id"), "left")
             .select(col("doc_id"),
               least(col("label"), coalesce(col("nbr_label"), col("label")))
-                .as("label"))
+                .as("label"),
+              (coalesce(col("nbr_label"), col("label")) < col("label"))
+                .as("moved"))
             .cache()
-          changed = next
-            .join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
-            .filter(col("label") =!= col("old")).count()
+          changed = next.filter(col("moved")).count()
           labels.unpersist()
-          labels = next
+          labels = next.drop("moved")
           iter += 1
         }
         edges.unpersist()
