@@ -48,6 +48,17 @@ case class BitmapAgg(
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        // a non-integral key would otherwise silently produce an empty
+        // bitmap (the reference's UDAF resolver rejects it the same way)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bitmap_agg requires an integral key, got ${dt.simpleString}")
+    }
+
   override def createAggregationBuffer(): RoaringBitmap = new RoaringBitmap()
 
   override def update(buf: RoaringBitmap, input: InternalRow): RoaringBitmap = {

@@ -229,6 +229,53 @@ object TextAnalysis extends QueryModule {
                  row_number() OVER (PARTITION BY lang
                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
           FROM documents)
-        WHERE rk <= 20 ORDER BY lang, rk"""))
+        WHERE rk <= 20 ORDER BY lang, rk""")),
+
+    // ---- Composed training-data pipeline: quality gate → exact dedup
+    //      (min-doc_id survivor) → stratified deterministic sample →
+    //      per-class token summary. One DataFrame chain, three keyed
+    //      shuffles (dup_key, class, class) — the end-to-end shape a corpus
+    //      build runs nightly; proves the operators compose without
+    //      materialization between stages.
+    QueryDef(
+      "q87_pipeline_compose",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val quality = t(s, dir, "documents")
+          .selectExpr("doc_id", "lang", "text",
+            "size(split(lower(text), ' ')) AS n_tokens")
+          .filter(col("n_tokens") >= 50)
+        val survivors = quality
+          .withColumn("dup_key",
+            expr("md5(array_join(slice(split(lower(text), ' '), 1, 5), ' '))"))
+          .withColumn("rk_dup", row_number().over(
+            Window.partitionBy(col("dup_key")).orderBy(col("doc_id"))))
+          .filter(col("rk_dup") === 1)
+        val sampled = survivors
+          .withColumn("h", expr("md5(cast(doc_id AS string))"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+          .filter(col("rk") <= 10)
+        sampled.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            (sum(col("n_tokens")) / count(lit(1))).as("avg_tokens"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH quality AS (
+          SELECT doc_id, lang, text, len(str_split(lower(text), ' ')) AS n_tokens
+          FROM documents WHERE len(str_split(lower(text), ' ')) >= 50),
+        survivors AS (
+          SELECT * FROM quality
+          QUALIFY row_number() OVER (
+            PARTITION BY md5(array_to_string((str_split(lower(text), ' '))[1:5], ' '))
+            ORDER BY doc_id) = 1),
+        sampled AS (
+          SELECT * FROM survivors
+          QUALIFY row_number() OVER (PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 10)
+        SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+               sum(n_tokens) / count(*) AS avg_tokens
+        FROM sampled GROUP BY lang ORDER BY lang"""))
   )
 }

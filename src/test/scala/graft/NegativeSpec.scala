@@ -47,4 +47,24 @@ class NegativeSpec extends SparkSpec {
       spark.sql("SELECT no_such_col FROM orders").collect())
     assert(e.getMessage.contains("no_such_col"))
   }
+
+  test("LOAD DATA into a missing table fails with the table name") {
+    val e = intercept[Exception](
+      HiveQl.sql(spark, "LOAD DATA INPATH '/tmp/nowhere' INTO TABLE no_such_table"))
+    assert(e.getMessage.contains("no_such_table"), e.getMessage)
+  }
+
+  test("malformed UNIQUEJOIN source list is rejected, not misparsed") {
+    val e = intercept[IllegalArgumentException](
+      HiveQl.rewrite("SELECT a.k FROM UNIQUEJOIN uj_a a, uj_b b (b.k)"))
+    assert(e.getMessage.contains("UNIQUEJOIN"), e.getMessage)
+  }
+
+  test("bitmap_agg rejects non-integral keys instead of returning empty") {
+    Tables.registerAll(spark, sfDir)
+    val e = intercept[AnalysisException](
+      spark.sql("SELECT bitmap_count(bitmap_agg(o_orderstatus)) FROM orders")
+        .collect())
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
 }
