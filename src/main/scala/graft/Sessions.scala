@@ -19,6 +19,14 @@ object Sessions {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Hive-0.8 error semantics, not ANSI (Spark 4 flipped the default):
+      // invalid casts (UDFToInteger catches NumberFormatException → null),
+      // out-of-range array indexes, and overflow (Java wrap) must not throw
+      // for ported queries. One documented divergence: the reference's `/`
+      // is raw Java double division (UDFOPDivide.java:48 — x/0 = Infinity);
+      // non-ANSI Spark and every later Hive return NULL, which is what we
+      // pin (q88_error_semantics).
+      .config("spark.sql.ansi.enabled", "false")
       // events.ts is parquet TIMESTAMP(NANOS); map it to raw Long once,
       // globally (see Tables.load) rather than as a per-read side effect.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -44,6 +52,11 @@ object Sessions {
     * runs on any session.
     */
   def ensureRegistered(spark: SparkSession): Unit = {
+    // sessions not built by builder() (e.g. driver-owned) still need Hive
+    // error semantics — same guarded-flip pattern as Tables.load's
+    // nanosAsLong (runtime-mutable conf; never flips an explicit 'false')
+    if (spark.conf.get("spark.sql.ansi.enabled", "true").toBoolean)
+      spark.conf.set("spark.sql.ansi.enabled", "false")
     functions.GraftUdfs.register(spark)
     val reg = spark.sessionState.functionRegistry
     functions.GraftFunctions.registrations.foreach { case (ident, info, builder) =>

@@ -173,6 +173,31 @@ object Misc extends QueryModule {
                sum(CASE WHEN maybe_cust IS NOT DISTINCT FROM maybe_cust THEN 1 ELSE 0 END) AS n_self_eq
         FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // ---- Non-ANSI error semantics battery (Sessions sets
+    //      spark.sql.ansi.enabled=false): ported HiveQL relies on NULL-not-
+    //      throw for bad casts (UDFToInteger), OOB array indexes, and x/0
+    //      (NULL per post-0.8 Hive; the reference's raw Java division gave
+    //      Infinity — documented divergence), and on Java wraparound for
+    //      int overflow.
+    QueryDef(
+      "q88_error_semantics",
+      (s, dir) => t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 100)
+        .selectExpr("o_orderkey",
+          "round(o_totalprice / (o_orderkey % 3), 2) AS div_maybe_zero",
+          "cast(o_orderstatus AS int) AS bad_cast",
+          "to_date(o_orderpriority) AS bad_date",
+          "array('a', 'b', 'c')[cast(o_orderkey % 5 AS int)] AS maybe_oob",
+          "cast(2147483647 AS int) + cast(o_orderkey AS int) AS wrapped")
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+        round(o_totalprice / (o_orderkey % 3), 2) AS div_maybe_zero,
+        TRY_CAST(o_orderstatus AS INT) AS bad_cast,
+        TRY_CAST(o_orderpriority AS DATE) AS bad_date,
+        (['a', 'b', 'c'])[CAST(o_orderkey % 5 AS INT) + 1] AS maybe_oob,
+        CAST(((2147483647 + o_orderkey + 2147483648) % 4294967296) - 2147483648 AS INT) AS wrapped
+        FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""")),
+
     // ---- histogram_numeric + percentile_approx (registry :255/:70; same
     //      NumericHistogram algorithm family as the reference). Both are
     //      approximation-algorithm-specific, so no cross-engine oracle —
