@@ -51,6 +51,29 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("global join audit: non-equi joins appear ONLY where designed") {
+    // every one of these is a deliberate broadcast-bounded plan — the big
+    // side stays partition-parallel and only a scalar/constant side
+    // replicates; anything new showing up here is a scale regression
+    val allowed = Set(
+      "q26_cross_join",   // the cross-join capability under test
+      "q45_bitmap",       // 1x1 join of two aggregated scalar bitmaps
+      "q54_embed_knn",    // brute-force kNN baseline: broadcast query set
+      "q64b_tfidf",       // broadcast in-plan corpus-size scalar
+      "q75_ann_ivf")      // broadcast coarse quantizer (8 centroids)
+    val flagged = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(_._1.contains("stream")) // streaming fns execute on call
+      .flatMap { case (name, fn) =>
+        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+          Some(name)
+        else None
+      }.toSet
+    assert(flagged == allowed,
+      s"unexpected non-equi joins: ${(flagged -- allowed).mkString(", ")}; " +
+        s"missing (plan changed?): ${(allowed -- flagged).mkString(", ")}")
+  }
+
   test("q01: aggregation splits into partial + final HashAggregate") {
     val p = plan("q01_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial/final split:\n$p")
