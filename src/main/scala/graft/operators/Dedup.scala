@@ -483,25 +483,31 @@ object Dedup extends QueryModule {
         val edges = pairs
           .union(pairs.select(col("b_id"), col("a_id")))
           .toDF("src", "dst").cache()
-        var labels = docs.select(col("doc_id"), col("doc_id").as("label")).cache()
-        labels.count()
-        var changed = 1L
-        var iter = 0
-        while (changed > 0 && iter < 20) {
-          // labels stay small (one row per doc in the window) → broadcast
-          // both superstep joins; only the edge list ever shuffles, and the
-          // moved flag rides along so convergence needs no extra join
+        // one propagation superstep: labels stay small (one row per doc in
+        // the window) → broadcast both joins; only the edge list ever
+        // shuffles, and the moved flag rides along so convergence costs no
+        // extra join
+        def propagate(ls: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
           val nbrMin = edges
-            .join(broadcast(labels.withColumnRenamed("doc_id", "src")), Seq("src"))
+            .join(broadcast(ls.withColumnRenamed("doc_id", "src")), Seq("src"))
             .groupBy(col("dst").as("doc_id"))
             .agg(min(col("label")).as("nbr_label"))
-          val next = labels.join(broadcast(nbrMin), Seq("doc_id"), "left")
+          ls.join(broadcast(nbrMin), Seq("doc_id"), "left")
             .select(col("doc_id"),
               least(col("label"), coalesce(col("nbr_label"), col("label")))
                 .as("label"),
               (coalesce(col("nbr_label"), col("label")) < col("label"))
                 .as("moved"))
-            .cache()
+        }
+        var labels = docs.select(col("doc_id"), col("doc_id").as("label")).cache()
+        labels.count()
+        var changed = 1L
+        var iter = 0
+        while (changed > 0 && iter < 10) {
+          // two supersteps per scheduler round trip; the fixpoint test is
+          // sound on the SECOND step alone (if it moved nothing, the first
+          // step's output was already stable)
+          val next = propagate(propagate(labels).drop("moved")).cache()
           changed = next.filter(col("moved")).count()
           labels.unpersist()
           labels = next.drop("moved")
