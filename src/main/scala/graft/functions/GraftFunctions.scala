@@ -84,7 +84,16 @@ object GraftFunctions {
     reg("ewah_bitmap_or", classOf[graft.functions.BitmapCombine],
       es => graft.functions.BitmapCombine(es(0), es(1), isAnd = false)),
     reg("ewah_bitmap_empty", classOf[graft.functions.BitmapCount],
-      es => EqualTo(graft.functions.BitmapCount(es.head), Literal(0))))
+      es => EqualTo(graft.functions.BitmapCount(es.head), Literal(0))),
+    reg("winnow_mins", classOf[WinnowMins], es => {
+      def asIntLit(e: Expression, what: String): Int = e match {
+        case Literal(v: Int, IntegerType) => v
+        case _ => throw new IllegalArgumentException(
+          s"winnow_mins $what must be an integer literal")
+      }
+      require(es.size == 3, "winnow_mins(text, gram_len, window)")
+      WinnowMins(es(0), asIntLit(es(1), "gram_len"), asIntLit(es(2), "window"))
+    }))
 
   /** Names that deliberately shadow a Spark builtin (Hive parity beats Spark
     * default for ported text); [[graft.Sessions.ensureRegistered]] must

@@ -171,25 +171,15 @@ object TextAnalysis extends QueryModule {
         // fan the hash-heavy projection across cores — at real scale the
         // many-file input arrives pre-split and this repartition disappears
         .repartition(s.sparkContext.defaultParallelism)
-        // hashes stay as fixed-width hex strings: lexicographic min ==
-        // numeric min, and dropping the hex→bigint conv (BigInteger-based)
-        // nearly halves the per-kgram cost
+        // winnow_mins is the native-expression kernel (functions/Winnow
+        // .scala): one tight loop per row instead of interpreted HOF
+        // lambdas, proven output-identical to the SQL formulation by
+        // WinnowSpec — the oracle below still describes the exact algorithm
+        .selectExpr("doc_id", "winnow_mins(text, 5, 4) AS wm")
         .selectExpr("doc_id",
-          // guard: Spark sequence(a, b) descends when b < a (texts under 5
-          // chars would then slice out of range); DuckDB range() is empty
-          """CASE WHEN length(text) >= 5 THEN
-               transform(sequence(1, length(text) - 4),
-                 i -> substr(md5(substring(text, i, 5)), 1, 8))
-             ELSE array() END AS hs""")
-        .selectExpr("doc_id",
-          "size(hs) AS n_kgrams",
-          """CASE WHEN size(hs) >= 4 THEN
-               array_sort(array_distinct(transform(sequence(1, size(hs) - 3),
-                 j -> array_min(slice(hs, j, 4)))))
-             ELSE array() END AS mins""")
-        .selectExpr("doc_id", "n_kgrams",
-          "size(mins) AS n_fp",
-          "md5(array_join(mins, ',')) AS fp_md5")
+          "wm.n_kgrams AS n_kgrams",
+          "size(wm.mins) AS n_fp",
+          "md5(array_join(wm.mins, ',')) AS fp_md5")
         .orderBy(col("doc_id")),
       Some("""WITH h AS (
           SELECT doc_id,
