@@ -184,14 +184,19 @@ object Misc extends QueryModule {
       (s, dir) => t(s, dir, "orders")
         .filter(col("o_orderkey") <= 100)
         .selectExpr("o_orderkey",
-          "round(o_totalprice / (o_orderkey % 3), 2) AS div_maybe_zero",
+          // NULL-on-zero-divisor pinned two ways without comparing float
+          // division results (round(x/2, 2) of a 2-decimal value lands on
+          // exact decimal halfway points whose rounding is engine-specific)
+          "(o_totalprice / (o_orderkey % 3)) IS NULL AS div0_null",
+          "cast(round(o_totalprice * 100) AS bigint) div (o_orderkey % 3) AS cents_div",
           "cast(o_orderstatus AS int) AS bad_cast",
           "to_date(o_orderpriority) AS bad_date",
           "array('a', 'b', 'c')[cast(o_orderkey % 5 AS int)] AS maybe_oob",
           "cast(2147483647 AS int) + cast(o_orderkey AS int) AS wrapped")
         .orderBy(col("o_orderkey")),
       Some("""SELECT o_orderkey,
-        round(o_totalprice / (o_orderkey % 3), 2) AS div_maybe_zero,
+        (o_totalprice / (o_orderkey % 3)) IS NULL AS div0_null,
+        CAST(round(o_totalprice * 100) AS BIGINT) // (o_orderkey % 3) AS cents_div,
         TRY_CAST(o_orderstatus AS INT) AS bad_cast,
         TRY_CAST(o_orderpriority AS DATE) AS bad_date,
         (['a', 'b', 'c'])[CAST(o_orderkey % 5 AS INT) + 1] AS maybe_oob,
