@@ -130,6 +130,29 @@ class SqlDialectSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM VALUES (1), (2) t(x)").count() == 2)
   }
 
+  test("CTAS: CREATE TABLE AS SELECT materializes the query (Hive.g createTableStatement)") {
+    Tables.registerAll(spark, sfDir)
+    spark.sql("DROP TABLE IF EXISTS ctas_top")
+    spark.sql("""CREATE TABLE ctas_top USING parquet AS
+      SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey HAVING count(*) > 2""")
+    val viaTable = spark.table("ctas_top").count()
+    val direct = spark.sql(
+      "SELECT count(*) FROM (SELECT o_custkey FROM orders GROUP BY o_custkey HAVING count(*) > 2)")
+      .head().getLong(0)
+    assert(viaTable == direct && viaTable > 0)
+    spark.sql("DROP TABLE ctas_top")
+  }
+
+  test("DESCRIBE FUNCTION surfaces injected functions under their Hive names") {
+    Sessions.ensureRegistered(spark)
+    val d = spark.sql("DESCRIBE FUNCTION hash").collect().map(_.getString(0))
+    assert(d.exists(_.contains("graft.functions.HiveHash08")), d.mkString("|"))
+    val fns = spark.sql("SHOW FUNCTIONS").collect().map(_.getString(0)).toSet
+    Seq("field", "hive_hash", "parse_url_tuple", "bitmap_agg", "ewah_bitmap",
+      "create_union", "winnow_mins").foreach(f =>
+      assert(fns.contains(f), s"$f missing from SHOW FUNCTIONS"))
+  }
+
   test("CLUSTER BY / DISTRIBUTE BY / SORT BY SQL clauses parse and execute") {
     Tables.registerAll(spark, sfDir)
     val n1 = spark.sql(
