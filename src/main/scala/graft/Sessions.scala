@@ -35,10 +35,9 @@ object Sessions {
         sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")
       .withExtensions(GraftExtensions.inject)
 
-  /** Build + finish session-scoped setup (typed-Aggregator UDAFs can only be
-    * registered on a live session, not via extensions; builtin-shadowing
-    * names need a live-registry force-register — extension injection does
-    * not reliably beat the builtin).
+  /** Build + finish session-scoped setup (builtin-shadowing names need a
+    * live-registry force-register — extension injection does not reliably
+    * beat the builtin).
     */
   def get(appName: String): SparkSession = {
     val spark = builder(appName).getOrCreate()
@@ -57,7 +56,6 @@ object Sessions {
     // nanosAsLong (runtime-mutable conf; never flips an explicit 'false')
     if (spark.conf.get("spark.sql.ansi.enabled", "true").toBoolean)
       spark.conf.set("spark.sql.ansi.enabled", "false")
-    functions.GraftUdfs.register(spark)
     val reg = spark.sessionState.functionRegistry
     functions.GraftFunctions.registrations.foreach { case (ident, info, builder) =>
       // names in overridesBuiltin exist in every registry (they shadow a

@@ -85,6 +85,21 @@ object GraftFunctions {
       es => graft.functions.BitmapCombine(es(0), es(1), isAnd = false)),
     reg("ewah_bitmap_empty", classOf[graft.functions.BitmapCount],
       es => EqualTo(graft.functions.BitmapCount(es.head), Literal(0))),
+    // ngrams family: TypedImperativeAggregates (live mutable buffer between
+    // rows — an Encoder-buffered typed Aggregator would copy the counts map
+    // once per input row). Registered under both the working `_topk` names
+    // and the reference's own names (FunctionRegistry.java:404-405; output
+    // shape: array<struct<ngram: string, freq: long>>, grams space-joined,
+    // exact counts; the reference's optional precision-factor argument is
+    // replaced by the pruned buffer).
+    reg("ngrams_topk", classOf[NGramsAgg],
+      es => NGramsAgg(es(0), es(1), es(2)).toAggregateExpression()),
+    reg("ngrams", classOf[NGramsAgg],
+      es => NGramsAgg(es(0), es(1), es(2)).toAggregateExpression()),
+    reg("context_ngrams_topk", classOf[ContextNGramsAgg],
+      es => ContextNGramsAgg(es(0), es(1), es(2)).toAggregateExpression()),
+    reg("context_ngrams", classOf[ContextNGramsAgg],
+      es => ContextNGramsAgg(es(0), es(1), es(2)).toAggregateExpression()),
     reg("winnow_mins", classOf[WinnowMins], es => {
       def asIntLit(e: Expression, what: String): Int = e match {
         case Literal(v: Int, IntegerType) => v

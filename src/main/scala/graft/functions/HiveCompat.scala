@@ -31,21 +31,3 @@ object HiveCompat {
   def toDateCompat(c: Column): Column = date_format(to_date(c), "yyyy-MM-dd")
 }
 
-/** Session-scoped function registrations that need a live SparkSession
-  * (typed Aggregators can't go through SparkSessionExtensions' expression
-  * injection). Idempotent — re-registering overwrites.
-  */
-object GraftUdfs {
-  def register(spark: SparkSession): Unit = {
-    spark.udf.register("ngrams_topk", udaf(NGramsTopK))
-    spark.udf.register("context_ngrams_topk", udaf(ContextNGramsTopK))
-    // the reference's own names (FunctionRegistry.java:404-405). Output
-    // shape differs in spelling only: the reference emits
-    // array<struct<ngram:array<string>, estfrequency:double>>, these emit
-    // array<struct<ngram:string, freq:long>> (gram words space-joined,
-    // exact counts); the optional 4th precision-factor argument is not
-    // accepted — the pruned buffer replaces it (NGrams.scala PruneFactor).
-    spark.udf.register("ngrams", udaf(NGramsTopK))
-    spark.udf.register("context_ngrams", udaf(ContextNGramsTopK))
-  }
-}

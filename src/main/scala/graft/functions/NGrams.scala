@@ -1,89 +1,91 @@
 package graft.functions
 
-import org.apache.spark.sql.expressions.Aggregator
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 final case class NGramFreq(ngram: String, freq: Long)
 
-/** Aggregation buffer: the running n-gram counts plus the (n, k) parameters
-  * seen from the input rows (finish() needs k, and merge() needs them to
-  * prune consistently).
+/** Mutable aggregation state for the n-gram UDAFs: a live hash map updated
+  * in place per row (an immutable-map buffer would copy the accumulated
+  * counts once per input row — quadratic in the per-group corpus) plus the
+  * k parameter needed to prune and finish.
   */
-final case class NGramBuf(counts: Map[String, Long], n: Int, k: Int)
+final class NGramState(
+    val counts: java.util.HashMap[String, Long] = new java.util.HashMap,
+    var k: Int = 0)
 
-/** Top-k n-gram frequency estimator — the reference's `ngrams` UDAF
-  * (ref ql/udf/generic/GenericUDAFnGrams.java:361) as a typed Spark
-  * [[Aggregator]] (partial/final split ≈ the reference's
-  * iterate/terminatePartial/merge/terminate contract,
-  * GenericUDAFEvaluator.java:38).
-  *
-  * The reference bounds memory with an estimation precision factor; here the
-  * buffer is pruned to the top `PruneFactor * k` grams whenever it grows past
-  * that bound, so a partial aggregate on a 100 TB corpus stays O(k), not
-  * O(vocabulary). Counts for the true top-k are exact in practice because
-  * pruning keeps a generous margin (same posture as the reference's default
-  * pf).
+/** Shared kernel: counting, pruning, merging, and top-k extraction — the
+  * reference's iterate/terminatePartial/merge/terminate contract
+  * (GenericUDAFEvaluator.java:38) with the pruned-buffer memory bound of
+  * GenericUDAFnGrams.java:361's precision factor. Pure of Spark types so
+  * PropertySpec can drive the exact production code paths directly.
   */
-object NGramsTopK extends Aggregator[(Seq[String], Int, Int), NGramBuf, Seq[NGramFreq]] {
-  // a gram pruned from a partial buffer and re-encountered later is
-  // undercounted (same posture as the reference's estimation pf); 1000×k
-  // keeps counts exact whenever the per-partition gram vocabulary fits
-  // 1000k while still bounding memory at O(k)
-  private[graft] val PruneFactor = 1000
+object NGramKernel {
+  /** A gram pruned from a partial buffer and re-encountered later is
+    * undercounted (same posture as the reference's estimation pf); 1000×k
+    * keeps counts exact whenever the per-partition gram vocabulary fits
+    * 1000k while still bounding memory at O(k).
+    */
+  val PruneFactor = 1000
 
-  override def zero: NGramBuf = NGramBuf(Map.empty, 0, 0)
+  def add(s: NGramState, gram: String, c: Long): Unit =
+    s.counts.put(gram, s.counts.getOrDefault(gram, 0L) + c)
 
-  private def prune(b: NGramBuf): NGramBuf =
-    if (b.k > 0 && b.counts.size > PruneFactor * b.k)
-      b.copy(counts = b.counts.toSeq
-        .sortBy { case (g, c) => (-c, g) }
-        .take(PruneFactor * b.k).toMap)
-    else b
+  def prune(s: NGramState): Unit = {
+    val cap = PruneFactor * s.k
+    if (s.k > 0 && s.counts.size > cap) {
+      val kept = sorted(s).take(cap)
+      s.counts.clear()
+      kept.foreach { case (g, c) => s.counts.put(g, c) }
+    }
+  }
 
-  override def reduce(b: NGramBuf, in: (Seq[String], Int, Int)): NGramBuf = {
-    val (words, n, k) = in
-    val m = collection.mutable.HashMap.empty[String, Long] ++= b.counts
+  private def sorted(s: NGramState): Seq[(String, Long)] = {
+    val buf = new scala.collection.mutable.ArrayBuffer[(String, Long)](s.counts.size)
+    s.counts.forEach((g, c) => buf += ((g, c)))
+    buf.sortBy { case (g, c) => (-c, g) }.toSeq
+  }
+
+  /** Merge b into a (in place), keeping the larger map as the base. */
+  def merge(a: NGramState, b: NGramState): NGramState = {
+    val (base, add0) = if (a.counts.size >= b.counts.size) (a, b) else (b, a)
+    add0.counts.forEach((g, c) => add(base, g, c))
+    base.k = math.max(a.k, b.k)
+    prune(base)
+    base
+  }
+
+  def finish(s: NGramState): Seq[NGramFreq] =
+    sorted(s).take(s.k).map { case (g, c) => NGramFreq(g, c) }
+
+  def countNGrams(s: NGramState, words: IndexedSeq[String], n: Int): Unit = {
     var i = 0
     val last = words.length - n
     while (i <= last) {
-      val gram = words.slice(i, i + n).mkString(" ")
-      m.update(gram, m.getOrElse(gram, 0L) + 1L)
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      add(s, sb.toString, 1L)
       i += 1
     }
-    prune(NGramBuf(m.toMap, n, k))
   }
 
-  override def merge(a: NGramBuf, b: NGramBuf): NGramBuf = {
-    val (small, big) = if (a.counts.size < b.counts.size) (a, b) else (b, a)
-    val m = collection.mutable.HashMap.empty[String, Long] ++= big.counts
-    small.counts.foreach { case (g, c) => m.update(g, m.getOrElse(g, 0L) + c) }
-    prune(NGramBuf(m.toMap, math.max(a.n, b.n), math.max(a.k, b.k)))
-  }
-
-  override def finish(b: NGramBuf): Seq[NGramFreq] =
-    b.counts.toSeq.sortBy { case (g, c) => (-c, g) }
-      .take(b.k).map { case (g, c) => NGramFreq(g, c) }
-
-  override def bufferEncoder: org.apache.spark.sql.Encoder[NGramBuf] =
-    org.apache.spark.sql.Encoders.product[NGramBuf]
-  override def outputEncoder: org.apache.spark.sql.Encoder[Seq[NGramFreq]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[NGramFreq]]()
-}
-
-/** `context_ngrams` (ref GenericUDAFContextNGrams.java:424): counts the
-  * words that fill the null slots of a context pattern — e.g. pattern
-  * ('the', null) counts what follows 'the'. Null pattern entries are
-  * wildcards; matched wildcard words (joined by space when several) are the
-  * counted grams. Same pruned-buffer top-k contract as [[NGramsTopK]].
-  */
-object ContextNGramsTopK
-    extends Aggregator[(Seq[String], Seq[String], Int), NGramBuf, Seq[NGramFreq]] {
-
-  override def zero: NGramBuf = NGramBuf(Map.empty, 0, 0)
-
-  override def reduce(b: NGramBuf, in: (Seq[String], Seq[String], Int)): NGramBuf = {
-    val (words, pattern, k) = in
-    val n = pattern.length
-    val m = collection.mutable.HashMap.empty[String, Long] ++= b.counts
+  /** Count the wildcard fills of `pattern` (null = wildcard) in `words` —
+    * GenericUDAFContextNGrams.java:424 semantics.
+    */
+  def countContext(s: NGramState, words: IndexedSeq[String],
+      pattern: IndexedSeq[String], n: Int): Unit = {
     var i = 0
     val last = words.length - n
     while (i <= last) {
@@ -95,26 +97,172 @@ object ContextNGramsTopK
         j += 1
       }
       if (ok) {
-        val gram = (0 until n).collect {
-          case j2 if pattern(j2) == null => words(i + j2)
-        }.mkString(" ")
-        m.update(gram, m.getOrElse(gram, 0L) + 1L)
+        val sb = new java.lang.StringBuilder
+        var first = true
+        var j2 = 0
+        while (j2 < n) {
+          if (pattern(j2) == null) {
+            if (!first) sb.append(' ')
+            sb.append(words(i + j2))
+            first = false
+          }
+          j2 += 1
+        }
+        add(s, sb.toString, 1L)
       }
       i += 1
     }
-    val grown = NGramBuf(m.toMap, n, k)
-    val cap = NGramsTopK.PruneFactor * k
-    if (k > 0 && grown.counts.size > cap)
-      grown.copy(counts = grown.counts.toSeq
-        .sortBy { case (g, c) => (-c, g) }.take(cap).toMap)
-    else grown
   }
 
-  override def merge(a: NGramBuf, b: NGramBuf): NGramBuf =
-    NGramsTopK.merge(a, b)
-  override def finish(b: NGramBuf): Seq[NGramFreq] = NGramsTopK.finish(b)
-  override def bufferEncoder: org.apache.spark.sql.Encoder[NGramBuf] =
-    org.apache.spark.sql.Encoders.product[NGramBuf]
-  override def outputEncoder: org.apache.spark.sql.Encoder[Seq[NGramFreq]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[NGramFreq]]()
+  def serialize(s: NGramState): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(s.k)
+    out.writeInt(s.counts.size)
+    s.counts.forEach { (g, c) =>
+      val bytes = g.getBytes("UTF-8")
+      out.writeInt(bytes.length)
+      out.write(bytes)
+      out.writeLong(c)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def deserialize(bytes: Array[Byte]): NGramState = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val s = new NGramState()
+    s.k = in.readInt()
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      s.counts.put(new String(b, "UTF-8"), in.readLong())
+      i += 1
+    }
+    s
+  }
+
+  val outputType: DataType = ArrayType(StructType(Seq(
+    StructField("ngram", StringType, nullable = false),
+    StructField("freq", LongType, nullable = false))), containsNull = false)
+
+  def toArrayData(top: Seq[NGramFreq]): GenericArrayData =
+    new GenericArrayData(top.map(f =>
+      InternalRow(UTF8String.fromString(f.ngram), f.freq)).toArray[Any])
+
+  def stringArray(v: Any): IndexedSeq[String] = {
+    val arr = v.asInstanceOf[ArrayData]
+    val out = new Array[String](arr.numElements())
+    var i = 0
+    while (i < out.length) {
+      out(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).toString
+      i += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
+}
+
+/** `ngrams(words, n, k)` — top-k n-gram frequencies
+  * (ref GenericUDAFnGrams.java:361). Output
+  * `array<struct<ngram: string, freq: long>>` sorted by (freq desc, gram).
+  */
+case class NGramsAgg(
+    words: Expression, nExpr: Expression, kExpr: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[NGramState] {
+
+  override def children: Seq[Expression] = Seq(words, nExpr, kExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = NGramKernel.outputType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (words.dataType, nExpr.dataType, kExpr.dataType) match {
+      case (ArrayType(StringType, _), IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "ngrams expects (array<string>, int, int)")
+    }
+
+  override def createAggregationBuffer(): NGramState = new NGramState()
+
+  override def update(s: NGramState, input: InternalRow): NGramState = {
+    val w = words.eval(input)
+    if (w != null) {
+      val n = nExpr.eval(input).asInstanceOf[Int]
+      s.k = math.max(s.k, kExpr.eval(input).asInstanceOf[Int])
+      NGramKernel.countNGrams(s, NGramKernel.stringArray(w), n)
+      NGramKernel.prune(s)
+    }
+    s
+  }
+
+  override def merge(a: NGramState, b: NGramState): NGramState =
+    NGramKernel.merge(a, b)
+  override def eval(s: NGramState): Any =
+    NGramKernel.toArrayData(NGramKernel.finish(s))
+  override def serialize(s: NGramState): Array[Byte] = NGramKernel.serialize(s)
+  override def deserialize(bytes: Array[Byte]): NGramState =
+    NGramKernel.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): NGramsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): NGramsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(words = newChildren(0), nExpr = newChildren(1), kExpr = newChildren(2))
+}
+
+/** `context_ngrams(words, pattern, k)` — counts the words filling the null
+  * slots of `pattern` (ref GenericUDAFContextNGrams.java:424).
+  */
+case class ContextNGramsAgg(
+    words: Expression, pattern: Expression, kExpr: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[NGramState] {
+
+  override def children: Seq[Expression] = Seq(words, pattern, kExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = NGramKernel.outputType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (words.dataType, pattern.dataType, kExpr.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "context_ngrams expects (array<string>, array<string>, int)")
+    }
+
+  override def createAggregationBuffer(): NGramState = new NGramState()
+
+  override def update(s: NGramState, input: InternalRow): NGramState = {
+    val w = words.eval(input)
+    val p = pattern.eval(input)
+    if (w != null && p != null) {
+      val pat = NGramKernel.stringArray(p)
+      s.k = math.max(s.k, kExpr.eval(input).asInstanceOf[Int])
+      NGramKernel.countContext(s, NGramKernel.stringArray(w), pat, pat.length)
+      NGramKernel.prune(s)
+    }
+    s
+  }
+
+  override def merge(a: NGramState, b: NGramState): NGramState =
+    NGramKernel.merge(a, b)
+  override def eval(s: NGramState): Any =
+    NGramKernel.toArrayData(NGramKernel.finish(s))
+  override def serialize(s: NGramState): Array[Byte] = NGramKernel.serialize(s)
+  override def deserialize(bytes: Array[Byte]): NGramState =
+    NGramKernel.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ContextNGramsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ContextNGramsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(words = newChildren(0), pattern = newChildren(1), kExpr = newChildren(2))
 }

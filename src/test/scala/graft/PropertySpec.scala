@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{NGramFreq, NGramsTopK}
+import graft.functions.{NGramFreq, NGramKernel, NGramState}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -18,51 +18,76 @@ class PropertySpec extends SparkSpec {
   private def sample[A](g: Gen[A], seed: Long): A =
     g.pureApply(Gen.Parameters.default, Seed(seed))
 
+  // kernel drivers: the exact production code paths (NGramKernel mutates its
+  // state in place, so every comparison below builds fresh states)
+  private def reduced(docs: Seq[Seq[String]], n: Int, k: Int): NGramState = {
+    val s = new NGramState()
+    s.k = k
+    docs.foreach { d =>
+      NGramKernel.countNGrams(s, d.toIndexedSeq, n)
+      NGramKernel.prune(s)
+    }
+    s
+  }
+
+  private def ctxReduced(docs: Seq[Seq[String]], pattern: Seq[String],
+      k: Int): NGramState = {
+    val s = new NGramState()
+    s.k = k
+    docs.foreach { d =>
+      NGramKernel.countContext(s, d.toIndexedSeq, pattern.toIndexedSeq,
+        pattern.length)
+      NGramKernel.prune(s)
+    }
+    s
+  }
+
   test("ngrams: reduce-all equals split-reduce-then-merge (partial/final contract)") {
     (1 to 100).foreach { s =>
       val docs = sample(Gen.listOfN(6, doc), s)
-      val whole = docs.foldLeft(NGramsTopK.zero)(
-        (b, d) => NGramsTopK.reduce(b, (d, 2, 5)))
+      val whole = reduced(docs, 2, 5)
       val (l, r) = docs.splitAt(3)
-      val left = l.foldLeft(NGramsTopK.zero)((b, d) => NGramsTopK.reduce(b, (d, 2, 5)))
-      val right = r.foldLeft(NGramsTopK.zero)((b, d) => NGramsTopK.reduce(b, (d, 2, 5)))
-      val merged = NGramsTopK.merge(left, right)
-      assert(NGramsTopK.finish(whole) == NGramsTopK.finish(merged), s"seed=$s")
+      val merged = NGramKernel.merge(reduced(l, 2, 5), reduced(r, 2, 5))
+      assert(NGramKernel.finish(whole) == NGramKernel.finish(merged), s"seed=$s")
     }
   }
 
-  test("ngrams: merge is commutative after finish; zero is identity") {
+  test("ngrams: merge is commutative after finish; empty state is identity") {
     (1 to 100).foreach { s =>
-      val d1 = sample(doc, s)
-      val d2 = sample(doc, s + 1000)
-      val b1 = NGramsTopK.reduce(NGramsTopK.zero, (d1, 2, 5))
-      val b2 = NGramsTopK.reduce(NGramsTopK.zero, (d2, 2, 5))
-      assert(NGramsTopK.finish(NGramsTopK.merge(b1, b2)) ==
-        NGramsTopK.finish(NGramsTopK.merge(b2, b1)), s"seed=$s")
-      assert(NGramsTopK.finish(NGramsTopK.merge(b1, NGramsTopK.zero)) ==
-        NGramsTopK.finish(b1), s"seed=$s")
+      val d1 = Seq(sample(doc, s))
+      val d2 = Seq(sample(doc, s + 1000))
+      val ab = NGramKernel.merge(reduced(d1, 2, 5), reduced(d2, 2, 5))
+      val ba = NGramKernel.merge(reduced(d2, 2, 5), reduced(d1, 2, 5))
+      assert(NGramKernel.finish(ab) == NGramKernel.finish(ba), s"seed=$s")
+      val withZero = NGramKernel.merge(reduced(d1, 2, 5), new NGramState())
+      assert(NGramKernel.finish(withZero) == NGramKernel.finish(reduced(d1, 2, 5)),
+        s"seed=$s")
+    }
+  }
+
+  test("ngrams: serialize/deserialize round trip preserves counts and k") {
+    (1 to 40).foreach { s =>
+      val docs = sample(Gen.listOfN(4, doc), s)
+      val st = reduced(docs, 2, 5)
+      val back = NGramKernel.deserialize(NGramKernel.serialize(st))
+      assert(back.k == st.k && back.counts == st.counts, s"seed=$s")
     }
   }
 
   test("context_ngrams: split-reduce-merge equals reduce-all; wildcard matching correct") {
     val pattern = Seq("the", null)
-    import graft.functions.ContextNGramsTopK
     (1 to 60).foreach { s =>
       val docs = sample(Gen.listOfN(4, doc), s)
-      val whole = docs.foldLeft(ContextNGramsTopK.zero)(
-        (b, d) => ContextNGramsTopK.reduce(b, (d, pattern, 5)))
+      val whole = ctxReduced(docs, pattern, 5)
       val (l, r) = docs.splitAt(2)
-      val left = l.foldLeft(ContextNGramsTopK.zero)(
-        (b, d) => ContextNGramsTopK.reduce(b, (d, pattern, 5)))
-      val right = r.foldLeft(ContextNGramsTopK.zero)(
-        (b, d) => ContextNGramsTopK.reduce(b, (d, pattern, 5)))
-      assert(ContextNGramsTopK.finish(ContextNGramsTopK.merge(left, right)) ==
-        ContextNGramsTopK.finish(whole), s"seed=$s")
+      val merged = NGramKernel.merge(
+        ctxReduced(l, pattern, 5), ctxReduced(r, pattern, 5))
+      assert(NGramKernel.finish(merged) == NGramKernel.finish(whole), s"seed=$s")
       // every reported follower really follows 'the' somewhere
       val followers = docs.flatMap(d => d.sliding(2).collect {
         case Seq("the", w) => w
       })
-      ContextNGramsTopK.finish(whole).foreach { g =>
+      NGramKernel.finish(whole).foreach { g =>
         assert(followers.contains(g.ngram), s"phantom follower ${g.ngram} seed=$s")
         assert(g.freq == followers.count(_ == g.ngram), s"wrong count seed=$s")
       }
@@ -76,31 +101,31 @@ class PropertySpec extends SparkSpec {
     // prune fires keep EXACT counts; a pruned-then-reencountered gram may
     // undercount but never overcounts.
     val k = 2
-    val cap = NGramsTopK.PruneFactor * k
+    val cap = NGramKernel.PruneFactor * k
     // 5000 distinct noise unigrams (freq 1) with two heavy hitters woven in
     val words = (0 until 5000).flatMap { i =>
       Seq(s"w$i") ++ (if (i % 10 == 0) Seq("hot1") else Nil) ++
         (if (i % 25 == 0) Seq("hot2") else Nil)
     }
     val docs = words.grouped(50).toSeq
-    var buf = NGramsTopK.zero
+    val buf = new NGramState()
+    buf.k = k
     docs.foreach { d =>
-      buf = NGramsTopK.reduce(buf, (d, 1, k))
+      NGramKernel.countNGrams(buf, d.toIndexedSeq, 1)
+      NGramKernel.prune(buf)
       assert(buf.counts.size <= cap, s"buffer ${buf.counts.size} exceeds $cap")
     }
-    assert(NGramsTopK.finish(buf) ==
+    assert(NGramKernel.finish(buf) ==
       Seq(NGramFreq("hot1", 500), NGramFreq("hot2", 200)))
     // split/merge across partials agrees despite pruning in every partial
     val (l, r) = docs.splitAt(docs.size / 2)
-    val left = l.foldLeft(NGramsTopK.zero)((b, d) => NGramsTopK.reduce(b, (d, 1, k)))
-    val right = r.foldLeft(NGramsTopK.zero)((b, d) => NGramsTopK.reduce(b, (d, 1, k)))
-    val merged = NGramsTopK.merge(left, right)
+    val merged = NGramKernel.merge(reduced(l, 1, k), reduced(r, 1, k))
     assert(merged.counts.size <= cap)
-    assert(NGramsTopK.finish(merged) ==
+    assert(NGramKernel.finish(merged) ==
       Seq(NGramFreq("hot1", 500), NGramFreq("hot2", 200)))
     // no overcounting anywhere: every reported freq ≤ true frequency
     val truth = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
-    merged.counts.foreach { case (g, c) =>
+    merged.counts.forEach { (g, c) =>
       assert(c <= truth(g), s"$g overcounted: $c > ${truth(g)}")
     }
   }
