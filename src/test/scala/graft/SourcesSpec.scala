@@ -154,6 +154,23 @@ class SourcesSpec extends SparkSpec {
     assert(inner == Seq(2, 3))
   }
 
+  test("INSERT OVERWRITE DIRECTORY writes query output as hive-delimited text") {
+    // the reference's moveTask-to-directory path (every ETL tutorial's
+    // 'INSERT OVERWRITE DIRECTORY'); Spark's native form with CSV options
+    // matching LazySimpleSerDe gives byte-compatible files
+    Tables.registerAll(spark, sfDir)
+    val dir = Files.createTempDirectory("graft-iod").toString + "/out"
+    spark.sql(s"""INSERT OVERWRITE DIRECTORY '$dir'
+      USING csv OPTIONS (sep '${HiveText.FieldDelim}', nullValue '\\\\N', quote '${HiveText.NoQuote}', escape '${HiveText.NoQuote}')
+      SELECT n_nationkey, n_name FROM nation""")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "n_nationkey BIGINT, n_name STRING")
+    val back = HiveText.read(spark, dir, schema).orderBy("n_nationkey").collect()
+    val orig = Tables.load(spark, sfDir, "nation")
+      .select("n_nationkey", "n_name").orderBy("n_nationkey").collect()
+    assert(back.toSeq == orig.toSeq)
+  }
+
   test("HiveQl rewrites MAPJOIN to a broadcast plan and drops STREAMTABLE") {
     Tables.registerAll(spark, sfDir)
     val df = HiveQl.sql(spark,
