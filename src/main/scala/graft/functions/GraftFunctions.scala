@@ -85,6 +85,14 @@ object GraftFunctions {
       es => graft.functions.BitmapCombine(es(0), es(1), isAnd = false)),
     reg("ewah_bitmap_empty", classOf[graft.functions.BitmapCount],
       es => EqualTo(graft.functions.BitmapCount(es.head), Literal(0))),
+    // Hive's split is raw Java String.split (GenericUDFSplit.java:75) —
+    // TRAILING empty strings are dropped, which Spark's split (limit -1)
+    // keeps, a silent divergence for ported text like split('a,b,,', ',').
+    // 2-arg form gets Hive semantics; the 3-arg Spark extension (explicit
+    // limit) passes through untouched.
+    reg("split", classOf[HiveSplit], es =>
+      if (es.size == 2) HiveSplit(es(0), es(1))
+      else StringSplit(es(0), es(1), es(2))),
     // ngrams family: TypedImperativeAggregates (live mutable buffer between
     // rows — an Encoder-buffered typed Aggregator would copy the counts map
     // once per input row). Registered under both the working `_topk` names
@@ -117,7 +125,7 @@ object GraftFunctions {
     * Spark 3.5+'s raw-popcount `bitmap_count`, which reads compressed
     * bitmap bytes as garbage).
     */
-  val overridesBuiltin: Set[String] = Set("hash", "bitmap_count")
+  val overridesBuiltin: Set[String] = Set("hash", "bitmap_count", "split")
 }
 
 /** `field(needle, v1..vn)`: 1-based index of the first vi equal to needle,
@@ -151,6 +159,30 @@ case class Field(children: Seq[Expression])
   }
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
+}
+
+/** Hive-0.8 `split(str, regex)`: raw Java String.split — trailing empty
+  * strings dropped (GenericUDFSplit.java:75), unlike Spark's limit=-1
+  * split. Interior empties are kept by both.
+  */
+case class HiveSplit(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "split"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "split expects (string, string)")
+  override protected def nullSafeEval(s: Any, regex: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      s.asInstanceOf[UTF8String].toString
+        .split(regex.asInstanceOf[UTF8String].toString)
+        .map(UTF8String.fromString(_): Any))
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Static hash kernels shared by interpreted eval and generated code. */

@@ -74,6 +74,19 @@ class GraftFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("split follows Hive's Java semantics: trailing empties dropped") {
+    // GenericUDFSplit.java:75 is raw String.split — split('a,b,,', ',')
+    // is [a, b] in the reference; Spark's builtin (limit -1) keeps the two
+    // trailing empties. Interior empties stay in both.
+    val r = spark.range(1).selectExpr(
+      "split('a,b,,', ',') AS hive2",
+      "split('a,,b', ',') AS interior",
+      "split('a,b,,', ',', -1) AS spark3").head()
+    assert(r.getSeq[String](0) == Seq("a", "b"))
+    assert(r.getSeq[String](1) == Seq("a", "", "b"))
+    assert(r.getSeq[String](2) == Seq("a", "b", "", ""))
+  }
+
   test("reflect is callable under its Hive name (FunctionRegistry.java:407)") {
     val r = spark.range(1)
       .selectExpr("reflect('java.lang.String', 'valueOf', 42) AS s",
