@@ -21,23 +21,27 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     // total sums successful durations only — the -1 sentinels would shrink
     // the aggregate and mix units; failures are reported by name instead
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failed = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},""" +
+    def line(key: String => String, fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_failed":${failed.size},""" +
         s""""failed":${failed.mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}"""
-    // stdout AND a file: the driver's tail capture has truncated the head of
-    // a long stdout line before; the file copy is always machine-readable
+    }
+    // full names + full precision → file; the STDOUT line must fit entirely
+    // inside the driver's 2000-char tail window (r1-r3 all landed
+    // "parsed": null because the 2900-char full line lost its head), so it
+    // uses the short query key (q64b) and millisecond precision: ~1300 chars
     try {
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+      java.nio.file.Files.write(out, line(identity, _.toString).getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    println(json)
+    println(line(_.split("_")(0),
+      v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))))
     spark.stop()
   }
 }

@@ -23,12 +23,20 @@ object HiveQl {
   private val StreamTable = """(?i)/\*\+\s*STREAMTABLE\s*\(([^)]*)\)\s*\*/""".r
   private val LoadData =
     """(?is)^\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+'([^']+)'\s+(OVERWRITE\s+)?INTO\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
-  // t TABLESAMPLE (BUCKET x OUT OF y ON col) — Hive.g tableSample; Spark's
-  // TABLESAMPLE BUCKET form is a random fraction, so the deterministic
-  // ON-column semantics (SamplePruner: rows where hash(col) % y == x-1,
-  // 1-based buckets) are rewritten to an explicit predicate over OUR `hash`
+  // t TABLESAMPLE (BUCKET x OUT OF y ON col) [alias] — Hive.g tableSample;
+  // Spark's TABLESAMPLE BUCKET form is a random fraction, so the
+  // deterministic ON-column semantics are rewritten to an explicit
+  // predicate over OUR `hash`. The reference emits
+  // ((hash & Integer.MAX_VALUE) % y) == x-1 (SemanticAnalyzer.java:6089,
+  // 1-based buckets) — the bitand must precede the mod: for NEGATIVE hash
+  // values (string ON-columns) pmod(hash, y) picks a different bucket
+  // whenever y isn't a power of two.
   private val TableSample =
-    """(?i)([\w.]+)\s+TABLESAMPLE\s*\(\s*BUCKET\s+(\d+)\s+OUT\s+OF\s+(\d+)\s+ON\s+(\w+)\s*\)""".r
+    """(?i)([\w.]+)\s+TABLESAMPLE\s*\(\s*BUCKET\s+(\d+)\s+OUT\s+OF\s+(\d+)\s+ON\s+(\w+)\s*\)(\s+(?:AS\s+)?(\w+))?""".r
+  // words that can follow the closing paren but are NOT a table alias
+  private val NotAnAlias = Set("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING",
+    "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "SEMI", "ANTI", "ON",
+    "UNION", "SORT", "DISTRIBUTE", "CLUSTER", "LATERAL", "AND", "OR", "AS")
   // SELECT <sel> FROM UNIQUEJOIN <sources> [WHERE/GROUP/ORDER/LIMIT tail]
   private val UniqueJoin =
     """(?is)^(.*?\bFROM)\s+UNIQUEJOIN\s+(.*?)\s*((?:\bWHERE\b|\bGROUP\b|\bORDER\b|\bLIMIT\b).*)?$""".r
@@ -41,7 +49,13 @@ object HiveQl {
     val hinted = MapJoin.replaceAllIn(noStream, m => s"/*+ BROADCAST(${m.group(1)}) */")
     val sampled = TableSample.replaceAllIn(hinted, m => {
       val (tbl, x, y, c) = (m.group(1), m.group(2).toInt, m.group(3), m.group(4))
-      s"(SELECT * FROM $tbl WHERE pmod(hash($c), $y) = ${x - 1}) $tbl"
+      // subquery alias: an explicit trailing alias if present, else the last
+      // identifier segment (a qualified db.tbl is not a legal alias)
+      val explicit = Option(m.group(6)).filterNot(a => NotAnAlias(a.toUpperCase))
+      val alias = explicit.getOrElse(tbl.split('.').last)
+      // if the absorbed word was a keyword, not an alias, put it back
+      val trailer = if (m.group(5) != null && explicit.isEmpty) m.group(5) else ""
+      s"(SELECT * FROM $tbl WHERE (hash($c) & 2147483647) % $y = ${x - 1}) $alias$trailer"
     })
     sampled match {
       case UniqueJoin(head, srcs, tail) if srcs.toUpperCase.contains("(") =>

@@ -63,7 +63,7 @@ object Dedup extends QueryModule {
         .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("survivor"))
         .filter(col("n_copies") > 1)
         .orderBy(col("dup_key")),
-      Some("""SELECT md5(array_to_string((str_split(lower(text), ' '))[1:5], ' ')) AS dup_key,
+      Some("""SELECT md5(array_to_string((str_split(rtrim(lower(text), ' '), ' '))[1:5], ' ')) AS dup_key,
         count(*) AS n_copies, min(doc_id) AS survivor
         FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY dup_key""")),
 
@@ -119,7 +119,7 @@ object Dedup extends QueryModule {
           SELECT doc_id,
                  unnest(list_distinct(list_transform(range(1, len(w) - 1),
                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
-          FROM (SELECT doc_id, str_split(lower(text), ' ') AS w
+          FROM (SELECT doc_id, str_split(rtrim(lower(text), ' '), ' ') AS w
                 FROM documents WHERE doc_id < 120)),
         s1 AS (SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM s0),
         s AS (SELECT doc_id, sh, count(*) OVER (PARTITION BY doc_id) AS nsh
@@ -161,7 +161,7 @@ object Dedup extends QueryModule {
           .orderBy(col("a_id"), col("b_id"))
       },
       Some("""WITH w AS (
-          SELECT doc_id, list_distinct(str_split(lower(text), ' ')) AS words
+          SELECT doc_id, list_distinct(str_split(rtrim(lower(text), ' '), ' ')) AS words
           FROM documents WHERE doc_id < 200),
         sig AS (
           SELECT doc_id,
@@ -223,7 +223,7 @@ object Dedup extends QueryModule {
       },
       Some("""WITH w AS (
           SELECT doc_id,
-                 list_transform(list_distinct(str_split(lower(text), ' ')),
+                 list_transform(list_distinct(str_split(rtrim(lower(text), ' '), ' ')),
                    x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)) AS hs
           FROM documents WHERE doc_id < 100),
         s AS (
@@ -503,7 +503,14 @@ object Dedup extends QueryModule {
         labels.count()
         var changed = 1L
         var iter = 0
-        while (changed > 0 && iter < 10) {
+        // min-label propagation needs ≤ diameter supersteps; 64 rounds = 128
+        // supersteps covers any plausible near-dup component. If a
+        // pathological chain still hasn't converged, FAIL rather than return
+        // partial labels — the recursive-CTE oracle computes the full
+        // closure, so a silent early exit would surface only as an
+        // unexplained mismatch at scale.
+        val maxRounds = 64
+        while (changed > 0 && iter < maxRounds) {
           // two supersteps per scheduler round trip; the fixpoint test is
           // sound on the SECOND step alone (if it moved nothing, the first
           // step's output was already stable)
@@ -514,11 +521,15 @@ object Dedup extends QueryModule {
           iter += 1
         }
         edges.unpersist()
+        if (changed > 0)
+          throw new IllegalStateException(
+            s"connected-components did not converge after $maxRounds rounds " +
+              "(component diameter > " + (2 * maxRounds) + ")")
         labels.select(col("doc_id"), col("label").as("cluster"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH RECURSIVE w AS (
-          SELECT doc_id, list_distinct(str_split(lower(text), ' ')) AS words
+          SELECT doc_id, list_distinct(str_split(rtrim(lower(text), ' '), ' ')) AS words
           FROM documents WHERE doc_id < 200),
         sig AS (
           SELECT doc_id,

@@ -153,7 +153,7 @@ object HiveFunctions extends QueryModule {
         hex(o_orderkey) AS hx,
         o_orderstatus AS rt,
         ((-o_orderkey % 7) + 7) % 7 AS pm,
-        90.0 AS deg,
+        CAST(90.0 AS DOUBLE) AS deg,
         round(pi(), 6) AS rad,
         round(atan2(1, o_orderkey), 6) AS at2,
         round(log2(o_orderkey), 6) AS lg2,
@@ -397,6 +397,37 @@ object HiveFunctions extends QueryModule {
       // oracle's arithmetic form is the same bucket function
       Some("""SELECT l_suppkey, count(*) AS n FROM lineitem
         WHERE l_suppkey % 32 = 0 GROUP BY l_suppkey ORDER BY l_suppkey""")),
+
+    // ---- TABLESAMPLE with a STRING ON-column and a non-power-of-two bucket
+    //      count: Java String.hashCode goes NEGATIVE ("1-URGENT" →
+    //      -1002256291), so the reference's ((hash & Integer.MAX_VALUE) % y)
+    //      (SemanticAnalyzer.java:6089) picks bucket 2 of 7 while a naive
+    //      pmod(hash, y) picks bucket 7 — this query returns zero rows under
+    //      the pmod form. Also exercises the explicit trailing alias path of
+    //      the rewrite. Oracle emulates Java hashCode with a per-step
+    //      mod-2^32 list_reduce (BIGINT accumulator; per-step wrap ≡ Java's
+    //      int wrap because mod 2^32 is multiplication-homomorphic).
+    QueryDef(
+      "q89_tablesample_str",
+      (s, dir) => {
+        graft.Sessions.ensureRegistered(s)
+        graft.Tables.registerAll(s, dir)
+        graft.HiveQl.sql(s,
+          """SELECT o.o_orderpriority, count(*) AS n
+             FROM orders TABLESAMPLE (BUCKET 2 OUT OF 7 ON o_orderpriority) o
+             GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""")
+      },
+      Some("""WITH h AS (
+          SELECT o_orderpriority,
+                 ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, length(o_orderpriority) + 1),
+                       i -> CAST(ascii(o_orderpriority[i:i]) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % 4294967296)
+                   + 2147483648) % 4294967296) - 2147483648 AS jh
+          FROM orders)
+        SELECT o_orderpriority, count(*) AS n FROM h
+        WHERE (jh & 2147483647) % 7 = 1
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
     // ---- TRANSFORM ... USING (script operator, ref ScriptOperator.java:54) —
     //      rows piped through /bin/cat and read back, Spark's native

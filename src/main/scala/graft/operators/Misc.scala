@@ -158,6 +158,9 @@ object Misc extends QueryModule {
           sum(when(col("nse_null"), 1).otherwise(0)).as("n_null_cust"),
           sum(when(col("nse_self"), 1).otherwise(0)).as("n_self_eq"))
         .orderBy(col("o_orderstatus")),
+      // CAST(sum ... AS BIGINT) in the oracle: DuckDB sum(integer) returns
+      // HUGEINT (int128), which the driver's fetch path normalizes
+      // differently than Spark's bigint → hash mismatch on identical values.
       Some("""WITH t AS (
           SELECT o_orderstatus,
                  CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS maybe_price,
@@ -169,8 +172,8 @@ object Misc extends QueryModule {
                sum(CAST(round(maybe_price * 100) AS BIGINT)) / 100.0 AS sum_skipnull,
                sum(CAST(round(maybe_price * 100) AS BIGINT)) / (100.0 * count(maybe_price)) AS avg_skipnull,
                round(max(maybe_price + 1), 2) AS max_plus1,
-               sum(CASE WHEN maybe_cust IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS n_null_cust,
-               sum(CASE WHEN maybe_cust IS NOT DISTINCT FROM maybe_cust THEN 1 ELSE 0 END) AS n_self_eq
+               CAST(sum(CASE WHEN maybe_cust IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_cust,
+               CAST(sum(CASE WHEN maybe_cust IS NOT DISTINCT FROM maybe_cust THEN 1 ELSE 0 END) AS BIGINT) AS n_self_eq
         FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     // ---- Non-ANSI error semantics battery (Sessions sets

@@ -353,7 +353,7 @@ object Relational extends QueryModule {
         CAST(ceil(l_extendedprice) AS BIGINT) AS cl, abs(l_discount - 0.05) AS ad,
         round(sqrt(l_quantity),6) AS sq, round(ln(l_extendedprice),6) AS lg,
         round(exp(l_discount),6) AS ex, round(pow(l_quantity,2),2) AS p2,
-        CASE WHEN l_discount - 0.05 > 0 THEN 1.0 WHEN l_discount - 0.05 < 0 THEN -1.0 ELSE 0.0 END AS sg,
+        CAST(CASE WHEN l_discount - 0.05 > 0 THEN 1.0 WHEN l_discount - 0.05 < 0 THEN -1.0 ELSE 0.0 END AS DOUBLE) AS sg,
         l_orderkey % 7 AS m7
         FROM lineitem WHERE l_orderkey <= 100
         ORDER BY l_orderkey, l_linenumber, r1, ad, sq""")),

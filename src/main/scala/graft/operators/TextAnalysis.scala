@@ -41,7 +41,7 @@ object TextAnalysis extends QueryModule {
         .groupBy(col("lang"), col("pred"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("pred")),
-      Some(s"""WITH d AS (SELECT lang, str_split(lower(text), ' ') AS words FROM documents),
+      Some(s"""WITH d AS (SELECT lang, str_split(rtrim(lower(text), ' '), ' ') AS words FROM documents),
         sc AS (SELECT lang,
           len(list_filter(words, w -> w IN ('the', 'a', 'of', 'and', 'is'))) AS s_en,
           len(list_filter(words, w -> w IN ('el', 'la', 'de', 'que', 'y'))) AS s_es,
@@ -82,13 +82,13 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("doc_id")),
       Some(s"""WITH q AS (SELECT doc_id, lang,
           length(text) AS n_chars_calc,
-          len(str_split(text, ' ')) AS n_words,
-          round(length(replace(text, ' ', '')) / len(str_split(text, ' ')), 4) AS avg_word_len,
-          round(len(list_filter(str_split(lower(text), ' '), w -> w IN ($stopwords))) / len(str_split(text, ' ')), 4) AS stop_ratio,
+          len(str_split(rtrim(text, ' '), ' ')) AS n_words,
+          round(length(replace(text, ' ', '')) / len(str_split(rtrim(text, ' '), ' ')), 4) AS avg_word_len,
+          round(len(list_filter(str_split(rtrim(lower(text), ' '), ' '), w -> w IN ($stopwords))) / len(str_split(rtrim(text, ' '), ' ')), 4) AS stop_ratio,
           round(length(regexp_replace(text, '[a-z ]', '', 'g')) / length(text), 4) AS punct_ratio,
           round(length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text), 4) AS alpha_ratio,
-          round(least(len(str_split(text, ' ')) / 50, 1.0) * 0.4
-            + (1.0 - len(list_filter(str_split(lower(text), ' '), w -> w IN ($stopwords))) / len(str_split(text, ' '))) * 0.3
+          round(least(len(str_split(rtrim(text, ' '), ' ')) / 50, 1.0) * 0.4
+            + (1.0 - len(list_filter(str_split(rtrim(lower(text), ' '), ' '), w -> w IN ($stopwords))) / len(str_split(rtrim(text, ' '), ' '))) * 0.3
             + (length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text)) * 0.2
             + (1.0 - length(regexp_replace(text, '[a-z ]', '', 'g')) / length(text)) * 0.1, 4) AS quality
         FROM documents WHERE doc_id < 300)
@@ -110,12 +110,12 @@ object TextAnalysis extends QueryModule {
           "size(element_at(sentences(text), 1)) AS n_sent_words")
         .orderBy(col("doc_id")),
       Some("""SELECT doc_id,
-        len(str_split(text, ' ')) AS n_ws,
+        len(str_split(rtrim(text, ' '), ' ')) AS n_ws,
         len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS n_re,
-        CAST(list_sum(list_transform(str_split(text, ' '),
+        CAST(list_sum(list_transform(str_split(rtrim(text, ' '), ' '),
              w -> ceil(length(w) / 4.0))) AS INT) AS n_bpe,
         CAST(round(length(text) / 4.0, 0) AS INT) AS n_est,
-        len(str_split(text, ' ')) AS n_sent_words
+        len(str_split(rtrim(text, ' '), ' ')) AS n_sent_words
         FROM documents WHERE doc_id < 300 ORDER BY doc_id""")),
 
     // ---- TF-IDF: corpus-level term weighting — term/document frequencies
@@ -146,7 +146,7 @@ object TextAnalysis extends QueryModule {
           .orderBy(col("doc_id"), col("rk"))
       },
       Some("""WITH terms AS (
-          SELECT doc_id, unnest(str_split(lower(text), ' ')) AS term FROM documents),
+          SELECT doc_id, unnest(str_split(rtrim(lower(text), ' '), ' ')) AS term FROM documents),
         tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
                WHERE doc_id < 100 GROUP BY 1, 2),
         dfreq AS (SELECT term, count(*) AS df
@@ -252,19 +252,27 @@ object TextAnalysis extends QueryModule {
             (sum(col("n_tokens")) / count(lit(1))).as("avg_tokens"))
           .orderBy(col("lang"))
       },
+      // Oracle notes: rtrim before str_split models the engine's Hive split
+      // semantics (trailing empty strings dropped, GenericUDFSplit.java:75 —
+      // DuckDB str_split keeps them); CAST(sum AS BIGINT) because DuckDB
+      // sum(BIGINT) returns HUGEINT, which the driver's fetch normalizes
+      // differently than Spark's bigint (r3 red-row root cause).
       Some("""WITH quality AS (
-          SELECT doc_id, lang, text, len(str_split(lower(text), ' ')) AS n_tokens
-          FROM documents WHERE len(str_split(lower(text), ' ')) >= 50),
+          SELECT doc_id, lang, text,
+                 len(str_split(rtrim(lower(text), ' '), ' ')) AS n_tokens
+          FROM documents
+          WHERE len(str_split(rtrim(lower(text), ' '), ' ')) >= 50),
         survivors AS (
           SELECT * FROM quality
           QUALIFY row_number() OVER (
-            PARTITION BY md5(array_to_string((str_split(lower(text), ' '))[1:5], ' '))
+            PARTITION BY md5(array_to_string((str_split(rtrim(lower(text), ' '), ' '))[1:5], ' '))
             ORDER BY doc_id) = 1),
         sampled AS (
           SELECT * FROM survivors
           QUALIFY row_number() OVER (PARTITION BY lang
             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 10)
-        SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                sum(n_tokens) / count(*) AS avg_tokens
         FROM sampled GROUP BY lang ORDER BY lang"""))
   )

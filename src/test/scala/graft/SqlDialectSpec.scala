@@ -130,6 +130,25 @@ class SqlDialectSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM VALUES (1), (2) t(x)").count() == 2)
   }
 
+  test("TABLESAMPLE BUCKET ON rewrite: bitand-before-mod predicate and aliasing") {
+    // reference predicate is ((hash & Integer.MAX_VALUE) % y) == x-1
+    // (SemanticAnalyzer.java:6089) — pmod(hash, y) diverges on negative
+    // hashes with a non-power-of-two y
+    val r1 = HiveQl.rewrite(
+      "SELECT * FROM orders TABLESAMPLE (BUCKET 2 OUT OF 7 ON o_orderpriority) WHERE o_orderkey > 0")
+    assert(r1.contains("(hash(o_orderpriority) & 2147483647) % 7 = 1"), r1)
+    assert(r1.contains(") orders WHERE o_orderkey > 0"), r1) // keyword put back
+    // a qualified name is not a legal alias — alias with the last segment
+    val r2 = HiveQl.rewrite(
+      "SELECT * FROM db.tbl TABLESAMPLE (BUCKET 1 OUT OF 32 ON k)")
+    assert(r2.contains("FROM db.tbl WHERE") && r2.trim.endsWith(") tbl"), r2)
+    // an explicit trailing alias becomes the subquery alias (no doubling)
+    val r3 = HiveQl.rewrite(
+      "SELECT s.k FROM tbl TABLESAMPLE (BUCKET 3 OUT OF 5 ON k) s JOIN u ON s.k = u.k")
+    assert(r3.contains(") s JOIN u ON s.k = u.k"), r3)
+    assert(!r3.matches("""(?s).*\)\s+tbl\s+s.*"""), r3)
+  }
+
   test("CTAS: CREATE TABLE AS SELECT materializes the query (Hive.g createTableStatement)") {
     Tables.registerAll(spark, sfDir)
     spark.sql("DROP TABLE IF EXISTS ctas_top")

@@ -50,6 +50,18 @@ def main():
         try:
             got_cols, got = table(con, f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             exp_cols, exp = table(con, oracles[name])
+            # The DRIVER's fetch path does not canonicalize int128/decimal the
+            # way norm() does (r3: HUGEINT sums hashed as floats → q74/q87
+            # red while this replica passed). Refuse oracle output types the
+            # driver renders differently than Spark's parquet types.
+            bad = [(c, ty) for c, ty, *_ in
+                   con.execute(f"DESCRIBE ({oracles[name]})").fetchall()
+                   if ty.startswith(("HUGEINT", "UHUGEINT", "DECIMAL"))]
+            if bad:
+                print(f"FAIL {name}: driver-unsafe oracle column types {bad} "
+                      f"(CAST sums to BIGINT / divisions to DOUBLE)")
+                n_fail += 1
+                continue
         except Exception as e:
             print(f"FAIL {name}: error {e}")
             n_fail += 1
