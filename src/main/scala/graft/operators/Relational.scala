@@ -430,53 +430,30 @@ object Relational extends QueryModule {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---- Exact percentile / median (ref UDAFPercentile.java, registry :403)
-    //      Scale contract: the percentile UDAF buffers O(distinct values)
-    //      per group, so it is reserved for the small-domain quantity column
-    //      (the reference's percentile is integer-typed for the same
-    //      reason); the wide-domain price percentile is computed exactly
-    //      from the (group, value) count map — counts pre-aggregate in a
-    //      parallel shuffle, the cumulative walk touches distinct values,
-    //      not rows, and no oversized buffer ever crosses the wire. Same
-    //      interpolation formula as Spark's Percentile/DuckDB quantile_cont:
-    //      v_lo + (v_hi - v_lo) * frac at position (n-1)*q.
+    //      Both columns go through Percentiles.exact — bucketed-histogram
+    //      order-statistic selection (see Percentiles.scala for the scale
+    //      contract). The small-domain quantity column uses the value itself
+    //      as its bucket (the degenerate exact histogram, the reference's
+    //      integer-percentile shape); the wide-domain price column uses
+    //      100-unit coarse buckets so no task ever sorts more than one
+    //      bucket's population.
     QueryDef(
       "q24_percentile",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val li = t(s, dir, "lineitem")
-        // no repartition here: with a ≤50-value domain the partial buffer is
-        // tiny and the partial agg keeps up with the scan; a pre-shuffle of
-        // raw rows costs more than it saves (measured 0.28s vs 1.0s at
-        // sf0.1). At real scale multi-file input parallelizes the scan side.
-        val qpct = li
-          .groupBy(col("l_linestatus"))
-          // one array-percentile call = one value buffer for both quantiles
-          .agg(expr("percentile(cast(l_quantity AS bigint), array(0.5D, 0.9D))").as("pq"))
-        val wOrd = Window.partitionBy(col("l_linestatus")).orderBy(col("l_extendedprice"))
-        val wAll = Window.partitionBy(col("l_linestatus"))
-        val ppct = li
-          .groupBy(col("l_linestatus"), col("l_extendedprice"))
-          .agg(count(lit(1)).as("c"))
-          .withColumn("cum", sum(col("c")).over(wOrd))
-          .withColumn("n", sum(col("c")).over(wAll))
-          .withColumn("pos", (col("n") - 1) * lit(0.25))
-          .withColumn("lo", floor(col("pos")))
-          .withColumn("hi", ceil(col("pos")))
-          // keep the distinct values whose 0-based index range
-          // [cum - c, cum - 1] covers the lo or hi interpolation index
-          .filter(col("cum") - col("c") <= col("hi") && col("cum") - 1 >= col("lo"))
+        val qty = Percentiles.exact(
+            li.selectExpr("l_linestatus", "cast(l_quantity AS bigint) AS qv_in"),
+            "l_linestatus", "qv_in", col("qv_in"), Seq(0.5, 0.9))
           .groupBy(col("l_linestatus"))
           .agg(
-            max(when(col("cum") - col("c") <= col("lo") && col("cum") - 1 >= col("lo"),
-              col("l_extendedprice"))).as("v_lo"),
-            max(when(col("cum") - col("c") <= col("hi") && col("cum") - 1 >= col("hi"),
-              col("l_extendedprice"))).as("v_hi"),
-            first(col("pos") - col("lo")).as("frac"))
-          .selectExpr("l_linestatus",
-            "round(v_lo + (v_hi - v_lo) * frac, 4) AS price_p25")
-        qpct.join(ppct, Seq("l_linestatus"))
-          .selectExpr("l_linestatus",
-            "round(pq[0], 4) AS p50", "round(pq[1], 4) AS p90", "price_p25")
+            round(max(when(col("qv") === 0.5, col("value"))), 4).as("p50"),
+            round(max(when(col("qv") === 0.9, col("value"))), 4).as("p90"))
+        val price = Percentiles.exact(
+            li, "l_linestatus", "l_extendedprice",
+            floor(col("l_extendedprice") / 100), Seq(0.25))
+          .select(col("l_linestatus"), round(col("value"), 4).as("price_p25"))
+        qty.join(price, Seq("l_linestatus"))
+          .select(col("l_linestatus"), col("p50"), col("p90"), col("price_p25"))
           .orderBy(col("l_linestatus"))
       },
       Some("""SELECT l_linestatus,
