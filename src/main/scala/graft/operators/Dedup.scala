@@ -554,6 +554,40 @@ object Dedup extends QueryModule {
           UNION
           SELECT r.node, e.dst FROM r JOIN ebi e ON e.src = r.reached)
         SELECT node AS doc_id, min(reached) AS cluster
-        FROM r GROUP BY node ORDER BY doc_id"""))
+        FROM r GROUP BY node ORDER BY doc_id""")),
+
+    // ---- Dedup with a provenance-priority survivor policy (the CCNet /
+    //      RefinedWeb pattern: when copies exist across sources, keep the
+    //      copy from the most trusted source, not the arbitrary min-id one).
+    //      Same one-shuffle exact-dedup plan as q50, with the survivor
+    //      chosen by (source priority, doc_id) inside each dup-key window.
+    QueryDef(
+      "q94_priority_dedup",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val rk = Window.partitionBy(col("dup_key"))
+          .orderBy(col("prio"), col("doc_id"))
+        t(s, dir, "documents")
+          .selectExpr("doc_id", "source",
+            "cast(substring(source, 4) AS int) AS prio",
+            "md5(array_join(slice(split(lower(text), ' '), 1, 5), ' ')) AS dup_key")
+          .withColumn("rk", row_number().over(rk))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("rk") === 1, 1).otherwise(0)).as("n_kept"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, source, CAST(substr(source, 4) AS INT) AS prio,
+                 md5(array_to_string((str_split(rtrim(lower(text), ' '), ' '))[1:5], ' ')) AS dup_key
+          FROM documents),
+        r AS (
+          SELECT source,
+                 row_number() OVER (PARTITION BY dup_key
+                   ORDER BY prio, doc_id) AS rk
+          FROM d)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM r GROUP BY source ORDER BY source"""))
   )
 }

@@ -274,6 +274,178 @@ object TextAnalysis extends QueryModule {
         SELECT lang, count(*) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                sum(n_tokens) / count(*) AS avg_tokens
-        FROM sampled GROUP BY lang ORDER BY lang"""))
+        FROM sampled GROUP BY lang ORDER BY lang""")),
+
+    // ---- Gopher-style repetition quality signals: fraction of the doc in
+    //      its most frequent word, and fraction of duplicated word-3-grams.
+    //      Ratios are emitted RAW (int/int division is IEEE-identical across
+    //      engines; rounding would manufacture halfway points). One shuffle
+    //      on (doc_id, word) for the top-word count; the gram stats are pure
+    //      projections. The `keep` flag is the filter a corpus build applies.
+    QueryDef(
+      "q90_repetition",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("doc_id", "split(lower(text), ' ') AS w")
+        val gramStats = base
+          .selectExpr("doc_id", "size(w) AS n_words",
+            """CASE WHEN size(w) >= 3 THEN
+                 transform(sequence(0, size(w) - 3),
+                   i -> concat_ws(' ', slice(w, i + 1, 3)))
+               ELSE array() END AS g3""")
+          .selectExpr("doc_id", "n_words",
+            "size(g3) AS n3", "size(array_distinct(g3)) AS nd3")
+        val topWord = base
+          .selectExpr("doc_id", "explode(w) AS word")
+          .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(max(col("c")).as("top_cnt"))
+        gramStats.join(topWord, Seq("doc_id"))
+          .selectExpr("doc_id", "n_words",
+            "top_cnt / n_words AS top_frac",
+            "CASE WHEN n3 > 0 THEN (n3 - nd3) / n3 END AS dup3_frac")
+          .selectExpr("doc_id", "n_words", "top_frac", "dup3_frac",
+            "top_frac <= 0.2 AND coalesce(dup3_frac, 0.0) <= 0.3 AS keep")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (
+          SELECT doc_id, str_split(rtrim(lower(text), ' '), ' ') AS w FROM documents),
+        st AS (
+          SELECT doc_id, len(w) AS n_words,
+                 CASE WHEN len(w) >= 3 THEN
+                   list_transform(range(1, len(w) - 1),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                 ELSE [] END AS g3
+          FROM w),
+        st2 AS (
+          SELECT doc_id, n_words, len(g3) AS n3, len(list_distinct(g3)) AS nd3
+          FROM st),
+        tw AS (
+          SELECT doc_id, max(c) AS top_cnt FROM (
+            SELECT doc_id, word, count(*) AS c
+            FROM (SELECT doc_id, unnest(w) AS word FROM w) GROUP BY 1, 2)
+          GROUP BY doc_id)
+        SELECT st2.doc_id, n_words,
+               top_cnt / n_words AS top_frac,
+               CASE WHEN n3 > 0 THEN (n3 - nd3) / n3 END AS dup3_frac,
+               top_cnt / n_words <= 0.2
+                 AND coalesce(CASE WHEN n3 > 0 THEN (n3 - nd3) / n3 END, 0.0) <= 0.3 AS keep
+        FROM st2 JOIN tw ON st2.doc_id = tw.doc_id ORDER BY st2.doc_id""")),
+
+    // ---- PII redaction: regex scrub of emails/phones with per-doc match
+    //      counts. The fixture corpus carries no PII, so deterministic
+    //      positives are INJECTED from doc_id before scrubbing — the query
+    //      then proves detection + replacement against known ground truth.
+    //      Pure projection (codegen'd regexp), shuffle-free at any scale.
+    QueryDef(
+      "q91_pii_scrub",
+      (s, dir) => t(s, dir, "documents")
+        .selectExpr("doc_id",
+          """concat(text, ' contact user', doc_id, '@mail.example.com or user.',
+                    doc_id, '@corp.example.net tel 555-01',
+                    lpad(cast(pmod(doc_id, 100) AS string), 2, '0')) AS aug""")
+        .selectExpr("doc_id",
+          "size(regexp_extract_all(aug, '[a-z0-9.]+@[a-z0-9.]+', 0)) AS n_emails",
+          "size(regexp_extract_all(aug, '555-[0-9]{4}', 0)) AS n_phones",
+          """md5(regexp_replace(regexp_replace(aug, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>'),
+                                '555-[0-9]{4}', '<PHONE>')) AS scrub_md5""")
+        .orderBy(col("doc_id")),
+      Some("""WITH a AS (
+          SELECT doc_id,
+                 text || ' contact user' || doc_id || '@mail.example.com or user.'
+                   || doc_id || '@corp.example.net tel 555-01'
+                   || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS aug
+          FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(aug, '[a-z0-9.]+@[a-z0-9.]+')) AS n_emails,
+               len(regexp_extract_all(aug, '555-[0-9]{4}')) AS n_phones,
+               md5(regexp_replace(regexp_replace(aug, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                                  '555-[0-9]{4}', '<PHONE>', 'g')) AS scrub_md5
+        FROM a ORDER BY doc_id""")),
+
+    // ---- Boilerplate removal (the C4/RefinedWeb line-dedup shape, with
+    //      2-word chunks standing in for lines — the fixture is
+    //      single-line): chunk every doc positionally, count each chunk's
+    //      document frequency, drop chunks present in > 3.3% of the corpus
+    //      (relative cap: scale-independent, computed from an IN-PLAN
+    //      broadcast scalar, never a driver-side count), and reassemble the
+    //      surviving text in original order. The chunk-frequency table is
+    //      vocabulary-sized → broadcast back; the only row-volume shuffles
+    //      key on chunk and doc_id.
+    QueryDef(
+      "q92_boilerplate",
+      (s, dir) => {
+        val chunks = t(s, dir, "documents")
+          .selectExpr("doc_id", "split(lower(text), ' ') AS w")
+          .selectExpr("doc_id",
+            """posexplode(transform(sequence(0, cast(ceil(size(w) / 2.0) AS int) - 1),
+                 j -> concat_ws(' ', slice(w, j * 2 + 1, 2)))) AS (pos, chunk)""")
+        val dfreq = chunks.groupBy(col("chunk"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+        chunks.join(broadcast(dfreq), Seq("chunk"))
+          .crossJoin(broadcast(nDocs))
+          .withColumn("keep", col("df") <= lit(0.033) * col("n_docs"))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum(when(col("keep"), 1).otherwise(0)).as("n_kept"),
+            md5(array_join(
+              expr("transform(sort_array(collect_list(CASE WHEN keep THEN struct(pos, chunk) END)), x -> x.chunk)"),
+              " ")).as("clean_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (
+          SELECT doc_id, str_split(rtrim(lower(text), ' '), ' ') AS w FROM documents),
+        nd AS (SELECT count(*) AS n_docs FROM documents),
+        ch AS (
+          SELECT doc_id,
+                 unnest(range(0, CAST(ceil(len(w) / 2.0) AS BIGINT))) AS pos,
+                 unnest(list_transform(range(0, CAST(ceil(len(w) / 2.0) AS BIGINT)),
+                        j -> array_to_string(w[j*2+1:j*2+2], ' '))) AS chunk
+          FROM w),
+        dfreq AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM ch GROUP BY chunk),
+        tg AS (
+          SELECT c.doc_id, c.pos, c.chunk, (d.df <= 0.033 * nd.n_docs) AS keep
+          FROM ch c JOIN dfreq d USING (chunk) CROSS JOIN nd)
+        SELECT doc_id, count(*) AS n_chunks,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               md5(coalesce(string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY pos), '')) AS clean_md5
+        FROM tg GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- Sequence packing: assign docs greedily to ~512-token training
+    //      bins, per language, in deterministic doc_id order — the
+    //      batch-construction step after filtering/dedup. One window cumsum
+    //      per class partition, then a bin-level rollup; at scale each lang
+    //      partition streams through its sort independently (same shape as
+    //      q30's running totals).
+    QueryDef(
+      "q93_sequence_pack",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "documents")
+          .selectExpr("lang", "doc_id", "size(split(lower(text), ' ')) AS tokens")
+          .withColumn("cum", sum(col("tokens")).over(w))
+          // bin = which 512-token block the doc STARTS in (exact integer
+          // division — `/` would be double division in Spark SQL)
+          .selectExpr("lang", "doc_id", "tokens", "(cum - tokens) div 512 AS bin")
+          .groupBy(col("lang"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("bin_tokens"))
+          .orderBy(col("lang"), col("bin"))
+      },
+      Some("""WITH d AS (
+          SELECT lang, doc_id,
+                 len(str_split(rtrim(lower(text), ' '), ' ')) AS tokens
+          FROM documents),
+        c AS (
+          SELECT lang, doc_id, tokens,
+                 CAST(sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM d)
+        SELECT lang, (cum - tokens) // 512 AS bin,
+               count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS bin_tokens
+        FROM c GROUP BY 1, 2 ORDER BY lang, bin"""))
   )
 }

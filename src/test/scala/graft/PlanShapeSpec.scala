@@ -60,7 +60,8 @@ class PlanShapeSpec extends SparkSpec {
       "q45_bitmap",       // 1x1 join of two aggregated scalar bitmaps
       "q54_embed_knn",    // brute-force kNN baseline: broadcast query set
       "q64b_tfidf",       // broadcast in-plan corpus-size scalar
-      "q75_ann_ivf")      // broadcast coarse quantizer (8 centroids)
+      "q75_ann_ivf",      // broadcast coarse quantizer (8 centroids)
+      "q92_boilerplate")  // broadcast in-plan corpus-size scalar (as q64b)
     val flagged = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.contains("stream")) // streaming fns execute on call
       .flatMap { case (name, fn) =>
