@@ -13,6 +13,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    streaming-side choice;
   *  - `LOAD DATA [LOCAL] INPATH '..' [OVERWRITE] INTO TABLE t`
   *    (LoadSemanticAnalyzer.java:1) executed via [[sources.HiveLoad]];
+  *  - `EXPORT TABLE t TO '..'` / `IMPORT [TABLE t] FROM '..'`
+  *    (ExportSemanticAnalyzer.java:1 / ImportSemanticAnalyzer.java:1)
+  *    executed via [[sources.HiveExim]];
   *  - `FROM UNIQUEJOIN [PRESERVE] t1 a (a.k), ... SELECT ...`
   *    (Hive.g:1595-1614, JoinDesc.UNIQUE_JOIN) rewritten to a chained
   *    FULL OUTER join + presence filter — a key row survives iff it appears
@@ -23,6 +26,11 @@ object HiveQl {
   private val StreamTable = """(?i)/\*\+\s*STREAMTABLE\s*\(([^)]*)\)\s*\*/""".r
   private val LoadData =
     """(?is)^\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+'([^']+)'\s+(OVERWRITE\s+)?INTO\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
+  // EXPORT TABLE t TO 'dir' / IMPORT [TABLE t] FROM 'dir' (Hive.g:309-317)
+  private val ExportTable =
+    """(?is)^\s*EXPORT\s+TABLE\s+([\w.]+)\s+TO\s+'([^']+)'\s*;?\s*$""".r
+  private val ImportTable =
+    """(?is)^\s*IMPORT\s+(?:TABLE\s+([\w.]+)\s+)?FROM\s+'([^']+)'\s*;?\s*$""".r
   // t TABLESAMPLE (BUCKET x OUT OF y ON col) [alias] — Hive.g tableSample;
   // Spark's TABLESAMPLE BUCKET form is a random fraction, so the
   // deterministic ON-column semantics are rewritten to an explicit
@@ -132,6 +140,12 @@ object HiveQl {
   def sql(spark: SparkSession, q: String): DataFrame = q match {
     case LoadData(path, overwrite, table) =>
       sources.HiveLoad.loadData(spark, path, table, overwrite != null)
+      spark.emptyDataFrame
+    case ExportTable(table, dir) =>
+      sources.HiveExim.exportTable(spark, table, dir)
+      spark.emptyDataFrame
+    case ImportTable(table, dir) =>
+      sources.HiveExim.importTable(spark, Option(table), dir)
       spark.emptyDataFrame
     case _ => spark.sql(rewrite(q))
   }

@@ -171,6 +171,38 @@ class SourcesSpec extends SparkSpec {
     assert(back.toSeq == orig.toSeq)
   }
 
+  test("EXPORT TABLE / IMPORT TABLE round trip (ExportSemanticAnalyzer layout)") {
+    Tables.registerAll(spark, sfDir)
+    spark.sql("DROP TABLE IF EXISTS exim_src")
+    spark.sql("DROP TABLE IF EXISTS exim_dst")
+    spark.sql("""CREATE TABLE exim_src USING parquet AS
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey <= 200""")
+    val dir = Files.createTempDirectory("graft-exim").toString + "/exp"
+
+    HiveQl.sql(spark, s"EXPORT TABLE exim_src TO '$dir'")
+    // layout: _metadata descriptor beside data/ (EximUtil)
+    assert(new java.io.File(dir, "_metadata").exists())
+    assert(new java.io.File(dir, "data").isDirectory)
+
+    // import under an explicit new name → table created with same contents
+    HiveQl.sql(spark, s"IMPORT TABLE exim_dst FROM '$dir'")
+    val a = spark.table("exim_src").orderBy("o_orderkey").collect().toSeq
+    val b = spark.table("exim_dst").orderBy("o_orderkey").collect().toSeq
+    assert(a == b && a.nonEmpty)
+
+    // import with no TABLE clause targets the exported name; the table
+    // exists, so rows append (ImportSemanticAnalyzer load-into-existing)
+    HiveQl.sql(spark, s"IMPORT FROM '$dir'")
+    assert(spark.table("exim_src").count() == 2 * a.size)
+
+    // a non-empty EXPORT target is refused, like the reference
+    intercept[IllegalArgumentException] {
+      HiveQl.sql(spark, s"EXPORT TABLE exim_src TO '$dir'")
+    }
+    spark.sql("DROP TABLE exim_src")
+    spark.sql("DROP TABLE exim_dst")
+  }
+
   test("HiveQl rewrites MAPJOIN to a broadcast plan and drops STREAMTABLE") {
     Tables.registerAll(spark, sfDir)
     val df = HiveQl.sql(spark,
