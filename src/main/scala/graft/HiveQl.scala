@@ -31,6 +31,17 @@ object HiveQl {
     """(?is)^\s*EXPORT\s+TABLE\s+([\w.]+)\s+TO\s+'([^']+)'\s*;?\s*$""".r
   private val ImportTable =
     """(?is)^\s*IMPORT\s+(?:TABLE\s+([\w.]+)\s+)?FROM\s+'([^']+)'\s*;?\s*$""".r
+  // CREATE/DROP TEMPORARY FUNCTION (Hive.g createFunctionStatement,
+  // FunctionTask.java:1)
+  private val CreateFunc =
+    """(?is)^\s*CREATE\s+TEMPORARY\s+FUNCTION\s+(\w+)\s+AS\s+'([^']+)'\s*;?\s*$""".r
+  private val DropFunc =
+    """(?is)^\s*DROP\s+TEMPORARY\s+FUNCTION\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$""".r
+  // command-processor lines (ql/processors/): SET k=v (SetProcessor.java)
+  // and ADD FILE (AddResourceProcessor.java — what TRANSFORM scripts need)
+  // parse NATIVELY in Spark SQL, so they fall through `rewrite` untouched;
+  // SqlDialectSpec pins both. DFS / DELETE resource / ADD JAR are documented
+  // drops (shell passthrough; no dynamic classpath in a library).
   // t TABLESAMPLE (BUCKET x OUT OF y ON col) [alias] — Hive.g tableSample;
   // Spark's TABLESAMPLE BUCKET form is a random fraction, so the
   // deterministic ON-column semantics are rewritten to an explicit
@@ -146,6 +157,12 @@ object HiveQl {
       spark.emptyDataFrame
     case ImportTable(table, dir) =>
       sources.HiveExim.importTable(spark, Option(table), dir)
+      spark.emptyDataFrame
+    case CreateFunc(name, className) =>
+      functions.GraftFunctions.registerAs(spark, name, className)
+      spark.emptyDataFrame
+    case DropFunc(name) =>
+      functions.GraftFunctions.dropFunction(spark, name)
       spark.emptyDataFrame
     case _ => spark.sql(rewrite(q))
   }

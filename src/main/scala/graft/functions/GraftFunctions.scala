@@ -31,6 +31,28 @@ object GraftFunctions {
     (new FunctionIdentifier(name),
       new ExpressionInfo(clazz.getCanonicalName, name), builder)
 
+  /** `CREATE TEMPORARY FUNCTION name AS 'class'` (ref FunctionTask.java:1,
+    * Hive.g createFunctionStatement): bind an implementation CLASS to a
+    * user-chosen name in the session registry. The classes resolvable here
+    * are graft's Catalyst expressions — the Spark-first analogue of the
+    * reference's UDF class loading (no reflection: the builder closures are
+    * the only safe way to construct typed expression trees).
+    */
+  def registerAs(spark: org.apache.spark.sql.SparkSession, name: String,
+      className: String): Unit = {
+    val builder = registrations
+      .find(_._2.getClassName == className).map(_._3)
+      .getOrElse(throw new IllegalArgumentException(
+        s"CREATE TEMPORARY FUNCTION: unknown implementation class " +
+          s"$className; available: " +
+          registrations.map(_._2.getClassName).distinct.sorted.mkString(", ")))
+    spark.sessionState.functionRegistry.registerFunction(
+      new FunctionIdentifier(name), new ExpressionInfo(className, name), builder)
+  }
+
+  def dropFunction(spark: org.apache.spark.sql.SparkSession, name: String): Boolean =
+    spark.sessionState.functionRegistry.dropFunction(new FunctionIdentifier(name))
+
   /** `create_union(tag, v0..vn)` → the engine's uniontype encoding
     * `struct<tag: tinyint, field0.., fieldN>` with exactly one live payload
     * (SURVEY.md §1.2; ref GenericUDFUnion, FunctionRegistry.java:413). SQL

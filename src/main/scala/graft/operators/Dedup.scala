@@ -588,6 +588,47 @@ object Dedup extends QueryModule {
           FROM d)
         SELECT source, count(*) AS n_docs,
                CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-        FROM r GROUP BY source ORDER BY source"""))
+        FROM r GROUP BY source ORDER BY source""")),
+
+    // ---- Symmetric int8 embedding quantization (absmax scaling — the
+    //      4× storage cut before an ANN index build). Pure projection,
+    //      shuffle-free at any scale. Cross-engine safety: inputs are
+    //      float→double (exact), the scaled values are single-expression
+    //      IEEE arithmetic, and round-to-INTEGER is engine-agreeing (exact
+    //      binary halves round away from zero in both; fractional-scale
+    //      rounds are the ones that diverge — see q88 notes). The
+    //      quantized vector is emitted as a CSV digest; per-vector sums and
+    //      saturation counts pin the values numerically.
+    QueryDef(
+      "q95_embed_quant",
+      (s, dir) => t(s, dir, "embeddings")
+        .selectExpr("vec_id", "label",
+          "array_max(transform(embedding, x -> abs(double(x)))) AS maxabs",
+          "embedding")
+        .selectExpr("vec_id", "label", "maxabs",
+          """CASE WHEN maxabs > 0 THEN
+               transform(embedding, x -> cast(round(double(x) * 127 / maxabs) AS int))
+             ELSE transform(embedding, x -> 0) END AS q""")
+        .selectExpr("vec_id", "label", "maxabs",
+          "aggregate(q, 0L, (acc, v) -> acc + v) AS q_sum",
+          "size(filter(q, v -> abs(v) = 127)) AS n_sat",
+          "md5(array_join(q, ',')) AS q_md5")
+        .orderBy(col("vec_id")),
+      Some("""WITH m AS (
+          SELECT vec_id, label, embedding,
+                 list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+          FROM embeddings),
+        qz AS (
+          SELECT vec_id, label, maxabs,
+                 CASE WHEN maxabs > 0 THEN
+                   list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) * 127 / maxabs) AS INT))
+                 ELSE list_transform(embedding, x -> 0) END AS q
+          FROM m)
+        SELECT vec_id, label, maxabs,
+               CAST(list_sum(q) AS BIGINT) AS q_sum,
+               len(list_filter(q, v -> abs(v) = 127)) AS n_sat,
+               md5(array_to_string(q, ',')) AS q_md5
+        FROM qz ORDER BY vec_id"""))
   )
 }

@@ -149,6 +149,44 @@ class SqlDialectSpec extends SparkSpec {
     assert(!r3.matches("""(?s).*\)\s+tbl\s+s.*"""), r3)
   }
 
+  test("SET and ADD FILE command lines run through HiveQl (ql/processors analogue)") {
+    // SET k=v (SetProcessor.java) and ADD FILE (AddResourceProcessor.java)
+    // parse natively in Spark SQL — assert the whole command→effect loop
+    HiveQl.sql(spark, "SET spark.sql.cbo.enabled=true")
+    assert(spark.conf.get("spark.sql.cbo.enabled") == "true")
+    HiveQl.sql(spark, "SET spark.sql.cbo.enabled=false")
+    assert(spark.conf.get("spark.sql.cbo.enabled") == "false")
+
+    val f = Files.createTempFile("graft-add", ".txt")
+    Files.writeString(f, "resource-payload")
+    HiveQl.sql(spark, s"ADD FILE $f")
+    val listed = spark.sql("LIST FILES").collect().map(_.getString(0))
+    assert(listed.exists(_.endsWith(f.getFileName.toString)), listed.mkString(","))
+    // the distributed copy is what a TRANSFORM script would read — resolve
+    // it from inside a task, where executors materialize added files
+    val name = f.getFileName.toString
+    val content = spark.sparkContext.parallelize(Seq(1), 1).map { _ =>
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        org.apache.spark.SparkFiles.get(name))), "UTF-8")
+    }.collect().head
+    assert(content == "resource-payload")
+  }
+
+  test("CREATE TEMPORARY FUNCTION binds a graft class to a new name (FunctionTask.java)") {
+    HiveQl.sql(spark,
+      "CREATE TEMPORARY FUNCTION my_hash AS 'graft.functions.HiveHash08'")
+    val r = spark.sql("SELECT my_hash(42) AS a, hash(42) AS b").head()
+    assert(r.getInt(0) == r.getInt(1))
+    HiveQl.sql(spark, "DROP TEMPORARY FUNCTION my_hash")
+    intercept[Exception](spark.sql("SELECT my_hash(42)").collect())
+    // IF EXISTS on an absent name is a no-op, not an error
+    HiveQl.sql(spark, "DROP TEMPORARY FUNCTION IF EXISTS my_hash")
+    // an unknown implementation class is refused with the available list
+    val e = intercept[IllegalArgumentException](HiveQl.sql(spark,
+      "CREATE TEMPORARY FUNCTION f AS 'com.example.NoSuchUdf'"))
+    assert(e.getMessage.contains("graft.functions.HiveHash08"))
+  }
+
   test("CTAS: CREATE TABLE AS SELECT materializes the query (Hive.g createTableStatement)") {
     Tables.registerAll(spark, sfDir)
     spark.sql("DROP TABLE IF EXISTS ctas_top")
