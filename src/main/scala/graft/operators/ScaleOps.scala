@@ -187,6 +187,45 @@ object ScaleOps extends QueryModule {
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
         round(sum(l_quantity), 2) AS qty
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // ---- Pure range (interval) join — no equi-key, the plan Catalyst can
+    //      only express as a nested loop — via RangeJoin.pointsInIntervals
+    //      time-bin bucketing (see RangeJoin.scala for the cost model).
+    //      Incident windows (high-value errors, 30 min) × click points;
+    //      zero-click windows kept by the left join-back. Click values sum
+    //      as exact cents (double sums are accumulation-order-dependent).
+    QueryDef(
+      "q96_range_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val incidents = ev
+          .filter(col("event_type") === "error" && col("value") > 19)
+          .selectExpr("event_id AS inc_id", "ts AS w_start",
+            "ts + INTERVAL 30 MINUTES AS w_end")
+        val clicks = ev.filter(col("event_type") === "click")
+          .selectExpr("event_id AS click_id", "ts AS c_ts",
+            "cast(round(value * 100) AS bigint) AS cents")
+        val matched = RangeJoin
+          .pointsInIntervals(clicks, "c_ts", incidents, "w_start", "w_end", 600)
+          .groupBy(col("inc_id"))
+          .agg(count(lit(1)).as("n_clicks"), sum(col("cents")).as("c"))
+        incidents.select(col("inc_id")).join(matched, Seq("inc_id"), "left")
+          .selectExpr("inc_id", "coalesce(n_clicks, 0L) AS n_clicks",
+            "coalesce(c, 0L) / 100.0 AS click_value")
+          .orderBy(col("inc_id"))
+      },
+      Some("""WITH i AS (
+          SELECT event_id AS inc_id, ts AS w_start,
+                 ts + INTERVAL 30 MINUTE AS w_end
+          FROM events WHERE event_type = 'error' AND value > 19),
+        c AS (
+          SELECT event_id AS click_id, ts AS c_ts,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'click')
+        SELECT inc_id, count(click_id) AS n_clicks,
+               CAST(coalesce(sum(cents), 0) AS BIGINT) / 100.0 AS click_value
+        FROM i LEFT JOIN c ON c_ts >= w_start AND c_ts <= w_end
+        GROUP BY inc_id ORDER BY inc_id"""))
   )
 }
