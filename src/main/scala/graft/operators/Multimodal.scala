@@ -106,7 +106,69 @@ object Multimodal extends QueryModule {
                 range((length(text) * $c) // 8 + 1, (length(text) * ${c + 1}) // 8 + 1),
                 i -> unicode(substr(text, CAST(i AS INT), 1)))), 4), 0.0) AS f$c"""
         }.mkString(",\n        ") + """
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- Content-defined chunking dedup over the binary payload (the
+    //      storage-level media-dedup scheme: rolling-hash boundaries are
+    //      SHIFT-RESISTANT, unlike fixed-offset chunks, so shared runs
+    //      between payloads land in identical chunks). Boundary rule: a
+    //      4-byte polynomial hash of the trailing window ≡ 0 (mod 29 —
+    //      coprime with the base-31 weights; a base-divisible modulus
+    //      degenerates to last-byte-only and never fires on this
+    //      alphabet) → ~29-byte expected chunks. Chunk digests are md5 over BINARY
+    //      payload slices; the oracle predicts them from the text domain
+    //      (byte-identical for this ASCII corpus; DuckDB v1.0 has no blob
+    //      md5). n_shared counts the doc's distinct chunks that appear in
+    //      at least one OTHER doc — the exact-dup groups the corpus carries
+    //      (q50) share every chunk. Chunk-frequency table joins back
+    //      broadcast here; at corpus scale the same plan holds with the
+    //      frequency join as a plain shuffle equi-join.
+    QueryDef(
+      "q97_cdc_chunks",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .filter(col("doc_id") < 400)
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("doc_id", "text", "encode(text, 'UTF-8') AS payload")
+          .selectExpr("doc_id", "payload",
+            """concat(array(0),
+                 filter(sequence(4, length(text) - 1),
+                   i -> (ascii(substring(text, i - 3, 1)) * 29791
+                       + ascii(substring(text, i - 2, 1)) * 961
+                       + ascii(substring(text, i - 1, 1)) * 31
+                       + ascii(substring(text, i, 1))) % 29 = 0),
+                 array(length(text))) AS bounds""")
+          .selectExpr("doc_id",
+            """array_distinct(transform(sequence(0, size(bounds) - 2),
+                 j -> md5(substring(payload, bounds[j] + 1, bounds[j + 1] - bounds[j])))) AS chunks""")
+        val docChunks = base.selectExpr("doc_id", "explode(chunks) AS ch")
+        val dfreq = docChunks.groupBy(col("ch"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        docChunks.join(broadcast(dfreq), Seq("ch"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("df") >= 2, 1).otherwise(0)).as("n_shared"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (
+          SELECT doc_id, text,
+                 [0] || list_filter(range(4, length(text)),
+                   i -> (unicode(substr(text, CAST(i - 3 AS INT), 1)) * 29791
+                       + unicode(substr(text, CAST(i - 2 AS INT), 1)) * 961
+                       + unicode(substr(text, CAST(i - 1 AS INT), 1)) * 31
+                       + unicode(substr(text, CAST(i AS INT), 1))) % 29 = 0)
+                   || [length(text)] AS bounds
+          FROM documents WHERE doc_id < 400),
+        dc AS (
+          SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(bounds)),
+                   j -> md5(substr(text, CAST(bounds[j] + 1 AS INT),
+                                   CAST(bounds[j+1] - bounds[j] AS INT))))) AS ch
+          FROM b),
+        dfreq AS (SELECT ch, count(DISTINCT doc_id) AS df FROM dc GROUP BY ch)
+        SELECT doc_id, count(*) AS n_chunks,
+               CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        FROM dc JOIN dfreq USING (ch)
+        GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
 
