@@ -56,6 +56,46 @@ class StreamingSpec extends SparkSpec {
       s"timed-out session missing: ${afterB2.toSeq}")
   }
 
+  test("left-outer stream-stream join emits null-padded rows after watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val l = MemoryStream[(Long, Long)] // (key, ts_us)
+    val r = MemoryStream[(Long, Long)]
+    val left = l.toDS()
+      .select(col("_1").as("k"), timestamp_micros(col("_2")).as("lts"))
+      .withWatermark("lts", "0 seconds")
+    val right = r.toDS()
+      .select(col("_1").as("k2"), timestamp_micros(col("_2")).as("rts"))
+      .withWatermark("rts", "0 seconds")
+    val joined = left.join(right,
+      col("k") === col("k2")
+        && col("rts") >= col("lts")
+        && col("rts") <= col("lts") + expr("INTERVAL 5 MINUTES"),
+      "left_outer")
+    val q = joined.writeStream.queryName("lojoin_sink")
+      .outputMode(OutputMode.Append()).format("memory").start()
+
+    val b = 1000L * us
+    // key 1 matches inside the interval; key 2 never matches
+    l.addData((1L, b), (2L, b))
+    r.addData((1L, b + 60L * us))
+    q.processAllAvailable()
+    val early = spark.table("lojoin_sink")
+      .select("k", "k2").collect().map(x => (x.getLong(0), x.isNullAt(1)))
+    assert(early.toSet == Set((1L, false)),
+      s"unmatched row must be HELD until the watermark passes: ${early.toSeq}")
+
+    // watermark rides min(maxEventTime) across BOTH inputs — advance both
+    // past key 2's join window so the held row flushes null-padded
+    l.addData((99L, b + 1800L * us))
+    r.addData((99L, b + 1800L * us))
+    q.processAllAvailable()
+    val fin = spark.table("lojoin_sink")
+      .select("k", "k2").collect().map(x => (x.getLong(0), x.isNullAt(1))).toSet
+    q.stop()
+    assert(fin.contains((2L, true)), s"null-padded row missing: $fin")
+    assert(fin.contains((1L, false)))
+  }
+
   test("streamed tumbling aggregation equals the batch plan") {
     val streamed = SparkEntry.queries("q70_stream_tumbling")(spark, sfDir)
     val batch = Tables.load(spark, sfDir, "events")
