@@ -130,6 +130,11 @@ object GraftFunctions {
       es => ContextNGramsAgg(es(0), es(1), es(2)).toAggregateExpression()),
     reg("context_ngrams", classOf[ContextNGramsAgg],
       es => ContextNGramsAgg(es(0), es(1), es(2)).toAggregateExpression()),
+    // per-group top-k with a bounded partial buffer (extension): only
+    // ~k rows per partition reach the shuffle, vs the window formulation
+    // sorting every group row
+    reg("top_k", classOf[TopKAgg],
+      es => TopKAgg(es(0), es(1), es(2)).toAggregateExpression()),
     reg("winnow_mins", classOf[WinnowMins], es => {
       def asIntLit(e: Expression, what: String): Int = e match {
         case Literal(v: Int, IntegerType) => v

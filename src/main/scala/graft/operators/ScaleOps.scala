@@ -226,6 +226,28 @@ object ScaleOps extends QueryModule {
         SELECT inc_id, count(click_id) AS n_clicks,
                CAST(coalesce(sum(cents), 0) AS BIGINT) / 100.0 AS click_value
         FROM i LEFT JOIN c ON c_ts >= w_start AND c_ts <= w_end
-        GROUP BY inc_id ORDER BY inc_id"""))
+        GROUP BY inc_id ORDER BY inc_id""")),
+
+    // ---- Per-group top-k via the bounded-buffer `top_k` aggregate
+    //      (functions/TopK.scala): the window row_number formulation the
+    //      oracle uses shuffles and sorts EVERY group row; the aggregate
+    //      ships at most k rows per partial buffer. Labels are unique
+    //      (orderkey), so (value desc, label asc) ranking is total.
+    QueryDef(
+      "q98_topk_per_group",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("top_k(o_totalprice, cast(o_orderkey AS string), 3)").as("tk"))
+        .select(col("o_orderstatus"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .selectExpr("o_orderstatus", "pos + 1 AS rk", "e.label AS okey",
+          "e.v AS price")
+        .orderBy(col("o_orderstatus"), col("rk")),
+      Some("""SELECT o_orderstatus, rk, okey, price FROM (
+          SELECT o_orderstatus, CAST(o_orderkey AS VARCHAR) AS okey,
+                 o_totalprice AS price,
+                 row_number() OVER (PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice DESC, CAST(o_orderkey AS VARCHAR)) AS rk
+          FROM orders)
+        WHERE rk <= 3 ORDER BY o_orderstatus, rk"""))
   )
 }

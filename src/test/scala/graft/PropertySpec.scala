@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{NGramFreq, NGramKernel, NGramState}
+import graft.functions.{NGramFreq, NGramKernel, NGramState, TopKKernel, TopKState}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -174,6 +174,46 @@ class PropertySpec extends SparkSpec {
     got.zip(ss).foreach { case (f, s) =>
       val expected = Seq("x", "y", "z").indexOf(s) + 1
       assert(f == (if (expected > 0) expected else 0))
+    }
+  }
+
+  // ---- top_k bounded-buffer aggregate (functions/TopK.scala) ----
+
+  private val tkRow: Gen[(Double, String)] = for {
+    v <- Gen.chooseNum(0, 40).map(_.toDouble / 4) // dense → many ties
+    l <- Gen.oneOf("a", "b", "c", "d", "e", "f")
+  } yield (v, l)
+
+  private def tkReduced(rows: Seq[(Double, String)], k: Int): TopKState = {
+    val s = new TopKState(k)
+    rows.foreach { case (v, l) => TopKKernel.add(s, v, l, 1L) }
+    s
+  }
+
+  private def brute(rows: Seq[(Double, String)], k: Int): Seq[(String, Double)] =
+    rows.sortBy { case (v, l) => (-v, l) }.take(k).map { case (v, l) => (l, v) }
+
+  test("top_k: reduce-all == split-reduce-merge == brute force, incl ties") {
+    (1 to 100).foreach { seed =>
+      val rows = sample(Gen.listOfN(30, tkRow), seed)
+      val k = 1 + seed % 7
+      val whole = tkReduced(rows, k)
+      val (l, r) = rows.splitAt(seed % rows.size)
+      val merged = TopKKernel.merge(tkReduced(l, k), tkReduced(r, k))
+      val expect = brute(rows, k)
+      assert(TopKKernel.finish(whole) == expect, s"seed=$seed whole")
+      assert(TopKKernel.finish(merged) == expect, s"seed=$seed merged")
+    }
+  }
+
+  test("top_k: serde round trip; empty state is merge identity") {
+    (1 to 40).foreach { seed =>
+      val rows = sample(Gen.listOfN(20, tkRow), seed)
+      val st = tkReduced(rows, 5)
+      val back = TopKKernel.deserialize(TopKKernel.serialize(st))
+      assert(TopKKernel.finish(back) == TopKKernel.finish(tkReduced(rows, 5)))
+      val withZero = TopKKernel.merge(back, new TopKState())
+      assert(TopKKernel.finish(withZero) == brute(rows, 5), s"seed=$seed")
     }
   }
 }
