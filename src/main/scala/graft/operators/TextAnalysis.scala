@@ -446,6 +446,59 @@ object TextAnalysis extends QueryModule {
           FROM d)
         SELECT lang, (cum - tokens) // 512 AS bin,
                count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS bin_tokens
-        FROM c GROUP BY 1, 2 ORDER BY lang, bin"""))
+        FROM c GROUP BY 1, 2 ORDER BY lang, bin""")),
+
+    // ---- Bigram language-model quality score (the KenLM-style perplexity
+    //      filter, corpus-trained): -avg log p(w2|w1) with add-one
+    //      smoothing, p = (B(w1,w2)+1)/(U(w1)+V). Count tables are
+    //      vocabulary-sized → broadcast; V is an in-plan scalar. Per-bigram
+    //      log-probs are summed as exact MICRO-UNITS (round-to-integer is
+    //      the engine-agreeing rounding) because a per-doc sum of raw
+    //      doubles is accumulation-order-dependent between Spark's
+    //      partial/final tree and DuckDB's sequential fold.
+    QueryDef(
+      "q99_lm_score",
+      (s, dir) => {
+        val words = t(s, dir, "documents")
+          .selectExpr("doc_id", "split(lower(text), ' ') AS w")
+        val bigrams = words
+          .selectExpr("doc_id",
+            """explode(CASE WHEN size(w) >= 2 THEN
+                 transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2))
+               ELSE array() END) AS bg""")
+          .selectExpr("doc_id", "bg.w1 AS w1", "bg.w2 AS w2")
+        val uni = words.selectExpr("explode(w) AS w1")
+          .groupBy(col("w1")).agg(count(lit(1)).as("u"))
+        val bi = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("b"))
+        val vocab = uni.agg(count(lit(1)).as("v"))
+        bigrams
+          .join(broadcast(bi), Seq("w1", "w2"))
+          .join(broadcast(uni), Seq("w1"))
+          .crossJoin(broadcast(vocab))
+          .selectExpr("doc_id",
+            "cast(round(-ln((b + 1) / (u + cast(v AS double))) * 1000000) AS bigint) AS micro")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("micro")).as("m"))
+          .selectExpr("doc_id", "n_bigrams",
+            "round(m / (1000000.0 * n_bigrams), 4) AS nll")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (
+          SELECT doc_id, str_split(rtrim(lower(text), ' '), ' ') AS w FROM documents),
+        bg AS (
+          SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+          FROM w WHERE len(w) >= 2),
+        uni AS (
+          SELECT w1, CAST(count(*) AS BIGINT) AS u
+          FROM (SELECT doc_id, unnest(w) AS w1 FROM w) GROUP BY w1),
+        bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS b FROM bg GROUP BY 1, 2),
+        v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+        scored AS (
+          SELECT bg.doc_id,
+                 CAST(round(-ln((b + 1) / (u + CAST(v AS DOUBLE))) * 1000000) AS BIGINT) AS micro
+          FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v)
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(CAST(sum(micro) AS BIGINT) / (1000000.0 * count(*)), 4) AS nll
+        FROM scored GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -61,7 +61,8 @@ class PlanShapeSpec extends SparkSpec {
       "q54_embed_knn",    // brute-force kNN baseline: broadcast query set
       "q64b_tfidf",       // broadcast in-plan corpus-size scalar
       "q75_ann_ivf",      // broadcast coarse quantizer (8 centroids)
-      "q92_boilerplate")  // broadcast in-plan corpus-size scalar (as q64b)
+      "q92_boilerplate",  // broadcast in-plan corpus-size scalar (as q64b)
+      "q99_lm_score")     // broadcast in-plan vocab-size scalar (as q64b)
     val flagged = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.contains("stream")) // streaming fns execute on call
       .flatMap { case (name, fn) =>
