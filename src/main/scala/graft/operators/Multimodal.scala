@@ -141,10 +141,18 @@ object Multimodal extends QueryModule {
           .selectExpr("doc_id",
             """array_distinct(transform(sequence(0, size(bounds) - 2),
                  j -> md5(substring(payload, bounds[j] + 1, bounds[j + 1] - bounds[j])))) AS chunks""")
-        val docChunks = base.selectExpr("doc_id", "explode(chunks) AS ch")
-        val dfreq = docChunks.groupBy(col("ch"))
-          .agg(countDistinct(col("doc_id")).as("df"))
-        docChunks.join(broadcast(dfreq), Seq("ch"))
+        // explode_outer: plain explode makes InferFiltersFromGenerate push a
+        // size(chunks)>0 constraint into the scan filter, re-evaluating the
+        // whole rolling-hash chunk expression per row (measured 10×); null
+        // rows can't survive the grouping with a non-null chunk anyway.
+        // Chunk document-frequency as a count-over-window on ch — (doc,
+        // chunk) is already distinct per doc, so rows-per-ch = docs-per-ch,
+        // and the single window shuffle replaces a separate frequency-table
+        // aggregation + join-back that would re-evaluate the chunk
+        // expression a second time (same shape as q51's df window).
+        import org.apache.spark.sql.expressions.Window
+        base.selectExpr("doc_id", "explode_outer(chunks) AS ch")
+          .withColumn("df", count(lit(1)).over(Window.partitionBy(col("ch"))))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_chunks"),
             sum(when(col("df") >= 2, 1).otherwise(0)).as("n_shared"))
