@@ -211,8 +211,11 @@ object ScaleOps extends QueryModule {
           .groupBy(col("inc_id"))
           .agg(count(lit(1)).as("n_clicks"), sum(col("cents")).as("c"))
         incidents.select(col("inc_id")).join(matched, Seq("inc_id"), "left")
+          // 100.0D: a bare 100.0 in SQL text is DECIMAL(4,1), and
+          // bigint/decimal produces a DECIMAL column the driver's gate
+          // renders differently than the oracle's double
           .selectExpr("inc_id", "coalesce(n_clicks, 0L) AS n_clicks",
-            "coalesce(c, 0L) / 100.0 AS click_value")
+            "coalesce(c, 0L) / 100.0D AS click_value")
           .orderBy(col("inc_id"))
       },
       Some("""WITH i AS (

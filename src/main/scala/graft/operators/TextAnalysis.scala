@@ -479,8 +479,10 @@ object TextAnalysis extends QueryModule {
             "cast(round(-ln((b + 1) / (u + cast(v AS double))) * 1000000) AS bigint) AS micro")
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_bigrams"), sum(col("micro")).as("m"))
+          // 1000000.0D: a bare decimal literal in SQL text makes the whole
+          // division DECIMAL-typed (driver-gate-unsafe), unlike DSL doubles
           .selectExpr("doc_id", "n_bigrams",
-            "round(m / (1000000.0 * n_bigrams), 4) AS nll")
+            "round(m / (1000000.0D * n_bigrams), 4) AS nll")
           .orderBy(col("doc_id"))
       },
       Some("""WITH w AS (

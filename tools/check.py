@@ -52,14 +52,19 @@ def main():
             exp_cols, exp = table(con, oracles[name])
             # The DRIVER's fetch path does not canonicalize int128/decimal the
             # way norm() does (r3: HUGEINT sums hashed as floats → q74/q87
-            # red while this replica passed). Refuse oracle output types the
-            # driver renders differently than Spark's parquet types.
-            bad = [(c, ty) for c, ty, *_ in
+            # red while this replica passed). Refuse driver-unsafe types on
+            # BOTH sides: oracle HUGEINT/DECIMAL (DuckDB sum(int), bare
+            # decimal literals) AND Spark DECIMAL parquet (a bare `100.0` in
+            # selectExpr SQL text is DECIMAL(4,1) — use 100.0D).
+            bad = [("oracle", c, ty) for c, ty, *_ in
                    con.execute(f"DESCRIBE ({oracles[name]})").fetchall()
                    if ty.startswith(("HUGEINT", "UHUGEINT", "DECIMAL"))]
+            bad += [("spark", c, ty) for c, ty, *_ in
+                    con.execute(f"DESCRIBE (SELECT * FROM '{out_dir}/{name}/*.parquet')").fetchall()
+                    if ty.startswith(("HUGEINT", "UHUGEINT", "DECIMAL"))]
             if bad:
-                print(f"FAIL {name}: driver-unsafe oracle column types {bad} "
-                      f"(CAST sums to BIGINT / divisions to DOUBLE)")
+                print(f"FAIL {name}: driver-unsafe column types {bad} "
+                      f"(CAST sums to BIGINT; double literals: SQL-text 1.0D)")
                 n_fail += 1
                 continue
         except Exception as e:
