@@ -513,7 +513,9 @@ object Dedup extends QueryModule {
         while (changed > 0 && iter < maxRounds) {
           // two supersteps per scheduler round trip; the fixpoint test is
           // sound on the SECOND step alone (if it moved nothing, the first
-          // step's output was already stable)
+          // step's output was already stable). Measured: three supersteps
+          // per round is ~2.5× SLOWER — the deeper per-round plan costs
+          // more in codegen/planning than the saved count actions.
           val next = propagate(propagate(labels).drop("moved")).cache()
           changed = next.filter(col("moved")).count()
           labels.unpersist()
