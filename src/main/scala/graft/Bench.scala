@@ -24,11 +24,26 @@ object Bench {
     // total sums successful durations only — the -1 sentinels would shrink
     // the aggregate and mix units; failures are reported by name instead
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // streaming queries carry micro-batch/state-store FIXED costs (AQE off
+    // in stateful workloads) that wobble with machine load, not data —
+    // split them out so batch regressions aren't hidden inside the wobble
+    val streamNames = streaming.Streaming.defs.map(_.name).toSet
+    val batchTotal = results.collect {
+      case (k, v) if v >= 0 && !streamNames(k) => v }.sum
+    val streamTotal = results.collect {
+      case (k, v) if v >= 0 && streamNames(k) => v }.sum
     val failed = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
     def line(key: String => String, fmt: Double => String): String = {
-      val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + fmt(v) }
+      // duplicate short keys would silently shadow each other in most JSON
+      // parsers — fall back to full names if a prefix collision ever appears
+      val safeKey =
+        if (results.map(r => key(r._1)).distinct.size == results.size) key
+        else identity[String] _
+      val qs = results.map { case (k, v) => "\"" + safeKey(k) + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_failed":${failed.size},""" +
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""batch_total":${fmt(batchTotal)},"stream_total":${fmt(streamTotal)},""" +
+        s""""n_failed":${failed.size},""" +
         s""""failed":${failed.mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}"""
     }
     // full names + full precision → file; the STDOUT line must fit entirely

@@ -50,7 +50,30 @@ object Sessions {
     * injects the custom expressions and UDAFs idempotently so every query
     * runs on any session.
     */
+  /** Pin the JAXP factories to the JDK defaults. Without the properties,
+    * every `DocumentBuilderFactory.newInstance()` / `XPathFactory
+    * .newInstance()` runs a ServiceLoader scan over every classpath jar
+    * (hundreds under a Spark install) — and Spark's builtin xpath family
+    * re-runs both per task instance (transient lazy evaluator). The graft
+    * xpath kernel avoids the re-lookup structurally (functions/XPathFast
+    * .scala); this covers any residual builtin XML path (from_xml etc.).
+    * The pinned classes ARE the JDK's own defaults — the property only
+    * short-circuits the lookup, it cannot change behavior. On a real
+    * cluster the same -D pair goes in executor JVM options.
+    */
+  private def pinJaxp(): Unit = {
+    def pin(k: String, v: String): Unit =
+      if (System.getProperty(k) == null) System.setProperty(k, v)
+    pin("javax.xml.parsers.DocumentBuilderFactory",
+      "com.sun.org.apache.xerces.internal.jaxp.DocumentBuilderFactoryImpl")
+    pin("javax.xml.parsers.SAXParserFactory",
+      "com.sun.org.apache.xerces.internal.jaxp.SAXParserFactoryImpl")
+    pin("javax.xml.xpath.XPathFactory:http://java.sun.com/jaxp/xpath/dom",
+      "com.sun.org.apache.xpath.internal.jaxp.XPathFactoryImpl")
+  }
+
   def ensureRegistered(spark: SparkSession): Unit = {
+    pinJaxp()
     // sessions not built by builder() (e.g. driver-owned) still need Hive
     // error semantics — same guarded-flip pattern as Tables.load's
     // nanosAsLong (runtime-mutable conf; never flips an explicit 'false')

@@ -135,6 +135,19 @@ object GraftFunctions {
     // sorting every group row
     reg("top_k", classOf[TopKAgg],
       es => TopKAgg(es(0), es(1), es(2)).toAggregateExpression()),
+    // xpath family under the builtin names (FunctionRegistry.java:309-317):
+    // same public semantics, but the JAXP factories resolve once per JVM and
+    // parsers are thread-local (see XPathKernel) — the builtin re-runs two
+    // classpath-scanning ServiceLoader lookups per task instance
+    reg("xpath", classOf[HiveXPath], es => HiveXPath(es(0), es(1), "list")),
+    reg("xpath_string", classOf[HiveXPath], es => HiveXPath(es(0), es(1), "string")),
+    reg("xpath_boolean", classOf[HiveXPath], es => HiveXPath(es(0), es(1), "boolean")),
+    reg("xpath_short", classOf[HiveXPath], es => HiveXPath(es(0), es(1), "short")),
+    reg("xpath_int", classOf[HiveXPath], es => HiveXPath(es(0), es(1), "int")),
+    reg("xpath_long", classOf[HiveXPath], es => HiveXPath(es(0), es(1), "long")),
+    reg("xpath_float", classOf[HiveXPath], es => HiveXPath(es(0), es(1), "float")),
+    reg("xpath_double", classOf[HiveXPath], es => HiveXPath(es(0), es(1), "double")),
+    reg("xpath_number", classOf[HiveXPath], es => HiveXPath(es(0), es(1), "number")),
     reg("winnow_mins", classOf[WinnowMins], es => {
       def asIntLit(e: Expression, what: String): Int = e match {
         case Literal(v: Int, IntegerType) => v
@@ -152,7 +165,9 @@ object GraftFunctions {
     * Spark 3.5+'s raw-popcount `bitmap_count`, which reads compressed
     * bitmap bytes as garbage).
     */
-  val overridesBuiltin: Set[String] = Set("hash", "bitmap_count", "split")
+  val overridesBuiltin: Set[String] = Set("hash", "bitmap_count", "split",
+    "xpath", "xpath_string", "xpath_boolean", "xpath_short", "xpath_int",
+    "xpath_long", "xpath_float", "xpath_double", "xpath_number")
 }
 
 /** `field(needle, v1..vn)`: 1-based index of the first vi equal to needle,

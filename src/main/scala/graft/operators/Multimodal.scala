@@ -131,12 +131,19 @@ object Multimodal extends QueryModule {
           .repartition(s.sparkContext.defaultParallelism)
           .selectExpr("doc_id", "text", "encode(text, 'UTF-8') AS payload")
           .selectExpr("doc_id", "payload",
+            // the length(text) >= 5 guard: Spark's 2-arg sequence(a, b)
+            // DESCENDS when b < a (default step -1), so a ≤4-char doc would
+            // produce out-of-order bounds here while the oracle's
+            // range(4, length(text)) is empty — the guard pins both engines
+            // to "one whole-doc chunk" for short docs
             """concat(array(0),
-                 filter(sequence(4, length(text) - 1),
-                   i -> (ascii(substring(text, i - 3, 1)) * 29791
-                       + ascii(substring(text, i - 2, 1)) * 961
-                       + ascii(substring(text, i - 1, 1)) * 31
-                       + ascii(substring(text, i, 1))) % 29 = 0),
+                 CASE WHEN length(text) >= 5 THEN
+                   filter(sequence(4, length(text) - 1),
+                     i -> (ascii(substring(text, i - 3, 1)) * 29791
+                         + ascii(substring(text, i - 2, 1)) * 961
+                         + ascii(substring(text, i - 1, 1)) * 31
+                         + ascii(substring(text, i, 1))) % 29 = 0)
+                 ELSE array() END,
                  array(length(text))) AS bounds""")
           .selectExpr("doc_id",
             """array_distinct(transform(sequence(0, size(bounds) - 2),

@@ -120,7 +120,11 @@ object TextAnalysis extends QueryModule {
 
     // ---- TF-IDF: corpus-level term weighting — term/document frequencies
     //      via two aggregations over the exploded term index, idf joined
-    //      back (broadcast: vocabulary ≪ corpus), top-3 terms per doc.
+    //      back UNHINTED on `term`: at web scale the unigram DF table is
+    //      10⁷–10⁸ rows — at the edge of broadcastability — so the plan
+    //      must not *force* a driver build; AQE broadcasts when it actually
+    //      fits and falls back to a shuffle hash join on the same key the
+    //      DF aggregation already used when it doesn't.
     QueryDef(
       "q64b_tfidf",
       (s, dir) => {
@@ -136,7 +140,7 @@ object TextAnalysis extends QueryModule {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id"))
           .orderBy(col("tfidf").desc, col("term"))
-        tf.join(broadcast(dfreq), Seq("term"))
+        tf.join(dfreq, Seq("term"))
           .crossJoin(broadcast(nDf))
           .selectExpr("doc_id", "term", "tf", "df",
             "round(tf * ln((n_docs + 1) / (df + 1.0)), 6) AS tfidf")
@@ -369,9 +373,16 @@ object TextAnalysis extends QueryModule {
     //      document frequency, drop chunks present in > 3.3% of the corpus
     //      (relative cap: scale-independent, computed from an IN-PLAN
     //      broadcast scalar, never a driver-side count), and reassemble the
-    //      surviving text in original order. The chunk-frequency table is
-    //      vocabulary-sized → broadcast back; the only row-volume shuffles
-    //      key on chunk and doc_id.
+    //      surviving text in original order. Two-tier hot/cold split: the
+    //      FULL chunk-frequency table is bigram-vocabulary-sized (billions
+    //      of distinct chunks on a web corpus — NOT broadcastable), but the
+    //      ABOVE-CAP "hot" subset is bounded by construction: each hot chunk
+    //      has df > 3.3%·N, and Σdf ≤ total chunk-doc incidences T, so
+    //      |hot| < T/(0.033·N) ≈ 30 × avg-chunks-per-doc — corpus-size-
+    //      independent, always broadcastable. So only `hot` is broadcast,
+    //      and keep = "not in hot" via a broadcast left-outer; the corpus-
+    //      sized dfreq never reaches the driver and the chunk rows are never
+    //      re-shuffled after the DF aggregation.
     QueryDef(
       "q92_boilerplate",
       (s, dir) => {
@@ -383,9 +394,11 @@ object TextAnalysis extends QueryModule {
         val dfreq = chunks.groupBy(col("chunk"))
           .agg(countDistinct(col("doc_id")).as("df"))
         val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
-        chunks.join(broadcast(dfreq), Seq("chunk"))
-          .crossJoin(broadcast(nDocs))
-          .withColumn("keep", col("df") <= lit(0.033) * col("n_docs"))
+        val hot = dfreq.crossJoin(broadcast(nDocs))
+          .filter(col("df") > lit(0.033) * col("n_docs"))
+          .select(col("chunk"), lit(true).as("is_hot"))
+        chunks.join(broadcast(hot), Seq("chunk"), "left_outer")
+          .withColumn("keep", col("is_hot").isNull)
           .groupBy(col("doc_id"))
           .agg(
             count(lit(1)).as("n_chunks"),
@@ -450,12 +463,18 @@ object TextAnalysis extends QueryModule {
 
     // ---- Bigram language-model quality score (the KenLM-style perplexity
     //      filter, corpus-trained): -avg log p(w2|w1) with add-one
-    //      smoothing, p = (B(w1,w2)+1)/(U(w1)+V). Count tables are
-    //      vocabulary-sized → broadcast; V is an in-plan scalar. Per-bigram
-    //      log-probs are summed as exact MICRO-UNITS (round-to-integer is
-    //      the engine-agreeing rounding) because a per-doc sum of raw
-    //      doubles is accumulation-order-dependent between Spark's
-    //      partial/final tree and DuckDB's sequential fold.
+    //      smoothing, p = (B(w1,w2)+1)/(U(w1)+V). The count-table joins are
+    //      UNHINTED: a heavy-tail web corpus has 10⁹⁺ distinct bigrams (the
+    //      bigram table is corpus-derived, NOT "vocabulary-sized") and
+    //      10⁷–10⁸ unigrams, so forcing a driver broadcast of either is a
+    //      100 TB OOM — AQE broadcasts when a table actually fits and
+    //      otherwise shuffles on (w1,w2)/(w1), the same keys the count
+    //      aggregations already partitioned by. Only V (one row) is a
+    //      broadcast scalar. Per-bigram log-probs are summed as exact
+    //      MICRO-UNITS (round-to-integer is the engine-agreeing rounding)
+    //      because a per-doc sum of raw doubles is accumulation-order-
+    //      dependent between Spark's partial/final tree and DuckDB's
+    //      sequential fold.
     QueryDef(
       "q99_lm_score",
       (s, dir) => {
@@ -472,8 +491,8 @@ object TextAnalysis extends QueryModule {
         val bi = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("b"))
         val vocab = uni.agg(count(lit(1)).as("v"))
         bigrams
-          .join(broadcast(bi), Seq("w1", "w2"))
-          .join(broadcast(uni), Seq("w1"))
+          .join(bi, Seq("w1", "w2"))
+          .join(uni, Seq("w1"))
           .crossJoin(broadcast(vocab))
           .selectExpr("doc_id",
             "cast(round(-ln((b + 1) / (u + cast(v AS double))) * 1000000) AS bigint) AS micro")

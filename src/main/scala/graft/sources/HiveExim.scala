@@ -52,8 +52,15 @@ object HiveExim {
     }
     val df = spark.read.parquet(new Path(root, "data").toString)
     // ImportSemanticAnalyzer: load into an existing (compatible) table,
-    // create it when absent
-    if (spark.catalog.tableExists(name)) df.write.insertInto(name)
-    else df.write.saveAsTable(name)
+    // create it when absent. insertInto is POSITIONAL, so align to the
+    // target's column order by name first — a same-columns-different-order
+    // table would otherwise silently store misaligned data (the reference
+    // checks table compatibility before loading); a missing column fails
+    // loudly in the select
+    if (spark.catalog.tableExists(name)) {
+      import org.apache.spark.sql.functions.col
+      df.select(spark.table(name).columns.map(col).toIndexedSeq: _*)
+        .write.insertInto(name)
+    } else df.write.saveAsTable(name)
   }
 }
