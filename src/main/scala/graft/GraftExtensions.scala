@@ -10,5 +10,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 object GraftExtensions {
   val inject: SparkSessionExtensions => Unit = { ext =>
     functions.GraftFunctions.registrations.foreach(ext.injectFunction)
+    // Hive 0.8 both-to-double string↔numeric comparison (q100; §7.4)
+    ext.injectResolutionRule(_ => plans.HiveComparisonCoercion)
   }
 }

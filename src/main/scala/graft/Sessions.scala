@@ -74,6 +74,17 @@ object Sessions {
 
   def ensureRegistered(spark: SparkSession): Unit = {
     pinJaxp()
+    // Post-hoc fallback for sessions built WITHOUT GraftExtensions (a
+    // resolution rule cannot be injected into an already-built
+    // sessionState): the same Hive both-to-double comparison rewrite as a
+    // user-provided optimizer rule. Catches every column-derived case (the
+    // casts are still visible there); literal-only comparisons may already
+    // be constant-folded by that batch — sessions built by [[builder]] get
+    // the full analyzer-time rule and are unaffected (the rewritten shape
+    // no longer matches, so the fallback is a no-op there).
+    if (!spark.experimental.extraOptimizations.contains(plans.HiveComparisonCoercion))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ plans.HiveComparisonCoercion
     // sessions not built by builder() (e.g. driver-owned) still need Hive
     // error semantics — same guarded-flip pattern as Tables.load's
     // nanosAsLong (runtime-mutable conf; never flips an explicit 'false')

@@ -258,6 +258,54 @@ object Misc extends QueryModule {
         CASE WHEN o_orderkey % 2 = 1 THEN o_custkey END AS u_cust
         FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""")),
 
+    // ---- Hive 0.8 string↔numeric comparison coercion pinned END-TO-END
+    //      (FunctionRegistry.java:1121-1190 getCommonClassForComparison:
+    //      string vs ANY numeric compares by casting BOTH to double —
+    //      plans/HiveComparisonCoercion rewrites exactly the analyzer-
+    //      inserted coercion casts). Cases chosen where modern Spark's
+    //      cast-string-to-numeric-type rule DIVERGES: exponent strings
+    //      ('1e1' = 10 → Hive TRUE, native Spark NULL), fractional strings
+    //      in ordering predicates ('3.5' > 3 → Hive TRUE, native FALSE),
+    //      and float-vs-string precision ('0.1' = float 0.1 → Hive FALSE at
+    //      double precision, native TRUE at float precision). Exercised on
+    //      literals, derived columns, AND a WHERE predicate (the row count
+    //      itself depends on the coercion). The oracle writes Hive's
+    //      both-to-double rule explicitly — DuckDB's native varchar↔int
+    //      compare would ERROR on '1e1'. Explicit user casts are honored
+    //      unchanged (spec'd in HiveCoercionSpec, not oracle-expressible).
+    QueryDef(
+      "q100_coercion_cmp",
+      (s, dir) => {
+        graft.Sessions.ensureRegistered(s)
+        graft.Tables.registerAll(s, dir)
+        s.sql("""SELECT o_orderkey,
+                   concat(cast(o_custkey % 5 AS string), 'e1') AS s_exp,
+                   concat(cast(o_custkey % 7 AS string), '.5') AS s_frac,
+                   concat(cast(o_custkey % 5 AS string), 'e1')
+                     = (o_custkey % 3) * 10 AS exp_eq,
+                   concat(cast(o_custkey % 7 AS string), '.5') > 3 AS frac_gt,
+                   '1e1' = 10 AS lit_exp_eq,
+                   '3.5' > 3 AS lit_frac_gt,
+                   '0.1' = cast(0.1 AS float) AS float_prec
+                 FROM orders
+                 WHERE o_orderkey <= 2000
+                   AND concat(cast(o_custkey % 7 AS string), '.5') > 1
+                 ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey,
+        CAST(o_custkey % 5 AS VARCHAR) || 'e1' AS s_exp,
+        CAST(o_custkey % 7 AS VARCHAR) || '.5' AS s_frac,
+        CAST(CAST(o_custkey % 5 AS VARCHAR) || 'e1' AS DOUBLE)
+          = CAST((o_custkey % 3) * 10 AS DOUBLE) AS exp_eq,
+        CAST(CAST(o_custkey % 7 AS VARCHAR) || '.5' AS DOUBLE) > CAST(3 AS DOUBLE) AS frac_gt,
+        CAST('1e1' AS DOUBLE) = CAST(10 AS DOUBLE) AS lit_exp_eq,
+        CAST('3.5' AS DOUBLE) > CAST(3 AS DOUBLE) AS lit_frac_gt,
+        CAST(0.1 AS DOUBLE) = CAST(CAST(0.1 AS FLOAT) AS DOUBLE) AS float_prec
+        FROM orders
+        WHERE o_orderkey <= 2000
+          AND CAST(CAST(o_custkey % 7 AS VARCHAR) || '.5' AS DOUBLE) > CAST(1 AS DOUBLE)
+        ORDER BY o_orderkey""")),
+
     // ---- context_ngrams (GenericUDAFContextNGrams.java:424): top-10 words
     //      following 'the' per language
     QueryDef(
