@@ -19,7 +19,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - `FROM UNIQUEJOIN [PRESERVE] t1 a (a.k), ... SELECT ...`
   *    (Hive.g:1595-1614, JoinDesc.UNIQUE_JOIN) rewritten to a chained
   *    FULL OUTER join + presence filter — a key row survives iff it appears
-  *    in some PRESERVEd source or in every source.
+  *    in some PRESERVEd source or in every source;
+  *  - `FROM src INSERT ... INSERT ...` multi-insert (Hive.g:1385-1419)
+  *    executed via [[operators.MultiInsert]] with a SINGLE scan of the
+  *    common source (SemanticAnalyzer.java:1385-1419 plans one map phase
+  *    feeding N sinks); join-shaped sources fall back to native
+  *    per-branch execution.
   */
 object HiveQl {
   private val MapJoin = """(?i)/\*\+\s*MAPJOIN\s*\(([^)]*)\)\s*\*/""".r
@@ -164,6 +169,9 @@ object HiveQl {
     case DropFunc(name) =>
       functions.GraftFunctions.dropFunction(spark, name)
       spark.emptyDataFrame
+    case q if operators.MultiInsert.matches(q) =>
+      if (operators.MultiInsert.run(spark, q)) spark.emptyDataFrame
+      else spark.sql(rewrite(q)) // unhandled shape: native per-branch scans
     case _ => spark.sql(rewrite(q))
   }
 }

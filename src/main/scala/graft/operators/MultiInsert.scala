@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Hive multi-insert with a SINGLE scan of the common source
+  * (SURVEY.md §7.4 hard part 3; ref parse/Hive.g:1385-1419 — `FROM src
+  * INSERT ... INSERT ...` — and SemanticAnalyzer.java:1385-1419, which
+  * plans ONE map phase feeding N FileSinks).
+  *
+  * Spark parses the statement form natively but executes each INSERT as an
+  * independent scan of the source — at 100 TB an N-way multi-insert re-reads
+  * the input N times. This executor restores the reference's sharing:
+  *
+  *  1. resolve the common FROM source once;
+  *  2. prune it to the UNION of columns any branch references (resolved from
+  *     each branch's analyzed probe plan, so the cache never stores columns
+  *     no branch reads — name-intersection over-approximates safely);
+  *  3. persist the pruned source MEMORY_AND_DISK (columnar, spillable) and
+  *     re-point every branch at the cached view;
+  *  4. execute the branches, then unpersist.
+  *
+  * Scale posture: the cache holds only branch-referenced columns of the
+  * already-filtered FROM subplan — the Hive idiom puts the shared filter in
+  * the FROM subquery, so this is the reference's shared map-phase output,
+  * not the raw table. When the source is a bare 100 TB table and branches
+  * are cheap disjoint filters, recompute can beat cache-write cost: set
+  * `spark.graft.multiInsert.materialize=none` to keep per-branch scans
+  * (Catalyst still prunes columns per branch). Join-shaped sources fall
+  * back to native execution — collapsing a join behind one view would break
+  * per-table qualifiers in branch expressions.
+  */
+object MultiInsert {
+
+  /** Observability/test seam for the last run on this JVM: branch probe
+    * plans (same SELECT shape the INSERTs wrote) + what was cached.
+    */
+  final case class Report(viewName: String, cachedColumns: Seq[String],
+      materialized: Boolean, branchSql: Seq[String],
+      branchProbes: Seq[DataFrame])
+  @volatile var lastReport: Option[Report] = None
+
+  // FROM <source> INSERT ... — source may be `tbl`, `db.tbl alias`, or
+  // `(subquery) alias`; joins deliberately do not match (native fallback)
+  private val SimpleSrc = """(?s)^\s*([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s*$""".r
+  private val SubquerySrc = """(?s)^\s*(\(.*\))\s+(?:AS\s+)?(\w+)\s*$""".r
+  private val BranchHead =
+    """(?is)^INSERT\s+(OVERWRITE|INTO)\s+(?:TABLE\s+)?([\w.]+)\s*(PARTITION\s*\([^)]*\)\s*)?(SELECT\s.*)$""".r
+  private val TailKw = """(?i)\b(WHERE|GROUP|ORDER|SORT|DISTRIBUTE|CLUSTER|HAVING|LIMIT)\b""".r
+
+  private val counter = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Matches a full multi-insert statement (>= 2 INSERT branches). */
+  def matches(q: String): Boolean = splitStatement(q).exists(_._2.size >= 2)
+
+  /** `FROM <src> INSERT ...INSERT ...` → (srcText, branchTexts). */
+  private def splitStatement(q: String): Option[(String, Seq[String])] = {
+    val t = q.trim.stripSuffix(";")
+    if (!t.toUpperCase.startsWith("FROM")) return None
+    // split on top-level INSERT keywords (outside parens and quotes)
+    val ins = "(?i)\\bINSERT\\b".r.findAllMatchIn(t).map(_.start).filter { i =>
+      val prefix = t.substring(0, i)
+      prefix.count(_ == '(') == prefix.count(_ == ')') &&
+        prefix.count(_ == '\'') % 2 == 0 && prefix.count(_ == '"') % 2 == 0
+    }.toSeq
+    if (ins.size < 2) return None
+    val src = t.substring(4, ins.head).trim
+    val branches = ins.zip(ins.tail :+ t.length).map { case (a, b) =>
+      t.substring(a, b).trim }
+    Some((src, branches))
+  }
+
+  /** Execute a multi-insert with one source scan; returns true if this
+    * executor handled it (false → caller should fall back to native).
+    */
+  def run(spark: SparkSession, q: String): Boolean = {
+    val (srcText, branches) = splitStatement(q).getOrElse(return false)
+    val alias = srcText match {
+      case SimpleSrc(tbl, a) => Option(a).getOrElse(tbl.split('.').last)
+      case SubquerySrc(_, a) => a
+      case _ => return false // join-shaped source: native fallback
+    }
+    val parsed = branches.map {
+      case BranchHead(mode, target, part, select) =>
+        (mode.toUpperCase, target, Option(part).getOrElse(""), select)
+      case _ => return false // non-SELECT branch form: native fallback
+    }
+
+    val srcDf = spark.sql(s"SELECT * FROM $srcText")
+    val view = s"graft_mi_src_${counter.incrementAndGet()}"
+    srcDf.createOrReplaceTempView(view)
+    try {
+      // branch select-list has no FROM (global in Hive form) — splice the
+      // view in front of the first tail keyword to probe + execute
+      def spliceFrom(select: String): String = {
+        val from = s" FROM $view $alias "
+        TailKw.findFirstMatchIn(select) match {
+          case Some(m) => select.substring(0, m.start) + from + select.substring(m.start)
+          case None => select + from
+        }
+      }
+      val probeSql = parsed.map(p => spliceFrom(p._4))
+      val probes = probeSql.map(spark.sql) // lazy: analysis only
+
+      // union of source columns any branch references (name-level ∩ is a
+      // safe over-approximation; `SELECT *` pulls every column). The
+      // traversal stops AT the source's subquery alias: the expanded view
+      // subtree below it projects every source column, so descending into
+      // it would mark everything referenced and defeat pruning.
+      def refsAbove(plan: LogicalPlan): Seq[String] = plan match {
+        case s: SubqueryAlias if s.alias.equalsIgnoreCase(alias) ||
+            s.alias.equalsIgnoreCase(view) => Nil
+        case node =>
+          node.expressions.flatMap(_.collect {
+            case a: AttributeReference => a.name.toLowerCase }) ++
+            node.children.flatMap(refsAbove)
+      }
+      val srcCols = srcDf.columns
+      val lower = srcCols.map(c => c.toLowerCase -> c).toMap
+      val referenced = probes
+        .flatMap(p => refsAbove(p.queryExecution.analyzed))
+        .distinct.flatMap(lower.get)
+      val needed = if (referenced.isEmpty) srcCols.toSeq else referenced
+
+      val materialize =
+        spark.conf.getOption("spark.graft.multiInsert.materialize")
+          .getOrElse("cache") != "none"
+      val pruned = srcDf.select(needed.map(col): _*)
+      if (materialize) pruned.persist(StorageLevel.MEMORY_AND_DISK)
+      pruned.createOrReplaceTempView(view) // branches now read the cache
+
+      val branchSql = parsed.map { case (mode, target, part, select) =>
+        val kw = if (mode == "OVERWRITE") "INSERT OVERWRITE TABLE" else "INSERT INTO"
+        s"$kw $target $part ${spliceFrom(select)}"
+      }
+      try {
+        branchSql.foreach(spark.sql(_: String))
+        lastReport = Some(Report(view, needed, materialize, branchSql,
+          branchSql.map(s => spark.sql(s.substring(s.indexOf("SELECT"))))))
+      } finally if (materialize) pruned.unpersist(false)
+      true
+    } finally spark.catalog.dropTempView(view)
+  }
+}
