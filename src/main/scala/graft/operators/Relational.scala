@@ -441,19 +441,22 @@ object Relational extends QueryModule {
       "q24_percentile",
       (s, dir) => {
         val li = t(s, dir, "lineitem")
-        val qty = Percentiles.exact(
-            li.selectExpr("l_linestatus", "cast(l_quantity AS bigint) AS qv_in"),
-            "l_linestatus", "qv_in", col("qv_in"), Seq(0.5, 0.9))
-          .groupBy(col("l_linestatus"))
+          .selectExpr("l_linestatus", "cast(l_quantity AS bigint) AS qv_in",
+            "l_extendedprice")
+        // ONE histogram pass + ONE selection pass for both columns
+        // (Percentiles.exactMulti melts the metrics in-scan)
+        val px = Percentiles.exactMulti(li, "l_linestatus", Seq(
+          Percentiles.Spec("qv_in", col("qv_in"), Seq(0.5, 0.9)),
+          Percentiles.Spec("l_extendedprice",
+            floor(col("l_extendedprice") / 100), Seq(0.25))))
+        px.groupBy(col("l_linestatus"))
           .agg(
-            round(max(when(col("qv") === 0.5, col("value"))), 4).as("p50"),
-            round(max(when(col("qv") === 0.9, col("value"))), 4).as("p90"))
-        val price = Percentiles.exact(
-            li, "l_linestatus", "l_extendedprice",
-            floor(col("l_extendedprice") / 100), Seq(0.25))
-          .select(col("l_linestatus"), round(col("value"), 4).as("price_p25"))
-        qty.join(price, Seq("l_linestatus"))
-          .select(col("l_linestatus"), col("p50"), col("p90"), col("price_p25"))
+            round(max(when(col("metric") === "qv_in" && col("qv") === 0.5,
+              col("value"))), 4).as("p50"),
+            round(max(when(col("metric") === "qv_in" && col("qv") === 0.9,
+              col("value"))), 4).as("p90"),
+            round(max(when(col("metric") === "l_extendedprice" && col("qv") === 0.25,
+              col("value"))), 4).as("price_p25"))
           .orderBy(col("l_linestatus"))
       },
       Some("""SELECT l_linestatus,

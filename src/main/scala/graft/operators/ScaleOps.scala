@@ -37,6 +37,54 @@ object ScaleOps extends QueryModule {
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY s_nationkey ORDER BY s_nationkey""")),
 
+    // ---- SMB bucket join (SMBMapJoinOperator.java:51; CLUSTERED BY +
+    //      SORTED BY INTO n BUCKETS → bucketBy+sortBy): both sides
+    //      pre-bucketed on the join key, so the join AND the following
+    //      groupBy on the same key run with ZERO exchanges — the plan is
+    //      asserted shuffle-free in-query (the only permissible exchange
+    //      is the final deterministic ORDER BY, outside the assert). At
+    //      100 TB this is the co-located-join path: bucket the fact tables
+    //      once at ingest, never shuffle them again for key-aligned work.
+    QueryDef(
+      "q101_smb_join",
+      (s, dir) => {
+        val sfx = (dir.hashCode & Int.MaxValue).toString // per-SF tables
+        val to = s"smb_orders_$sfx"
+        val tl = s"smb_lineitem_$sfx"
+        // a fresh JVM has an empty in-memory catalog but the warehouse dir
+        // survives — clear BOTH or saveAsTable hits LOCATION_ALREADY_EXISTS
+        Seq(to, tl).foreach { name =>
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          val p = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), name)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .mode("overwrite").saveAsTable(to)
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"))
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .mode("overwrite").saveAsTable(tl)
+        // merge hint: at test SF the filtered side fits a broadcast, which
+        // would dodge the plan being demonstrated — at 100 TB both sides
+        // are fact tables and SortMergeJoin IS the choice AQE makes
+        val joined = s.table(to).filter(col("o_orderkey") <= 2000).hint("merge")
+          .join(s.table(tl), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice")), 2).as("rev"))
+        val plan = joined.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange"),
+          s"SMB join+agg on the bucket key must be exchange-free:\n$plan")
+        joined.orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n,
+        round(sum(l_extendedprice), 2) AS rev
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey <= 2000
+        GROUP BY o_orderkey ORDER BY o_orderkey""")),
+
     // ---- Window battery #2: lead/lag/ntile/first/last/dense_rank/
     //      percent_rank over frames (extension surface, §2.6)
     QueryDef(

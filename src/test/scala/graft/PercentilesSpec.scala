@@ -50,4 +50,35 @@ class PercentilesSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(got == exp)
   }
+
+  test("an all-null group yields a NULL value row per quantile (UDAF contract)") {
+    val df = li.selectExpr("l_linestatus",
+      "CASE WHEN l_linestatus = 'F' THEN NULL ELSE cast(l_quantity AS bigint) END AS q")
+    val rows = Percentiles.exact(df, "l_linestatus", "q", col("q"), Seq(0.25, 0.75))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.isNullAt(2)).toMap
+    // every (group, q) pair present — including the all-null group, as NULLs
+    val groups = df.select("l_linestatus").distinct().collect().map(_.getString(0))
+    assert(rows.keySet == groups.flatMap(g => Seq((g, 0.25), (g, 0.75))).toSet)
+    assert(rows(("F", 0.25)) && rows(("F", 0.75)), "all-null group must be NULL")
+    assert(rows.collect { case ((g, _), isNull) if g != "F" => isNull }.forall(!_))
+  }
+
+  test("exactMulti equals per-column exact() in one pass") {
+    val df = li.selectExpr("l_linestatus", "cast(l_quantity AS bigint) AS q",
+      "l_extendedprice")
+    val multi = Percentiles.exactMulti(df, "l_linestatus", Seq(
+        Percentiles.Spec("q", col("q"), Seq(0.5, 0.9)),
+        Percentiles.Spec("l_extendedprice",
+          floor(col("l_extendedprice") / 100), Seq(0.25))))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)) -> r.getDouble(3))
+      .toMap
+    val single =
+      Percentiles.exact(df, "l_linestatus", "q", col("q"), Seq(0.5, 0.9))
+        .collect().map(r => (r.getString(0), "q", r.getDouble(1)) -> r.getDouble(2)).toMap ++
+      Percentiles.exact(df, "l_linestatus", "l_extendedprice",
+          floor(col("l_extendedprice") / 100), Seq(0.25))
+        .collect().map(r => (r.getString(0), "l_extendedprice", r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(multi == single)
+  }
 }

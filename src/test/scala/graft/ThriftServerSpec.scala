@@ -1,0 +1,61 @@
+package graft
+
+import java.sql.DriverManager
+
+/** Thrift HiveServer / JDBC surface (ref service/.../HiveServer.java:69 —
+  * the reference's multi-user entry point; jdbc/.../HiveConnection.java).
+  * SURVEY §3.2 maps it to Spark's own Thrift JDBC server: this smoke spec
+  * starts HiveThriftServer2 against the graft session and serves queries
+  * over a real HiveDriver JDBC connection — the exact wire a BI-tool port
+  * of a reference deployment would use.
+  */
+class ThriftServerSpec extends SparkSpec {
+
+  test("Spark Thrift JDBC server serves graft queries over hive-jdbc") {
+    val port = {
+      val ss = new java.net.ServerSocket(0)
+      try ss.getLocalPort finally ss.close()
+    }
+    // keep derby's metastore scratch out of the repo cwd
+    System.setProperty("derby.system.home",
+      java.nio.file.Files.createTempDirectory("graft-derby").toString)
+    System.setProperty("hive.server2.thrift.port", port.toString)
+    // each JDBC connection opens its OWN Spark session (the multi-user
+    // posture; singleSession is a static conf), so expose data the
+    // cross-session way: a global temp view over the graft-loaded table
+    // DataFrame-API global view: captures the analyzed plan (a SQL-text
+    // view would re-resolve `region` inside the JDBC session, where the
+    // main session's temp views don't exist)
+    Tables.load(spark, sfDir, "region").createOrReplaceGlobalTempView("thrift_region")
+    val server = org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
+      .startWithContext(spark.sqlContext)
+    try {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      // server binds asynchronously — retry the connect briefly
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var conn: java.sql.Connection = null
+      while (conn == null) {
+        try conn = DriverManager.getConnection(s"jdbc:hive2://localhost:$port/", "", "")
+        catch { case e: java.sql.SQLException =>
+          if (System.nanoTime() > deadline) throw e else Thread.sleep(500)
+        }
+      }
+      try {
+        val st = conn.createStatement()
+        val rs = st.executeQuery(
+          "SELECT r_regionkey, r_name FROM global_temp.thrift_region ORDER BY r_regionkey")
+        var n = 0
+        while (rs.next()) {
+          assert(rs.getLong(1) == n)
+          assert(rs.getString(2).nonEmpty)
+          n += 1
+        }
+        assert(n == 5, s"region must serve 5 rows over JDBC, got $n")
+        // an aggregate through the same wire (a real plan, not just a scan)
+        val rs2 = st.executeQuery(
+          "SELECT sum(r_regionkey) AS s FROM global_temp.thrift_region")
+        assert(rs2.next() && rs2.getLong(1) == 10)
+      } finally conn.close()
+    } finally server.stop()
+  }
+}
