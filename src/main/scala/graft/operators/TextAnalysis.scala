@@ -520,6 +520,101 @@ object TextAnalysis extends QueryModule {
           FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v)
         SELECT doc_id, count(*) AS n_bigrams,
                round(CAST(sum(micro) AS BIGINT) / (1000000.0 * count(*)), 4) AS nll
-        FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+        FROM scored GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- Benchmark decontamination (the n-gram overlap rule used to scrub
+    //      eval-set leakage from training corpora, GPT-3/Llama-style): hash
+    //      every 8-word shingle of the benchmark docs (doc_id % 20 = 7
+    //      stands in for the eval suite), flag corpus docs sharing ANY
+    //      shingle, count the distinct shingles hit. Scale posture: the
+    //      probe set is BENCHMARK-sized — eval suites are thousands of
+    //      docs, small by construction, unlike the corpus-derived frequency
+    //      tables of q92/q99 — so broadcasting it is the correct 100 TB
+    //      plan; the corpus side explodes distinct shingle hashes per doc
+    //      (words-per-doc fan-out, partition-parallel) into a hash
+    //      equi-join. explode_outer dodges the InferFiltersFromGenerate
+    //      re-evaluation trap (q51/q97). size(ws) >= 8 guards sequence()'s
+    //      descending-on-negative-span behavior (q97's advisor lesson).
+    QueryDef(
+      "q102_decontam",
+      (s, dir) => {
+        val shingleSql = """CASE WHEN size(ws) >= 8 THEN
+            array_distinct(transform(sequence(1, size(ws) - 7),
+              i -> md5(concat_ws(' ', slice(ws, i, 8)))))
+          ELSE array() END"""
+        // fixture parquet is single-row-group → one scan partition; spread
+        // the interpreted-HOF md5 work across cores before projecting
+        val docs = t(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("doc_id", "split(trim(text), ' ') AS ws")
+        val probes = docs.filter(col("doc_id") % 20 === 7)
+          .selectExpr(s"explode_outer($shingleSql) AS sh")
+          .filter(col("sh").isNotNull).distinct()
+        docs.filter(col("doc_id") % 20 =!= 7)
+          .selectExpr("doc_id", s"explode_outer($shingleSql) AS sh")
+          .join(broadcast(probes), Seq("sh"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (
+          SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+        probes AS (
+          SELECT DISTINCT unnest(list_transform(range(1, len(ws) - 6),
+            i -> md5(array_to_string(ws[i:i+7], ' ')))) AS sh
+          FROM w WHERE doc_id % 20 = 7 AND len(ws) >= 8),
+        cand AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 6),
+            i -> md5(array_to_string(ws[i:i+7], ' '))))) AS sh
+          FROM w WHERE doc_id % 20 <> 7 AND len(ws) >= 8)
+        SELECT doc_id, count(*) AS n_hits
+        FROM cand JOIN probes USING (sh)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- Temperature-weighted domain mixing (the multilingual rebalancing
+    //      step of a training-data pipeline): per-class quota ∝ n_c^0.5
+    //      (α = 0.5 flattens the head class), selection by deterministic
+    //      hash rank — the same sample every run, every engine. FP
+    //      discipline: weights are EXACT micro-units (round(sqrt(n)*1e6)
+    //      AS BIGINT — sqrt is IEEE correctly-rounded in both engines, and
+    //      integer micro-unit sums are order-free where a double sum(wt)
+    //      is not), so floor(target * wt / z) sits on a correctly-rounded
+    //      single division and cannot straddle an engine boundary. Scale:
+    //      class stats are |classes| rows (broadcast), the rank is one
+    //      shuffle partitioned by class — same plan shape as q85.
+    QueryDef(
+      "q103_domain_mix",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+        val quota = docs.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"))
+          .selectExpr("lang", "cast(round(sqrt(n) * 1000000.0D) AS bigint) AS wt")
+        val z = quota.agg(sum(col("wt")).as("z"))
+        val q = quota.crossJoin(broadcast(z))
+          .selectExpr("lang", "cast(floor(200.0D * wt / z) AS bigint) AS q")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(col("hk"), col("doc_id"))
+        docs
+          .selectExpr("doc_id", "lang",
+            "cast(conv(substr(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint) AS hk")
+          .withColumn("rk", row_number().over(w))
+          .join(broadcast(q), Seq("lang"))
+          .filter(col("rk") <= col("q"))
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        wts AS (SELECT lang, CAST(round(sqrt(n) * 1000000.0) AS BIGINT) AS wt FROM counts),
+        z AS (SELECT sum(wt) AS z FROM wts),
+        quota AS (SELECT lang, CAST(floor(200.0 * wt / z) AS BIGINT) AS q
+                  FROM wts CROSS JOIN z),
+        ranked AS (
+          SELECT d.doc_id, d.lang,
+            row_number() OVER (PARTITION BY d.lang
+              ORDER BY CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                d.doc_id) AS rk
+          FROM documents d)
+        SELECT r.doc_id, r.lang FROM ranked r JOIN quota USING (lang)
+        WHERE rk <= q ORDER BY doc_id"""))
   )
 }

@@ -5,6 +5,7 @@ import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import org.apache.spark.sql.execution.{FileSourceScanExec, QueryExecution, SparkPlan}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Multi-insert single-scan executor (SURVEY §7.4 hard part 3; ref
@@ -119,6 +120,33 @@ class MultiInsertSpec extends SparkSpec {
     } finally {
       spark.sql("DROP TABLE IF EXISTS mis_cnt")
       spark.sql("DROP TABLE IF EXISTS mis_all")
+    }
+  }
+
+  test("partitioned INSERT branches (static + dynamic partition spec)") {
+    Tables.registerAll(spark, sfDir)
+    val wh = tmp("graft-mi-part")
+    spark.sql(s"""CREATE TABLE mis_ps (k BIGINT) USING parquet
+      PARTITIONED BY (tag STRING) LOCATION '$wh/ps'""")
+    spark.sql(s"""CREATE TABLE mis_pd (k BIGINT) USING parquet
+      PARTITIONED BY (st STRING) LOCATION '$wh/pd'""")
+    try {
+      HiveQl.sql(spark, """
+        FROM orders
+        INSERT OVERWRITE TABLE mis_ps PARTITION (tag='lo') SELECT o_orderkey WHERE o_orderkey <= 50
+        INSERT OVERWRITE TABLE mis_pd PARTITION (st) SELECT o_orderkey, o_orderstatus WHERE o_orderkey <= 500""")
+      assert(operators.MultiInsert.lastReport.get.materialized)
+      assert(spark.table("mis_ps").filter(col("tag") === "lo").count() ==
+        spark.sql("SELECT count(*) FROM orders WHERE o_orderkey <= 50").collect()(0).getLong(0))
+      val byStatus = spark.table("mis_pd").groupBy("st").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exp = spark.sql("""SELECT o_orderstatus, count(*) FROM orders
+          WHERE o_orderkey <= 500 GROUP BY o_orderstatus""")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byStatus == exp, s"dynamic partitions must fan out: $byStatus vs $exp")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS mis_ps")
+      spark.sql("DROP TABLE IF EXISTS mis_pd")
     }
   }
 

@@ -62,7 +62,8 @@ class PlanShapeSpec extends SparkSpec {
       "q64b_tfidf",       // broadcast in-plan corpus-size scalar
       "q75_ann_ivf",      // broadcast coarse quantizer (8 centroids)
       "q92_boilerplate",  // broadcast in-plan corpus-size scalar (as q64b)
-      "q99_lm_score")     // broadcast in-plan vocab-size scalar (as q64b)
+      "q99_lm_score",     // broadcast in-plan vocab-size scalar (as q64b)
+      "q103_domain_mix")  // broadcast 1-row weight-normalizer scalar
     val flagged = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.contains("stream")) // streaming fns execute on call
       .flatMap { case (name, fn) =>
