@@ -1,0 +1,19 @@
+package graft
+object RunSubset {
+  def main(args: Array[String]): Unit = {
+    val names = args(0).split(",").toSeq
+    val sfDir = args(1); val outDir = args(2)
+    val spark = Sessions.get("graft-subset")
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { n =>
+      SparkEntry.queries(n)(spark, sfDir)
+        .write.mode("overwrite").parquet(s"$outDir/$n")
+    }
+    val sqls = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
+    val json = sqls.map { case (k, v) =>
+      "\"" + k + "\":" + "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n") + "\""
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json.getBytes("UTF-8"))
+    spark.stop()
+  }
+}

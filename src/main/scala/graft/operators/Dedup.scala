@@ -631,6 +631,171 @@ object Dedup extends QueryModule {
                CAST(list_sum(q) AS BIGINT) AS q_sum,
                len(list_filter(q, v -> abs(v) = 127)) AS n_sat,
                md5(array_to_string(q, ',')) AS q_md5
-        FROM qz ORDER BY vec_id"""))
+        FROM qz ORDER BY vec_id""")),
+
+    // ---- SemDeDup (semantic dedup over embedding clusters, the
+    //      cluster-then-pair pattern of arXiv:2303.09540): assign every
+    //      vector to its nearest centroid, pair only WITHIN a cluster, and
+    //      remove any vector that has a lower-id cluster-mate above the
+    //      cosine threshold. Centroids here are the first-8 fixture vectors
+    //      (deterministic, so the oracle replicates — a trained k-means
+    //      slots into the same plan; see q105 for the training step).
+    //      Scale posture: assignment is a broadcast of k centroid rows +
+    //      a map-side argmax (k×dim is small even at k≈100k); pairing is
+    //      an equi-join on c_id — the n² pair space shrinks to Σ n_c² and
+    //      the paper's cluster-size cap bounds any one task, with salting
+    //      as the skew fallback. No corpus-derived table is broadcast.
+    QueryDef(
+      "q104_semdedup",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = t(s, dir, "embeddings")
+        val cents = emb.filter(col("vec_id") < 8)
+          .selectExpr("vec_id AS c_id", "embedding AS ce")
+        val assigned = emb.selectExpr("vec_id", "embedding")
+          .repartition(s.sparkContext.defaultParallelism)
+          .crossJoin(broadcast(cents))
+          .selectExpr("vec_id", "embedding", "c_id",
+            s"""round(${cosine.replace("qe", "embedding").replace("ne", "ce")}, 6) AS csim""")
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))))
+          .filter(col("rk") === 1)
+          .select(col("vec_id"), col("embedding"), col("c_id"))
+        val a = assigned.toDF("a_id", "qe", "c_id")
+        val b = assigned.toDF("b_id", "ne", "c_id")
+        a.join(b, Seq("c_id")).filter(col("a_id") < col("b_id"))
+          .selectExpr("c_id", "a_id", "b_id", s"round($cosine, 4) AS sim")
+          .filter(col("sim") >= 0.40)
+          .groupBy(col("b_id"), col("c_id"))
+          .agg(min(col("a_id")).as("keeper"))
+          .withColumnRenamed("b_id", "removed_id")
+          .orderBy(col("removed_id"))
+      },
+      Some(s"""WITH cents AS (
+          SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id < 8),
+        assigned AS (
+          SELECT vec_id, embedding, c_id FROM (
+            SELECT e.vec_id, e.embedding, c.c_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(${cosineDuck.replace("qe", "e.embedding").replace("ne", "c.ce")}, 6) DESC,
+                              c.c_id) AS rk
+            FROM embeddings e CROSS JOIN cents c)
+          WHERE rk = 1)
+        SELECT b_id AS removed_id, c_id, min(a_id) AS keeper FROM (
+          SELECT a.c_id, a.vec_id AS a_id, b.vec_id AS b_id,
+                 round(${cosineDuck.replace("qe", "a.embedding").replace("ne", "b.embedding")}, 4) AS sim
+          FROM assigned a JOIN assigned b USING (c_id)
+          WHERE a.vec_id < b.vec_id)
+        WHERE sim >= 0.40 GROUP BY 1, 2 ORDER BY removed_id""")),
+
+    // ---- One exact Lloyd iteration of k-means over embeddings (the
+    //      quantizer-training step feeding q75's IVF and q104's SemDeDup).
+    //      Cross-engine exactness is the hard part of distributed k-means —
+    //      a double mean is summation-order-dependent, so hash-aggregation
+    //      order would diverge between engines AND between reruns. The
+    //      update step therefore works in integer micro-units:
+    //      round(x·10⁶) per component (exact on float inputs), an
+    //      order-free BIGINT sum, and one correctly-rounded double division
+    //      — every engine floors the same quotient. Scale posture: the
+    //      update is one shuffle of (c_id, dim) pairs — metadata, not
+    //      vectors — and both assignment passes are broadcast argmaxes;
+    //      more Lloyd rounds = the same plan iterated (cf. q86's
+    //      convergence-count discussion).
+    QueryDef(
+      "q105_kmeans_step",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = t(s, dir, "embeddings")
+        val cents = emb.filter(col("vec_id") < 8)
+          .selectExpr("vec_id AS c_id", "embedding AS ce")
+        def assign(in: org.apache.spark.sql.DataFrame, cs: org.apache.spark.sql.DataFrame) =
+          in.crossJoin(broadcast(cs))
+            .selectExpr("*",
+              s"""round(${cosine.replace("qe", "embedding").replace("ne", "ce")}, 6) AS csim""")
+            .withColumn("rk", row_number().over(
+              Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))))
+            .filter(col("rk") === 1)
+        val a1 = assign(
+          emb.selectExpr("vec_id", "embedding")
+            .repartition(s.sparkContext.defaultParallelism), cents)
+          .select(col("vec_id"), col("embedding"), col("c_id"))
+        // integer-exact centroid update: micro-units sum order-free
+        val c2 = a1
+          .selectExpr("c_id", "posexplode(embedding) AS (dim, x)")
+          .selectExpr("c_id", "dim",
+            "cast(round(double(x) * 1000000.0D) AS bigint) AS micro")
+          .groupBy(col("c_id"), col("dim"))
+          .agg(expr("cast(floor(cast(sum(micro) AS double) / count(1)) AS double)").as("cval"))
+          .groupBy(col("c_id"))
+          .agg(expr("transform(array_sort(collect_list(struct(dim, cval))), st -> st.cval)").as("ce"))
+        assign(a1.selectExpr("vec_id", "embedding", "c_id AS c1"), c2)
+          .selectExpr("vec_id", "c1", "c_id AS c2")
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH cents AS (
+          SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id < 8),
+        a1 AS (
+          SELECT vec_id, embedding, c_id FROM (
+            SELECT e.vec_id, e.embedding, c.c_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(${cosineDuck.replace("qe", "e.embedding").replace("ne", "c.ce")}, 6) DESC,
+                              c.c_id) AS rk
+            FROM embeddings e CROSS JOIN cents c)
+          WHERE rk = 1),
+        dimsum AS (
+          SELECT c_id, i AS dim,
+                 CAST(floor(CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+                            / count(*)) AS DOUBLE) AS cval
+          FROM a1, unnest(range(1, len(embedding) + 1)) t(i)
+          GROUP BY c_id, i),
+        c2 AS (SELECT c_id, list(cval ORDER BY dim) AS ce FROM dimsum GROUP BY c_id),
+        a2 AS (
+          SELECT vec_id, c1, c_id AS c2 FROM (
+            SELECT e.vec_id, e.c_id AS c1, c.c_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(${cosineDuck.replace("qe", "e.embedding").replace("ne", "c.ce")}, 6) DESC,
+                              c.c_id) AS rk
+            FROM a1 e CROSS JOIN c2 c)
+          WHERE rk = 1)
+        SELECT vec_id, c1, c2 FROM a2 ORDER BY vec_id""")),
+
+    // ---- Exact-substring duplication profile (the character-gram analogue
+    //      of Lee et al. 2022's suffix-array dedup, sampled): 64-char grams
+    //      at stride 16, a gram is "duplicated" when it appears in ≥2
+    //      distinct docs; per doc report how much of its sampled surface is
+    //      corpus-duplicated. Scale posture: only 16-byte gram HASHES
+    //      shuffle (chars/16 rows per doc — the text never leaves its scan
+    //      partition); the doc-frequency table is corpus-derived, so the
+    //      join back is an UNHINTED shuffle equi-join on the gram hash —
+    //      never a driver broadcast (the q92/q99 lesson). The stride trades
+    //      boundary recall for a 16× row cut, like winnowing (q63).
+    QueryDef(
+      "q106_dup_grams",
+      (s, dir) => {
+        val grams = t(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .filter(length(col("text")) >= 64)
+          .selectExpr("doc_id",
+            """explode(transform(sequence(1, length(text) - 63, 16),
+                 p -> md5(substring(text, p, 64)))) AS h""")
+        val dfreq = grams.groupBy(col("h"))
+          .agg(countDistinct(col("doc_id")).as("ndoc"))
+        grams.join(dfreq, Seq("h"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("ndoc") >= 2, 1L).otherwise(0L)).as("n_dup"))
+          .selectExpr("doc_id", "n_grams", "n_dup",
+            "round(n_dup / n_grams, 4) AS dup_frac")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH g AS (
+          SELECT doc_id, md5(substring(text, p, 64)) AS h
+          FROM documents, unnest(range(1, len(text) - 62, 16)) t(p)
+          WHERE len(text) >= 64),
+        df AS (SELECT h, count(DISTINCT doc_id) AS ndoc FROM g GROUP BY h)
+        SELECT doc_id, count(*) AS n_grams,
+               CAST(sum(CASE WHEN ndoc >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+               round(sum(CASE WHEN ndoc >= 2 THEN 1 ELSE 0 END) / count(*), 4) AS dup_frac
+        FROM g JOIN df USING (h) GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

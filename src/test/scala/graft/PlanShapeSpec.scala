@@ -63,7 +63,9 @@ class PlanShapeSpec extends SparkSpec {
       "q75_ann_ivf",      // broadcast coarse quantizer (8 centroids)
       "q92_boilerplate",  // broadcast in-plan corpus-size scalar (as q64b)
       "q99_lm_score",     // broadcast in-plan vocab-size scalar (as q64b)
-      "q103_domain_mix")  // broadcast 1-row weight-normalizer scalar
+      "q103_domain_mix",  // broadcast 1-row weight-normalizer scalar
+      "q104_semdedup",    // broadcast centroid set (k rows) argmax assign
+      "q105_kmeans_step") // broadcast centroid set, both Lloyd passes
     val flagged = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.contains("stream")) // streaming fns execute on call
       .flatMap { case (name, fn) =>
