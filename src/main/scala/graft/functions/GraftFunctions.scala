@@ -148,6 +148,17 @@ object GraftFunctions {
     reg("xpath_float", classOf[HiveXPath], es => HiveXPath(es(0), es(1), "float")),
     reg("xpath_double", classOf[HiveXPath], es => HiveXPath(es(0), es(1), "double")),
     reg("xpath_number", classOf[HiveXPath], es => HiveXPath(es(0), es(1), "number")),
+    // native vector kernels: bit-identical to the HOF dot/normalize chains
+    // (left-to-right double accumulation) minus the interpreted lambda
+    // dispatch — the hot path of every embedding operator
+    reg("vec_dot", classOf[VecDot], es => {
+      require(es.size == 2, "vec_dot(a, b)")
+      VecDot(es(0), es(1))
+    }),
+    reg("vec_normalize", classOf[VecNormalize], es => {
+      require(es.size == 1, "vec_normalize(a)")
+      VecNormalize(es(0))
+    }),
     reg("winnow_mins", classOf[WinnowMins], es => {
       def asIntLit(e: Expression, what: String): Int = e match {
         case Literal(v: Int, IntegerType) => v

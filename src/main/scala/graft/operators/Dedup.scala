@@ -32,14 +32,14 @@ object Dedup extends QueryModule {
     */
   private val JaccardDfCap = 50
 
-  /** IEEE-identical cosine: double-cast elementwise product, sequential sum. */
+  /** IEEE-identical cosine: double-cast elementwise product, sequential sum.
+    * vec_dot (functions/VecKernels) is bit-identical to the former
+    * aggregate(zip_with(...)) HOF chain — same left-to-right double
+    * accumulation the DuckDB oracles compute — in one primitive loop.
+    */
   private val cosine =
-    """aggregate(zip_with(qe, ne, (x, y) -> double(x) * double(y)),
-                 cast(0 AS double), (acc, v) -> acc + v)
-       / (sqrt(aggregate(transform(qe, x -> double(x) * double(x)),
-                         cast(0 AS double), (acc, v) -> acc + v))
-          * sqrt(aggregate(transform(ne, x -> double(x) * double(x)),
-                           cast(0 AS double), (acc, v) -> acc + v)))"""
+    """(vec_dot(qe, ne)
+       / (sqrt(vec_dot(qe, qe)) * sqrt(vec_dot(ne, ne))))"""
 
   private val cosineDuck =
     """list_sum(list_transform(range(1, len(qe) + 1),
@@ -649,41 +649,58 @@ object Dedup extends QueryModule {
       "q104_semdedup",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val emb = t(s, dir, "embeddings")
-        val cents = emb.filter(col("vec_id") < 8)
-          .selectExpr("vec_id AS c_id", "embedding AS ce")
-        val assigned = emb.selectExpr("vec_id", "embedding")
+        // normalize ONCE (vec_normalize = the staged-l2 HOF chain in a
+        // native kernel); every later similarity is then a single native
+        // dot product instead of three interpreted HOF aggregates, on the
+        // assignment side AND the n_c²-sized candidate-pair side
+        val embN = t(s, dir, "embeddings")
           .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("vec_id", "vec_normalize(embedding) AS ne")
+        val cents = embN.filter(col("vec_id") < 8)
+          .selectExpr("vec_id AS c_id", "ne AS ce")
+        val assigned = embN
           .crossJoin(broadcast(cents))
-          .selectExpr("vec_id", "embedding", "c_id",
-            s"""round(${cosine.replace("qe", "embedding").replace("ne", "ce")}, 6) AS csim""")
+          .selectExpr("vec_id", "ne", "c_id",
+            "round(vec_dot(ne, ce), 6) AS csim")
           .withColumn("rk", row_number().over(
             Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))))
           .filter(col("rk") === 1)
-          .select(col("vec_id"), col("embedding"), col("c_id"))
-        val a = assigned.toDF("a_id", "qe", "c_id")
-        val b = assigned.toDF("b_id", "ne", "c_id")
-        a.join(b, Seq("c_id")).filter(col("a_id") < col("b_id"))
-          .selectExpr("c_id", "a_id", "b_id", s"round($cosine, 4) AS sim")
+          .select(col("vec_id"), col("ne"), col("c_id"))
+        // within-cluster pairing as an alias self-join on c_id. Key-space
+        // note for scale: k here is a fixture stand-in — real SemDeDup runs
+        // k ≈ √n clusters, so the equi-join has ample keys; the paper's
+        // cluster-size cap (or q49-style salting) bounds the worst task.
+        assigned.as("a")
+          .join(assigned.as("b"),
+            col("a.c_id") === col("b.c_id") && col("a.vec_id") < col("b.vec_id"))
+          .selectExpr("a.c_id AS c_id", "a.vec_id AS a_id", "b.vec_id AS b_id",
+            "round(vec_dot(a.ne, b.ne), 4) AS sim")
           .filter(col("sim") >= 0.40)
           .groupBy(col("b_id"), col("c_id"))
           .agg(min(col("a_id")).as("keeper"))
           .withColumnRenamed("b_id", "removed_id")
           .orderBy(col("removed_id"))
       },
-      Some(s"""WITH cents AS (
-          SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id < 8),
+      Some(s"""WITH eN AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE) /
+                   sqrt(list_sum(list_transform(embedding,
+                     y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS ne
+          FROM embeddings),
+        cents AS (SELECT vec_id AS c_id, ne AS ce FROM eN WHERE vec_id < 8),
         assigned AS (
-          SELECT vec_id, embedding, c_id FROM (
-            SELECT e.vec_id, e.embedding, c.c_id,
+          SELECT vec_id, ne, c_id FROM (
+            SELECT e.vec_id, e.ne, c.c_id,
                    row_number() OVER (PARTITION BY e.vec_id
-                     ORDER BY round(${cosineDuck.replace("qe", "e.embedding").replace("ne", "c.ce")}, 6) DESC,
+                     ORDER BY round(list_sum(list_transform(range(1, len(e.ne) + 1),
+                                i -> e.ne[i] * c.ce[i])), 6) DESC,
                               c.c_id) AS rk
-            FROM embeddings e CROSS JOIN cents c)
+            FROM eN e CROSS JOIN cents c)
           WHERE rk = 1)
         SELECT b_id AS removed_id, c_id, min(a_id) AS keeper FROM (
           SELECT a.c_id, a.vec_id AS a_id, b.vec_id AS b_id,
-                 round(${cosineDuck.replace("qe", "a.embedding").replace("ne", "b.embedding")}, 4) AS sim
+                 round(list_sum(list_transform(range(1, len(a.ne) + 1),
+                        i -> a.ne[i] * b.ne[i])), 4) AS sim
           FROM assigned a JOIN assigned b USING (c_id)
           WHERE a.vec_id < b.vec_id)
         WHERE sim >= 0.40 GROUP BY 1, 2 ORDER BY removed_id""")),

@@ -60,10 +60,18 @@ object ScaleOps extends QueryModule {
           val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
           if (fs.exists(p)) fs.delete(p, true)
         }
+        // repartition on the bucket column BEFORE the bucketed write:
+        // repartition's HashPartitioning and bucketBy use the same
+        // murmur3-pmod hash, so each task holds exactly one bucket and
+        // writes ONE file — without it every task writes a sliver of all
+        // 8 buckets (tasks × buckets small files, the classic bucketed-
+        // write mistake at scale)
         t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+          .repartition(8, col("o_orderkey"))
           .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
           .mode("overwrite").saveAsTable(to)
         t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"))
+          .repartition(8, col("l_orderkey"))
           .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
           .mode("overwrite").saveAsTable(tl)
         // merge hint: at test SF the filtered side fits a broadcast, which

@@ -26,6 +26,12 @@ object Streaming extends QueryModule {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** documents schema for readStream (q107 streams the corpus table). */
+  private val documentsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
     spark.readStream
       .schema(eventsSchema)
@@ -160,6 +166,56 @@ object Streaming extends QueryModule {
         FROM (SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
               FROM events)
         GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- Streaming benchmark decontamination — q102's production shape:
+    //      the corpus arrives continuously (file stream), the eval-set
+    //      probe shingles are a STATIC broadcast side refreshed per
+    //      micro-batch. Matches GPT-3/Llama-style scrubbing run as
+    //      ingest-time filtering instead of a batch sweep. State is one
+    //      counter per contaminated doc (hit docs only — benchmark-overlap
+    //      cardinality, not corpus cardinality); at web scale an ingest-
+    //      time watermark would bound it further. Shingle hashing happens
+    //      BEFORE the join, partition-parallel, exactly as in batch.
+    QueryDef(
+      "q107_stream_decontam",
+      (s, dir) => {
+        val shingleSql = """CASE WHEN size(ws) >= 8 THEN
+            array_distinct(transform(sequence(1, size(ws) - 7),
+              i -> md5(concat_ws(' ', slice(ws, i, 8)))))
+          ELSE array() END"""
+        val probes = graft.Tables.load(s, dir, "documents")
+          .filter(col("doc_id") % 20 === 7)
+          .selectExpr("split(trim(text), ' ') AS ws")
+          .selectExpr(s"explode_outer($shingleSql) AS sh")
+          .filter(col("sh").isNotNull).distinct()
+        val hits = s.readStream
+          .schema(documentsSchema)
+          .option("pathGlobFilter", "documents.parquet")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(dir)
+          .filter(col("doc_id") % 20 =!= 7)
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("doc_id", "split(trim(text), ' ') AS ws")
+          .selectExpr("doc_id", s"explode_outer($shingleSql) AS sh")
+          .join(broadcast(probes), Seq("sh"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_hits"))
+        runToTable(s, hits, "q107_sink", OutputMode.Complete())
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (
+          SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+        probes AS (
+          SELECT DISTINCT unnest(list_transform(range(1, len(ws) - 6),
+            i -> md5(array_to_string(ws[i:i+7], ' ')))) AS sh
+          FROM w WHERE doc_id % 20 = 7 AND len(ws) >= 8),
+        cand AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 6),
+            i -> md5(array_to_string(ws[i:i+7], ' '))))) AS sh
+          FROM w WHERE doc_id % 20 <> 7 AND len(ws) >= 8)
+        SELECT doc_id, count(*) AS n_hits
+        FROM cand JOIN probes USING (sh)
+        GROUP BY doc_id ORDER BY doc_id""")),
 
     // ---- session_window (30-min gap) batch aggregation — the declarative
     //      sibling of the stateful sessionizer below; oracled against the
