@@ -135,6 +135,10 @@ object GraftFunctions {
     // sorting every group row
     reg("top_k", classOf[TopKAgg],
       es => TopKAgg(es(0), es(1), es(2)).toAggregateExpression()),
+    // Misra-Gries frequent items: <= k counters per partial buffer vs one
+    // shuffled row per distinct item; exact when k >= |distinct|
+    reg("freq_items", classOf[FreqItemsAgg],
+      es => FreqItemsAgg(es(0), es(1)).toAggregateExpression()),
     // xpath family under the builtin names (FunctionRegistry.java:309-317):
     // same public semantics, but the JAXP factories resolve once per JVM and
     // parsers are thread-local (see XPathKernel) — the builtin re-runs two

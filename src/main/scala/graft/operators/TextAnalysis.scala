@@ -615,6 +615,40 @@ object TextAnalysis extends QueryModule {
                 d.doc_id) AS rk
           FROM documents d)
         SELECT r.doc_id, r.lang FROM ranked r JOIN quota USING (lang)
-        WHERE rk <= q ORDER BY doc_id"""))
+        WHERE rk <= q ORDER BY doc_id""")),
+
+    // ---- Frequent items per language (Misra-Gries `freq_items` kernel —
+    //      functions/FreqItems.scala): top-5 words by count. The exact
+    //      GROUP-BY form shuffles one row per DISTINCT item (a web corpus:
+    //      billions); the aggregate ships ≤ k counters per partial buffer
+    //      with the n/(k+1) frequency guarantee — the stop-word-discovery /
+    //      hot-key-detection summary. k=4096 ≫ the fixture vocabulary, so
+    //      counts are EXACT here and the DuckDB oracle can check them; the
+    //      tight-capacity error bound is property-spec'd instead.
+    QueryDef(
+      "q108_freq_items",
+      (s, dir) => {
+        val words = t(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("lang", "explode(split(trim(text), ' ')) AS word")
+          .filter(length(col("word")) > 0)
+        words.groupBy(col("lang"))
+          .agg(expr("freq_items(word, 4096)").as("fi"))
+          .selectExpr("lang", "posexplode(slice(fi, 1, 5)) AS (i, e)")
+          .selectExpr("lang", "cast(i + 1 AS int) AS rk",
+            "e.item AS word", "e.cnt AS cnt")
+          .orderBy(col("lang"), col("rk"))
+      },
+      Some("""WITH w AS (
+          SELECT lang, unnest(string_split(trim(text), ' ')) AS word
+          FROM documents),
+        c AS (SELECT lang, word, count(*) AS cnt FROM w
+              WHERE len(word) > 0 GROUP BY 1, 2),
+        r AS (SELECT lang, word, cnt,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY cnt DESC, word) AS rk
+              FROM c)
+        SELECT lang, CAST(rk AS INT) AS rk, word, cnt FROM r WHERE rk <= 5
+        ORDER BY lang, rk"""))
   )
 }

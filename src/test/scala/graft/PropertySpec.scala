@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{NGramFreq, NGramKernel, NGramState, TopKKernel, TopKState}
+import graft.functions.{FreqItemsKernel, FreqItemsState, NGramFreq, NGramKernel, NGramState, TopKKernel, TopKState}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -214,6 +214,70 @@ class PropertySpec extends SparkSpec {
       assert(TopKKernel.finish(back) == TopKKernel.finish(tkReduced(rows, 5)))
       val withZero = TopKKernel.merge(back, new TopKState())
       assert(TopKKernel.finish(withZero) == brute(rows, 5), s"seed=$seed")
+    }
+  }
+
+  // ---- freq_items Misra-Gries aggregate (functions/FreqItems.scala) ----
+
+  private val fiItem: Gen[String] = Gen.frequency(
+    (8, Gen.const("hot1")), (5, Gen.const("hot2")),
+    (2, Gen.oneOf("w1", "w2", "w3")),
+    (1, Gen.oneOf((1 to 30).map(i => s"rare$i"))))
+
+  private def fiReduced(items: Seq[String], k: Int): FreqItemsState = {
+    val s = new FreqItemsState(k)
+    items.foreach(FreqItemsKernel.add(s, _, 1L))
+    s
+  }
+
+  test("freq_items: exact regime (k >= distinct) equals exact counts, any split") {
+    (1 to 60).foreach { seed =>
+      val items = sample(Gen.listOfN(200, fiItem), seed)
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong)
+        .toSeq.sortBy { case (i, c) => (-c, i) }
+      val k = 64 // > 35 possible distinct items
+      val whole = FreqItemsKernel.finish(fiReduced(items, k))
+      val (l, r) = items.splitAt(seed % items.size)
+      val merged = FreqItemsKernel.finish(
+        FreqItemsKernel.merge(fiReduced(l, k), fiReduced(r, k)))
+      assert(whole == exact, s"seed=$seed whole")
+      assert(merged == exact, s"seed=$seed merged")
+    }
+  }
+
+  test("freq_items: tight capacity keeps the MG guarantees") {
+    (1 to 60).foreach { seed =>
+      val items = sample(Gen.listOfN(300, fiItem), seed)
+      val n = items.size
+      val k = 4
+      val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val (l, r) = items.splitAt((seed * 7) % items.size)
+      val st = FreqItemsKernel.merge(fiReduced(l, k), fiReduced(r, k))
+      val got = FreqItemsKernel.finish(st).toMap
+      assert(got.size <= k, s"seed=$seed capacity")
+      assert(st.decremented <= n / (k + 1), s"seed=$seed decrement bound")
+      // every item with freq > n/(k+1) survives; counts undercount by
+      // at most the applied decrement and never overcount
+      truth.foreach { case (item, c) =>
+        if (c > n / (k + 1))
+          assert(got.contains(item), s"seed=$seed lost heavy hitter $item ($c)")
+      }
+      got.foreach { case (item, c) =>
+        val t = truth(item)
+        assert(c <= t && c >= t - st.decremented, s"seed=$seed bound $item")
+      }
+    }
+  }
+
+  test("freq_items: serde round trip preserves counters, k, and error budget") {
+    (1 to 40).foreach { seed =>
+      val items = sample(Gen.listOfN(150, fiItem), seed)
+      val st = fiReduced(items, 6)
+      val back = FreqItemsKernel.deserialize(FreqItemsKernel.serialize(st))
+      assert(FreqItemsKernel.finish(back) == FreqItemsKernel.finish(st))
+      assert(back.k == st.k && back.decremented == st.decremented)
+      val withZero = FreqItemsKernel.merge(back, new FreqItemsState())
+      assert(FreqItemsKernel.finish(withZero) == FreqItemsKernel.finish(st))
     }
   }
 }
