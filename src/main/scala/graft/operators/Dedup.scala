@@ -633,6 +633,44 @@ object Dedup extends QueryModule {
                md5(array_to_string(q, ',')) AS q_md5
         FROM qz ORDER BY vec_id""")),
 
+    // ---- Per-dimension feature statistics (the mean/std table a training
+    //      pipeline computes before whitening / standardizing embeddings).
+    //      Cross-engine exactness: double moment sums depend on
+    //      hash-aggregation order, so both moments are ORDER-FREE BIGINT
+    //      sums of integer micro-units (m = round(x·10⁶), exact on float
+    //      inputs), finished by one deterministic double expression.
+    //      Capacity math: |m| ≤ 6·10⁵ here ⇒ m² ≤ 3.3·10¹¹, so s2 stays
+    //      exact below ~2.7·10⁷ rows/dim at 10⁶ units; at web scale drop
+    //      to 10⁴ units (exact past 10¹¹ rows/dim) or split s2 into
+    //      hi/lo = sum(m² div B) · B + sum(m² mod B) — same plan, two
+    //      more integer sums. One (dim, m) shuffle — metadata, not vectors.
+    QueryDef(
+      "q109_dim_stats",
+      (s, dir) => t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .selectExpr("posexplode(embedding) AS (pos, x)")
+        .selectExpr("pos + 1 AS dim",
+          "cast(round(double(x) * 1000000.0D) AS bigint) AS m")
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("m")).as("s1"),
+          sum(expr("m * m")).as("s2"))
+        .selectExpr("cast(dim AS int) AS dim",
+          "round(double(s1) / n / 1000000.0D, 6) AS mean",
+          "round(sqrt((double(s2) - double(s1) * s1 / n) / n) / 1000000.0D, 6) AS std")
+        .orderBy(col("dim")),
+      Some("""WITH d AS (
+          SELECT i AS dim,
+                 CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS m
+          FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)),
+        s AS (SELECT dim, count(*) AS n, CAST(sum(m) AS BIGINT) AS s1,
+                     CAST(sum(m * m) AS BIGINT) AS s2
+              FROM d GROUP BY dim)
+        SELECT CAST(dim AS INT) AS dim,
+               round(CAST(s1 AS DOUBLE) / n / 1000000.0, 6) AS mean,
+               round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n)
+                     / 1000000.0, 6) AS std
+        FROM s ORDER BY dim""")),
+
     // ---- SemDeDup (semantic dedup over embedding clusters, the
     //      cluster-then-pair pattern of arXiv:2303.09540): assign every
     //      vector to its nearest centroid, pair only WITHIN a cluster, and
