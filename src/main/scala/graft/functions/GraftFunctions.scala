@@ -163,6 +163,15 @@ object GraftFunctions {
       require(es.size == 1, "vec_normalize(a)")
       VecNormalize(es(0))
     }),
+    reg("shingle_md5", classOf[ShingleMd5], es => {
+      require(es.size == 2, "shingle_md5(text, n)")
+      val n = es(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case _ => throw new IllegalArgumentException(
+          "shingle_md5 n must be an integer literal")
+      }
+      ShingleMd5(es(0), n)
+    }),
     reg("winnow_mins", classOf[WinnowMins], es => {
       def asIntLit(e: Expression, what: String): Int = e match {
         case Literal(v: Int, IntegerType) => v

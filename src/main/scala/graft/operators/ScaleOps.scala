@@ -307,6 +307,64 @@ object ScaleOps extends QueryModule {
                  row_number() OVER (PARTITION BY o_orderstatus
                    ORDER BY o_totalprice DESC, CAST(o_orderkey AS VARCHAR)) AS rk
           FROM orders)
-        WHERE rk <= 3 ORDER BY o_orderstatus, rk"""))
+        WHERE rk <= 3 ORDER BY o_orderstatus, rk""")),
+
+    // ---- CDC merge/upsert (MERGE INTO without a lakehouse — the corpus-
+    //      snapshot-refresh plan of an incremental crawl): deletes as an
+    //      anti-join, updates as a left join + coalesce, inserts as a
+    //      union — all shuffle equi-joins on the primary key. AQE
+    //      broadcasts the delta sides when they are small (the typical CDC
+    //      shape); against a bucketed base (q101) the merge is
+    //      exchange-free on the base side. FP discipline: all money math
+    //      in exact integer cents — the only rounds are of near-integers
+    //      and exact binary halves, which both engines round identically.
+    QueryDef(
+      "q110_merge_upsert",
+      (s, dir) => {
+        val base = t(s, dir, "orders").selectExpr("o_orderkey", "o_orderstatus",
+          "cast(round(o_totalprice * 100.0D) AS bigint) AS cents")
+        val upd = base.filter(col("o_orderkey") % 10 === 3)
+          .selectExpr("o_orderkey",
+            "cast(round(cents * 110.0D / 100.0D) AS bigint) AS new_cents")
+        val del = base.filter(col("o_orderkey") % 100 === 7)
+          .select(col("o_orderkey"))
+        val ins = base.filter(col("o_orderkey") % 500 === 11)
+          .selectExpr("o_orderkey + 10000000 AS o_orderkey", "o_orderstatus",
+            "cast(round(cents * 50.0D / 100.0D) AS bigint) AS cents",
+            "'I' AS action")
+        base
+          .join(del, Seq("o_orderkey"), "left_anti")
+          .join(upd, Seq("o_orderkey"), "left")
+          .selectExpr("o_orderkey", "o_orderstatus",
+            "coalesce(new_cents, cents) AS cents",
+            "CASE WHEN new_cents IS NOT NULL THEN 'U' ELSE 'K' END AS action")
+          .unionByName(ins)
+          .groupBy(col("o_orderstatus"), col("action"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("price_cents"))
+          .orderBy(col("o_orderstatus"), col("action"))
+      },
+      Some("""WITH base AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+          FROM orders),
+        upd AS (SELECT o_orderkey,
+                       CAST(round(cents * 110.0 / 100.0) AS BIGINT) AS new_cents
+                FROM base WHERE o_orderkey % 10 = 3),
+        del AS (SELECT o_orderkey FROM base WHERE o_orderkey % 100 = 7),
+        ins AS (SELECT o_orderkey + 10000000 AS o_orderkey, o_orderstatus,
+                       CAST(round(cents * 50.0 / 100.0) AS BIGINT) AS cents,
+                       'I' AS action
+                FROM base WHERE o_orderkey % 500 = 11),
+        merged AS (
+          SELECT b.o_orderkey, b.o_orderstatus,
+                 COALESCE(u.new_cents, b.cents) AS cents,
+                 CASE WHEN u.o_orderkey IS NOT NULL THEN 'U' ELSE 'K' END AS action
+          FROM base b LEFT JOIN upd u USING (o_orderkey)
+          WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM del)
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus, cents, action FROM ins)
+        SELECT o_orderstatus, action, count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS price_cents
+        FROM merged GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

@@ -538,20 +538,18 @@ object TextAnalysis extends QueryModule {
     QueryDef(
       "q102_decontam",
       (s, dir) => {
-        val shingleSql = """CASE WHEN size(ws) >= 8 THEN
-            array_distinct(transform(sequence(1, size(ws) - 7),
-              i -> md5(concat_ws(' ', slice(ws, i, 8)))))
-          ELSE array() END"""
-        // fixture parquet is single-row-group → one scan partition; spread
-        // the interpreted-HOF md5 work across cores before projecting
+        // shingle_md5 = the HOF chain in one native loop (functions/
+        // Shingle.scala; ShingleSpec proves equality, the oracle still
+        // describes the HOF form). Fixture parquet is single-row-group →
+        // one scan partition; spread the md5 work across cores first
         val docs = t(s, dir, "documents")
           .repartition(s.sparkContext.defaultParallelism)
-          .selectExpr("doc_id", "split(trim(text), ' ') AS ws")
+          .selectExpr("doc_id", "shingle_md5(trim(text), 8) AS shs")
         val probes = docs.filter(col("doc_id") % 20 === 7)
-          .selectExpr(s"explode_outer($shingleSql) AS sh")
+          .selectExpr("explode_outer(shs) AS sh")
           .filter(col("sh").isNotNull).distinct()
         docs.filter(col("doc_id") % 20 =!= 7)
-          .selectExpr("doc_id", s"explode_outer($shingleSql) AS sh")
+          .selectExpr("doc_id", "explode_outer(shs) AS sh")
           .join(broadcast(probes), Seq("sh"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_hits"))

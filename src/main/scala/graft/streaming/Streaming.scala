@@ -179,14 +179,9 @@ object Streaming extends QueryModule {
     QueryDef(
       "q107_stream_decontam",
       (s, dir) => {
-        val shingleSql = """CASE WHEN size(ws) >= 8 THEN
-            array_distinct(transform(sequence(1, size(ws) - 7),
-              i -> md5(concat_ws(' ', slice(ws, i, 8)))))
-          ELSE array() END"""
         val probes = graft.Tables.load(s, dir, "documents")
           .filter(col("doc_id") % 20 === 7)
-          .selectExpr("split(trim(text), ' ') AS ws")
-          .selectExpr(s"explode_outer($shingleSql) AS sh")
+          .selectExpr("explode_outer(shingle_md5(trim(text), 8)) AS sh")
           .filter(col("sh").isNotNull).distinct()
         val hits = s.readStream
           .schema(documentsSchema)
@@ -195,8 +190,7 @@ object Streaming extends QueryModule {
           .parquet(dir)
           .filter(col("doc_id") % 20 =!= 7)
           .repartition(s.sparkContext.defaultParallelism)
-          .selectExpr("doc_id", "split(trim(text), ' ') AS ws")
-          .selectExpr("doc_id", s"explode_outer($shingleSql) AS sh")
+          .selectExpr("doc_id", "explode_outer(shingle_md5(trim(text), 8)) AS sh")
           .join(broadcast(probes), Seq("sh"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_hits"))
