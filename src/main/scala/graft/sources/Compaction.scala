@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Spark-native analogue of the reference's conditional small-file merge
+  * (`optimizer/GenMRFileSink1.java` — the ConditionalTask merge job gated by
+  * `hive.merge.mapfiles` / `hive.merge.smallfiles.avgsize` /
+  * `hive.merge.size.per.task`, HiveConf.java): when the average data-file
+  * size of a table directory falls below the small-file threshold, rewrite
+  * the directory with file sizes aimed at `targetBytes`.
+  *
+  * Spark-first shape: the rewrite is ONE round-robin shuffle
+  * (`repartition(n)` with n from actual on-disk bytes — the REBALANCE
+  * posture; at cluster scale AQE's rebalance/coalesce does the same from
+  * runtime statistics), and the publish is write-audit-publish: the merged
+  * copy lands in a sibling temp dir and swaps in only after the write
+  * succeeds — the same commit discipline as the reference's MoveTask.
+  */
+object Compaction {
+
+  /** @return true when a merge ran, false when the directory was already
+    *         healthy (files.isEmpty or avg ≥ smallFileAvgThreshold).
+    */
+  def compactIfFragmented(
+      spark: SparkSession,
+      dir: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      smallFileAvgThreshold: Long = 64L * 1024 * 1024): Boolean = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(path).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+    if (dataFiles.isEmpty) return false
+    val total = dataFiles.map(_.getLen).sum
+    if (total / dataFiles.size >= smallFileAvgThreshold) return false
+
+    val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    val tmp = new Path(path.getParent, path.getName + "__compact_tmp")
+    val trash = new Path(path.getParent, path.getName + "__compact_old")
+    spark.read.parquet(dir).repartition(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // publish: old dir steps aside only after the merged copy is complete
+    if (fs.exists(trash)) fs.delete(trash, true)
+    if (!fs.rename(path, trash)) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(s"compaction publish failed for $dir")
+    }
+    if (!fs.rename(tmp, path)) {
+      fs.rename(trash, path) // roll back
+      throw new IllegalStateException(s"compaction publish failed for $dir")
+    }
+    fs.delete(trash, true)
+    true
+  }
+}

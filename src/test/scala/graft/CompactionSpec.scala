@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import graft.sources.Compaction
+
+/** Small-file merge (the reference's conditional merge job,
+  * GenMRFileSink1.java): fragmented table directories are rewritten toward
+  * the target file size, content-identically, write-audit-publish; healthy
+  * directories are left untouched.
+  */
+class CompactionSpec extends SparkSpec {
+
+  private def fileCount(dir: String): Int = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).count(s => s.isFile && !s.getPath.getName.startsWith("_")
+      && !s.getPath.getName.startsWith("."))
+  }
+
+  private def contentDigest(dir: String): (Long, Long) = {
+    val df = spark.read.parquet(dir)
+    val r = df.selectExpr("count(*) AS n",
+      "cast(sum(cast(conv(substr(md5(concat_ws('', doc_id, lang, source)), 1, 8), 16, 10) AS bigint)) AS bigint) AS h")
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  test("fragmented directory merges to the target count, content-identical") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/docs"
+    graft.Tables.load(spark, sfDir, "documents")
+      .repartition(40) // fragment: 40 tiny files
+      .write.mode("overwrite").parquet(dir)
+    assert(fileCount(dir) == 40)
+    val before = contentDigest(dir)
+
+    val ran = Compaction.compactIfFragmented(spark, dir,
+      targetBytes = 512L * 1024, smallFileAvgThreshold = 256L * 1024)
+    assert(ran, "merge should trigger on 40 tiny files")
+    assert(fileCount(dir) < 40, "file count must shrink")
+    assert(contentDigest(dir) == before, "content must be byte-for-byte stable")
+    // no temp/trash residue (write-audit-publish cleaned up)
+    val parent = new Path(dir).getParent
+    val fs = parent.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.listStatus(parent).exists(_.getPath.getName.contains("__compact")))
+  }
+
+  test("healthy directory is left untouched (conditional, like the reference)") {
+    val dir = Files.createTempDirectory("graft_compact2").toString + "/docs"
+    graft.Tables.load(spark, sfDir, "documents")
+      .repartition(1)
+      .write.mode("overwrite").parquet(dir)
+    val files = fileCount(dir)
+    val ran = Compaction.compactIfFragmented(spark, dir,
+      targetBytes = 512L * 1024, smallFileAvgThreshold = 1L) // avg >= 1 byte
+    assert(!ran)
+    assert(fileCount(dir) == files)
+  }
+}
