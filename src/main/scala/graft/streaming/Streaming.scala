@@ -211,6 +211,36 @@ object Streaming extends QueryModule {
         FROM cand JOIN probes USING (sh)
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- Streaming frequent items: the Misra-Gries `freq_items` aggregate
+    //      (functions/FreqItems.scala) running under Structured Streaming —
+    //      partial summaries merge across shuffle partitions and micro-
+    //      batches through the SAME merge law PropertySpec pins, and k ≫
+    //      |distinct| keeps it in the exact regime so the batch oracle
+    //      checks the streamed counts exactly. The production shape of
+    //      hot-key / heavy-user monitoring over an event stream: state per
+    //      group is ≤ k counters, never one row per distinct key.
+    QueryDef(
+      "q111_stream_freq",
+      (s, dir) => {
+        val agg = eventsStream(s, dir)
+          .groupBy(col("event_type"))
+          .agg(expr("freq_items(cast(user_id AS string), 65536)").as("fi"))
+        runToTable(s, agg, "q111_sink", OutputMode.Complete())
+          .selectExpr("event_type", "posexplode(slice(fi, 1, 5)) AS (i, e)")
+          .selectExpr("event_type", "cast(i + 1 AS int) AS rk",
+            "e.item AS user_key", "e.cnt AS cnt")
+          .orderBy(col("event_type"), col("rk"))
+      },
+      Some("""WITH c AS (
+          SELECT event_type, CAST(user_id AS VARCHAR) AS u, count(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        r AS (SELECT event_type, u, cnt,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY cnt DESC, u) AS rk
+              FROM c)
+        SELECT event_type, CAST(rk AS INT) AS rk, u AS user_key, cnt
+        FROM r WHERE rk <= 5 ORDER BY event_type, rk""")),
+
     // ---- session_window (30-min gap) batch aggregation — the declarative
     //      sibling of the stateful sessionizer below; oracled against the
     //      classic lag/cumsum sessionization SQL
