@@ -833,6 +833,12 @@ object Dedup extends QueryModule {
           .selectExpr("doc_id",
             """explode(transform(sequence(1, length(text) - 63, 16),
                  p -> md5(substring(text, p, 64)))) AS h""")
+        // the DF side re-derives `grams` (its map-side partial agg makes the
+        // exchange non-reusable): a deliberate 2-scans-of-pruned-parquet
+        // trade against the 1-scan alternative — groupBy(h) with
+        // collect_list(doc_id) — whose per-gram doc buffer is unbounded on
+        // a stop-gram (one task holding 10⁸ doc ids). Scans are cheap and
+        // column-pruned; unbounded state is not.
         val dfreq = grams.groupBy(col("h"))
           .agg(countDistinct(col("doc_id")).as("ndoc"))
         grams.join(dfreq, Seq("h"))

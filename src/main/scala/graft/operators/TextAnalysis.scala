@@ -647,6 +647,31 @@ object TextAnalysis extends QueryModule {
                        ORDER BY cnt DESC, word) AS rk
               FROM c)
         SELECT lang, CAST(rk AS INT) AS rk, word, cnt FROM r WHERE rk <= 5
-        ORDER BY lang, rk"""))
+        ORDER BY lang, rk""")),
+
+    // ---- Deterministic train/val/test split (80/10/10 by content-stable
+    //      hash — the assignment survives reruns, repartitions, and corpus
+    //      growth, unlike rand()-based splits; the same portable
+    //      md5-prefix hash as q85/q103). Pure projection + one count
+    //      shuffle; sum(doc_id) is the membership witness the count alone
+    //      wouldn't give.
+    QueryDef(
+      "q112_split",
+      (s, dir) => t(s, dir, "documents")
+        .selectExpr("doc_id", "lang",
+          """CASE WHEN pmod(cast(conv(substr(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint), 100) < 80 THEN 'train'
+                  WHEN pmod(cast(conv(substr(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint), 100) < 90 THEN 'val'
+                  ELSE 'test' END AS split""")
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("split"), col("lang")),
+      Some("""WITH s AS (
+          SELECT doc_id, lang,
+            CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+                 WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM documents)
+        SELECT split, lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM s GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }
