@@ -332,6 +332,11 @@ object ScaleOps extends QueryModule {
           .selectExpr("o_orderkey + 10000000 AS o_orderkey", "o_orderstatus",
             "cast(round(cents * 50.0D / 100.0D) AS bigint) AS cents",
             "'I' AS action")
+        // left_anti (null-unsafe equality: null keys kept) matches the
+        // oracle's NOT IN only because o_orderkey is a non-null PK — with
+        // nullable keys SQL NOT IN goes three-valued (any NULL in the del
+        // list drops EVERY row) and the two forms diverge; a nullable-key
+        // CDC merge must pre-filter null keys on both sides
         base
           .join(del, Seq("o_orderkey"), "left_anti")
           .join(upd, Seq("o_orderkey"), "left")

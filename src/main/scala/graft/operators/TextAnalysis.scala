@@ -672,6 +672,24 @@ object TextAnalysis extends QueryModule {
                  ELSE 'test' END AS split
           FROM documents)
         SELECT split, lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
-        FROM s GROUP BY 1, 2 ORDER BY 1, 2"""))
+        FROM s GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- Cardinality estimation (HLL++): per-language vocabulary size
+    //      without a per-distinct-item shuffle — constant sketch memory per
+    //      partial buffer, the companion to freq_items for corpus
+    //      profiling. Deterministic per engine (fixed hash) but not
+    //      replicable in DuckDB's HLL, so no SQL oracle (q66 precedent:
+    //      rows-only gate + tolerance law in ApproxAggSpec vs the exact
+    //      count).
+    QueryDef(
+      "q113_approx_distinct",
+      (s, dir) => t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .selectExpr("lang", "explode(split(trim(text), ' ')) AS word")
+        .filter(length(col("word")) > 0)
+        .groupBy(col("lang"))
+        .agg(approx_count_distinct(col("word"), 0.02).as("approx_vocab"))
+        .orderBy(col("lang")),
+      None)
   )
 }

@@ -222,7 +222,11 @@ object Streaming extends QueryModule {
     QueryDef(
       "q111_stream_freq",
       (s, dir) => {
+        // explicit null-key filter on BOTH sides: the aggregate's update
+        // skips nulls while a SQL GROUP BY would count a NULL group — on
+        // null-free fixtures they agree, the filters make it a contract
         val agg = eventsStream(s, dir)
+          .filter(col("user_id").isNotNull)
           .groupBy(col("event_type"))
           .agg(expr("freq_items(cast(user_id AS string), 65536)").as("fi"))
         runToTable(s, agg, "q111_sink", OutputMode.Complete())
@@ -233,7 +237,7 @@ object Streaming extends QueryModule {
       },
       Some("""WITH c AS (
           SELECT event_type, CAST(user_id AS VARCHAR) AS u, count(*) AS cnt
-          FROM events GROUP BY 1, 2),
+          FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
         r AS (SELECT event_type, u, cnt,
                      row_number() OVER (PARTITION BY event_type
                        ORDER BY cnt DESC, u) AS rk

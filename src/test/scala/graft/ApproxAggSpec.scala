@@ -18,6 +18,22 @@ class ApproxAggSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.01, s"exact=$exact approx=$approx")
   }
 
+  test("approx_count_distinct (q113) within 3*rsd of the exact vocabulary") {
+    val words = Tables.load(spark, sfDir, "documents")
+      .selectExpr("lang", "explode(split(trim(text), ' ')) AS word")
+      .filter(length(col("word")) > 0)
+    val rows = words.groupBy(col("lang"))
+      .agg(approx_count_distinct(col("word"), 0.02).as("approx"),
+        countDistinct(col("word")).as("exact"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (approx, exact) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(approx - exact) / exact <= 0.06,
+        s"lang=${r.getString(0)} exact=$exact approx=$approx")
+    }
+  }
+
   test("histogram_numeric bins cover the data (counts sum to rows)") {
     val li = Tables.load(spark, sfDir, "lineitem")
     val bins = li.agg(expr("histogram_numeric(l_quantity, 10)").as("h"))
