@@ -690,6 +690,85 @@ object TextAnalysis extends QueryModule {
         .groupBy(col("lang"))
         .agg(approx_count_distinct(col("word"), 0.02).as("approx_vocab"))
         .orderBy(col("lang")),
-      None)
+      None),
+
+    // ---- End-to-end corpus build: the production DAG a training-data
+    //      pipeline actually runs, composed from the operators above in ONE
+    //      query — decontaminate (q102's shingle probes) → exact-dedup
+    //      (q50's content key, min-id survivor) → quality gate (token
+    //      floor) → deterministic split (q112's hash) → per-(split, lang)
+    //      doc/token accounting. Everything is integer/string arithmetic,
+    //      so the whole chain is oracle-exact; every stage keeps the scale
+    //      posture it had standalone (broadcast benchmark probes,
+    //      one-shuffle dedup, projection-only gate/split).
+    QueryDef(
+      "q114_corpus_pipeline",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("doc_id", "lang", "text", "shingle_md5(trim(text), 8) AS shs")
+        val probes = docs.filter(col("doc_id") % 20 === 7)
+          .selectExpr("explode_outer(shs) AS sh")
+          .filter(col("sh").isNotNull).distinct()
+        val corpus = docs.filter(col("doc_id") % 20 =!= 7)
+        val contaminated = corpus
+          .selectExpr("doc_id", "explode_outer(shs) AS sh")
+          .join(broadcast(probes), Seq("sh"))
+          .select(col("doc_id")).distinct()
+        val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+          .selectExpr("doc_id", "lang", "text",
+            "md5(array_join(slice(split(lower(text), ' '), 1, 5), ' ')) AS dup_key")
+        val survivors = clean
+          .groupBy(col("dup_key")).agg(min(col("doc_id")).as("doc_id"))
+          .join(clean, Seq("dup_key", "doc_id"))
+        val gated = survivors
+          .selectExpr("doc_id", "lang", "size(split(trim(text), ' ')) AS n_tokens")
+          .filter(col("n_tokens") >= 20)
+        gated
+          .selectExpr("doc_id", "lang", "n_tokens",
+            """CASE WHEN pmod(cast(conv(substr(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint), 100) < 80 THEN 'train'
+                    WHEN pmod(cast(conv(substr(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint), 100) < 90 THEN 'val'
+                    ELSE 'test' END AS split""")
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy(col("split"), col("lang"))
+      },
+      Some("""WITH w AS (
+          SELECT doc_id, lang, text,
+                 string_split(trim(text), ' ') AS ws FROM documents),
+        probes AS (
+          SELECT DISTINCT unnest(list_transform(range(1, len(ws) - 6),
+            i -> md5(array_to_string(ws[i:i+7], ' ')))) AS sh
+          FROM w WHERE doc_id % 20 = 7 AND len(ws) >= 8),
+        cand AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 6),
+            i -> md5(array_to_string(ws[i:i+7], ' '))))) AS sh
+          FROM w WHERE doc_id % 20 <> 7 AND len(ws) >= 8),
+        contaminated AS (
+          SELECT DISTINCT doc_id FROM cand JOIN probes USING (sh)),
+        clean AS (
+          SELECT doc_id, lang, text,
+                 md5(array_to_string((str_split(rtrim(lower(text), ' '), ' '))[1:5], ' ')) AS dup_key
+          FROM documents
+          WHERE doc_id % 20 <> 7
+            AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        surv AS (
+          SELECT c.doc_id, c.lang,
+                 len(string_split(trim(c.text), ' ')) AS n_tokens
+          FROM clean c
+          JOIN (SELECT dup_key, min(doc_id) AS doc_id FROM clean GROUP BY 1) m
+            ON c.dup_key = m.dup_key AND c.doc_id = m.doc_id),
+        gated AS (SELECT * FROM surv WHERE n_tokens >= 20),
+        s AS (
+          SELECT doc_id, lang, n_tokens,
+            CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+                 WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM gated)
+        SELECT split, lang, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS tokens,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM s GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }
