@@ -327,6 +327,48 @@ object Misc extends QueryModule {
               WHERE follower IS NOT NULL GROUP BY 1, 2)
         SELECT lang, follower, freq FROM c
         QUALIFY row_number() OVER (PARTITION BY lang ORDER BY freq DESC, follower) <= 10
-        ORDER BY lang, freq DESC, follower"""))
+        ORDER BY lang, freq DESC, follower""")),
+
+    // ---- Trig + sign/identity + case-alias battery (FunctionRegistry.java
+    //      registry rows not exercised by q19/q36: sin/cos/tan/asin/acos/
+    //      atan, sign, negative/positive, ucase/lcase). 6-dp rounds absorb
+    //      the last-ulp libm differences between the JVM and DuckDB's C
+    //      runtime; asin/acos stay in-domain on l_discount ∈ [0, 0.1].
+    QueryDef(
+      "q115_trig_funcs",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 60)
+        .selectExpr("l_orderkey", "l_linenumber",
+          "round(sin(l_discount), 6) AS sn",
+          "round(cos(l_discount), 6) AS cs",
+          "round(tan(l_discount), 6) AS tn",
+          "round(asin(l_discount), 6) AS asn",
+          "round(acos(l_discount), 6) AS acs",
+          "round(atan(l_quantity), 6) AS att",
+          "round(degrees(l_discount), 6) AS dg",
+          "round(radians(l_quantity), 6) AS rd",
+          "sign(l_discount - 0.05D) AS sg",
+          "negative(l_quantity) AS neg",
+          "positive(l_linenumber) AS pos",
+          "ucase(l_returnflag) AS uc",
+          "lcase(l_linestatus) AS lc")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("sn"),
+          col("att"), col("neg")),
+      Some("""SELECT l_orderkey, l_linenumber,
+        round(sin(l_discount), 6) AS sn,
+        round(cos(l_discount), 6) AS cs,
+        round(tan(l_discount), 6) AS tn,
+        round(asin(l_discount), 6) AS asn,
+        round(acos(l_discount), 6) AS acs,
+        round(atan(l_quantity), 6) AS att,
+        round(degrees(l_discount), 6) AS dg,
+        round(radians(l_quantity), 6) AS rd,
+        CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg,
+        -l_quantity AS neg,
+        l_linenumber AS pos,
+        upper(l_returnflag) AS uc,
+        lower(l_linestatus) AS lc
+        FROM lineitem WHERE l_orderkey <= 60
+        ORDER BY l_orderkey, l_linenumber, sn, att, neg"""))
   )
 }
