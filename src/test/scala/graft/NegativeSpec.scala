@@ -67,4 +67,28 @@ class NegativeSpec extends SparkSpec {
         .collect())
     assert(e.getMessage.contains("integral"), e.getMessage)
   }
+
+  test("freq_items rejects non-string items and non-int capacity") {
+    val e1 = intercept[Exception](
+      spark.sql("SELECT freq_items(1.5, 4)").collect())
+    assert(e1.getMessage.contains("freq_items") || e1.getMessage.contains("DATATYPE"),
+      e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT freq_items('a', 'not_an_int')").collect())
+    assert(e2.getMessage.contains("freq_items") || e2.getMessage.contains("DATATYPE"),
+      e2.getMessage)
+  }
+
+  test("shingle_md5 requires a literal integer n") {
+    val e = intercept[Exception](
+      spark.sql("SELECT shingle_md5('a b c', length('xx'))").collect())
+    assert(e.getMessage.contains("shingle_md5"), e.getMessage)
+  }
+
+  test("vec_normalize rejects non-numeric element types") {
+    val e = intercept[Exception](
+      spark.sql("SELECT vec_normalize(array('a', 'b'))").collect())
+    assert(e.getMessage.contains("vec_normalize") || e.getMessage.contains("DATATYPE"),
+      e.getMessage)
+  }
 }

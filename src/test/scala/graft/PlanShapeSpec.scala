@@ -79,6 +79,17 @@ class PlanShapeSpec extends SparkSpec {
         s"missing (plan changed?): ${(allowed -- flagged).mkString(", ")}")
   }
 
+  test("q106/q109: pipeline scans read only the projected columns") {
+    // q106 reads documents twice (deliberate, see its comment) — both scans
+    // must prune to (doc_id, text); q109 must read only the embedding column
+    val p106 = plan("q106_dup_grams")
+    assert(!p106.contains("lang") && !p106.contains("source") && !p106.contains("n_chars"),
+      s"q106 scan reads unused columns:\n$p106")
+    val p109 = plan("q109_dim_stats")
+    assert(!p109.contains("vec_id") && !p109.contains("label"),
+      s"q109 scan reads unused columns:\n$p109")
+  }
+
   test("q01: aggregation splits into partial + final HashAggregate") {
     val p = plan("q01_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial/final split:\n$p")
