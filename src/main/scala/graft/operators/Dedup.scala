@@ -708,6 +708,12 @@ object Dedup extends QueryModule {
         // note for scale: k here is a fixture stand-in — real SemDeDup runs
         // k ≈ √n clusters, so the equi-join has ample keys; the paper's
         // cluster-size cap (or q49-style salting) bounds the worst task.
+        // The two join sides each re-derive `assigned` (AQE broadcasts one
+        // side, and a broadcast exchange can't reuse a shuffle exchange) —
+        // one extra LINEAR pass; a production run materializes assignments
+        // between the clustering and pairing stages (as the paper does, and
+        // as q101 materializes its bucketed tables) which the lazy
+        // queries() contract here can't express without leaking cache.
         assigned.as("a")
           .join(assigned.as("b"),
             col("a.c_id") === col("b.c_id") && col("a.vec_id") < col("b.vec_id"))
