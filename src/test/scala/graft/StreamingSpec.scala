@@ -96,6 +96,44 @@ class StreamingSpec extends SparkSpec {
     assert(fin.contains((1L, false)))
   }
 
+  test("full-outer stream-stream join null-pads BOTH unmatched sides") {
+    implicit val sqlCtx = spark.sqlContext
+    val l = MemoryStream[(Long, Long)]
+    val r = MemoryStream[(Long, Long)]
+    val left = l.toDS()
+      .select(col("_1").as("k"), timestamp_micros(col("_2")).as("lts"))
+      .withWatermark("lts", "0 seconds")
+    val right = r.toDS()
+      .select(col("_1").as("k2"), timestamp_micros(col("_2")).as("rts"))
+      .withWatermark("rts", "0 seconds")
+    val joined = left.join(right,
+      col("k") === col("k2")
+        && col("rts") >= col("lts")
+        && col("rts") <= col("lts") + expr("INTERVAL 5 MINUTES"),
+      "full_outer")
+    val q = joined.writeStream.queryName("fojoin_sink")
+      .outputMode(OutputMode.Append()).format("memory").start()
+
+    val b = 1000L * us
+    // key 1 matches; key 2 exists only left; key 3 exists only right
+    l.addData((1L, b), (2L, b))
+    r.addData((1L, b + 60L * us), (3L, b))
+    q.processAllAvailable()
+    // advance the watermark on both inputs past every join window
+    l.addData((99L, b + 1800L * us))
+    r.addData((99L, b + 1800L * us))
+    q.processAllAvailable()
+    val fin = spark.table("fojoin_sink")
+      .select("k", "k2")
+      .collect()
+      .map(x => (if (x.isNullAt(0)) -1L else x.getLong(0),
+        if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+    q.stop()
+    assert(fin.contains((1L, 1L)), s"matched pair missing: $fin")
+    assert(fin.contains((2L, -1L)), s"left-unmatched null-pad missing: $fin")
+    assert(fin.contains((-1L, 3L)), s"right-unmatched null-pad missing: $fin")
+  }
+
   test("streamed tumbling aggregation equals the batch plan") {
     val streamed = SparkEntry.queries("q70_stream_tumbling")(spark, sfDir)
     val batch = Tables.load(spark, sfDir, "events")
