@@ -11,7 +11,7 @@ object RunSubset {
     }
     val sqls = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
     val json = sqls.map { case (k, v) =>
-      "\"" + k + "\":" + "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n") + "\""
+      Verify.jsonQuote(k) + ":" + Verify.jsonQuote(v)
     }.mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json.getBytes("UTF-8"))
     spark.stop()

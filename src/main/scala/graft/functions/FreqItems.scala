@@ -67,11 +67,19 @@ object FreqItemsKernel {
     base
   }
 
-  /** (cnt desc, item asc) rows — deterministic given the summary. */
-  def finish(s: FreqItemsState): Seq[(String, Long)] =
+  /** (cnt desc, item asc) rows — deterministic given the summary. The item
+    * tie-break compares UTF-8 BYTES (UTF8String binary order), not Java
+    * String UTF-16 code units: the two orders diverge on supplementary-plane
+    * characters, and byte order is what both Spark sorts and the DuckDB
+    * oracle's code-point ORDER BY produce.
+    */
+  def finish(s: FreqItemsState): Seq[(String, Long)] = {
+    implicit val utf8Asc: Ordering[String] =
+      (a: String, b: String) => UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
     s.counts.entrySet().toArray(Array.empty[java.util.Map.Entry[String, Long]])
       .toSeq.map(e => (e.getKey, e.getValue))
-      .sortBy { case (item, cnt) => (-cnt, item) }
+      .sortBy { case (item, cnt) => (-cnt, item) }(Ordering.Tuple2(Ordering.Long, utf8Asc))
+  }
 
   def serialize(s: FreqItemsState): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
@@ -139,7 +147,11 @@ case class FreqItemsAgg(
   override def update(s: FreqItemsState, input: InternalRow): FreqItemsState = {
     val v = item.eval(input)
     if (v != null) {
-      s.k = math.max(s.k, kExpr.eval(input).asInstanceOf[Int])
+      val kv = kExpr.eval(input)
+      if (kv == null || kv.asInstanceOf[Int] <= 0)
+        throw new IllegalArgumentException(
+          s"freq_items k must be a positive integer, got $kv")
+      s.k = math.max(s.k, kv.asInstanceOf[Int])
       FreqItemsKernel.add(s, v.asInstanceOf[UTF8String].toString, 1L)
     }
     s

@@ -137,8 +137,18 @@ object GraftFunctions {
       es => TopKAgg(es(0), es(1), es(2)).toAggregateExpression()),
     // Misra-Gries frequent items: <= k counters per partial buffer vs one
     // shuffled row per distinct item; exact when k >= |distinct|
-    reg("freq_items", classOf[FreqItemsAgg],
-      es => FreqItemsAgg(es(0), es(1)).toAggregateExpression()),
+    reg("freq_items", classOf[FreqItemsAgg], es => {
+      require(es.size == 2, "freq_items(item, k)")
+      // k must be a positive int literal: a NULL/non-positive capacity would
+      // otherwise make the Misra-Gries trim evict every counter and the
+      // aggregate silently return [] — fail at registration instead
+      es(1) match {
+        case Literal(v: Int, IntegerType) if v > 0 =>
+        case _ => throw new IllegalArgumentException(
+          "freq_items k must be a positive integer literal")
+      }
+      FreqItemsAgg(es(0), es(1)).toAggregateExpression()
+    }),
     // xpath family under the builtin names (FunctionRegistry.java:309-317):
     // same public semantics, but the JAXP factories resolve once per JVM and
     // parsers are thread-local (see XPathKernel) — the builtin re-runs two

@@ -53,6 +53,11 @@ case class VecDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Can return NULL even for non-null inputs (length mismatch, null element),
+  // so nullability must not be inherited from the children: with
+  // non-nullable array inputs the parent's codegen would unbox a null.
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = {
     val l = checkArray(left, "vec_dot")
     if (l != TypeCheckResult.TypeCheckSuccess) l else checkArray(right, "vec_dot")

@@ -21,6 +21,14 @@ object Compaction {
 
   /** @return true when a merge ran, false when the directory was already
     *         healthy (files.isEmpty or avg ≥ smallFileAvgThreshold).
+    *
+    * Crash window: the two publish renames are not atomic together — a crash
+    * between them leaves the table dir absent with the data intact under
+    * `__compact_old`, and a concurrent reader racing the swap can see ENOENT
+    * for one listing. Entry therefore begins with crash RECOVERY: if the
+    * table dir is missing but `__compact_old` exists, the old dir is renamed
+    * back before anything else. (On a cluster this would sit behind the
+    * metastore lock the reference's MoveTask holds; single-writer here.)
     */
   def compactIfFragmented(
       spark: SparkSession,
@@ -29,6 +37,13 @@ object Compaction {
       smallFileAvgThreshold: Long = 64L * 1024 * 1024): Boolean = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val trashAtEntry = new Path(path.getParent, path.getName + "__compact_old")
+    if (!fs.exists(path) && fs.exists(trashAtEntry)) {
+      // recover from a crash between the two publish renames
+      if (!fs.rename(trashAtEntry, path))
+        throw new IllegalStateException(
+          s"compaction recovery failed: cannot restore $dir from $trashAtEntry")
+    }
     val dataFiles = fs.listStatus(path).toSeq
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
         && !s.getPath.getName.startsWith("."))

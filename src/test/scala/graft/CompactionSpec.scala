@@ -46,6 +46,27 @@ class CompactionSpec extends SparkSpec {
     assert(!fs.listStatus(parent).exists(_.getPath.getName.contains("__compact")))
   }
 
+  test("recovers a crashed publish (dir absent, data under __compact_old)") {
+    val dir = Files.createTempDirectory("graft_compact3").toString + "/docs"
+    graft.Tables.load(spark, sfDir, "documents")
+      .repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    val before = contentDigest(dir)
+    // simulate a crash between the two publish renames: table dir gone,
+    // data intact under __compact_old
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val trash = new Path(p.getParent, p.getName + "__compact_old")
+    assert(fs.rename(p, trash))
+    assert(!fs.exists(p))
+
+    val ran = Compaction.compactIfFragmented(spark, dir,
+      targetBytes = 512L * 1024, smallFileAvgThreshold = 1L) // healthy after recovery
+    assert(!ran, "healthy dir: recovery only, no merge")
+    assert(fs.exists(p) && !fs.exists(trash), "old dir restored, trash gone")
+    assert(contentDigest(dir) == before, "recovered content intact")
+  }
+
   test("healthy directory is left untouched (conditional, like the reference)") {
     val dir = Files.createTempDirectory("graft_compact2").toString + "/docs"
     graft.Tables.load(spark, sfDir, "documents")

@@ -79,6 +79,17 @@ class NegativeSpec extends SparkSpec {
       e2.getMessage)
   }
 
+  test("freq_items rejects NULL and non-positive capacity loudly") {
+    // k <= 0 would make the MG trim evict every counter and silently
+    // return [] — must be a registration-time error, not empty output
+    Seq("SELECT freq_items('a', cast(NULL AS int))",
+        "SELECT freq_items('a', 0)",
+        "SELECT freq_items('a', -3)").foreach { sql =>
+      val e = intercept[Exception](spark.sql(sql).collect())
+      assert(e.getMessage.contains("freq_items"), s"$sql => ${e.getMessage}")
+    }
+  }
+
   test("shingle_md5 requires a literal integer n") {
     val e = intercept[Exception](
       spark.sql("SELECT shingle_md5('a b c', length('xx'))").collect())

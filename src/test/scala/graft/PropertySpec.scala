@@ -269,6 +269,20 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("freq_items: tie-break is UTF-8 byte order, not UTF-16 code units") {
+    // U+FFFD (UTF-8: EF BF BD) vs U+1F600 (UTF-8: F0 9F 98 80): in UTF-16
+    // code-unit order the surrogate 0xD83D sorts FIRST, in UTF-8 byte order
+    // (= Spark UTF8String / DuckDB code-point order) U+FFFD sorts first —
+    // the orders genuinely diverge on this pair
+    val replacement = "�"
+    val emoji = "😀"
+    assert(replacement.compareTo(emoji) > 0, "precondition: UTF-16 order differs")
+    val s = new FreqItemsState(8)
+    FreqItemsKernel.add(s, emoji, 3L)
+    FreqItemsKernel.add(s, replacement, 3L)
+    assert(FreqItemsKernel.finish(s) == Seq((replacement, 3L), (emoji, 3L)))
+  }
+
   test("freq_items: serde round trip preserves counters, k, and error budget") {
     (1 to 40).foreach { seed =>
       val items = sample(Gen.listOfN(150, fiItem), seed)
