@@ -49,6 +49,73 @@ object Dedup extends QueryModule {
           * sqrt(list_sum(list_transform(range(1, len(ne) + 1),
                                          i -> CAST(ne[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)))))"""
 
+  /** SemDeDup clustering stage (q104/q116): normalize ONCE (vec_normalize =
+    * the staged-l2 HOF chain in a native kernel, so every later similarity
+    * is a single native dot product), then assign each vector to its
+    * nearest of the k broadcast centroids by map-side argmax.
+    */
+  private def semdedupAssign(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import org.apache.spark.sql.expressions.Window
+    val embN = t(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+      .selectExpr("vec_id", "vec_normalize(embedding) AS ne")
+    val cents = embN.filter(col("vec_id") < 8)
+      .selectExpr("vec_id AS c_id", "ne AS ce")
+    embN
+      .crossJoin(broadcast(cents))
+      .selectExpr("vec_id", "ne", "c_id",
+        "round(vec_dot(ne, ce), 6) AS csim")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("ne"), col("c_id"))
+  }
+
+  /** SemDeDup pairing stage: within-cluster pairing as an alias self-join
+    * on c_id; removed = any vector with a lower-id cluster-mate above the
+    * cosine threshold. Key-space note for scale: k here is a fixture
+    * stand-in — real SemDeDup runs k ≈ √n clusters, so the equi-join has
+    * ample keys; the paper's cluster-size cap (or q49-style salting)
+    * bounds the worst task.
+    */
+  private def semdedupPairs(assigned: org.apache.spark.sql.DataFrame) =
+    assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.c_id") === col("b.c_id") && col("a.vec_id") < col("b.vec_id"))
+      .selectExpr("a.c_id AS c_id", "a.vec_id AS a_id", "b.vec_id AS b_id",
+        "round(vec_dot(a.ne, b.ne), 4) AS sim")
+      .filter(col("sim") >= 0.40)
+      .groupBy(col("b_id"), col("c_id"))
+      .agg(min(col("a_id")).as("keeper"))
+      .withColumnRenamed("b_id", "removed_id")
+      .orderBy(col("removed_id"))
+
+  /** Shared q104/q116 oracle — staging changes the plan, not the answer. */
+  private val semdedupOracle =
+    s"""WITH eN AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE) /
+                   sqrt(list_sum(list_transform(embedding,
+                     y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS ne
+          FROM embeddings),
+        cents AS (SELECT vec_id AS c_id, ne AS ce FROM eN WHERE vec_id < 8),
+        assigned AS (
+          SELECT vec_id, ne, c_id FROM (
+            SELECT e.vec_id, e.ne, c.c_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_sum(list_transform(range(1, len(e.ne) + 1),
+                                i -> e.ne[i] * c.ce[i])), 6) DESC,
+                              c.c_id) AS rk
+            FROM eN e CROSS JOIN cents c)
+          WHERE rk = 1)
+        SELECT b_id AS removed_id, c_id, min(a_id) AS keeper FROM (
+          SELECT a.c_id, a.vec_id AS a_id, b.vec_id AS b_id,
+                 round(list_sum(list_transform(range(1, len(a.ne) + 1),
+                        i -> a.ne[i] * b.ne[i])), 4) AS sim
+          FROM assigned a JOIN assigned b USING (c_id)
+          WHERE a.vec_id < b.vec_id)
+        WHERE sim >= 0.40 GROUP BY 1, 2 ORDER BY removed_id"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Exact dedup: hash-groupBy on a normalized content key (here the
@@ -686,68 +753,28 @@ object Dedup extends QueryModule {
     QueryDef(
       "q104_semdedup",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        // normalize ONCE (vec_normalize = the staged-l2 HOF chain in a
-        // native kernel); every later similarity is then a single native
-        // dot product instead of three interpreted HOF aggregates, on the
-        // assignment side AND the n_c²-sized candidate-pair side
-        val embN = t(s, dir, "embeddings")
-          .repartition(s.sparkContext.defaultParallelism)
-          .selectExpr("vec_id", "vec_normalize(embedding) AS ne")
-        val cents = embN.filter(col("vec_id") < 8)
-          .selectExpr("vec_id AS c_id", "ne AS ce")
-        val assigned = embN
-          .crossJoin(broadcast(cents))
-          .selectExpr("vec_id", "ne", "c_id",
-            "round(vec_dot(ne, ce), 6) AS csim")
-          .withColumn("rk", row_number().over(
-            Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))))
-          .filter(col("rk") === 1)
-          .select(col("vec_id"), col("ne"), col("c_id"))
-        // within-cluster pairing as an alias self-join on c_id. Key-space
-        // note for scale: k here is a fixture stand-in — real SemDeDup runs
-        // k ≈ √n clusters, so the equi-join has ample keys; the paper's
-        // cluster-size cap (or q49-style salting) bounds the worst task.
         // The two join sides each re-derive `assigned` (AQE broadcasts one
         // side, and a broadcast exchange can't reuse a shuffle exchange) —
-        // one extra LINEAR pass; a production run materializes assignments
-        // between the clustering and pairing stages (as the paper does, and
-        // as q101 materializes its bucketed tables) which the lazy
-        // queries() contract here can't express without leaking cache.
-        assigned.as("a")
-          .join(assigned.as("b"),
-            col("a.c_id") === col("b.c_id") && col("a.vec_id") < col("b.vec_id"))
-          .selectExpr("a.c_id AS c_id", "a.vec_id AS a_id", "b.vec_id AS b_id",
-            "round(vec_dot(a.ne, b.ne), 4) AS sim")
-          .filter(col("sim") >= 0.40)
-          .groupBy(col("b_id"), col("c_id"))
-          .agg(min(col("a_id")).as("keeper"))
-          .withColumnRenamed("b_id", "removed_id")
-          .orderBy(col("removed_id"))
+        // one extra LINEAR pass. q116 is the production shape: the same
+        // pipeline with the assignment STAGED at the stage boundary
+        // (operators/Staging.scala), derived exactly once.
+        semdedupPairs(semdedupAssign(s, dir))
       },
-      Some(s"""WITH eN AS (
-          SELECT vec_id,
-                 list_transform(embedding, x -> CAST(x AS DOUBLE) /
-                   sqrt(list_sum(list_transform(embedding,
-                     y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS ne
-          FROM embeddings),
-        cents AS (SELECT vec_id AS c_id, ne AS ce FROM eN WHERE vec_id < 8),
-        assigned AS (
-          SELECT vec_id, ne, c_id FROM (
-            SELECT e.vec_id, e.ne, c.c_id,
-                   row_number() OVER (PARTITION BY e.vec_id
-                     ORDER BY round(list_sum(list_transform(range(1, len(e.ne) + 1),
-                                i -> e.ne[i] * c.ce[i])), 6) DESC,
-                              c.c_id) AS rk
-            FROM eN e CROSS JOIN cents c)
-          WHERE rk = 1)
-        SELECT b_id AS removed_id, c_id, min(a_id) AS keeper FROM (
-          SELECT a.c_id, a.vec_id AS a_id, b.vec_id AS b_id,
-                 round(list_sum(list_transform(range(1, len(a.ne) + 1),
-                        i -> a.ne[i] * b.ne[i])), 4) AS sim
-          FROM assigned a JOIN assigned b USING (c_id)
-          WHERE a.vec_id < b.vec_id)
-        WHERE sim >= 0.40 GROUP BY 1, 2 ORDER BY removed_id""")),
+      Some(semdedupOracle)),
+
+    // ---- SemDeDup with the assignment materialized at the stage boundary
+    //      (operators/Staging.scala — the reference's scratch-dir stage
+    //      write, ExecDriver.java:94 / MoveTask.java): the clustering runs
+    //      ONCE, publishes to scratch parquet, and both pairing sides scan
+    //      the copy. Same semantics and oracle as q104; StagingSpec proves
+    //      the executed pairing plan reads only the staged path (zero
+    //      re-derivations). This is the pattern an iterated k-means or a
+    //      100 TB SemDeDup run uses between rounds.
+    QueryDef(
+      "q116_semdedup_staged",
+      (s, dir) =>
+        semdedupPairs(Staging.stage(semdedupAssign(s, dir), "q116_assigned")),
+      Some(semdedupOracle)),
 
     // ---- One exact Lloyd iteration of k-means over embeddings (the
     //      quantizer-training step feeding q75's IVF and q104's SemDeDup).

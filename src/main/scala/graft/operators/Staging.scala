@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Stage-boundary materialization — the Spark-native analogue of the
+  * reference's between-job scratch-dir writes (`ExecDriver.java:94` runs one
+  * MR job per stage and `MoveTask.java` publishes each stage's output under
+  * `hive.exec.scratchdir` before the next job reads it). Multi-stage
+  * pipelines NEED this: a lazy DataFrame that feeds both sides of a
+  * downstream self-join re-derives its whole lineage once per side (a
+  * broadcast exchange cannot reuse a shuffle exchange), so SemDeDup-style
+  * cluster-then-pair plans silently pay the clustering twice — and an
+  * iterated k-means would pay it once per round.
+  *
+  * `stage(df, name)` runs `df` ONCE, publishes the rows as parquet under the
+  * scratch root (write-audit-publish, same commit discipline as
+  * [[graft.sources.Compaction]]), and returns a DataFrame that SCANS the
+  * materialized copy — every downstream consumer, on any number of join
+  * sides, reads the one materialization. Unlike `.cache()` this holds no
+  * executor memory, survives the logical-plan duplication that defeats
+  * cache-matching across self-join aliases, and at cluster scale lands on
+  * the shared FS exactly like the reference's scratch dir.
+  */
+object Staging {
+
+  /** Scratch root — `hive.exec.scratchdir` analogue (HiveConf.java). Scoped
+    * per Spark application so concurrent sessions never collide; files leak
+    * only until the OS tmp reaper, as with the reference's scratch dirs.
+    */
+  def scratchRoot(spark: SparkSession): String = {
+    val base = spark.conf.getOption("graft.exec.scratchdir")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft_scratch")
+    base + "/" + spark.sparkContext.applicationId
+  }
+
+  /** Materialize `df` under `scratchRoot/name` and return a scan of the
+    * copy. Re-staging the same name overwrites (bench reruns recompute —
+    * results never go stale across inputs).
+    */
+  def stage(df: DataFrame, name: String): DataFrame = {
+    val spark = df.sparkSession
+    val target = new Path(scratchRoot(spark), name)
+    val tmp = new Path(scratchRoot(spark), name + "__stage_tmp")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    // audit: the commit marker must exist before the copy becomes readable
+    if (!fs.exists(new Path(tmp, "_SUCCESS")))
+      throw new IllegalStateException(s"staging write for $name did not commit")
+    if (fs.exists(target)) fs.delete(target, true)
+    if (!fs.rename(tmp, target))
+      throw new IllegalStateException(s"staging publish failed for $name")
+    spark.read.parquet(target.toString)
+  }
+}

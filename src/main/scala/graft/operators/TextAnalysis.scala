@@ -677,10 +677,14 @@ object TextAnalysis extends QueryModule {
     // ---- Cardinality estimation (HLL++): per-language vocabulary size
     //      without a per-distinct-item shuffle — constant sketch memory per
     //      partial buffer, the companion to freq_items for corpus
-    //      profiling. Deterministic per engine (fixed hash) but not
-    //      replicable in DuckDB's HLL, so no SQL oracle (q66 precedent:
-    //      rows-only gate + tolerance law in ApproxAggSpec vs the exact
-    //      count).
+    //      profiling. The sketch is deterministic per engine (fixed hash)
+    //      but not replicable in DuckDB's HLL, so the driver-checkable
+    //      oracle gates what IS exact: the group-key frame, the exact
+    //      distinct count, and an in-query 3·rsd tolerance verdict on the
+    //      estimate (TRUE on both sides iff the sketch honors its
+    //      guarantee — the same law ApproxAggSpec asserts). The exact
+    //      count column here is the verification harness, not the
+    //      operator: at 100 TB only the sketch runs.
     QueryDef(
       "q113_approx_distinct",
       (s, dir) => t(s, dir, "documents")
@@ -688,9 +692,15 @@ object TextAnalysis extends QueryModule {
         .selectExpr("lang", "explode(split(trim(text), ' ')) AS word")
         .filter(length(col("word")) > 0)
         .groupBy(col("lang"))
-        .agg(approx_count_distinct(col("word"), 0.02).as("approx_vocab"))
+        .agg(approx_count_distinct(col("word"), 0.02).as("approx_vocab"),
+          countDistinct(col("word")).as("exact_vocab"))
+        .selectExpr("lang", "exact_vocab",
+          "abs(double(approx_vocab) - double(exact_vocab)) <= 0.06D * double(exact_vocab) AS est_ok")
         .orderBy(col("lang")),
-      None),
+      Some("""WITH w AS (
+            SELECT lang, unnest(str_split(trim(text), ' ')) AS word FROM documents)
+          SELECT lang, count(DISTINCT word) AS exact_vocab, TRUE AS est_ok
+          FROM w WHERE length(word) > 0 GROUP BY lang ORDER BY lang""")),
 
     // ---- End-to-end corpus build: the production DAG a training-data
     //      pipeline actually runs, composed from the operators above in ONE
