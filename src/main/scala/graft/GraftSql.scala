@@ -1,0 +1,167 @@
+package graft
+
+import java.io.{BufferedReader, FileReader, PrintStream, Reader, StringReader}
+
+import org.apache.spark.sql.SparkSession
+
+/** `graft-sql` — the interactive CLI / driver loop over [[HiveQl.sql]]
+  * (the reference's primary user entry point, `cli/CliDriver.java:76`):
+  * a REPL with `;`-statement splitting that respects string literals and
+  * `--` comments, command-processor lines (`SET k[=v]`, `ADD FILE`)
+  * interleaved with queries, `SOURCE file.q`, and the two batch modes
+  * `-f script.q` / `-e 'stmts'` (CliDriver's OptionsProcessor flags).
+  *
+  * Row output is Hive-CLI-shaped: tab-separated values, `NULL` for null,
+  * no header, a `Time taken:` trailer per query (suppressed by `-S`,
+  * HiveConf `hive.session.silent` analogue). Display is bounded by
+  * `graft.cli.max.rows` (default 1000) — a CLI prints to a terminal, so
+  * the bound is the driver-side contract, not a scalability hole; the
+  * unbounded paths are INSERT/CTAS, which write distributed.
+  *
+  * Deliberate drops vs CliDriver, documented in SURVEY §7.5: `!shell`
+  * escape (arbitrary exec) and dynamic `ADD JAR` classpath surgery.
+  */
+object GraftSql {
+
+  /** Split accumulated input into complete `;`-terminated statements plus
+    * the trailing incomplete fragment. `;` inside single/double-quoted
+    * literals (with backslash escapes, Hive string rules) or after `--`
+    * on a line does not terminate — `SELECT ';'` is one statement.
+    */
+  def splitStatements(buf: String): (Seq[String], String) = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var quote: Char = 0 // 0 = outside any literal
+    var lineComment = false
+    while (i < buf.length) {
+      val c = buf.charAt(i)
+      if (lineComment) {
+        cur += c
+        if (c == '\n') lineComment = false
+      } else if (quote != 0) {
+        cur += c
+        if (c == '\\' && i + 1 < buf.length) { cur += buf.charAt(i + 1); i += 1 }
+        else if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' => quote = c; cur += c
+        case '-' if i + 1 < buf.length && buf.charAt(i + 1) == '-' =>
+          lineComment = true; cur += c
+        case ';' => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+      i += 1
+    }
+    (out.result().map(_.trim).filter(stripComments(_).nonEmpty), cur.toString)
+  }
+
+  /** A statement that is only `--` comments and whitespace is a no-op. */
+  private def stripComments(s: String): String =
+    s.linesIterator.map { l =>
+      val idx = l.indexOf("--")
+      if (idx >= 0) l.substring(0, idx) else l
+    }.mkString("\n").trim
+
+  private def maxRows(spark: SparkSession): Int =
+    spark.conf.getOption("graft.cli.max.rows").map(_.toInt).getOrElse(1000)
+
+  /** Execute one statement. @return false when the session should end. */
+  def process(spark: SparkSession, stmt: String, out: PrintStream,
+      silent: Boolean): Boolean = {
+    val word = stmt.trim.toLowerCase
+    if (word == "quit" || word == "exit") return false
+    if (word.startsWith("source ")) {
+      val path = stmt.trim.drop(7).trim.stripSuffix(";").trim
+      val reader = new BufferedReader(new FileReader(path))
+      try run(spark, reader, out, interactive = false, silent = silent)
+      finally reader.close()
+      return true
+    }
+    val t0 = System.nanoTime()
+    val df = HiveQl.sql(spark, stmt)
+    if (df.schema.nonEmpty) {
+      val n = maxRows(spark)
+      val rows = df.take(n + 1)
+      rows.take(n).foreach { r =>
+        out.println((0 until r.length)
+          .map(i => if (r.isNullAt(i)) "NULL" else r.get(i).toString)
+          .mkString("\t"))
+      }
+      if (rows.length > n)
+        out.println(s"-- display truncated at $n rows (graft.cli.max.rows)")
+    }
+    if (!silent)
+      out.println(f"Time taken: ${(System.nanoTime() - t0) / 1e9}%.3f seconds")
+    true
+  }
+
+  /** The driver loop: accumulate lines, execute each completed statement.
+    * A statement that fails prints the error and the loop CONTINUES —
+    * CliDriver's per-statement error handling (non-interactive callers can
+    * inspect [[lastExitCode]]).
+    */
+  def run(spark: SparkSession, in: BufferedReader, out: PrintStream,
+      interactive: Boolean, silent: Boolean): Int = {
+    var exit = 0
+    var buf = ""
+    var alive = true
+    if (interactive) out.print("graft> ")
+    var line = in.readLine()
+    while (alive && line != null) {
+      buf = if (buf.isEmpty) line else buf + "\n" + line
+      val (stmts, rest) = splitStatements(buf)
+      buf = rest
+      stmts.foreach { s =>
+        if (alive) {
+          try { alive = process(spark, s, out, silent) }
+          catch { case e: Exception =>
+            out.println(s"FAILED: ${e.getMessage}")
+            exit = 1
+          }
+        }
+      }
+      if (alive) {
+        if (interactive) out.print(if (buf.trim.isEmpty) "graft> " else "     > ")
+        line = in.readLine()
+      }
+    }
+    // EOF with a dangling unterminated statement: run it (CliDriver -f
+    // semantics — the final `;` is optional in scripts)
+    if (alive && stripComments(buf).nonEmpty) {
+      try process(spark, buf, out, silent)
+      catch { case e: Exception => out.println(s"FAILED: ${e.getMessage}"); exit = 1 }
+    }
+    exit
+  }
+
+  def main(args: Array[String]): Unit = {
+    var script: Option[String] = None
+    var inline: Option[String] = None
+    var dataDir: Option[String] = None
+    var silent = false
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "-f" => script = Some(args(i + 1)); i += 1
+        case "-e" => inline = Some(args(i + 1)); i += 1
+        case "-d" | "--data" => dataDir = Some(args(i + 1)); i += 1
+        case "-S" => silent = true
+        case other => throw new IllegalArgumentException(
+          s"usage: graft-sql [-f script.q | -e 'stmts'] [-d sfDir] [-S]; got $other")
+      }
+      i += 1
+    }
+    val spark = Sessions.get("graft-sql")
+    spark.sparkContext.setLogLevel("WARN")
+    dataDir.foreach(Tables.registerAll(spark, _))
+    val reader: Reader = (script, inline) match {
+      case (Some(f), _) => new FileReader(f)
+      case (_, Some(s)) => new StringReader(s)
+      case _ => new java.io.InputStreamReader(System.in)
+    }
+    val interactive = script.isEmpty && inline.isEmpty
+    val code = run(spark, new BufferedReader(reader), System.out, interactive, silent)
+    spark.stop()
+    if (code != 0) sys.exit(code)
+  }
+}

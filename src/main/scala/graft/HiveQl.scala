@@ -64,11 +64,73 @@ object HiveQl {
   // SELECT <sel> FROM UNIQUEJOIN <sources> [WHERE/GROUP/ORDER/LIMIT tail]
   private val UniqueJoin =
     """(?is)^(.*?\bFROM)\s+UNIQUEJOIN\s+(.*?)\s*((?:\bWHERE\b|\bGROUP\b|\bORDER\b|\bLIMIT\b).*)?$""".r
-  // one source: [PRESERVE] table alias (key expressions)
-  private val UjSource =
-    """(?is)^\s*(PRESERVE\s+)?([\w.]+)\s+(\w+)\s*\(([^)]*)\)\s*$""".r
+  /** Replace every string literal with an opaque placeholder so the rewrite
+    * regexes can never fire on literal CONTENT — `'... TABLESAMPLE ...'` or
+    * a hint spelled inside a string must pass through byte-identical
+    * (Hive.g tokenizes literals before the grammar sees keywords; a
+    * regex pre-parser has to reproduce that masking explicitly). Hive
+    * string rules: single or double quotes, backslash escapes.
+    */
+  private def maskLiterals(q: String): (String, IndexedSeq[String]) = {
+    val lits = IndexedSeq.newBuilder[String]
+    val out = new StringBuilder
+    var i = 0
+    var n = 0
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (c == '-' && i + 1 < q.length && q.charAt(i + 1) == '-') {
+        // `--` line comment: copy verbatim — an apostrophe in a comment
+        // (`-- don't`) must not open a literal
+        while (i < q.length && q.charAt(i) != '\n') { out += q.charAt(i); i += 1 }
+        i -= 1 // outer loop advances past the newline (or end)
+      } else if (c == '\'' || c == '"') {
+        val start = i
+        i += 1
+        while (i < q.length && q.charAt(i) != c) {
+          if (q.charAt(i) == '\\' && i + 1 < q.length) i += 1
+          i += 1
+        }
+        require(i < q.length, s"unterminated string literal in: $q")
+        lits += q.substring(start, i + 1)
+        out ++= "\u0001" + n + "\u0001" // \u0001 cannot appear in SQL text
+        n += 1
+      } else out += c
+      i += 1
+    }
+    (out.toString, lits.result())
+  }
+
+  private def unmaskLiterals(q: String, lits: IndexedSeq[String]): String =
+    "\u0001(\\d+)\u0001".r.replaceAllIn(q,
+      m => java.util.regex.Matcher.quoteReplacement(lits(m.group(1).toInt)))
+
+  /** One UNIQUEJOIN source: [PRESERVE] table alias (key expressions).
+    * Parsed by hand, not regex — key expressions may contain NESTED parens
+    * (`(upper(a.k))`), which `[^)]*` would silently truncate.
+    */
+  private def parseUjSource(raw: String): UjSrc = {
+    val s = raw.trim
+    val preserve = s.toUpperCase.startsWith("PRESERVE ")
+    val rest = (if (preserve) s.drop(9) else s).trim
+    val open = rest.indexOf('(')
+    require(open > 0 && rest.endsWith(")"),
+      s"cannot parse UNIQUEJOIN source: $raw")
+    val head = rest.substring(0, open).trim.split("\\s+").toSeq
+    require(head.size == 2 && head.forall(_.matches("[\\w.\\u0001]+")),
+      s"cannot parse UNIQUEJOIN source: $raw")
+    val keys = splitSources(rest.substring(open + 1, rest.length - 1))
+      .map(_.trim)
+    require(keys.nonEmpty && keys.forall(_.nonEmpty),
+      s"UNIQUEJOIN source needs key expressions: $raw")
+    UjSrc(preserve, head(0), head(1), keys)
+  }
 
   def rewrite(q: String): String = {
+    val (masked, lits) = maskLiterals(q)
+    unmaskLiterals(rewriteMasked(masked), lits)
+  }
+
+  private def rewriteMasked(q: String): String = {
     val noStream = StreamTable.replaceAllIn(q, "")
     val hinted = MapJoin.replaceAllIn(noStream, m => s"/*+ BROADCAST(${m.group(1)}) */")
     val sampled = TableSample.replaceAllIn(hinted, m => {
@@ -109,12 +171,7 @@ object HiveQl {
   }
 
   private def rewriteUniqueJoin(head: String, srcText: String, tail: String): String = {
-    val srcs = splitSources(srcText).map {
-      case UjSource(p, tbl, alias, keys) =>
-        UjSrc(p != null, tbl, alias, keys.split(",").map(_.trim).toSeq)
-      case other =>
-        throw new IllegalArgumentException(s"cannot parse UNIQUEJOIN source: $other")
-    }
+    val srcs = splitSources(srcText).map(parseUjSource)
     require(srcs.size >= 2, "UNIQUEJOIN needs at least two sources")
     val nKeys = srcs.head.keys.size
     require(srcs.forall(_.keys.size == nKeys),

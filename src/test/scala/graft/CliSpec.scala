@@ -1,0 +1,72 @@
+package graft
+
+import java.io.{BufferedReader, ByteArrayOutputStream, PrintStream, StringReader}
+import java.nio.file.Files
+
+/** `graft-sql` CLI driver loop (GraftSql.scala; reference
+  * cli/CliDriver.java:76): statement splitting, command-processor lines
+  * interleaved with queries, script execution, per-statement error
+  * recovery.
+  */
+class CliSpec extends SparkSpec {
+
+  private def runCli(text: String, silent: Boolean = true): (Int, String) = {
+    val bos = new ByteArrayOutputStream()
+    val out = new PrintStream(bos, true, "UTF-8")
+    val code = GraftSql.run(spark, new BufferedReader(new StringReader(text)),
+      out, interactive = false, silent = silent)
+    (code, bos.toString("UTF-8"))
+  }
+
+  test("statement splitter respects literals and comments") {
+    val (stmts, rest) = GraftSql.splitStatements(
+      "SELECT ';' AS a; -- trailing; comment\nSELECT \"x;y\" AS b; SELECT 1")
+    // the comment stays attached to the statement that follows it (Spark
+    // SQL tolerates embedded -- comments); the `;` inside it doesn't split
+    assert(stmts.size == 2 && stmts.head == "SELECT ';' AS a", stmts)
+    assert(stmts(1).endsWith("SELECT \"x;y\" AS b"), stmts)
+    assert(rest.trim == "SELECT 1")
+    // comment-only fragments are no-ops, escapes don't end the literal
+    val (s2, r2) = GraftSql.splitStatements("-- just a comment;\n;SELECT '\\';' AS c;")
+    assert(s2 == Seq("SELECT '\\';' AS c") && r2.isEmpty)
+  }
+
+  test("3-statement script: SET line, query, table query — end to end") {
+    Tables.registerAll(spark, sfDir)
+    val (code, outText) = runCli(
+      """SET spark.sql.cli.probe=42;
+        |SELECT 1 + 1 AS two;
+        |SELECT count(*) AS n FROM documents""".stripMargin)
+    assert(code == 0, outText)
+    val lines = outText.linesIterator.toSeq
+    assert(lines.exists(_.contains("spark.sql.cli.probe")), outText) // SET echoes k/v
+    assert(lines.contains("2"), outText)
+    val docCount = Tables.load(spark, sfDir, "documents").count().toString
+    assert(lines.contains(docCount), outText)
+  }
+
+  test("SOURCE runs a script file; quit stops the loop") {
+    val f = Files.createTempFile("graft_cli", ".q")
+    Files.writeString(f, "SELECT 'from-script' AS v;\n")
+    val (code, outText) = runCli(
+      s"source ${f.toString};\nquit;\nSELECT 'never-runs' AS v;")
+    assert(code == 0, outText)
+    assert(outText.contains("from-script"), outText)
+    assert(!outText.contains("never-runs"), outText)
+  }
+
+  test("a failing statement reports and the loop continues (CliDriver behavior)") {
+    val (code, outText) = runCli(
+      "SELECT * FROM table_that_does_not_exist_xyz;\nSELECT 'still-alive' AS v;")
+    assert(code == 1, outText)
+    assert(outText.contains("FAILED"), outText)
+    assert(outText.contains("still-alive"), outText)
+  }
+
+  test("multi-line statements accumulate; NULL prints as NULL; Hive dialect reaches the loop") {
+    val (code, outText) = runCli(
+      "SELECT /*+ MAPJOIN(x) */ NULL AS a,\n'b' AS b\nFROM (SELECT 1) x")
+    assert(code == 0, outText)
+    assert(outText.linesIterator.contains("NULL\tb"), outText)
+  }
+}

@@ -54,6 +54,20 @@ class NegativeSpec extends SparkSpec {
     assert(e.getMessage.contains("no_such_table"), e.getMessage)
   }
 
+  test("multi-statement input to HiveQl.sql fails loudly, never half-runs") {
+    // statement splitting is the CLI's job (GraftSql); the single-statement
+    // entry must refuse a `;`-joined pair rather than silently running one
+    val e = intercept[Exception](
+      HiveQl.sql(spark, "SELECT 1 AS a; SELECT 2 AS b").collect())
+    assert(e.getMessage != null, "loud refusal required")
+  }
+
+  test("unterminated string literal is a loud pre-parse error") {
+    val e = intercept[IllegalArgumentException](
+      HiveQl.rewrite("SELECT 'unterminated FROM t"))
+    assert(e.getMessage.contains("unterminated"), e.getMessage)
+  }
+
   test("malformed UNIQUEJOIN source list is rejected, not misparsed") {
     val e = intercept[IllegalArgumentException](
       HiveQl.rewrite("SELECT a.k FROM UNIQUEJOIN uj_a a, uj_b b (b.k)"))

@@ -154,6 +154,40 @@ class SourcesSpec extends SparkSpec {
     assert(inner == Seq(2, 3))
   }
 
+  test("pre-parser never rewrites inside string literals (VERDICT r5 #6)") {
+    // TABLESAMPLE spelled inside a literal must pass through byte-identical
+    val ts = "SELECT 'orders TABLESAMPLE (BUCKET 1 OUT OF 2 ON k)' AS s"
+    assert(HiveQl.rewrite(ts) == ts)
+    // hint text inside a literal: neither rewritten to BROADCAST nor dropped
+    val hint = "SELECT '/*+ MAPJOIN(t) */ and /*+ STREAMTABLE(t) */' AS s"
+    assert(HiveQl.rewrite(hint) == hint)
+    // escapes don't end the literal early
+    val esc = """SELECT 'it\'s t TABLESAMPLE (BUCKET 1 OUT OF 2 ON k)' AS s"""
+    assert(HiveQl.rewrite(esc) == esc)
+    // an apostrophe inside a -- comment must not open a literal
+    val cmt = "SELECT 1 AS one -- don't rewrite\nFROM uj_a t TABLESAMPLE (BUCKET 1 OUT OF 2 ON k)"
+    assert(HiveQl.rewrite(cmt).contains("hash(k)"), HiveQl.rewrite(cmt))
+    assert(HiveQl.rewrite(cmt).contains("don't"), HiveQl.rewrite(cmt))
+    // outside a literal the rewrite still fires (the mask is transparent)
+    val real = "SELECT /*+ MAPJOIN(t) */ s FROM t WHERE s = 'MAPJOIN(t)'"
+    assert(HiveQl.rewrite(real) ==
+      "SELECT /*+ BROADCAST(t) */ s FROM t WHERE s = 'MAPJOIN(t)'")
+  }
+
+  test("UNIQUEJOIN key expressions may contain nested parens") {
+    import spark.implicits._
+    Seq("a", "b", "c").toDF("k").createOrReplaceTempView("ujn_a")
+    Seq("B", "C", "D").toDF("k").createOrReplaceTempView("ujn_b")
+    // upper(...) keys: the old [^)]* source regex truncated at the first
+    // `)` and refused; the balanced parse joins on the expression
+    val got = HiveQl.sql(spark,
+      """SELECT upper(a.k), upper(b.k) FROM UNIQUEJOIN
+           ujn_a a (upper(a.k)), ujn_b b (upper(b.k))
+         ORDER BY coalesce(upper(a.k), upper(b.k))""").collect()
+      .map(r => (r.get(0), r.get(1))).toSeq
+    assert(got == Seq(("B", "B"), ("C", "C")), got.toString)
+  }
+
   test("INSERT OVERWRITE DIRECTORY writes query output as hive-delimited text") {
     // the reference's moveTask-to-directory path (every ETL tutorial's
     // 'INSERT OVERWRITE DIRECTORY'); Spark's native form with CSV options
