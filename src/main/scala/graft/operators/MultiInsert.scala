@@ -29,9 +29,20 @@ import org.apache.spark.storage.StorageLevel
   * not the raw table. When the source is a bare 100 TB table and branches
   * are cheap disjoint filters, recompute can beat cache-write cost: set
   * `spark.graft.multiInsert.materialize=none` to keep per-branch scans
-  * (Catalyst still prunes columns per branch). Join-shaped sources fall
-  * back to native execution — collapsing a join behind one view would break
-  * per-table qualifiers in branch expressions.
+  * (Catalyst still prunes columns per branch).
+  *
+  * Join-shaped sources (the reference shares the map phase for ANY common
+  * source shape, SemanticAnalyzer.java:1385-1419) are shared PER TABLE:
+  * collapsing the joined result behind one view would break per-table
+  * qualifiers in branch expressions (and duplicate column names), so each
+  * base table of the join is pruned + materialized once and the join text
+  * is re-pointed at the cached relations with its aliases intact — every
+  * branch re-runs the (cheap) join over cached columnar blocks, and each
+  * underlying file is scanned exactly once. persist(MEMORY_AND_DISK) over
+  * localCheckpoint: spillable, columnar, and resilient to executor loss
+  * (a lost localCheckpoint block fails the job; a lost cache block
+  * recomputes). Join shapes the tokenizer can't prove (subquery join
+  * sides, LATERAL) still fall back to native per-branch execution.
   */
 object MultiInsert {
 
@@ -73,20 +84,89 @@ object MultiInsert {
     Some((src, branches))
   }
 
+  // join-source tokenizer: keywords that delimit table-reference positions
+  private val JoinKw =
+    """(?i)\b(JOIN|INNER|LEFT|RIGHT|FULL|OUTER|CROSS|NATURAL|SEMI|ANTI|ON|USING|LATERAL)\b""".r
+
+  /** One parsed piece of a join-shaped FROM: either a base-table reference
+    * (rewritable to a cached view) or passthrough text (keywords, ON
+    * conditions).
+    */
+  private sealed trait FromPiece
+  private case class TableRef(table: String, alias: String) extends FromPiece
+  private case class Passthrough(text: String) extends FromPiece
+
+  /** Tokenize a join-shaped FROM at paren depth 0. Table references sit at
+    * the start and after each JOIN (or depth-0 comma); ON/USING conditions
+    * pass through verbatim. Returns None for shapes this parse can't PROVE
+    * (subquery join sides, LATERAL) — the caller falls back to native
+    * execution rather than risk a silent mis-rewrite (the HiveQl.rewrite
+    * discipline).
+    */
+  private def parseJoinSource(srcText: String): Option[Seq[FromPiece]] = {
+    val depthAt: Int => Int = {
+      val d = new Array[Int](srcText.length + 1)
+      var i = 0
+      while (i < srcText.length) {
+        d(i + 1) = d(i) + (srcText.charAt(i) match {
+          case '(' => 1; case ')' => -1; case _ => 0 })
+        i += 1
+      }
+      d
+    }
+    val kws = JoinKw.findAllMatchIn(srcText).filter(m => depthAt(m.start) == 0).toSeq
+    if (!kws.exists(_.group(1).equalsIgnoreCase("JOIN"))) return None
+    if (kws.exists(k => Set("LATERAL", "NATURAL").contains(k.group(1).toUpperCase)))
+      return None
+    val pieces = Seq.newBuilder[FromPiece]
+    var expectTable = true
+    var pos = 0
+    val bounds = kws.map(k => (k.start, k.end, k.group(1).toUpperCase)) :+
+      ((srcText.length, srcText.length, ""))
+    var inCond = false
+    for ((s, e, kw) <- bounds) {
+      val seg = srcText.substring(pos, s)
+      if (expectTable && seg.trim.nonEmpty) {
+        // depth-0 commas separate additional table refs (implicit cross
+        // join); empty segments (between LEFT and JOIN, say) just skip
+        val parts = seg.split(",", -1)
+        if (parts.exists(_.trim.isEmpty)) return None
+        parts.zipWithIndex.foreach { case (p, i) =>
+          if (i > 0) pieces += Passthrough(", ")
+          p.trim match {
+            case SimpleSrc(tbl, a) =>
+              pieces += TableRef(tbl, Option(a).getOrElse(tbl.split('.').last))
+            case _ => return None // subquery or unrecognized join side
+          }
+        }
+      } else pieces += Passthrough(seg)
+      if (kw.nonEmpty) pieces += Passthrough(" " + kw + " ")
+      expectTable = kw match {
+        case "JOIN" => true
+        case "ON" | "USING" => { inCond = true; false }
+        case "" => false
+        case _ => !inCond // LEFT/RIGHT/... between cond and next JOIN
+      }
+      if (kw == "JOIN") inCond = false
+      pos = e
+    }
+    Some(pieces.result())
+  }
+
   /** Execute a multi-insert with one source scan; returns true if this
     * executor handled it (false → caller should fall back to native).
     */
   def run(spark: SparkSession, q: String): Boolean = {
     val (srcText, branches) = splitStatement(q).getOrElse(return false)
-    val alias = srcText match {
-      case SimpleSrc(tbl, a) => Option(a).getOrElse(tbl.split('.').last)
-      case SubquerySrc(_, a) => a
-      case _ => return false // join-shaped source: native fallback
-    }
     val parsed = branches.map {
       case BranchHead(mode, target, part, select) =>
         (mode.toUpperCase, target, Option(part).getOrElse(""), select)
       case _ => return false // non-SELECT branch form: native fallback
+    }
+    val alias = srcText match {
+      case SimpleSrc(tbl, a) => Option(a).getOrElse(tbl.split('.').last)
+      case SubquerySrc(_, a) => a
+      case _ => return runJoin(spark, srcText, parsed) // join-shaped source
     }
 
     val srcDf = spark.sql(s"SELECT * FROM $srcText")
@@ -143,5 +223,75 @@ object MultiInsert {
       } finally if (materialize) pruned.unpersist(false)
       true
     } finally spark.catalog.dropTempView(view)
+  }
+
+  /** Join-shaped source: prune + materialize each base table ONCE, re-point
+    * the join text at the cached relations (aliases intact), run branches.
+    */
+  private def runJoin(spark: SparkSession, srcText: String,
+      parsed: Seq[(String, String, String, String)]): Boolean = {
+    val pieces = parseJoinSource(srcText).getOrElse(return false)
+    val tableRefs = pieces.collect { case tr: TableRef => tr }
+    val aliasesLower = tableRefs.map(_.alias.toLowerCase).toSet
+    if (aliasesLower.size != tableRefs.size) return false // duplicate alias
+
+    def spliceFrom(select: String, fromText: String): String = {
+      val from = s" FROM $fromText "
+      TailKw.findFirstMatchIn(select) match {
+        case Some(m) => select.substring(0, m.start) + from + select.substring(m.start)
+        case None => select + from
+      }
+    }
+    // probe against the ORIGINAL join text — names resolve identically, and
+    // the analyzed plans carry both branch and ON-condition references
+    val probes = parsed.map(p => spark.sql(spliceFrom(p._4, srcText)))
+    def refsAbove(plan: LogicalPlan): Seq[String] = plan match {
+      case s: SubqueryAlias if aliasesLower(s.alias.toLowerCase) => Nil
+      case node =>
+        node.expressions.flatMap(_.collect {
+          case a: AttributeReference => a.name.toLowerCase }) ++
+          node.children.flatMap(refsAbove)
+    }
+    val referenced = probes
+      .flatMap(p => refsAbove(p.queryExecution.analyzed)).distinct.toSet
+
+    val materialize =
+      spark.conf.getOption("spark.graft.multiInsert.materialize")
+        .getOrElse("cache") != "none"
+    // one pruned materialization per (table, column-set) — a self-join's
+    // two aliases share a single cache fill
+    val viewFor = scala.collection.mutable.LinkedHashMap.empty[(String, Seq[String]), String]
+    val cached = Seq.newBuilder[DataFrame]
+    try {
+      val newFrom = pieces.map {
+        case Passthrough(t) => t
+        case TableRef(tbl, a) =>
+          val tdf = spark.table(tbl)
+          val needed0 = tdf.columns.filter(c => referenced(c.toLowerCase)).toSeq
+          val needed = if (needed0.isEmpty) tdf.columns.toSeq else needed0
+          val vname = viewFor.getOrElseUpdate((tbl.toLowerCase, needed), {
+            val pruned = tdf.select(needed.map(col): _*)
+            if (materialize) { pruned.persist(StorageLevel.MEMORY_AND_DISK); cached += pruned }
+            val v = s"graft_mi_jsrc_${counter.incrementAndGet()}"
+            pruned.createOrReplaceTempView(v)
+            v
+          })
+          s"$vname $a"
+      }.mkString("")
+
+      val branchSql = parsed.map { case (mode, target, part, select) =>
+        val kw = if (mode == "OVERWRITE") "INSERT OVERWRITE TABLE" else "INSERT INTO"
+        s"$kw $target $part ${spliceFrom(select, newFrom)}"
+      }
+      branchSql.foreach(spark.sql(_: String))
+      lastReport = Some(Report(viewFor.values.mkString(","),
+        viewFor.keys.flatMap { case (t, cols) => cols.map(c => s"$t.$c") }.toSeq,
+        materialize, branchSql,
+        branchSql.map(s => spark.sql(s.substring(s.indexOf("SELECT"))))))
+      true
+    } finally {
+      cached.result().foreach(_.unpersist(false))
+      viewFor.values.foreach(spark.catalog.dropTempView)
+    }
   }
 }

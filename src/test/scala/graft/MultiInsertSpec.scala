@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import java.util.concurrent.atomic.AtomicInteger
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import org.apache.spark.sql.execution.{FileSourceScanExec, QueryExecution, SparkPlan}
 import org.apache.spark.sql.functions.col
@@ -24,6 +24,7 @@ class MultiInsertSpec extends SparkSpec {
     */
   private def fileScans(p: SparkPlan, needle: String): Int = p match {
     case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan, needle)
+    case q: QueryStageExec => fileScans(q.plan, needle) // AQE stages are leaves
     case f: FileSourceScanExec =>
       if (f.relation.location.rootPaths.exists(_.toString.contains(needle))) 1 else 0
     case _: InMemoryTableScanExec => 0
@@ -150,26 +151,59 @@ class MultiInsertSpec extends SparkSpec {
     }
   }
 
-  test("join-shaped source falls back to native execution, still correct") {
+  test("join-shaped source is shared per table: each base table scanned once") {
     Tables.registerAll(spark, sfDir)
     val wh = tmp("graft-mi-join")
-    spark.sql(s"CREATE TABLE mis_j1 (n STRING) USING parquet LOCATION '$wh/j1'")
-    spark.sql(s"CREATE TABLE mis_j2 (n STRING) USING parquet LOCATION '$wh/j2'")
+    for (t <- Seq("mis_j1", "mis_j2", "mis_j3", "mis_j4"))
+      spark.sql(s"CREATE TABLE $t (n STRING) USING parquet LOCATION '$wh/$t'")
+    val stmt = (t1: String, t2: String) => s"""
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        INSERT OVERWRITE TABLE $t1 SELECT n_name WHERE r_name = 'ASIA'
+        INSERT OVERWRITE TABLE $t2 SELECT r_name WHERE n_name = 'NATION_3'"""
     try {
       operators.MultiInsert.lastReport = None
-      HiveQl.sql(spark, """
-        FROM nation JOIN region ON n_regionkey = r_regionkey
-        INSERT OVERWRITE TABLE mis_j1 SELECT n_name WHERE r_name = 'ASIA'
-        INSERT OVERWRITE TABLE mis_j2 SELECT r_name WHERE n_name = 'NATION_3'""")
-      assert(operators.MultiInsert.lastReport.isEmpty, "join source must not be collapsed")
+      // cached: branches re-run the join over the cached per-table blocks —
+      // zero top-level file scans of either base table (0-vs-N as for the
+      // simple source; the single real scan per table is the cache fill)
+      val (nCached, rCached) = {
+        var r = -1
+        val n = countSourceScans("nation") {
+          r = countSourceScans("region") { HiveQl.sql(spark, stmt("mis_j1", "mis_j2")) }
+        }
+        (n, r)
+      }
+      val rep = operators.MultiInsert.lastReport
+        .getOrElse(fail("join source must be handled, not fall back"))
+      assert(rep.materialized)
+      // pruned per table: only branch/join-referenced columns are cached
+      assert(rep.cachedColumns.map(_.toLowerCase).toSet ==
+        Set("nation.n_name", "nation.n_regionkey", "region.r_name", "region.r_regionkey"),
+        s"per-table pruning: ${rep.cachedColumns}")
+
+      spark.conf.set("spark.graft.multiInsert.materialize", "none")
+      val (nRaw, rRaw) =
+        try {
+          var r = -1
+          val n = countSourceScans("nation") {
+            r = countSourceScans("region") { HiveQl.sql(spark, stmt("mis_j3", "mis_j4")) }
+          }
+          (n, r)
+        } finally spark.conf.unset("spark.graft.multiInsert.materialize")
+
+      assert(nCached == 0 && rCached == 0,
+        s"cached join fan-out must not re-scan base tables: nation=$nCached region=$rCached")
+      assert(nRaw == 2 && rRaw == 2,
+        s"materialize=none re-scans each table per branch: nation=$nRaw region=$rRaw")
+
+      // both modes correct and identical
       val asia = spark.sql(
         "SELECT count(*) FROM nation JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'")
         .collect()(0).getLong(0)
-      assert(spark.table("mis_j1").count() == asia && asia > 0)
-      assert(spark.table("mis_j2").count() == 1) // each nation joins exactly one region
-    } finally {
-      spark.sql("DROP TABLE IF EXISTS mis_j1")
-      spark.sql("DROP TABLE IF EXISTS mis_j2")
-    }
+      for ((a, b) <- Seq(("mis_j1", "mis_j2"), ("mis_j3", "mis_j4"))) {
+        assert(spark.table(a).count() == asia && asia > 0)
+        assert(spark.table(b).count() == 1) // each nation joins exactly one region
+      }
+    } finally Seq("mis_j1", "mis_j2", "mis_j3", "mis_j4")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 }
