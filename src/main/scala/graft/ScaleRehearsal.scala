@@ -1,0 +1,89 @@
+package graft
+
+/** Empirical scaling rehearsal (VERDICT r5 Next #5): grow the
+  * documents/embeddings fixture ~10× with deterministic synthetic
+  * variation, run the dedup/ANN/pipeline family at 1× and 10×, and print
+  * per-query wall times + the scaling exponent α = log(t₁₀/t₁)/log(10)
+  * (t ∝ nᵅ). α ≈ 1 is linear; anything ≫ 1.2 is a super-linear surprise
+  * the analytical 100 TB arguments missed.
+  *
+  * Growth model (k = 0..9 replicas): replica text is prefixed with a
+  * per-k marker, so replicas are NOT exact duplicates (q50's content key
+  * differs) but ARE near-duplicates of their original (high Jaccard /
+  * cosine) — the duplication structure a real 10× crawl shows, and the
+  * worst case for the near-dup family since candidate clusters grow with
+  * the replica factor. Embeddings get a per-(k, dim) micro-perturbation,
+  * keeping replicas inside the original's cosine neighborhood.
+  *
+  * Usage: runMain graft.ScaleRehearsal <sf1Dir> <outDir> [queriesCsv]
+  *   — writes the 10× fixture under <outDir> (documents.parquet,
+  *   embeddings.parquet), then times each query at both scales
+  *   (min of 2 passes, noop sink). Run EXCLUSIVELY (bench hygiene).
+  */
+object ScaleRehearsal {
+
+  val DefaultQueries: Seq[String] = Seq(
+    "q50_dedup_exact", "q51_dedup_jaccard", "q52_dedup_minhash",
+    "q53_dedup_simhash", "q54_embed_knn", "q55_ann_lsh", "q86_dedup_clusters",
+    "q102_decontam", "q103_domain_mix", "q104_semdedup", "q105_kmeans_step",
+    "q106_dup_grams", "q114_corpus_pipeline", "q116_semdedup_staged")
+
+  def main(args: Array[String]): Unit = {
+    val sf1 = args(0)
+    val out = args(1)
+    val names = if (args.length > 2) args(2).split(",").toSeq else DefaultQueries
+    val spark = Sessions.get("graft-scale")
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- 10× fixture (deterministic, same schema) ----
+    val docs = Tables.load(spark, sf1, "documents")
+    val nDocs = docs.selectExpr("max(doc_id)").head().getLong(0) + 1
+    val reps = spark.range(10).selectExpr("id AS k")
+    docs.crossJoin(reps)
+      .selectExpr(
+        s"doc_id + k * ${nDocs}L AS doc_id",
+        "CASE WHEN k = 0 THEN text ELSE concat('v', k, ' ', text) END AS text",
+        "lang", "source",
+        "CASE WHEN k = 0 THEN n_chars ELSE n_chars + 3 END AS n_chars")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val emb = Tables.load(spark, sf1, "embeddings")
+    val nVecs = emb.selectExpr("max(vec_id)").head().getLong(0) + 1
+    emb.crossJoin(reps)
+      .selectExpr(
+        s"vec_id + k * ${nVecs}L AS vec_id",
+        """CASE WHEN k = 0 THEN embedding
+           ELSE transform(embedding,
+             (x, i) -> cast(x + (pmod(k * 31 + i, 7) - 3) * 0.001 AS float))
+           END AS embedding""",
+        "label")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // ---- time each query at 1× and 10× (min of 2; noop sink) ----
+    def time(name: String, dir: String): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+    // one warm pass so the first measured query isn't charged for JIT
+    SparkEntry.queries(names.head)(spark, sf1)
+      .write.format("noop").mode("overwrite").save()
+    println(f"${"query"}%-22s ${"t1x(s)"}%8s ${"t10x(s)"}%8s ${"alpha"}%6s")
+    names.foreach { n =>
+      try {
+        val t1 = time(n, sf1)
+        val t10 = time(n, out)
+        val alpha = math.log(t10 / t1) / math.log(10.0)
+        println(f"$n%-22s $t1%8.2f $t10%8.2f $alpha%6.2f")
+      } catch { case e: Throwable =>
+        println(f"$n%-22s FAILED ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}
