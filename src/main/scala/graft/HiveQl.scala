@@ -31,11 +31,13 @@ object HiveQl {
   private val StreamTable = """(?i)/\*\+\s*STREAMTABLE\s*\(([^)]*)\)\s*\*/""".r
   private val LoadData =
     """(?is)^\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+'([^']+)'\s+(OVERWRITE\s+)?INTO\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
-  // EXPORT TABLE t TO 'dir' / IMPORT [TABLE t] FROM 'dir' (Hive.g:309-317)
+  // EXPORT TABLE t [PARTITION (spec)] TO 'dir' /
+  // IMPORT [[EXTERNAL] TABLE t [PARTITION (spec)]] FROM 'dir' [LOCATION 'loc']
+  // (Hive.g:309-317 tableOrPartition; EximUtil partition walk)
   private val ExportTable =
-    """(?is)^\s*EXPORT\s+TABLE\s+([\w.]+)\s+TO\s+'([^']+)'\s*;?\s*$""".r
+    """(?is)^\s*EXPORT\s+TABLE\s+([\w.]+)(?:\s+PARTITION\s*\(([^)]*)\))?\s+TO\s+'([^']+)'\s*;?\s*$""".r
   private val ImportTable =
-    """(?is)^\s*IMPORT\s+(?:TABLE\s+([\w.]+)\s+)?FROM\s+'([^']+)'\s*;?\s*$""".r
+    """(?is)^\s*IMPORT\s+(?:(EXTERNAL\s+)?TABLE\s+([\w.]+)(?:\s+PARTITION\s*\(([^)]*)\))?\s+)?FROM\s+'([^']+)'(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$""".r
   // CREATE/DROP TEMPORARY FUNCTION (Hive.g createFunctionStatement,
   // FunctionTask.java:1)
   private val CreateFunc =
@@ -214,11 +216,14 @@ object HiveQl {
     case LoadData(path, overwrite, table) =>
       sources.HiveLoad.loadData(spark, path, table, overwrite != null)
       spark.emptyDataFrame
-    case ExportTable(table, dir) =>
-      sources.HiveExim.exportTable(spark, table, dir)
+    case ExportTable(table, part, dir) =>
+      sources.HiveExim.exportTable(spark, table, dir,
+        Option(part).map(sources.HiveExim.parsePartSpec).getOrElse(Nil))
       spark.emptyDataFrame
-    case ImportTable(table, dir) =>
-      sources.HiveExim.importTable(spark, Option(table), dir)
+    case ImportTable(external, table, part, dir, location) =>
+      sources.HiveExim.importTable(spark, Option(table), dir,
+        Option(part).map(sources.HiveExim.parsePartSpec).getOrElse(Nil),
+        external != null, Option(location))
       spark.emptyDataFrame
     case CreateFunc(name, className) =>
       functions.GraftFunctions.registerAs(spark, name, className)

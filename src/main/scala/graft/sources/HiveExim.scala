@@ -2,28 +2,49 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
-/** EXPORT TABLE t TO 'dir' / IMPORT [TABLE t] FROM 'dir'
+/** EXPORT TABLE t [PARTITION (spec)] TO 'dir' /
+  * IMPORT [[EXTERNAL] TABLE t [PARTITION (spec)]] FROM 'dir' [LOCATION 'loc']
   * (ref parse/ExportSemanticAnalyzer.java:1, ImportSemanticAnalyzer.java:1,
   * grammar Hive.g:309-317; layout EximUtil: a `_metadata` descriptor beside
-  * a `data/` directory).
+  * a `data/` directory, partitioned exports laid out one directory per
+  * partition value).
   *
   * Spark-first re-expression: the data payload is parquet written by the
   * engine (the reference copies raw storage files; byte-level storage compat
-  * is out of scope per SURVEY §7.5), and `_metadata` carries the table name
-  * and Catalyst schema JSON instead of a Thrift-serialized Hive Table
-  * object. Paths go through the Hadoop FileSystem API, so any
-  * defaultFS-reachable scheme works on a cluster, not just local disk.
-  * Partition specs and IMPORT EXTERNAL/LOCATION are not supported
-  * (documented in SURVEY §7.5 — metadata/deployment machinery).
+  * is out of scope per SURVEY §7.5), and `_metadata` carries the table name,
+  * Catalyst schema JSON, and the export's partition columns instead of a
+  * Thrift-serialized Hive Table object. A partitioned export writes
+  * `data/pcol=value/...` via partitionBy — the same directory-per-partition
+  * layout EximUtil produces, which also lets IMPORT PARTITION prune to the
+  * requested spec at the parquet scan, not post-filter. IMPORT EXTERNAL
+  * materializes the payload at LOCATION and registers an unmanaged table
+  * over it (DROP keeps the files — Hive external semantics). Paths go
+  * through the Hadoop FileSystem API, so any defaultFS-reachable scheme
+  * works on a cluster, not just local disk.
   */
 object HiveExim {
 
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def exportTable(spark: SparkSession, table: String, dir: String): Unit = {
-    val df = spark.table(table)
+  /** `k='v', k2=3, k3` → ordered pairs (values unquoted; a bare column
+    * name — Hive's dynamic-partition spec form — carries no value and
+    * means "partition by this column, all values").
+    */
+  def parsePartSpec(spec: String): Seq[(String, Option[String])] =
+    spec.split(",").filter(_.trim.nonEmpty).toSeq.map { kv =>
+      kv.split("=", 2).map(_.trim) match {
+        case Array(k) => k -> None
+        case Array(k, v) => k -> Some(
+          v.stripPrefix("'").stripSuffix("'").stripPrefix("\"").stripSuffix("\""))
+      }
+    }
+
+  def exportTable(spark: SparkSession, table: String, dir: String,
+      partSpec: Seq[(String, Option[String])] = Nil): Unit = {
+    val df0 = spark.table(table)
     val root = new Path(dir)
     val f = fs(spark, root)
     // reference behavior: target may exist only as an empty directory
@@ -31,13 +52,28 @@ object HiveExim {
     if (f.exists(root) && f.listStatus(root).nonEmpty)
       throw new IllegalArgumentException(
         s"EXPORT target $dir exists and is not empty")
-    df.write.mode(SaveMode.ErrorIfExists).parquet(new Path(root, "data").toString)
-    val meta = s"""{"table":"${table.split('.').last}","schema":${df.schema.json}}"""
+    val partCols = partSpec.map(_._1)
+    partCols.foreach { c =>
+      require(df0.columns.exists(_.equalsIgnoreCase(c)),
+        s"EXPORT PARTITION column $c not in ${table}")
+    }
+    val df = partSpec.foldLeft(df0) {
+      case (d, (k, Some(v))) => d.filter(col(k) === lit(v))
+      case (d, (_, None)) => d // bare column: all its partitions
+    }
+    val w = df.write.mode(SaveMode.ErrorIfExists)
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+      .parquet(new Path(root, "data").toString)
+    val pjson = partCols.map(c => s""""$c"""").mkString("[", ",", "]")
+    val meta = s"""{"table":"${table.split('.').last}",""" +
+      s""""partitionColumns":$pjson,"schema":${df.schema.json}}"""
     val out = f.create(new Path(root, "_metadata"), false)
     try out.write(meta.getBytes("UTF-8")) finally out.close()
   }
 
-  def importTable(spark: SparkSession, table: Option[String], dir: String): Unit = {
+  def importTable(spark: SparkSession, table: Option[String], dir: String,
+      partSpec: Seq[(String, Option[String])] = Nil, external: Boolean = false,
+      location: Option[String] = None): Unit = {
     val root = new Path(dir)
     val f = fs(spark, root)
     val in = f.open(new Path(root, "_metadata"))
@@ -50,7 +86,18 @@ object HiveExim {
         .getOrElse(throw new IllegalArgumentException(
           s"no table name in $dir/_metadata and none given"))
     }
-    val df = spark.read.parquet(new Path(root, "data").toString)
+    require(!external || location.isDefined,
+      "IMPORT EXTERNAL requires LOCATION (ImportSemanticAnalyzer)")
+    val df0 = spark.read.parquet(new Path(root, "data").toString)
+    // partition pruning happens at the scan: the export's partitionBy
+    // layout makes the spec a directory filter, not a row filter
+    val df = partSpec.foldLeft(df0) { case (d, (k, vOpt)) =>
+      require(d.columns.exists(_.equalsIgnoreCase(k)),
+        s"IMPORT PARTITION column $k not in export at $dir")
+      val v = vOpt.getOrElse(throw new IllegalArgumentException(
+        s"IMPORT PARTITION needs a value for $k (got a bare column)"))
+      d.filter(col(k) === lit(v))
+    }
     // ImportSemanticAnalyzer: load into an existing (compatible) table,
     // create it when absent. insertInto is POSITIONAL, so align to the
     // target's column order by name first — a same-columns-different-order
@@ -58,9 +105,15 @@ object HiveExim {
     // checks table compatibility before loading); a missing column fails
     // loudly in the select
     if (spark.catalog.tableExists(name)) {
-      import org.apache.spark.sql.functions.col
+      require(!external, s"IMPORT EXTERNAL target $name already exists")
       df.select(spark.table(name).columns.map(col).toIndexedSeq: _*)
         .write.insertInto(name)
-    } else df.write.saveAsTable(name)
+    } else location match {
+      case Some(loc) =>
+        // unmanaged (external) table over the materialized payload: DROP
+        // leaves the files, like a Hive EXTERNAL table
+        df.write.option("path", loc).saveAsTable(name)
+      case None => df.write.saveAsTable(name)
+    }
   }
 }

@@ -237,6 +237,50 @@ class SourcesSpec extends SparkSpec {
     spark.sql("DROP TABLE exim_dst")
   }
 
+  test("EXPORT/IMPORT PARTITION specs and IMPORT EXTERNAL ... LOCATION") {
+    Tables.registerAll(spark, sfDir)
+    for (t <- Seq("exim_p_src", "exim_p_one", "exim_p_sel", "exim_ext"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql("""CREATE TABLE exim_p_src USING parquet AS
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey <= 300""")
+    val base = Files.createTempDirectory("graft-exim-p").toString
+    val perStatus = spark.table("exim_p_src").groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // EXPORT PARTITION: only the matching slice, laid out one directory
+    // per partition value (EximUtil partition walk)
+    HiveQl.sql(spark,
+      s"EXPORT TABLE exim_p_src PARTITION (o_orderstatus='O') TO '$base/po'")
+    assert(new java.io.File(s"$base/po/data/o_orderstatus=O").isDirectory,
+      "partitioned export must use directory-per-partition layout")
+    HiveQl.sql(spark, s"IMPORT TABLE exim_p_one FROM '$base/po'")
+    assert(spark.table("exim_p_one").count() == perStatus("O"))
+    assert(spark.table("exim_p_one")
+      .filter(col("o_orderstatus") =!= "O").count() == 0)
+
+    // full export, partition-selective import (prunes at the scan)
+    HiveQl.sql(spark, s"EXPORT TABLE exim_p_src PARTITION (o_orderstatus) TO '$base/pall'")
+    HiveQl.sql(spark,
+      s"IMPORT TABLE exim_p_sel PARTITION (o_orderstatus='F') FROM '$base/pall'")
+    assert(spark.table("exim_p_sel").count() == perStatus("F"))
+
+    // IMPORT EXTERNAL ... LOCATION: unmanaged table; DROP keeps the files
+    HiveQl.sql(spark,
+      s"IMPORT EXTERNAL TABLE exim_ext FROM '$base/po' LOCATION '$base/ext_loc'")
+    assert(spark.table("exim_ext").count() == perStatus("O"))
+    spark.sql("DROP TABLE exim_ext")
+    assert(spark.read.parquet(s"$base/ext_loc").count() == perStatus("O"),
+      "EXTERNAL drop must leave the payload files")
+
+    // EXTERNAL without LOCATION refuses (ImportSemanticAnalyzer)
+    val e = intercept[IllegalArgumentException](HiveQl.sql(spark,
+      s"IMPORT EXTERNAL TABLE exim_ext2 FROM '$base/po'"))
+    assert(e.getMessage.contains("LOCATION"), e.getMessage)
+
+    for (t <- Seq("exim_p_src", "exim_p_one", "exim_p_sel"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("HiveQl rewrites MAPJOIN to a broadcast plan and drops STREAMTABLE") {
     Tables.registerAll(spark, sfDir)
     val df = HiveQl.sql(spark,
