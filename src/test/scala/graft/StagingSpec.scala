@@ -32,6 +32,19 @@ class StagingSpec extends SparkSpec {
       "restaging the same name must replace, never append or go stale")
   }
 
+  test("q117's final job reads staged round-3 centroids, not the 3-round lineage") {
+    val df = SparkEntry.queries("q117_kmeans_iterated")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(fileScans(plan, "q117_cents_r3") == 1,
+      s"final assignment must scan the staged round-3 centroids:\n$plan")
+    assert(fileScans(plan, "q117_cents_r2") == 0
+      && fileScans(plan, "q117_cents_r1") == 0,
+      "earlier rounds are cut at their stage boundary")
+    assert(fileScans(plan, "embeddings") == 1,
+      "one embeddings scan — the deep per-round lineage never re-executes")
+  }
+
   test("q116 pairing reads only the staged copy — assignment derived once") {
     // invoking the query function runs the staging job (the one and only
     // assignment derivation); the returned pairing DataFrame is still lazy
