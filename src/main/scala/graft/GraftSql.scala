@@ -65,9 +65,14 @@ object GraftSql {
   private def maxRows(spark: SparkSession): Int =
     spark.conf.getOption("graft.cli.max.rows").map(_.toInt).getOrElse(1000)
 
-  /** Execute one statement. @return false when the session should end. */
-  def process(spark: SparkSession, stmt: String, out: PrintStream,
+  /** Execute one statement. `${...}` substitution happens inside
+    * [[HiveQl.sql]] (Hive semantics, all entry points); the CLI only
+    * pre-substitutes the `SOURCE` path so `source ${hivevar:dir}/x.q`
+    * works.
+    */
+  def process(spark: SparkSession, rawStmt: String, out: PrintStream,
       silent: Boolean): Boolean = {
+    val stmt = HiveQl.substituteVars(spark, rawStmt)
     val word = stmt.trim.toLowerCase
     if (word == "quit" || word == "exit") return false
     if (word.startsWith("source ")) {
@@ -139,21 +144,42 @@ object GraftSql {
     var inline: Option[String] = None
     var dataDir: Option[String] = None
     var silent = false
+    val confs = Seq.newBuilder[(String, String)]
+    val hivevars = Seq.newBuilder[(String, String)]
+    val initFiles = Seq.newBuilder[String]
+    def kv(s: String): (String, String) = s.split("=", 2) match {
+      case Array(k, v) => k -> v
+      case _ => throw new IllegalArgumentException(s"expected key=value, got $s")
+    }
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "-f" => script = Some(args(i + 1)); i += 1
         case "-e" => inline = Some(args(i + 1)); i += 1
-        case "-d" | "--data" => dataDir = Some(args(i + 1)); i += 1
+        case "--data" => dataDir = Some(args(i + 1)); i += 1
         case "-S" => silent = true
+        // OptionsProcessor.java:69-134 — --hiveconf sets session conf,
+        // -d/--define/--hivevar set substitution variables, -i runs init
+        // scripts silently before the main input (CliDriver.java:453,631)
+        case "--hiveconf" => confs += kv(args(i + 1)); i += 1
+        case "-d" | "--define" | "--hivevar" => hivevars += kv(args(i + 1)); i += 1
+        case "-i" => initFiles += args(i + 1); i += 1
         case other => throw new IllegalArgumentException(
-          s"usage: graft-sql [-f script.q | -e 'stmts'] [-d sfDir] [-S]; got $other")
+          "usage: graft-sql [-f script.q | -e 'stmts'] [--data sfDir] [-S] " +
+            s"[--hiveconf k=v] [-d|--define|--hivevar k=v] [-i init.q]; got $other")
       }
       i += 1
     }
     val spark = Sessions.get("graft-sql")
     spark.sparkContext.setLogLevel("WARN")
+    confs.result().foreach { case (k, v) => spark.conf.set(k, v) }
+    hivevars.result().foreach { case (k, v) => spark.conf.set("hivevar:" + k, v) }
     dataDir.foreach(Tables.registerAll(spark, _))
+    initFiles.result().foreach { f =>
+      val r = new BufferedReader(new FileReader(f))
+      try run(spark, r, System.out, interactive = false, silent = true)
+      finally r.close()
+    }
     val reader: Reader = (script, inline) match {
       case (Some(f), _) => new FileReader(f)
       case (_, Some(s)) => new StringReader(s)

@@ -212,7 +212,59 @@ object HiveQl {
     s"$head $from$where"
   }
 
-  def sql(spark: SparkSession, q: String): DataFrame = q match {
+  // ${prefix:name} — no }, $, or space inside (VariableSubstitution.java:33)
+  private val VarPat = """\$\{[^\}\$ ]+\}""".r
+  private val MaxSubst = 40
+
+  /** `${hiveconf:k}` / `${hivevar:k}` / `${system:k}` / `${env:k}` / bare
+    * `${k}` (= hivevar) substitution, iterated to a fixed point
+    * (ql/parse/VariableSubstitution.java, SetProcessor.java:36-39
+    * prefixes; the reference applies it in Driver.compile, so OUR driver
+    * analogue — `sql` below — applies it for every entry point: CLI,
+    * Thrift, library). Spark session conf plays the HiveConf role, so
+    * `SET k=v` feeds `${hiveconf:k}` and `SET hivevar:k=v` feeds
+    * `${hivevar:k}`/`${k}` with no extra state. An unresolvable variable
+    * stays LITERAL (reference behavior — Spark's native pass, disabled in
+    * Sessions, would erase it to empty string); > 40 rounds is a loud
+    * cycle error. Gated by `hive.variable.substitute` (default true,
+    * HIVEVARIABLESUBSTITUTE).
+    */
+  def substituteVars(spark: SparkSession, expr: String): String = {
+    if (spark.conf.getOption("hive.variable.substitute").contains("false"))
+      return expr
+    // Spark's `SET hivevar:k=v` STRIPS the prefix and stores bare `k`
+    // (SetCommand), while a programmatic conf.set("hivevar:k", v) stores
+    // it verbatim — accept both storage shapes for hivevar/bare lookups
+    def lookup(v: String): Option[String] =
+      if (v.startsWith("system:")) sys.props.get(v.stripPrefix("system:"))
+      else if (v.startsWith("env:")) sys.env.get(v.stripPrefix("env:"))
+      else if (v.startsWith("hiveconf:")) spark.conf.getOption(v.stripPrefix("hiveconf:"))
+      else {
+        val bare = v.stripPrefix("hivevar:")
+        spark.conf.getOption("hivevar:" + bare).orElse(spark.conf.getOption(bare))
+      }
+    var eval = expr
+    var i = 0
+    while (i < MaxSubst) {
+      VarPat.findFirstMatchIn(eval) match {
+        case None => return eval
+        case Some(m) =>
+          lookup(m.matched.substring(2, m.matched.length - 1)) match {
+            case None => return eval // unresolvable: leave literal
+            case Some(v) =>
+              eval = eval.substring(0, m.start) + v + eval.substring(m.end)
+          }
+      }
+      i += 1
+    }
+    throw new IllegalStateException(
+      s"Variable substitution depth too large: $MaxSubst $expr")
+  }
+
+  def sql(spark: SparkSession, rawQ: String): DataFrame =
+    dispatch(spark, substituteVars(spark, rawQ))
+
+  private def dispatch(spark: SparkSession, q: String): DataFrame = q match {
     case LoadData(path, overwrite, table) =>
       sources.HiveLoad.loadData(spark, path, table, overwrite != null)
       spark.emptyDataFrame

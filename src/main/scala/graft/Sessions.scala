@@ -30,6 +30,12 @@ object Sessions {
       // events.ts is parquet TIMESTAMP(NANOS); map it to raw Long once,
       // globally (see Tables.load) rather than as a per-read side effect.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ${...} substitution is done ONCE, with Hive semantics, in
+      // HiveQl.sql (VariableSubstitution.java: hivevar:/bare lookups,
+      // unresolved stays LITERAL). Spark's native pass must not run after
+      // it — it rewrites anything unresolved to empty string and doesn't
+      // know the hivevar: namespace.
+      .config("spark.sql.variable.substitute", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")

@@ -55,6 +55,31 @@ class CliSpec extends SparkSpec {
     assert(!outText.contains("never-runs"), outText)
   }
 
+  test("variable substitution: hiveconf/hivevar/env prefixes, iteration, literal fallback") {
+    // SET feeds ${hiveconf:...}; SET hivevar: feeds ${hivevar:...} and bare
+    // ${...} (VariableSubstitution.java + SetProcessor.java prefixes)
+    val (code, outText) = runCli(
+      """SET probe.city=berlin;
+        |SET hivevar:suffix=_x;
+        |SELECT '${hiveconf:probe.city}${hivevar:suffix}' AS a,
+        |       '${suffix}' AS b, '${hiveconf:never.set.key}' AS c""".stripMargin)
+    assert(code == 0, outText)
+    assert(outText.linesIterator.contains("berlin_x\t_x\t${hiveconf:never.set.key}"),
+      outText)
+    // iterative: a var whose value contains another var resolves through
+    spark.conf.set("hivevar:outer", "${hivevar:inner}!")
+    spark.conf.set("hivevar:inner", "deep")
+    assert(HiveQl.substituteVars(spark, "${outer}") == "deep!")
+    // cycle → loud depth error (MAX_SUBST=40, reference behavior)
+    spark.conf.set("hivevar:loop", "${hivevar:loop}")
+    intercept[IllegalStateException](HiveQl.substituteVars(spark, "${loop}"))
+    // gate off: text passes through untouched
+    spark.conf.set("hive.variable.substitute", "false")
+    try assert(HiveQl.substituteVars(spark, "${outer}") == "${outer}")
+    finally spark.conf.unset("hive.variable.substitute")
+    assert(HiveQl.substituteVars(spark, "${env:PATH}") == sys.env("PATH"))
+  }
+
   test("a failing statement reports and the loop continues (CliDriver behavior)") {
     val (code, outText) = runCli(
       "SELECT * FROM table_that_does_not_exist_xyz;\nSELECT 'still-alive' AS v;")
