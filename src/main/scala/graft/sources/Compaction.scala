@@ -44,9 +44,19 @@ object Compaction {
         throw new IllegalStateException(
           s"compaction recovery failed: cannot restore $dir from $trashAtEntry")
     }
-    val dataFiles = fs.listStatus(path).toSeq
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
-        && !s.getPath.getName.startsWith("."))
+    val entries = fs.listStatus(path).toSeq
+      .filterNot(s => s.getPath.getName.startsWith("_")
+        || s.getPath.getName.startsWith("."))
+    // Hive partition layout (k=v subdirectories): the reference's merge
+    // job runs once per partition (GenMRFileSink1 plans the ConditionalTask
+    // under the dynamic-partition ctx) — recurse per partition directory,
+    // each with its own threshold check and write-audit-publish swap, so
+    // one fragmented partition never rewrites its healthy siblings
+    val partDirs = entries.filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    if (partDirs.nonEmpty)
+      return partDirs.map(d => compactIfFragmented(spark, d.getPath.toString,
+        targetBytes, smallFileAvgThreshold)).count(identity) > 0
+    val dataFiles = entries.filter(_.isFile)
     if (dataFiles.isEmpty) return false
     val total = dataFiles.map(_.getLen).sum
     if (total / dataFiles.size >= smallFileAvgThreshold) return false

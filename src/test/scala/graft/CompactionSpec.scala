@@ -67,6 +67,28 @@ class CompactionSpec extends SparkSpec {
     assert(contentDigest(dir) == before, "recovered content intact")
   }
 
+  test("partitioned layout compacts per partition; healthy siblings untouched") {
+    val dir = Files.createTempDirectory("graft_compact_p").toString + "/docs"
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    // lang=X partitions; fragment only one of them afterwards
+    docs.repartition(1).write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0))
+    val frag = s"$dir/lang=${langs.head}"
+    val fragRows = spark.read.parquet(frag)
+    fragRows.repartition(30).write.mode("overwrite").parquet(frag)
+    assert(fileCount(frag) == 30)
+    val healthy = s"$dir/lang=${langs.last}"
+    val healthyFiles = fileCount(healthy)
+    val before = spark.read.parquet(dir).count()
+
+    val ran = Compaction.compactIfFragmented(spark, dir,
+      targetBytes = 512L * 1024, smallFileAvgThreshold = 256L * 1024)
+    assert(ran, "the fragmented partition must trigger a merge")
+    assert(fileCount(frag) < 30, "fragmented partition merged")
+    assert(fileCount(healthy) == healthyFiles, "healthy sibling untouched")
+    assert(spark.read.parquet(dir).count() == before, "content stable")
+  }
+
   test("healthy directory is left untouched (conditional, like the reference)") {
     val dir = Files.createTempDirectory("graft_compact2").toString + "/docs"
     graft.Tables.load(spark, sfDir, "documents")
