@@ -207,23 +207,40 @@ object Misc extends QueryModule {
         FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""")),
 
     // ---- histogram_numeric + percentile_approx (registry :255/:70; same
-    //      NumericHistogram algorithm family as the reference). Both are
-    //      approximation-algorithm-specific, so no cross-engine oracle —
-    //      the driver records the rows-only check and ApproxAggSpec bounds
-    //      the error against exact percentile.
+    //      NumericHistogram algorithm family as the reference). The bin
+    //      placement is approximation-algorithm-specific — not
+    //      cross-engine-replicable — so the DRIVER-CHECKABLE surface is
+    //      what IS exact (the q113 pattern): group keys, row counts, and
+    //      in-query verdicts on the sketch's hard invariants, TRUE on both
+    //      sides iff the sketch honors them: bin weights sum to the row
+    //      count (NumericHistogram merges weights additively), bin centers
+    //      are sorted and inside the data range, and the approx median
+    //      lands between the exact p45/p55 (rank error 1/accuracy ≪ 5%).
+    //      ApproxAggSpec additionally bounds the numeric error laws.
     QueryDef(
       "q66_histogram",
       (s, dir) => t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
           expr("histogram_numeric(l_quantity, 5)").as("hist"),
-          round(expr("percentile_approx(l_extendedprice, 0.5, 1000)"), 2).as("p50_approx"))
-        .select(col("l_returnflag"), col("p50_approx"),
-          posexplode(col("hist")))
-        .selectExpr("l_returnflag", "p50_approx", "pos AS bin",
-          "round(col.x, 2) AS bin_center", "round(col.y, 2) AS bin_height")
-        .orderBy(col("l_returnflag"), col("bin")),
-      None),
+          expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("p50a"),
+          count(lit(1)).as("n_rows"),
+          min(col("l_quantity")).as("qmin"),
+          max(col("l_quantity")).as("qmax"),
+          expr("percentile(l_extendedprice, 0.45D)").as("p45"),
+          expr("percentile(l_extendedprice, 0.55D)").as("p55"))
+        .selectExpr("l_returnflag", "n_rows",
+          "size(hist) AS n_bins",
+          "abs(aggregate(hist, 0D, (a, b) -> a + b.y) - double(n_rows)) < 1e-6 AS weight_ok",
+          """aggregate(hist, true,
+               (acc, h) -> acc AND h.x >= double(qmin) AND h.x <= double(qmax)) AS bounds_ok""",
+          "array_sort(transform(hist, h -> h.x)) = transform(hist, h -> h.x) AS sorted_ok",
+          "p50a >= p45 AND p50a <= p55 AS p50_ok")
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, count(*) AS n_rows, 5 AS n_bins,
+            TRUE AS weight_ok, TRUE AS bounds_ok, TRUE AS sorted_ok,
+            TRUE AS p50_ok
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---- Hive-NAMED function registrations exercised through SQL text:
     //      `hash` = reference Java hash (FunctionRegistry.java:417, NOT
