@@ -113,6 +113,11 @@ object GraftSql {
     if (interactive) out.print("graft> ")
     var line = in.readLine()
     while (alive && line != null) {
+      // a bare `quit`/`exit` line ends the session without needing `;`
+      // (CliDriver trims and matches the line before splitting)
+      if (buf.trim.isEmpty &&
+          Set("quit", "exit").contains(line.trim.toLowerCase.stripSuffix(";")))
+        return exit
       buf = if (buf.isEmpty) line else buf + "\n" + line
       val (stmts, rest) = splitStatements(buf)
       buf = rest

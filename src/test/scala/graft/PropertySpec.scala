@@ -217,6 +217,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // ---- HiveQl literal masking (HiveQl.scala maskLiterals/rewrite) ----
+
+  test("rewrite is identity on arbitrary statements whose trigger text is all inside literals") {
+    // literal contents draw from the exact token classes the pre-parser
+    // regexes hunt for — if masking ever leaks, a rewrite fires and the
+    // round trip breaks
+    val scary = Gen.oneOf(
+      "t TABLESAMPLE (BUCKET 1 OUT OF 2 ON k)", "/*+ MAPJOIN(x) */",
+      "/*+ STREAMTABLE(y) */", "UNIQUEJOIN a b (k)", "it;s", "a -- b",
+      "back\\slash", "plain words", "")
+    val literal = for {
+      q <- Gen.oneOf("'", "\"")
+      body <- scary
+    } yield {
+      val other = if (q == "'") "\"" else "'"
+      q + body.replace(q, other) + q // keep the literal well-terminated
+    }
+    val plain = Gen.oneOf("SELECT ", "x", "f(a, b)", ", ", " FROM t ",
+      "WHERE k = ", "1 + 2", "\n", " ")
+    val stmt = Gen.listOfN(8, Gen.frequency((3, plain), (2, literal)))
+      .map(_.mkString)
+    (1 to 200).foreach { seed =>
+      val q = sample(stmt, seed)
+      assert(HiveQl.rewrite(q) == q, s"seed=$seed: $q")
+    }
+  }
+
   // ---- freq_items Misra-Gries aggregate (functions/FreqItems.scala) ----
 
   private val fiItem: Gen[String] = Gen.frequency(
