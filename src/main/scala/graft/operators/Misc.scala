@@ -215,28 +215,39 @@ object Misc extends QueryModule {
     //      sides iff the sketch honors them: bin weights sum to the row
     //      count (NumericHistogram merges weights additively), bin centers
     //      are sorted and inside the data range, and the approx median
-    //      lands between the exact p45/p55 (rank error 1/accuracy ≪ 5%).
+    //      passes a RANK-WINDOW check: ≥45% of rows on each side of the
+    //      estimate (rank error 1/accuracy ≪ 5%) — two linear passes and a
+    //      3-row broadcast instead of an exact-percentile per-group sort;
+    //      the verification must not cost more than the sketch it checks.
     //      ApproxAggSpec additionally bounds the numeric error laws.
     QueryDef(
       "q66_histogram",
-      (s, dir) => t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          expr("histogram_numeric(l_quantity, 5)").as("hist"),
-          expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("p50a"),
-          count(lit(1)).as("n_rows"),
-          min(col("l_quantity")).as("qmin"),
-          max(col("l_quantity")).as("qmax"),
-          expr("percentile(l_extendedprice, 0.45D)").as("p45"),
-          expr("percentile(l_extendedprice, 0.55D)").as("p55"))
-        .selectExpr("l_returnflag", "n_rows",
-          "size(hist) AS n_bins",
-          "abs(aggregate(hist, 0D, (a, b) -> a + b.y) - double(n_rows)) < 1e-6 AS weight_ok",
-          """aggregate(hist, true,
-               (acc, h) -> acc AND h.x >= double(qmin) AND h.x <= double(qmax)) AS bounds_ok""",
-          "array_sort(transform(hist, h -> h.x)) = transform(hist, h -> h.x) AS sorted_ok",
-          "p50a >= p45 AND p50a <= p55 AS p50_ok")
-        .orderBy(col("l_returnflag")),
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val aggd = li.groupBy(col("l_returnflag"))
+          .agg(
+            expr("histogram_numeric(l_quantity, 5)").as("hist"),
+            expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("p50a"),
+            count(lit(1)).as("n_rows"),
+            min(col("l_quantity")).as("qmin"),
+            max(col("l_quantity")).as("qmax"))
+        val rank = li
+          .join(broadcast(aggd.select(col("l_returnflag").as("rf"), col("p50a"))),
+            col("l_returnflag") === col("rf"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            sum(when(col("l_extendedprice") <= col("p50a"), 1L).otherwise(0L)).as("n_le"),
+            sum(when(col("l_extendedprice") >= col("p50a"), 1L).otherwise(0L)).as("n_ge"))
+        aggd.join(rank, "l_returnflag")
+          .selectExpr("l_returnflag", "n_rows",
+            "size(hist) AS n_bins",
+            "abs(aggregate(hist, 0D, (a, b) -> a + b.y) - double(n_rows)) < 1e-6 AS weight_ok",
+            """aggregate(hist, true,
+                 (acc, h) -> acc AND h.x >= double(qmin) AND h.x <= double(qmax)) AS bounds_ok""",
+            "array_sort(transform(hist, h -> h.x)) = transform(hist, h -> h.x) AS sorted_ok",
+            "n_le >= cast(0.45D * n_rows AS bigint) AND n_ge >= cast(0.45D * n_rows AS bigint) AS p50_ok")
+          .orderBy(col("l_returnflag"))
+      },
       Some("""SELECT l_returnflag, count(*) AS n_rows, 5 AS n_bins,
             TRUE AS weight_ok, TRUE AS bounds_ok, TRUE AS sorted_ok,
             TRUE AS p50_ok
