@@ -12,5 +12,10 @@ object GraftExtensions {
     functions.GraftFunctions.registrations.foreach(ext.injectFunction)
     // Hive 0.8 both-to-double string↔numeric comparison (q100; §7.4)
     ext.injectResolutionRule(_ => plans.HiveComparisonCoercion)
+    // HiveQL dialect below EVERY entry point (Driver.compile layering):
+    // Thrift/JDBC clients and view re-parsing get the same hint/TABLESAMPLE/
+    // UNIQUEJOIN rewrites + variable substitution as HiveQl.sql callers
+    ext.injectParser((session, delegate) =>
+      new plans.HiveDialectParser(session, delegate))
   }
 }

@@ -20,6 +20,26 @@ class SqlDialectSpec extends SparkSpec {
   private def collectShuffles(plan: SparkPlan): Seq[ShuffleExchangeExec] =
     plan.collect { case e: ShuffleExchangeExec => e }
 
+  test("Hive dialect reaches RAW spark.sql via the injected session parser") {
+    Tables.registerAll(spark, sfDir)
+    // NOT routed through HiveQl.sql: the HiveDialectParser injection means
+    // plain spark.sql (and thus Thrift clients, view re-parsing) accepts
+    // Hive-0.8 forms — MAPJOIN hint spelling and TABLESAMPLE ... ON
+    val p = spark.sql(
+      """SELECT /*+ MAPJOIN(nation) */ n_name, count(*) AS n
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""").queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    val sampled = spark.sql(
+      "SELECT count(*) AS n FROM orders TABLESAMPLE (BUCKET 1 OUT OF 1 ON o_orderkey)")
+      .collect()(0).getLong(0)
+    assert(sampled == spark.table("orders").count())
+    // ${hiveconf:} substitution through the same raw path
+    spark.conf.set("dialect.probe.key", "42")
+    assert(spark.sql("SELECT ${hiveconf:dialect.probe.key} AS v")
+      .collect()(0).get(0).toString == "42")
+  }
+
   test("multi-insert: one FROM fans out to several INSERTs (single statement)") {
     val wh = tmp("graft-mi")
     spark.sql(s"CREATE TABLE mi_small (k BIGINT, price DOUBLE) USING parquet LOCATION '$wh/small'")

@@ -55,6 +55,18 @@ class ThriftServerSpec extends SparkSpec {
         val rs2 = st.executeQuery(
           "SELECT sum(r_regionkey) AS s FROM global_temp.thrift_region")
         assert(rs2.next() && rs2.getLong(1) == 10)
+        // HiveQL DIALECT over the wire (HiveDialectParser is injected at
+        // the session-parser layer, so JDBC clients get it too): a MAPJOIN
+        // hint and a deterministic TABLESAMPLE ... ON, both Hive-0.8 forms
+        // Spark's stock parser rejects or misreads
+        val rs3 = st.executeQuery(
+          """SELECT /*+ MAPJOIN(r) */ count(*) AS n
+             FROM global_temp.thrift_region r
+             WHERE r_regionkey IN (
+               SELECT r_regionkey FROM global_temp.thrift_region
+                 TABLESAMPLE (BUCKET 1 OUT OF 1 ON r_regionkey))""")
+        assert(rs3.next() && rs3.getLong(1) == 5,
+          "Hive dialect forms must parse over JDBC")
       } finally conn.close()
     } finally server.stop()
   }
