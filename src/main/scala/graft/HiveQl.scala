@@ -85,6 +85,15 @@ object HiveQl {
         // (`-- don't`) must not open a literal
         while (i < q.length && q.charAt(i) != '\n') { out += q.charAt(i); i += 1 }
         i -= 1 // outer loop advances past the newline (or end)
+      } else if (c == '`') {
+        // backtick-quoted identifier (HiveLexer Identifier rule; `` = one
+        // literal backtick): copy verbatim — a quote char inside must not
+        // open a string literal
+        out += c
+        i += 1
+        while (i < q.length && q.charAt(i) != '`') { out += q.charAt(i); i += 1 }
+        require(i < q.length, s"unterminated quoted identifier in: $q")
+        out += '`'
       } else if (c == '\'' || c == '"') {
         val start = i
         i += 1

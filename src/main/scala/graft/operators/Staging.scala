@@ -39,6 +39,8 @@ object Staging {
     * results never go stale across inputs).
     */
   def stage(df: DataFrame, name: String): DataFrame = {
+    require(name.matches("[\\w.-]+"),
+      s"stage name must be a plain file name, got: $name")
     val spark = df.sparkSession
     val target = new Path(scratchRoot(spark), name)
     val tmp = new Path(scratchRoot(spark), name + "__stage_tmp")

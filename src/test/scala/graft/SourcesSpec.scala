@@ -172,6 +172,11 @@ class SourcesSpec extends SparkSpec {
     val real = "SELECT /*+ MAPJOIN(t) */ s FROM t WHERE s = 'MAPJOIN(t)'"
     assert(HiveQl.rewrite(real) ==
       "SELECT /*+ BROADCAST(t) */ s FROM t WHERE s = 'MAPJOIN(t)'")
+    // backtick-quoted identifiers pass verbatim: a quote char inside one
+    // must not open a string literal (this text reaches EVERY statement
+    // via the injected session parser)
+    val bt = "SELECT `odd'name` FROM `t``x` WHERE `a\"b` = 'TABLESAMPLE (BUCKET 1 OUT OF 2 ON k)'"
+    assert(HiveQl.rewrite(bt) == bt)
   }
 
   test("UNIQUEJOIN key expressions may contain nested parens") {
