@@ -270,31 +270,55 @@ object HiveQl {
       s"Variable substitution depth too large: $MaxSubst $expr")
   }
 
-  def sql(spark: SparkSession, rawQ: String): DataFrame =
-    dispatch(spark, substituteVars(spark, rawQ))
-
-  private def dispatch(spark: SparkSession, q: String): DataFrame = q match {
-    case LoadData(path, overwrite, table) =>
-      sources.HiveLoad.loadData(spark, path, table, overwrite != null)
-      spark.emptyDataFrame
-    case ExportTable(table, part, dir) =>
-      sources.HiveExim.exportTable(spark, table, dir,
-        Option(part).map(sources.HiveExim.parsePartSpec).getOrElse(Nil))
-      spark.emptyDataFrame
-    case ImportTable(external, table, part, dir, location) =>
-      sources.HiveExim.importTable(spark, Option(table), dir,
-        Option(part).map(sources.HiveExim.parsePartSpec).getOrElse(Nil),
-        external != null, Option(location))
-      spark.emptyDataFrame
-    case CreateFunc(name, className) =>
-      functions.GraftFunctions.registerAs(spark, name, className)
-      spark.emptyDataFrame
-    case DropFunc(name) =>
-      functions.GraftFunctions.dropFunction(spark, name)
-      spark.emptyDataFrame
-    case q if operators.MultiInsert.matches(q) =>
-      if (operators.MultiInsert.run(spark, q)) spark.emptyDataFrame
-      else spark.sql(rewrite(q)) // unhandled shape: native per-branch scans
-    case _ => spark.sql(rewrite(q))
+  def sql(spark: SparkSession, rawQ: String): DataFrame = {
+    val q = substituteVars(spark, rawQ)
+    statementExec(q) match {
+      case Some(exec) => exec(spark); spark.emptyDataFrame
+      case None => spark.sql(rewrite(q))
+    }
   }
+
+  /** Re-entrancy guard for [[statementExec]]: the multi-insert NATIVE
+    * fallback re-submits the original text through `spark.sql`, which
+    * (with [[plans.HiveDialectParser]] injected) would match the statement
+    * again and recurse forever.
+    */
+  private val bypassStatements = new ThreadLocal[Boolean] {
+    override def initialValue: Boolean = false
+  }
+
+  /** The non-SELECT statement surface (LOAD/EXPORT/IMPORT/TEMPORARY
+    * FUNCTION/multi-insert) as an executor thunk, shared by [[sql]] and by
+    * the injected session parser — so the whole dialect works over
+    * Thrift/JDBC and raw `spark.sql`, not just this API. None = not a
+    * statement form; plain queries go through [[rewrite]] + the delegate
+    * parser.
+    */
+  def statementExec(q: String): Option[SparkSession => Unit] =
+    if (bypassStatements.get) None
+    else q match {
+      case LoadData(path, overwrite, table) =>
+        Some(s => sources.HiveLoad.loadData(s, path, table, overwrite != null))
+      case ExportTable(table, part, dir) =>
+        Some(s => sources.HiveExim.exportTable(s, table, dir,
+          Option(part).map(sources.HiveExim.parsePartSpec).getOrElse(Nil)))
+      case ImportTable(external, table, part, dir, location) =>
+        Some(s => sources.HiveExim.importTable(s, Option(table), dir,
+          Option(part).map(sources.HiveExim.parsePartSpec).getOrElse(Nil),
+          external != null, Option(location)))
+      case CreateFunc(name, className) =>
+        Some(s => functions.GraftFunctions.registerAs(s, name, className))
+      case DropFunc(name) =>
+        Some(s => functions.GraftFunctions.dropFunction(s, name))
+      case _ if operators.MultiInsert.matches(q) =>
+        Some { s =>
+          if (!operators.MultiInsert.run(s, q)) {
+            // unhandled shape: native per-branch execution, guarded so the
+            // re-submitted text reaches the delegate parser
+            bypassStatements.set(true)
+            try s.sql(rewrite(q)) finally bypassStatements.set(false)
+          }
+        }
+      case _ => None
+    }
 }

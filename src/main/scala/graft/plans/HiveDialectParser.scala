@@ -1,11 +1,24 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{DataType, StructType}
+
+/** A HiveQL statement form (LOAD/EXPORT/IMPORT/TEMPORARY FUNCTION/
+  * multi-insert) planned as an eagerly-run command, so the statement
+  * surface works from ANY parser entry point (Thrift, raw spark.sql) —
+  * the reference executes these as driver-side Tasks (MoveTask,
+  * FunctionTask), which is exactly Spark's RunnableCommand shape.
+  */
+case class HiveStatement(statement: String, exec: SparkSession => Unit)
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = { exec(spark); Nil }
+}
 
 /** Session-parser injection of the HiveQL dialect (SparkSessionExtensions
   * `injectParser`): every STATEMENT entering the session — `spark.sql`,
@@ -29,8 +42,13 @@ class HiveDialectParser(session: SparkSession, delegate: ParserInterface)
   private def dialect(sqlText: String): String =
     graft.HiveQl.rewrite(graft.HiveQl.substituteVars(session, sqlText))
 
-  override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(dialect(sqlText))
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val text = graft.HiveQl.substituteVars(session, sqlText)
+    graft.HiveQl.statementExec(text) match {
+      case Some(exec) => HiveStatement(text.linesIterator.mkString(" ").take(120), exec)
+      case None => delegate.parsePlan(graft.HiveQl.rewrite(text))
+    }
+  }
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(dialect(sqlText))
 

@@ -38,6 +38,19 @@ class SqlDialectSpec extends SparkSpec {
     spark.conf.set("dialect.probe.key", "42")
     assert(spark.sql("SELECT ${hiveconf:dialect.probe.key} AS v")
       .collect()(0).get(0).toString == "42")
+    // STATEMENT forms plan as eager commands through raw spark.sql too
+    // (HiveStatement / LeafRunnableCommand — the MoveTask/FunctionTask
+    // shape): EXPORT → IMPORT round trip without touching HiveQl.sql
+    spark.sql("DROP TABLE IF EXISTS dialect_exim_src")
+    spark.sql("DROP TABLE IF EXISTS dialect_exim_dst")
+    spark.sql("""CREATE TABLE dialect_exim_src USING parquet AS
+      SELECT r_regionkey, r_name FROM region""")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dialect-exim").toString + "/exp"
+    spark.sql(s"EXPORT TABLE dialect_exim_src TO '$dir'")
+    spark.sql(s"IMPORT TABLE dialect_exim_dst FROM '$dir'")
+    assert(spark.table("dialect_exim_dst").count() == 5)
+    spark.sql("DROP TABLE dialect_exim_src")
+    spark.sql("DROP TABLE dialect_exim_dst")
   }
 
   test("multi-insert: one FROM fans out to several INSERTs (single statement)") {
