@@ -503,16 +503,48 @@ object Relational extends QueryModule {
         FROM orders GROUP BY 1, 2 ORDER BY order_year, prio""")),
 
     // ---- DISTRIBUTE BY + SORT BY (ref Hive.g:1769/:1777 → repartition +
-    //      sortWithinPartitions). Set-level correctness only: partition-local
-    //      order is not globally observable, so no total-order oracle; the
-    //      per-partition ordering invariant is asserted in SortClauseSpec.
+    //      sortWithinPartitions). Partition-local order is not globally
+    //      observable, so the DRIVER-CHECKABLE surface is the CLUSTER BY
+    //      CONTRACT itself, verified in-query (the q66/q113 verdict
+    //      pattern): spark_partition_id + monotonically_increasing_id
+    //      capture the physical row placement the clauses promise — each
+    //      key lives in exactly one partition (co_located), and within a
+    //      partition the (key, line) tuples are non-decreasing in emission
+    //      order (sorted_ok, via a lag window over the captured ids).
+    //      Exact per-key counts ride along. SortClauseSpec keeps the
+    //      spec-level invariants.
     QueryDef(
       "q28_cluster_by",
-      (s, dir) => t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-        .repartition(col("l_orderkey"))
-        .sortWithinPartitions(col("l_orderkey"), col("l_linenumber")),
-      None),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val placed = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+          .repartition(col("l_orderkey"))
+          .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
+          // capture placement BEFORE anything reshuffles: id order within
+          // a partition = emission order (narrow projection)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            spark_partition_id().as("pid"),
+            monotonically_increasing_id().as("rid"))
+        val w = Window.partitionBy(col("pid")).orderBy(col("rid"))
+        val sortedOk = placed
+          .select(col("pid"),
+            (lag(col("l_orderkey"), 1).over(w).isNull ||
+              lag(col("l_orderkey"), 1).over(w) < col("l_orderkey") ||
+              (lag(col("l_orderkey"), 1).over(w) === col("l_orderkey") &&
+                lag(col("l_linenumber"), 1).over(w) <= col("l_linenumber")))
+              .as("ok"))
+          .agg(min(col("ok")).as("sorted_ok"))
+        placed
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_lines"),
+            (countDistinct(col("pid")) === 1).as("co_located"))
+          .crossJoin(broadcast(sortedOk))
+          .orderBy(col("l_orderkey"))
+      },
+      Some("""SELECT l_orderkey, count(*) AS n_lines, TRUE AS co_located,
+            TRUE AS sorted_ok
+          FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""")),
 
     // ---- Window functions (capability extension: absent in the reference —
     //      no KW_OVER in Hive.g; Spark Window API)
