@@ -26,7 +26,8 @@ object ScaleRehearsal {
     "q50_dedup_exact", "q51_dedup_jaccard", "q52_dedup_minhash",
     "q53_dedup_simhash", "q54_embed_knn", "q55_ann_lsh", "q86_dedup_clusters",
     "q102_decontam", "q103_domain_mix", "q104_semdedup", "q105_kmeans_step",
-    "q106_dup_grams", "q114_corpus_pipeline", "q116_semdedup_staged")
+    "q106_dup_grams", "q114_corpus_pipeline", "q116_semdedup_staged",
+    "q117_kmeans_iterated")
 
   def main(args: Array[String]): Unit = {
     val sf1 = args(0)
