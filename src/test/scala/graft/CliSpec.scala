@@ -88,6 +88,33 @@ class CliSpec extends SparkSpec {
     assert(outText.contains("still-alive"), outText)
   }
 
+  test("demo/corpus_build.q: the reference-user workflow end to end") {
+    Tables.registerAll(spark, sfDir)
+    val expDir = Files.createTempDirectory("graft_demo").toString + "/exp"
+    spark.conf.set("hivevar:min_tokens", "10")
+    spark.conf.set("hivevar:exp_dir", expDir)
+    spark.sql("DROP TABLE IF EXISTS demo_keep")
+    spark.sql("DROP TABLE IF EXISTS demo_drop")
+    try {
+      val (code, outText) = runCli("source demo/corpus_build.q;")
+      assert(code == 0, outText)
+      val kept = spark.table("demo_keep").count()
+      val dropped = spark.table("demo_drop").count()
+      val total = Tables.load(spark, sfDir, "documents").count()
+      assert(kept > 0 && kept + dropped == total,
+        s"multi-insert must partition the corpus: $kept + $dropped != $total")
+      assert(outText.contains(s"kept\t$kept"), outText)
+      // the EXPORT landed with the EximUtil layout, substituted path
+      assert(new java.io.File(expDir, "_metadata").exists(), s"no export at $expDir")
+      assert(spark.read.parquet(s"$expDir/data").count() == kept)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS demo_keep")
+      spark.sql("DROP TABLE IF EXISTS demo_drop")
+      spark.conf.unset("hivevar:min_tokens")
+      spark.conf.unset("hivevar:exp_dir")
+    }
+  }
+
   test("multi-line statements accumulate; NULL prints as NULL; Hive dialect reaches the loop") {
     val (code, outText) = runCli(
       "SELECT /*+ MAPJOIN(x) */ NULL AS a,\n'b' AS b\nFROM (SELECT 1) x")
