@@ -112,8 +112,14 @@ object HiveQl {
   }
 
   private def unmaskLiterals(q: String, lits: IndexedSeq[String]): String =
-    "\u0001(\\d+)\u0001".r.replaceAllIn(q,
-      m => java.util.regex.Matcher.quoteReplacement(lits(m.group(1).toInt)))
+    "\u0001(\\d+)\u0001".r.replaceAllIn(q, { m =>
+      val idx = m.group(1).toInt
+      // a raw \u0001 sequence in the INPUT (outside any literal) can
+      // produce an index that is not ours -- pass it through for the lexer
+      // to reject rather than crash the pre-parser
+      java.util.regex.Matcher.quoteReplacement(
+        if (idx < lits.length) lits(idx) else m.matched)
+    })
 
   /** One UNIQUEJOIN source: [PRESERVE] table alias (key expressions).
     * Parsed by hand, not regex — key expressions may contain NESTED parens

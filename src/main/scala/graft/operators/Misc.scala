@@ -76,8 +76,9 @@ object Misc extends QueryModule {
       (s, dir) => t(s, dir, "lineitem")
         .select(
           // both virtual columns must bind in the scan stage
-          // (input_file_name is empty after an exchange)
-          regexp_extract(input_file_name(), "[^/]+$", 0).as("file"),
+          // (input_file_name is empty after an exchange); the regexp runs
+          // AFTER aggregation — once per partition row, not per data row
+          input_file_name().as("path"),
           monotonically_increasing_id().as("rid"))
         // uniqueness proof without a full-width distinct shuffle: the id is
         // (scanPartition << 33) + consecutive offset, so ids are globally
@@ -85,10 +86,10 @@ object Misc extends QueryModule {
         // (high bits keep partitions disjoint). Partial-aggregates to one
         // row per scan partition — O(partitions) crosses the wire, not rows.
         .groupBy(shiftright(col("rid"), 33).as("src_part"))
-        .agg(first(col("file")).as("file"), count(lit(1)).as("cnt"),
+        .agg(first(col("path")).as("path"), count(lit(1)).as("cnt"),
           (max(col("rid")) - min(col("rid")) + 1).as("span"))
         .agg(
-          first(col("file")).as("file"),
+          regexp_extract(first(col("path")), "[^/]+$", 0).as("file"),
           (sum(when(col("cnt") === col("span"), 0).otherwise(1)) === 0)
             .as("ids_unique"),
           sum(col("cnt")).as("n_rows")),
