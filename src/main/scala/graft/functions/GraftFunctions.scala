@@ -182,6 +182,22 @@ object GraftFunctions {
       }
       ShingleMd5(es(0), n)
     }),
+    // Unicode normalization (no Spark builtin): nfc_normalize matches
+    // DuckDB's function of the same name; unicode_normalize takes the form
+    reg("nfc_normalize", classOf[UnicodeNormalize], es => {
+      require(es.size == 1, "nfc_normalize(text)")
+      UnicodeNormalize(es(0), java.text.Normalizer.Form.NFC)
+    }),
+    reg("unicode_normalize", classOf[UnicodeNormalize], es => {
+      require(es.size == 2, "unicode_normalize(text, 'NFC'|'NFD'|'NFKC'|'NFKD')")
+      val form = es(1) match {
+        case Literal(v, StringType) if v != null =>
+          java.text.Normalizer.Form.valueOf(v.toString.toUpperCase)
+        case _ => throw new IllegalArgumentException(
+          "unicode_normalize form must be a string literal")
+      }
+      UnicodeNormalize(es(0), form)
+    }),
     reg("winnow_mins", classOf[WinnowMins], es => {
       def asIntLit(e: Expression, what: String): Int = e match {
         case Literal(v: Int, IntegerType) => v

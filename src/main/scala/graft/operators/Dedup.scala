@@ -134,6 +134,29 @@ object Dedup extends QueryModule {
         count(*) AS n_copies, min(doc_id) AS survivor
         FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY dup_key""")),
 
+    // ---- Unicode-normalized dedup keys: the same visible text arrives
+    //      precomposed (é = U+00E9) or decomposed (e + U+0301) from
+    //      different crawls, and a raw content hash treats them as distinct
+    //      documents — every production dedup normalizes BEFORE hashing.
+    //      nfc_normalize (functions/TextNorm.scala, no Spark builtin)
+    //      matches DuckDB's function of the same name, so the normalized
+    //      key oracles byte-for-byte; whitespace is collapsed the same way
+    //      on both sides. Per-key survivor + copy count, q50's plan shape:
+    //      one shuffle on a 16-byte key. TextNormSpec proves the
+    //      precomposed/decomposed and NFKC compatibility cases the ASCII
+    //      fixture cannot.
+    QueryDef(
+      "q118_norm_dedup",
+      (s, dir) => t(s, dir, "documents")
+        .selectExpr("doc_id",
+          """md5(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ')) AS norm_key""")
+        .groupBy(col("norm_key"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("survivor"))
+        .orderBy(col("norm_key")),
+      Some("""SELECT md5(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm_key,
+        count(*) AS n_copies, min(doc_id) AS survivor
+        FROM documents GROUP BY 1 ORDER BY norm_key""")),
+
     // ---- n-gram Jaccard near-dup: exact set similarity over 3-word
     //      shingles; pairs found via the shingle inverted index (equi-join),
     //      intersection counted per pair, union from per-doc shingle counts.
