@@ -25,14 +25,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Staging {
 
   /** Scratch root — `hive.exec.scratchdir` analogue (HiveConf.java). Scoped
-    * per Spark application so concurrent sessions never collide; files leak
-    * only until the OS tmp reaper, as with the reference's scratch dirs.
+    * per Spark application so concurrent sessions never collide; deleted at
+    * application end (the reference's Context.clear() scratch cleanup),
+    * with the OS tmp reaper as the crash fallback.
     */
   def scratchRoot(spark: SparkSession): String = {
     val base = spark.conf.getOption("graft.exec.scratchdir")
       .getOrElse(sys.props("java.io.tmpdir") + "/graft_scratch")
     base + "/" + spark.sparkContext.applicationId
   }
+
+  private val cleanupRegistered = new java.util.concurrent.atomic.AtomicBoolean
+
+  private def registerCleanup(spark: SparkSession): Unit =
+    if (cleanupRegistered.compareAndSet(false, true)) {
+      val root = new Path(scratchRoot(spark))
+      val conf = spark.sparkContext.hadoopConfiguration
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            try root.getFileSystem(conf).delete(root, true)
+            catch { case _: Exception => () } // best-effort; tmp reaper backs it
+        })
+    }
 
   /** Materialize `df` under `scratchRoot/name` and return a scan of the
     * copy. Re-staging the same name overwrites (bench reruns recompute —
@@ -42,6 +58,7 @@ object Staging {
     require(name.matches("[\\w.-]+"),
       s"stage name must be a plain file name, got: $name")
     val spark = df.sparkSession
+    registerCleanup(spark)
     val target = new Path(scratchRoot(spark), name)
     val tmp = new Path(scratchRoot(spark), name + "__stage_tmp")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
