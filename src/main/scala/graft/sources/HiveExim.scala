@@ -88,7 +88,20 @@ object HiveExim {
     }
     require(!external || location.isDefined,
       "IMPORT EXTERNAL requires LOCATION (ImportSemanticAnalyzer)")
-    val df0 = spark.read.parquet(new Path(root, "data").toString)
+    val raw = spark.read.parquet(new Path(root, "data").toString)
+    // restore the EXPORTED schema (the reference loads against the
+    // serialized Table descriptor): a partitioned export moves partition
+    // columns into directory names, and reading them back PATH-INFERS
+    // types (k=5 comes back INT where the source column was BIGINT) and
+    // appends them last — cast and reorder to the recorded schema
+    val df0 = """"schema"\s*:""".r.findFirstMatchIn(meta) match {
+      case Some(m) =>
+        val schemaJson = meta.substring(m.end, meta.lastIndexOf('}'))
+        val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        raw.select(schema.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+      case None => raw // pre-r6 export without a schema record
+    }
     // partition pruning happens at the scan: the export's partitionBy
     // layout makes the spec a directory filter, not a row filter
     val df = partSpec.foldLeft(df0) { case (d, (k, vOpt)) =>

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 import graft.sources.HiveText
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 
 /** Hive-delimited TEXTFILE round trip (ref LazySimpleSerDe defaults) and the
@@ -244,11 +245,21 @@ class SourcesSpec extends SparkSpec {
 
   test("EXPORT/IMPORT PARTITION specs and IMPORT EXTERNAL ... LOCATION") {
     Tables.registerAll(spark, sfDir)
-    for (t <- Seq("exim_p_src", "exim_p_one", "exim_p_sel", "exim_ext"))
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("exim_p_src", "exim_p_one", "exim_p_sel", "exim_ext",
+        "exim_typed_src", "exim_p_typed")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
-    spark.sql("""CREATE TABLE exim_p_src USING parquet AS
-      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey <= 300""")
+      // a failed PREVIOUS run strands managed dirs with no catalog entry,
+      // which blocks this run's CREATE (LOCATION_ALREADY_EXISTS)
+      val stale = new Path(s"$warehouse/$t")
+      val fs = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(stale)) fs.delete(stale, true)
+    }
     val base = Files.createTempDirectory("graft-exim-p").toString
+    // explicit per-run LOCATION: a failed run must never strand a managed
+    // warehouse dir that blocks the next run's CREATE
+    spark.sql(s"""CREATE TABLE exim_p_src USING parquet LOCATION '$base/p_src' AS
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey <= 300""")
     val perStatus = spark.table("exim_p_src").groupBy("o_orderstatus").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
@@ -276,6 +287,27 @@ class SourcesSpec extends SparkSpec {
     spark.sql("DROP TABLE exim_ext")
     assert(spark.read.parquet(s"$base/ext_loc").count() == perStatus("O"),
       "EXTERNAL drop must leave the payload files")
+
+    // fresh import restores the EXPORTED schema: a partitioned export
+    // moves o_orderkey-typed partition columns into dir names, which read
+    // back path-INFERRED (int) and appended last without the _metadata
+    // cast/reorder
+    spark.sql("DROP TABLE IF EXISTS exim_typed_src")
+    spark.sql("DROP TABLE IF EXISTS exim_p_typed")
+    spark.sql(s"""CREATE TABLE exim_typed_src USING parquet
+      LOCATION '$base/typed_src' AS
+      SELECT o_orderkey, o_orderkey % 3 AS bucket_k, o_orderstatus
+      FROM orders WHERE o_orderkey <= 100""")
+    HiveQl.sql(spark,
+      s"EXPORT TABLE exim_typed_src PARTITION (bucket_k) TO '$base/ptyped'")
+    HiveQl.sql(spark, s"IMPORT TABLE exim_p_typed FROM '$base/ptyped'")
+    assert(spark.table("exim_p_typed").schema.map(f => (f.name, f.dataType.sql))
+      == spark.table("exim_typed_src").schema.map(f => (f.name, f.dataType.sql)),
+      "imported schema must match the exported table's types and order")
+    assert(spark.table("exim_p_typed").count() ==
+      spark.table("exim_typed_src").count())
+    spark.sql("DROP TABLE exim_typed_src")
+    spark.sql("DROP TABLE exim_p_typed")
 
     // EXTERNAL without LOCATION refuses (ImportSemanticAnalyzer)
     val e = intercept[IllegalArgumentException](HiveQl.sql(spark,
