@@ -35,10 +35,13 @@ object Staging {
     base + "/" + spark.sparkContext.applicationId
   }
 
-  private val cleanupRegistered = new java.util.concurrent.atomic.AtomicBoolean
+  // one cleanup listener per APPLICATION (a JVM can host several
+  // SparkContexts over its lifetime — specs, Thrift sessions)
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def registerCleanup(spark: SparkSession): Unit =
-    if (cleanupRegistered.compareAndSet(false, true)) {
+    if (cleanupRegistered.add(spark.sparkContext.applicationId)) {
       val root = new Path(scratchRoot(spark))
       val conf = spark.sparkContext.hadoopConfiguration
       spark.sparkContext.addSparkListener(
