@@ -15,7 +15,7 @@ package graft
   * the replica factor. Embeddings get a per-(k, dim) micro-perturbation,
   * keeping replicas inside the original's cosine neighborhood.
   *
-  * Usage: runMain graft.ScaleRehearsal <sf1Dir> <outDir> [queriesCsv]
+  * Usage: runMain graft.ScaleRehearsal <sf1Dir> <outDir> [queriesCsv] [factor]
   *   — writes the 10× fixture under <outDir> (documents.parquet,
   *   embeddings.parquet), then times each query at both scales
   *   (min of 2 passes, noop sink). Run EXCLUSIVELY (bench hygiene).
@@ -33,13 +33,14 @@ object ScaleRehearsal {
     val sf1 = args(0)
     val out = args(1)
     val names = if (args.length > 2) args(2).split(",").toSeq else DefaultQueries
+    val factor = if (args.length > 3) args(3).toInt else 10
     val spark = Sessions.get("graft-scale")
     spark.sparkContext.setLogLevel("WARN")
 
     // ---- 10× fixture (deterministic, same schema) ----
     val docs = Tables.load(spark, sf1, "documents")
     val nDocs = docs.selectExpr("max(doc_id)").head().getLong(0) + 1
-    val reps = spark.range(10).selectExpr("id AS k")
+    val reps = spark.range(factor).selectExpr("id AS k")
     docs.crossJoin(reps)
       .selectExpr(
         s"doc_id + k * ${nDocs}L AS doc_id",
@@ -74,12 +75,13 @@ object ScaleRehearsal {
     // one warm pass so the first measured query isn't charged for JIT
     SparkEntry.queries(names.head)(spark, sf1)
       .write.format("noop").mode("overwrite").save()
-    println(f"${"query"}%-22s ${"t1x(s)"}%8s ${"t10x(s)"}%8s ${"alpha"}%6s")
+    println(s"factor=$factor")
+    println(f"${"query"}%-22s ${"t1x(s)"}%8s ${"tNx(s)"}%8s ${"alpha"}%6s")
     names.foreach { n =>
       try {
         val t1 = time(n, sf1)
         val t10 = time(n, out)
-        val alpha = math.log(t10 / t1) / math.log(10.0)
+        val alpha = math.log(t10 / t1) / math.log(factor.toDouble)
         println(f"$n%-22s $t1%8.2f $t10%8.2f $alpha%6.2f")
       } catch { case e: Throwable =>
         println(f"$n%-22s FAILED ${e.getMessage}")
