@@ -799,6 +799,57 @@ object Dedup extends QueryModule {
         semdedupPairs(Staging.stage(semdedupAssign(s, dir), "q116_assigned")),
       Some(semdedupOracle)),
 
+    // ---- SemDeDup with the paper's CLUSTER-SIZE CAP applied in-engine
+    //      (arXiv:2303.09540 caps cluster membership before pairing). The
+    //      30× rehearsal (SURVEY §6.10) shows why this is load-bearing:
+    //      with unbounded clusters the within-cluster pairing's Σ n_c²
+    //      term goes super-linear (α ≈ 1.5) the moment cluster sizes
+    //      outgrow the centroid count. The cap bounds every task at
+    //      C(cap, 2) pairs regardless of corpus size — deterministic
+    //      membership (lowest vec_id per cluster ranks first) so the
+    //      oracle replicates the selection exactly.
+    QueryDef(
+      "q119_semdedup_capped",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cap = 20 // small enough to BITE on the fixture (~25/cluster)
+        val capped = semdedupAssign(s, dir)
+          .withColumn("mrk", row_number().over(
+            Window.partitionBy(col("c_id")).orderBy(col("vec_id"))))
+          .filter(col("mrk") <= cap)
+          .select(col("vec_id"), col("ne"), col("c_id"))
+        semdedupPairs(capped)
+      },
+      Some(s"""WITH eN AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE) /
+                   sqrt(list_sum(list_transform(embedding,
+                     y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS ne
+          FROM embeddings),
+        cents AS (SELECT vec_id AS c_id, ne AS ce FROM eN WHERE vec_id < 8),
+        assigned AS (
+          SELECT vec_id, ne, c_id FROM (
+            SELECT e.vec_id, e.ne, c.c_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_sum(list_transform(range(1, len(e.ne) + 1),
+                                i -> e.ne[i] * c.ce[i])), 6) DESC,
+                              c.c_id) AS rk
+            FROM eN e CROSS JOIN cents c)
+          WHERE rk = 1),
+        capped AS (
+          SELECT vec_id, ne, c_id FROM (
+            SELECT vec_id, ne, c_id,
+                   row_number() OVER (PARTITION BY c_id ORDER BY vec_id) AS mrk
+            FROM assigned)
+          WHERE mrk <= 20)
+        SELECT b_id AS removed_id, c_id, min(a_id) AS keeper FROM (
+          SELECT a.c_id, a.vec_id AS a_id, b.vec_id AS b_id,
+                 round(list_sum(list_transform(range(1, len(a.ne) + 1),
+                        i -> a.ne[i] * b.ne[i])), 4) AS sim
+          FROM capped a JOIN capped b USING (c_id)
+          WHERE a.vec_id < b.vec_id)
+        WHERE sim >= 0.40 GROUP BY 1, 2 ORDER BY removed_id""")),
+
     // ---- One exact Lloyd iteration of k-means over embeddings (the
     //      quantizer-training step feeding q75's IVF and q104's SemDeDup).
     //      Cross-engine exactness is the hard part of distributed k-means —
