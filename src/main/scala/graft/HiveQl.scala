@@ -85,6 +85,25 @@ object HiveQl {
         // (`-- don't`) must not open a literal
         while (i < q.length && q.charAt(i) != '\n') { out += q.charAt(i); i += 1 }
         i -= 1 // outer loop advances past the newline (or end)
+      } else if (c == '/' && i + 1 < q.length && q.charAt(i + 1) == '*') {
+        val end = q.indexOf("*/", i + 2)
+        if (end < 0) {
+          // unterminated block comment: pass the rest through for the
+          // delegate lexer to reject
+          out ++= q.substring(i); i = q.length - 1
+        } else if (i + 2 < q.length && q.charAt(i + 2) == '+') {
+          // `/*+ ... */` hint: copy verbatim so the MAPJOIN/STREAMTABLE
+          // rewrites still see it in the masked text
+          out ++= q.substring(i, end + 2); i = end + 1
+        } else {
+          // plain block comment: mask like a literal — an apostrophe inside
+          // (`/* don't */`) must not open a string, and the rewrite regexes
+          // must never fire on comment content
+          lits += q.substring(i, end + 2)
+          out ++= "\u0001" + n + "\u0001"
+          n += 1
+          i = end + 1
+        }
       } else if (c == '`') {
         // backtick-quoted identifier (HiveLexer Identifier rule; `` = one
         // literal backtick): copy verbatim — a quote char inside must not

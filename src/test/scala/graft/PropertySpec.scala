@@ -244,6 +244,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("block comments: quotes inside are inert, trigger text never fires, hints still rewrite") {
+    // an apostrophe in a /* */ span must not open a phantom string literal
+    val apos = "SELECT 1 /* don't */ FROM t"
+    assert(HiveQl.rewrite(apos) == apos)
+    // rewrite-trigger text inside a comment stays byte-identical
+    val scary =
+      "SELECT k /* t TABLESAMPLE (BUCKET 1 OUT OF 2 ON k) -- 'x */ FROM t"
+    assert(HiveQl.rewrite(scary) == scary)
+    // /*+ ... */ hint comments are NOT masked — the MAPJOIN rewrite fires
+    assert(HiveQl.rewrite("SELECT /*+ MAPJOIN(d) */ * FROM f JOIN d ON f.k = d.k")
+      .contains("BROADCAST(d)"))
+    // unterminated comment passes through for the delegate lexer to reject
+    assert(HiveQl.rewrite("SELECT 1 /* oops") == "SELECT 1 /* oops")
+  }
+
   // ---- freq_items Misra-Gries aggregate (functions/FreqItems.scala) ----
 
   private val fiItem: Gen[String] = Gen.frequency(

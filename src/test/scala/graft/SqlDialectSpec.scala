@@ -51,6 +51,9 @@ class SqlDialectSpec extends SparkSpec {
     assert(spark.table("dialect_exim_dst").count() == 5)
     spark.sql("DROP TABLE dialect_exim_src")
     spark.sql("DROP TABLE dialect_exim_dst")
+    // block comments with quote chars survive the pre-parser masking —
+    // a plain spark.sql statement must not fail on `/* don't */`
+    assert(spark.sql("SELECT 1 /* don't */ AS v").collect()(0).getInt(0) == 1)
   }
 
   test("multi-insert: one FROM fans out to several INSERTs (single statement)") {
