@@ -44,6 +44,23 @@ object Compaction {
         throw new IllegalStateException(
           s"compaction recovery failed: cannot restore $dir from $trashAtEntry")
     }
+    // per-CHILD crash recovery (partition layouts): a crash while compacting
+    // one partition leaves `k=v__compact_old` (data, table dir missing) or an
+    // orphaned `k=v__compact_tmp` (unpublished scratch, source intact) as a
+    // SIBLING under this root — restore the former when `k=v` is absent,
+    // delete it when `k=v` was already republished, always delete scratch —
+    // so neither is ever scanned as a bogus partition value below
+    fs.listStatus(path).toSeq.filter(_.isDirectory).foreach { d =>
+      val name = d.getPath.getName
+      if (name.endsWith("__compact_tmp")) fs.delete(d.getPath, true)
+      else if (name.endsWith("__compact_old")) {
+        val orig = new Path(path, name.stripSuffix("__compact_old"))
+        if (fs.exists(orig)) fs.delete(d.getPath, true)
+        else if (!fs.rename(d.getPath, orig))
+          throw new IllegalStateException(
+            s"compaction recovery failed: cannot restore $orig from ${d.getPath}")
+      }
+    }
     val entries = fs.listStatus(path).toSeq
       .filterNot(s => s.getPath.getName.startsWith("_")
         || s.getPath.getName.startsWith("."))

@@ -89,6 +89,37 @@ class CompactionSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == before, "content stable")
   }
 
+  test("recovers a crashed PARTITION publish from the table root") {
+    val dir = Files.createTempDirectory("graft_compact_pr").toString + "/docs"
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    docs.repartition(1).write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).sorted
+    val before = spark.read.parquet(dir).count()
+
+    // crash shape 1: partition dir renamed aside, republish never happened
+    val crashed = new Path(dir, s"lang=${langs.head}")
+    val crashedOld = new Path(dir, s"lang=${langs.head}__compact_old")
+    assert(fs.rename(crashed, crashedOld))
+    // crash shape 2: an orphaned scratch dir next to a healthy partition —
+    // without cleanup Spark partition discovery would double-count it under
+    // a bogus `lang=<v>__compact_tmp` partition value
+    val healthy = new Path(dir, s"lang=${langs.last}")
+    val orphanTmp = new Path(dir, s"lang=${langs.last}__compact_tmp")
+    org.apache.hadoop.fs.FileUtil.copy(fs, healthy, fs, orphanTmp, false,
+      spark.sparkContext.hadoopConfiguration)
+
+    val ran = Compaction.compactIfFragmented(spark, dir,
+      targetBytes = 512L * 1024, smallFileAvgThreshold = 1L) // healthy after recovery
+    assert(!ran, "recovery only — no partition needed a merge")
+    assert(fs.exists(crashed) && !fs.exists(crashedOld), "crashed partition restored")
+    assert(!fs.exists(orphanTmp), "orphan scratch removed")
+    assert(spark.read.parquet(dir).count() == before, "row count restored exactly")
+    assert(spark.read.parquet(dir).select("lang").distinct().count() == langs.length,
+      "no bogus partition values from recovery dirs")
+  }
+
   test("healthy directory is left untouched (conditional, like the reference)") {
     val dir = Files.createTempDirectory("graft_compact2").toString + "/docs"
     graft.Tables.load(spark, sfDir, "documents")
