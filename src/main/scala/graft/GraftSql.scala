@@ -25,14 +25,16 @@ object GraftSql {
 
   /** Split accumulated input into complete `;`-terminated statements plus
     * the trailing incomplete fragment. `;` inside single/double-quoted
-    * literals (with backslash escapes, Hive string rules) or after `--`
-    * on a line does not terminate — `SELECT ';'` is one statement.
+    * literals (with backslash escapes, Hive string rules), inside
+    * backtick-quoted identifiers (no escapes — mirrors
+    * [[HiveQl]] maskLiterals), or after `--` on a line does not
+    * terminate — `SELECT ';'` is one statement.
     */
   def splitStatements(buf: String): (Seq[String], String) = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var i = 0
-    var quote: Char = 0 // 0 = outside any literal
+    var quote: Char = 0 // 0 = outside any literal/quoted identifier
     var lineComment = false
     while (i < buf.length) {
       val c = buf.charAt(i)
@@ -41,10 +43,11 @@ object GraftSql {
         if (c == '\n') lineComment = false
       } else if (quote != 0) {
         cur += c
-        if (c == '\\' && i + 1 < buf.length) { cur += buf.charAt(i + 1); i += 1 }
-        else if (c == quote) quote = 0
+        if (quote != '`' && c == '\\' && i + 1 < buf.length) {
+          cur += buf.charAt(i + 1); i += 1
+        } else if (c == quote) quote = 0
       } else c match {
-        case '\'' | '"' => quote = c; cur += c
+        case '\'' | '"' | '`' => quote = c; cur += c
         case '-' if i + 1 < buf.length && buf.charAt(i + 1) == '-' =>
           lineComment = true; cur += c
         case ';' => out += cur.toString; cur.clear()
@@ -65,22 +68,25 @@ object GraftSql {
   private def maxRows(spark: SparkSession): Int =
     spark.conf.getOption("graft.cli.max.rows").map(_.toInt).getOrElse(1000)
 
-  /** Execute one statement. `${...}` substitution happens inside
-    * [[HiveQl.sql]] (Hive semantics, all entry points); the CLI only
-    * pre-substitutes the `SOURCE` path so `source ${hivevar:dir}/x.q`
-    * works.
+  /** Execute one statement; returns (keep-going, exit status). `${...}`
+    * substitution happens inside [[HiveQl.sql]] (Hive semantics, all entry
+    * points); the CLI only pre-substitutes the `SOURCE` path so
+    * `source ${hivevar:dir}/x.q` works. A `SOURCE`d script's exit status
+    * (its own failing statements recover per-statement but mark failure)
+    * surfaces in the second slot so the outer [[run]] exit code reflects it.
     */
   def process(spark: SparkSession, rawStmt: String, out: PrintStream,
-      silent: Boolean): Boolean = {
+      silent: Boolean): (Boolean, Int) = {
     val stmt = HiveQl.substituteVars(spark, rawStmt)
     val word = stmt.trim.toLowerCase
-    if (word == "quit" || word == "exit") return false
+    if (word == "quit" || word == "exit") return (false, 0)
     if (word.startsWith("source ")) {
       val path = stmt.trim.drop(7).trim.stripSuffix(";").trim
       val reader = new BufferedReader(new FileReader(path))
-      try run(spark, reader, out, interactive = false, silent = silent)
-      finally reader.close()
-      return true
+      val code =
+        try run(spark, reader, out, interactive = false, silent = silent)
+        finally reader.close()
+      return (true, code)
     }
     val t0 = System.nanoTime()
     val df = HiveQl.sql(spark, stmt)
@@ -97,13 +103,13 @@ object GraftSql {
     }
     if (!silent)
       out.println(f"Time taken: ${(System.nanoTime() - t0) / 1e9}%.3f seconds")
-    true
+    (true, 0)
   }
 
   /** The driver loop: accumulate lines, execute each completed statement.
     * A statement that fails prints the error and the loop CONTINUES —
-    * CliDriver's per-statement error handling (non-interactive callers can
-    * inspect [[lastExitCode]]).
+    * CliDriver's per-statement error handling; the returned exit code is
+    * nonzero iff any statement (including inside a `SOURCE`d script) failed.
     */
   def run(spark: SparkSession, in: BufferedReader, out: PrintStream,
       interactive: Boolean, silent: Boolean): Int = {
@@ -123,8 +129,11 @@ object GraftSql {
       buf = rest
       stmts.foreach { s =>
         if (alive) {
-          try { alive = process(spark, s, out, silent) }
-          catch { case e: Exception =>
+          try {
+            val (cont, code) = process(spark, s, out, silent)
+            alive = cont
+            if (code != 0) exit = code
+          } catch { case e: Exception =>
             out.println(s"FAILED: ${e.getMessage}")
             exit = 1
           }
@@ -138,7 +147,10 @@ object GraftSql {
     // EOF with a dangling unterminated statement: run it (CliDriver -f
     // semantics — the final `;` is optional in scripts)
     if (alive && stripComments(buf).nonEmpty) {
-      try process(spark, buf, out, silent)
+      try {
+        val (_, code) = process(spark, buf, out, silent)
+        if (code != 0) exit = code
+      }
       catch { case e: Exception => out.println(s"FAILED: ${e.getMessage}"); exit = 1 }
     }
     exit

@@ -29,6 +29,24 @@ class CliSpec extends SparkSpec {
     // comment-only fragments are no-ops, escapes don't end the literal
     val (s2, r2) = GraftSql.splitStatements("-- just a comment;\n;SELECT '\\';' AS c;")
     assert(s2 == Seq("SELECT '\\';' AS c") && r2.isEmpty)
+    // `;` and `--` inside backtick-quoted identifiers don't split or
+    // comment (mirrors HiveQl.maskLiterals backtick handling)
+    val (s3, r3) = GraftSql.splitStatements(
+      "SELECT 1 AS `a;b`; SELECT 2 AS `c--d`; SELECT 3")
+    assert(s3 == Seq("SELECT 1 AS `a;b`", "SELECT 2 AS `c--d`"), s3)
+    assert(r3.trim == "SELECT 3")
+  }
+
+  test("SOURCE propagates a failing script's exit code; outer loop continues") {
+    val f = Files.createTempFile("graft_cli_fail", ".q")
+    Files.writeString(f,
+      "SELECT * FROM no_such_table_in_sourced_script;\nSELECT 'recovered' AS v;\n")
+    val (code, outText) = runCli(
+      s"source ${f.toString};\nSELECT 'after-source' AS v;")
+    assert(code == 1, s"sourced failure must surface in the exit code: $outText")
+    assert(outText.contains("FAILED"), outText)
+    assert(outText.contains("recovered"), outText)   // per-statement recovery inside
+    assert(outText.contains("after-source"), outText) // outer loop continues
   }
 
   test("3-statement script: SET line, query, table query — end to end") {
