@@ -73,7 +73,7 @@ object HiveQl {
     * regex pre-parser has to reproduce that masking explicitly). Hive
     * string rules: single or double quotes, backslash escapes.
     */
-  private def maskLiterals(q: String): (String, IndexedSeq[String]) = {
+  private[graft] def maskLiterals(q: String): (String, IndexedSeq[String]) = {
     val lits = IndexedSeq.newBuilder[String]
     val out = new StringBuilder
     var i = 0
@@ -130,7 +130,7 @@ object HiveQl {
     (out.toString, lits.result())
   }
 
-  private def unmaskLiterals(q: String, lits: IndexedSeq[String]): String =
+  private[graft] def unmaskLiterals(q: String, lits: IndexedSeq[String]): String =
     "\u0001(\\d+)\u0001".r.replaceAllIn(q, { m =>
       val idx = m.group(1).toInt
       // a raw \u0001 sequence in the INPUT (outside any literal) can

@@ -67,20 +67,27 @@ object MultiInsert {
   /** Matches a full multi-insert statement (>= 2 INSERT branches). */
   def matches(q: String): Boolean = splitStatement(q).exists(_._2.size >= 2)
 
-  /** `FROM <src> INSERT ...INSERT ...` → (srcText, branchTexts). */
+  /** `FROM <src> INSERT ...INSERT ...` → (srcText, branchTexts). Literals
+    * are masked before the keyword/paren scan (the HiveQl.rewrite
+    * discipline) so an INSERT keyword or unbalanced paren INSIDE a string
+    * can neither hide a real branch boundary nor invent one.
+    */
   private def splitStatement(q: String): Option[(String, Seq[String])] = {
     val t = q.trim.stripSuffix(";")
     if (!t.toUpperCase.startsWith("FROM")) return None
-    // split on top-level INSERT keywords (outside parens and quotes)
-    val ins = "(?i)\\bINSERT\\b".r.findAllMatchIn(t).map(_.start).filter { i =>
-      val prefix = t.substring(0, i)
-      prefix.count(_ == '(') == prefix.count(_ == ')') &&
-        prefix.count(_ == '\'') % 2 == 0 && prefix.count(_ == '"') % 2 == 0
+    val (masked, lits) =
+      try graft.HiveQl.maskLiterals(t)
+      catch { case _: IllegalArgumentException => return None }
+    // split on top-level INSERT keywords (outside parens; literals are
+    // placeholders here, so parity counting is exact)
+    val ins = "(?i)\\bINSERT\\b".r.findAllMatchIn(masked).map(_.start).filter { i =>
+      val prefix = masked.substring(0, i)
+      prefix.count(_ == '(') == prefix.count(_ == ')')
     }.toSeq
     if (ins.size < 2) return None
-    val src = t.substring(4, ins.head).trim
-    val branches = ins.zip(ins.tail :+ t.length).map { case (a, b) =>
-      t.substring(a, b).trim }
+    val src = graft.HiveQl.unmaskLiterals(masked.substring(4, ins.head), lits).trim
+    val branches = ins.zip(ins.tail :+ masked.length).map { case (a, b) =>
+      graft.HiveQl.unmaskLiterals(masked.substring(a, b), lits).trim }
     Some((src, branches))
   }
 
@@ -104,17 +111,24 @@ object MultiInsert {
     * discipline).
     */
   private def parseJoinSource(srcText: String): Option[Seq[FromPiece]] = {
+    // mask literals BEFORE tokenizing (the HiveQl.rewrite discipline): a
+    // paren or join keyword inside an ON-condition string — `ON a.s =
+    // '(x JOIN'` — must not corrupt depth-0 tracking or keyword splitting.
+    // Unterminated literals → native fallback rather than a mis-rewrite.
+    val (masked, lits) =
+      try graft.HiveQl.maskLiterals(srcText)
+      catch { case _: IllegalArgumentException => return None }
     val depthAt: Int => Int = {
-      val d = new Array[Int](srcText.length + 1)
+      val d = new Array[Int](masked.length + 1)
       var i = 0
-      while (i < srcText.length) {
-        d(i + 1) = d(i) + (srcText.charAt(i) match {
+      while (i < masked.length) {
+        d(i + 1) = d(i) + (masked.charAt(i) match {
           case '(' => 1; case ')' => -1; case _ => 0 })
         i += 1
       }
       d
     }
-    val kws = JoinKw.findAllMatchIn(srcText).filter(m => depthAt(m.start) == 0).toSeq
+    val kws = JoinKw.findAllMatchIn(masked).filter(m => depthAt(m.start) == 0).toSeq
     if (!kws.exists(_.group(1).equalsIgnoreCase("JOIN"))) return None
     if (kws.exists(k => Set("LATERAL", "NATURAL").contains(k.group(1).toUpperCase)))
       return None
@@ -122,10 +136,10 @@ object MultiInsert {
     var expectTable = true
     var pos = 0
     val bounds = kws.map(k => (k.start, k.end, k.group(1).toUpperCase)) :+
-      ((srcText.length, srcText.length, ""))
+      ((masked.length, masked.length, ""))
     var inCond = false
     for ((s, e, kw) <- bounds) {
-      val seg = srcText.substring(pos, s)
+      val seg = graft.HiveQl.unmaskLiterals(masked.substring(pos, s), lits)
       if (expectTable && seg.trim.nonEmpty) {
         // depth-0 commas separate additional table refs (implicit cross
         // join); empty segments (between LEFT and JOIN, say) just skip

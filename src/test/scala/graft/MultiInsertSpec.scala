@@ -206,4 +206,32 @@ class MultiInsertSpec extends SparkSpec {
     } finally Seq("mis_j1", "mis_j2", "mis_j3", "mis_j4")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("join-source tokenizer is literal-safe: parens/JOIN inside ON strings") {
+    Tables.registerAll(spark, sfDir)
+    val wh = tmp("graft-mi-lit")
+    for (t <- Seq("mis_l1", "mis_l2"))
+      spark.sql(s"CREATE TABLE $t (n STRING) USING parquet LOCATION '$wh/$t'")
+    try {
+      operators.MultiInsert.lastReport = None
+      // the ON condition carries a literal with an unbalanced paren AND a
+      // JOIN keyword — masking must keep the tokenizer's depth-0 view intact
+      // and the literal must reach the executed branches byte-identical
+      HiveQl.sql(spark, """
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+             AND r_name != '(x JOIN'
+        INSERT OVERWRITE TABLE mis_l1 SELECT n_name WHERE r_name = 'ASIA'
+        INSERT OVERWRITE TABLE mis_l2 SELECT r_name WHERE n_name = 'NATION_3'""")
+      val rep = operators.MultiInsert.lastReport
+        .getOrElse(fail("literal-bearing join source must still be shared"))
+      assert(rep.branchSql.forall(_.contains("'(x JOIN'")),
+        s"literal must survive the rewrite verbatim: ${rep.branchSql}")
+      val asia = spark.sql(
+        """SELECT count(*) FROM nation JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'ASIA'""").collect()(0).getLong(0)
+      assert(spark.table("mis_l1").count() == asia && asia > 0)
+      assert(spark.table("mis_l2").count() == 1)
+    } finally Seq("mis_l1", "mis_l2")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
