@@ -27,7 +27,16 @@ object Bench {
     // third tie-breaker runs. Min (not median) is the right statistic here:
     // external contention only ever ADDS time, so the fastest observed pass
     // is the closest to the machine-idle truth the plan deserves.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q116,q104 — comma-separated name prefixes for
+    // fast single-query iteration; unset = the full suite (driver mode)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = only match {
+      case Some(prefixes) => SparkEntry.queries.filter { case (k, _) =>
+        prefixes.exists(k.startsWith) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val r1 = once(name, fn)
       if (r1 < 0) name -> -1.0
       else {

@@ -56,6 +56,17 @@ object Staging {
   /** Materialize `df` under `scratchRoot/name` and return a scan of the
     * copy. Re-staging the same name overwrites (bench reruns recompute —
     * results never go stale across inputs).
+    *
+    * The write is SIZE-AWARE: a REBALANCE hint lets AQE pick the output
+    * partition count from runtime shuffle statistics against
+    * `spark.sql.adaptive.advisoryPartitionSizeInBytes` — a ~60k-row stage
+    * publishes one file instead of `defaultParallelism` slivers (the
+    * small-file posture [[graft.sources.Compaction]] exists to repair,
+    * planned away before the write instead of after), and a 100 TB stage
+    * publishes advisory-sized files with no driver-side estimate. Opt out
+    * per session with `graft.staging.rebalance=false` when the input
+    * partitioning is already byte-targeted and the extra exchange isn't
+    * worth it.
     */
   def stage(df: DataFrame, name: String): DataFrame = {
     require(name.matches("[\\w.-]+"),
@@ -65,7 +76,10 @@ object Staging {
     val target = new Path(scratchRoot(spark), name)
     val tmp = new Path(scratchRoot(spark), name + "__stage_tmp")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    df.write.mode("overwrite").parquet(tmp.toString)
+    val sized =
+      if (spark.conf.getOption("graft.staging.rebalance").contains("false")) df
+      else df.hint("REBALANCE")
+    sized.write.mode("overwrite").parquet(tmp.toString)
     // audit: the commit marker must exist before the copy becomes readable
     if (!fs.exists(new Path(tmp, "_SUCCESS")))
       throw new IllegalStateException(s"staging write for $name did not commit")

@@ -32,6 +32,26 @@ class StagingSpec extends SparkSpec {
       "restaging the same name must replace, never append or go stale")
   }
 
+  test("stage() writes byte-targeted files, not input-partitioning slivers") {
+    import spark.implicits._
+    val frag = (1 to 60000).toDF("id").repartition(32) // the q116 shape: tiny rows fanned wide
+    val out = Staging.stage(frag, "spec_stage_sized")
+    assert(out.count() == 60000)
+    val fs = new org.apache.hadoop.fs.Path(Staging.scratchRoot(spark))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(name: String): Int = fs.listStatus(
+      new org.apache.hadoop.fs.Path(Staging.scratchRoot(spark), name))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    assert(dataFiles("spec_stage_sized") == 1,
+      "60k ints are far below the advisory partition size: one file, not 32 slivers")
+    // opt-out preserves the input partitioning
+    spark.conf.set("graft.staging.rebalance", "false")
+    try {
+      Staging.stage(frag, "spec_stage_raw")
+      assert(dataFiles("spec_stage_raw") == 32)
+    } finally spark.conf.unset("graft.staging.rebalance")
+  }
+
   test("q117's final job reads staged round-3 centroids, not the 3-round lineage") {
     val df = SparkEntry.queries("q117_kmeans_iterated")(spark, sfDir)
     df.collect()
