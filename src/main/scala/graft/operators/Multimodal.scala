@@ -13,6 +13,10 @@ final case class MediaFeatures(doc_id: Long, n_bytes: Int,
     f0: Double, f1: Double, f2: Double, f3: Double,
     f4: Double, f5: Double, f6: Double, f7: Double)
 
+/** One REAL-decoded image: container-parsed dimensions + band stats. */
+final case class ImageStats(doc_id: Long, width: Int, height: Int,
+    channels: Int, mean_px: Double, min_px: Int, max_px: Int)
+
 /** Multimodal-column operators (extension surface; the reference's closest
   * abstraction is the pluggable SerDe byte-interpretation layer,
   * serde2/SerDe.java). Payloads here are deterministic fakes built by
@@ -108,6 +112,54 @@ object Multimodal extends QueryModule {
         }.mkString(",\n        ") + """
         FROM documents ORDER BY doc_id""")),
 
+    // ---- REAL image decode (javax.imageio — JDK-only, no new deps): each
+    //      doc's text bytes become a w×h grayscale PNG (the ingest shape: a
+    //      genuine container format, dimensions data-dependent per row), and
+    //      the operator under test ImageIO-parses the PNG container back —
+    //      width/height come from the decoded header, pixel stats from the
+    //      decoded raster. PNG grayscale is lossless, so the oracle predicts
+    //      every output from the text domain alone; a decoder that skipped
+    //      real parsing could not produce the data-dependent dimensions.
+    //      Scale posture: same batched mapPartitions kernel as q82 — payload
+    //      bytes never leave their partition, no driver round trip.
+    QueryDef(
+      "q120_image_decode",
+      (s, dir) => {
+        val session = s
+        import session.implicits._
+        t(s, dir, "documents")
+          .filter(col("doc_id") < 500)
+          .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload",
+            "'png' AS fmt",
+            "cast(4 + doc_id % 5 AS int) AS width",
+            "cast(3 + doc_id % 4 AS int) AS height")
+          .as[Media]
+          .mapPartitions(it => it.grouped(64).flatMap { batch =>
+            batch.map { m =>
+              val png = MediaCodec.encodeGrayPng(m.payload, m.width, m.height)
+              MediaCodec.decodeImage(m.doc_id, png)
+            }
+          })
+          .toDF()
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH px AS (
+          SELECT doc_id,
+                 list_transform(
+                   range(1, CAST((4 + doc_id % 5) * (3 + doc_id % 4) AS INT) + 1),
+                   i -> CASE WHEN i <= length(text)
+                             THEN unicode(substr(text, CAST(i AS INT), 1))
+                             ELSE 0 END) AS p
+          FROM documents WHERE doc_id < 500)
+        SELECT doc_id,
+          CAST(4 + doc_id % 5 AS INT) AS width,
+          CAST(3 + doc_id % 4 AS INT) AS height,
+          1 AS channels,
+          round(list_avg(p), 4) AS mean_px,
+          CAST(list_min(p) AS INT) AS min_px,
+          CAST(list_max(p) AS INT) AS max_px
+        FROM px ORDER BY doc_id""")),
+
     // ---- Content-defined chunking dedup over the binary payload (the
     //      storage-level media-dedup scheme: rolling-hash boundaries are
     //      SHIFT-RESISTANT, unlike fixed-offset chunks, so shared runs
@@ -192,13 +244,75 @@ object Multimodal extends QueryModule {
   */
 object MediaCodec {
 
-  /** STUB — stands in for a real image/audio decoder (codec libraries are
-    * not available in this environment). Deterministic fake: the "decoded
-    * pixels" are the raw payload bytes. A real build plugs libjpeg/ffmpeg
-    * here; nothing outside this function changes.
+  // no tmp-file cache churn inside executor tasks (in-memory streams only)
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Byte-stream featurizer for payloads that are NOT a container format
+    * (q82 treats the raw payload as the decoded plane). Real image decoding
+    * is [[decodeImage]]; audio/video codecs stay out of scope (no JDK
+    * decoder — a real build plugs ffmpeg here; nothing outside this object
+    * changes).
     */
   def decodeBytes(payload: Array[Byte]): Array[Int] =
     payload.map(b => b & 0xFF)
+
+  /** Grayscale PNG encode (ingest side of q120): row-major payload bytes as
+    * a w×h 8-bit gray plane, zero-padded past the payload end.
+    */
+  def encodeGrayPng(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = y * w + x
+        raster.setSample(x, y, 0, if (i < payload.length) payload(i) & 0xFF else 0)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", bos), "no PNG writer")
+    bos.toByteArray
+  }
+
+  /** REAL image decode — `javax.imageio` parses the container (PNG/JPEG/GIF/
+    * BMP per JDK registry): dimensions and band count come from the decoded
+    * header, pixel stats from the decoded raster. JDK-only; runs per
+    * partition inside the batched kernel, no temp files (cache off above).
+    */
+  def decodeImage(docId: Long, payload: Array[Byte]): ImageStats = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"undecodable image payload for doc $docId")
+    val r = img.getRaster
+    val (w, h, bands) = (img.getWidth, img.getHeight, r.getNumBands)
+    var sum = 0L
+    var min = Int.MaxValue
+    var max = Int.MinValue
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var b = 0
+        while (b < bands) {
+          val v = r.getSample(x, y, b)
+          sum += v
+          if (v < min) min = v
+          if (v > max) max = v
+          b += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h * bands
+    val mean = BigDecimal(sum.toDouble / n)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    ImageStats(docId, w, h, bands, mean, min, max)
+  }
 
   /** 8 per-chunk means over the decoded bytes (chunk c spans
     * [floor(n*c/8), floor(n*(c+1)/8)) — mirrored exactly by the oracle SQL).
