@@ -67,6 +67,63 @@ class ThriftServerSpec extends SparkSpec {
                  TABLESAMPLE (BUCKET 1 OUT OF 1 ON r_regionkey))""")
         assert(rs3.next() && rs3.getLong(1) == 5,
           "Hive dialect forms must parse over JDBC")
+
+        // ---- Second LIVE connection (the BI wire is multi-client by
+        // definition — ref HiveServer.java serves one session per client):
+        // with both connections open, prove per-connection isolation
+        // (temp views, hivevar substitution state) and shared-catalog
+        // visibility (persistent tables), plus a dialect form on each.
+        val conn2 = DriverManager.getConnection(
+          s"jdbc:hive2://localhost:$port/", "", "")
+        try {
+          val stA = st
+          val stB = conn2.createStatement()
+          // temp views are session-scoped: A's view must not resolve in B
+          stA.execute("CREATE TEMPORARY VIEW thrift_iso_tv AS SELECT 42 AS v")
+          val rsA = stA.executeQuery("SELECT v FROM thrift_iso_tv")
+          assert(rsA.next() && rsA.getInt(1) == 42)
+          val bSeesIt =
+            try { stB.executeQuery("SELECT v FROM thrift_iso_tv"); true }
+            catch { case _: java.sql.SQLException => false }
+          assert(!bSeesIt, "temp view must be invisible to the sibling session")
+          // hivevar substitution state is per session conf
+          stA.execute("SET hivevar:tag=alpha")
+          stB.execute("SET hivevar:tag=beta")
+          val vA = stA.executeQuery("SELECT '${tag}' AS t")
+          val vB = stB.executeQuery("SELECT '${tag}' AS t")
+          assert(vA.next() && vA.getString(1) == "alpha")
+          assert(vB.next() && vB.getString(1) == "beta",
+            "each connection substitutes from its OWN session conf")
+          // shared catalog: a table created through A is queryable from B.
+          // (pre-delete any stale warehouse dir from a crashed prior run —
+          // DROP IF EXISTS in a fresh JVM does not remove a stranded
+          // location and CREATE would throw LOCATION_ALREADY_EXISTS)
+          stA.execute("DROP TABLE IF EXISTS thrift_shared_t")
+          val stale = new java.io.File(
+            spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+            "thrift_shared_t")
+          if (stale.exists())
+            org.apache.commons.io.FileUtils.deleteDirectory(stale)
+          stA.execute(
+            """CREATE TABLE thrift_shared_t USING parquet AS
+               SELECT r_regionkey, r_name FROM global_temp.thrift_region""")
+          try {
+            val sB = stB.executeQuery(
+              "SELECT count(*) AS n FROM thrift_shared_t")
+            assert(sB.next() && sB.getLong(1) == 5,
+              "catalog tables are shared across live sessions")
+            // a Hive-dialect statement on EACH live connection
+            val dA = stA.executeQuery(
+              """SELECT count(*) AS n FROM thrift_shared_t
+                 TABLESAMPLE (BUCKET 1 OUT OF 1 ON r_regionkey)""")
+            assert(dA.next() && dA.getLong(1) == 5)
+            val dB = stB.executeQuery(
+              """SELECT /*+ MAPJOIN(b) */ count(*) AS n
+                 FROM thrift_shared_t a JOIN thrift_shared_t b
+                   ON a.r_regionkey = b.r_regionkey""")
+            assert(dB.next() && dB.getLong(1) == 5)
+          } finally stA.execute("DROP TABLE IF EXISTS thrift_shared_t")
+        } finally conn2.close()
       } finally conn.close()
     } finally server.stop()
   }
