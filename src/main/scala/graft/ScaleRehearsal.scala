@@ -36,6 +36,10 @@ object ScaleRehearsal {
     val factor = if (args.length > 3) args(3).toInt else 10
     val spark = Sessions.get("graft-scale")
     spark.sparkContext.setLogLevel("WARN")
+    // lift the fixture truncations (Dedup.fixtureBound): the oracles need
+    // small pair lists, but a rehearsal that keeps `doc_id < k` bounds
+    // measures a CONSTANT query — replicas all land above the bound
+    spark.conf.set("graft.rehearsal.unbounded", "true")
 
     // ---- 10× fixture (deterministic, same schema) ----
     val docs = Tables.load(spark, sf1, "documents")
@@ -85,6 +89,7 @@ object ScaleRehearsal {
         println(f"$n%-22s $t1%8.2f $t10%8.2f $alpha%6.2f")
       } catch { case e: Throwable =>
         println(f"$n%-22s FAILED ${e.getMessage}")
+        e.printStackTrace(System.out)
       }
     }
     spark.stop()

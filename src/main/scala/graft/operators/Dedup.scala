@@ -32,6 +32,21 @@ object Dedup extends QueryModule {
     */
   private val JaccardDfCap = 50
 
+  /** Fixture truncation for the O(pairs) near-dup oracles — keeps the
+    * DuckDB replica tractable. The scaling rehearsal LIFTS these bounds
+    * (`graft.rehearsal.unbounded=true`) so grown fixtures actually enter
+    * the operator under test: a bound that also filtered the replicas
+    * would make every rehearsal row measure a constant-size query (the
+    * round-6 §6.10 rows for q51/q52/q53/q86 did exactly that — their
+    * α ≈ 0 was the bound, not the algorithm; SURVEY carries the corrected
+    * unbounded numbers from round 7 on).
+    */
+  private def fixtureBound(df: org.apache.spark.sql.DataFrame,
+      c: String, lim: Long) =
+    if (df.sparkSession.conf.getOption("graft.rehearsal.unbounded")
+        .contains("true")) df
+    else df.filter(col(c) < lim)
+
   /** IEEE-identical cosine: double-cast elementwise product, sequential sum.
     * vec_dot (functions/VecKernels) is bit-identical to the former
     * aggregate(zip_with(...)) HOF chain — same left-to-right double
@@ -173,8 +188,7 @@ object Dedup extends QueryModule {
         // w is bound as its own column (two references → CollapseProject
         // keeps it) so the per-shingle lambda slices an attribute instead of
         // re-splitting the text ~250× per row
-        val exploded = t(s, dir, "documents")
-          .filter(col("doc_id") < 120)
+        val exploded = fixtureBound(t(s, dir, "documents"), "doc_id", 120)
           .repartition(s.sparkContext.defaultParallelism)
           .selectExpr("doc_id", "split(lower(text), ' ') AS w")
           .selectExpr("doc_id",
@@ -231,8 +245,7 @@ object Dedup extends QueryModule {
     QueryDef(
       "q52_dedup_minhash",
       (s, dir) => {
-        val bands = t(s, dir, "documents")
-          .filter(col("doc_id") < 200)
+        val bands = fixtureBound(t(s, dir, "documents"), "doc_id", 200)
           .selectExpr("doc_id",
             "array_distinct(split(lower(text), ' ')) AS words")
           .selectExpr("doc_id",
@@ -283,8 +296,7 @@ object Dedup extends QueryModule {
         // the 32 bit-sums accumulate in one pass over it (a staged
         // formulation re-evaluates the inlined array per bit — measured 20×
         // slower); repartition fans the single-row-group input across cores
-        val sh = t(s, dir, "documents")
-          .filter(col("doc_id") < 100)
+        val sh = fixtureBound(t(s, dir, "documents"), "doc_id", 100)
           .repartition(s.sparkContext.defaultParallelism)
           .selectExpr("doc_id",
             s"""aggregate(
@@ -555,7 +567,7 @@ object Dedup extends QueryModule {
     QueryDef(
       "q86_dedup_clusters",
       (s, dir) => {
-        val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+        val docs = fixtureBound(t(s, dir, "documents"), "doc_id", 200)
         val bands = docs
           .selectExpr("doc_id", "array_distinct(split(lower(text), ' ')) AS words")
           .selectExpr("doc_id",
@@ -566,31 +578,43 @@ object Dedup extends QueryModule {
             """posexplode(transform(sequence(0, 1),
                  j -> md5(array_join(transform(slice(sig, j * 8 + 1, 8),
                                                v -> cast(v AS string)), ',')))) AS (band, bh)""")
-        val a = bands.toDF("a_id", "band", "bh")
-        val b = bands.toDF("b_id", "band", "bh")
-        val pairs = a.join(b, Seq("band", "bh")).filter(col("a_id") < col("b_id"))
+        // STAR edges, not all-pairs: connected components only needs
+        // CONNECTIVITY, and every member of a band bucket is reachable
+        // through the bucket's min-id hub — identical clusters, O(bucket)
+        // edges instead of O(bucket²). The unbounded 10× rehearsal showed
+        // why: duplicate-heavy buckets grow linearly with corpus scale, so
+        // their all-pairs edge lists grow quadratically (α 1.22 measured);
+        // star edges restore a linear edge count. hubs join is on the same
+        // (band, bh) key the groupBy just shuffled — co-partitioned.
+        val hubs = bands.groupBy(col("band"), col("bh"))
+          .agg(min(col("doc_id")).as("a_id"))
+        val pairs = bands.toDF("b_id", "band", "bh")
+          .join(hubs, Seq("band", "bh"))
+          .filter(col("a_id") < col("b_id"))
           .select(col("a_id"), col("b_id")).distinct()
         val edges = pairs
           .union(pairs.select(col("b_id"), col("a_id")))
           .toDF("src", "dst").cache()
-        // one propagation superstep: labels stay small (one row per doc in
-        // the window) → broadcast both joins; only the edge list ever
-        // shuffles, and the moved flag rides along so convergence costs no
-        // extra join
+        // one propagation superstep. The labels table is CORPUS-SIZED (one
+        // row per doc), so neither join is hinted — AQE broadcasts while
+        // labels are small and falls back to hash-partitioned joins when
+        // they aren't (a forced broadcast here held ~6M hashed label rows
+        // per superstep at the unbounded 10× rehearsal and ran the driver
+        // out of heap). The moved flag rides along so convergence costs no
+        // extra join.
         def propagate(ls: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
           val nbrMin = edges
-            .join(broadcast(ls.withColumnRenamed("doc_id", "src")), Seq("src"))
+            .join(ls.withColumnRenamed("doc_id", "src"), Seq("src"))
             .groupBy(col("dst").as("doc_id"))
             .agg(min(col("label")).as("nbr_label"))
-          ls.join(broadcast(nbrMin), Seq("doc_id"), "left")
+          ls.join(nbrMin, Seq("doc_id"), "left")
             .select(col("doc_id"),
               least(col("label"), coalesce(col("nbr_label"), col("label")))
                 .as("label"),
               (coalesce(col("nbr_label"), col("label")) < col("label"))
                 .as("moved"))
         }
-        var labels = docs.select(col("doc_id"), col("doc_id").as("label")).cache()
-        labels.count()
+        var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
         var changed = 1L
         var iter = 0
         // min-label propagation needs ≤ diameter supersteps; 64 rounds = 128
@@ -606,9 +630,15 @@ object Dedup extends QueryModule {
           // step's output was already stable). Measured: three supersteps
           // per round is ~2.5× SLOWER — the deeper per-round plan costs
           // more in codegen/planning than the saved count actions.
-          val next = propagate(propagate(labels).drop("moved")).cache()
+          // Staging (not cache) cuts the LOGICAL plan at the round boundary
+          // — the Pregel checkpoint posture, same per-round scratch write
+          // as q117: cache only truncates execution, so the plan tree still
+          // quadrupled per round (each superstep references `labels` twice)
+          // and the driver OOMed rendering it at the unbounded 10×
+          // rehearsal before any executor ran short of memory.
+          val next = Staging.stage(propagate(propagate(labels).drop("moved")),
+            s"q86_labels_r$iter")
           changed = next.filter(col("moved")).count()
-          labels.unpersist()
           labels = next.drop("moved")
           iter += 1
         }
