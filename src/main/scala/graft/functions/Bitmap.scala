@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.roaringbitmap.RoaringBitmap
 
@@ -110,6 +111,142 @@ case class BitmapCombine(left: Expression, right: Expression, isAnd: Boolean)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** The reference's on-disk EWAH word-array format (the one place our
+  * Roaring-backed family diverges from it, SURVEY §7.5). A bitmap written
+  * by the reference is `array<bigint>` — the exact `writeInt`/`writeLong`
+  * call sequence of javaewah 0.2's `EWAHCompressedBitmap.serialize`
+  * captured one call per element (BitmapObjectOutput.java:104-112):
+  *
+  *   [0] sizeinbits  [1] actualsizeinwords  [2] buffer.length (allocated)
+  *   [3 .. 3+actual)  the EWAH words         [last] rlw.position
+  *
+  * Each marker word packs (RunningLengthWord.java, disassembled layout):
+  * bit 0 = running bit, bits 1..32 = running length (fill words of the
+  * running bit), bits 33..63 = literal word count; the literals follow the
+  * marker. 64-bit words throughout.
+  *
+  * [[decode]] accepts anything the reference can emit (both fill polarities,
+  * arbitrary marker chains). [[encode]] emits zero-runs + ones-runs +
+  * literals greedily — valid input for the reference's deserializer and
+  * O(cardinality) even when a stray bit sits near 2^31 (no dense word walk:
+  * gaps become run markers without materializing the words between).
+  */
+object EwahCodec {
+  private val MaxRun = 0xFFFFFFFFL // largestrunninglengthcount (32 bits)
+
+  def encode(rb: RoaringBitmap): Array[Long] = {
+    // set bits → (ascending) nonzero 64-bit words, sparse
+    val idx = scala.collection.mutable.ArrayBuffer[Long]()
+    val word = scala.collection.mutable.ArrayBuffer[Long]()
+    var maxPos = -1L
+    val it = rb.getIntIterator
+    while (it.hasNext) {
+      val v = it.next()
+      require(v >= 0, s"ewah_encode: bit position $v outside the reference's int domain")
+      maxPos = v.toLong
+      val wi = v.toLong >>> 6
+      if (idx.nonEmpty && idx.last == wi) word(word.length - 1) |= 1L << (v & 63)
+      else { idx += wi; word += 1L << (v & 63) }
+    }
+    val buf = scala.collection.mutable.ArrayBuffer[Long]()
+    var rlwPos = 0
+    var cursor = 0L // next word index not yet covered by the stream
+    var i = 0
+    while (i < idx.length) {
+      var gap = idx(i) - cursor
+      while (gap > MaxRun) { rlwPos = buf.length; buf += (MaxRun << 1); gap -= MaxRun }
+      var nOnes = 0L // full words become a ones-run, not literals
+      while (i + nOnes < idx.length && word((i + nOnes).toInt) == -1L &&
+             idx((i + nOnes).toInt) == idx(i) + nOnes && nOnes < MaxRun) nOnes += 1
+      // a marker holds ONE run; zero-gap and ones-run can't share it
+      if (gap > 0 && nOnes > 0) { rlwPos = buf.length; buf += (gap << 1); gap = 0 }
+      val litFrom = i + nOnes.toInt
+      val litBase = idx(i) + nOnes
+      var nLits = 0
+      while (litFrom + nLits < idx.length && word(litFrom + nLits) != -1L &&
+             idx(litFrom + nLits) == litBase + nLits) nLits += 1
+      rlwPos = buf.length
+      buf += (if (nOnes > 0) (nOnes << 1) | 1L else gap << 1) | (nLits.toLong << 33)
+      var j = 0
+      while (j < nLits) { buf += word(litFrom + j); j += 1 }
+      i = litFrom + nLits
+      cursor = litBase + nLits
+    }
+    if (buf.isEmpty) buf += 0L // javaewah's empty bitmap: one all-zero marker
+    val sizeinbits = maxPos + 1
+    (Seq(sizeinbits, buf.length.toLong, buf.length.toLong) ++ buf :+ rlwPos.toLong).toArray
+  }
+
+  def decode(words: Array[Long]): RoaringBitmap = {
+    require(words.length >= 5,
+      s"ewah_decode: stream too short (${words.length} words; header alone is 3 + trailer 1)")
+    val actual = words(1)
+    require(actual >= 1 && words(2) >= actual && words.length.toLong == actual + 4,
+      s"ewah_decode: header inconsistent (actualsizeinwords=$actual, " +
+        s"buffer.length=${words(2)}, stream=${words.length})")
+    val rlwPos = words(words.length - 1)
+    require(rlwPos >= 0 && rlwPos < actual,
+      s"ewah_decode: rlw.position $rlwPos outside buffer of $actual words")
+    val rb = new RoaringBitmap()
+    var p = 0L
+    var cursor = 0L
+    while (p < actual) {
+      val m = words((3 + p).toInt)
+      val runLen = (m >>> 1) & MaxRun
+      val nLit = m >>> 33
+      require(p + 1 + nLit <= actual,
+        s"ewah_decode: marker at word $p declares $nLit literals past the buffer end")
+      if ((m & 1L) == 1L && runLen > 0) {
+        require((cursor + runLen) * 64 <= Int.MaxValue.toLong + 1,
+          "ewah_decode: ones-run extends past the int bit domain")
+        rb.add(cursor * 64, (cursor + runLen) * 64)
+      }
+      cursor += runLen
+      var j = 0L
+      while (j < nLit) {
+        var w = words((3 + p + 1 + j).toInt)
+        while (w != 0L) {
+          val b = cursor * 64 + java.lang.Long.numberOfTrailingZeros(w)
+          require(b <= Int.MaxValue, "ewah_decode: literal bit past the int bit domain")
+          rb.add(b.toInt)
+          w &= w - 1
+        }
+        cursor += 1; j += 1
+      }
+      p += 1 + nLit
+    }
+    rb
+  }
+}
+
+/** ewah_encode: Roaring BINARY → the reference's EWAH `array<bigint>`, so
+  * bitmaps built here are readable by the reference's ewah_bitmap_* family.
+  */
+case class EwahEncode(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ewah_encode"
+  override protected def nullSafeEval(v: Any): Any =
+    new GenericArrayData(EwahCodec.encode(
+      BitmapCodec.fromBytes(v.asInstanceOf[Array[Byte]])))
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ewah_decode: reference-written EWAH `array<bigint>` → Roaring BINARY,
+  * composable with the whole bitmap_* / ewah_bitmap_* family here.
+  */
+case class EwahDecode(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "ewah_decode"
+  override protected def nullSafeEval(v: Any): Any =
+    BitmapCodec.toBytes(EwahCodec.decode(
+      v.asInstanceOf[ArrayData].toLongArray()))
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** bitmap_count: cardinality of a serialized bitmap (ewah_bitmap_empty is

@@ -107,6 +107,14 @@ object GraftFunctions {
       es => graft.functions.BitmapCombine(es(0), es(1), isAnd = false)),
     reg("ewah_bitmap_empty", classOf[graft.functions.BitmapCount],
       es => EqualTo(graft.functions.BitmapCount(es.head), Literal(0))),
+    // interchange with the reference's on-disk EWAH array<bigint> words
+    // (javaewah 0.2 serialize order via BitmapObjectOutput.java:104-112) —
+    // closes the format divergence documented in SURVEY §7.5 without
+    // changing the Roaring internals
+    reg("ewah_encode", classOf[graft.functions.EwahEncode],
+      es => graft.functions.EwahEncode(es.head)),
+    reg("ewah_decode", classOf[graft.functions.EwahDecode],
+      es => graft.functions.EwahDecode(es.head)),
     // Hive's split is raw Java String.split (GenericUDFSplit.java:75) —
     // TRAILING empty strings are dropped, which Spark's split (limit -1)
     // keeps, a silent divergence for ported text like split('a,b,,', ',').

@@ -72,6 +72,12 @@ object Staging {
     require(name.matches("[\\w.-]+"),
       s"stage name must be a plain file name, got: $name")
     val spark = df.sparkSession
+    // A/B switch for the scaling rehearsal: passthrough = the lazy
+    // one-deep-plan formulation the staged queries would have without the
+    // stage cut. Results are identical (staging only moves WHERE work
+    // happens); never set outside a measurement harness.
+    if (spark.conf.getOption("graft.staging.disable").contains("true"))
+      return df
     registerCleanup(spark)
     val target = new Path(scratchRoot(spark), name)
     val tmp = new Path(scratchRoot(spark), name + "__stage_tmp")
