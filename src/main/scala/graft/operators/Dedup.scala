@@ -47,6 +47,27 @@ object Dedup extends QueryModule {
         .contains("true")) df
     else df.filter(col(c) < lim)
 
+  /** 32-bit SimHash per document (q53/q122). Single expression: the
+    * word-hash array is bound exactly once and the 32 bit-sums accumulate
+    * in one pass over it (a staged formulation re-evaluates the inlined
+    * array per bit — measured 20× slower); repartition fans the
+    * single-row-group input across cores.
+    */
+  private def simhashDocs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    fixtureBound(t(s, dir, "documents"), "doc_id", 100)
+      .repartition(s.sparkContext.defaultParallelism)
+      .selectExpr("doc_id",
+        s"""aggregate(
+              zip_with(
+                aggregate(
+                  transform(array_distinct(split(lower(text), ' ')), x -> ${h32("x")}),
+                  array_repeat(0, 32),
+                  (acc, h) -> zip_with(acc, sequence(0, 31),
+                                (a, b) -> a + if((shiftright(h, b) & 1) = 1, 1, -1))),
+                sequence(0, 31),
+                (s2, b) -> if(s2 > 0, shiftleft(cast(1 AS bigint), b), cast(0 AS bigint))),
+              cast(0 AS bigint), (acc, x) -> acc + x) AS simhash""")
+
   /** IEEE-identical cosine: double-cast elementwise product, sequential sum.
     * vec_dot (functions/VecKernels) is bit-identical to the former
     * aggregate(zip_with(...)) HOF chain — same left-to-right double
@@ -292,24 +313,7 @@ object Dedup extends QueryModule {
     QueryDef(
       "q53_dedup_simhash",
       (s, dir) => {
-        // single expression: the word-hash array is bound exactly once and
-        // the 32 bit-sums accumulate in one pass over it (a staged
-        // formulation re-evaluates the inlined array per bit — measured 20×
-        // slower); repartition fans the single-row-group input across cores
-        val sh = fixtureBound(t(s, dir, "documents"), "doc_id", 100)
-          .repartition(s.sparkContext.defaultParallelism)
-          .selectExpr("doc_id",
-            s"""aggregate(
-                  zip_with(
-                    aggregate(
-                      transform(array_distinct(split(lower(text), ' ')), x -> ${h32("x")}),
-                      array_repeat(0, 32),
-                      (acc, h) -> zip_with(acc, sequence(0, 31),
-                                    (a, b) -> a + if((shiftright(h, b) & 1) = 1, 1, -1))),
-                    sequence(0, 31),
-                    (s2, b) -> if(s2 > 0, shiftleft(cast(1 AS bigint), b), cast(0 AS bigint))),
-                  cast(0 AS bigint), (acc, x) -> acc + x) AS simhash""")
-        val bands = sh.selectExpr("doc_id", "simhash",
+        val bands = simhashDocs(s, dir).selectExpr("doc_id", "simhash",
           """posexplode(transform(sequence(0, 3),
                j -> cast(shiftright(simhash, j * 8) & 255 AS int))) AS (band, bv)""")
         val a = bands.toDF("a_id", "sh_a", "band", "bv")
@@ -344,6 +348,146 @@ object Dedup extends QueryModule {
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
         ORDER BY a_id, b_id""")),
+
+    // ---- Capped MinHash-LSH candidates — the 30× stress verdict on q52,
+    //      the same arc as q104→q119. A duplicate-heavy corpus grows
+    //      (band, bh) buckets linearly with scale, so q52's all-pairs
+    //      output grows quadratically: at 30× replica growth the uncapped
+    //      operator measured α ≈ 1.15 / 528 s (SURVEY §6.10) — inherent to
+    //      the pair-list contract, not the plan. Bounding membership to the
+    //      `cap` lowest doc_ids per bucket bounds every task AND the output
+    //      at C(cap, 2) pairs per bucket. Deterministic membership ⇒ the
+    //      DuckDB oracle replicates the selection exactly; the
+    //      row_number()<=cap shape compiles to Partial+Final
+    //      WindowGroupLimit (q119's analysis — map tasks keep ≤cap rows per
+    //      bucket BEFORE the shuffle; pinned in PlanShapeSpec). Pairs the
+    //      cap drops are members of over-full buckets — near-identical by
+    //      construction (a full minhash band in common), the regime exact /
+    //      normalized dedup (q50/q118) clears first in a real pipeline.
+    QueryDef(
+      "q121_minhash_capped",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cap = 10
+        val bands = fixtureBound(t(s, dir, "documents"), "doc_id", 200)
+          .selectExpr("doc_id",
+            "array_distinct(split(lower(text), ' ')) AS words")
+          .selectExpr("doc_id",
+            s"""transform(sequence(0, 15),
+                  i -> array_min(transform(words,
+                         w -> ${h32("concat(cast(i AS string), ':', w)")}))) AS sig""")
+          .selectExpr("doc_id",
+            """posexplode(transform(sequence(0, 1),
+                 j -> md5(array_join(transform(slice(sig, j * 8 + 1, 8),
+                                               v -> cast(v AS string)), ',')))) AS (band, bh)""")
+        val kept = bands
+          .withColumn("mrk", row_number().over(
+            Window.partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))))
+          .filter(col("mrk") <= cap)
+          .select(col("doc_id"), col("band"), col("bh"))
+        val a = kept.toDF("a_id", "band", "bh")
+        val b = kept.toDF("b_id", "band", "bh")
+        a.join(b, Seq("band", "bh")).filter(col("a_id") < col("b_id"))
+          .groupBy(col("a_id"), col("b_id"))
+          .agg(count(lit(1)).as("n_bands"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH w AS (
+          SELECT doc_id, list_distinct(str_split(rtrim(lower(text), ' '), ' ')) AS words
+          FROM documents WHERE doc_id < 200),
+        sig AS (
+          SELECT doc_id,
+                 list_transform(range(0, 16),
+                   i -> list_min(list_transform(words,
+                          w2 -> CAST(('0x' || substr(md5(i || ':' || w2), 1, 8)) AS BIGINT)))) AS s
+          FROM w),
+        bands AS (
+          SELECT doc_id, unnest(range(0, 2)) AS band,
+                 unnest(list_transform(range(0, 2),
+                        j -> md5(array_to_string(s[j*8+1:j*8+8], ',')))) AS bh
+          FROM sig),
+        kept AS (
+          SELECT doc_id, band, bh FROM bands
+          QUALIFY row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) <= 10)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_bands
+        FROM kept a JOIN kept b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 ORDER BY a_id, b_id""")),
+
+    // ---- Capped SimHash near-dup — the 30× stress verdict on q53
+    //      (α ≈ 1.21 / 108 s, SURVEY §6.10), which compounds TWO
+    //      super-linear terms: (a) 8-bit bands give only 4·256 buckets, so
+    //      bucket population — and all-pairs work — grows with corpus size
+    //      even with zero duplication; (b) the pair-list output itself is
+    //      quadratic in duplicate-group size. (a) is fixed exactly:
+    //      hamming ≤ 2 leaves ≥ 2 of the 4 bands agreeing, so by pigeonhole
+    //      the pair agrees on at least one of the C(4,2) = 6 band PAIRS —
+    //      a 16-bit key (65k buckets per table, the Manku et al. 2007
+    //      rotated-table construction) that stays lossless while shrinking
+    //      incidental buckets ~256×. (b) takes q119's cap: the lowest-`cap`
+    //      doc_ids per (pair, key16) bucket, deterministic so the oracle
+    //      replicates, WindowGroupLimit-bounded so no task sorts a
+    //      mega-bucket.
+    QueryDef(
+      "q122_simhash_capped",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cap = 5
+        val bands = simhashDocs(s, dir).selectExpr("doc_id", "simhash",
+          """posexplode(transform(
+               array(array(0, 1), array(0, 2), array(0, 3),
+                     array(1, 2), array(1, 3), array(2, 3)),
+               p -> cast((shiftright(simhash, p[0] * 8) & 255) * 256 +
+                         (shiftright(simhash, p[1] * 8) & 255) AS int))) AS (band, bv)""")
+        val kept = bands
+          .withColumn("mrk", row_number().over(
+            Window.partitionBy(col("band"), col("bv")).orderBy(col("doc_id"))))
+          .filter(col("mrk") <= cap)
+          .select(col("doc_id"), col("simhash"), col("band"), col("bv"))
+        val a = kept.toDF("a_id", "sh_a", "band", "bv")
+        val b = kept.toDF("b_id", "sh_b", "band", "bv")
+        a.join(b, Seq("band", "bv")).filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"), col("sh_a"), col("sh_b")).distinct()
+          .selectExpr("a_id", "b_id",
+            "cast(bit_count(sh_a ^ sh_b) AS int) AS hamming")
+          .filter(col("hamming") <= 2)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH w AS (
+          SELECT doc_id,
+                 list_transform(list_distinct(str_split(rtrim(lower(text), ' '), ' ')),
+                   x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)) AS hs
+          FROM documents WHERE doc_id < 100),
+        s AS (
+          SELECT doc_id,
+                 list_transform(range(0, 32),
+                   b -> list_sum(list_transform(hs,
+                          h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END))) AS sums
+          FROM w),
+        sh AS (
+          SELECT doc_id,
+                 list_sum(list_transform(range(0, 32),
+                   b -> CASE WHEN sums[b+1] > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS simhash
+          FROM s),
+        bands AS (
+          SELECT doc_id, simhash,
+                 unnest(range(0, 6)) AS band,
+                 unnest([((simhash >>  0) & 255) * 256 + ((simhash >>  8) & 255),
+                         ((simhash >>  0) & 255) * 256 + ((simhash >> 16) & 255),
+                         ((simhash >>  0) & 255) * 256 + ((simhash >> 24) & 255),
+                         ((simhash >>  8) & 255) * 256 + ((simhash >> 16) & 255),
+                         ((simhash >>  8) & 255) * 256 + ((simhash >> 24) & 255),
+                         ((simhash >> 16) & 255) * 256 + ((simhash >> 24) & 255)]) AS bv
+          FROM sh),
+        kept AS (
+          SELECT doc_id, simhash, band, bv FROM bands
+          QUALIFY row_number() OVER (PARTITION BY band, bv ORDER BY doc_id) <= 5)
+        SELECT a_id, b_id, hamming FROM (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                 bit_count(xor(a.simhash, b.simhash)) AS hamming
+          FROM kept a JOIN kept b
+            ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        WHERE hamming <= 2 ORDER BY a_id, b_id""")),
 
     // ---- Brute-force cosine top-k (the ANN baseline): small query set
     //      broadcast against the full embedding table, per-query top-3 via

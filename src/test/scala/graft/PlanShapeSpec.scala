@@ -105,6 +105,20 @@ class PlanShapeSpec extends SparkSpec {
       s"cap must keep the final bounded pass:\n$p")
   }
 
+  test("q121/q122: LSH bucket caps execute as Partial+Final WindowGroupLimit") {
+    // same defense as q119, aimed at band buckets instead of clusters: a
+    // duplicate-heavy bucket must be bounded map-side, never funneled
+    // through one sorting window task
+    val p121 = plan("q121_minhash_capped")
+    assert(p121.contains("row_number(), 10, Partial") &&
+      p121.contains("row_number(), 10, Final"),
+      s"q121 bucket cap must be a bounded group limit:\n$p121")
+    val p122 = plan("q122_simhash_capped")
+    assert(p122.contains("row_number(), 5, Partial") &&
+      p122.contains("row_number(), 5, Final"),
+      s"q122 bucket cap must be a bounded group limit:\n$p122")
+  }
+
   test("q01: aggregation splits into partial + final HashAggregate") {
     val p = plan("q01_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial/final split:\n$p")
