@@ -13,6 +13,16 @@ import org.roaringbitmap.RoaringBitmap
   * stream = [sizeinbits, actualsizeinwords, buffer.length, words..., rlw
   * .position]) — independent of the codec under test, so encode and decode
   * are checked against the format, not against each other.
+  *
+  * Validated out-of-band against the REAL javaewah-0.2 jar the reference
+  * bundles (scratch harness, not a build dependency: a DataInput/Output
+  * shim equivalent to BitmapObjectInput/Output): every stream below
+  * deserializes in javaewah to the expected bit set and survives its
+  * and(); javaewah's own serialize() of {0,300} is word-for-word this
+  * file's fixture ([301, 4, 4, 1<<33, 1, (3<<1)|(1<<33), 1<<44, 2]), and
+  * of {0,2,64} it differs only in the allocation-size word ([65, 3, 4,
+  * ...] vs our tight [65, 3, 3, ...]) which the deserializer treats as
+  * capacity, covered by the alloc > actual test.
   */
 class EwahInterchangeSpec extends SparkSpec {
 
