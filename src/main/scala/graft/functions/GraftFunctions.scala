@@ -206,6 +206,22 @@ object GraftFunctions {
       }
       UnicodeNormalize(es(0), form)
     }),
+    // near-dup sketch kernels (q52/q121, q53/q122): bit-identical native
+    // forms of the interpreted HOF signature chains — SketchKernelsSpec
+    // proves value equality, so the DuckDB oracles stay untouched
+    reg("minhash_sig", classOf[MinHashSig], es => {
+      require(es.size == 2, "minhash_sig(words, n)")
+      val n = es(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case _ => throw new IllegalArgumentException(
+          "minhash_sig n must be an integer literal")
+      }
+      MinHashSig(es(0), n)
+    }),
+    reg("simhash32", classOf[SimHash32], es => {
+      require(es.size == 1, "simhash32(words)")
+      SimHash32(es.head)
+    }),
     reg("winnow_mins", classOf[WinnowMins], es => {
       def asIntLit(e: Expression, what: String): Int = e match {
         case Literal(v: Int, IntegerType) => v

@@ -47,26 +47,18 @@ object Dedup extends QueryModule {
         .contains("true")) df
     else df.filter(col(c) < lim)
 
-  /** 32-bit SimHash per document (q53/q122). Single expression: the
-    * word-hash array is bound exactly once and the 32 bit-sums accumulate
-    * in one pass over it (a staged formulation re-evaluates the inlined
-    * array per bit — measured 20× slower); repartition fans the
-    * single-row-group input across cores.
+  /** 32-bit SimHash per document (q53/q122) via the native simhash32
+    * kernel (functions/SketchKernels.scala) — bit-identical to the nested
+    * aggregate/zip_with HOF formulation it replaces (SketchKernelsSpec),
+    * which was interpreted per element and dominated the unbounded
+    * rehearsal; repartition fans the single-row-group fixture input
+    * across cores.
     */
   private def simhashDocs(s: org.apache.spark.sql.SparkSession, dir: String) =
     fixtureBound(t(s, dir, "documents"), "doc_id", 100)
       .repartition(s.sparkContext.defaultParallelism)
       .selectExpr("doc_id",
-        s"""aggregate(
-              zip_with(
-                aggregate(
-                  transform(array_distinct(split(lower(text), ' ')), x -> ${h32("x")}),
-                  array_repeat(0, 32),
-                  (acc, h) -> zip_with(acc, sequence(0, 31),
-                                (a, b) -> a + if((shiftright(h, b) & 1) = 1, 1, -1))),
-                sequence(0, 31),
-                (s2, b) -> if(s2 > 0, shiftleft(cast(1 AS bigint), b), cast(0 AS bigint))),
-              cast(0 AS bigint), (acc, x) -> acc + x) AS simhash""")
+        "simhash32(array_distinct(split(lower(text), ' '))) AS simhash")
 
   /** IEEE-identical cosine: double-cast elementwise product, sequential sum.
     * vec_dot (functions/VecKernels) is bit-identical to the former
@@ -266,13 +258,13 @@ object Dedup extends QueryModule {
     QueryDef(
       "q52_dedup_minhash",
       (s, dir) => {
+        // minhash_sig = the native kernel form of the per-(i, word) md5
+        // minimum chain (bit-identical; SketchKernelsSpec) — the
+        // interpreted HOF original dominated the unbounded rehearsal
         val bands = fixtureBound(t(s, dir, "documents"), "doc_id", 200)
+          .repartition(s.sparkContext.defaultParallelism)
           .selectExpr("doc_id",
-            "array_distinct(split(lower(text), ' ')) AS words")
-          .selectExpr("doc_id",
-            s"""transform(sequence(0, 15),
-                  i -> array_min(transform(words,
-                         w -> ${h32("concat(cast(i AS string), ':', w)")}))) AS sig""")
+            "minhash_sig(array_distinct(split(lower(text), ' ')), 16) AS sig")
           .selectExpr("doc_id",
             """posexplode(transform(sequence(0, 1),
                  j -> md5(array_join(transform(slice(sig, j * 8 + 1, 8),
@@ -370,12 +362,9 @@ object Dedup extends QueryModule {
         import org.apache.spark.sql.expressions.Window
         val cap = 10
         val bands = fixtureBound(t(s, dir, "documents"), "doc_id", 200)
+          .repartition(s.sparkContext.defaultParallelism)
           .selectExpr("doc_id",
-            "array_distinct(split(lower(text), ' ')) AS words")
-          .selectExpr("doc_id",
-            s"""transform(sequence(0, 15),
-                  i -> array_min(transform(words,
-                         w -> ${h32("concat(cast(i AS string), ':', w)")}))) AS sig""")
+            "minhash_sig(array_distinct(split(lower(text), ' ')), 16) AS sig")
           .selectExpr("doc_id",
             """posexplode(transform(sequence(0, 1),
                  j -> md5(array_join(transform(slice(sig, j * 8 + 1, 8),
@@ -713,11 +702,9 @@ object Dedup extends QueryModule {
       (s, dir) => {
         val docs = fixtureBound(t(s, dir, "documents"), "doc_id", 200)
         val bands = docs
-          .selectExpr("doc_id", "array_distinct(split(lower(text), ' ')) AS words")
+          .repartition(s.sparkContext.defaultParallelism)
           .selectExpr("doc_id",
-            s"""transform(sequence(0, 15),
-                  i -> array_min(transform(words,
-                         w -> ${h32("concat(cast(i AS string), ':', w)")}))) AS sig""")
+            "minhash_sig(array_distinct(split(lower(text), ' ')), 16) AS sig")
           .selectExpr("doc_id",
             """posexplode(transform(sequence(0, 1),
                  j -> md5(array_join(transform(slice(sig, j * 8 + 1, 8),
