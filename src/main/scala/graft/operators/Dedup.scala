@@ -252,7 +252,8 @@ object Dedup extends QueryModule {
         ORDER BY a_id, b_id""")),
 
     // ---- MinHash + LSH near-dup: 16 minhashes per doc computed as a single
-    //      shuffle-free projection (aggregate/transform over the word set),
+    //      projection (the native minhash_sig kernel over the word set;
+    //      the repartition only fans the single-row-group fixture scan),
     //      banded 2×8, candidates = equi-join on (band, band_hash). The
     //      doc_id < 200 window only bounds the emitted pair list.
     QueryDef(
