@@ -31,6 +31,13 @@ private[functions] object SketchHash {
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
+
+  /** Fresh per-thread MD5 digest — `MessageDigest` is stateful, task
+    * threads share operator instances, and `getInstance` per row is a
+    * needless provider lookup in the hot loop.
+    */
+  def threadLocalMd5: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 }
 
 /** minhash_sig(words, n): n MinHash values over a word array —
@@ -68,11 +75,16 @@ case class MinHashSig(child: Expression, n: Int)
   @transient private lazy val prefixes: Array[Array[Byte]] =
     Array.tabulate(n)(i => (i.toString + ":").getBytes("UTF-8"))
 
+  // one digest per (operator, thread), not per ROW — getInstance is a
+  // provider lookup + allocation, pure overhead beside md5 itself.
+  // ThreadLocal because task threads share the operator instance.
+  @transient private lazy val localMd = SketchHash.threadLocalMd5
+
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) return new GenericArrayData(new Array[Any](n))
     val arr = v.asInstanceOf[ArrayData]
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = localMd.get()
     val mins = new Array[Long](n)
     val hit = new Array[Boolean](n)
     var w = 0
@@ -123,11 +135,14 @@ case class SimHash32(child: Expression)
     case _ => TypeCheckResult.TypeCheckFailure("simhash32 expects array<string>")
   }
 
+  // see MinHashSig: one digest per (operator, thread), not per row
+  @transient private lazy val localMd = SketchHash.threadLocalMd5
+
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) return null
     val arr = v.asInstanceOf[ArrayData]
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = localMd.get()
     val sums = new Array[Int](32)
     var w = 0
     while (w < arr.numElements()) {

@@ -47,18 +47,115 @@ object Dedup extends QueryModule {
         .contains("true")) df
     else df.filter(col(c) < lim)
 
-  /** 32-bit SimHash per document (q53/q122) via the native simhash32
-    * kernel (functions/SketchKernels.scala) — bit-identical to the nested
-    * aggregate/zip_with HOF formulation it replaces (SketchKernelsSpec),
-    * which was interpreted per element and dominated the unbounded
-    * rehearsal; repartition fans the single-row-group fixture input
-    * across cores.
+  /** Bucket cap for the near-dup PAIR operators, resolved: explicit
+    * argument wins, else session conf `graft.dedup.bucketcap` (default 10);
+    * a value <= 0 disables the cap. The cap is ON BY DEFAULT because the
+    * uncapped pair-list contract is quadratic in duplicate-group size BY
+    * CONSTRUCTION — at the 30× rehearsal the uncapped minhash operator
+    * measured α ≈ 1.86 and 747 s with spill-retry instability (SURVEY
+    * §6.10); the capped plans hold α ≤ 0.3 at the same point. Production
+    * entry points get the bounded plan; opting out is a deliberate,
+    * fixture-scale act.
     */
-  private def simhashDocs(s: org.apache.spark.sql.SparkSession, dir: String) =
-    fixtureBound(t(s, dir, "documents"), "doc_id", 100)
+  private def resolvedCap(s: org.apache.spark.sql.SparkSession,
+      cap: Option[Int]): Int =
+    cap.getOrElse(s.conf.getOption("graft.dedup.bucketcap")
+      .map(_.toInt).getOrElse(10))
+
+  /** MinHash-LSH candidate pairs over `docs(doc_id, text)`: per-doc
+    * `numHashes` MinHash signature (native minhash_sig kernel), banded into
+    * `numBands` md5 band hashes, candidates = equi-join on (band, bh),
+    * output one row per pair with `n_bands` = number of agreeing bands.
+    *
+    * CAPPED BY DEFAULT (see [[resolvedCap]]): bucket membership is bounded
+    * to the `cap` lowest doc_ids per (band, bh) — deterministic, so an
+    * oracle can replicate the selection (QUALIFY row_number() <= cap), and
+    * compiled to Partial+Final WindowGroupLimit, so map tasks bound buckets
+    * BEFORE the shuffle (PlanShapeSpec). Pairs the cap drops are members of
+    * over-full buckets — near-identical by construction (a full minhash
+    * band in common), the regime exact/normalized dedup (q50/q118) clears
+    * first in a real pipeline. `cap = Some(0)` restores the unbounded
+    * pair-list contract: correct, oracled (q52), and measured quadratic —
+    * 747 s / α 1.86 / spilling at the 30× rehearsal (SURVEY §6.10). Do not
+    * ship it against a corpus.
+    */
+  def minhashPairs(docs: org.apache.spark.sql.DataFrame, numHashes: Int = 16,
+      numBands: Int = 2, cap: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numBands >= 1 && numHashes % numBands == 0,
+      s"numHashes ($numHashes) must divide into numBands ($numBands)")
+    val s = docs.sparkSession
+    val rows = numHashes / numBands
+    val bands = docs
+      .repartition(s.sparkContext.defaultParallelism)
+      .selectExpr("doc_id",
+        s"minhash_sig(array_distinct(split(lower(text), ' ')), $numHashes) AS sig")
+      .selectExpr("doc_id",
+        s"""posexplode(transform(sequence(0, ${numBands - 1}),
+             j -> md5(array_join(transform(slice(sig, j * $rows + 1, $rows),
+                                           v -> cast(v AS string)), ',')))) AS (band, bh)""")
+    val c = resolvedCap(s, cap)
+    val kept =
+      if (c <= 0) bands
+      else bands
+        .withColumn("mrk", row_number().over(
+          Window.partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))))
+        .filter(col("mrk") <= c)
+        .select(col("doc_id"), col("band"), col("bh"))
+    val a = kept.toDF("a_id", "band", "bh")
+    val b = kept.toDF("b_id", "band", "bh")
+    a.join(b, Seq("band", "bh")).filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** SimHash near-dup pairs over `docs(doc_id, text)`: 32-bit simhash32
+    * signature, candidates via the Manku et al. (2007) rotated-table key —
+    * hamming <= 2 leaves >= 2 of the 4 8-bit bands agreeing, so by
+    * pigeonhole a qualifying pair agrees on at least one of the C(4,2) = 6
+    * band PAIRS, a 16-bit key that is lossless while shrinking incidental
+    * buckets ~256× versus single 8-bit bands (the structural super-linear
+    * term the 30× rehearsal caught in the original q53 formulation). The
+    * exact hamming filter runs only on bucket-mates.
+    *
+    * CAPPED BY DEFAULT like [[minhashPairs]]; `cap = Some(0)` restores the
+    * unbounded pair list — oracled (q53) but α ≈ 1.5 at the 30× rehearsal
+    * (SURVEY §6.10). Do not ship it against a corpus.
+    */
+  def simhashPairs(docs: org.apache.spark.sql.DataFrame, maxHamming: Int = 2,
+      cap: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxHamming <= 2,
+      "the 4-band pigeonhole key is lossless only for hamming <= 2")
+    val s = docs.sparkSession
+    val bands = docs
       .repartition(s.sparkContext.defaultParallelism)
       .selectExpr("doc_id",
         "simhash32(array_distinct(split(lower(text), ' '))) AS simhash")
+      .selectExpr("doc_id", "simhash",
+        """posexplode(transform(
+             array(array(0, 1), array(0, 2), array(0, 3),
+                   array(1, 2), array(1, 3), array(2, 3)),
+             p -> cast((shiftright(simhash, p[0] * 8) & 255) * 256 +
+                       (shiftright(simhash, p[1] * 8) & 255) AS int))) AS (band, bv)""")
+    val c = resolvedCap(s, cap)
+    val kept =
+      if (c <= 0) bands
+      else bands
+        .withColumn("mrk", row_number().over(
+          Window.partitionBy(col("band"), col("bv")).orderBy(col("doc_id"))))
+        .filter(col("mrk") <= c)
+        .select(col("doc_id"), col("simhash"), col("band"), col("bv"))
+    val a = kept.toDF("a_id", "sh_a", "band", "bv")
+    val b = kept.toDF("b_id", "sh_b", "band", "bv")
+    a.join(b, Seq("band", "bv")).filter(col("a_id") < col("b_id"))
+      // a pair sharing m keys surfaces m times → dedup before the (cheap)
+      // exact check; signatures ride along so no re-join
+      .select(col("a_id"), col("b_id"), col("sh_a"), col("sh_b")).distinct()
+      .selectExpr("a_id", "b_id",
+        "cast(bit_count(sh_a ^ sh_b) AS int) AS hamming")
+      .filter(col("hamming") <= maxHamming)
+  }
 
   /** IEEE-identical cosine: double-cast elementwise product, sequential sum.
     * vec_dot (functions/VecKernels) is bit-identical to the former
@@ -258,25 +355,15 @@ object Dedup extends QueryModule {
     //      doc_id < 200 window only bounds the emitted pair list.
     QueryDef(
       "q52_dedup_minhash",
-      (s, dir) => {
-        // minhash_sig = the native kernel form of the per-(i, word) md5
-        // minimum chain (bit-identical; SketchKernelsSpec) — the
-        // interpreted HOF original dominated the unbounded rehearsal
-        val bands = fixtureBound(t(s, dir, "documents"), "doc_id", 200)
-          .repartition(s.sparkContext.defaultParallelism)
-          .selectExpr("doc_id",
-            "minhash_sig(array_distinct(split(lower(text), ' ')), 16) AS sig")
-          .selectExpr("doc_id",
-            """posexplode(transform(sequence(0, 1),
-                 j -> md5(array_join(transform(slice(sig, j * 8 + 1, 8),
-                                               v -> cast(v AS string)), ',')))) AS (band, bh)""")
-        val a = bands.toDF("a_id", "band", "bh")
-        val b = bands.toDF("b_id", "band", "bh")
-        a.join(b, Seq("band", "bh")).filter(col("a_id") < col("b_id"))
-          .groupBy(col("a_id"), col("b_id"))
-          .agg(count(lit(1)).as("n_bands"))
-          .orderBy(col("a_id"), col("b_id"))
-      },
+      // cap = Some(0) is the DELIBERATE uncapped mode — this QueryDef
+      // exists to oracle the unbounded pair-list contract on the bounded
+      // fixture; minhashPairs' scaladoc carries the 747 s / α 1.86
+      // measurement that makes the capped default (q121) the production
+      // path.
+      (s, dir) =>
+        minhashPairs(fixtureBound(t(s, dir, "documents"), "doc_id", 200),
+            cap = Some(0))
+          .orderBy(col("a_id"), col("b_id")),
       Some("""WITH w AS (
           SELECT doc_id, list_distinct(str_split(rtrim(lower(text), ' '), ' ')) AS words
           FROM documents WHERE doc_id < 200),
@@ -305,21 +392,16 @@ object Dedup extends QueryModule {
     //      n² pair space.
     QueryDef(
       "q53_dedup_simhash",
-      (s, dir) => {
-        val bands = simhashDocs(s, dir).selectExpr("doc_id", "simhash",
-          """posexplode(transform(sequence(0, 3),
-               j -> cast(shiftright(simhash, j * 8) & 255 AS int))) AS (band, bv)""")
-        val a = bands.toDF("a_id", "sh_a", "band", "bv")
-        val b = bands.toDF("b_id", "sh_b", "band", "bv")
-        a.join(b, Seq("band", "bv")).filter(col("a_id") < col("b_id"))
-          // a pair sharing m bands surfaces m times → dedup before the
-          // (cheap) exact check; signatures ride along so no re-join
-          .select(col("a_id"), col("b_id"), col("sh_a"), col("sh_b")).distinct()
-          .selectExpr("a_id", "b_id",
-            "cast(bit_count(sh_a ^ sh_b) AS int) AS hamming")
-          .filter(col("hamming") <= 2)
-          .orderBy(col("a_id"), col("b_id"))
-      },
+      // cap = Some(0): deliberate uncapped mode over the bounded fixture
+      // (see q52's note). The operator's Manku band-pair key replaced this
+      // query's original 4×8-bit single-band key — both are lossless for
+      // hamming <= 2, so the emitted pairs are identical and the all-pairs
+      // oracle is untouched; the 16-bit key just shrinks incidental
+      // buckets ~256×.
+      (s, dir) =>
+        simhashPairs(fixtureBound(t(s, dir, "documents"), "doc_id", 100),
+            cap = Some(0))
+          .orderBy(col("a_id"), col("b_id")),
       Some("""WITH w AS (
           SELECT doc_id,
                  list_transform(list_distinct(str_split(rtrim(lower(text), ' '), ' ')),
@@ -359,29 +441,13 @@ object Dedup extends QueryModule {
     //      normalized dedup (q50/q118) clears first in a real pipeline.
     QueryDef(
       "q121_minhash_capped",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val cap = 10
-        val bands = fixtureBound(t(s, dir, "documents"), "doc_id", 200)
-          .repartition(s.sparkContext.defaultParallelism)
-          .selectExpr("doc_id",
-            "minhash_sig(array_distinct(split(lower(text), ' ')), 16) AS sig")
-          .selectExpr("doc_id",
-            """posexplode(transform(sequence(0, 1),
-                 j -> md5(array_join(transform(slice(sig, j * 8 + 1, 8),
-                                               v -> cast(v AS string)), ',')))) AS (band, bh)""")
-        val kept = bands
-          .withColumn("mrk", row_number().over(
-            Window.partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))))
-          .filter(col("mrk") <= cap)
-          .select(col("doc_id"), col("band"), col("bh"))
-        val a = kept.toDF("a_id", "band", "bh")
-        val b = kept.toDF("b_id", "band", "bh")
-        a.join(b, Seq("band", "bh")).filter(col("a_id") < col("b_id"))
-          .groupBy(col("a_id"), col("b_id"))
-          .agg(count(lit(1)).as("n_bands"))
-          .orderBy(col("a_id"), col("b_id"))
-      },
+      // the PRODUCTION entry point: minhashPairs with its default cap
+      // (graft.dedup.bucketcap, 10) — exactly what a user gets calling the
+      // operator without opting out. The oracle replicates the
+      // deterministic selection with QUALIFY row_number() <= 10.
+      (s, dir) =>
+        minhashPairs(fixtureBound(t(s, dir, "documents"), "doc_id", 200))
+          .orderBy(col("a_id"), col("b_id")),
       Some("""WITH w AS (
           SELECT doc_id, list_distinct(str_split(rtrim(lower(text), ' '), ' ')) AS words
           FROM documents WHERE doc_id < 200),
@@ -420,29 +486,12 @@ object Dedup extends QueryModule {
     //      mega-bucket.
     QueryDef(
       "q122_simhash_capped",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val cap = 5
-        val bands = simhashDocs(s, dir).selectExpr("doc_id", "simhash",
-          """posexplode(transform(
-               array(array(0, 1), array(0, 2), array(0, 3),
-                     array(1, 2), array(1, 3), array(2, 3)),
-               p -> cast((shiftright(simhash, p[0] * 8) & 255) * 256 +
-                         (shiftright(simhash, p[1] * 8) & 255) AS int))) AS (band, bv)""")
-        val kept = bands
-          .withColumn("mrk", row_number().over(
-            Window.partitionBy(col("band"), col("bv")).orderBy(col("doc_id"))))
-          .filter(col("mrk") <= cap)
-          .select(col("doc_id"), col("simhash"), col("band"), col("bv"))
-        val a = kept.toDF("a_id", "sh_a", "band", "bv")
-        val b = kept.toDF("b_id", "sh_b", "band", "bv")
-        a.join(b, Seq("band", "bv")).filter(col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id"), col("sh_a"), col("sh_b")).distinct()
-          .selectExpr("a_id", "b_id",
-            "cast(bit_count(sh_a ^ sh_b) AS int) AS hamming")
-          .filter(col("hamming") <= 2)
-          .orderBy(col("a_id"), col("b_id"))
-      },
+      // production capped path (see q121's note); cap = 5 exercises the
+      // explicit-argument override of the conf default.
+      (s, dir) =>
+        simhashPairs(fixtureBound(t(s, dir, "documents"), "doc_id", 100),
+            cap = Some(5))
+          .orderBy(col("a_id"), col("b_id")),
       Some("""WITH w AS (
           SELECT doc_id,
                  list_transform(list_distinct(str_split(rtrim(lower(text), ' '), ' ')),
@@ -693,9 +742,10 @@ object Dedup extends QueryModule {
     //      the min doc_id of its connected component over the q52-style
     //      minhash band edges. Iterative min-label propagation, the Pregel
     //      superstep pattern: per iteration one equi-join + keyed min-agg,
-    //      labels checkpointed via cache, convergence checked with a scalar
-    //      count (the one irreducible driver-side signal of any iterative
-    //      graph algorithm; iterations are bounded by component diameter,
+    //      labels checkpointed via staged scratch writes, convergence read
+    //      from an observe() metric of the write job itself (the one
+    //      irreducible driver-side signal of any iterative graph algorithm,
+    //      at zero extra jobs; iterations are bounded by component diameter,
     //      tiny for near-dup graphs). The oracle replicates the closure with
     //      a recursive CTE.
     QueryDef(
@@ -756,22 +806,45 @@ object Dedup extends QueryModule {
         // closure, so a silent early exit would surface only as an
         // unexplained mismatch at scale.
         val maxRounds = 64
+        // Staging (not cache) cuts the LOGICAL plan at the stage boundary —
+        // the Pregel checkpoint posture, same per-round scratch write as
+        // q117: cache only truncates execution, so the plan tree still
+        // quadrupled per round (each superstep references `labels` twice)
+        // and the driver OOMed rendering it at the unbounded 10× rehearsal
+        // before any executor ran short of memory. Cutting every SECOND
+        // round (stageEvery=2) keeps that safety — plan references grow a
+        // constant-bounded ~16× between cuts — while halving the
+        // fixed-cost scratch writes the bounded bench pays as insurance.
+        val stagingOff =
+          s.conf.getOption("graft.staging.disable").contains("true")
+        val stageEvery =
+          s.conf.getOption("graft.cc.stageEvery").map(_.toInt).getOrElse(2)
         while (changed > 0 && iter < maxRounds) {
           // two supersteps per scheduler round trip; the fixpoint test is
           // sound on the SECOND step alone (if it moved nothing, the first
           // step's output was already stable). Measured: three supersteps
           // per round is ~2.5× SLOWER — the deeper per-round plan costs
-          // more in codegen/planning than the saved count actions.
-          // Staging (not cache) cuts the LOGICAL plan at the round boundary
-          // — the Pregel checkpoint posture, same per-round scratch write
-          // as q117: cache only truncates execution, so the plan tree still
-          // quadrupled per round (each superstep references `labels` twice)
-          // and the driver OOMed rendering it at the unbounded 10×
-          // rehearsal before any executor ran short of memory.
-          val next = Staging.stage(propagate(propagate(labels).drop("moved")),
-            s"q86_labels_r$iter")
-          changed = next.filter(col("moved")).count()
-          labels = next.drop("moved")
+          // more in codegen/planning than the saved actions. Each round is
+          // ONE job: staged rounds fuse the convergence check into the
+          // scratch write via observe() (the mover count arrives as an
+          // observed metric of the write job itself — no second action
+          // over the staged output); lazy rounds get it from the count
+          // action that is anyway their only execution.
+          val cur = propagate(propagate(labels).drop("moved"))
+          if (!stagingOff && iter % stageEvery == stageEvery - 1) {
+            Observed.ensureListener(s)
+            val obs = Observed.freshName("q86_conv")
+            val staged = Staging.stage(
+              cur.observe(obs,
+                coalesce(sum(when(col("moved"), 1L).otherwise(0L)), lit(0L))
+                  .as("moved_n")),
+              s"q86_labels_r$iter")
+            changed = Observed.take(obs).getAs[Long]("moved_n")
+            labels = staged.drop("moved")
+          } else {
+            changed = cur.filter(col("moved")).count()
+            labels = cur.drop("moved")
+          }
           iter += 1
         }
         edges.unpersist()
