@@ -27,8 +27,10 @@ object Sessions {
       // non-ANSI Spark and every later Hive return NULL, which is what we
       // pin (q88_error_semantics).
       .config("spark.sql.ansi.enabled", "false")
-      // events.ts is parquet TIMESTAMP(NANOS); map it to raw Long once,
-      // globally (see Tables.load) rather than as a per-read side effect.
+      // If the events fixture is parquet TIMESTAMP(NANOS), surface it as a
+      // raw Long (Spark otherwise rejects the footer); Tables.normalizeEventsTs
+      // dispatches on the actual schema, so this is harmless when the
+      // fixture is TIMESTAMP_MICROS.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // ${...} substitution is done ONCE, with Hive semantics, in
       // HiveQl.sql (VariableSubstitution.java: hivevar:/bare lookups,

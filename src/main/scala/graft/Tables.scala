@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Catalog facade over the driver-generated parquet fixtures.
   *
@@ -16,18 +17,55 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Physical schema of the events fixture as parquet declares it — the
+    * dispatch key for [[normalizeEventsTs]], and the explicit schema the
+    * streaming reader needs (readStream cannot infer).
+    *
+    * The guarded nanosAsLong flip makes the footer *readable* when the
+    * fixture is TIMESTAMP(NANOS) (Spark otherwise throws
+    * PARQUET_TYPE_ILLEGAL); it does not decide the branch — the returned
+    * schema does. Sessions.builder already sets it at creation; this covers
+    * foreign sessions (e.g. the driver's own) and never flips an explicit
+    * 'false'.
+    */
+  def eventsRawSchema(spark: SparkSession, sfDir: String): StructType = {
+    ensureNanosReadable(spark)
+    spark.read.parquet(s"$sfDir/events.parquet").schema
+  }
+
+  private def ensureNanosReadable(spark: SparkSession): Unit =
+    if (!spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false").toBoolean)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** Normalize `ts` to TimestampType regardless of how the fixture encodes
+    * it. The reference never assumes one encoding either — its MapOperator
+    * resolves the SerDe per input partition from metastore metadata at run
+    * time (ref: ql/src/java/org/apache/hadoop/hive/ql/exec/MapOperator
+    * .java:62); dispatching on the actual parquet type is the Spark-native
+    * equivalent. Branches:
+    *   - LongType:      TIMESTAMP(NANOS) surfaced raw via nanosAsLong —
+    *                    integer-divide to micros (a double round-trip would
+    *                    lose precision at ~1.7e18 ns).
+    *   - TimestampNTZ:  TIMESTAMP(MICROS, isAdjustedToUTC=false) — cast to
+    *                    TimestampType. Sessions pin the session timezone to
+    *                    UTC, so the cast is value-identical and downstream
+    *                    code (windows, interval joins, hive_hash) sees the
+    *                    exact type every oracle was matched against.
+    *   - TimestampType: use as-is.
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts fixture drifted to unsupported type $other — extend Tables.normalizeEventsTs")
+    }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by default
-      // (PARQUET_TYPE_ILLEGAL). Sessions.builder sets nanosAsLong=true at
-      // session creation; the guarded set below only covers foreign sessions
-      // (e.g. the driver's own) and never flips an explicit setting.
-      if (!spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false").toBoolean)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        // raw nanos → micros via integer division — going through double
-        // would lose precision at ~1.7e18 ns.
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      ensureNanosReadable(spark)
+      normalizeEventsTs(spark.read.parquet(s"$sfDir/$name.parquet"))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Register every fixture as a temp view (idempotent, lazy — no I/O). */

@@ -17,28 +17,27 @@ import org.apache.spark.sql.types._
   */
 object Streaming extends QueryModule {
 
-  /** events schema for readStream (streaming requires an explicit schema);
-    * ts arrives as raw nanos (nanosAsLong) and is converted exactly like the
-    * batch path in Tables.load.
-    */
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   /** documents schema for readStream (q107 streams the corpus table). */
   private val documentsSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** The stream declares whatever schema the fixture parquet actually has
+    * (peeked via a batch footer read — readStream cannot infer), then runs
+    * the same `ts` normalization as the batch path. A hardcoded schema here
+    * once read TIMESTAMP_MICROS physical int64 through a declared LongType
+    * and silently compressed every timestamp 1000× — deriving the schema
+    * from the file makes that unit error structurally impossible, and
+    * FixtureSpec's era-bound assert on min/max(ts) backstops it.
+    */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeEventsTs(
+      spark.readStream
+        .schema(graft.Tables.eventsRawSchema(spark, sfDir))
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sfDir))
 
   /** Runs a streaming DataFrame to completion into an in-memory sink and
     * returns the materialized result.
