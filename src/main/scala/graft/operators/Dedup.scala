@@ -811,14 +811,17 @@ object Dedup extends QueryModule {
         // q117: cache only truncates execution, so the plan tree still
         // quadrupled per round (each superstep references `labels` twice)
         // and the driver OOMed rendering it at the unbounded 10× rehearsal
-        // before any executor ran short of memory. Cutting every SECOND
-        // round (stageEvery=2) keeps that safety — plan references grow a
-        // constant-bounded ~16× between cuts — while halving the
-        // fixed-cost scratch writes the bounded bench pays as insurance.
+        // before any executor ran short of memory. stageEvery stays 1:
+        // a >1 setting makes every lazy round's convergence count EXECUTE
+        // its supersteps and then the next staged round recompute them
+        // inside its deeper plan — idle A/B at local[32] sf0.1 measured
+        // stageEvery=2 at 6.40 s vs 3.41 s for stage-every-round (r7
+        // build), a 1.9× regression, so the halved scratch-write count
+        // never pays for the duplicated execution.
         val stagingOff =
           s.conf.getOption("graft.staging.disable").contains("true")
         val stageEvery =
-          s.conf.getOption("graft.cc.stageEvery").map(_.toInt).getOrElse(2)
+          s.conf.getOption("graft.cc.stageEvery").map(_.toInt).getOrElse(1)
         while (changed > 0 && iter < maxRounds) {
           // two supersteps per scheduler round trip; the fixpoint test is
           // sound on the SECOND step alone (if it moved nothing, the first
