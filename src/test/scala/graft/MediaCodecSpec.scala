@@ -47,4 +47,50 @@ class MediaCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       MediaCodec.decodeImage(3L, Array[Byte](1, 2, 3, 4, 5)))
   }
+
+  test("WAV round trip is lossless: header facts and every sample survive") {
+    val payload = (0 until 30).map(i => (i * 17 % 256).toByte).toArray
+    val wav = MediaCodec.encodeWav(payload, 16000, 1)
+    // a RIFF/WAVE container, not raw bytes
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val st = MediaCodec.decodeAudio(7L, wav)
+    assert(st.doc_id == 7L && st.sample_rate == 16000 && st.channels == 1)
+    assert(st.bits == 8 && st.n_frames == 30)
+    assert(st.duration_ms == 1.875) // 30 frames / 16 kHz = 1.875 ms exactly
+    val px = payload.map(_ & 0xFF)
+    assert(st.min_amp == px.min && st.max_amp == px.max)
+    assert(st.mean_amp == BigDecimal(px.sum.toDouble / px.length)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("stereo WAV with odd byte count pads to a whole frame") {
+    val st = MediaCodec.decodeAudio(1L,
+      MediaCodec.encodeWav(Array[Byte](10, 20, 30), 8000, 2))
+    assert(st.channels == 2 && st.n_frames == 2) // 3 bytes + 1 pad = 2 frames
+    assert(st.min_amp == 0 && st.max_amp == 30)  // the pad byte is in-band
+    assert(st.mean_amp == 15.0)                  // (10+20+30+0)/4
+  }
+
+  test("decode handles other registered containers (AIFF, signed 8-bit)") {
+    import javax.sound.sampled._
+    val data = Array[Byte](-128, 0, 127, 64) // signed PCM, AIFF's native 8-bit
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 8, 1, 1, 8000f, true)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, 4),
+      AudioFileFormat.Type.AIFF, bos)
+    val st = MediaCodec.decodeAudio(2L, bos.toByteArray)
+    // signed samples normalize into the same 0..255 amplitude domain
+    assert(st.sample_rate == 8000 && st.channels == 1 && st.n_frames == 4)
+    assert(st.min_amp == 0 && st.max_amp == 255)
+    assert(st.mean_amp == BigDecimal((0 + 128 + 255 + 192) / 4.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("audio garbage bytes are rejected loudly") {
+    intercept[IllegalArgumentException](
+      MediaCodec.decodeAudio(3L, Array[Byte](82, 73, 70, 70, 1, 2, 3)))
+  }
 }
