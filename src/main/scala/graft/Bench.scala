@@ -1,5 +1,25 @@
 package graft
 object Bench {
+  /** One bench JSON line. `subset=true` marks a SPARK_GRAFT_BENCH_ONLY run
+    * so a partial target/bench.json can never be mistaken for a full-suite
+    * result (ADVICE r8: the subset overwrite was unmarked).
+    */
+  def renderJson(results: Seq[(String, Double)], total: Double,
+      batchTotal: Double, streamTotal: Double, failed: Seq[String],
+      sfDir: String, subset: Boolean,
+      key: String => String, fmt: Double => String): String = {
+    // duplicate short keys would silently shadow each other in most JSON
+    // parsers — fall back to full names if a prefix collision ever appears
+    val safeKey =
+      if (results.map(r => key(r._1)).distinct.size == results.size) key
+      else identity[String] _
+    val qs = results.map { case (k, v) => "\"" + safeKey(k) + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total",${if (subset) "\"subset\":true," else ""}"value":${fmt(total)},"unit":"sec",""" +
+      s""""batch_total":${fmt(batchTotal)},"stream_total":${fmt(streamTotal)},""" +
+      s""""n_failed":${failed.size},""" +
+      s""""failed":${failed.mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}"""
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.get("graft-bench")
@@ -63,19 +83,9 @@ object Bench {
     val streamTotal = results.collect {
       case (k, v) if v >= 0 && streamNames(k) => v }.sum
     val failed = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
-    def line(key: String => String, fmt: Double => String): String = {
-      // duplicate short keys would silently shadow each other in most JSON
-      // parsers — fall back to full names if a prefix collision ever appears
-      val safeKey =
-        if (results.map(r => key(r._1)).distinct.size == results.size) key
-        else identity[String] _
-      val qs = results.map { case (k, v) => "\"" + safeKey(k) + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-        s""""batch_total":${fmt(batchTotal)},"stream_total":${fmt(streamTotal)},""" +
-        s""""n_failed":${failed.size},""" +
-        s""""failed":${failed.mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}"""
-    }
+    def line(key: String => String, fmt: Double => String): String =
+      renderJson(results, total, batchTotal, streamTotal, failed, sfDir,
+        subset = only.isDefined, key, fmt)
     // full names + full precision → file; the STDOUT line must fit entirely
     // inside the driver's 2000-char tail window (r1-r3 all landed
     // "parsed": null because the 2900-char full line lost its head), so it

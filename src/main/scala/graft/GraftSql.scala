@@ -83,10 +83,13 @@ object GraftSql {
     if (word.startsWith("source ")) {
       val path = stmt.trim.drop(7).trim.stripSuffix(";").trim
       val reader = new BufferedReader(new FileReader(path))
-      val code =
-        try run(spark, reader, out, interactive = false, silent = silent)
+      // a `quit` INSIDE the sourced script ends the whole session, not just
+      // the script (CliDriver.processFile shares the session's exit flag) —
+      // so the script's liveness rides back in the keep-going slot
+      val (code, live) =
+        try runWithLiveness(spark, reader, out, interactive = false, silent = silent)
         finally reader.close()
-      return (true, code)
+      return (live, code)
     }
     val t0 = System.nanoTime()
     val df = HiveQl.sql(spark, stmt)
@@ -112,7 +115,15 @@ object GraftSql {
     * nonzero iff any statement (including inside a `SOURCE`d script) failed.
     */
   def run(spark: SparkSession, in: BufferedReader, out: PrintStream,
-      interactive: Boolean, silent: Boolean): Int = {
+      interactive: Boolean, silent: Boolean): Int =
+    runWithLiveness(spark, in, out, interactive, silent)._1
+
+  /** As [[run]], plus whether the session is still alive afterwards (false
+    * once `quit`/`exit` executed) — the signal a `SOURCE` caller needs to
+    * end the OUTER session the way CliDriver's shared exit flag does.
+    */
+  def runWithLiveness(spark: SparkSession, in: BufferedReader, out: PrintStream,
+      interactive: Boolean, silent: Boolean): (Int, Boolean) = {
     var exit = 0
     var buf = ""
     var alive = true
@@ -123,7 +134,7 @@ object GraftSql {
       // (CliDriver trims and matches the line before splitting)
       if (buf.trim.isEmpty &&
           Set("quit", "exit").contains(line.trim.toLowerCase.stripSuffix(";")))
-        return exit
+        return (exit, false)
       buf = if (buf.isEmpty) line else buf + "\n" + line
       val (stmts, rest) = splitStatements(buf)
       buf = rest
@@ -148,12 +159,13 @@ object GraftSql {
     // semantics — the final `;` is optional in scripts)
     if (alive && stripComments(buf).nonEmpty) {
       try {
-        val (_, code) = process(spark, buf, out, silent)
+        val (cont, code) = process(spark, buf, out, silent)
+        alive = cont
         if (code != 0) exit = code
       }
       catch { case e: Exception => out.println(s"FAILED: ${e.getMessage}"); exit = 1 }
     }
-    exit
+    (exit, alive)
   }
 
   def main(args: Array[String]): Unit = {

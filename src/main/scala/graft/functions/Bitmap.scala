@@ -242,9 +242,20 @@ case class EwahDecode(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
   override def prettyName: String = "ewah_decode"
-  override protected def nullSafeEval(v: Any): Any =
-    BitmapCodec.toBytes(EwahCodec.decode(
-      v.asInstanceOf[ArrayData].toLongArray()))
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    // reject null WORDS loudly (a reference EWAH stream has none) — the
+    // blind toLongArray() below would NPE with no codec context
+    var i = 0
+    while (i < arr.numElements()) {
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"ewah_decode: null word at index $i of ${arr.numElements()} — " +
+            "not a reference EWAH stream")
+      i += 1
+    }
+    BitmapCodec.toBytes(EwahCodec.decode(arr.toLongArray()))
+  }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -45,13 +45,26 @@ final case class AudioStats(doc_id: Long, sample_rate: Int, channels: Int,
   */
 object Multimodal extends QueryModule {
 
+  /** The byte-stat oracles predict BINARY payload values from the TEXT
+    * domain (DuckDB `unicode()` per char) — valid only while byte == char,
+    * i.e. single-byte text. ADVICE r8: that was fixture-luck, so assert it
+    * in-query — a corpus drifting to multibyte text fails loudly with this
+    * message instead of silently hash-mismatching. assert_true returns
+    * NULL when the predicate holds, so the filter keeps every row and
+    * cannot be constant-folded away.
+    */
+  private def asciiOnly(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.filter(assert_true(
+      length(col("text")) === octet_length(col("text")),
+      lit("byte-domain oracle requires single-byte text; fixture drifted to multibyte")).isNull)
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Binary column + metadata plumbing: byte length, digest, head
     //      slice, metadata struct fields
     QueryDef(
       "q80_multimodal_meta",
-      (s, dir) => t(s, dir, "documents")
+      (s, dir) => asciiOnly(t(s, dir, "documents"))
         .selectExpr("doc_id",
           "encode(text, 'UTF-8') AS payload",
           "named_struct('fmt', 'txt8', 'width', cast(n_chars % 64 + 16 AS int), " +
@@ -75,7 +88,7 @@ object Multimodal extends QueryModule {
     //      keyframe extraction as pure binary slicing
     QueryDef(
       "q81_frame_sample",
-      (s, dir) => t(s, dir, "documents")
+      (s, dir) => asciiOnly(t(s, dir, "documents"))
         .filter(col("doc_id") < 200)
         .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload",
           "cast(ceil(length(text) / 32.0) AS int) AS n_frames")
@@ -105,7 +118,7 @@ object Multimodal extends QueryModule {
       (s, dir) => {
         val session = s
         import session.implicits._
-        t(s, dir, "documents")
+        asciiOnly(t(s, dir, "documents"))
           .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload",
             "'txt8' AS fmt", "cast(16 AS int) AS width", "cast(16 AS int) AS height")
           .as[Media]
@@ -140,7 +153,7 @@ object Multimodal extends QueryModule {
       (s, dir) => {
         val session = s
         import session.implicits._
-        t(s, dir, "documents")
+        asciiOnly(t(s, dir, "documents"))
           .filter(col("doc_id") < 500)
           .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload",
             "'png' AS fmt",
@@ -191,7 +204,7 @@ object Multimodal extends QueryModule {
       (s, dir) => {
         val session = s
         import session.implicits._
-        t(s, dir, "documents")
+        asciiOnly(t(s, dir, "documents"))
           .filter(col("doc_id") < 500)
           .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload",
             "cast(8000 + (doc_id % 4) * 4000 AS int) AS sample_rate",
@@ -247,7 +260,7 @@ object Multimodal extends QueryModule {
     QueryDef(
       "q97_cdc_chunks",
       (s, dir) => {
-        val base = t(s, dir, "documents")
+        val base = asciiOnly(t(s, dir, "documents"))
           .filter(col("doc_id") < 400)
           .repartition(s.sparkContext.defaultParallelism)
           .selectExpr("doc_id", "text", "encode(text, 'UTF-8') AS payload")

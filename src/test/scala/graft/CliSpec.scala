@@ -73,6 +73,17 @@ class CliSpec extends SparkSpec {
     assert(!outText.contains("never-runs"), outText)
   }
 
+  test("quit inside a SOURCEd script ends the OUTER session (ADVICE r8)") {
+    val f = Files.createTempFile("graft_cli_quit", ".q")
+    Files.writeString(f, "SELECT 'pre-quit' AS v;\nquit;\nSELECT 'post-quit' AS v;\n")
+    val (code, outText) = runCli(
+      s"source ${f.toString};\nSELECT 'outer-never-runs' AS v;")
+    assert(code == 0, outText)
+    assert(outText.contains("pre-quit"), outText)
+    assert(!outText.contains("post-quit"), outText)        // script stops at quit
+    assert(!outText.contains("outer-never-runs"), outText) // and so does the session
+  }
+
   test("variable substitution: hiveconf/hivevar/env prefixes, iteration, literal fallback") {
     // SET feeds ${hiveconf:...}; SET hivevar: feeds ${hivevar:...} and bare
     // ${...} (VariableSubstitution.java + SetProcessor.java prefixes)

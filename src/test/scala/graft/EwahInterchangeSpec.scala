@@ -114,6 +114,52 @@ class EwahInterchangeSpec extends SparkSpec {
     assert(row.getInt(1) === 500) // evens 0..998 intersect 0..999
   }
 
+  // ---- in-tree golden fixture (ADVICE r8): streams serialized by the REAL
+  //      javaewah-0.2 jar the reference bundles (scratch javac/java harness
+  //      against /root/reference/lib/javaewah-0.2.jar with the DataOutput
+  //      shim described in the header comment; each writeInt/writeLong call
+  //      = one array element, exactly BitmapObjectOutput's mapping). Pasted
+  //      verbatim — these words are DATA produced by the reference's own
+  //      codec, the strongest interchange evidence available offline.
+
+  private val golden: Seq[(Seq[Int], Seq[Long])] = Seq(
+    Seq(0, 2, 64) -> Seq(65L, 3L, 4L, 17179869184L, 5L, 1L, 0L),
+    Seq(0, 300) -> Seq(301L, 4L, 4L, 8589934592L, 1L, 8589934598L,
+      17592186044416L, 2L),
+    (0 until 128) -> Seq(128L, 1L, 4L, 5L, 0L),
+    Seq(5) -> Seq(6L, 2L, 4L, 8589934592L, 32L, 0L),
+    Seq(63, 64, 65) -> Seq(66L, 3L, 4L, 17179869184L,
+      -9223372036854775808L, 3L, 0L), // bit 63 literal: sign bit in play
+    Seq(1000, 9999) -> Seq(10000L, 4L, 4L, 8589934622L, 1099511627776L,
+      8589934872L, 32768L, 2L))
+
+  test("golden: javaewah-0.2-serialized streams decode to their bit sets") {
+    golden.foreach { case (want, stream) =>
+      assert(bits(EwahCodec.decode(stream.toArray)) === want, s"golden $want")
+    }
+  }
+
+  test("golden: encode matches javaewah word-for-word except the alloc word") {
+    golden.foreach { case (set, jar) =>
+      val ours = EwahCodec.encode(rbOf(set: _*)).toSeq
+      assert(ours.length === jar.length, s"golden $set: stream length")
+      // word [2] is javaewah's amortized buffer ALLOCATION (initial 4,
+      // grows 2×); ours is the tight actualsizeinwords — deserializers
+      // treat it as capacity, so any value ≥ actual interchanges
+      assert(ours.patch(2, Nil, 1) === jar.patch(2, Nil, 1), s"golden $set")
+      assert(jar(2) >= ours(2), s"golden $set: alloc < actual")
+    }
+  }
+
+  test("null array words are rejected loudly, not NPE'd (ADVICE r8)") {
+    val e = intercept[Exception](
+      spark.sql("SELECT ewah_decode(array(65L, CAST(NULL AS BIGINT), 3L)) AS b")
+        .head())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(m => String.valueOf(m.getMessage)).mkString(" | ")
+    assert(msgs.contains("null word"), msgs)
+  }
+
   test("malformed streams fail loudly") {
     intercept[IllegalArgumentException](EwahCodec.decode(Array[Long](0, 1, 1, 0)))
     intercept[IllegalArgumentException]( // literal count overruns the buffer
