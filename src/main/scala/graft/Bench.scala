@@ -1,13 +1,65 @@
 package graft
 object Bench {
+  /** Extract the per-query seconds map from a prior bench artifact — either
+    * a raw bench.json line or the driver's BENCH_r{N}.json archive (where
+    * the line lives string-ESCAPED inside the "tail" field, possibly
+    * head-truncated — hence lastIndexOf + escape-tolerant matching, and no
+    * full JSON parse).
+    */
+  def parsePriorQueries(content: String): Map[String, Double] = {
+    val i = content.lastIndexOf("queries")
+    if (i < 0) Map.empty
+    else {
+      val end = content.indexOf('}', i)
+      val sub = content.substring(i, if (end < 0) content.length else end + 1)
+      """\\?"(q[^"\\]+)\\?":(-?[0-9.eE+]+)""".r.findAllMatchIn(sub)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
+  /** Contention self-diagnosis (VERDICT r7 #3 / r8 #7): per-query ratios vs
+    * the prior round. A broad TWO-SIDED >1.5× scatter on unchanged code is
+    * the documented signature of machine contention (rounds 5–8 each burned
+    * a judge round-trip on it); a one-sided move is a real regression
+    * signal. Returns (up names, down names) in short-key form.
+    */
+  def contentionDeltas(results: Seq[(String, Double)],
+      prior: Map[String, Double]): (Seq[String], Seq[String]) = {
+    val ratios = results.flatMap { case (name, v) =>
+      val short = name.split("_")(0)
+      if (v <= 0) None
+      else prior.get(short).orElse(prior.get(name)).filter(_ > 0)
+        .map(pv => (short, v / pv))
+    }
+    (ratios.collect { case (n, r) if r > 1.5 => n },
+      ratios.collect { case (n, r) if r < 1 / 1.5 => n })
+  }
+
+  /** Rendered `"contention_check":{...},` fragment (empty when no prior
+    * file was found). `detail=true` adds the mover name lists — file copy
+    * only; the stdout line must stay inside the driver's tail window.
+    */
+  def contentionJson(priorName: String, up: Seq[String], down: Seq[String],
+      detail: Boolean): String = {
+    val flagged = up.size >= 3 && down.size >= 3
+    val lists =
+      if (!detail) ""
+      else s""","up_queries":${up.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+        s""","down_queries":${down.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    s""""contention_check":{"prior":"$priorName","up":${up.size},""" +
+      s""""down":${down.size},"suspect_contention":$flagged$lists},"""
+  }
+
   /** One bench JSON line. `subset=true` marks a SPARK_GRAFT_BENCH_ONLY run
     * so a partial target/bench.json can never be mistaken for a full-suite
-    * result (ADVICE r8: the subset overwrite was unmarked).
+    * result (ADVICE r8: the subset overwrite was unmarked). `extra` is a
+    * pre-rendered fragment (contention check) or empty.
     */
   def renderJson(results: Seq[(String, Double)], total: Double,
       batchTotal: Double, streamTotal: Double, failed: Seq[String],
       sfDir: String, subset: Boolean,
-      key: String => String, fmt: Double => String): String = {
+      key: String => String, fmt: Double => String,
+      extra: String = ""): String = {
     // duplicate short keys would silently shadow each other in most JSON
     // parsers — fall back to full names if a prefix collision ever appears
     val safeKey =
@@ -15,7 +67,7 @@ object Bench {
       else identity[String] _
     val qs = results.map { case (k, v) => "\"" + safeKey(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    s"""{"metric":"total",${if (subset) "\"subset\":true," else ""}"value":${fmt(total)},"unit":"sec",""" +
+    s"""{"metric":"total",${if (subset) "\"subset\":true," else ""}$extra"value":${fmt(total)},"unit":"sec",""" +
       s""""batch_total":${fmt(batchTotal)},"stream_total":${fmt(streamTotal)},""" +
       s""""n_failed":${failed.size},""" +
       s""""failed":${failed.mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}"""
@@ -83,9 +135,40 @@ object Bench {
     val streamTotal = results.collect {
       case (k, v) if v >= 0 && streamNames(k) => v }.sum
     val failed = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
-    def line(key: String => String, fmt: Double => String): String =
+    // prior round's archive for the contention check: explicit env wins,
+    // else the highest-numbered BENCH_r*.json in the working directory.
+    // Diagnosis only — any failure here must never fail the bench.
+    val prior: Option[(String, Map[String, Double])] =
+      try {
+        val path = sys.env.get("SPARK_GRAFT_BENCH_PRIOR")
+          .map(java.nio.file.Paths.get(_))
+          .orElse {
+            val re = "BENCH_r(\\d+)\\.json".r
+            val s = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+            try {
+              import scala.jdk.CollectionConverters._
+              val cands = s.iterator().asScala.flatMap { p =>
+                p.getFileName.toString match {
+                  case re(n) => Some((n.toInt, p))
+                  case _ => None
+                }
+              }.toSeq
+              if (cands.isEmpty) None else Some(cands.maxBy(_._1)._2)
+            } finally s.close()
+          }
+        path.map(p => p.getFileName.toString ->
+          parsePriorQueries(java.nio.file.Files.readString(p)))
+          .filter(_._2.nonEmpty)
+      } catch { case _: Throwable => None }
+    def line(key: String => String, fmt: Double => String,
+        detail: Boolean): String = {
+      val extra = prior.map { case (pname, pq) =>
+        val (up, down) = contentionDeltas(results, pq)
+        contentionJson(pname, up, down, detail)
+      }.getOrElse("")
       renderJson(results, total, batchTotal, streamTotal, failed, sfDir,
-        subset = only.isDefined, key, fmt)
+        subset = only.isDefined, key, fmt, extra)
+    }
     // full names + full precision → file; the STDOUT line must fit entirely
     // inside the driver's 2000-char tail window (r1-r3 all landed
     // "parsed": null because the 2900-char full line lost its head), so it
@@ -93,10 +176,12 @@ object Bench {
     try {
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out, line(identity, _.toString).getBytes("UTF-8"))
+      java.nio.file.Files.write(out,
+        line(identity, _.toString, detail = true).getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     println(line(_.split("_")(0),
-      v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))))
+      v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)),
+      detail = false))
     spark.stop()
   }
 }
