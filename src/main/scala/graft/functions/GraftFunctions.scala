@@ -190,6 +190,15 @@ object GraftFunctions {
       }
       ShingleMd5(es(0), n)
     }),
+    reg("shingle_md5_pos", classOf[ShingleMd5], es => {
+      require(es.size == 2, "shingle_md5_pos(text, n)")
+      val n = es(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case _ => throw new IllegalArgumentException(
+          "shingle_md5_pos n must be an integer literal")
+      }
+      ShingleMd5(es(0), n, dedup = false)
+    }),
     // Unicode normalization (no Spark builtin): nfc_normalize matches
     // DuckDB's function of the same name; unicode_normalize takes the form
     reg("nfc_normalize", classOf[UnicodeNormalize], es => {

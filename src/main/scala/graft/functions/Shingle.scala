@@ -10,7 +10,11 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Word-shingle md5 kernel (the decontamination probe hash of q102/q107):
   * first-occurrence-ordered distinct md5 hex digests of every n-word
-  * shingle, empty when the text has fewer than n words.
+  * shingle, empty when the text has fewer than n words. With
+  * `dedup = false` (registered as `shingle_md5_pos`, the q124 substring-
+  * scrub hash) every shingle keeps its slot: element i is the digest of
+  * the shingle STARTING at word i, so posexplode yields (start, hash)
+  * pairs directly.
   *
   * Semantically identical to the SQL-HOF formulation
   * {{{
@@ -27,7 +31,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * eval-only (CodegenFallback): md5 dominates, as with winnow_mins.
   */
-case class ShingleMd5(child: Expression, n: Int)
+case class ShingleMd5(child: Expression, n: Int, dedup: Boolean = true)
     extends Expression with CodegenFallback {
 
   override def children: Seq[Expression] = Seq(child)
@@ -58,7 +62,8 @@ case class ShingleMd5(child: Expression, n: Int)
     while (i < end) { wordBytes(i) = all(i).getBytes; i += 1 }
 
     val md = java.security.MessageDigest.getInstance("MD5")
-    val seen = new java.util.LinkedHashSet[String]()
+    val seen = if (dedup) new java.util.LinkedHashSet[String]() else null
+    val slots = if (dedup) null else new Array[Any](nShingles)
     i = 0
     while (i < nShingles) {
       var w = i
@@ -76,9 +81,11 @@ case class ShingleMd5(child: Expression, n: Int)
         hex(2 * b + 1) = hexChars(digest(b) & 0xf)
         b += 1
       }
-      seen.add(new String(hex))
+      if (dedup) seen.add(new String(hex))
+      else slots(i) = UTF8String.fromString(new String(hex))
       i += 1
     }
+    if (!dedup) return new GenericArrayData(slots)
     val out = new Array[Any](seen.size())
     val it = seen.iterator()
     i = 0

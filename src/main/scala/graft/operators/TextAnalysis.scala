@@ -779,6 +779,77 @@ object TextAnalysis extends QueryModule {
         SELECT split, lang, count(*) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS tokens,
                CAST(sum(doc_id) AS BIGINT) AS id_sum
-        FROM s GROUP BY 1, 2 ORDER BY 1, 2"""))
+        FROM s GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- Exact-substring SCRUB (RefinedWeb-style): remove every token
+    //      covered by an 8-gram appearing in ≥2 documents and reassemble
+    //      the surviving text in order. q106 PROFILES duplication; this
+    //      operator rewrites the corpus — the cleaning stage between
+    //      profile and train. Plan: positional gram hashes
+    //      (shingle_md5_pos: slot i = gram starting at token i) → per-gram
+    //      document frequency → dup-START positions joined back (equi, and
+    //      the df≥2 filter runs BEFORE the join so the joined side is
+    //      small under real dup rates) → per-doc windowed OR over the
+    //      trailing 8 positions marks covered tokens → ordered reassembly.
+    //      Scale posture: gram HASHES shuffle, text doesn't (q106's rule);
+    //      the token explode shuffles once by doc for the coverage window
+    //      — inherent to token-level rewriting.
+    QueryDef(
+      "q124_substring_scrub",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = t(s, dir, "documents")
+          .filter(col("doc_id") < 300)
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("doc_id", "split(text, ' ') AS ws",
+            "shingle_md5_pos(text, 8) AS shs")
+        val grams = base.selectExpr("doc_id", "posexplode(shs) AS (i, gh)")
+        val dupGrams = grams.select(col("doc_id"), col("gh")).distinct()
+          .groupBy(col("gh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2).select(col("gh"))
+        val starts = grams.join(dupGrams, Seq("gh"))
+          .select(col("doc_id"), col("i").as("j"), lit(1).as("st"))
+        val wcov = Window.partitionBy(col("doc_id")).orderBy(col("j"))
+          .rowsBetween(-7, 0)
+        base.selectExpr("doc_id", "posexplode(ws) AS (j, w)")
+          .join(starts, Seq("doc_id", "j"), "left")
+          .withColumn("cov", max(coalesce(col("st"), lit(0))).over(wcov))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("cov")).as("n_dup_tokens"),
+            concat_ws(" ", expr(
+              """transform(array_sort(collect_list(
+                   CASE WHEN cov = 0 THEN struct(j, w) END)), x -> x.w)"""))
+              .as("clean_text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (
+          SELECT doc_id, str_split(rtrim(text, ' '), ' ') AS ws
+          FROM documents WHERE doc_id < 300),
+        gs AS (
+          SELECT doc_id,
+                 unnest(range(1, len(ws) - 6)) AS i,
+                 unnest(list_transform(range(1, len(ws) - 6),
+                   i -> md5(array_to_string(ws[i:i+7], ' ')))) AS gh
+          FROM w),
+        dup AS (
+          SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS df
+                          FROM gs GROUP BY gh)
+          WHERE df >= 2),
+        starts AS (SELECT DISTINCT doc_id, i FROM gs JOIN dup USING (gh)),
+        toks AS (
+          SELECT doc_id, unnest(range(1, len(ws) + 1)) AS j, unnest(ws) AS w
+          FROM w),
+        cov AS (
+          SELECT t.doc_id, t.j, t.w,
+                 max(CASE WHEN s.i IS NOT NULL THEN 1 ELSE 0 END) OVER
+                   (PARTITION BY t.doc_id ORDER BY t.j
+                    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cov
+          FROM toks t LEFT JOIN starts s ON t.doc_id = s.doc_id AND t.j = s.i)
+        SELECT doc_id, count(*) AS n_tokens,
+               CAST(sum(cov) AS BIGINT) AS n_dup_tokens,
+               coalesce(string_agg(w, ' ' ORDER BY j) FILTER (WHERE cov = 0), '')
+                 AS clean_text
+        FROM cov GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

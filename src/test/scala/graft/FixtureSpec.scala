@@ -44,34 +44,42 @@ class FixtureSpec extends SparkSpec {
       "embedding" -> ArrayType(FloatType, containsNull = true),
       "label" -> IntegerType))
 
-  test("every fixture table matches the pinned post-normalization schema") {
-    val drifted = Tables.names.flatMap { name =>
-      val got = Tables.load(spark, sfDir, name).schema
-        .map(f => f.name -> f.dataType)
-      if (got == expected(name)) None
-      else Some(s"$name: expected ${expected(name).mkString(", ")} but fixture loads as ${got.mkString(", ")}")
-    }
+  // all three driver scales: t1 smoke = sf0.001, t2 correctness = sf0.01,
+  // bench = sf0.1 — a drift hitting only one of them (e.g. a partial
+  // regeneration) must still trip here
+  private val sfDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1")
+
+  test("every fixture table matches the pinned post-normalization schema (all SFs)") {
+    val drifted = for {
+      dir <- sfDirs
+      name <- Tables.names
+      got = Tables.load(spark, dir, name).schema.map(f => f.name -> f.dataType)
+      if got != expected(name)
+    } yield s"$dir/$name: expected ${expected(name).mkString(", ")} but fixture loads as ${got.mkString(", ")}"
     assert(drifted.isEmpty,
       s"\nFIXTURE DRIFT — update Tables.normalizeEventsTs / this pin:\n${drifted.mkString("\n")}")
   }
 
-  test("events.ts era sanity — a unit error cannot survive this bound") {
+  test("events.ts era sanity — a unit error cannot survive this bound (all SFs)") {
     // TESTDATA.md fixture: 30 days of events starting 2024-01-01 (seed=42).
     // A nanos/micros/millis confusion moves min(ts) out of this window by
     // orders of magnitude (the r8 failure landed in 1970-01-19).
-    val r = Tables.load(spark, sfDir, "events")
-      .agg(min("ts").as("lo"), max("ts").as("hi")).head()
-    val lo = r.getTimestamp(0).toInstant
-    val hi = r.getTimestamp(1).toInstant
     val eraLo = java.time.Instant.parse("2023-01-01T00:00:00Z")
     val eraHi = java.time.Instant.parse("2027-01-01T00:00:00Z")
-    assert(!lo.isBefore(eraLo) && !hi.isAfter(eraHi),
-      s"events.ts outside documented era: min=$lo max=$hi — check the fixture encoding branch in Tables.normalizeEventsTs")
-    // And the streaming path must agree byte-for-byte with the batch path:
-    // the r8 silent corruption was a batch/stream divergence, not a bad file.
-    val streamType = graft.streaming.Streaming
-      .eventsStream(spark, sfDir).schema("ts").dataType
-    assert(streamType == TimestampType,
-      s"streaming events.ts resolves to $streamType, batch resolves to TimestampType")
+    sfDirs.foreach { dir =>
+      val r = Tables.load(spark, dir, "events")
+        .agg(min("ts").as("lo"), max("ts").as("hi")).head()
+      val lo = r.getTimestamp(0).toInstant
+      val hi = r.getTimestamp(1).toInstant
+      assert(!lo.isBefore(eraLo) && !hi.isAfter(eraHi),
+        s"$dir: events.ts outside documented era: min=$lo max=$hi — check the fixture encoding branch in Tables.normalizeEventsTs")
+      // And the streaming path must agree byte-for-byte with the batch path:
+      // the r8 silent corruption was a batch/stream divergence, not a bad file.
+      val streamType = graft.streaming.Streaming
+        .eventsStream(spark, dir).schema("ts").dataType
+      assert(streamType == TimestampType,
+        s"$dir: streaming events.ts resolves to $streamType, batch resolves to TimestampType")
+    }
   }
 }

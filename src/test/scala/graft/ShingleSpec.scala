@@ -54,4 +54,28 @@ class ShingleSpec extends SparkSpec {
     val r = spark.sql("SELECT shingle_md5(CAST(NULL AS string), 8) AS s").head()
     assert(r.getSeq[String](0).isEmpty)
   }
+
+  test("shingle_md5_pos keeps every slot: element i = gram starting at word i") {
+    // positional variant (q124): NO dedup, alignment with the HOF transform
+    val texts = Seq(
+      "a b c d e f g h a b c d e f g h", // repeats must keep both slots
+      "one  two   three four five six seven eight nine",
+      "seven words only not quite enough here", "")
+    val hof = texts.toDF("text")
+      .selectExpr("split(trim(text), ' ') AS ws")
+      .selectExpr(
+        """CASE WHEN size(ws) >= 8 THEN
+             transform(sequence(1, size(ws) - 7),
+               i -> md5(concat_ws(' ', slice(ws, i, 8))))
+           ELSE array() END AS shs""")
+      .collect().toSeq.map(_.getSeq[String](0))
+    val nat = texts.toDF("text")
+      .selectExpr("shingle_md5_pos(trim(text), 8) AS shs")
+      .collect().toSeq.map(_.getSeq[String](0))
+    hof.zip(nat).zip(texts).foreach { case ((h, g), t) =>
+      assert(h == g, s"text='$t': hof=$h native=$g")
+    }
+    // the repeated-gram text really does repeat slots (dedup would collapse)
+    assert(nat.head.length == 9 && nat.head.head == nat.head.last)
+  }
 }
