@@ -22,4 +22,15 @@ trait QueryModule {
     Sessions.ensureRegistered(s)
     Tables.load(s, dir, name)
   }
+
+  /** Fixture truncation that the scale rehearsal LIFTS
+    * (`graft.rehearsal.unbounded`): oracles need small outputs, but a
+    * rehearsal that keeps `c < lim` bounds measures a CONSTANT query —
+    * grown replicas all land above the bound (§6.10's round-6 lesson).
+    * Every query-level doc_id/vec_id truncation must go through here.
+    */
+  protected def fixtureBound(df: DataFrame, c: String, lim: Long): DataFrame =
+    if (df.sparkSession.conf.getOption("graft.rehearsal.unbounded")
+        .contains("true")) df
+    else df.filter(org.apache.spark.sql.functions.col(c) < lim)
 }

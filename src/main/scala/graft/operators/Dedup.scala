@@ -41,11 +41,6 @@ object Dedup extends QueryModule {
     * α ≈ 0 was the bound, not the algorithm; SURVEY carries the corrected
     * unbounded numbers from round 7 on).
     */
-  private def fixtureBound(df: org.apache.spark.sql.DataFrame,
-      c: String, lim: Long) =
-    if (df.sparkSession.conf.getOption("graft.rehearsal.unbounded")
-        .contains("true")) df
-    else df.filter(col(c) < lim)
 
   /** Bucket cap for the near-dup PAIR operators, resolved: explicit
     * argument wins, else session conf `graft.dedup.bucketcap` (default 10);

@@ -798,8 +798,7 @@ object TextAnalysis extends QueryModule {
       "q124_substring_scrub",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val base = t(s, dir, "documents")
-          .filter(col("doc_id") < 300)
+        val base = fixtureBound(t(s, dir, "documents"), "doc_id", 300)
           .repartition(s.sparkContext.defaultParallelism)
           .selectExpr("doc_id", "split(text, ' ') AS ws",
             "shingle_md5_pos(text, 8) AS shs")
