@@ -27,7 +27,8 @@ object ScaleRehearsal {
     "q53_dedup_simhash", "q54_embed_knn", "q55_ann_lsh", "q86_dedup_clusters",
     "q102_decontam", "q103_domain_mix", "q104_semdedup", "q105_kmeans_step",
     "q106_dup_grams", "q114_corpus_pipeline", "q116_semdedup_staged",
-    "q117_kmeans_iterated", "q121_minhash_capped", "q122_simhash_capped")
+    "q117_kmeans_iterated", "q121_minhash_capped", "q122_simhash_capped",
+    "q124_substring_scrub")
 
   def main(args: Array[String]): Unit = {
     val sf1 = args(0)

