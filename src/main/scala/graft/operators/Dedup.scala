@@ -135,6 +135,123 @@ object Dedup extends QueryModule {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Near-dup CLUSTER assignment (connected components) over
+    * `docs(doc_id, text)`: every doc gets the min doc_id of its connected
+    * component over minhash band edges — iterative min-label propagation,
+    * the Pregel superstep pattern, with labels checkpointed via staged
+    * scratch writes and convergence read from an observe() metric of the
+    * write job itself (one job per round). Public API since r9 so
+    * downstream stages (q126 survivor selection) compose with it; q86
+    * oracles it against a recursive-CTE closure.
+    */
+  def clusterAssign(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    val bands = docs
+      .repartition(s.sparkContext.defaultParallelism)
+      .selectExpr("doc_id",
+        "minhash_sig(array_distinct(split(lower(text), ' ')), 16) AS sig")
+      .selectExpr("doc_id",
+        """posexplode(transform(sequence(0, 1),
+             j -> md5(array_join(transform(slice(sig, j * 8 + 1, 8),
+                                           v -> cast(v AS string)), ',')))) AS (band, bh)""")
+    // STAR edges, not all-pairs: connected components only needs
+    // CONNECTIVITY, and every member of a band bucket is reachable
+    // through the bucket's min-id hub — identical clusters, O(bucket)
+    // edges instead of O(bucket²). The unbounded 10× rehearsal showed
+    // why: duplicate-heavy buckets grow linearly with corpus scale, so
+    // their all-pairs edge lists grow quadratically (α 1.22 measured);
+    // star edges restore a linear edge count. hubs join is on the same
+    // (band, bh) key the groupBy just shuffled — co-partitioned.
+    val hubs = bands.groupBy(col("band"), col("bh"))
+      .agg(min(col("doc_id")).as("a_id"))
+    val pairs = bands.toDF("b_id", "band", "bh")
+      .join(hubs, Seq("band", "bh"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val edges = pairs
+      .union(pairs.select(col("b_id"), col("a_id")))
+      .toDF("src", "dst").cache()
+    // one propagation superstep. The labels table is CORPUS-SIZED (one
+    // row per doc), so neither join is hinted — AQE broadcasts while
+    // labels are small and falls back to hash-partitioned joins when
+    // they aren't (a forced broadcast here held ~6M hashed label rows
+    // per superstep at the unbounded 10× rehearsal and ran the driver
+    // out of heap). The moved flag rides along so convergence costs no
+    // extra join.
+    def propagate(ls: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val nbrMin = edges
+        .join(ls.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("label")).as("nbr_label"))
+      ls.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"),
+          (coalesce(col("nbr_label"), col("label")) < col("label"))
+            .as("moved"))
+    }
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+    var changed = 1L
+    var iter = 0
+    // min-label propagation needs ≤ diameter supersteps; 64 rounds = 128
+    // supersteps covers any plausible near-dup component. If a
+    // pathological chain still hasn't converged, FAIL rather than return
+    // partial labels — the recursive-CTE oracle computes the full
+    // closure, so a silent early exit would surface only as an
+    // unexplained mismatch at scale.
+    val maxRounds = 64
+    // Staging (not cache) cuts the LOGICAL plan at the stage boundary —
+    // the Pregel checkpoint posture, same per-round scratch write as
+    // q117: cache only truncates execution, so the plan tree still
+    // quadrupled per round (each superstep references `labels` twice)
+    // and the driver OOMed rendering it at the unbounded 10× rehearsal
+    // before any executor ran short of memory. stageEvery stays 1:
+    // a >1 setting makes every lazy round's convergence count EXECUTE
+    // its supersteps and then the next staged round recompute them
+    // inside its deeper plan — idle A/B at local[32] sf0.1 measured
+    // stageEvery=2 at 6.40 s vs 3.41 s for stage-every-round (r7
+    // build), a 1.9× regression, so the halved scratch-write count
+    // never pays for the duplicated execution.
+    val stagingOff =
+      s.conf.getOption("graft.staging.disable").contains("true")
+    val stageEvery =
+      s.conf.getOption("graft.cc.stageEvery").map(_.toInt).getOrElse(1)
+    while (changed > 0 && iter < maxRounds) {
+      // two supersteps per scheduler round trip; the fixpoint test is
+      // sound on the SECOND step alone (if it moved nothing, the first
+      // step's output was already stable). Measured: three supersteps
+      // per round is ~2.5× SLOWER — the deeper per-round plan costs
+      // more in codegen/planning than the saved actions. Each round is
+      // ONE job: staged rounds fuse the convergence check into the
+      // scratch write via observe() (the mover count arrives as an
+      // observed metric of the write job itself — no second action
+      // over the staged output); lazy rounds get it from the count
+      // action that is anyway their only execution.
+      val cur = propagate(propagate(labels).drop("moved"))
+      if (!stagingOff && iter % stageEvery == stageEvery - 1) {
+        Observed.ensureListener(s)
+        val obs = Observed.freshName("q86_conv")
+        val staged = Staging.stage(
+          cur.observe(obs,
+            coalesce(sum(when(col("moved"), 1L).otherwise(0L)), lit(0L))
+              .as("moved_n")),
+          s"q86_labels_r$iter")
+        changed = Observed.take(obs).getAs[Long]("moved_n")
+        labels = staged.drop("moved")
+      } else {
+        changed = cur.filter(col("moved")).count()
+        labels = cur.drop("moved")
+      }
+      iter += 1
+    }
+    edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected-components did not converge after $maxRounds rounds " +
+          "(component diameter > " + (2 * maxRounds) + ")")
+    labels.select(col("doc_id"), col("label").as("cluster"))
+  }
+
   /** SimHash near-dup pairs over `docs(doc_id, text)`: 32-bit simhash32
     * signature, candidates via the Manku et al. (2007) rotated-table key —
     * hamming <= 2 leaves >= 2 of the 4 8-bit bands agreeing, so by
@@ -822,114 +939,9 @@ object Dedup extends QueryModule {
     //      a recursive CTE.
     QueryDef(
       "q86_dedup_clusters",
-      (s, dir) => {
-        val docs = fixtureBound(t(s, dir, "documents"), "doc_id", 200)
-        val bands = docs
-          .repartition(s.sparkContext.defaultParallelism)
-          .selectExpr("doc_id",
-            "minhash_sig(array_distinct(split(lower(text), ' ')), 16) AS sig")
-          .selectExpr("doc_id",
-            """posexplode(transform(sequence(0, 1),
-                 j -> md5(array_join(transform(slice(sig, j * 8 + 1, 8),
-                                               v -> cast(v AS string)), ',')))) AS (band, bh)""")
-        // STAR edges, not all-pairs: connected components only needs
-        // CONNECTIVITY, and every member of a band bucket is reachable
-        // through the bucket's min-id hub — identical clusters, O(bucket)
-        // edges instead of O(bucket²). The unbounded 10× rehearsal showed
-        // why: duplicate-heavy buckets grow linearly with corpus scale, so
-        // their all-pairs edge lists grow quadratically (α 1.22 measured);
-        // star edges restore a linear edge count. hubs join is on the same
-        // (band, bh) key the groupBy just shuffled — co-partitioned.
-        val hubs = bands.groupBy(col("band"), col("bh"))
-          .agg(min(col("doc_id")).as("a_id"))
-        val pairs = bands.toDF("b_id", "band", "bh")
-          .join(hubs, Seq("band", "bh"))
-          .filter(col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id")).distinct()
-        val edges = pairs
-          .union(pairs.select(col("b_id"), col("a_id")))
-          .toDF("src", "dst").cache()
-        // one propagation superstep. The labels table is CORPUS-SIZED (one
-        // row per doc), so neither join is hinted — AQE broadcasts while
-        // labels are small and falls back to hash-partitioned joins when
-        // they aren't (a forced broadcast here held ~6M hashed label rows
-        // per superstep at the unbounded 10× rehearsal and ran the driver
-        // out of heap). The moved flag rides along so convergence costs no
-        // extra join.
-        def propagate(ls: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-          val nbrMin = edges
-            .join(ls.withColumnRenamed("doc_id", "src"), Seq("src"))
-            .groupBy(col("dst").as("doc_id"))
-            .agg(min(col("label")).as("nbr_label"))
-          ls.join(nbrMin, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              least(col("label"), coalesce(col("nbr_label"), col("label")))
-                .as("label"),
-              (coalesce(col("nbr_label"), col("label")) < col("label"))
-                .as("moved"))
-        }
-        var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
-        var changed = 1L
-        var iter = 0
-        // min-label propagation needs ≤ diameter supersteps; 64 rounds = 128
-        // supersteps covers any plausible near-dup component. If a
-        // pathological chain still hasn't converged, FAIL rather than return
-        // partial labels — the recursive-CTE oracle computes the full
-        // closure, so a silent early exit would surface only as an
-        // unexplained mismatch at scale.
-        val maxRounds = 64
-        // Staging (not cache) cuts the LOGICAL plan at the stage boundary —
-        // the Pregel checkpoint posture, same per-round scratch write as
-        // q117: cache only truncates execution, so the plan tree still
-        // quadrupled per round (each superstep references `labels` twice)
-        // and the driver OOMed rendering it at the unbounded 10× rehearsal
-        // before any executor ran short of memory. stageEvery stays 1:
-        // a >1 setting makes every lazy round's convergence count EXECUTE
-        // its supersteps and then the next staged round recompute them
-        // inside its deeper plan — idle A/B at local[32] sf0.1 measured
-        // stageEvery=2 at 6.40 s vs 3.41 s for stage-every-round (r7
-        // build), a 1.9× regression, so the halved scratch-write count
-        // never pays for the duplicated execution.
-        val stagingOff =
-          s.conf.getOption("graft.staging.disable").contains("true")
-        val stageEvery =
-          s.conf.getOption("graft.cc.stageEvery").map(_.toInt).getOrElse(1)
-        while (changed > 0 && iter < maxRounds) {
-          // two supersteps per scheduler round trip; the fixpoint test is
-          // sound on the SECOND step alone (if it moved nothing, the first
-          // step's output was already stable). Measured: three supersteps
-          // per round is ~2.5× SLOWER — the deeper per-round plan costs
-          // more in codegen/planning than the saved actions. Each round is
-          // ONE job: staged rounds fuse the convergence check into the
-          // scratch write via observe() (the mover count arrives as an
-          // observed metric of the write job itself — no second action
-          // over the staged output); lazy rounds get it from the count
-          // action that is anyway their only execution.
-          val cur = propagate(propagate(labels).drop("moved"))
-          if (!stagingOff && iter % stageEvery == stageEvery - 1) {
-            Observed.ensureListener(s)
-            val obs = Observed.freshName("q86_conv")
-            val staged = Staging.stage(
-              cur.observe(obs,
-                coalesce(sum(when(col("moved"), 1L).otherwise(0L)), lit(0L))
-                  .as("moved_n")),
-              s"q86_labels_r$iter")
-            changed = Observed.take(obs).getAs[Long]("moved_n")
-            labels = staged.drop("moved")
-          } else {
-            changed = cur.filter(col("moved")).count()
-            labels = cur.drop("moved")
-          }
-          iter += 1
-        }
-        edges.unpersist()
-        if (changed > 0)
-          throw new IllegalStateException(
-            s"connected-components did not converge after $maxRounds rounds " +
-              "(component diameter > " + (2 * maxRounds) + ")")
-        labels.select(col("doc_id"), col("label").as("cluster"))
-          .orderBy(col("doc_id"))
-      },
+      (s, dir) =>
+        clusterAssign(fixtureBound(t(s, dir, "documents"), "doc_id", 200))
+          .orderBy(col("doc_id")),
       Some("""WITH RECURSIVE w AS (
           SELECT doc_id, list_distinct(str_split(rtrim(lower(text), ' '), ' ')) AS words
           FROM documents WHERE doc_id < 200),
@@ -957,6 +969,65 @@ object Dedup extends QueryModule {
           SELECT r.node, e.dst FROM r JOIN ebi e ON e.src = r.reached)
         SELECT node AS doc_id, min(reached) AS cluster
         FROM r GROUP BY node ORDER BY doc_id""")),
+
+    // ---- Cluster SURVIVOR selection — the step that actually dedups a
+    //      corpus after clustering: per connected component keep ONE doc,
+    //      chosen by quality (token count here; any score column slots in)
+    //      with doc_id as the deterministic tie-break. Composes the public
+    //      clusterAssign with a single groupBy — max_by over a
+    //      (quality, -doc_id) struct is one shuffle on the cluster key,
+    //      no window, no second pass over text.
+    QueryDef(
+      "q126_survivor_select",
+      (s, dir) => {
+        val docs = fixtureBound(t(s, dir, "documents"), "doc_id", 200)
+        docs.selectExpr("doc_id", "size(split(text, ' ')) AS n_tokens")
+          .join(clusterAssign(docs), Seq("doc_id"))
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_members"),
+            expr("max_by(doc_id, struct(n_tokens, -doc_id))").as("survivor_id"),
+            max(col("n_tokens")).as("max_tokens"))
+          .orderBy(col("cluster"))
+      },
+      Some("""WITH RECURSIVE w AS (
+          SELECT doc_id, list_distinct(str_split(rtrim(lower(text), ' '), ' ')) AS words
+          FROM documents WHERE doc_id < 200),
+        sig AS (
+          SELECT doc_id,
+                 list_transform(range(0, 16),
+                   i -> list_min(list_transform(words,
+                          w2 -> CAST(('0x' || substr(md5(i || ':' || w2), 1, 8)) AS BIGINT)))) AS s
+          FROM w),
+        bands AS (
+          SELECT doc_id, unnest(range(0, 2)) AS band,
+                 unnest(list_transform(range(0, 2),
+                        j -> md5(array_to_string(s[j*8+1:j*8+8], ',')))) AS bh
+          FROM sig),
+        p AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        ebi AS (SELECT a_id AS src, b_id AS dst FROM p
+                UNION ALL SELECT b_id, a_id FROM p),
+        r(node, reached) AS (
+          SELECT doc_id, doc_id FROM w
+          UNION
+          SELECT r.node, e.dst FROM r JOIN ebi e ON e.src = r.reached),
+        cl AS (SELECT node AS doc_id, min(reached) AS cluster
+               FROM r GROUP BY node),
+        tok AS (SELECT doc_id, len(str_split(rtrim(text, ' '), ' ')) AS n_tokens
+                FROM documents WHERE doc_id < 200),
+        j AS (SELECT cl.cluster, cl.doc_id, tok.n_tokens
+              FROM cl JOIN tok USING (doc_id)),
+        agg AS (SELECT cluster, count(*) AS n_members,
+                       max(n_tokens) AS max_tokens
+                FROM j GROUP BY cluster),
+        sv AS (SELECT cluster, doc_id AS survivor_id FROM j
+               QUALIFY row_number() OVER (PARTITION BY cluster
+                 ORDER BY n_tokens DESC, doc_id) = 1)
+        SELECT a.cluster, n_members, survivor_id, max_tokens
+        FROM agg a JOIN sv USING (cluster) ORDER BY cluster""")),
 
     // ---- Dedup with a provenance-priority survivor policy (the CCNet /
     //      RefinedWeb pattern: when copies exist across sources, keep the
