@@ -119,6 +119,36 @@ class PlanShapeSpec extends SparkSpec {
       s"q122 bucket cap must be a bounded group limit:\n$p122")
   }
 
+  test("q124: substring scrub — equi-joins only, one coverage window, partial aggs") {
+    val p = plan("q124_substring_scrub")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"dup-start join-back must stay equi:\n$p")
+    // exactly one window operator (the trailing-8 coverage OR)
+    assert("Window \\[".r.findAllIn(p).size == 1, s"expected one window:\n$p")
+    // final per-doc aggregation has a map-side partial
+    assert(p.contains("partial_count") && p.contains("partial_collect_list"),
+      s"reassembly must aggregate partially before the doc shuffle:\n$p")
+  }
+
+  test("q125: verify stage joins candidates back by key, never pairwise-scans text") {
+    val p = plan("q125_lsh_verify")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair verification must be keyed joins:\n$p")
+    // the candidate cap's WindowGroupLimit survives composition
+    assert(p.contains("row_number(), 10, Partial"),
+      s"capped candidate generation lost its pre-shuffle bound:\n$p")
+  }
+
+  test("q126: survivor selection is one groupBy, no window over members") {
+    val df = run("q126_survivor_select")
+    df.collect() // finalize AQE so the executed plan is the real one
+    val p = df.queryExecution.executedPlan.toString
+    // max_by composes into the aggregate — no per-cluster window pass
+    assert(!p.contains("RunningWindowFunction") &&
+      "max_by".r.findAllIn(p).nonEmpty,
+      s"survivor pick must ride the aggregate, not a window:\n$p")
+  }
+
   test("q01: aggregation splits into partial + final HashAggregate") {
     val p = plan("q01_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial/final split:\n$p")
