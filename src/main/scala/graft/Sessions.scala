@@ -98,6 +98,11 @@ object Sessions {
     // nanosAsLong (runtime-mutable conf; never flips an explicit 'false')
     if (spark.conf.get("spark.sql.ansi.enabled", "true").toBoolean)
       spark.conf.set("spark.sql.ansi.enabled", "false")
+    // every timestamp oracle (hour buckets, interval joins, streaming
+    // windows vs DuckDB's naive time) assumes UTC; a foreign session
+    // inheriting the JVM default timezone would shift buckets silently
+    if (spark.conf.get("spark.sql.session.timeZone", "") != "UTC")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
     val reg = spark.sessionState.functionRegistry
     functions.GraftFunctions.registrations.foreach { case (ident, info, builder) =>
       // names in overridesBuiltin exist in every registry (they shadow a
