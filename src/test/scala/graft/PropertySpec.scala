@@ -336,4 +336,44 @@ class PropertySpec extends SparkSpec {
       assert(FreqItemsKernel.finish(withZero) == FreqItemsKernel.finish(st))
     }
   }
+
+  test("WAV encode/decode round trip: arbitrary payload, rate, channels") {
+    import graft.operators.MediaCodec
+    val payloadGen = Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+    val rateGen = Gen.oneOf(8000, 11025, 16000, 22050, 44100)
+    val chGen = Gen.oneOf(1, 2, 4)
+    (1 to 100).foreach { s =>
+      val payload = sample(payloadGen, s).map(_.toByte).toArray
+      val rate = sample(rateGen, s)
+      val ch = sample(chGen, s)
+      val st = MediaCodec.decodeAudio(s.toLong,
+        MediaCodec.encodeWav(payload, rate, ch))
+      val padded = payload.length + (ch - payload.length % ch) % ch
+      assert(st.sample_rate == rate && st.channels == ch && st.bits == 8,
+        s"seed=$s header facts")
+      assert(st.n_frames == padded / ch, s"seed=$s frame count")
+      val amps = payload.map(_ & 0xFF) ++ Array.fill(padded - payload.length)(0)
+      if (amps.nonEmpty) {
+        assert(st.min_amp == amps.min && st.max_amp == amps.max, s"seed=$s extrema")
+        assert(st.mean_amp == BigDecimal(amps.sum.toDouble / amps.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s"seed=$s mean")
+      } else assert(st.mean_amp == 0.0 && st.min_amp == 0 && st.max_amp == 0)
+    }
+  }
+
+  test("shingle_md5_pos: slot count and per-slot digests for arbitrary docs") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(t: String): String =
+      md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (1 to 50).foreach { s =>
+      val words = sample(Gen.listOfN(sample(Gen.chooseNum(0, 14), s), word), s)
+      val text = words.mkString(" ")
+      val got = spark.sql(
+        s"SELECT shingle_md5_pos('${text}', 3) AS g").head().getSeq[String](0)
+      val want =
+        if (words.length < 3) Seq.empty
+        else words.sliding(3).map(w => md5hex(w.mkString(" "))).toSeq
+      assert(got == want, s"seed=$s text='$text'")
+    }
+  }
 }
