@@ -398,6 +398,31 @@ object Misc extends QueryModule {
         upper(l_returnflag) AS uc,
         lower(l_linestatus) AS lc
         FROM lineitem WHERE l_orderkey <= 60
-        ORDER BY l_orderkey, l_linenumber, sn, att, neg"""))
+        ORDER BY l_orderkey, l_linenumber, sn, att, neg""")),
+
+    // ---- RCFile interchange (closes the last §7.5 format drop): write the
+    //      reference's columnar container from the executors (one .rc part
+    //      per partition), read it back per-file-parallel, and prove the
+    //      round trip against the parquet oracle — including a null column
+    //      (\N cells) and schema-driven casts. Format re-implemented from
+    //      the documented layout in sources/HiveRCFile (EwahCodec posture);
+    //      RCFileSpec holds the hand-built golden decode.
+    QueryDef(
+      "q127_rcfile_roundtrip",
+      (s, dir) => {
+        val out = sys.props("java.io.tmpdir") + "/graft_rcfile_q127"
+        val src = t(s, dir, "part")
+          .filter(col("p_partkey") <= 300)
+          .select(col("p_partkey"), col("p_name"), col("p_size"),
+            col("p_retailprice"),
+            when(col("p_partkey") % 7 === 0, lit(null))
+              .otherwise(col("p_brand")).as("maybe_brand"))
+        graft.sources.HiveRCFile.write(src, out)
+        graft.sources.HiveRCFile.read(s, out, src.schema)
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey, p_name, p_size, p_retailprice,
+               CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE p_brand END AS maybe_brand
+        FROM part WHERE p_partkey <= 300 ORDER BY p_partkey"""))
   )
 }

@@ -1,0 +1,120 @@
+package graft
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.nio.file.Files
+
+import graft.sources.HiveRCFile
+import org.apache.hadoop.io.Text
+import org.apache.spark.sql.functions._
+
+/** RCFile codec against the documented reference layout (RCFile.java) —
+  * decode checked against a HAND-BUILT golden file (framing ints/vints
+  * written as literal bytes straight from the format spec, so the reader
+  * is tested against the format, not against the writer), plus write/read
+  * round trips covering RLE runs, multi-group files, sync markers, nulls,
+  * and the DataFrame surface.
+  */
+class RCFileSpec extends SparkSpec {
+
+  private def rle(lens: Int*): Array[Byte] = {
+    val b = new ByteArrayOutputStream()
+    HiveRCFile.encodeCellLengths(lens, new DataOutputStream(b))
+    b.toByteArray
+  }
+
+  test("cell-length RLE matches the documented example: 1,1,1,2 -> 1,~2,2") {
+    // single-byte vlongs: 1, ~2 (= -3), 2  (RCFile.java:581-584)
+    assert(rle(1, 1, 1, 2).toSeq === Seq[Byte](1, -3, 2))
+    // no run for non-repeating lengths: 1,2,3 -> 1,2,3
+    assert(rle(1, 2, 3).toSeq === Seq[Byte](1, 2, 3))
+    val back = HiveRCFile.decodeCellLengths(
+      new DataInputStream(new ByteArrayInputStream(rle(5, 5, 5, 5, 7, 1, 1))), 7)
+    assert(back.toSeq === Seq(5, 5, 5, 5, 7, 1, 1))
+  }
+
+  test("golden: a hand-built file from the format spec decodes correctly") {
+    // 1 column, 2 rows: "ab", "c" — every framing value written literally
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.write(Array[Byte]('S', 'E', 'Q', 6))
+    Text.writeString(out, HiveRCFile.KeyClassName)
+    Text.writeString(out, HiveRCFile.ValueClassName)
+    out.writeBoolean(false) // no compression
+    out.writeBoolean(false) // never block-compressed
+    out.writeInt(1)         // metadata: one entry
+    Text.writeString(out, HiveRCFile.ColumnNumberKey)
+    Text.writeString(out, "1")
+    val sync = Array.tabulate[Byte](16)(_.toByte)
+    out.write(sync)
+    // KeyBuffer, all single-byte vlongs: numRows=2 | colDiskLen=3,
+    // uncompressedLen=3, cellLenBufLen=2, cell lens 2,1
+    val key = Array[Byte](2, 3, 3, 2, 2, 1)
+    out.writeInt(key.length + 3) // record length
+    out.writeInt(key.length)     // key length
+    out.writeInt(key.length)     // plain key length (uncompressed)
+    out.write(key)
+    out.write("abc".getBytes("UTF-8")) // column blob: "ab" + "c"
+    val (nc, rows) = HiveRCFile.readFile(bos.toByteArray)
+    assert(nc == 1)
+    val got = rows.map(_.map(new String(_, "UTF-8")).toSeq).toSeq
+    assert(got === Seq(Seq("ab"), Seq("c")))
+  }
+
+  test("file round trip: nulls, empty cells, RLE runs, multiple row groups") {
+    val rows = (0 until 25).map { i =>
+      Seq(s"row$i".getBytes("UTF-8"),
+        (if (i % 5 == 0) HiveRCFile.NullSeq else "x" * (i % 3)).getBytes("UTF-8"))
+    }
+    val bos = new ByteArrayOutputStream()
+    HiveRCFile.writeFile(new DataOutputStream(bos), 2, rows.iterator,
+      groupRows = 4) // 25 rows / 4 per group = 7 records
+    val (nc, back) = HiveRCFile.readFile(bos.toByteArray)
+    assert(nc == 2)
+    val got = back.map(_.map(new String(_, "UTF-8")).toSeq).toSeq
+    assert(got === rows.map(_.map(new String(_, "UTF-8"))))
+  }
+
+  test("sync markers appear past the interval and the reader resyncs") {
+    // enough volume to force sync escapes between records (interval 2000 B)
+    val rows = (0 until 3000).map(i => Seq(s"v$i-${"p" * 20}".getBytes("UTF-8")))
+    val bos = new ByteArrayOutputStream()
+    HiveRCFile.writeFile(new DataOutputStream(bos), 1, rows.iterator,
+      groupRows = 100)
+    val bytes = bos.toByteArray
+    // the escape (int -1) must actually occur in the stream
+    assert((0 until bytes.length - 4).exists(i =>
+      bytes(i) == -1 && bytes(i + 1) == -1 && bytes(i + 2) == -1 && bytes(i + 3) == -1),
+      "no sync escape written in a 3000-row file")
+    val (_, back) = HiveRCFile.readFile(bytes)
+    assert(back.size === 3000)
+  }
+
+  test("DataFrame round trip with schema-driven casts and null cells") {
+    val dir = Files.createTempDirectory("graft-rcfile").toString
+    val src = Tables.load(spark, sfDir, "part")
+      .filter(col("p_partkey") <= 300)
+      .select(col("p_partkey"), col("p_name"), col("p_size"), col("p_retailprice"),
+        when(col("p_partkey") % 7 === 0, lit(null)).otherwise(col("p_brand"))
+          .as("maybe_brand"))
+    HiveRCFile.write(src, dir)
+    val back = HiveRCFile.read(spark, dir, src.schema)
+    val a = src.orderBy("p_partkey").collect()
+    val b = back.orderBy("p_partkey").collect()
+    assert(a.length == b.length && a.length > 0)
+    a.zip(b).foreach { case (x, y) => assert(x === y) }
+    // one .rc part per input partition, from the executors
+    assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(".rc")))
+  }
+
+  test("malformed input fails loudly") {
+    intercept[IllegalArgumentException](
+      HiveRCFile.readFile("not an rcfile at all".getBytes("UTF-8")))
+    // valid SEQ magic but wrong classes (a real SequenceFile, not RCFile)
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.write(Array[Byte]('S', 'E', 'Q', 6))
+    Text.writeString(out, "org.apache.hadoop.io.LongWritable")
+    Text.writeString(out, "org.apache.hadoop.io.Text")
+    intercept[IllegalArgumentException](HiveRCFile.readFile(bos.toByteArray))
+  }
+}
