@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{ByteArrayInputStream, DataInputStream, DataOutputStream, EOFException}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream, EOFException}
 
 import org.apache.hadoop.fs.Path
 import org.apache.hadoop.io.{SequenceFile, Text, WritableUtils}
@@ -19,15 +19,20 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * `SequenceFile.Metadata` — the exact classes the reference calls — so
   * the header and every varint are byte-compatible by construction.
   *
-  * Uncompressed path only (the interchange case); a codec would slot in at
-  * the two column-blob encode/decode points exactly as RCFile.java does.
+  * Both the plain and the compressed path are supported (compression is
+  * the common production setting): the codec named in the header is
+  * instantiated through Hadoop's `CompressionCodec` API — the same classes
+  * the reference writer uses — and applied exactly where RCFile.java does:
+  * the whole key part as one unit, and each column blob independently.
   *
-  * Layout (uncompressed):
-  *   header:  SEQ\x06 | keyClassName | valueClassName | false | false |
+  * Layout:
+  *   header:  SEQ\x06 | keyClassName | valueClassName | compressed? |
+  *            false | [codecClassName if compressed] |
   *            metadata{hive.io.rcfile.column.number=N} | 16 sync bytes
-  *   record:  [int -1 + 16 sync bytes when ≥16 KiB since last sync] |
-  *            int recordLen | int keyLen | int keyLen (plain == compressed) |
-  *            KeyBuffer | column blobs
+  *   record:  [int -1 + 16 sync bytes when ≥2000 B since last sync] |
+  *            int recordLen (= PLAIN key size + on-disk value size) |
+  *            int plainKeyLen | int storedKeyLen (== plainKeyLen when not
+  *            compressed) | key bytes | column blobs
   *   KeyBuffer: vlong numRows | per column: vlong onDiskLen,
   *            vlong uncompressedLen, vlong cellLenBufLen, cell lengths as
   *            RLE vlongs (len, then ~runCount when a length repeats —
@@ -50,6 +55,42 @@ object HiveRCFile {
 
   /** Null cell encoding — LazySimpleSerDe's \N, same as HiveText. */
   val NullSeq = "\\N"
+
+  /** Hadoop's zlib codec — the reference's default compression setting. */
+  val DefaultCodecName = "org.apache.hadoop.io.compress.DefaultCodec"
+
+  private def codecFor(name: String): org.apache.hadoop.io.compress.CompressionCodec = {
+    val c = Class.forName(name).getDeclaredConstructor().newInstance()
+      .asInstanceOf[org.apache.hadoop.io.compress.CompressionCodec]
+    c match {
+      case cfg: org.apache.hadoop.conf.Configurable =>
+        cfg.setConf(new org.apache.hadoop.conf.Configuration())
+      case _ =>
+    }
+    c
+  }
+
+  private def deflate(codec: org.apache.hadoop.io.compress.CompressionCodec,
+      bytes: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val cos = codec.createOutputStream(bos)
+    cos.write(bytes); cos.finish(); cos.close()
+    bos.toByteArray
+  }
+
+  private def inflate(codec: org.apache.hadoop.io.compress.CompressionCodec,
+      bytes: Array[Byte], plainLen: Int): Array[Byte] = {
+    val cin = codec.createInputStream(new ByteArrayInputStream(bytes))
+    val out = new Array[Byte](plainLen)
+    var off = 0
+    while (off < plainLen) {
+      val n = cin.read(out, off, plainLen - off)
+      require(n > 0, s"RCFile: compressed blob ends $off/$plainLen bytes in")
+      off += n
+    }
+    cin.close()
+    out
+  }
 
   // ---- cell-length RLE (RCFile.java:578-634) ----
 
@@ -96,12 +137,15 @@ object HiveRCFile {
     * row-group (the RECORD_INTERVAL analogue).
     */
   def writeFile(out: DataOutputStream, numCols: Int,
-      rows: Iterator[Seq[Array[Byte]]], groupRows: Int = 1000): Unit = {
+      rows: Iterator[Seq[Array[Byte]]], groupRows: Int = 1000,
+      codecName: Option[String] = None): Unit = {
+    val codec = codecName.map(codecFor)
     out.write(Array[Byte]('S', 'E', 'Q', 6))
     Text.writeString(out, KeyClassName)
     Text.writeString(out, ValueClassName)
-    out.writeBoolean(false) // not compressed
+    out.writeBoolean(codec.isDefined)
     out.writeBoolean(false) // never block-compressed (RCFile.java:109)
+    codecName.foreach(Text.writeString(out, _))
     val meta = new SequenceFile.Metadata()
     meta.set(new Text(ColumnNumberKey), new Text(numCols.toString))
     meta.write(out)
@@ -132,26 +176,34 @@ object HiveRCFile {
         encodeCellLengths(colLens(c).result(), new DataOutputStream(b))
         b.toByteArray
       }
+      // on-disk column blobs: compressed per column when a codec is set
+      // (RCFile.java:864-877), plain otherwise
+      val blobs = (0 until numCols).map { c =>
+        val plain = colBytes(c).toByteArray
+        codec.map(deflate(_, plain)).getOrElse(plain)
+      }
       (0 until numCols).foreach { c =>
-        val colLen = colBytes(c).size()
-        WritableUtils.writeVLong(keyOut, colLen.toLong) // on-disk
-        WritableUtils.writeVLong(keyOut, colLen.toLong) // uncompressed ==
+        WritableUtils.writeVLong(keyOut, blobs(c).length.toLong) // on-disk
+        WritableUtils.writeVLong(keyOut, colBytes(c).size().toLong) // plain
         WritableUtils.writeVLong(keyOut, lenBufs(c).length.toLong)
         keyOut.write(lenBufs(c))
       }
       val key = keyBuf.toByteArray
-      val valueLen = (0 until numCols).map(colBytes(_).size()).sum
+      val storedKey = codec.map(deflate(_, key)).getOrElse(key)
+      val valueLen = blobs.map(_.length).sum
       if (sinceSync >= SyncInterval) {
         out.writeInt(SyncEscape)
         out.write(sync)
         sinceSync = 0
       }
+      // recordLen counts the PLAIN key size even when the stored key is
+      // compressed (RCFile.java:888-910)
       out.writeInt(key.length + valueLen)
       out.writeInt(key.length)
-      out.writeInt(key.length) // uncompressed: plain len repeated (RCFile.java:897-899)
-      out.write(key)
-      (0 until numCols).foreach(c => colBytes(c).writeTo(out))
-      sinceSync += 12 + key.length + valueLen
+      out.writeInt(storedKey.length)
+      out.write(storedKey)
+      blobs.foreach(out.write)
+      sinceSync += 12 + storedKey.length + valueLen
     }
     out.flush()
   }
@@ -174,7 +226,7 @@ object HiveRCFile {
       s"not an RCFile: key/value classes $kc / $vc")
     val compressed = in.readBoolean()
     require(!in.readBoolean(), "RCFile is never block-compressed")
-    require(!compressed, "compressed RCFile not supported (uncompressed interchange path)")
+    val codec = if (compressed) Some(codecFor(Text.readString(in))) else None
     val meta = new SequenceFile.Metadata()
     meta.readFields(in)
     val nc = Option(meta.get(new Text(ColumnNumberKey)))
@@ -200,18 +252,21 @@ object HiveRCFile {
       override def hasNext: Boolean = nextLen != -2
       override def next(): Seq[Array[Array[Byte]]] = {
         val recordLen = nextLen
-        val keyLen = in.readInt()
-        val plainKeyLen = in.readInt()
-        require(plainKeyLen == keyLen, "RCFile: compressed key in plain file")
-        val key = new Array[Byte](keyLen)
-        in.readFully(key)
+        val keyLen = in.readInt() // PLAIN key size (even when compressed)
+        val storedKeyLen = in.readInt()
+        if (codec.isEmpty)
+          require(storedKeyLen == keyLen, "RCFile: compressed key in plain file")
+        val storedKey = new Array[Byte](storedKeyLen)
+        in.readFully(storedKey)
+        val key = codec.map(inflate(_, storedKey, keyLen)).getOrElse(storedKey)
         val kin = new DataInputStream(new ByteArrayInputStream(key))
         val numRows = WritableUtils.readVLong(kin).toInt
         val colDiskLen = new Array[Int](nc)
+        val colPlainLen = new Array[Int](nc)
         val cellLens = new Array[Array[Int]](nc)
         (0 until nc).foreach { c =>
           colDiskLen(c) = WritableUtils.readVLong(kin).toInt
-          WritableUtils.readVLong(kin) // uncompressedLen (== diskLen here)
+          colPlainLen(c) = WritableUtils.readVLong(kin).toInt
           val lenBufLen = WritableUtils.readVLong(kin).toInt
           val lenBuf = new Array[Byte](lenBufLen)
           kin.readFully(lenBuf)
@@ -222,8 +277,9 @@ object HiveRCFile {
           s"RCFile: record length $recordLen != key $keyLen + values ${colDiskLen.sum}")
         val rows = Array.fill(numRows)(new Array[Array[Byte]](nc))
         (0 until nc).foreach { c =>
-          val blob = new Array[Byte](colDiskLen(c))
-          in.readFully(blob)
+          val disk = new Array[Byte](colDiskLen(c))
+          in.readFully(disk)
+          val blob = codec.map(inflate(_, disk, colPlainLen(c))).getOrElse(disk)
           var off = 0
           var r = 0
           while (r < numRows) {
@@ -231,8 +287,8 @@ object HiveRCFile {
             off += cellLens(c)(r)
             r += 1
           }
-          require(off == colDiskLen(c),
-            s"RCFile: column $c cells sum to $off, blob is ${colDiskLen(c)}")
+          require(off == blob.length,
+            s"RCFile: column $c cells sum to $off, blob is ${blob.length}")
         }
         nextLen = advance()
         rows.toSeq

@@ -106,6 +106,27 @@ class RCFileSpec extends SparkSpec {
     assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(".rc")))
   }
 
+  test("compressed round trip (DefaultCodec = zlib, the reference's default)") {
+    val rows = (0 until 500).map { i =>
+      Seq(s"key$i".getBytes("UTF-8"),
+        (if (i % 9 == 0) HiveRCFile.NullSeq else s"payload-${i % 7}" * 3)
+          .getBytes("UTF-8"))
+    }
+    val bos = new ByteArrayOutputStream()
+    HiveRCFile.writeFile(new DataOutputStream(bos), 2, rows.iterator,
+      groupRows = 64, codecName = Some(HiveRCFile.DefaultCodecName))
+    val plain = new ByteArrayOutputStream()
+    HiveRCFile.writeFile(new DataOutputStream(plain), 2, rows.iterator,
+      groupRows = 64)
+    // compression actually engaged (repetitive payload compresses well)
+    assert(bos.size() < plain.size() / 2,
+      s"compressed ${bos.size()} vs plain ${plain.size()}")
+    val (nc, back) = HiveRCFile.readFile(bos.toByteArray)
+    assert(nc == 2)
+    assert(back.map(_.map(new String(_, "UTF-8")).toSeq).toSeq ===
+      rows.map(_.map(new String(_, "UTF-8"))))
+  }
+
   test("malformed input fails loudly") {
     intercept[IllegalArgumentException](
       HiveRCFile.readFile("not an rcfile at all".getBytes("UTF-8")))
