@@ -423,6 +423,34 @@ object Misc extends QueryModule {
       },
       Some("""SELECT p_partkey, p_name, p_size, p_retailprice,
                CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE p_brand END AS maybe_brand
-        FROM part WHERE p_partkey <= 300 ORDER BY p_partkey"""))
+        FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""")),
+
+    // ---- SequenceFile PRODUCTION write + key-agnostic read (closes the
+    //      §7.5 "SequenceFile production writer" drop): the reference's
+    //      exact table layout — empty BytesWritable key, LazySimpleSerDe-
+    //      delimited Text value (HiveSequenceFileOutputFormat.java:40-43) —
+    //      written from the executors and read back with schema casts and
+    //      a null column riding the \N sequence.
+    QueryDef(
+      "q128_seqfile_roundtrip",
+      (s, dir) => {
+        val out = sys.props("java.io.tmpdir") + "/graft_seqfile_q128"
+        val src = t(s, dir, "customer")
+          .filter(col("c_custkey") <= 300)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            col("c_acctbal"),
+            when(col("c_custkey") % 5 === 0, lit(null))
+              .otherwise(col("c_mktsegment")).as("seg"))
+        // saveAsNewAPIHadoopFile refuses an existing dir — overwrite by hand
+        val p = new org.apache.hadoop.fs.Path(out)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        graft.sources.HiveSequenceFile.write(src, out)
+        graft.sources.HiveSequenceFile.readTable(s, out, src.schema)
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+               CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END AS seg
+        FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey"""))
   )
 }

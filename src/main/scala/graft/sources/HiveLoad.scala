@@ -69,10 +69,53 @@ object HiveSequenceFile {
         "escape" -> HiveText.NoQuote)).as("r"))
       .select(col("r.*"))
 
-  /** Test-fixture writer (the reference's SequenceFile *writer* path is a
-    * documented drop, SURVEY §7.5; this emits the same (Text, Text) layout
-    * its reader consumes).
+  /** Test-fixture writer (emits the (Text, Text) layout [[readKV]]
+    * consumes).
     */
   def writeKV(df: DataFrame, path: String): Unit =
     df.rdd.map(r => (r.getString(0), r.getString(1))).saveAsSequenceFile(path)
+
+  /** PRODUCTION writer (closes the §7.5 "SequenceFile production writer"
+    * drop, r9): any DataFrame → SequenceFile in the reference's exact table
+    * layout — an EMPTY BytesWritable key and the LazySimpleSerDe-delimited
+    * row as the Text value (ref: ql/io/HiveSequenceFileOutputFormat
+    * .java:40-43 writes `EMPTY_KEY = new BytesWritable()` per record).
+    * Distributed: the encode is a codegen'd projection and the write runs
+    * saveAsNewAPIHadoopFile from the executors. Each column is \N-coalesced
+    * BEFORE concat_ws, which would otherwise silently skip nulls.
+    */
+  def write(df: DataFrame, path: String): Unit = {
+    import org.apache.hadoop.io.{BytesWritable, Text => HText}
+    val cells = df.schema.map(f =>
+      coalesce(col(f.name).cast("string"), lit(HiveText.NullSequence)))
+    df.select(concat_ws(HiveText.FieldDelim, cells: _*).as("v"))
+      .rdd.map(r => (new BytesWritable(), new HText(r.getString(0))))
+      .saveAsNewAPIHadoopFile(path, classOf[BytesWritable], classOf[HText],
+        classOf[org.apache.hadoop.mapreduce.lib.output
+          .SequenceFileOutputFormat[BytesWritable, HText]])
+  }
+
+  /** As [[read]], but key-agnostic: accepts files with ANY key class (the
+    * reference's table files carry BytesWritable keys, the test fixtures
+    * Text) — the InputFormat instantiates whatever the file header names,
+    * and only the Text value is consumed.
+    */
+  def readTable(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    import org.apache.hadoop.io.{Text => HText, Writable}
+    import spark.implicits._
+    val values = spark.sparkContext.newAPIHadoopFile(
+      path,
+      classOf[org.apache.hadoop.mapreduce.lib.input
+        .SequenceFileInputFormat[Writable, HText]],
+      classOf[Writable], classOf[HText])
+      .map(_._2.toString).toDF("value")
+    values
+      .select(from_csv(col("value"), schema, Map(
+        "sep" -> HiveText.FieldDelim,
+        "nullValue" -> HiveText.NullSequence,
+        "emptyValue" -> "",
+        "quote" -> HiveText.NoQuote,
+        "escape" -> HiveText.NoQuote)).as("r"))
+      .select(col("r.*"))
+  }
 }

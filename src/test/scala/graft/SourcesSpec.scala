@@ -105,6 +105,42 @@ class SourcesSpec extends SparkSpec {
     assert(back.collect().toSeq == orig.collect().toSeq)
   }
 
+  test("sequencefile PRODUCTION write: BytesWritable empty key, nulls as \\N, key-agnostic read") {
+    import graft.sources.HiveSequenceFile
+    val dir = Files.createTempDirectory("graft-seqprod").toString + "/t"
+    val src = Tables.load(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"),
+        when(col("n_nationkey") % 4 === 0, lit(null))
+          .otherwise(col("n_regionkey")).as("maybe_region"))
+    HiveSequenceFile.write(src, dir)
+    // the Hive table layout fact: the file header names BytesWritable keys
+    // (HiveSequenceFileOutputFormat.java:40-43) — read the header directly
+    val part = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-")).head
+    val reader = new org.apache.hadoop.io.SequenceFile.Reader(
+      new org.apache.hadoop.conf.Configuration(),
+      org.apache.hadoop.io.SequenceFile.Reader.file(
+        new org.apache.hadoop.fs.Path(part.getAbsolutePath)))
+    try {
+      assert(reader.getKeyClassName == "org.apache.hadoop.io.BytesWritable")
+      assert(reader.getValueClassName == "org.apache.hadoop.io.Text")
+    } finally reader.close()
+    // and the key-agnostic reader round-trips it, nulls intact
+    val back = HiveSequenceFile.readTable(spark, dir, src.schema)
+      .orderBy("n_nationkey")
+    assert(back.collect().toSeq == src.orderBy("n_nationkey").collect().toSeq)
+    assert(back.filter(col("maybe_region").isNull).count() > 0)
+    // readTable also accepts the (Text, Text) fixture layout
+    val tdir = Files.createTempDirectory("graft-seqprod").toString + "/kv"
+    HiveSequenceFile.writeKV(Tables.load(spark, sfDir, "nation")
+      .selectExpr("cast(n_nationkey AS string) AS key",
+        s"concat_ws('${HiveText.FieldDelim}', n_nationkey, n_name) AS value"), tdir)
+    val schema2 = org.apache.spark.sql.types.StructType.fromDDL(
+      "n_nationkey BIGINT, n_name STRING")
+    assert(HiveSequenceFile.readTable(spark, tdir, schema2).count() ==
+      Tables.load(spark, sfDir, "nation").count())
+  }
+
   test("nested collections deeper than one level round trip (8-level separators)") {
     import spark.implicits._
     val df = Seq(
