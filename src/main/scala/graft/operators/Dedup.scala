@@ -74,21 +74,31 @@ object Dedup extends QueryModule {
     * 747 s / α 1.86 / spilling at the 30× rehearsal (SURVEY §6.10). Do not
     * ship it against a corpus.
     */
-  def minhashPairs(docs: org.apache.spark.sql.DataFrame, numHashes: Int = 16,
-      numBands: Int = 2, cap: Option[Int] = None): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Banded MinHash signatures for `docs(doc_id, text)`: one row per
+    * (doc_id, band, bh). Factored out of [[minhashPairs]] (r9) so
+    * incremental admission can stage the EXISTING corpus' bands as a
+    * signature store and hash only the incoming delta.
+    */
+  def minhashBands(docs: org.apache.spark.sql.DataFrame, numHashes: Int = 16,
+      numBands: Int = 2): org.apache.spark.sql.DataFrame = {
     require(numBands >= 1 && numHashes % numBands == 0,
       s"numHashes ($numHashes) must divide into numBands ($numBands)")
-    val s = docs.sparkSession
     val rows = numHashes / numBands
-    val bands = docs
-      .repartition(s.sparkContext.defaultParallelism)
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .selectExpr("doc_id",
         s"minhash_sig(array_distinct(split(lower(text), ' ')), $numHashes) AS sig")
       .selectExpr("doc_id",
         s"""posexplode(transform(sequence(0, ${numBands - 1}),
              j -> md5(array_join(transform(slice(sig, j * $rows + 1, $rows),
                                            v -> cast(v AS string)), ',')))) AS (band, bh)""")
+  }
+
+  def minhashPairs(docs: org.apache.spark.sql.DataFrame, numHashes: Int = 16,
+      numBands: Int = 2, cap: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = docs.sparkSession
+    val bands = minhashBands(docs, numHashes, numBands)
     val c = resolvedCap(s, cap)
     val kept =
       if (c <= 0) bands
@@ -133,6 +143,46 @@ object Dedup extends QueryModule {
       .selectExpr("a_id", "b_id", "n_bands",
         "round(inter / (na + nb - inter), 6) AS jaccard")
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental near-dup ADMISSION — the production delta-dedup shape: a
+    * new batch is admitted against an already-deduped corpus without
+    * re-hashing it. The EXISTING side's band signatures are staged as the
+    * signature store ([[graft.operators.Staging]] — in production this is
+    * the store the last run left behind, reread per delta); only the
+    * INCOMING batch is hashed fresh. An incoming doc is rejected when an
+    * exact-Jaccard-verified candidate pair links it to any earlier doc
+    * (existing, or an earlier member of the same delta — the a_id < b_id
+    * ordering covers both). Candidate buckets on the probe side are capped
+    * like [[minhashPairs]] (deterministic, oracle-replicable); the
+    * incoming side is never capped — every delta doc must be judged.
+    */
+  def incrementalAdmit(existing: org.apache.spark.sql.DataFrame,
+      incoming: org.apache.spark.sql.DataFrame, threshold: Double,
+      cap: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = existing.sparkSession
+    val store = Staging.stage(minhashBands(existing), "sigstore_existing")
+    val inBands = minhashBands(incoming)
+    val probe = store.union(inBands)
+    val c = resolvedCap(s, cap)
+    val kept =
+      if (c <= 0) probe
+      else probe
+        .withColumn("mrk", row_number().over(
+          Window.partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))))
+        .filter(col("mrk") <= c)
+        .select(col("doc_id"), col("band"), col("bh"))
+    val pairs = kept.toDF("a_id", "band", "bh")
+      .join(inBands.toDF("b_id", "band", "bh"), Seq("band", "bh"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_bands"))
+    val corpus = existing.select(col("doc_id"), col("text"))
+      .union(incoming.select(col("doc_id"), col("text")))
+    val rejected = verifyPairs(corpus, pairs, threshold)
+      .select(col("b_id").as("doc_id")).distinct()
+    incoming.join(rejected, Seq("doc_id"), "left_anti")
   }
 
   /** Near-dup CLUSTER assignment (connected components) over
@@ -658,6 +708,59 @@ object Dedup extends QueryModule {
           JOIN w wb ON p.b_id = wb.doc_id)
         SELECT a_id, b_id, n_bands, jaccard FROM v
         WHERE jaccard >= 0.8 ORDER BY a_id, b_id""")),
+
+    // ---- Incremental delta-dedup admission: existing corpus (doc_id <
+    //      150) stays put, its bands live in the staged signature store;
+    //      the incoming batch (150 ≤ doc_id < 250) is admitted only when no
+    //      verified near-dup links it to an earlier doc. The production
+    //      nightly-delta shape, composed from minhashBands + staging +
+    //      verifyPairs.
+    QueryDef(
+      "q129_incremental_dedup",
+      (s, dir) => {
+        val all = fixtureBound(t(s, dir, "documents"), "doc_id", 250)
+        val existing = all.filter(col("doc_id") < 150)
+        val incoming = all.filter(col("doc_id") >= 150)
+        incrementalAdmit(existing, incoming, 0.8)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (
+          SELECT doc_id, list_distinct(str_split(rtrim(lower(text), ' '), ' ')) AS words
+          FROM documents WHERE doc_id < 250),
+        sig AS (
+          SELECT doc_id,
+                 list_transform(range(0, 16),
+                   i -> list_min(list_transform(words,
+                          w2 -> CAST(('0x' || substr(md5(i || ':' || w2), 1, 8)) AS BIGINT)))) AS s
+          FROM w),
+        bands AS (
+          SELECT doc_id, unnest(range(0, 2)) AS band,
+                 unnest(list_transform(range(0, 2),
+                        j -> md5(array_to_string(s[j*8+1:j*8+8], ',')))) AS bh
+          FROM sig),
+        kept AS (
+          SELECT doc_id, band, bh FROM bands
+          QUALIFY row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) <= 10),
+        pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM kept a JOIN bands b
+            ON a.band = b.band AND a.bh = b.bh
+               AND a.doc_id < b.doc_id AND b.doc_id >= 150
+          GROUP BY 1, 2),
+        v AS (
+          SELECT p.b_id,
+                 round(len(list_intersect(wa.words, wb.words)) * 1.0
+                       / (len(wa.words) + len(wb.words)
+                          - len(list_intersect(wa.words, wb.words))), 6) AS jaccard
+          FROM pairs p
+          JOIN w wa ON p.a_id = wa.doc_id
+          JOIN w wb ON p.b_id = wb.doc_id),
+        rejected AS (SELECT DISTINCT b_id FROM v WHERE jaccard >= 0.8)
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE doc_id >= 150 AND doc_id < 250
+          AND doc_id NOT IN (SELECT b_id FROM rejected)
+        ORDER BY doc_id""")),
 
     // ---- Capped SimHash near-dup — the 30× stress verdict on q53
     //      (α ≈ 1.21 / 108 s, SURVEY §6.10), which compounds TWO
