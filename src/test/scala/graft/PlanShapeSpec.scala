@@ -149,6 +149,19 @@ class PlanShapeSpec extends SparkSpec {
       s"survivor pick must ride the aggregate, not a window:\n$p")
   }
 
+  test("q129: delta admission — keyed joins, capped probe, anti-join rejection") {
+    val p = plan("q129_incremental_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay on the band equi-join:\n$p")
+    assert(p.contains("row_number(), 10, Partial"),
+      s"probe-side bucket cap lost its pre-shuffle bound:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"admission must be an anti-join against the rejected set:\n$p")
+    // the staged signature store is a plain parquet scan, not a recompute
+    assert(p.contains("sigstore_existing"),
+      s"existing-side bands must come from the staged store:\n$p")
+  }
+
   test("q01: aggregation splits into partial + final HashAggregate") {
     val p = plan("q01_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial/final split:\n$p")
