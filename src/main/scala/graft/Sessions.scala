@@ -100,9 +100,15 @@ object Sessions {
       spark.conf.set("spark.sql.ansi.enabled", "false")
     // every timestamp oracle (hour buckets, interval joins, streaming
     // windows vs DuckDB's naive time) assumes UTC; a foreign session
-    // inheriting the JVM default timezone would shift buckets silently
-    if (spark.conf.get("spark.sql.session.timeZone", "") != "UTC")
+    // inheriting the JVM default timezone would shift buckets silently.
+    // Same posture as the nanosAsLong guard (ADVICE r9): only flip when the
+    // session owner never SET a timezone — an explicit non-UTC choice is
+    // respected (and logged, since UTC-assuming oracles will then diverge).
+    if (!spark.sessionState.conf.contains("spark.sql.session.timeZone"))
       spark.conf.set("spark.sql.session.timeZone", "UTC")
+    else if (spark.conf.get("spark.sql.session.timeZone") != "UTC")
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "session timeZone is explicitly non-UTC; graft oracle queries assume UTC")
     val reg = spark.sessionState.functionRegistry
     functions.GraftFunctions.registrations.foreach { case (ident, info, builder) =>
       // names in overridesBuiltin exist in every registry (they shadow a

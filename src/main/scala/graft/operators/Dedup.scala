@@ -80,14 +80,27 @@ object Dedup extends QueryModule {
     * signature store and hash only the incoming delta.
     */
   def minhashBands(docs: org.apache.spark.sql.DataFrame, numHashes: Int = 16,
+      numBands: Int = 2): org.apache.spark.sql.DataFrame =
+    bandsFromWords(
+      wordsOf(docs).repartition(docs.sparkSession.sparkContext.defaultParallelism),
+      numHashes, numBands)
+
+  /** `(doc_id, ws)` word-set projection — the ONLY place admission-side
+    * operators touch `text`; everything downstream (signatures, bands,
+    * exact-Jaccard verification) derives from `ws`, which is what lets a
+    * [[SigStore]] replace the corpus entirely.
+    */
+  def wordsOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.selectExpr("doc_id", "array_distinct(split(lower(text), ' ')) AS ws")
+
+  /** Banded MinHash signatures from a `(doc_id, ws)` word-set frame. */
+  def bandsFromWords(words: org.apache.spark.sql.DataFrame, numHashes: Int = 16,
       numBands: Int = 2): org.apache.spark.sql.DataFrame = {
     require(numBands >= 1 && numHashes % numBands == 0,
       s"numHashes ($numHashes) must divide into numBands ($numBands)")
     val rows = numHashes / numBands
-    docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .selectExpr("doc_id",
-        s"minhash_sig(array_distinct(split(lower(text), ' ')), $numHashes) AS sig")
+    words
+      .selectExpr("doc_id", s"minhash_sig(ws, $numHashes) AS sig")
       .selectExpr("doc_id",
         s"""posexplode(transform(sequence(0, ${numBands - 1}),
              j -> md5(array_join(transform(slice(sig, j * $rows + 1, $rows),
@@ -95,11 +108,19 @@ object Dedup extends QueryModule {
   }
 
   def minhashPairs(docs: org.apache.spark.sql.DataFrame, numHashes: Int = 16,
-      numBands: Int = 2, cap: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+      numBands: Int = 2, cap: Option[Int] = None): org.apache.spark.sql.DataFrame =
+    cappedBandPairs(minhashBands(docs, numHashes, numBands),
+      resolvedCap(docs.sparkSession, cap))
+
+  /** Candidate pairs from a banded signature frame `(doc_id, band, bh)`:
+    * bucket membership capped to the `c` lowest doc_ids (WindowGroupLimit —
+    * bounded BEFORE the shuffle), then the bucket self-join. Shared by
+    * [[minhashPairs]] (bands from raw text) and [[nearDupLifecycle]]
+    * (bands from the staged word store).
+    */
+  private def cappedBandPairs(bands: org.apache.spark.sql.DataFrame,
+      c: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val s = docs.sparkSession
-    val bands = minhashBands(docs, numHashes, numBands)
-    val c = resolvedCap(s, cap)
     val kept =
       if (c <= 0) bands
       else bands
@@ -129,9 +150,16 @@ object Dedup extends QueryModule {
     */
   def verifyPairs(docs: org.apache.spark.sql.DataFrame,
       pairs: org.apache.spark.sql.DataFrame,
+      threshold: Double): org.apache.spark.sql.DataFrame =
+    verifyPairsW(wordsOf(docs), pairs, threshold)
+
+  /** As [[verifyPairs]], over a pre-computed `(doc_id, ws)` frame — the
+    * [[SigStore]] path, where existing word sets come from staged parquet
+    * and the raw text is never rescanned.
+    */
+  def verifyPairsW(words: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame,
       threshold: Double): org.apache.spark.sql.DataFrame = {
-    val words = docs.selectExpr("doc_id",
-      "array_distinct(split(lower(text), ' ')) AS ws")
     pairs
       .join(words.toDF("a_id", "wa"), Seq("a_id"))
       .join(words.toDF("b_id", "wb"), Seq("b_id"))
@@ -145,26 +173,63 @@ object Dedup extends QueryModule {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Incremental near-dup ADMISSION — the production delta-dedup shape: a
-    * new batch is admitted against an already-deduped corpus without
-    * re-hashing it. The EXISTING side's band signatures are staged as the
-    * signature store ([[graft.operators.Staging]] — in production this is
-    * the store the last run left behind, reread per delta); only the
-    * INCOMING batch is hashed fresh. An incoming doc is rejected when an
-    * exact-Jaccard-verified candidate pair links it to any earlier doc
-    * (existing, or an earlier member of the same delta — the a_id < b_id
-    * ordering covers both). Candidate buckets on the probe side are capped
-    * like [[minhashPairs]] (deterministic, oracle-replicable); the
-    * incoming side is never capped — every delta doc must be judged.
+  /** The persisted artifact a delta-dedup run leaves behind for the next
+    * one: staged band signatures + staged word sets for every admitted doc.
+    * Both live as parquet under the staging scratch root (in production, a
+    * table on the shared FS) — admission against a 100 TB corpus reads
+    * THESE, never the corpus text. `name` scopes the staged paths, so
+    * successive deltas chain by overwriting the same store in place
+    * (write-audit-publish makes the in-place update safe: the new store is
+    * fully written before the old one is unlinked).
     */
-  def incrementalAdmit(existing: org.apache.spark.sql.DataFrame,
+  final case class SigStore(name: String,
+      bands: org.apache.spark.sql.DataFrame,
+      words: org.apache.spark.sql.DataFrame)
+
+  /** Bootstrap a [[SigStore]] from a deduped corpus — the ONE full scan of
+    * `docs.text` in the store's lifetime. Words stage first; bands derive
+    * from the staged words, so the text is read exactly once.
+    */
+  def buildSigStore(docs: org.apache.spark.sql.DataFrame, name: String,
+      numHashes: Int = 16, numBands: Int = 2): SigStore = {
+    val words = Staging.stage(
+      wordsOf(docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)),
+      s"${name}_words")
+    val bands = Staging.stage(bandsFromWords(words, numHashes, numBands),
+      s"${name}_bands")
+    SigStore(name, bands, words)
+  }
+
+  /** Incremental near-dup ADMISSION against a pre-staged [[SigStore]] — the
+    * production delta-dedup loop: only the incoming delta is hashed; the
+    * existing corpus is represented ENTIRELY by the store (zero scans of
+    * existing text — IncrementalAdmitSpec pins the executed plan). Returns
+    * `(admitted, updatedStore)`: the updated store carries the admitted
+    * docs' bands+words appended, overwritten in place under the store's
+    * name, so successive deltas chain with no rebuild.
+    *
+    * An incoming doc is rejected when an exact-Jaccard-verified candidate
+    * pair links it to a store doc (ANY id order — a delta doc whose id
+    * happens to sort below an existing near-dup is still rejected; ADVICE
+    * r9) or to an earlier member of the same delta (a_id < b_id keeps
+    * intra-delta rejection deterministic and oracle-replicable). Candidate
+    * buckets on the probe side are capped like [[minhashPairs]]; the
+    * incoming side is never capped — every delta doc must be judged.
+    * Doc ids must be unique across store + delta (append-only corpus ids).
+    */
+  def incrementalAdmit(store: SigStore,
       incoming: org.apache.spark.sql.DataFrame, threshold: Double,
-      cap: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+      cap: Option[Int], numHashes: Int,
+      numBands: Int): (org.apache.spark.sql.DataFrame, SigStore) = {
     import org.apache.spark.sql.expressions.Window
-    val s = existing.sparkSession
-    val store = Staging.stage(minhashBands(existing), "sigstore_existing")
-    val inBands = minhashBands(incoming)
-    val probe = store.union(inBands)
+    val s = incoming.sparkSession
+    // one scan of the delta text; bands derive from the staged delta words
+    val inWords = Staging.stage(
+      wordsOf(incoming.repartition(s.sparkContext.defaultParallelism)),
+      s"${store.name}_delta_words")
+    val inBands = bandsFromWords(inWords, numHashes, numBands)
+    val probe = store.bands.withColumn("origin", lit("E"))
+      .union(inBands.withColumn("origin", lit("I")))
     val c = resolvedCap(s, cap)
     val kept =
       if (c <= 0) probe
@@ -172,17 +237,74 @@ object Dedup extends QueryModule {
         .withColumn("mrk", row_number().over(
           Window.partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))))
         .filter(col("mrk") <= c)
-        .select(col("doc_id"), col("band"), col("bh"))
-    val pairs = kept.toDF("a_id", "band", "bh")
+        .select(col("doc_id"), col("band"), col("bh"), col("origin"))
+    val pairs = kept.toDF("a_id", "band", "bh", "origin")
       .join(inBands.toDF("b_id", "band", "bh"), Seq("band", "bh"))
-      .filter(col("a_id") < col("b_id"))
+      // store→delta pairs reject in ANY id order; intra-delta pairs keep
+      // the earlier (lower-id) doc — deterministic, oracle-replicable
+      .filter(when(col("origin") === "E", col("a_id") =!= col("b_id"))
+        .otherwise(col("a_id") < col("b_id")))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_bands"))
-    val corpus = existing.select(col("doc_id"), col("text"))
-      .union(incoming.select(col("doc_id"), col("text")))
-    val rejected = verifyPairs(corpus, pairs, threshold)
-      .select(col("b_id").as("doc_id")).distinct()
-    incoming.join(rejected, Seq("doc_id"), "left_anti")
+    // verification reads word sets only: store words (staged parquet) for
+    // the existing side, delta words for the incoming side
+    val rejected = Staging.stage(
+      verifyPairsW(store.words.union(inWords), pairs, threshold)
+        .select(col("b_id").as("doc_id")).distinct(),
+      s"${store.name}_delta_rejected")
+    val admitted = incoming.join(rejected, Seq("doc_id"), "left_anti")
+    val newWords = Staging.stage(
+      store.words.union(inWords.join(rejected, Seq("doc_id"), "left_anti")),
+      s"${store.name}_words")
+    val newBands = Staging.stage(
+      store.bands.union(inBands.join(rejected, Seq("doc_id"), "left_anti")),
+      s"${store.name}_bands")
+    (admitted, SigStore(store.name, newBands, newWords))
+  }
+
+  /** Convenience bootstrap form (and the q129 oracle surface): builds the
+    * signature store from `existing` — the one-time full-corpus scan that
+    * CREATES the store — then admits through it. Production deltas call the
+    * store overload so the corpus is never re-hashed.
+    */
+  def incrementalAdmit(existing: org.apache.spark.sql.DataFrame,
+      incoming: org.apache.spark.sql.DataFrame, threshold: Double,
+      cap: Option[Int] = None): org.apache.spark.sql.DataFrame =
+    incrementalAdmit(buildSigStore(existing, "sigstore_existing"),
+      incoming, threshold, cap, 16, 2)._1
+
+  /** The FULL batch near-dup lifecycle as one composed operator — what a
+    * user actually ships: capped MinHash-LSH candidates ([[minhashPairs]])
+    * → exact-Jaccard verification ([[verifyPairsW]]) → connected components
+    * over the VERIFIED edges only ([[propagateComponents]]) → per-cluster
+    * survivor selection (q126's max_by shape). Output: one row per cluster
+    * with its size, survivor, and max quality.
+    *
+    * Stage boundaries: words stage once (text read once, all downstream
+    * derives from `ws`); verified edges stage before clustering (the
+    * iterative loop must not re-run candidate generation per superstep).
+    * Versus running the stages separately: one text scan instead of three,
+    * and clustering touches only verified edges — strictly fewer and
+    * cleaner-than-band edges.
+    */
+  def nearDupLifecycle(docs: org.apache.spark.sql.DataFrame,
+      threshold: Double, cap: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    val words = Staging.stage(
+      wordsOf(docs.repartition(s.sparkContext.defaultParallelism)),
+      "lifecycle_words")
+    val cands = cappedBandPairs(bandsFromWords(words), resolvedCap(s, cap))
+    val verified = Staging.stage(
+      verifyPairsW(words, cands, threshold).select(col("a_id"), col("b_id")),
+      "lifecycle_verified")
+    val clusters = propagateComponents(
+      docs.select(col("doc_id")), verified, "lifecycle_labels")
+    docs.selectExpr("doc_id", "size(split(text, ' ')) AS n_tokens")
+      .join(clusters, Seq("doc_id"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        expr("max_by(doc_id, struct(n_tokens, -doc_id))").as("survivor_id"),
+        max(col("n_tokens")).as("max_tokens"))
   }
 
   /** Near-dup CLUSTER assignment (connected components) over
@@ -218,7 +340,22 @@ object Dedup extends QueryModule {
       .join(hubs, Seq("band", "bh"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
-    val edges = pairs
+    propagateComponents(docs.select(col("doc_id")), pairs, "q86_labels")
+  }
+
+  /** Connected-components MIN-LABEL propagation over explicit undirected
+    * edges `pairs(a_id, b_id)` — the superstep loop factored out of
+    * [[clusterAssign]] (r10) so pipelines can cluster over VERIFIED pair
+    * sets (q130 lifecycle: exact-Jaccard-accepted edges), not just raw band
+    * buckets. `ids` is one row per doc (`doc_id`); every doc gets the min
+    * doc_id of its component as `cluster` (singletons label themselves).
+    * `stageName` scopes the per-round staged label checkpoints.
+    */
+  def propagateComponents(ids: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame,
+      stageName: String): org.apache.spark.sql.DataFrame = {
+    val s = ids.sparkSession
+    val edges = pairs.select(col("a_id"), col("b_id"))
       .union(pairs.select(col("b_id"), col("a_id")))
       .toDF("src", "dst").cache()
     // one propagation superstep. The labels table is CORPUS-SIZED (one
@@ -240,7 +377,7 @@ object Dedup extends QueryModule {
           (coalesce(col("nbr_label"), col("label")) < col("label"))
             .as("moved"))
     }
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+    var labels = ids.select(col("doc_id"), col("doc_id").as("label"))
     var changed = 1L
     var iter = 0
     // min-label propagation needs ≤ diameter supersteps; 64 rounds = 128
@@ -280,12 +417,12 @@ object Dedup extends QueryModule {
       val cur = propagate(propagate(labels).drop("moved"))
       if (!stagingOff && iter % stageEvery == stageEvery - 1) {
         Observed.ensureListener(s)
-        val obs = Observed.freshName("q86_conv")
+        val obs = Observed.freshName(s"${stageName}_conv")
         val staged = Staging.stage(
           cur.observe(obs,
             coalesce(sum(when(col("moved"), 1L).otherwise(0L)), lit(0L))
               .as("moved_n")),
-          s"q86_labels_r$iter")
+          s"${stageName}_r$iter")
         changed = Observed.take(obs).getAs[Long]("moved_n")
         labels = staged.drop("moved")
       } else {
@@ -761,6 +898,69 @@ object Dedup extends QueryModule {
         WHERE doc_id >= 150 AND doc_id < 250
           AND doc_id NOT IN (SELECT b_id FROM rejected)
         ORDER BY doc_id""")),
+
+    // ---- The COMPOSED near-dup lifecycle (VERDICT r9 #5): candidates
+    //      (q121's capped generator) → exact-Jaccard verify (q125) →
+    //      connected components over the VERIFIED edges only (q86's
+    //      propagation loop, now over a cleaner edge set) → survivor
+    //      selection (q126's max_by shape) — in ONE query, the plan a user
+    //      actually ships. Note the cluster set differs from q86/q126 by
+    //      design: banding false positives never reach the edge set here.
+    QueryDef(
+      "q130_lifecycle",
+      (s, dir) =>
+        nearDupLifecycle(fixtureBound(t(s, dir, "documents"), "doc_id", 200), 0.8)
+          .orderBy(col("cluster")),
+      Some("""WITH RECURSIVE w AS (
+          SELECT doc_id, list_distinct(str_split(rtrim(lower(text), ' '), ' ')) AS words
+          FROM documents WHERE doc_id < 200),
+        sig AS (
+          SELECT doc_id,
+                 list_transform(range(0, 16),
+                   i -> list_min(list_transform(words,
+                          w2 -> CAST(('0x' || substr(md5(i || ':' || w2), 1, 8)) AS BIGINT)))) AS s
+          FROM w),
+        bands AS (
+          SELECT doc_id, unnest(range(0, 2)) AS band,
+                 unnest(list_transform(range(0, 2),
+                        j -> md5(array_to_string(s[j*8+1:j*8+8], ',')))) AS bh
+          FROM sig),
+        kept AS (
+          SELECT doc_id, band, bh FROM bands
+          QUALIFY row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) <= 10),
+        pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM kept a JOIN kept b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        vp AS (
+          SELECT p.a_id, p.b_id
+          FROM pairs p
+          JOIN w wa ON p.a_id = wa.doc_id
+          JOIN w wb ON p.b_id = wb.doc_id
+          WHERE round(len(list_intersect(wa.words, wb.words)) * 1.0
+                      / (len(wa.words) + len(wb.words)
+                         - len(list_intersect(wa.words, wb.words))), 6) >= 0.8),
+        ebi AS (SELECT a_id AS src, b_id AS dst FROM vp
+                UNION ALL SELECT b_id, a_id FROM vp),
+        r(node, reached) AS (
+          SELECT doc_id, doc_id FROM w
+          UNION
+          SELECT r.node, e.dst FROM r JOIN ebi e ON e.src = r.reached),
+        cl AS (SELECT node AS doc_id, min(reached) AS cluster
+               FROM r GROUP BY node),
+        tok AS (SELECT doc_id, len(str_split(rtrim(text, ' '), ' ')) AS n_tokens
+                FROM documents WHERE doc_id < 200),
+        j AS (SELECT cl.cluster, cl.doc_id, tok.n_tokens
+              FROM cl JOIN tok USING (doc_id)),
+        agg AS (SELECT cluster, count(*) AS n_members,
+                       max(n_tokens) AS max_tokens
+                FROM j GROUP BY cluster),
+        sv AS (SELECT cluster, doc_id AS survivor_id FROM j
+               QUALIFY row_number() OVER (PARTITION BY cluster
+                 ORDER BY n_tokens DESC, doc_id) = 1)
+        SELECT a.cluster, n_members, survivor_id, max_tokens
+        FROM agg a JOIN sv USING (cluster) ORDER BY cluster""")),
 
     // ---- Capped SimHash near-dup — the 30× stress verdict on q53
     //      (α ≈ 1.21 / 108 s, SURVEY §6.10), which compounds TWO

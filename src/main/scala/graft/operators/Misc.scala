@@ -441,11 +441,7 @@ object Misc extends QueryModule {
             col("c_acctbal"),
             when(col("c_custkey") % 5 === 0, lit(null))
               .otherwise(col("c_mktsegment")).as("seg"))
-        // saveAsNewAPIHadoopFile refuses an existing dir — overwrite by hand
-        val p = new org.apache.hadoop.fs.Path(out)
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) fs.delete(p, true)
-        graft.sources.HiveSequenceFile.write(src, out)
+        graft.sources.HiveSequenceFile.write(src, out) // write() overwrites
         graft.sources.HiveSequenceFile.readTable(s, out, src.schema)
           .orderBy(col("c_custkey"))
       },

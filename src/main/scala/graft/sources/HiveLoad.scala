@@ -86,6 +86,12 @@ object HiveSequenceFile {
     */
   def write(df: DataFrame, path: String): Unit = {
     import org.apache.hadoop.io.{BytesWritable, Text => HText}
+    // OVERWRITE semantics (ADVICE r9): saveAsNewAPIHadoopFile refuses an
+    // existing dir, so without this every rerun of the writer throws
+    // FileAlreadyExistsException unless the caller remembers to delete
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(target)) fs.delete(target, true)
     val cells = df.schema.map(f =>
       coalesce(col(f.name).cast("string"), lit(HiveText.NullSequence)))
     df.select(concat_ws(HiveText.FieldDelim, cells: _*).as("v"))

@@ -312,6 +312,10 @@ object HiveRCFile {
     val hconf = new org.apache.hadoop.conf.Configuration(
       df.sparkSession.sparkContext.hadoopConfiguration)
     val fs = dir.getFileSystem(hconf)
+    // OVERWRITE semantics (ADVICE r9): a rerun that produces fewer
+    // partitions must not leave stale part files from the previous run —
+    // read()'s *.rc glob would return their rows as duplicates
+    if (fs.exists(dir)) fs.delete(dir, true)
     fs.mkdirs(dir)
     asText.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
       // executor-side: serialize this partition's rows into part-<pid>.rc

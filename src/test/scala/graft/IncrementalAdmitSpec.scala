@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+
+import graft.operators.Dedup
+
+/** The signature-store contract for incremental delta-dedup admission
+  * (VERDICT r9 #1): a delta is admitted against the STORE the last run left
+  * behind — never against the corpus text — and the run returns an updated
+  * store so successive deltas chain. Plus the id-order fix (ADVICE r9): a
+  * delta doc is rejected on ANY verified match to the store, regardless of
+  * whether its id sorts below the existing near-dup's.
+  */
+class IncrementalAdmitSpec extends SparkSpec {
+
+  private def fileScans(p: SparkPlan, needle: String): Int = p match {
+    case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan, needle)
+    case q: QueryStageExec => fileScans(q.plan, needle)
+    case f: FileSourceScanExec =>
+      if (f.relation.location.rootPaths.exists(_.toString.contains(needle))) 1 else 0
+    case other =>
+      (other.children ++ other.subqueries).map(fileScans(_, needle)).sum
+  }
+
+  // deterministic near-dups: a word-PERMUTED copy has the identical distinct
+  // word set, hence the identical minhash signature (all bands agree) and
+  // exact Jaccard 1.0 — no probabilistic banding in the fixture
+  private val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+  private val perm = "juliet india hotel golf foxtrot echo delta charlie bravo alpha"
+  private val other = "kilo lima mike november oscar papa quebec romeo sierra tango"
+  private val third = "uniform victor whiskey xray yankee zulu one two three four"
+
+  private def docs(rows: (Long, String)*): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("admission never reads existing text — the store replaces the corpus") {
+    import spark.implicits._
+    // the existing corpus lives in its own parquet dir so a read of it is
+    // attributable — and DELETABLE: after the store is built, the corpus
+    // dir is removed entirely, so ANY admission-side scan of existing text
+    // (in the verify job, the store update, or the admission plan) would
+    // throw FileNotFound rather than silently pass
+    val corpusDir = sys.props("java.io.tmpdir") + "/spec_admit_corpus"
+    docs(1L -> base, 2L -> other).write.mode("overwrite").parquet(corpusDir)
+    val existing = spark.read.parquet(corpusDir)
+    val store = Dedup.buildSigStore(existing, "spec_admit_store")
+    val p = new org.apache.hadoop.fs.Path(corpusDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+
+    val delta = docs(100L -> perm, 101L -> third) // 100 near-dups doc 1
+    val (admitted, updated) = Dedup.incrementalAdmit(store, delta, 0.8, None, 16, 2)
+    val got = admitted.select($"doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(101L), "the word-permuted copy must be rejected")
+    assert(updated.words.count() == 3, "store update must also run corpus-free")
+
+    // executed-plan pin (StagingSpec's 0-rescan pattern): admission is an
+    // anti-join against the STAGED verdict — no corpus scan, no re-verify
+    val plan = admitted.queryExecution.executedPlan
+    assert(fileScans(plan, "spec_admit_corpus") == 0,
+      s"admission must read the signature store, never the corpus:\n$plan")
+    assert(fileScans(plan, "spec_admit_store_delta_rejected") == 1,
+      s"admission must anti-join the staged rejected set:\n$plan")
+  }
+
+  test("updated store chains: delta 2 is judged against delta 1's admissions") {
+    val store0 = Dedup.buildSigStore(docs(1L -> base), "spec_admit_chain")
+    // delta 1: novel doc 50 admitted, near-dup of doc 1 rejected
+    val (adm1, store1) = Dedup.incrementalAdmit(
+      store0, docs(50L -> other, 51L -> perm), 0.8, None, 16, 2)
+    assert(adm1.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(50L))
+    // delta 2: near-dup of DELTA-1-admitted doc 50 must reject through the
+    // updated store; near-dup of the REJECTED doc 51 must NOT reject (51
+    // never entered the store) unless it also matches an admitted doc —
+    // third is novel, so it admits
+    val permOther = "tango sierra romeo quebec papa oscar november mike lima kilo"
+    val (adm2, store2) = Dedup.incrementalAdmit(
+      store1, docs(60L -> permOther, 61L -> third), 0.8, None, 16, 2)
+    assert(adm2.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(61L),
+      "delta-2's near-dup of a delta-1 admission must be rejected via the updated store")
+    // the store now carries exactly the admitted corpus: 1, 50, 61
+    assert(store2.words.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 50L, 61L))
+  }
+
+  test("a delta doc with a LOWER id than its existing near-dup is still rejected") {
+    // ADVICE r9: the old a_id < b_id rule silently admitted this case
+    val store = Dedup.buildSigStore(docs(500L -> base), "spec_admit_order")
+    val (admitted, _) = Dedup.incrementalAdmit(
+      store, docs(3L -> perm, 4L -> other), 0.8, None, 16, 2)
+    assert(admitted.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(4L),
+      "id order must not decide store-side rejection")
+  }
+}
