@@ -28,7 +28,8 @@ object ScaleRehearsal {
     "q102_decontam", "q103_domain_mix", "q104_semdedup", "q105_kmeans_step",
     "q106_dup_grams", "q114_corpus_pipeline", "q116_semdedup_staged",
     "q117_kmeans_iterated", "q121_minhash_capped", "q122_simhash_capped",
-    "q124_substring_scrub")
+    "q124_substring_scrub", "q127_rcfile_roundtrip", "q128_seqfile_roundtrip",
+    "q129_incremental_dedup", "q130_lifecycle")
 
   def main(args: Array[String]): Unit = {
     val sf1 = args(0)
@@ -66,6 +67,22 @@ object ScaleRehearsal {
         "label")
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // part + customer feed the format round-trip queries (q127/q128):
+    // plain key-shifted replication — the writers only care about volume
+    val part = Tables.load(spark, sf1, "part")
+    val nParts = part.selectExpr("max(p_partkey)").head().getLong(0) + 1
+    part.crossJoin(reps)
+      .selectExpr(Seq(s"p_partkey + k * ${nParts}L AS p_partkey") ++
+        part.columns.filter(_ != "p_partkey"): _*)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
+    val cust = Tables.load(spark, sf1, "customer")
+    val nCust = cust.selectExpr("max(c_custkey)").head().getLong(0) + 1
+    cust.crossJoin(reps)
+      .selectExpr(Seq(s"c_custkey + k * ${nCust}L AS c_custkey") ++
+        cust.columns.filter(_ != "c_custkey"): _*)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
 
     // ---- time each query at 1× and 10× (min of 2; noop sink) ----
     // a trailing `!unstaged` on a query name times the same query with

@@ -182,23 +182,61 @@ object Dedup extends QueryModule {
     * (write-audit-publish makes the in-place update safe: the new store is
     * fully written before the old one is unlinked).
     */
+  /** `epoch` numbers the admission calls chained through this store: each
+    * delta's scratch artifacts (delta words, rejected verdict) stage under
+    * epoch-scoped names, so the NEXT admit on the chain never clobbers
+    * files a still-lazy `admitted` result from the PREVIOUS admit reads
+    * (the q131 composition consumes both deltas' admissions at the end).
+    * The store's own words/bands DO overwrite in place by design — always
+    * read the store through the most recently returned SigStore.
+    */
   final case class SigStore(name: String,
       bands: org.apache.spark.sql.DataFrame,
-      words: org.apache.spark.sql.DataFrame)
+      words: org.apache.spark.sql.DataFrame,
+      baseDir: Option[String] = None,
+      epoch: Long = 0L)
+
+  /** Store placement: the app-scoped staging scratch by default (tests,
+    * single-run pipelines), or a caller-owned DURABLE directory when
+    * `baseDir` is set — the production posture, since a store that
+    * evaporates with the application defeats "the store the last run left
+    * behind". [[loadSigStore]] reattaches to a durable store in a later
+    * application.
+    */
+  private def stageStore(df: org.apache.spark.sql.DataFrame, name: String,
+      baseDir: Option[String]): org.apache.spark.sql.DataFrame =
+    baseDir match {
+      case Some(b) => Staging.stageAt(df, s"$b/$name")
+      case None => Staging.stage(df, name)
+    }
 
   /** Bootstrap a [[SigStore]] from a deduped corpus — the ONE full scan of
     * `docs.text` in the store's lifetime. Words stage first; bands derive
     * from the staged words, so the text is read exactly once.
     */
   def buildSigStore(docs: org.apache.spark.sql.DataFrame, name: String,
-      numHashes: Int = 16, numBands: Int = 2): SigStore = {
-    val words = Staging.stage(
+      numHashes: Int = 16, numBands: Int = 2,
+      baseDir: Option[String] = None): SigStore = {
+    val words = stageStore(
       wordsOf(docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)),
-      s"${name}_words")
-    val bands = Staging.stage(bandsFromWords(words, numHashes, numBands),
-      s"${name}_bands")
-    SigStore(name, bands, words)
+      s"${name}_words", baseDir)
+    val bands = stageStore(bandsFromWords(words, numHashes, numBands),
+      s"${name}_bands", baseDir)
+    SigStore(name, bands, words, baseDir)
   }
+
+  /** Reattach to a DURABLE [[SigStore]] a previous application left at
+    * `baseDir` — the restart half of the production delta loop: bootstrap
+    * once with `buildSigStore(..., baseDir = Some(dir))`, then every later
+    * run loads the store, admits its delta, and the updated store is
+    * already published back to the same dir.
+    */
+  def loadSigStore(spark: org.apache.spark.sql.SparkSession, name: String,
+      baseDir: String): SigStore =
+    SigStore(name,
+      spark.read.parquet(s"$baseDir/${name}_bands"),
+      spark.read.parquet(s"$baseDir/${name}_words"),
+      Some(baseDir))
 
   /** Incremental near-dup ADMISSION against a pre-staged [[SigStore]] — the
     * production delta-dedup loop: only the incoming delta is hashed; the
@@ -217,20 +255,20 @@ object Dedup extends QueryModule {
     * incoming side is never capped — every delta doc must be judged.
     * Doc ids must be unique across store + delta (append-only corpus ids).
     */
-  def incrementalAdmit(store: SigStore,
-      incoming: org.apache.spark.sql.DataFrame, threshold: Double,
-      cap: Option[Int], numHashes: Int,
-      numBands: Int): (org.apache.spark.sql.DataFrame, SigStore) = {
+  /** The candidate-pair stage of admission, exposed for the executed-plan
+    * pin (PlanShapeSpec: WindowGroupLimit bounds probe buckets BEFORE the
+    * shuffle; the kept→delta join stays a band equi-join). `probe` buckets
+    * are capped to the `c` lowest doc_ids; store→delta pairs reject in ANY
+    * id order (ADVICE r9 — a delta doc whose id sorts below its existing
+    * near-dup is still rejected) while a_id < b_id orders intra-delta
+    * pairs — deterministic, oracle-replicable.
+    */
+  private[graft] def admissionPairs(storeBands: org.apache.spark.sql.DataFrame,
+      inBands: org.apache.spark.sql.DataFrame,
+      c: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val s = incoming.sparkSession
-    // one scan of the delta text; bands derive from the staged delta words
-    val inWords = Staging.stage(
-      wordsOf(incoming.repartition(s.sparkContext.defaultParallelism)),
-      s"${store.name}_delta_words")
-    val inBands = bandsFromWords(inWords, numHashes, numBands)
-    val probe = store.bands.withColumn("origin", lit("E"))
+    val probe = storeBands.withColumn("origin", lit("E"))
       .union(inBands.withColumn("origin", lit("I")))
-    val c = resolvedCap(s, cap)
     val kept =
       if (c <= 0) probe
       else probe
@@ -238,28 +276,43 @@ object Dedup extends QueryModule {
           Window.partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))))
         .filter(col("mrk") <= c)
         .select(col("doc_id"), col("band"), col("bh"), col("origin"))
-    val pairs = kept.toDF("a_id", "band", "bh", "origin")
+    kept.toDF("a_id", "band", "bh", "origin")
       .join(inBands.toDF("b_id", "band", "bh"), Seq("band", "bh"))
-      // store→delta pairs reject in ANY id order; intra-delta pairs keep
-      // the earlier (lower-id) doc — deterministic, oracle-replicable
       .filter(when(col("origin") === "E", col("a_id") =!= col("b_id"))
         .otherwise(col("a_id") < col("b_id")))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_bands"))
+  }
+
+  def incrementalAdmit(store: SigStore,
+      incoming: org.apache.spark.sql.DataFrame, threshold: Double,
+      cap: Option[Int], numHashes: Int,
+      numBands: Int): (org.apache.spark.sql.DataFrame, SigStore) = {
+    val s = incoming.sparkSession
+    // delta scratch names are EPOCH-scoped (see SigStore.epoch): the next
+    // admit in the chain must not replace files this call's lazy results read
+    val ep = s"${store.name}_d${store.epoch}"
+    // one scan of the delta text; bands derive from the staged delta words
+    val inWords = stageStore(
+      wordsOf(incoming.repartition(s.sparkContext.defaultParallelism)),
+      s"${ep}_delta_words", store.baseDir)
+    val inBands = bandsFromWords(inWords, numHashes, numBands)
+    val pairs = admissionPairs(store.bands, inBands, resolvedCap(s, cap))
     // verification reads word sets only: store words (staged parquet) for
     // the existing side, delta words for the incoming side
-    val rejected = Staging.stage(
+    val rejected = stageStore(
       verifyPairsW(store.words.union(inWords), pairs, threshold)
         .select(col("b_id").as("doc_id")).distinct(),
-      s"${store.name}_delta_rejected")
+      s"${ep}_delta_rejected", store.baseDir)
     val admitted = incoming.join(rejected, Seq("doc_id"), "left_anti")
-    val newWords = Staging.stage(
+    val newWords = stageStore(
       store.words.union(inWords.join(rejected, Seq("doc_id"), "left_anti")),
-      s"${store.name}_words")
-    val newBands = Staging.stage(
+      s"${store.name}_words", store.baseDir)
+    val newBands = stageStore(
       store.bands.union(inBands.join(rejected, Seq("doc_id"), "left_anti")),
-      s"${store.name}_bands")
-    (admitted, SigStore(store.name, newBands, newWords))
+      s"${store.name}_bands", store.baseDir)
+    (admitted,
+      SigStore(store.name, newBands, newWords, store.baseDir, store.epoch + 1))
   }
 
   /** Convenience bootstrap form (and the q129 oracle surface): builds the
@@ -961,6 +1014,89 @@ object Dedup extends QueryModule {
                  ORDER BY n_tokens DESC, doc_id) = 1)
         SELECT a.cluster, n_members, survivor_id, max_tokens
         FROM agg a JOIN sv USING (cluster) ORDER BY cluster""")),
+
+    // ---- CHAINED two-delta admission through the signature store (r10):
+    //      the store path itself under the oracle — delta 1 admits against
+    //      the bootstrap store, delta 2 against the UPDATED store, so the
+    //      oracle verifies the chain property end-to-end: a delta-1
+    //      REJECTED doc must not occupy round-2 cap slots or reject
+    //      anything, while delta-1 ADMITTED docs must. Output = everything
+    //      admitted across both deltas.
+    QueryDef(
+      "q131_chained_admission",
+      (s, dir) => {
+        val all = fixtureBound(t(s, dir, "documents"), "doc_id", 300)
+        val existing = all.filter(col("doc_id") < 100)
+        val d1 = all.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+        val d2 = all.filter(col("doc_id") >= 200)
+        val store0 = buildSigStore(existing, "sigstore_chain")
+        val (a1, store1) = incrementalAdmit(store0, d1, 0.8, None, 16, 2)
+        val (a2, _) = incrementalAdmit(store1, d2, 0.8, None, 16, 2)
+        a1.union(a2).select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (
+          SELECT doc_id, list_distinct(str_split(rtrim(lower(text), ' '), ' ')) AS words
+          FROM documents WHERE doc_id < 300),
+        sig AS (
+          SELECT doc_id,
+                 list_transform(range(0, 16),
+                   i -> list_min(list_transform(words,
+                          w2 -> CAST(('0x' || substr(md5(i || ':' || w2), 1, 8)) AS BIGINT)))) AS s
+          FROM w),
+        bands AS (
+          SELECT doc_id, unnest(range(0, 2)) AS band,
+                 unnest(list_transform(range(0, 2),
+                        j -> md5(array_to_string(s[j*8+1:j*8+8], ',')))) AS bh
+          FROM sig),
+        kept1 AS (
+          SELECT doc_id, band, bh FROM bands WHERE doc_id < 200
+          QUALIFY row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) <= 10),
+        pairs1 AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM kept1 a JOIN bands b
+            ON a.band = b.band AND a.bh = b.bh
+               AND b.doc_id >= 100 AND b.doc_id < 200 AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        rej1 AS (
+          SELECT DISTINCT p.b_id FROM pairs1 p
+          JOIN w wa ON p.a_id = wa.doc_id
+          JOIN w wb ON p.b_id = wb.doc_id
+          WHERE round(len(list_intersect(wa.words, wb.words)) * 1.0
+                      / (len(wa.words) + len(wb.words)
+                         - len(list_intersect(wa.words, wb.words))), 6) >= 0.8),
+        adm1 AS (
+          SELECT doc_id FROM w
+          WHERE doc_id >= 100 AND doc_id < 200
+            AND doc_id NOT IN (SELECT b_id FROM rej1)),
+        store2 AS (
+          SELECT doc_id FROM w WHERE doc_id < 100
+          UNION ALL SELECT doc_id FROM adm1),
+        probe2 AS (
+          SELECT b.doc_id, b.band, b.bh FROM bands b JOIN store2 USING (doc_id)
+          UNION ALL
+          SELECT doc_id, band, bh FROM bands WHERE doc_id >= 200),
+        kept2 AS (
+          SELECT doc_id, band, bh FROM probe2
+          QUALIFY row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) <= 10),
+        pairs2 AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM kept2 a JOIN bands b
+            ON a.band = b.band AND a.bh = b.bh
+               AND b.doc_id >= 200 AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        rej2 AS (
+          SELECT DISTINCT p.b_id FROM pairs2 p
+          JOIN w wa ON p.a_id = wa.doc_id
+          JOIN w wb ON p.b_id = wb.doc_id
+          WHERE round(len(list_intersect(wa.words, wb.words)) * 1.0
+                      / (len(wa.words) + len(wb.words)
+                         - len(list_intersect(wa.words, wb.words))), 6) >= 0.8)
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE (doc_id IN (SELECT doc_id FROM adm1))
+           OR (doc_id >= 200 AND doc_id < 300
+               AND doc_id NOT IN (SELECT b_id FROM rej2))
+        ORDER BY doc_id""")),
 
     // ---- Capped SimHash near-dup — the 30× stress verdict on q53
     //      (α ≈ 1.21 / 108 s, SURVEY §6.10), which compounds TWO

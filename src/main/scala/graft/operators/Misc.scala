@@ -411,8 +411,7 @@ object Misc extends QueryModule {
       "q127_rcfile_roundtrip",
       (s, dir) => {
         val out = sys.props("java.io.tmpdir") + "/graft_rcfile_q127"
-        val src = t(s, dir, "part")
-          .filter(col("p_partkey") <= 300)
+        val src = fixtureBound(t(s, dir, "part"), "p_partkey", 301)
           .select(col("p_partkey"), col("p_name"), col("p_size"),
             col("p_retailprice"),
             when(col("p_partkey") % 7 === 0, lit(null))
@@ -435,8 +434,7 @@ object Misc extends QueryModule {
       "q128_seqfile_roundtrip",
       (s, dir) => {
         val out = sys.props("java.io.tmpdir") + "/graft_seqfile_q128"
-        val src = t(s, dir, "customer")
-          .filter(col("c_custkey") <= 300)
+        val src = fixtureBound(t(s, dir, "customer"), "c_custkey", 301)
           .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
             col("c_acctbal"),
             when(col("c_custkey") % 5 === 0, lit(null))

@@ -79,8 +79,22 @@ object Staging {
     if (spark.conf.getOption("graft.staging.disable").contains("true"))
       return df
     registerCleanup(spark)
-    val target = new Path(scratchRoot(spark), name)
-    val tmp = new Path(scratchRoot(spark), name + "__stage_tmp")
+    publish(df, new Path(scratchRoot(spark), name))
+  }
+
+  /** As [[stage]], to an explicit DURABLE directory: no app-scoped scratch
+    * prefix, no application-end cleanup — the path for artifacts meant to
+    * OUTLIVE the Spark application that wrote them (the delta-dedup
+    * signature store between nightly runs). Same write-audit-publish, so
+    * an in-place refresh is safe while the old copy is being read and a
+    * crash mid-write never corrupts the published copy.
+    */
+  def stageAt(df: DataFrame, dir: String): DataFrame =
+    publish(df, new Path(dir))
+
+  private def publish(df: DataFrame, target: Path): DataFrame = {
+    val spark = df.sparkSession
+    val tmp = new Path(target.getParent, target.getName + "__stage_tmp")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val sized =
       if (spark.conf.getOption("graft.staging.rebalance").contains("false")) df
@@ -88,10 +102,11 @@ object Staging {
     sized.write.mode("overwrite").parquet(tmp.toString)
     // audit: the commit marker must exist before the copy becomes readable
     if (!fs.exists(new Path(tmp, "_SUCCESS")))
-      throw new IllegalStateException(s"staging write for $name did not commit")
+      throw new IllegalStateException(
+        s"staging write for ${target.getName} did not commit")
     if (fs.exists(target)) fs.delete(target, true)
     if (!fs.rename(tmp, target))
-      throw new IllegalStateException(s"staging publish failed for $name")
+      throw new IllegalStateException(s"staging publish failed for $target")
     spark.read.parquet(target.toString)
   }
 }

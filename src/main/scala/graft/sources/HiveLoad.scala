@@ -94,7 +94,15 @@ object HiveSequenceFile {
     if (fs.exists(target)) fs.delete(target, true)
     val cells = df.schema.map(f =>
       coalesce(col(f.name).cast("string"), lit(HiveText.NullSequence)))
-    df.select(concat_ws(HiveText.FieldDelim, cells: _*).as("v"))
+    val encoded = df.select(concat_ws(HiveText.FieldDelim, cells: _*).as("v"))
+    // SIZE-AWARE like Staging.stage / HiveRCFile.write: AQE picks the
+    // output file count from runtime stats (REBALANCE), not from whatever
+    // partitioning the input happened to have
+    val sized =
+      if (df.sparkSession.conf.getOption("graft.staging.rebalance").contains("false"))
+        encoded
+      else encoded.hint("REBALANCE")
+    sized
       .rdd.map(r => (new BytesWritable(), new HText(r.getString(0))))
       .saveAsNewAPIHadoopFile(path, classOf[BytesWritable], classOf[HText],
         classOf[org.apache.hadoop.mapreduce.lib.output

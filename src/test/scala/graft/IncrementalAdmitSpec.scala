@@ -61,7 +61,7 @@ class IncrementalAdmitSpec extends SparkSpec {
     val plan = admitted.queryExecution.executedPlan
     assert(fileScans(plan, "spec_admit_corpus") == 0,
       s"admission must read the signature store, never the corpus:\n$plan")
-    assert(fileScans(plan, "spec_admit_store_delta_rejected") == 1,
+    assert(fileScans(plan, "spec_admit_store_d0_delta_rejected") == 1,
       s"admission must anti-join the staged rejected set:\n$plan")
   }
 
@@ -83,6 +83,27 @@ class IncrementalAdmitSpec extends SparkSpec {
     // the store now carries exactly the admitted corpus: 1, 50, 61
     assert(store2.words.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
       == Seq(1L, 50L, 61L))
+  }
+
+  test("durable store: loadSigStore reattaches at a caller-owned path and chains") {
+    // production restart story: the store must OUTLIVE the application, so
+    // it lives at a caller-owned dir (baseDir), not the app-scoped scratch
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigstore").toString
+    Dedup.buildSigStore(docs(1L -> base), "durable_store",
+      baseDir = Some(dir))
+    assert(new java.io.File(dir, "durable_store_bands").isDirectory
+      && new java.io.File(dir, "durable_store_words").isDirectory,
+      "durable store must land at the caller's path, not the scratch root")
+    // a "later run" reattaches by path alone — no docs, no prior DataFrames
+    val reattached = Dedup.loadSigStore(spark, "durable_store", dir)
+    val (adm, _) = Dedup.incrementalAdmit(
+      reattached, docs(10L -> perm, 11L -> other), 0.8, None, 16, 2)
+    assert(adm.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(11L),
+      "admission through a reattached store must reject the stored near-dup")
+    // the UPDATED store is already published back to the same durable dir
+    val next = Dedup.loadSigStore(spark, "durable_store", dir)
+    assert(next.words.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 11L), "the update must persist at the durable path")
   }
 
   test("a delta doc with a LOWER id than its existing near-dup is still rejected") {

@@ -93,4 +93,20 @@ class MediaCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       MediaCodec.decodeAudio(3L, Array[Byte](82, 73, 70, 70, 1, 2, 3)))
   }
+
+  test("video probe: ffprobe pipe when installed, loud documented-drop otherwise") {
+    if (MediaCodec.ffprobeAvailable) {
+      // a WAV container proves the stdin→JSON pipe end-to-end (ffprobe
+      // parses any container it knows; the plug point is format-agnostic)
+      val wav = MediaCodec.encodeWav(Array.tabulate(64)(_.toByte), 8000, 1)
+      val json = MediaCodec.probeVideo(1L, wav)
+      assert(json.contains("format_name"), s"unexpected probe output: $json")
+    } else {
+      val e = intercept[IllegalStateException](
+        MediaCodec.probeVideo(1L, Array[Byte](1, 2, 3)))
+      assert(e.getMessage.contains("ffprobe") &&
+        e.getMessage.contains("documented"),
+        "absence must surface as the documented drop, never a stub result")
+    }
+  }
 }

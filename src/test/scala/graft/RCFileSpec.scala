@@ -127,6 +127,73 @@ class RCFileSpec extends SparkSpec {
       rows.map(_.map(new String(_, "UTF-8"))))
   }
 
+  test("split reads: every split count yields exactly-once records (sync resync)") {
+    // multi-rowgroup file on a real FS path; split boundaries land mid-record,
+    // mid-sync, mid-header — the resync + Hadoop boundary rule must hand every
+    // record to exactly one split
+    val rows = (0 until 3000).map(i => Seq(s"v$i-${"p" * 20}".getBytes("UTF-8")))
+    val bos = new ByteArrayOutputStream()
+    HiveRCFile.writeFile(new DataOutputStream(bos), 1, rows.iterator,
+      groupRows = 100)
+    val bytes = bos.toByteArray
+    val f = Files.createTempFile("graft-rcsplit", ".rc")
+    Files.write(f, bytes)
+    val p = new org.apache.hadoop.fs.Path(f.toString)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val expected = rows.map(_.map(new String(_, "UTF-8")))
+    for (nSplits <- Seq(2, 3, 5, 8, 13)) {
+      val size = (bytes.length + nSplits - 1) / nSplits
+      val parts = (0 until nSplits).map { i =>
+        HiveRCFile.readSplit(fs, p, i.toLong * size,
+          math.min(bytes.length.toLong, (i + 1).toLong * size))
+          .map(_.map(new String(_, "UTF-8")).toSeq).toSeq
+      }
+      assert(parts.count(_.nonEmpty) >= 2,
+        s"$nSplits splits: work must actually distribute, got ${parts.map(_.size)}")
+      assert(parts.flatten === expected,
+        s"$nSplits splits: records lost, duplicated, or reordered")
+    }
+  }
+
+  test("DataFrame read runs a large file in >=2 input splits, same rows") {
+    val dir = Files.createTempDirectory("graft-rcsplit-df").toString
+    val src = Tables.load(spark, sfDir, "part")
+      .coalesce(1) // ONE .rc file — parallelism must come from splitting it
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+    HiveRCFile.write(src, dir)
+    spark.conf.set("graft.rcfile.splitbytes", "2048")
+    try {
+      val back = HiveRCFile.read(spark, dir, src.schema)
+      assert(back.rdd.getNumPartitions >= 2,
+        "a file many times the split size must read as multiple tasks")
+      val a = src.orderBy("p_partkey").collect()
+      val b = back.orderBy("p_partkey").collect()
+      assert(a.length == b.length && a.length > 0)
+      a.zip(b).foreach { case (x, y) => assert(x === y) }
+    } finally spark.conf.unset("graft.rcfile.splitbytes")
+  }
+
+  test("write is size-aware and overwrites: slivers coalesce, stale parts go") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-rc-sized").toString
+    val frag = (1 to 5000).toDF("id").repartition(32) // tiny rows fanned wide
+    spark.conf.set("graft.staging.rebalance", "false")
+    try {
+      HiveRCFile.write(frag, dir) // input partitioning preserved on opt-out
+      assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".rc")) == 32)
+    } finally spark.conf.unset("graft.staging.rebalance")
+    HiveRCFile.write(frag, dir) // REBALANCE default: AQE sizes the output
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".rc"))
+    assert(parts.length == 1,
+      s"5000 ints are far below the advisory partition size: one part, not ${parts.length}")
+    // overwrite semantics (ADVICE r9): the 32 stale parts are gone, and the
+    // read sees exactly the latest write
+    assert(HiveRCFile.read(spark, dir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.IntegerType)))).count() == 5000)
+  }
+
   test("malformed input fails loudly") {
     intercept[IllegalArgumentException](
       HiveRCFile.readFile("not an rcfile at all".getBytes("UTF-8")))

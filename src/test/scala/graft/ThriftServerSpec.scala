@@ -124,6 +124,53 @@ class ThriftServerSpec extends SparkSpec {
             assert(dB.next() && dB.getLong(1) == 5)
           } finally stA.execute("DROP TABLE IF EXISTS thrift_shared_t")
         } finally conn2.close()
+
+        // ---- Incremental fetch paging (ref HiveServer.java:69 fetchN —
+        // the paging contract BI tools rely on): a small fetch size forces
+        // the driver through repeated FetchResults round trips; every row
+        // must arrive exactly once, in order, across page boundaries.
+        val pgSt = conn.createStatement()
+        pgSt.setFetchSize(7) // 100 rows / 7 per page = 15 paged round trips
+        val pg = pgSt.executeQuery(
+          "SELECT id FROM range(100) ORDER BY id")
+        var expect = 0L
+        while (pg.next()) {
+          assert(pg.getLong(1) == expect, s"paged fetch lost order at $expect")
+          expect += 1
+        }
+        assert(expect == 100, s"paged fetch must deliver all rows, got $expect")
+
+        // ---- Statement CANCEL, then REUSE the same connection: cancel an
+        // in-flight long scan from another thread (CancelOperation on the
+        // wire), the blocked execute must fail rather than run to
+        // completion, and the session must stay healthy for the next query.
+        val cnSt = conn.createStatement()
+        val canceller = new Thread(() => {
+          // give executeQuery time to submit the operation, then cancel;
+          // retry while the server still reports nothing cancellable
+          var tries = 0
+          while (tries < 20) {
+            Thread.sleep(1000)
+            try { cnSt.cancel(); tries = 20 }
+            catch { case _: Exception => tries += 1 }
+          }
+        })
+        canceller.start()
+        val t0 = System.nanoTime()
+        val cancelled =
+          try {
+            // ~1e12 rows to count: minutes uncancelled, so a fast return
+            // can only mean the cancel took effect
+            cnSt.executeQuery("SELECT count(*) FROM range(1000000000000)")
+            false
+          } catch { case _: java.sql.SQLException => true }
+        canceller.join()
+        assert(cancelled, "cancelled statement must raise, not run to completion")
+        assert(System.nanoTime() - t0 < 120L * 1000 * 1000 * 1000,
+          "cancel must interrupt the scan promptly")
+        val reuse = cnSt.executeQuery("SELECT 7 AS x")
+        assert(reuse.next() && reuse.getInt(1) == 7,
+          "the connection must serve new statements after a cancel")
       } finally conn.close()
     } finally server.stop()
   }
