@@ -18,8 +18,11 @@ import org.apache.spark.sql.SparkSession
   * the bound is the driver-side contract, not a scalability hole; the
   * unbounded paths are INSERT/CTAS, which write distributed.
   *
-  * Deliberate drops vs CliDriver, documented in SURVEY §7.5: `!shell`
-  * escape (arbitrary exec) and dynamic `ADD JAR` classpath surgery.
+  * `dfs` commands run through Hadoop's FsShell in-process (the reference's
+  * DfsProcessor.java), and `ADD JAR`/`LIST JARS` parse natively in Spark
+  * SQL (jar shipped to executors + session resource loader — r10). The one
+  * deliberate drop vs CliDriver, documented in SURVEY §7.5: the `!shell`
+  * escape (arbitrary exec has no place in a library entry point).
   */
 object GraftSql {
 
@@ -80,6 +83,26 @@ object GraftSql {
     val stmt = HiveQl.substituteVars(spark, rawStmt)
     val word = stmt.trim.toLowerCase
     if (word == "quit" || word == "exit") return (false, 0)
+    if (word.startsWith("dfs ")) {
+      // DFS command processor (ref ql/processors/DfsProcessor.java:1 — the
+      // Hive CLI runs `dfs -ls path` etc. through Hadoop's FsShell
+      // in-process). FsShell prints to System.out/err; both are redirected
+      // to the CLI stream for the command's duration so its output lands
+      // with the session's other results. Nonzero shell status surfaces as
+      // a statement failure (per-statement recovery applies, like any
+      // failing query).
+      val argv = stmt.trim.stripSuffix(";").trim.drop(3).trim.split("\\s+")
+      val shell = new org.apache.hadoop.fs.FsShell(
+        spark.sparkContext.hadoopConfiguration)
+      val (oldOut, oldErr) = (System.out, System.err)
+      System.setOut(out); System.setErr(out)
+      val code =
+        try shell.run(argv)
+        finally { System.setOut(oldOut); System.setErr(oldErr); shell.close() }
+      if (code != 0)
+        throw new RuntimeException(s"DFS command failed (exit $code): $stmt")
+      return (true, 0)
+    }
     if (word.startsWith("source ")) {
       val path = stmt.trim.drop(7).trim.stripSuffix(";").trim
       val reader = new BufferedReader(new FileReader(path))

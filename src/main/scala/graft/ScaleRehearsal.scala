@@ -29,7 +29,8 @@ object ScaleRehearsal {
     "q106_dup_grams", "q114_corpus_pipeline", "q116_semdedup_staged",
     "q117_kmeans_iterated", "q121_minhash_capped", "q122_simhash_capped",
     "q124_substring_scrub", "q127_rcfile_roundtrip", "q128_seqfile_roundtrip",
-    "q129_incremental_dedup", "q130_lifecycle")
+    "q129_incremental_dedup", "q130_lifecycle", "q131_chained_admission",
+    "q132_vec_admission")
 
   def main(args: Array[String]): Unit = {
     val sf1 = args(0)

@@ -326,6 +326,100 @@ object Dedup extends QueryModule {
     incrementalAdmit(buildSigStore(existing, "sigstore_existing"),
       incoming, threshold, cap, 16, 2)._1
 
+  // ---- Embedding-side incremental admission (the SemDeDup delta shape) --
+
+  /** The EMBEDDING analogue of [[SigStore]]: broadcast-sized normalized
+    * centroids plus the normalized member vectors per cluster — everything
+    * embedding-space delta admission needs, staged so the existing corpus'
+    * embeddings are never rescanned. Same durable/epoch contract as
+    * [[SigStore]].
+    */
+  final case class VecStore(name: String,
+      centroids: org.apache.spark.sql.DataFrame, // (c_id, ce)
+      members: org.apache.spark.sql.DataFrame, // (vec_id, c_id, ne)
+      baseDir: Option[String] = None,
+      epoch: Long = 0L)
+
+  /** Nearest-centroid assignment by map-side argmax against broadcast
+    * centroids — q104/q116's assignment stage over arbitrary inputs.
+    * `vecs` is `(vec_id, embedding)`; output `(vec_id, c_id, ne)`.
+    */
+  private def assignToCentroids(vecs: org.apache.spark.sql.DataFrame,
+      centroids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    vecs
+      .repartition(vecs.sparkSession.sparkContext.defaultParallelism)
+      .selectExpr("vec_id", "vec_normalize(embedding) AS ne")
+      .crossJoin(broadcast(centroids))
+      .selectExpr("vec_id", "ne", "c_id", "round(vec_dot(ne, ce), 6) AS csim")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("c_id"), col("ne"))
+  }
+
+  /** Bootstrap a [[VecStore]]: centroids (caller-trained, e.g. a staged
+    * k-means round — q105/q117; must be `(c_id, ce)` with `ce` normalized)
+    * plus the existing corpus assigned to them. One scan of the corpus
+    * embeddings, ever.
+    */
+  def buildVecStore(existing: org.apache.spark.sql.DataFrame,
+      centroids: org.apache.spark.sql.DataFrame, name: String,
+      baseDir: Option[String] = None): VecStore = {
+    val cents = stageStore(centroids, s"${name}_centroids", baseDir)
+    val members = stageStore(assignToCentroids(existing, cents),
+      s"${name}_members", baseDir)
+    VecStore(name, cents, members, baseDir)
+  }
+
+  /** Incremental EMBEDDING near-dup admission — SemDeDup's nightly-delta
+    * shape: delta vectors are normalized once, assigned to the store's
+    * broadcast centroids (clusters ARE the candidate buckets, so no
+    * all-pairs anything), and compared by exact cosine against the
+    * cluster's members — store members in ANY id order, earlier delta
+    * members by a_id < b_id, the same admission rule as the text side.
+    * Probe-side cluster membership is capped ([[resolvedCap]], q119's
+    * bound: the `cap` lowest vec_ids per cluster — deterministic, so the
+    * DuckDB oracle replicates the selection); the delta side is never
+    * capped. Returns `(admitted, updatedStore)`; deltas chain exactly like
+    * [[incrementalAdmit]].
+    */
+  def incrementalAdmitVec(store: VecStore,
+      incoming: org.apache.spark.sql.DataFrame, threshold: Double,
+      cap: Option[Int] = None): (org.apache.spark.sql.DataFrame, VecStore) = {
+    import org.apache.spark.sql.expressions.Window
+    val s = incoming.sparkSession
+    val ep = s"${store.name}_d${store.epoch}"
+    val inAssigned = stageStore(assignToCentroids(incoming, store.centroids),
+      s"${ep}_delta_members", store.baseDir)
+    val probe = store.members.withColumn("origin", lit("E"))
+      .union(inAssigned.withColumn("origin", lit("I")))
+    val c = resolvedCap(s, cap)
+    val kept =
+      if (c <= 0) probe
+      else probe
+        .withColumn("mrk", row_number().over(
+          Window.partitionBy(col("c_id")).orderBy(col("vec_id"))))
+        .filter(col("mrk") <= c)
+        .select(col("vec_id"), col("c_id"), col("ne"), col("origin"))
+    val rejected = stageStore(
+      kept.toDF("a_id", "c_id", "na", "origin")
+        .join(inAssigned.toDF("b_id", "c_id", "nb"), Seq("c_id"))
+        .filter(when(col("origin") === "E", col("a_id") =!= col("b_id"))
+          .otherwise(col("a_id") < col("b_id")))
+        .selectExpr("b_id", "round(vec_dot(na, nb), 4) AS sim")
+        .filter(col("sim") >= threshold)
+        .select(col("b_id").as("vec_id")).distinct(),
+      s"${ep}_delta_rejected", store.baseDir)
+    val admitted = incoming.join(rejected, Seq("vec_id"), "left_anti")
+    val newMembers = stageStore(
+      store.members.union(inAssigned.join(rejected, Seq("vec_id"), "left_anti")),
+      s"${store.name}_members", store.baseDir)
+    (admitted,
+      VecStore(store.name, store.centroids, newMembers, store.baseDir,
+        store.epoch + 1))
+  }
+
   /** The FULL batch near-dup lifecycle as one composed operator — what a
     * user actually ships: capped MinHash-LSH candidates ([[minhashPairs]])
     * → exact-Jaccard verification ([[verifyPairsW]]) → connected components
@@ -1097,6 +1191,59 @@ object Dedup extends QueryModule {
            OR (doc_id >= 200 AND doc_id < 300
                AND doc_id NOT IN (SELECT b_id FROM rej2))
         ORDER BY doc_id""")),
+
+    // ---- EMBEDDING-side incremental admission (r10): SemDeDup's
+    //      nightly-delta shape through a VecStore — existing corpus =
+    //      staged centroids + staged assigned members, delta vectors
+    //      normalized once, assigned by broadcast argmax, and judged by
+    //      exact cosine against the (capped) cluster members. The vector
+    //      twin of q129: clusters are the candidate buckets, so admission
+    //      is one c_id equi-join, never all-pairs.
+    QueryDef(
+      "q132_vec_admission",
+      (s, dir) => {
+        val all = fixtureBound(t(s, dir, "embeddings"), "vec_id", 500)
+        val existing = all.filter(col("vec_id") < 300)
+        val incoming = all.filter(col("vec_id") >= 300)
+        val cents = existing.filter(col("vec_id") < 8)
+          .selectExpr("vec_id AS c_id", "vec_normalize(embedding) AS ce")
+        val store = buildVecStore(
+          existing.select(col("vec_id"), col("embedding")), cents,
+          "vecstore_existing")
+        incrementalAdmitVec(store, incoming, 0.40)._1
+          .select(col("vec_id"), col("label")).orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+        eN AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE) /
+                   sqrt(list_sum(list_transform(embedding,
+                     y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS ne
+          FROM e),
+        cents AS (SELECT vec_id AS c_id, ne AS ce FROM eN WHERE vec_id < 8),
+        assigned AS (
+          SELECT vec_id, ne, c_id FROM (
+            SELECT v.vec_id, v.ne, c.c_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY round(list_sum(list_transform(range(1, len(v.ne) + 1),
+                                i -> v.ne[i] * c.ce[i])), 6) DESC,
+                              c.c_id) AS rk
+            FROM eN v CROSS JOIN cents c)
+          WHERE rk = 1),
+        kept AS (
+          SELECT vec_id, ne, c_id FROM assigned
+          QUALIFY row_number() OVER (PARTITION BY c_id ORDER BY vec_id) <= 10),
+        rejected AS (
+          SELECT DISTINCT b.vec_id
+          FROM kept a JOIN assigned b
+            ON a.c_id = b.c_id AND b.vec_id >= 300 AND a.vec_id < b.vec_id
+          WHERE round(list_sum(list_transform(range(1, len(a.ne) + 1),
+                       i -> a.ne[i] * b.ne[i])), 4) >= 0.40)
+        SELECT vec_id, label FROM embeddings
+        WHERE vec_id >= 300 AND vec_id < 500
+          AND vec_id NOT IN (SELECT vec_id FROM rejected)
+        ORDER BY vec_id""")),
 
     // ---- Capped SimHash near-dup — the 30× stress verdict on q53
     //      (α ≈ 1.21 / 108 s, SURVEY §6.10), which compounds TWO

@@ -109,6 +109,33 @@ class CliSpec extends SparkSpec {
     assert(HiveQl.substituteVars(spark, "${env:PATH}") == sys.env("PATH"))
   }
 
+  test("dfs commands run through FsShell; bad ones fail per-statement (r10)") {
+    val dir = Files.createTempDirectory("graft_dfs")
+    Files.writeString(dir.resolve("probe_file.txt"), "x")
+    val (code, outText) = runCli(s"dfs -ls ${dir.toString};")
+    assert(code == 0, outText)
+    assert(outText.contains("probe_file.txt"),
+      s"dfs -ls must list through FsShell:\n$outText")
+    // a failing dfs command is a statement failure, not a session death
+    val (code2, out2) = runCli(
+      s"dfs -ls /definitely/not/a/path_${System.nanoTime()};\nSELECT 'alive' AS v;")
+    assert(code2 == 1 && out2.contains("FAILED") && out2.contains("alive"), out2)
+  }
+
+  test("ADD JAR ships a jar to the session; LIST JARS reports it (r10)") {
+    // a minimal but REAL jar (manifest-only) — ADD JAR validates existence
+    val jar = Files.createTempDirectory("graft_jar").resolve("probe.jar")
+    val jos = new java.util.jar.JarOutputStream(
+      Files.newOutputStream(jar), new java.util.jar.Manifest())
+    jos.close()
+    val (code, outText) = runCli(s"ADD JAR ${jar.toString};\nLIST JARS;")
+    assert(code == 0, outText)
+    assert(outText.contains("probe.jar"),
+      s"LIST JARS must report the added jar:\n$outText")
+    assert(spark.sparkContext.listJars().exists(_.contains("probe.jar")),
+      "the jar must be registered for executor shipping")
+  }
+
   test("a failing statement reports and the loop continues (CliDriver behavior)") {
     val (code, outText) = runCli(
       "SELECT * FROM table_that_does_not_exist_xyz;\nSELECT 'still-alive' AS v;")

@@ -106,6 +106,30 @@ class IncrementalAdmitSpec extends SparkSpec {
       == Seq(1L, 11L), "the update must persist at the durable path")
   }
 
+  test("vector store chains: a delta-1 embedding rejects its delta-2 twin") {
+    import spark.implicits._
+    // axis-aligned embeddings make cosine exact: scaled copies normalize to
+    // the same unit vector (sim 1.0), orthogonal vectors to sim 0.0
+    val ex = Array(1f, 0f, 0f)
+    val ey = Array(0f, 1f, 0f)
+    val ez = Array(0f, 0f, 1f)
+    def vecs(rows: (Long, Array[Float])*) = rows.toDF("vec_id", "embedding")
+    val existing = vecs(0L -> ex, 1L -> ey)
+    val cents = existing.selectExpr("vec_id AS c_id", "vec_normalize(embedding) AS ce")
+    val store0 = Dedup.buildVecStore(existing, cents, "spec_vec_chain")
+    // delta 1: 100 (ez, orthogonal to every member) admits; 101 (scaled ex,
+    // normalizes to member 0's unit vector) rejects
+    val (adm1, store1) = Dedup.incrementalAdmitVec(
+      store0, vecs(100L -> ez, 101L -> Array(2f, 0f, 0f)), 0.9)
+    assert(adm1.select("vec_id").collect().map(_.getLong(0)).toSeq == Seq(100L))
+    // delta 2: 200 is a scaled twin of DELTA-1-admitted 100 — must reject
+    // through the updated store; 201 sits at 45° to everything (sim 0.7071)
+    val (adm2, _) = Dedup.incrementalAdmitVec(
+      store1, vecs(200L -> Array(0f, 0f, 5f), 201L -> Array(1f, 1f, 0f)), 0.9)
+    assert(adm2.select("vec_id").collect().map(_.getLong(0)).toSeq == Seq(201L),
+      "delta-2's twin of a delta-1 admission must reject via the updated store")
+  }
+
   test("a delta doc with a LOWER id than its existing near-dup is still rejected") {
     // ADVICE r9: the old a_id < b_id rule silently admitted this case
     val store = Dedup.buildSigStore(docs(500L -> base), "spec_admit_order")

@@ -180,6 +180,30 @@ class PlanShapeSpec extends SparkSpec {
       s"candidate generation must stay on the band equi-join:\n$p")
   }
 
+  test("q130: lifecycle survivor plan reads staged labels, no re-derivation") {
+    val df = run("q130_lifecycle")
+    df.collect() // staging + clustering ran; finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"lifecycle must stay on keyed joins:\n$p")
+    assert("max_by".r.findAllIn(p).nonEmpty,
+      s"survivor pick must ride the aggregate:\n$p")
+    assert(p.contains("lifecycle_labels"),
+      s"clusters must come from the staged propagation rounds:\n$p")
+  }
+
+  test("q132: vector admission — capped cluster probe, anti-join verdict") {
+    val p = plan("q132_vec_admission")
+    assert(p.contains("LeftAnti"),
+      s"admission must anti-join the rejected set:\n$p")
+    assert(p.contains("vecstore_existing_d0"),
+      s"the verdict must come from the staged store scratch:\n$p")
+    // the only non-equi join is the broadcast argmax against the tiny
+    // centroid table — by design (q104's assignment shape)
+    assert(!p.contains("CartesianProduct"),
+      s"cluster pairing must stay on the c_id equi-join:\n$p")
+  }
+
   test("q01: aggregation splits into partial + final HashAggregate") {
     val p = plan("q01_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial/final split:\n$p")
