@@ -17,5 +17,8 @@ object GraftExtensions {
     // UNIQUEJOIN rewrites + variable substitution as HiveQl.sql callers
     ext.injectParser((session, delegate) =>
       new plans.HiveDialectParser(session, delegate))
+    // automatic index rewrite (IndexWhereProcessor posture, gated by
+    // hive.optimize.index.filter — default off, like the reference)
+    ext.injectOptimizerRule(session => new plans.IndexFilterRewrite(session))
   }
 }

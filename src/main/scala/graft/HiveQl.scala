@@ -44,6 +44,16 @@ object HiveQl {
     """(?is)^\s*CREATE\s+TEMPORARY\s+FUNCTION\s+(\w+)\s+AS\s+'([^']+)'\s*;?\s*$""".r
   private val DropFunc =
     """(?is)^\s*DROP\s+TEMPORARY\s+FUNCTION\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$""".r
+  // index DDL (Hive.g:467-490 createIndexStatement, :534-539 drop,
+  // :591-598 alter-rebuild, :834-836 SHOW INDEXES) → operators.Indexes
+  private val CreateIndex =
+    """(?is)^\s*CREATE\s+INDEX\s+(\w+)\s+ON\s+TABLE\s+([\w.]+)\s*\(([^)]*)\)\s+AS\s+'([^']+)'(\s+WITH\s+DEFERRED\s+REBUILD)?(?:\s+IDXPROPERTIES\s*\([^)]*\))?(?:\s+COMMENT\s+'([^']*)')?\s*;?\s*$""".r
+  private val AlterIndexRebuild =
+    """(?is)^\s*ALTER\s+INDEX\s+(\w+)\s+ON\s+([\w.]+)\s+REBUILD\s*;?\s*$""".r
+  private val DropIndex =
+    """(?is)^\s*DROP\s+INDEX\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s+ON\s+([\w.]+)\s*;?\s*$""".r
+  private val ShowIndexes =
+    """(?is)^\s*SHOW\s+(?:FORMATTED\s+)?INDEX(?:ES)?\s+ON\s+([\w.]+)\s*;?\s*$""".r
   // command-processor lines (ql/processors/): SET k=v (SetProcessor.java)
   // and ADD FILE (AddResourceProcessor.java — what TRANSFORM scripts need)
   // parse NATIVELY in Spark SQL, so they fall through `rewrite` untouched;
@@ -297,6 +307,12 @@ object HiveQl {
 
   def sql(spark: SparkSession, rawQ: String): DataFrame = {
     val q = substituteVars(spark, rawQ)
+    statementRows(q) match {
+      case Some((schema, rows)) =>
+        return spark.createDataFrame(
+          java.util.Arrays.asList(rows(spark): _*), schema)
+      case None =>
+    }
     statementExec(q) match {
       case Some(exec) => exec(spark); spark.emptyDataFrame
       case None => spark.sql(rewrite(q))
@@ -335,6 +351,15 @@ object HiveQl {
         Some(s => functions.GraftFunctions.registerAs(s, name, className))
       case DropFunc(name) =>
         Some(s => functions.GraftFunctions.dropFunction(s, name))
+      case CreateIndex(name, table, cols, handler, deferred, comment) =>
+        Some(s => operators.Indexes.createIndex(s, name, table,
+          cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq, handler,
+          deferred != null, Option(comment)))
+      case AlterIndexRebuild(name, table) =>
+        Some(s => operators.Indexes.rebuild(s, name, table))
+      case DropIndex(ifExists, name, table) =>
+        Some(s => operators.Indexes.dropIndex(s, name, table, ifExists != null))
+      case _ if statementRows(q).isDefined => None
       case _ if operators.MultiInsert.matches(q) =>
         Some { s =>
           if (!operators.MultiInsert.run(s, q)) {
@@ -346,4 +371,26 @@ object HiveQl {
         }
       case _ => None
     }
+
+  /** Statement forms that RETURN ROWS (SHOW INDEXES and friends) — the
+    * schema is static per statement type, so the injected parser can plan
+    * them as commands with declared output ([[plans.HiveShowStatement]])
+    * and [[sql]] can materialize a DataFrame. None = not a row-returning
+    * statement form.
+    */
+  def statementRows(q: String)
+      : Option[(org.apache.spark.sql.types.StructType,
+                SparkSession => Seq[org.apache.spark.sql.Row])] = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    def schema(names: String*): StructType =
+      StructType(names.map(StructField(_, StringType, nullable = true)))
+    q match {
+      // reference SHOW INDEXES schema (ShowIndexesDesc.java:39)
+      case ShowIndexes(table) =>
+        Some((schema("idx_name", "tab_name", "col_names", "idx_tab_name",
+          "idx_type", "comment"),
+          s => operators.Indexes.showIndexes(s, table)))
+      case _ => None
+    }
+  }
 }

@@ -93,6 +93,12 @@ object Sessions {
     if (!spark.experimental.extraOptimizations.contains(plans.HiveComparisonCoercion))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ plans.HiveComparisonCoercion
+    // same fallback for the index rewrite (a session built without the
+    // extensions still honors hive.optimize.index.filter)
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[plans.IndexFilterRewrite]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new plans.IndexFilterRewrite(spark)
     // sessions not built by builder() (e.g. driver-owned) still need Hive
     // error semantics — same guarded-flip pattern as Tables.load's
     // nanosAsLong (runtime-mutable conf; never flips an explicit 'false')

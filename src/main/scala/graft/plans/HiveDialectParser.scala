@@ -20,6 +20,18 @@ case class HiveStatement(statement: String, exec: SparkSession => Unit)
   override def run(spark: SparkSession): Seq[Row] = { exec(spark); Nil }
 }
 
+/** A HiveQL statement form that RETURNS ROWS with a statically-known
+  * schema (SHOW INDEXES / SHOW LOCKS / SHOW GRANT — the reference's
+  * DDLTask writes these to a result file the fetch task reads;
+  * a RunnableCommand with declared output is the Spark shape of that).
+  */
+case class HiveShowStatement(statement: String, rowSchema: StructType,
+    rows: SparkSession => Seq[Row]) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(rowSchema)
+  override def run(spark: SparkSession): Seq[Row] = rows(spark)
+}
+
 /** Session-parser injection of the HiveQL dialect (SparkSessionExtensions
   * `injectParser`): every STATEMENT entering the session — `spark.sql`,
   * Thrift/JDBC clients, view re-parsing — passes through variable
@@ -44,6 +56,12 @@ class HiveDialectParser(session: SparkSession, delegate: ParserInterface)
 
   override def parsePlan(sqlText: String): LogicalPlan = {
     val text = graft.HiveQl.substituteVars(session, sqlText)
+    graft.HiveQl.statementRows(text) match {
+      case Some((schema, rows)) =>
+        return HiveShowStatement(
+          text.linesIterator.mkString(" ").take(120), schema, rows)
+      case None =>
+    }
     graft.HiveQl.statementExec(text) match {
       case Some(exec) => HiveStatement(text.linesIterator.mkString(" ").take(120), exec)
       case None => delegate.parsePlan(graft.HiveQl.rewrite(text))
