@@ -1,0 +1,214 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan}
+
+/** GRANT/REVOKE authorization (closes the §7.5 authz drop): the
+  * reference's privilege model — roles, per-principal grants on tables
+  * and databases, statement-time enforcement gated by
+  * `hive.security.authorization.enabled` — re-expressed over the same
+  * statement grammar (Hive.g:860-930) and the same privilege vocabulary
+  * (security/authorization/Privilege.java:162-186: ALL, ALTER, UPDATE,
+  * CREATE, DROP, INDEX, LOCK, SELECT, SHOW_DATABASE; grant-time names
+  * parsed like Privilege.getPrivTypeByName:69-92).
+  *
+  * Enforcement follows Driver.doAuthorization: a statement's INPUT tables
+  * need `Select`, its insert TARGETS need `Update` (= ALTER_DATA), checked
+  * for the session user (`hive.session.user`, defaulting to the process
+  * user the way SessionState falls back to UGI) against direct user
+  * grants, role grants (through `GRANT ROLE`), database-level grants, and
+  * `ALL`. Denials raise the reference's own message shape:
+  * `No privilege 'Select' found for inputs { database:default, table:t}`
+  * (DefaultHiveAuthorizationProvider.java:455-482).
+  *
+  * The store is JVM-scoped like the rest of the metadata surface (the
+  * reference keeps it in metastore tables ROLES/TBL_PRIVS/DB_PRIVS);
+  * enforcement sits in the statement path ([[HiveQl.sql]] via
+  * [[checkStatement]] — the Driver.compile layering), so it covers the
+  * CLI, Thrift, and library entry points identically.
+  */
+object Authz {
+
+  /** Reference display names (Privilege.java toString: "Select", "Update",
+    * ...); grant-time input accepts the getPrivTypeByName spellings.
+    */
+  val PrivNames: Map[String, String] = Map(
+    "all" -> "All", "update" -> "Update", "alter" -> "Alter",
+    "create" -> "Create", "drop" -> "Drop", "index" -> "Index",
+    "lock" -> "Lock", "select" -> "Select", "show_database" -> "Show_Database")
+
+  final case class Grant(principalType: String, principal: String,
+      objType: String, objName: String, priv: String, grantor: String,
+      grantTime: Long, withGrant: Boolean)
+
+  // JVM-global metastore stand-ins (ROLES / ROLE_MAP / TBL_PRIVS+DB_PRIVS)
+  private val roles = TrieMap.empty[String, Long] // role -> createTime
+  private val roleMembers = TrieMap.empty[(String, String), Long] // (user, role) -> grantTime
+  private val grants = mutable.LinkedHashSet.empty[Grant]
+
+  def reset(): Unit = synchronized {
+    roles.clear(); roleMembers.clear(); grants.clear()
+  }
+
+  def enabled(spark: SparkSession): Boolean =
+    spark.conf.getOption("hive.security.authorization.enabled").contains("true")
+
+  /** SessionState.getUserName posture: explicit conf, else process user. */
+  def currentUser(spark: SparkSession): String =
+    spark.conf.getOption("hive.session.user")
+      .getOrElse(sys.props.getOrElse("user.name", "anonymous"))
+
+  private def canonPriv(p: String): String = {
+    val k = p.trim.toLowerCase
+    PrivNames.getOrElse(k,
+      throw new IllegalArgumentException(s"Undefined privilege $p"))
+  }
+
+  // ------------------------------------------------------------ roles
+
+  def createRole(name: String): Unit = {
+    val r = name.toLowerCase
+    require(!roles.contains(r), s"Role $name already exists")
+    roles.put(r, System.currentTimeMillis())
+  }
+
+  def dropRole(name: String): Unit = synchronized {
+    val r = name.toLowerCase
+    require(roles.remove(r).isDefined, s"Role $name does not exist")
+    roleMembers.keys.filter(_._2 == r).foreach(roleMembers.remove)
+    grants.filterInPlace(g => !(g.principalType == "ROLE" && g.principal == r))
+  }
+
+  def grantRole(role: String, user: String): Unit = {
+    val r = role.toLowerCase
+    require(roles.contains(r), s"Role $role does not exist")
+    roleMembers.put((user.toLowerCase, r), System.currentTimeMillis())
+  }
+
+  def revokeRole(role: String, user: String): Unit =
+    roleMembers.remove((user.toLowerCase, role.toLowerCase))
+
+  def rolesOf(user: String): Seq[String] =
+    roleMembers.keys.collect {
+      case (u, r) if u == user.toLowerCase => r
+    }.toSeq.sorted
+
+  /** `SHOW ROLE GRANT USER u` rows: (role, grant_time). */
+  def showRoleGrant(user: String): Seq[Row] =
+    roleMembers.toSeq.collect {
+      case ((u, r), t) if u == user.toLowerCase => (r, t)
+    }.sortBy(_._1).map { case (r, t) => Row(r, t.toString) }
+
+  // ----------------------------------------------------------- grants
+
+  def grant(spark: SparkSession, privs: Seq[String], principalType: String,
+      principal: String, objType: String, objName: String,
+      withGrant: Boolean): Unit = synchronized {
+    val pt = principalType.toUpperCase
+    if (pt == "ROLE")
+      require(roles.contains(principal.toLowerCase),
+        s"Role $principal does not exist")
+    val t = System.currentTimeMillis()
+    privs.map(canonPriv).foreach { p =>
+      grants += Grant(pt, principal.toLowerCase, objType.toUpperCase,
+        objName.toLowerCase, p, currentUser(spark), t, withGrant)
+    }
+  }
+
+  def revoke(privs: Seq[String], principalType: String, principal: String,
+      objType: String, objName: String): Unit = synchronized {
+    val ps = privs.map(canonPriv).toSet
+    grants.filterInPlace(g => !(g.principalType == principalType.toUpperCase &&
+      g.principal == principal.toLowerCase &&
+      g.objType == objType.toUpperCase && g.objName == objName.toLowerCase &&
+      ps(g.priv)))
+  }
+
+  /** `SHOW GRANT USER u [ON TABLE t]` rows — the property set DDLTask
+    * .showGrants writes per grant: database, table, principalName,
+    * principalType, privilege, grantTime, grantor.
+    */
+  def showGrant(spark: SparkSession, principalType: String, principal: String,
+      obj: Option[(String, String)]): Seq[Row] = synchronized {
+    val db = spark.catalog.currentDatabase
+    grants.toSeq.filter { g =>
+      g.principalType == principalType.toUpperCase &&
+        g.principal == principal.toLowerCase &&
+        obj.forall { case (ot, on) =>
+          g.objType == ot.toUpperCase && g.objName == on.toLowerCase }
+    }.sortBy(g => (g.objType, g.objName, g.priv)).map { g =>
+      val (gdb, gtbl) = g.objType match {
+        case "TABLE" => (db, g.objName)
+        case "DATABASE" => (g.objName, null)
+        case _ => (null, null)
+      }
+      Row(gdb, gtbl, g.principal, g.principalType, g.priv,
+        g.grantTime.toString, g.grantor)
+    }
+  }
+
+  // ------------------------------------------------------- enforcement
+
+  /** Does `user` hold `priv` (or All) on the table, directly or through a
+    * role, at table or database scope?
+    */
+  def holds(spark: SparkSession, user: String, priv: String,
+      table: String): Boolean = synchronized {
+    val db = spark.catalog.currentDatabase
+    val principals =
+      ("USER" -> user.toLowerCase) +:
+        rolesOf(user).map("ROLE" -> _)
+    grants.exists { g =>
+      principals.contains(g.principalType -> g.principal) &&
+        (g.priv == priv || g.priv == "All") &&
+        ((g.objType == "TABLE" && g.objName == table.toLowerCase) ||
+          (g.objType == "DATABASE" && g.objName == db.toLowerCase))
+    }
+  }
+
+  private def deny(priv: String, side: String, db: String, table: String): Nothing =
+    throw new SecurityException(
+      s"Authorization failed:No privilege '$priv' found for $side " +
+        s"{ database:$db, table:$table}. Use show grant to get more details.")
+
+  /** Driver.doAuthorization for one statement: parse (unresolved is
+    * enough — names are what get authorized), inputs need Select, insert
+    * targets need Update.
+    */
+  def checkStatement(spark: SparkSession, stmt: String): Unit = {
+    if (!enabled(spark)) return
+    val plan =
+      try spark.sessionState.sqlParser.parsePlan(HiveQl.rewrite(stmt))
+      catch { case _: Exception => return }
+    val user = currentUser(spark)
+    val db = spark.catalog.currentDatabase
+    val (inputs, outputs) = referencedTables(plan)
+    outputs.foreach { t =>
+      if (!holds(spark, user, "Update", t)) deny("Update", "outputs", db, t)
+    }
+    inputs.foreach { t =>
+      if (!holds(spark, user, "Select", t)) deny("Select", "inputs", db, t)
+    }
+  }
+
+  /** (inputs, insert targets) referenced by an unresolved plan. */
+  def referencedTables(plan: LogicalPlan): (Seq[String], Seq[String]) = {
+    val in = mutable.LinkedHashSet.empty[String]
+    val out = mutable.LinkedHashSet.empty[String]
+    def visit(p: LogicalPlan, writing: Boolean): Unit = p match {
+      case i: InsertIntoStatement =>
+        visit(i.table, writing = true)
+        visit(i.query, writing = false)
+      case u: UnresolvedRelation =>
+        (if (writing) out else in) += u.multipartIdentifier.mkString(".")
+      case other => other.children.foreach(visit(_, writing))
+    }
+    visit(plan, writing = false)
+    plan.foreach(_.subqueries.foreach(visit(_, writing = false)))
+    (in.toSeq, out.toSeq)
+  }
+}

@@ -115,17 +115,22 @@ object GraftSql {
       return (live, code)
     }
     val t0 = System.nanoTime()
-    val df = HiveQl.sql(spark, stmt)
-    if (df.schema.nonEmpty) {
-      val n = maxRows(spark)
-      val rows = df.take(n + 1)
-      rows.take(n).foreach { r =>
-        out.println((0 until r.length)
-          .map(i => if (r.isNullAt(i)) "NULL" else r.get(i).toString)
-          .mkString("\t"))
+    // implicit concurrency locks for the statement's scope (Driver.run's
+    // acquire → execute → release-in-finally; no-op unless
+    // hive.support.concurrency=true)
+    Locks.withStatementLocks(spark, stmt) {
+      val df = HiveQl.sql(spark, stmt)
+      if (df.schema.nonEmpty) {
+        val n = maxRows(spark)
+        val rows = df.take(n + 1)
+        rows.take(n).foreach { r =>
+          out.println((0 until r.length)
+            .map(i => if (r.isNullAt(i)) "NULL" else r.get(i).toString)
+            .mkString("\t"))
+        }
+        if (rows.length > n)
+          out.println(s"-- display truncated at $n rows (graft.cli.max.rows)")
       }
-      if (rows.length > n)
-        out.println(s"-- display truncated at $n rows (graft.cli.max.rows)")
     }
     if (!silent)
       out.println(f"Time taken: ${(System.nanoTime() - t0) / 1e9}%.3f seconds")

@@ -54,6 +54,29 @@ object HiveQl {
     """(?is)^\s*DROP\s+INDEX\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s+ON\s+([\w.]+)\s*;?\s*$""".r
   private val ShowIndexes =
     """(?is)^\s*SHOW\s+(?:FORMATTED\s+)?INDEX(?:ES)?\s+ON\s+([\w.]+)\s*;?\s*$""".r
+  // concurrency locking (Hive.g:842-858 lock/unlockStatement, :838 SHOW
+  // LOCKS) → graft.Locks
+  private val LockTable =
+    """(?is)^\s*LOCK\s+TABLE\s+([\w.]+)\s+(SHARED|EXCLUSIVE)\s*;?\s*$""".r
+  private val UnlockTable =
+    """(?is)^\s*UNLOCK\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
+  private val ShowLocks =
+    """(?is)^\s*SHOW\s+LOCKS(?:\s+(?!EXTENDED\b)([\w.]+))?(?:\s+(EXTENDED))?\s*;?\s*$""".r
+  // authorization statements (Hive.g:860-930) → graft.Authz
+  private val CreateRole = """(?is)^\s*CREATE\s+ROLE\s+(\w+)\s*;?\s*$""".r
+  private val DropRole = """(?is)^\s*DROP\s+ROLE\s+(\w+)\s*;?\s*$""".r
+  private val GrantRole =
+    """(?is)^\s*GRANT\s+ROLE\s+(\w+)\s+TO\s+USER\s+(\w+)\s*;?\s*$""".r
+  private val RevokeRole =
+    """(?is)^\s*REVOKE\s+ROLE\s+(\w+)\s+FROM\s+USER\s+(\w+)\s*;?\s*$""".r
+  private val GrantPriv =
+    """(?is)^\s*GRANT\s+([\w, ]+?)\s+ON\s+(TABLE|DATABASE)\s+([\w.]+)\s+TO\s+(USER|ROLE)\s+(\w+)(\s+WITH\s+GRANT\s+OPTION)?\s*;?\s*$""".r
+  private val RevokePriv =
+    """(?is)^\s*REVOKE\s+([\w, ]+?)\s+ON\s+(TABLE|DATABASE)\s+([\w.]+)\s+FROM\s+(USER|ROLE)\s+(\w+)\s*;?\s*$""".r
+  private val ShowGrant =
+    """(?is)^\s*SHOW\s+GRANT\s+(USER|ROLE)\s+(\w+)(?:\s+ON\s+(TABLE|DATABASE)\s+([\w.]+))?\s*;?\s*$""".r
+  private val ShowRoleGrant =
+    """(?is)^\s*SHOW\s+ROLE\s+GRANT\s+USER\s+(\w+)\s*;?\s*$""".r
   // command-processor lines (ql/processors/): SET k=v (SetProcessor.java)
   // and ADD FILE (AddResourceProcessor.java — what TRANSFORM scripts need)
   // parse NATIVELY in Spark SQL, so they fall through `rewrite` untouched;
@@ -307,6 +330,10 @@ object HiveQl {
 
   def sql(spark: SparkSession, rawQ: String): DataFrame = {
     val q = substituteVars(spark, rawQ)
+    // Driver.doAuthorization layering: enforce before execution on every
+    // entry point that funnels through this driver analogue (no-op unless
+    // hive.security.authorization.enabled)
+    Authz.checkStatement(spark, q)
     statementRows(q) match {
       case Some((schema, rows)) =>
         return spark.createDataFrame(
@@ -359,6 +386,20 @@ object HiveQl {
         Some(s => operators.Indexes.rebuild(s, name, table))
       case DropIndex(ifExists, name, table) =>
         Some(s => operators.Indexes.dropIndex(s, name, table, ifExists != null))
+      case LockTable(table, mode) =>
+        Some(s => Locks.lockTable(s, table, mode))
+      case UnlockTable(table) =>
+        Some(s => Locks.unlockTable(s, table))
+      case CreateRole(role) => Some(_ => Authz.createRole(role))
+      case DropRole(role) => Some(_ => Authz.dropRole(role))
+      case GrantRole(role, user) => Some(_ => Authz.grantRole(role, user))
+      case RevokeRole(role, user) => Some(_ => Authz.revokeRole(role, user))
+      case GrantPriv(privs, objType, objName, pType, principal, withGrant) =>
+        Some(s => Authz.grant(s, privs.split(",").map(_.trim).toSeq, pType,
+          principal, objType, objName, withGrant != null))
+      case RevokePriv(privs, objType, objName, pType, principal) =>
+        Some(_ => Authz.revoke(privs.split(",").map(_.trim).toSeq, pType,
+          principal, objType, objName))
       case _ if statementRows(q).isDefined => None
       case _ if operators.MultiInsert.matches(q) =>
         Some { s =>
@@ -390,6 +431,24 @@ object HiveQl {
         Some((schema("idx_name", "tab_name", "col_names", "idx_tab_name",
           "idx_type", "comment"),
           s => operators.Indexes.showIndexes(s, table)))
+      // DDLTask.showLocks: name + mode, extended adds the
+      // HiveLockObjectData triple (queryId, lockTime, lockMode)
+      case ShowLocks(table, extended) =>
+        val sch =
+          if (extended != null)
+            schema("tab_name", "mode", "lock_queryid", "lock_time", "lock_mode")
+          else schema("tab_name", "mode")
+        Some((sch,
+          s => Locks.showLocks(s, Option(table), extended != null)))
+      // DDLTask.showGrants property set per grant
+      case ShowGrant(pType, principal, objType, objName) =>
+        Some((schema("database", "table", "principal_name", "principal_type",
+          "privilege", "grant_time", "grantor"),
+          s => Authz.showGrant(s, pType, principal,
+            Option(objType).map(_ -> objName))))
+      case ShowRoleGrant(user) =>
+        Some((schema("role", "grant_time"),
+          _ => Authz.showRoleGrant(user)))
       case _ => None
     }
   }

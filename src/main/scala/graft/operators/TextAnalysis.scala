@@ -849,6 +849,74 @@ object TextAnalysis extends QueryModule {
                CAST(sum(cov) AS BIGINT) AS n_dup_tokens,
                coalesce(string_agg(w, ' ' ORDER BY j) FILTER (WHERE cov = 0), '')
                  AS clean_text
-        FROM cov GROUP BY doc_id ORDER BY doc_id"""))
+        FROM cov GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- Deterministic training-epoch shuffle: shard assignment + a
+    //      shard-local pseudo-random order from a seeded content-stable
+    //      hash (the q112/q85 portable md5-prefix hash). This is how a
+    //      100 TB corpus is shuffled for training WITHOUT a global sort:
+    //      one hash-partition shuffle to the shards, then each shard
+    //      orders locally (window PARTITION BY shard = shard-local sort);
+    //      changing the seed re-permutes every epoch reproducibly.
+    //      Restartable mid-epoch: (shard, pos) is a stable address.
+    QueryDef(
+      "q135_epoch_shuffle",
+      (s, dir) => fixtureBound(t(s, dir, "documents"), "doc_id", 300)
+        .selectExpr("doc_id",
+          """pmod(cast(conv(substr(md5(concat(cast(doc_id AS string), ':42')), 1, 8), 16, 10) AS bigint), 8) AS shard""",
+          """cast(conv(substr(md5(concat(':42', cast(doc_id AS string))), 1, 8), 16, 10) AS bigint) AS ord""")
+        .repartition(col("shard"))
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("shard")).orderBy(col("ord"), col("doc_id"))))
+        .select(col("shard"), col("pos"), col("doc_id"))
+        .orderBy(col("shard"), col("pos")),
+      Some("""WITH h AS (
+          SELECT doc_id,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)) AS BIGINT) % 8 AS shard,
+            CAST(('0x' || substr(md5(':42' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS ord
+          FROM documents WHERE doc_id < 300)
+        SELECT shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS INT) AS pos,
+               doc_id
+        FROM h ORDER BY shard, pos""")),
+
+    // ---- Model-based quality classifier (the fastText-classifier-shaped
+    //      gate of C4/CCNet-style pipelines, distinct from q61's linear
+    //      heuristic): fixed-weight logistic model over cheap text
+    //      features → sigmoid score → keep/drop label + per-language class
+    //      balance. Pure projection + one aggregation; the score is
+    //      computed from RAW ratios and rounded once at the end (the
+    //      cross-engine float discipline every oracle here follows).
+    QueryDef(
+      "q136_quality_classifier",
+      (s, dir) => fixtureBound(t(s, dir, "documents"), "doc_id", 300)
+        .selectExpr("doc_id", "lang",
+          "length(text) AS len",
+          "length(regexp_replace(text, '[^a-z]', '')) / length(text) AS alpha_r",
+          "length(regexp_replace(text, '[^0-9]', '')) / length(text) AS digit_r",
+          "length(regexp_replace(text, '[^ ]', '')) / length(text) AS space_r")
+        .selectExpr("doc_id", "lang",
+          """1.0 / (1.0 + exp(-(4.0 * alpha_r - 6.0 * digit_r
+             + 2.0 * space_r + 0.4 * ln(least(len, 2000)) - 5.0))) AS raw""")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("CASE WHEN raw > 0.5 THEN 1 ELSE 0 END")).as("n_keep"),
+          round(sum(col("raw")), 4).as("score_sum"))
+        .orderBy(col("lang")),
+      Some("""WITH f AS (
+          SELECT doc_id, lang, length(text) AS len,
+            length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text) AS alpha_r,
+            length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text) AS digit_r,
+            length(regexp_replace(text, '[^ ]', '', 'g')) / length(text) AS space_r
+          FROM documents WHERE doc_id < 300),
+        sc AS (
+          SELECT doc_id, lang,
+            1.0 / (1.0 + exp(-(4.0 * alpha_r - 6.0 * digit_r
+              + 2.0 * space_r + 0.4 * ln(least(len, 2000)) - 5.0))) AS raw
+          FROM f)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(CASE WHEN raw > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+               round(sum(raw), 4) AS score_sum
+        FROM sc GROUP BY lang ORDER BY lang"""))
   )
 }
