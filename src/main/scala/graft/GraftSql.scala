@@ -19,10 +19,12 @@ import org.apache.spark.sql.SparkSession
   * unbounded paths are INSERT/CTAS, which write distributed.
   *
   * `dfs` commands run through Hadoop's FsShell in-process (the reference's
-  * DfsProcessor.java), and `ADD JAR`/`LIST JARS` parse natively in Spark
-  * SQL (jar shipped to executors + session resource loader — r10). The one
-  * deliberate drop vs CliDriver, documented in SURVEY §7.5: the `!shell`
-  * escape (arbitrary exec has no place in a library entry point).
+  * DfsProcessor.java), `ADD JAR`/`LIST JARS` parse natively in Spark SQL
+  * (jar shipped to executors + session resource loader — r10), and the
+  * `!cmd` shell escape execs like CliDriver's processCmd — CLI-only, the
+  * reference's own layering (Driver never sees `!`), so library and
+  * Thrift entry points still cannot exec. Every CliDriver command
+  * processor is now covered.
   */
 object GraftSql {
 
@@ -83,6 +85,26 @@ object GraftSql {
     val stmt = HiveQl.substituteVars(spark, rawStmt)
     val word = stmt.trim.toLowerCase
     if (word == "quit" || word == "exit") return (false, 0)
+    if (stmt.trim.startsWith("!")) {
+      // `!cmd` shell escape (CliDriver.java processCmd: Runtime.exec on the
+      // rest of the line, output streamed to the console, nonzero exit =
+      // statement failure). CLI-ONLY like the reference — Driver/HiveQl.sql
+      // never see `!`, so library and Thrift entry points cannot exec.
+      // Same tokenization as Runtime.exec(String): whitespace split, no
+      // shell interpretation.
+      val argv = stmt.trim.drop(1).trim.split("\\s+")
+      val pb = new ProcessBuilder(argv: _*).redirectErrorStream(true)
+      val proc = pb.start()
+      val outStream = proc.getInputStream
+      val buf = new Array[Byte](8192)
+      var n = outStream.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = outStream.read(buf) }
+      val code = proc.waitFor()
+      out.flush()
+      if (code != 0)
+        throw new RuntimeException(s"Shell command failed (exit $code): $stmt")
+      return (true, 0)
+    }
     if (word.startsWith("dfs ")) {
       // DFS command processor (ref ql/processors/DfsProcessor.java:1 — the
       // Hive CLI runs `dfs -ls path` etc. through Hadoop's FsShell

@@ -917,6 +917,60 @@ object TextAnalysis extends QueryModule {
         SELECT lang, count(*) AS n_docs,
                CAST(sum(CASE WHEN raw > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
                round(sum(raw), 4) AS score_sum
-        FROM sc GROUP BY lang ORDER BY lang"""))
+        FROM sc GROUP BY lang ORDER BY lang""")),
+
+    // ---- BM25 retrieval scoring (Robertson-Sparck Jones idf, k1=1.2
+    //      b=0.75 — the classic lexical companion to q64b's TF-IDF and
+    //      the ANN family): score every document against a query term
+    //      set, keep the matches. Scale posture: term stats (df) and the
+    //      corpus scalars (N, avgdl) are tiny aggregates joined back
+    //      broadcast-style; the per-(doc, term) tf table only carries
+    //      QUERY terms (filter before the count shuffle), so the big
+    //      side is one filtered token scan — no doc×vocab blowup.
+    QueryDef(
+      "q137_bm25",
+      (s, dir) => {
+        val docs = fixtureBound(t(s, dir, "documents"), "doc_id", 300)
+        val toks = docs.selectExpr("doc_id",
+          "explode(split(trim(text), ' ')) AS word")
+          .filter(length(col("word")) > 0)
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"),
+          avg(col("dl")).as("avgdl"))
+        val terms = Seq("join", "window", "stream")
+        val tf = toks.filter(col("word").isin(terms: _*))
+          .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+        tf.join(df, "word").join(dl, "doc_id").crossJoin(broadcast(stats))
+          .selectExpr("doc_id",
+            """ln((double(n_docs) - double(df) + 0.5) / (double(df) + 0.5) + 1.0)
+               * double(tf) * 2.2
+               / (double(tf) + 1.2 * (0.25 + 0.75 * double(dl) / avgdl))
+               AS term_score""")
+          .groupBy("doc_id")
+          .agg(round(sum(col("term_score")), 4).as("bm25"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+          FROM documents WHERE doc_id < 300),
+        tk AS (SELECT * FROM toks WHERE length(word) > 0),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        tf AS (SELECT doc_id, word, count(*) AS tf FROM tk
+               WHERE word IN ('join', 'window', 'stream')
+               GROUP BY doc_id, word),
+        df AS (SELECT word, count(*) AS df FROM tf GROUP BY word)
+        SELECT tf.doc_id,
+               round(sum(
+                 ln((CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                    / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+                 * CAST(tf.tf AS DOUBLE) * 2.2
+                 / (CAST(tf.tf AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl))), 4)
+                 AS bm25
+        FROM tf JOIN df USING (word) JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+        GROUP BY tf.doc_id ORDER BY tf.doc_id"""))
   )
 }

@@ -122,6 +122,21 @@ class CliSpec extends SparkSpec {
     assert(code2 == 1 && out2.contains("FAILED") && out2.contains("alive"), out2)
   }
 
+  test("!shell escape execs like CliDriver.processCmd; CLI-only (r10)") {
+    // output streams to the console; exit 0 statements succeed
+    val (code, outText) = runCli("!echo shell_escape_ok;")
+    assert(code == 0, outText)
+    assert(outText.contains("shell_escape_ok"), outText)
+    // nonzero exit = statement failure, session continues (per-statement
+    // recovery like any failing query)
+    val (code2, out2) = runCli("!false;\nSELECT 'alive' AS v;")
+    assert(code2 == 1 && out2.contains("FAILED") && out2.contains("alive"), out2)
+    // the reference's layering: `!` is a CliDriver processor, Driver never
+    // sees it — the library entry point must NOT exec (a `!` statement is
+    // a plain parse error there)
+    intercept[Exception](HiveQl.sql(spark, "!echo not_from_library"))
+  }
+
   test("ADD JAR ships a jar to the session; LIST JARS reports it (r10)") {
     // a minimal but REAL jar (manifest-only) — ADD JAR validates existence
     val jar = Files.createTempDirectory("graft_jar").resolve("probe.jar")
