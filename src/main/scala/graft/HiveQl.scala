@@ -54,6 +54,10 @@ object HiveQl {
     """(?is)^\s*DROP\s+INDEX\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s+ON\s+([\w.]+)\s*;?\s*$""".r
   private val ShowIndexes =
     """(?is)^\s*SHOW\s+(?:FORMATTED\s+)?INDEX(?:ES)?\s+ON\s+([\w.]+)\s*;?\s*$""".r
+  // ALTER TABLE ... [UN]ARCHIVE PARTITION (TOK_ALTERTABLE_ARCHIVE,
+  // SemanticAnalyzerFactory:162-163) → sources.HiveArchive
+  private val ArchivePartition =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+(UN)?ARCHIVE\s+PARTITION\s*\(([^)]*)\)\s*;?\s*$""".r
   // concurrency locking (Hive.g:842-858 lock/unlockStatement, :838 SHOW
   // LOCKS) → graft.Locks
   private val LockTable =
@@ -386,6 +390,16 @@ object HiveQl {
         Some(s => operators.Indexes.rebuild(s, name, table))
       case DropIndex(ifExists, name, table) =>
         Some(s => operators.Indexes.dropIndex(s, name, table, ifExists != null))
+      case ArchivePartition(table, un, spec) =>
+        Some { s =>
+          val kv = sources.HiveExim.parsePartSpec(spec).map {
+            case (k, Some(v)) => k -> v
+            case (k, None) => throw new IllegalArgumentException(
+              s"ARCHIVE requires a full partition spec; $k has no value")
+          }
+          if (un != null) sources.HiveArchive.unarchivePartition(s, table, kv)
+          else sources.HiveArchive.archivePartition(s, table, kv)
+        }
       case LockTable(table, mode) =>
         Some(s => Locks.lockTable(s, table, mode))
       case UnlockTable(table) =>

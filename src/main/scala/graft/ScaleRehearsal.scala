@@ -30,7 +30,8 @@ object ScaleRehearsal {
     "q117_kmeans_iterated", "q121_minhash_capped", "q122_simhash_capped",
     "q124_substring_scrub", "q127_rcfile_roundtrip", "q128_seqfile_roundtrip",
     "q129_incremental_dedup", "q130_lifecycle", "q131_chained_admission",
-    "q132_vec_admission")
+    "q132_vec_admission", "q133_index_scan", "q134_bitmap_index",
+    "q135_epoch_shuffle", "q136_quality_classifier", "q137_bm25")
 
   def main(args: Array[String]): Unit = {
     val sf1 = args(0)
@@ -84,6 +85,16 @@ object ScaleRehearsal {
         cust.columns.filter(_ != "c_custkey"): _*)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    // lineitem feeds the index queries (q133): key-shifted replication on
+    // the order key; l_partkey kept as-is so the indexed point predicate
+    // matches factor× more rows — the worst case for the index probe
+    val li = Tables.load(spark, sf1, "lineitem")
+    val nOrd = li.selectExpr("max(l_orderkey)").head().getLong(0) + 1
+    li.crossJoin(reps)
+      .selectExpr(Seq(s"l_orderkey + k * ${nOrd}L AS l_orderkey") ++
+        li.columns.filter(_ != "l_orderkey"): _*)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
     // ---- time each query at 1× and 10× (min of 2; noop sink) ----
     // a trailing `!unstaged` on a query name times the same query with
