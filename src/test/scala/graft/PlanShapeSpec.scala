@@ -68,7 +68,8 @@ class PlanShapeSpec extends SparkSpec {
       "q105_kmeans_step", // broadcast centroid set, both Lloyd passes
       "q117_kmeans_iterated", // broadcast centroid set, per staged round
       "q119_semdedup_capped", // broadcast centroid set (q104's argmax)
-      "q28_cluster_by")   // broadcast 1-row sorted_ok verdict scalar
+      "q28_cluster_by",   // broadcast 1-row sorted_ok verdict scalar
+      "q137_bm25")        // broadcast 1-row (N, avgdl) corpus-stats scalar
     val flagged = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.contains("stream")) // streaming fns execute on call
       .flatMap { case (name, fn) =>

@@ -125,6 +125,27 @@ class ThriftServerSpec extends SparkSpec {
           } finally stA.execute("DROP TABLE IF EXISTS thrift_shared_t")
         } finally conn2.close()
 
+        // ---- r10 statement surface over the wire: the row-returning
+        // SHOW forms (HiveShowStatement through the injected parser) and
+        // lock DDL work from a JDBC client, not just the library API —
+        // the reference's layering (HiveServer funnels through the same
+        // Driver the CLI uses).
+        locally {
+          Locks.LocalLockManager.clearAll()
+          val ddlSt = conn.createStatement()
+          try {
+            ddlSt.execute("LOCK TABLE thrift_t SHARED")
+            val locks = ddlSt.executeQuery("SHOW LOCKS")
+            assert(locks.next(), "SHOW LOCKS over JDBC returns the lock row")
+            assert(locks.getString(1).endsWith("@thrift_t") &&
+              locks.getString(2) == "SHARED")
+            assert(!locks.next())
+            ddlSt.execute("UNLOCK TABLE thrift_t")
+            val none = ddlSt.executeQuery("SHOW LOCKS")
+            assert(!none.next(), "UNLOCK over JDBC released it")
+          } finally Locks.LocalLockManager.clearAll()
+        }
+
         // ---- Incremental fetch paging (ref HiveServer.java:69 fetchN —
         // the paging contract BI tools rely on): a small fetch size forces
         // the driver through repeated FetchResults round trips; every row
