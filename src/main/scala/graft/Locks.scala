@@ -56,7 +56,7 @@ object Locks {
   trait LockManager {
     def tryLockAll(objs: Seq[(String, Mode, LockData)], owner: String): Boolean
     def unlock(name: String, owner: String): Int
-    def releaseImplicit(name: String, owner: String): Unit
+    def releaseImplicit(name: String, owner: String, queryId: String): Unit
     def releaseOwner(owner: String, implicitOnly: Boolean): Unit
     def getLocks(prefix: Option[String]): Seq[HeldLock]
   }
@@ -84,10 +84,11 @@ object Locks {
       n
     }
 
-    override def releaseImplicit(name: String, owner: String): Unit =
+    override def releaseImplicit(name: String, owner: String,
+        queryId: String): Unit =
       synchronized {
         held.filterInPlace(h => !(h.name == name && h.owner == owner &&
-          h.data.lockMode == "IMPLICIT"))
+          h.data.lockMode == "IMPLICIT" && h.data.queryId == queryId))
       }
 
     override def releaseOwner(owner: String, implicitOnly: Boolean): Unit =
@@ -211,7 +212,12 @@ object Locks {
     else {
       val db = spark.catalog.currentDatabase
       if (!modes.contains(db)) modes.put(db, Shared)
-      val d = data(spark, "IMPLICIT")
+      // a fresh queryId per STATEMENT (Driver assigns one per compile):
+      // the release in withStatementLocks matches on it, so a concurrent
+      // statement on the SAME session/table cannot release a sibling's
+      // implicit locks
+      val d = LockData("q" + java.util.UUID.randomUUID().toString.take(8),
+        System.currentTimeMillis(), "IMPLICIT")
       modes.toSeq.map { case (n, m) => (n, m, d) }.sortBy(_._1)
     }
   }
@@ -225,10 +231,10 @@ object Locks {
     val objs = lockObjectsFor(spark, stmt)
     acquire(spark, objs)
     try body
-    finally objs.foreach { case (n, _, _) =>
+    finally objs.foreach { case (n, _, d) =>
       // release only what THIS statement took implicitly; explicit locks
-      // on the same names stay held
-      manager.releaseImplicit(n, owner(spark))
+      // and concurrent statements' implicit locks on the same names stay
+      manager.releaseImplicit(n, owner(spark), d.queryId)
     }
   }
 }

@@ -77,7 +77,7 @@ object Indexes extends QueryModule {
       idxTableName: String,
       comment: Option[String],
       built: Boolean,
-      indexedFiles: Set[String])
+      indexedFiles: Map[String, Long]) // canon path -> length at build
 
   /** (rootKey, lower-cased index name) -> def. JVM-global so every session
     * in the JVM (CLI, Thrift, specs) sees one metastore, like the reference.
@@ -148,7 +148,7 @@ object Indexes extends QueryModule {
     val idxTableName = s"default__${table.split('.').last}_${name}__"
     val idxPath = warehouseDir(spark) + "/graft-indexes/" + idxTableName
     val d = IndexDef(lower, table, key, roots, cols.map(_.toLowerCase), kind,
-      idxPath, idxTableName, comment, built = false, indexedFiles = Set.empty)
+      idxPath, idxTableName, comment, built = false, indexedFiles = Map.empty)
     registry.put((key, lower), d)
     if (!deferred) rebuild(spark, name, table)
   }
@@ -162,7 +162,18 @@ object Indexes extends QueryModule {
     val d = registry.getOrElse((key, name.toLowerCase),
       throw new IllegalArgumentException(s"Index $name does not exist on $table"))
     val base = spark.read.parquet(d.rootPaths: _*)
-    val files = base.inputFiles.map(canon).toSet
+    // record (path, length) of every indexed file — the staleness guard:
+    // a file the rewrite later sees with a different length (in-place
+    // rewrite by an external writer) is treated as unindexed
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val files = d.rootPaths.flatMap { r =>
+      val p = new Path(r)
+      val fs = p.getFileSystem(hconf)
+      fs.listStatus(p).filter(st => st.isFile &&
+          !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(st => canon(st.getPath.toString) -> st.getLen)
+    }.toMap
     val keyCols = d.cols.map(col)
     val built = d.kind match {
       case "compact" =>
@@ -264,8 +275,13 @@ object Indexes extends QueryModule {
     * EWAH-AND, keep buckets with a non-empty intersection.
     */
   def pruneFiles(spark: SparkSession, used: Seq[(IndexDef, Column)],
-      current: Seq[String]): Option[Seq[String]] = {
-    val cur = current.map(canon)
+      current: Seq[(String, Long)]): Option[Seq[String]] = {
+    val cur = current.map { case (f, len) => (canon(f), len) }
+    // a file is covered by index d only if the build saw it at this exact
+    // length; anything else (appended, replaced in place) stays unpruned
+    def unindexedBy(d: IndexDef): Set[String] =
+      cur.collect { case (f, len) if !d.indexedFiles.get(f).contains(len) => f }
+        .toSet
     val (bitmapUsed, compactUsed) = used.partition(_._1.kind == "bitmap")
 
     def probeSingle(d: IndexDef, pred: Column): Set[String] =
@@ -293,24 +309,21 @@ object Indexes extends QueryModule {
         .collect().map(r => canon(r.getString(0))).toSet
       // the row-level intersection is bounded by every participating
       // index's coverage: a file unindexed by ANY of them stays allowed
-      val unindexed = bitmapUsed.map { case (d, _) =>
-        cur.filterNot(d.indexedFiles).toSet
-      }.reduce(_ union _)
+      val unindexed = bitmapUsed.map { case (d, _) => unindexedBy(d) }
+        .reduce(_ union _)
       perIndexAllowed += (matching union unindexed)
     } else {
       bitmapUsed.foreach { case (d, pred) =>
-        perIndexAllowed +=
-          (probeSingle(d, pred) union cur.filterNot(d.indexedFiles).toSet)
+        perIndexAllowed += (probeSingle(d, pred) union unindexedBy(d))
       }
     }
     compactUsed.foreach { case (d, pred) =>
-      perIndexAllowed +=
-        (probeSingle(d, pred) union cur.filterNot(d.indexedFiles).toSet)
+      perIndexAllowed += (probeSingle(d, pred) union unindexedBy(d))
     }
 
     val allowed = perIndexAllowed.result().reduceOption(_ intersect _)
-      .getOrElse(cur.toSet)
-    val pruned = current.filter(f => allowed(canon(f)))
+      .getOrElse(cur.map(_._1).toSet)
+    val pruned = current.collect { case (f, _) if allowed(canon(f)) => f }
     if (pruned.size < current.size) Some(pruned) else None
   }
 

@@ -445,6 +445,29 @@ object Misc extends QueryModule {
       },
       Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal,
                CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END AS seg
-        FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey"""))
+        FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""")),
+
+    // ---- Hadoop-archive round trip (closes the §7.5 HAR drop with an
+    //      oracle, like q127/q128 do for RCFile/SequenceFile): write
+    //      parquet, pack it into a REAL version-3 HAR, and read the
+    //      payload back through Hadoop's own har:// filesystem — the
+    //      reference's ALTER TABLE ARCHIVE read path, end to end.
+    QueryDef(
+      "q138_har_roundtrip",
+      (s, dir) => {
+        val out = sys.props("java.io.tmpdir") +
+          s"/graft_har_q138_${Integer.toHexString(dir.hashCode)}"
+        val p = new org.apache.hadoop.fs.Path(out)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val src = fixtureBound(t(s, dir, "supplier"), "s_suppkey", 301)
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+            col("s_acctbal"))
+        src.repartition(3).write.parquet(out)
+        val uri = graft.sources.HiveArchive.archive(s, out)
+        s.read.parquet(uri).orderBy(col("s_suppkey"))
+      },
+      Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        FROM supplier WHERE s_suppkey <= 300 ORDER BY s_suppkey"""))
   )
 }

@@ -63,7 +63,8 @@ class IndexFilterRewrite(spark: SparkSession) extends Rule[LogicalPlan]
               }
               if (used.isEmpty) f
               else Indexes.pruneFiles(spark, used,
-                  fs.location.inputFiles.toSeq) match {
+                  fs.location.listFiles(Nil, Nil).flatMap(_.files)
+                    .map(st => (st.getPath.toString, st.getLen))) match {
                 case Some(files) =>
                   val pruned = new IndexPrunedFileIndex(spark,
                     files.map(new Path(_)))

@@ -131,6 +131,47 @@ class IndexSpec extends SparkSpec {
     } finally Indexes.dropIndex(spark, "pk", view, ifExists = true)
   }
 
+  test("staleness guard: a file REPLACED in place (same name) is re-scanned") {
+    val dir = freshDir("replace")
+    import spark.implicits._
+    Seq(1L, 1L, 1L, 1L, 1L).toDF("k").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val before = spark.read.parquet(dir).inputFiles.toSet
+    Seq(2L).toDF("k").coalesce(1).write.mode("append").parquet(dir)
+    val f2 = (spark.read.parquet(dir).inputFiles.toSet -- before).head
+    val view = "idx_replace"
+    spark.read.parquet(dir).createOrReplaceTempView(view)
+    Indexes.createIndex(spark, "k", view, Seq("k"), "COMPACT",
+      deferred = false, comment = None)
+    try {
+      // an external writer replaces f2's CONTENT under the same name
+      // (compaction-style in-place rewrite, different length)
+      val tmp = freshDir("replsrc")
+      Seq(3L, 3L, 3L).toDF("k").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val srcFile = spark.read.parquet(tmp).inputFiles.head
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dst = new org.apache.hadoop.fs.Path(f2)
+      val fs = dst.getFileSystem(conf)
+      fs.delete(dst, false)
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(srcFile), fs, dst, false, conf)
+      // Spark's own listing cache needs the standard refresh after any
+      // external rewrite (index or no index); the INDEX must then catch
+      // the content change on its own
+      spark.catalog.refreshByPath(dir)
+      spark.read.parquet(dir).createOrReplaceTempView(view)
+      withIndexFilter {
+        // the index knows nothing of k=3; a NAME-only guard would prune
+        // the replaced file (old name, no k=3 entry) and silently lose
+        // the row — the length check keeps it in the scan
+        val q = spark.table(view).filter(col("k") === 3L)
+        assert(q.count() == 3, "replaced file must be re-scanned")
+        // and the old key no longer matches anything — filter still rules
+        assert(spark.table(view).filter(col("k") === 2L).count() == 0)
+      }
+    } finally Indexes.dropIndex(spark, "k", view, ifExists = true)
+  }
+
   test("bitmap indexes AND at row level: co-occurrence decides the file") {
     val dir = freshDir("bitmapand")
     import spark.implicits._

@@ -106,6 +106,26 @@ class LockSpec extends SparkSpec {
     }
   }
 
+  test("a statement releases only ITS OWN implicit locks (per-queryId)") {
+    Locks.LocalLockManager.clearAll()
+    fastRetries(spark)
+    spark.conf.set("hive.support.concurrency", "true")
+    try {
+      Tables.registerAll(spark, sfDir)
+      // statement A holds its implicit locks while statement B (same
+      // session, same table) runs and releases — A's locks must survive
+      val objsA = Locks.lockObjectsFor(spark, "SELECT * FROM nation")
+      Locks.acquire(spark, objsA)
+      Locks.withStatementLocks(spark, "SELECT count(*) FROM nation") {}
+      val left = Locks.manager.getLocks(Some("default@nation"))
+      assert(left.size == 1 && left.head.data.queryId == objsA.head._3.queryId,
+        "sibling statement must not release another statement's locks")
+    } finally {
+      spark.conf.unset("hive.support.concurrency")
+      Locks.LocalLockManager.clearAll()
+    }
+  }
+
   test("implicit exclusive blocks a concurrent statement until released") {
     Locks.LocalLockManager.clearAll()
     val s2 = spark.newSession()
