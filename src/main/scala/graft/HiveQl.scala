@@ -54,6 +54,14 @@ object HiveQl {
     """(?is)^\s*DROP\s+INDEX\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s+ON\s+([\w.]+)\s*;?\s*$""".r
   private val ShowIndexes =
     """(?is)^\s*SHOW\s+(?:FORMATTED\s+)?INDEX(?:ES)?\s+ON\s+([\w.]+)\s*;?\s*$""".r
+  // protect mode + TOUCH (Hive.g:658,750; TOK_NO_DROP/TOK_OFFLINE) and the
+  // DROP intercept that enforces NO_DROP → graft.Protect
+  private val AlterProtect =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+(ENABLE|DISABLE)\s+(NO_DROP|OFFLINE)\s*;?\s*$""".r
+  private val AlterTouch =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+TOUCH\s*;?\s*$""".r
+  private val DropTable =
+    """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
   // ALTER TABLE ... [UN]ARCHIVE PARTITION (TOK_ALTERTABLE_ARCHIVE,
   // SemanticAnalyzerFactory:162-163) → sources.HiveArchive
   private val ArchivePartition =
@@ -338,6 +346,9 @@ object HiveQl {
     // entry point that funnels through this driver analogue (no-op unless
     // hive.security.authorization.enabled)
     Authz.checkStatement(spark, q)
+    // OFFLINE protect mode (ErrorMsg.OFFLINE_TABLE_OR_PARTITION; no-op
+    // with no offline tables)
+    Protect.checkStatement(spark, q)
     statementRows(q) match {
       case Some((schema, rows)) =>
         return spark.createDataFrame(
@@ -390,6 +401,20 @@ object HiveQl {
         Some(s => operators.Indexes.rebuild(s, name, table))
       case DropIndex(ifExists, name, table) =>
         Some(s => operators.Indexes.dropIndex(s, name, table, ifExists != null))
+      case AlterProtect(table, toggle, mode) =>
+        Some(s => Protect.setMode(s, table,
+          toggle.equalsIgnoreCase("ENABLE"), mode))
+      case AlterTouch(table) =>
+        Some(s => Protect.touch(s, table))
+      case DropTable(table) =>
+        // NO_DROP enforcement (DDLTask.java:2995-3010), then the native
+        // DROP runs through the delegate parser (bypass guard as the
+        // multi-insert fallback uses)
+        Some { s =>
+          Protect.checkDrop(table.split('.').last)
+          bypassStatements.set(true)
+          try s.sql(rewrite(q)) finally bypassStatements.set(false)
+        }
       case ArchivePartition(table, un, spec) =>
         Some { s =>
           val kv = sources.HiveExim.parsePartSpec(spec).map {

@@ -1,0 +1,82 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+
+/** Table protect mode + TOUCH (the last §2.11 ALTER variants: Hive.g:658
+  * TOK_ALTERTABLE_TOUCH, :750 alterStatementSuffixProtectMode with
+  * TOK_OFFLINE/TOK_NO_DROP):
+  *
+  *  - `ALTER TABLE t ENABLE NO_DROP` protects a table from DROP — the
+  *    reference's DDLTask.dropTable check ("... is protected from being
+  *    dropped", DDLTask.java:2998); DISABLE lifts it.
+  *  - `ALTER TABLE t ENABLE OFFLINE` takes a table out of query service —
+  *    any statement referencing it fails with the reference's
+  *    ErrorMsg.OFFLINE_TABLE_OR_PARTITION ("Query against an offline
+  *    table or partition", ErrorMsg.java:172); DISABLE restores it.
+  *  - `ALTER TABLE t TOUCH` bumps the table's DDL time
+  *    (`transient_lastDdlTime`, the property Hive's touch updates) —
+  *    its purpose in the reference is firing pre/post hooks on otherwise
+  *    unchanged tables.
+  *
+  * Mode state is JVM-scoped like the rest of the metadata surface;
+  * enforcement sits in the HiveQl.sql driver layer (the same place the
+  * reference checks, Driver/DDLTask) plus a DROP TABLE intercept in the
+  * statement dispatch.
+  */
+object Protect {
+
+  private val modes = TrieMap.empty[String, (Boolean, Boolean)] // (noDrop, offline)
+
+  def reset(): Unit = modes.clear()
+
+  private def key(t: String): String = t.toLowerCase
+
+  def setMode(spark: SparkSession, table: String, enable: Boolean,
+      mode: String): Unit = {
+    val (noDrop, offline) = modes.getOrElse(key(table), (false, false))
+    val next = mode.trim.toUpperCase match {
+      case "NO_DROP" => (enable, offline)
+      case "OFFLINE" => (noDrop, enable)
+      case other => throw new IllegalArgumentException(s"bad protect mode $other")
+    }
+    if (next == ((false, false))) modes.remove(key(table))
+    else modes.put(key(table), next)
+  }
+
+  def isNoDrop(table: String): Boolean =
+    modes.get(key(table)).exists(_._1)
+
+  def isOffline(table: String): Boolean =
+    modes.get(key(table)).exists(_._2)
+
+  /** DDLTask.dropTable's protect check (DDLTask.java:2995-3010). */
+  def checkDrop(table: String): Unit =
+    if (isNoDrop(table))
+      throw new IllegalStateException(
+        s"Table $table is protected from being dropped")
+
+  /** ErrorMsg.OFFLINE_TABLE_OR_PARTITION for any statement referencing an
+    * offline table (checked in the driver layer like the reference).
+    */
+  def checkStatement(spark: SparkSession, stmt: String): Unit = {
+    if (modes.isEmpty || !modes.values.exists(_._2)) return
+    val plan =
+      try spark.sessionState.sqlParser.parsePlan(HiveQl.rewrite(stmt))
+      catch { case _: Exception => return }
+    val (in, out) = Authz.referencedTables(plan)
+    (in ++ out).find(t => isOffline(t.split('.').last)).foreach { t =>
+      throw new IllegalStateException(
+        s"Query against an offline table or partition: $t")
+    }
+  }
+
+  /** `ALTER TABLE t TOUCH`: bump transient_lastDdlTime (what the
+    * reference's touch persists; hook-firing is its other half — our
+    * exec hooks ride QueryExecutionListener, operators/Observed).
+    */
+  def touch(spark: SparkSession, table: String): Unit =
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+      s"('transient_lastDdlTime' = '${System.currentTimeMillis() / 1000}')")
+}

@@ -1,0 +1,57 @@
+package graft
+
+/** Protect mode + TOUCH (the last §2.11 ALTER variants): NO_DROP blocks
+  * DROP TABLE with the reference's message, OFFLINE takes a table out of
+  * query service with ErrorMsg.OFFLINE_TABLE_OR_PARTITION, TOUCH bumps
+  * transient_lastDdlTime.
+  */
+class ProtectSpec extends SparkSpec {
+
+  test("ENABLE NO_DROP protects a table from DROP; DISABLE lifts it") {
+    Protect.reset()
+    spark.sql("DROP TABLE IF EXISTS prot_t")
+    spark.sql("CREATE TABLE prot_t (k BIGINT) USING parquet")
+    HiveQl.sql(spark, "ALTER TABLE prot_t ENABLE NO_DROP")
+    val e = intercept[Exception](HiveQl.sql(spark, "DROP TABLE prot_t"))
+    assert(e.getMessage.contains("protected from being dropped"),
+      "DDLTask.java:2998 message shape")
+    // the intercept also guards the raw spark.sql entry point (statement
+    // dispatch is parser-injected)
+    val e2 = intercept[Exception](spark.sql("DROP TABLE prot_t"))
+    assert(e2.getMessage.contains("protected from being dropped"))
+    assert(spark.catalog.tableExists("prot_t"), "table survived both")
+    HiveQl.sql(spark, "ALTER TABLE prot_t DISABLE NO_DROP")
+    HiveQl.sql(spark, "DROP TABLE prot_t")
+    assert(!spark.catalog.tableExists("prot_t"))
+  }
+
+  test("ENABLE OFFLINE blocks statements referencing the table") {
+    Protect.reset()
+    Tables.registerAll(spark, sfDir)
+    HiveQl.sql(spark, "ALTER TABLE nation ENABLE OFFLINE")
+    try {
+      val e = intercept[Exception](
+        HiveQl.sql(spark, "SELECT count(*) FROM nation"))
+      assert(e.getMessage.contains("Query against an offline table"),
+        "ErrorMsg.java:172 message shape")
+      // other tables unaffected
+      assert(HiveQl.sql(spark, "SELECT count(*) AS c FROM region")
+        .collect().head.getLong(0) == 5)
+    } finally HiveQl.sql(spark, "ALTER TABLE nation DISABLE OFFLINE")
+    assert(HiveQl.sql(spark, "SELECT count(*) AS c FROM nation")
+      .collect().head.getLong(0) == 25)
+  }
+
+  test("TOUCH bumps transient_lastDdlTime on a catalog table") {
+    Protect.reset()
+    spark.sql("DROP TABLE IF EXISTS touch_t")
+    spark.sql("CREATE TABLE touch_t (k BIGINT) USING parquet")
+    HiveQl.sql(spark, "ALTER TABLE touch_t TOUCH")
+    val props = spark.sql("SHOW TBLPROPERTIES touch_t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val t = props.get("transient_lastDdlTime").map(_.toLong)
+    assert(t.exists(v => math.abs(v - System.currentTimeMillis() / 1000) < 120),
+      s"touch must set a fresh DDL time, got $props")
+    spark.sql("DROP TABLE touch_t")
+  }
+}
