@@ -54,6 +54,11 @@ object HiveQl {
     """(?is)^\s*DROP\s+INDEX\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s+ON\s+([\w.]+)\s*;?\s*$""".r
   private val ShowIndexes =
     """(?is)^\s*SHOW\s+(?:FORMATTED\s+)?INDEX(?:ES)?\s+ON\s+([\w.]+)\s*;?\s*$""".r
+  // CREATE TABLE ... STORED BY 'handler' (Hive.g tableFileFormat
+  // KW_STORED KW_BY; HiveStorageHandler) → sources.kv.KvSource DSv2
+  private val StoredBy =
+    """(?is)^\s*CREATE\s+(EXTERNAL\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*?)\)\s+STORED\s+BY\s+'([^']+)'(?:\s+WITH\s+SERDEPROPERTIES\s*\((.*?)\))?(?:\s+TBLPROPERTIES\s*\((.*?)\))?\s*;?\s*$""".r
+  private val PropPair = """'([^']*)'\s*=\s*'([^']*)'""".r
   // protect mode + TOUCH (Hive.g:658,750; TOK_NO_DROP/TOK_OFFLINE) and the
   // DROP intercept that enforces NO_DROP → graft.Protect
   private val AlterProtect =
@@ -401,6 +406,48 @@ object HiveQl {
         Some(s => operators.Indexes.rebuild(s, name, table))
       case DropIndex(ifExists, name, table) =>
         Some(s => operators.Indexes.dropIndex(s, name, table, ifExists != null))
+      case StoredBy(external, table, cols, handler, serde, tblProps) =>
+        Some { s =>
+          // the storage-handler dispatch (HiveStorageHandler): the bundled
+          // handler is the KV connector; anything else (e.g. the HBase
+          // client handler) needs its client stack on the classpath
+          val h = handler.trim
+          require(h == "graft.sources.kv.KvSource" || h.equalsIgnoreCase("kv") ||
+              h.endsWith("HBaseStorageHandler"),
+            s"storage handler $h is not available; the bundled handler is " +
+              "graft.sources.kv.KvSource")
+          def props(text: String): Map[String, String] =
+            if (text == null) Map.empty
+            else PropPair.findAllMatchIn(text)
+              .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
+          val p = props(serde) ++ props(tblProps)
+          // accept the reference's hbase.* property spellings as aliases
+          val mapping = p.get("kv.columns.mapping")
+            .orElse(p.get("hbase.columns.mapping")).getOrElse(
+              throw new IllegalArgumentException(
+                "No kv.columns.mapping defined in Serde."))
+          val kvName = p.get("kv.table.name").orElse(p.get("hbase.table.name"))
+            .getOrElse(table.split('.').last)
+          val ext = external != null
+          // HiveMetaHook lifecycle (HBaseMetaHook): managed CREATE creates
+          // the store table; EXTERNAL requires it to exist
+          if (ext) require(graft.sources.kv.KvStore.exists(kvName),
+            s"external KV table $kvName does not exist")
+          else graft.sources.kv.KvStore.create(kvName)
+          try {
+            bypassStatements.set(true)
+            try s.sql(
+              s"""CREATE TABLE $table ($cols)
+                  USING graft.sources.kv.KvSource
+                  OPTIONS ('kv.table.name'='$kvName',
+                           'kv.columns.mapping'='$mapping'
+                           ${if (ext) ",'kv.external'='true'" else ""})""")
+            finally bypassStatements.set(false)
+          } catch { case e: Throwable =>
+            if (!ext) graft.sources.kv.KvStore.drop(kvName) // rollback hook
+            throw e
+          }
+        }
       case AlterProtect(table, toggle, mode) =>
         Some(s => Protect.setMode(s, table,
           toggle.equalsIgnoreCase("ENABLE"), mode))
@@ -409,11 +456,22 @@ object HiveQl {
       case DropTable(table) =>
         // NO_DROP enforcement (DDLTask.java:2995-3010), then the native
         // DROP runs through the delegate parser (bypass guard as the
-        // multi-insert fallback uses)
+        // multi-insert fallback uses). A MANAGED storage-handler table
+        // also drops its KV store table (HiveMetaHook commitDropTable).
         Some { s =>
           Protect.checkDrop(table.split('.').last)
+          val meta = try Some(s.sessionState.catalog.getTableMetadata(
+            s.sessionState.sqlParser.parseTableIdentifier(table)))
+          catch { case _: Exception => None }
           bypassStatements.set(true)
           try s.sql(rewrite(q)) finally bypassStatements.set(false)
+          meta.filter(_.provider.contains("graft.sources.kv.KvSource"))
+            .foreach { m =>
+              val p = m.storage.properties.map {
+                case (k, v) => k.toLowerCase -> v }
+              if (!p.get("kv.external").contains("true"))
+                p.get("kv.table.name").foreach(graft.sources.kv.KvStore.drop)
+            }
         }
       case ArchivePartition(table, un, spec) =>
         Some { s =>
