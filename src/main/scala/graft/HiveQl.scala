@@ -216,8 +216,32 @@ object HiveQl {
     unmaskLiterals(rewriteMasked(masked), lits)
   }
 
+  // CREATE TABLE ... STORED AS TEXTFILE (Hive.g tableFileFormat KW_TEXTFILE)
+  // → Spark's `USING csv` with LazySimpleSerDe's defaults (^A delimiter, \N
+  // nulls, no quoting/escaping — TextInputFormat rows carry no quote
+  // syntax), so the table's on-disk files ARE Hive-text interchange files.
+  // Hive puts PARTITIONED BY before the format clause; Spark requires USING
+  // before the table clauses, so the partitioned form swaps them.
+  private val HiveTextOpts =
+    // the delimiter is the SIX-char sequence \ u 0 0 0 1 in this source and
+    // in the rewritten SQL (never a raw ^A — that byte is the literal-mask
+    // marker); Spark's string unescaper turns it into the real ^A
+    ("""OPTIONS('sep'='""" + "\\u0001" +
+      """','quote'='','escape'='','nullValue'='\\N','emptyValue'='')""")
+  private val PartitionedStoredAsText =
+    """(?is)PARTITIONED\s+BY\s*(\([^)]*\))\s+STORED\s+AS\s+TEXTFILE""".r
+  private val StoredAsText = """(?is)\bSTORED\s+AS\s+TEXTFILE\b""".r
+
   private def rewriteMasked(q: String): String = {
-    val noStream = StreamTable.replaceAllIn(q, "")
+    val storedAs = StoredAsText.replaceAllIn(
+      PartitionedStoredAsText.replaceAllIn(q, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          s"USING csv $HiveTextOpts PARTITIONED BY ${m.group(1)}")),
+      java.util.regex.Matcher.quoteReplacement(s"USING csv $HiveTextOpts"))
+    // HOLD_DDLTIME is consumed in sql() (DDL-time suppression) — Spark's
+    // planner must not see it as an unknown hint
+    val noHold = HoldDdltime.replaceAllIn(storedAs, "")
+    val noStream = StreamTable.replaceAllIn(noHold, "")
     val hinted = MapJoin.replaceAllIn(noStream, m => s"/*+ BROADCAST(${m.group(1)}) */")
     val sampled = TableSample.replaceAllIn(hinted, m => {
       val (tbl, x, y, c) = (m.group(1), m.group(2).toInt, m.group(3), m.group(4))
@@ -360,11 +384,92 @@ object HiveQl {
           java.util.Arrays.asList(rows(spark): _*), schema)
       case None =>
     }
-    statementExec(q) match {
+    // HOLD_DDLTIME hint (Hive.g:1499 TOK_HOLD_DDLTIME; SemanticAnalyzer
+    // .checkHoldDDLTime): an INSERT normally refreshes the dest table's
+    // transient_lastDdlTime (the metastore update loadTable/loadPartition
+    // performs); the hint suppresses that, and is rejected for dynamic or
+    // non-existent partitions with the reference's exact message
+    // (ErrorMsg.java:170).
+    val (maskedQ, qLits) =
+      try maskLiterals(q) catch { case _: IllegalArgumentException => (q, IndexedSeq.empty[String]) }
+    val holdDdl = HoldDdltime.findFirstIn(maskedQ).isDefined
+    if (holdDdl) checkHoldDdltime(spark, maskedQ, qLits)
+    val result = statementExec(q) match {
       case Some(exec) => exec(spark); spark.emptyDataFrame
-      case None => spark.sql(rewrite(q))
+      case None => withLegacyStoreRetry(spark)(spark.sql(rewrite(q)))
     }
+    if (!holdDdl) bumpInsertTargets(spark, maskedQ)
+    result
   }
+
+  // the hint sits in Hive's hint position (after SELECT); strip happens in
+  // rewriteMasked like STREAMTABLE, detection happens in sql() above
+  private val HoldDdltime = """(?i)/\*\+\s*HOLD_DDLTIME\s*\*/""".r
+  private val InsertTarget =
+    """(?is)\bINSERT\s+(?:OVERWRITE\s+|INTO\s+)(?:TABLE\s+)?([\w.]+)\s*(PARTITION\s*\(([^)]*)\))?""".r
+
+  /** SemanticAnalyzer.java:3720,3859: HOLD_DDLTIME is illegal on a dynamic
+    * partition spec (a column with no `=`) and on a static partition that
+    * does not already exist.
+    */
+  private def checkHoldDdltime(spark: SparkSession, masked: String,
+      lits: IndexedSeq[String]): Unit =
+    InsertTarget.findAllMatchIn(masked).foreach { m =>
+      Option(m.group(3)).foreach { specMasked =>
+        val spec = unmaskLiterals(specMasked, lits)
+        val err = new IllegalStateException(
+          "HOLD_DDLTIME hint cannot be applied to dynamic partitions or " +
+            "non-existent partitions")
+        if (spec.split(",").exists(!_.contains("="))) throw err // dynamic
+        val exists =
+          try !spark.sql(
+            s"SHOW PARTITIONS ${m.group(1)} PARTITION ($spec)").isEmpty
+          catch { case _: Exception => false }
+        if (!exists) throw err
+      }
+    }
+
+  /** The metastore side effect of a successful INSERT (Hive.loadTable /
+    * loadPartition → alterTable): refresh the dest's transient_lastDdlTime.
+    * Monotonic (max(now, prev+1)) so two inserts in one second still
+    * observably differ; skipped under HOLD_DDLTIME. Temp-view / directory
+    * targets have no table properties — ignored.
+    */
+  private def bumpInsertTargets(spark: SparkSession, masked: String): Unit =
+    InsertTarget.findAllMatchIn(masked).map(_.group(1)).toSeq.distinct
+      .filterNot(_.equalsIgnoreCase("DIRECTORY")) // INSERT OVERWRITE DIRECTORY
+      .foreach { t =>
+        try {
+          val prev = spark.sql(s"SHOW TBLPROPERTIES $t('transient_lastDdlTime')")
+            .collect().headOption.map(_.getString(1).trim).filter(_.forall(_.isDigit))
+            .map(_.toLong).getOrElse(0L)
+          Protect.setDdlTime(spark, t,
+            math.max(System.currentTimeMillis() / 1000, prev + 1))
+        } catch { case _: org.apache.spark.sql.AnalysisException => }
+      }
+
+  /** Hive-0.8 STORE-ASSIGNMENT semantics for the driver path: the reference
+    * inserts through any type mismatch (LazySimpleSerDe re-parses text;
+    * UDFToInteger returns null on malformed — q88's error-semantics
+    * contract), while Spark's default ANSI store policy REJECTS e.g. the
+    * STRING→INT dest casts every clientpositive insert relies on
+    * (groupby1.q writes `src.key` into `key INT`). Retry-on-reject rather
+    * than a global LEGACY flip: sessions keep Spark-native safety for raw
+    * `spark.sql`, DSv2 writes (which disallow LEGACY) are untouched unless
+    * they themselves fail the safety check, and the flip is restored even
+    * on failure. The first failure happens at ANALYSIS, before any write,
+    * so the retry never double-executes a side effect.
+    */
+  private[graft] def withLegacyStoreRetry[T](spark: SparkSession)(body: => T): T =
+    try body catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("CANNOT_SAFELY_CAST") =>
+        val key = "spark.sql.storeAssignmentPolicy"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, "LEGACY")
+        try body
+        finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
 
   /** Re-entrancy guard for [[statementExec]]: the multi-insert NATIVE
     * fallback re-submits the original text through `spark.sql`, which

@@ -77,6 +77,12 @@ object Protect {
     * exec hooks ride QueryExecutionListener, operators/Observed).
     */
   def touch(spark: SparkSession, table: String): Unit =
+    setDdlTime(spark, table, System.currentTimeMillis() / 1000)
+
+  /** Shared by TOUCH and the INSERT-path refresh (HiveQl.bumpInsertTargets —
+    * the loadTable/loadPartition metastore update HOLD_DDLTIME suppresses).
+    */
+  def setDdlTime(spark: SparkSession, table: String, seconds: Long): Unit =
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
-      s"('transient_lastDdlTime' = '${System.currentTimeMillis() / 1000}')")
+      s"('transient_lastDdlTime' = '$seconds')")
 }

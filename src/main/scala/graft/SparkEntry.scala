@@ -18,6 +18,7 @@ object SparkEntry {
     operators.TextAnalysis,
     operators.Multimodal,
     operators.Misc,
+    operators.QFileParity,
     operators.Indexes,
     operators.ScaleOps,
     streaming.Streaming)

@@ -82,6 +82,17 @@ object GraftFunctions {
     // builtin (Sessions force-registers names in `overridesBuiltin`).
     reg("hash", classOf[HiveHash08], HiveHash08(_)),
     reg("create_union", classOf[CreateNamedStruct], createUnionBuilder),
+    // Hive-0.8 statistical names are POPULATION aggregates (GenericUDAFStd /
+    // GenericUDAFVariance, FunctionRegistry.java:377-390: std = stddev =
+    // stddev_pop, variance = var_pop), while Spark's builtins of the same
+    // names are SAMPLE. Ported .q text (clientpositive/groupby3.q) must get
+    // the reference's semantics — a silent n/(n-1) skew otherwise.
+    reg("std", classOf[aggregate.StddevPop],
+      es => aggregate.StddevPop(Cast(es.head, DoubleType)).toAggregateExpression()),
+    reg("stddev", classOf[aggregate.StddevPop],
+      es => aggregate.StddevPop(Cast(es.head, DoubleType)).toAggregateExpression()),
+    reg("variance", classOf[aggregate.VariancePop],
+      es => aggregate.VariancePop(Cast(es.head, DoubleType)).toAggregateExpression()),
     reg("parse_url_tuple", classOf[ParseUrlTuple], ParseUrlTuple(_)),
     // NOTE: fully qualified on purpose. The wildcard import of
     // catalyst.expressions._ SHADOWS same-package classes from other files
@@ -250,7 +261,9 @@ object GraftFunctions {
     */
   val overridesBuiltin: Set[String] = Set("hash", "bitmap_count", "split",
     "xpath", "xpath_string", "xpath_boolean", "xpath_short", "xpath_int",
-    "xpath_long", "xpath_float", "xpath_double", "xpath_number")
+    "xpath_long", "xpath_float", "xpath_double", "xpath_number",
+    // Hive's std/stddev/variance are population; Spark's builtins are sample
+    "std", "stddev", "variance")
 }
 
 /** `field(needle, v1..vn)`: 1-based index of the first vi equal to needle,

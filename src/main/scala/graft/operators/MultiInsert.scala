@@ -231,7 +231,10 @@ object MultiInsert {
         s"$kw $target $part ${spliceFrom(select)}"
       }
       try {
-        branchSql.foreach(spark.sql(_: String))
+        // per-branch Hive store-assignment retry (HiveQl.withLegacyStoreRetry):
+        // the reject happens at analysis, before any branch writes
+        branchSql.foreach(b =>
+          graft.HiveQl.withLegacyStoreRetry(spark)(spark.sql(b)))
         lastReport = Some(Report(view, needed, materialize, branchSql,
           branchSql.map(s => spark.sql(s.substring(s.indexOf("SELECT"))))))
       } finally if (materialize) pruned.unpersist(false)
@@ -297,7 +300,8 @@ object MultiInsert {
         val kw = if (mode == "OVERWRITE") "INSERT OVERWRITE TABLE" else "INSERT INTO"
         s"$kw $target $part ${spliceFrom(select, newFrom)}"
       }
-      branchSql.foreach(spark.sql(_: String))
+      branchSql.foreach(b =>
+        graft.HiveQl.withLegacyStoreRetry(spark)(spark.sql(b)))
       lastReport = Some(Report(viewFor.values.mkString(","),
         viewFor.keys.flatMap { case (t, cols) => cols.map(c => s"$t.$c") }.toSeq,
         materialize, branchSql,

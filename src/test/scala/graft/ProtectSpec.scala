@@ -54,4 +54,46 @@ class ProtectSpec extends SparkSpec {
       s"touch must set a fresh DDL time, got $props")
     spark.sql("DROP TABLE touch_t")
   }
+
+  private def ddlTime(table: String): Option[Long] =
+    spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .get("transient_lastDdlTime").map(_.trim.toLong)
+
+  test("INSERT refreshes transient_lastDdlTime; HOLD_DDLTIME suppresses it " +
+      "(SemanticAnalyzer.checkHoldDDLTime)") {
+    spark.sql("DROP TABLE IF EXISTS hold_t")
+    spark.sql("CREATE TABLE hold_t (k BIGINT) USING parquet")
+    HiveQl.sql(spark, "INSERT INTO hold_t SELECT 1")
+    val t1 = ddlTime("hold_t")
+    assert(t1.nonEmpty, "plain INSERT must set the DDL time (loadTable path)")
+    HiveQl.sql(spark, "INSERT INTO hold_t SELECT /*+ HOLD_DDLTIME */ 2")
+    assert(ddlTime("hold_t") === t1, "hinted INSERT must not refresh it")
+    HiveQl.sql(spark, "INSERT INTO hold_t SELECT 3")
+    assert(ddlTime("hold_t").get > t1.get,
+      "next plain INSERT refreshes (monotonic even within one second)")
+    assert(HiveQl.sql(spark, "SELECT count(*) AS c FROM hold_t")
+      .collect().head.getLong(0) === 3, "all three rows landed")
+    spark.sql("DROP TABLE hold_t")
+  }
+
+  test("HOLD_DDLTIME rejects dynamic and non-existent partitions " +
+      "(ErrorMsg.java:170)") {
+    spark.sql("DROP TABLE IF EXISTS hold_p")
+    spark.sql("CREATE TABLE hold_p (k BIGINT) USING parquet PARTITIONED BY (ds STRING)")
+    spark.sql("INSERT INTO hold_p PARTITION(ds='a') SELECT 1")
+    // existing static partition: allowed, and the DDL time stays put
+    val t1 = ddlTime("hold_p")
+    HiveQl.sql(spark,
+      "INSERT INTO hold_p PARTITION(ds='a') SELECT /*+ HOLD_DDLTIME */ 2")
+    assert(ddlTime("hold_p") === t1)
+    val e1 = intercept[Exception](HiveQl.sql(spark,
+      "INSERT INTO hold_p PARTITION(ds='zz') SELECT /*+ HOLD_DDLTIME */ 3"))
+    assert(e1.getMessage.contains(
+      "HOLD_DDLTIME hint cannot be applied to dynamic partitions or non-existent partitions"))
+    val e2 = intercept[Exception](HiveQl.sql(spark,
+      "INSERT INTO hold_p PARTITION(ds) SELECT /*+ HOLD_DDLTIME */ 4, 'b'"))
+    assert(e2.getMessage.contains("HOLD_DDLTIME hint cannot be applied"))
+    spark.sql("DROP TABLE hold_p")
+  }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The clientpositive parity battery's fixture and dialect guarantees
+  * (q139-q145 carry the end-to-end oracle checks; this pins what the oracle
+  * can't see).
+  */
+class QFileParitySpec extends SparkSpec {
+
+  private def runQ(name: String) =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  test("src fixture: 500 rows, kv1-shaped duplicate keys (counts above 3)") {
+    // build fixtures via any battery query's fixture step: run the cheapest
+    runQ("q143_qf_having").collect() // registers src + exercises the query
+    val src = spark.table("src")
+    assert(src.count() === 500)
+    val hist = src.groupBy("key").count()
+    assert(hist.filter(col("count") > 3).count() > 0,
+      "having.q's `HAVING c > 3` must be non-empty on the fixture")
+    assert(hist.count() < 500, "fixture must have duplicate keys like kv1")
+  }
+
+  test("STORED AS TEXTFILE dest is real Hive text on disk (^A, \\N-free)") {
+    runQ("q139_qf_groupby1").collect()
+    val sfx = (sfDir.hashCode & Int.MaxValue).toString
+    val wh = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+        match { case p if new java.io.File(p).isDirectory => p
+                case _ => spark.conf.get("spark.sql.warehouse.dir") },
+      s"dest_g1_$sfx")
+    val parts = Option(wh.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+    assert(parts.nonEmpty, s"no part files under $wh")
+    val text = scala.io.Source.fromFile(parts.head, "UTF-8").mkString
+    assert(text.contains("\u0001"),
+      "rows must be ^A-delimited (LazySimpleSerDe default)")
+    assert(!text.contains(","), "no CSV-style commas — this is Hive text")
+  }
+
+  test("std/stddev/variance resolve to Hive POPULATION semantics") {
+    Sessions.ensureRegistered(spark)
+    import spark.implicits._
+    Seq(1.0, 2.0, 3.0, 4.0).toDF("x").createOrReplaceTempView("stdsem")
+    val r = spark.sql(
+      "SELECT std(x) AS s, stddev(x) AS sd, variance(x) AS v FROM stdsem")
+      .head()
+    // population: var = 1.25, std = sqrt(1.25); sample would be 5/3
+    assert(math.abs(r.getDouble(2) - 1.25) < 1e-12,
+      s"variance must be population (got ${r.getDouble(2)})")
+    assert(math.abs(r.getDouble(0) - math.sqrt(1.25)) < 1e-12)
+    assert(math.abs(r.getDouble(1) - math.sqrt(1.25)) < 1e-12)
+  }
+
+  test("battery queries return rows and deterministic re-runs") {
+    for (q <- Seq("q139_qf_groupby1", "q140_qf_groupby3", "q141_qf_input12",
+        "q142_qf_join2", "q144_qf_union3", "q145_qf_input_part1")) {
+      val a = runQ(q).collect()
+      assert(a.nonEmpty, s"$q returned no rows")
+      val b = runQ(q).collect()
+      assert(a.toSeq === b.toSeq, s"$q re-run differs (stale dest parts?)")
+    }
+  }
+}
