@@ -108,7 +108,14 @@ object HiveQl {
   // values (string ON-columns) pmod(hash, y) picks a different bucket
   // whenever y isn't a power of two.
   private val TableSample =
-    """(?i)([\w.]+)\s+TABLESAMPLE\s*\(\s*BUCKET\s+(\d+)\s+OUT\s+OF\s+(\d+)\s+ON\s+(\w+)\s*\)(\s+(?:AS\s+)?(\w+))?""".r
+    """(?i)([\w.]+)\s+TABLESAMPLE\s*\(\s*BUCKET\s+(\d+)\s+OUT\s+OF\s+(\d+)\s+ON\s+(\w+(?:\s*,\s*\w+)*)\s*\)(\s+(?:AS\s+)?(\w+))?""".r
+  // BUCKET x OUT OF y with NO ON-clause — "default table sample columns"
+  // (Hive.g tableSample; SemanticAnalyzer.java:6240-6262): sample on the
+  // TABLE'S bucket columns, error on a non-bucketed table. Needs the
+  // catalog, so [[resolveDefaultSampleCols]] resolves it session-side
+  // before the static rewrite.
+  private val TableSampleNoOn =
+    """(?i)([\w.]+)\s+TABLESAMPLE\s*\(\s*BUCKET\s+(\d+)\s+OUT\s+OF\s+(\d+)\s*\)""".r
   // words that can follow the closing paren but are NOT a table alias
   private val NotAnAlias = Set("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING",
     "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "SEMI", "ANTI", "ON",
@@ -217,17 +224,14 @@ object HiveQl {
   }
 
   // CREATE TABLE ... STORED AS TEXTFILE (Hive.g tableFileFormat KW_TEXTFILE)
-  // → Spark's `USING csv` with LazySimpleSerDe's defaults (^A delimiter, \N
-  // nulls, no quoting/escaping — TextInputFormat rows carry no quote
-  // syntax), so the table's on-disk files ARE Hive-text interchange files.
-  // Hive puts PARTITIONED BY before the format clause; Spark requires USING
-  // before the table clauses, so the partitioned form swaps them.
-  private val HiveTextOpts =
-    // the delimiter is the SIX-char sequence \ u 0 0 0 1 in this source and
-    // in the rewritten SQL (never a raw ^A — that byte is the literal-mask
-    // marker); Spark's string unescaper turns it into the real ^A
-    ("""OPTIONS('sep'='""" + "\\u0001" +
-      """','quote'='','escape'='','nullValue'='\\N','emptyValue'='')""")
+  // → the graft `hivetext` FileFormat, LazySimpleSerDe's exact codec: ^A
+  // delimiter, \N nulls, no quoting — and '' is the empty STRING, not null
+  // (the distinction Spark's CSV source cannot express: an unquoted empty
+  // field always reads as null there). The table's on-disk files ARE
+  // Hive-text interchange files. Hive puts PARTITIONED BY before the
+  // format clause; Spark requires USING before the table clauses, so the
+  // partitioned form swaps them.
+  private val HiveTextOpts = "USING graft.sources.HiveTextSource"
   private val PartitionedStoredAsText =
     """(?is)PARTITIONED\s+BY\s*(\([^)]*\))\s+STORED\s+AS\s+TEXTFILE""".r
   private val StoredAsText = """(?is)\bSTORED\s+AS\s+TEXTFILE\b""".r
@@ -236,8 +240,8 @@ object HiveQl {
     val storedAs = StoredAsText.replaceAllIn(
       PartitionedStoredAsText.replaceAllIn(q, m =>
         java.util.regex.Matcher.quoteReplacement(
-          s"USING csv $HiveTextOpts PARTITIONED BY ${m.group(1)}")),
-      java.util.regex.Matcher.quoteReplacement(s"USING csv $HiveTextOpts"))
+          s"$HiveTextOpts PARTITIONED BY ${m.group(1)}")),
+      java.util.regex.Matcher.quoteReplacement(HiveTextOpts))
     // HOLD_DDLTIME is consumed in sql() (DDL-time suppression) — Spark's
     // planner must not see it as an unknown hint
     val noHold = HoldDdltime.replaceAllIn(storedAs, "")
@@ -369,8 +373,40 @@ object HiveQl {
       s"Variable substitution depth too large: $MaxSubst $expr")
   }
 
+  /** Splice a no-ON `TABLESAMPLE (BUCKET x OUT OF y)` into the explicit ON
+    * form using the target table's catalog bucket spec (the reference's
+    * default-sample-columns path). Non-bucketed targets get the
+    * reference's NON_BUCKETED_TABLE error (ErrorMsg.java:104). Masked so a
+    * TABLESAMPLE spelled inside a string literal never triggers it.
+    */
+  def resolveDefaultSampleCols(spark: SparkSession, q: String): String = {
+    val (masked, lits) =
+      try maskLiterals(q) catch { case _: IllegalArgumentException => return q }
+    if (TableSampleNoOn.findFirstIn(masked).isEmpty) return q
+    val out = TableSampleNoOn.replaceAllIn(masked, m => {
+      val tbl = m.group(1)
+      val cols =
+        try {
+          val parts = tbl.split('.')
+          val ti =
+            if (parts.length > 1)
+              org.apache.spark.sql.catalyst.TableIdentifier(parts.last, Some(parts(parts.length - 2)))
+            else org.apache.spark.sql.catalyst.TableIdentifier(tbl)
+          spark.sessionState.catalog.getTableMetadata(ti).bucketSpec
+            .map(_.bucketColumnNames).getOrElse(Nil)
+        } catch { case _: Exception => Nil }
+      if (cols.isEmpty)
+        throw new IllegalStateException(
+          s"Sampling expression needed for non-bucketed table $tbl")
+      java.util.regex.Matcher.quoteReplacement(
+        s"$tbl TABLESAMPLE (BUCKET ${m.group(2)} OUT OF ${m.group(3)} " +
+          s"ON ${cols.mkString(", ")})")
+    })
+    unmaskLiterals(out, lits)
+  }
+
   def sql(spark: SparkSession, rawQ: String): DataFrame = {
-    val q = substituteVars(spark, rawQ)
+    val q = resolveDefaultSampleCols(spark, substituteVars(spark, rawQ))
     // Driver.doAuthorization layering: enforce before execution on every
     // entry point that funnels through this driver analogue (no-op unless
     // hive.security.authorization.enabled)

@@ -35,6 +35,7 @@ object QFileParity extends QueryModule {
     */
   private def fixtures(s: SparkSession, dir: String): String = {
     t(s, dir, "orders").createOrReplaceTempView("graft_qf_orders")
+    t(s, dir, "nation").createOrReplaceTempView("graft_qf_nation")
     s.sql("""CREATE OR REPLACE TEMPORARY VIEW src AS
       SELECT CAST((rn * rn) % 500 AS STRING) AS key,
              concat('val_', CAST((rn * rn) % 500 AS STRING)) AS value
@@ -46,6 +47,14 @@ object QFileParity extends QueryModule {
       FROM src, (SELECT ds, hr FROM VALUES
         ('2008-04-08','11'), ('2008-04-08','12'),
         ('2008-04-09','11'), ('2008-04-09','12') AS v(ds, hr)) p""")
+    // kv3-shaped 25-row side table: empty keys/values on some rows, keys
+    // drawn from the same quadratic-residue space as src so joins hit
+    s.sql("""CREATE OR REPLACE TEMPORARY VIEW src1 AS
+      SELECT CASE WHEN n_nationkey % 5 = 0 THEN ''
+                  ELSE CAST((4 * n_nationkey * n_nationkey) % 500 AS STRING) END AS key,
+             CASE WHEN n_nationkey % 3 = 0 THEN ''
+                  ELSE concat('val_', CAST((4 * n_nationkey * n_nationkey) % 500 AS STRING)) END AS value
+      FROM graft_qf_nation""")
     (dir.hashCode & Int.MaxValue).toString
   }
 
@@ -64,6 +73,14 @@ object QFileParity extends QueryModule {
          FROM src, (SELECT * FROM (VALUES
            ('2008-04-08','11'), ('2008-04-08','12'),
            ('2008-04-09','11'), ('2008-04-09','12')) v(ds, hr)) p)"""
+
+  private val Src1Cte = SrcCte.stripSuffix(")") + """),
+       src1 AS (
+         SELECT CASE WHEN n_nationkey % 5 = 0 THEN ''
+                     ELSE CAST((4 * n_nationkey * n_nationkey) % 500 AS VARCHAR) END AS key,
+                CASE WHEN n_nationkey % 3 = 0 THEN ''
+                     ELSE 'val_' || CAST((4 * n_nationkey * n_nationkey) % 500 AS VARCHAR) END AS value
+         FROM nation)"""
 
   /** Fresh dest table: drop catalog entry AND any stale warehouse dir (the
     * q101 pattern — a fresh JVM has an empty in-memory catalog but the
@@ -248,6 +265,112 @@ object QFileParity extends QueryModule {
         HiveQl.sql(s, s"SELECT id FROM $d ORDER BY id")
       },
       Some("SELECT * FROM (VALUES (1), (2), (3), (4)) t(id) ORDER BY id")),
+
+    // ---- clientpositive/join25.q: MAPJOIN hint verbatim (→ BROADCAST in
+    //      the dialect) over the kv3-shaped src1 side — empty-string keys
+    //      on the build side must simply not match
+    QueryDef(
+      "q146_qf_join25",
+      (s, dir) => {
+        val d = s"dest_jm_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(key INT, value STRING, val2 STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""INSERT OVERWRITE TABLE $d
+             SELECT /*+ MAPJOIN(x) */ x.key, x.value, y.value
+             FROM src1 x JOIN src y ON (x.key = y.key)""")
+        HiveQl.sql(s, s"select * from $d x order by x.key, x.value, x.val2")
+      },
+      Some(s"""$Src1Cte
+        SELECT CAST(x.key AS INT) AS key, x.value AS value, y.value AS val2
+        FROM src1 x JOIN src y ON x.key = y.key
+        ORDER BY key, value, val2""")),
+
+    // ---- clientpositive/sample2.q: BUCKET 1 OUT OF 2 with NO ON clause —
+    //      the "default table sample columns" path: the dialect resolves
+    //      the table's catalog bucket spec (key) and rewrites to the
+    //      reference's (hash & MAX) % den predicate
+    QueryDef(
+      "q147_qf_sample2",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val (sb, d) = (s"srcbucket_$sfx", s"dest_s2_$sfx")
+        fresh(s, sb, d)
+        s.sql(s"CREATE TABLE $sb (key INT, value STRING) USING parquet " +
+          "CLUSTERED BY (key) INTO 2 BUCKETS")
+        HiveQl.sql(s, s"INSERT OVERWRITE TABLE $sb SELECT CAST(key AS INT), value FROM src")
+        HiveQl.sql(s, s"CREATE TABLE $d(key INT, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"INSERT OVERWRITE TABLE $d SELECT s.* \nFROM $sb TABLESAMPLE (BUCKET 1 OUT OF 2) s")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY key, value")
+      },
+      Some(s"""$SrcCte
+        SELECT k AS key, value FROM
+          (SELECT CAST(key AS INT) AS k, value FROM src) t
+        WHERE (k & 2147483647) % 2 = 0
+        ORDER BY key, value""")),
+
+    // ---- clientpositive/cast1.q: the numeric-coercion constant battery
+    //      (int+int, decimal+int, int/boolean casts) through a typed dest.
+    //      kv1's key 86 is not in this fixture's key space; 81 (a quadratic
+    //      residue) plays its role — the only adaptation
+    QueryDef(
+      "q148_qf_cast1",
+      (s, dir) => {
+        val d = s"dest_c1_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(c1 INT, c2 DOUBLE, c3 DOUBLE, c4 DOUBLE, c5 INT, c6 STRING, c7 INT) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM src INSERT OVERWRITE TABLE $d SELECT 3 + 2, 3.0 + 2, 3 + 2.0, 3.0 + 2.0, 3 + CAST(2.0 AS INT) + CAST(CAST(0 AS SMALLINT) AS INT), CAST(1 AS BOOLEAN), CAST(TRUE AS INT) WHERE src.key = 81""")
+        HiveQl.sql(s, s"select $d.* FROM $d ORDER BY c1")
+      },
+      Some(s"""$SrcCte
+        SELECT 3 + 2 AS c1, CAST(3.0 + 2 AS DOUBLE) AS c2,
+               CAST(3 + 2.0 AS DOUBLE) AS c3, CAST(3.0 + 2.0 AS DOUBLE) AS c4,
+               3 + CAST(2.0 AS INT) + CAST(CAST(0 AS SMALLINT) AS INT) AS c5,
+               CAST(CAST(1 AS BOOLEAN) AS VARCHAR) AS c6,
+               CAST(TRUE AS INT) AS c7
+        FROM src WHERE CAST(key AS DOUBLE) = 81 ORDER BY c1""")),
+
+    // ---- clientpositive/udf_case.q + udf_when.q: the CASE/WHEN constant
+    //      batteries, incl. the short-circuit stanza — the ELSE branch
+    //      must never evaluate. The .q spells it with a bogus reflect();
+    //      Spark's reflect resolves the method at ANALYSIS (a stricter,
+    //      earlier error than Hive's runtime resolution), so the same
+    //      runtime-throw-if-evaluated property is pinned with raise_error
+    QueryDef(
+      "q149_qf_udf_case_when",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT CASE 1 WHEN 1 THEN 2 WHEN 3 THEN 4 ELSE 5 END AS c1,
+                    CASE 2 WHEN 1 THEN 2 ELSE 5 END AS c2,
+                    CASE 14 WHEN 12 THEN 13 WHEN 14 THEN 15 END AS c3,
+                    CASE 16 WHEN 12 THEN 13 WHEN 14 THEN 15 END AS c4,
+                    CASE 17 WHEN 18 THEN NULL WHEN 17 THEN 20 END AS c5,
+                    CASE 21 WHEN 22 THEN 23 WHEN 21 THEN 24 END AS c6,
+                    CASE WHEN 1=1 THEN 2 WHEN 1=3 THEN 4 ELSE 5 END AS w1,
+                    CASE WHEN 6=7 THEN 8 ELSE 9 END AS w2,
+                    CASE WHEN 10=11 THEN 12 WHEN 13=13 THEN 14 END AS w3,
+                    CASE WHEN 15=16 THEN 17 WHEN 18=19 THEN 20 END AS w4,
+                    CASE WHEN 21=22 THEN NULL WHEN 23=23 THEN 24 END AS w5,
+                    CASE WHEN 25=26 THEN 27 WHEN 28=28 THEN NULL END AS w6,
+                    CASE 1 WHEN 1 THEN 'yo'
+                           ELSE raise_error('else branch must not evaluate') END AS sc
+             FROM src LIMIT 1""")
+      },
+      Some("""SELECT CASE 1 WHEN 1 THEN 2 WHEN 3 THEN 4 ELSE 5 END AS c1,
+                     CASE 2 WHEN 1 THEN 2 ELSE 5 END AS c2,
+                     CASE 14 WHEN 12 THEN 13 WHEN 14 THEN 15 END AS c3,
+                     CASE 16 WHEN 12 THEN 13 WHEN 14 THEN 15 END AS c4,
+                     CASE 17 WHEN 18 THEN NULL WHEN 17 THEN 20 END AS c5,
+                     CASE 21 WHEN 22 THEN 23 WHEN 21 THEN 24 END AS c6,
+                     CASE WHEN 1=1 THEN 2 WHEN 1=3 THEN 4 ELSE 5 END AS w1,
+                     CASE WHEN 6=7 THEN 8 ELSE 9 END AS w2,
+                     CASE WHEN 10=11 THEN 12 WHEN 13=13 THEN 14 END AS w3,
+                     CASE WHEN 15=16 THEN 17 WHEN 18=19 THEN 20 END AS w4,
+                     CASE WHEN 21=22 THEN NULL WHEN 23=23 THEN 24 END AS w5,
+                     CASE WHEN 25=26 THEN 27 WHEN 28=28 THEN NULL END AS w6,
+                     'yo' AS sc""")),
 
     // ---- clientpositive/input_part1.q: partition-predicate select out of
     //      srcpart into a dest carrying the partition columns as data

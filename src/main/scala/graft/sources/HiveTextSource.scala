@@ -1,0 +1,199 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.hadoop.mapreduce.{Job, TaskAttemptContext}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.execution.datasources.{FileFormat, OutputWriter, OutputWriterFactory, PartitionedFile}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `hivetext` — a real FileFormat with LazySimpleSerDe's exact row codec
+  * (ref serde2/lazy/LazySimpleSerDe.java:62 and the Lazy* field parsers):
+  *  field delimiter, `\N` null sequence, NO quoting or escaping, and —
+  * the part Spark's CSV source cannot express — an EMPTY field is the empty
+  * string, not null (LazyString returns ""; only the `\N` sequence is null).
+  * `CREATE TABLE ... STORED AS TEXTFILE` resolves here (HiveQl rewrite), so
+  * a dest table's files byte-match what the reference's TEXTFILE tables
+  * hold AND round-trip '' faithfully.
+  *
+  * Scale posture: line-based and uncompressed-splittable — a 10 GB table
+  * file reads as many tasks (Hadoop's own LineRecordReader supplies the
+  * split-boundary semantics: a split owns every line that STARTS inside
+  * it). Malformed numerics decode to null, Hive's UDFToX behavior (q88).
+  * Complex types are declared unsupported at planning time — the reference
+  * encodes them with separator levels 2..8, surfaced through
+  * [[HiveText.encodeNested]]/[[HiveText.decodeNested]] over STRING columns.
+  */
+class HiveTextSource extends FileFormat with DataSourceRegister with Serializable {
+
+  override def shortName(): String = "hivetext"
+  override def toString: String = "HiveText"
+
+  override def inferSchema(sparkSession: SparkSession,
+      options: Map[String, String],
+      files: Seq[FileStatus]): Option[StructType] = None // schema is DDL-given
+
+  override def isSplitable(sparkSession: SparkSession,
+      options: Map[String, String], path: Path): Boolean =
+    !path.getName.matches(""".*\.(gz|bz2|deflate|snappy|lz4|zst)$""")
+
+  override def supportDataType(dataType: DataType): Boolean = dataType match {
+    case StringType | IntegerType | LongType | ShortType | ByteType |
+         DoubleType | FloatType | BooleanType | DateType | TimestampType |
+         BinaryType => true
+    case _: DecimalType => true
+    case _ => false // nested: HiveText.encodeNested over STRING columns
+  }
+
+  override def prepareWrite(sparkSession: SparkSession, job: Job,
+      options: Map[String, String],
+      dataSchema: StructType): OutputWriterFactory =
+    new OutputWriterFactory {
+      override def getFileExtension(context: TaskAttemptContext): String = ".txt"
+      override def newInstance(path: String, dataSchema: StructType,
+          context: TaskAttemptContext): OutputWriter =
+        new HiveTextOutputWriter(path, dataSchema, context)
+    }
+
+  override def buildReader(sparkSession: SparkSession, dataSchema: StructType,
+      partitionSchema: StructType, requiredSchema: StructType,
+      filters: Seq[Filter], options: Map[String, String],
+      hadoopConf: Configuration): PartitionedFile => Iterator[InternalRow] = {
+    // close over plain values only (the returned function ships to
+    // executors; a fresh Configuration() there is the HiveRCFile posture)
+    val fieldIdx = requiredSchema.fields.map(f => dataSchema.fieldIndex(f.name))
+    val fieldTypes = requiredSchema.fields.map(_.dataType)
+    val nRequired = fieldIdx.length
+
+    (file: PartitionedFile) => {
+      val split = new org.apache.hadoop.mapreduce.lib.input.FileSplit(
+        file.toPath, file.start, file.length, Array.empty[String])
+      val reader = new org.apache.hadoop.mapreduce.lib.input.LineRecordReader()
+      val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+        new Configuration(), new org.apache.hadoop.mapreduce.TaskAttemptID())
+      reader.initialize(split, ctx)
+      new Iterator[InternalRow] {
+        private var ready = false
+        private var done = false
+        private def advance(): Unit =
+          if (!ready && !done) {
+            if (reader.nextKeyValue()) ready = true
+            else { done = true; reader.close() }
+          }
+        override def hasNext: Boolean = { advance(); ready }
+        override def next(): InternalRow = {
+          advance()
+          if (!ready) throw new NoSuchElementException
+          ready = false
+          val line = reader.getCurrentValue.toString
+          // -1: trailing empty fields are real empty strings
+          val parts = line.split(HiveText.FieldDelim, -1)
+          val row = new GenericInternalRow(nRequired)
+          var i = 0
+          while (i < nRequired) {
+            val src = fieldIdx(i)
+            // a short row leaves trailing columns null (LazyStruct:
+            // "missing fields are null")
+            val raw = if (src < parts.length) parts(src) else null
+            row.update(i,
+              if (raw == null || raw == HiveText.NullSequence) null
+              else HiveTextSource.decode(raw, fieldTypes(i)))
+            i += 1
+          }
+          row
+        }
+      }
+    }
+  }
+
+  override def equals(other: Any): Boolean = other.isInstanceOf[HiveTextSource]
+  override def hashCode(): Int = getClass.hashCode()
+}
+
+object HiveTextSource {
+  /** One field's text → Catalyst value; malformed → null (the Lazy*
+    * parsers catch NumberFormatException — Hive's UDFToX contract).
+    */
+  def decode(raw: String, dt: DataType): Any =
+    try dt match {
+      case StringType => UTF8String.fromString(raw)
+      case IntegerType => java.lang.Integer.valueOf(raw.trim)
+      case LongType => java.lang.Long.valueOf(raw.trim)
+      case ShortType => java.lang.Short.valueOf(raw.trim)
+      case ByteType => java.lang.Byte.valueOf(raw.trim)
+      case DoubleType => java.lang.Double.valueOf(raw.trim)
+      case FloatType => java.lang.Float.valueOf(raw.trim)
+      case BooleanType => // LazyBoolean: "true"/"false" else null
+        if (raw.equalsIgnoreCase("true")) java.lang.Boolean.TRUE
+        else if (raw.equalsIgnoreCase("false")) java.lang.Boolean.FALSE
+        else null
+      case d: DecimalType =>
+        val bd = Decimal(new java.math.BigDecimal(raw.trim))
+        if (bd.changePrecision(d.precision, d.scale)) bd else null
+      case DateType =>
+        DateTimeUtils.fromJavaDate(java.sql.Date.valueOf(raw.trim))
+      case TimestampType =>
+        DateTimeUtils.fromJavaTimestamp(java.sql.Timestamp.valueOf(raw.trim))
+      case BinaryType => raw.getBytes("UTF-8")
+      case other => throw new UnsupportedOperationException(
+        s"hivetext does not support $other")
+    } catch {
+      case _: NumberFormatException => null
+      case _: IllegalArgumentException => null
+    }
+
+  /** One Catalyst value → field text (LazySimpleSerDe.serialize: the
+    * primitive's Java toString; booleans lowercase; null handled by the
+    * caller as the \N sequence).
+    */
+  def encode(row: InternalRow, i: Int, dt: DataType): String = dt match {
+    case StringType => row.getUTF8String(i).toString
+    case IntegerType => row.getInt(i).toString
+    case LongType => row.getLong(i).toString
+    case ShortType => row.getShort(i).toString
+    case ByteType => row.getByte(i).toString
+    case DoubleType => row.getDouble(i).toString
+    case FloatType => row.getFloat(i).toString
+    case BooleanType => row.getBoolean(i).toString
+    case d: DecimalType =>
+      row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal.toPlainString
+    case DateType => DateTimeUtils.toJavaDate(row.getInt(i)).toString
+    case TimestampType => DateTimeUtils.toJavaTimestamp(row.getLong(i)).toString
+    case BinaryType => new String(row.getBinary(i), "UTF-8")
+    case other => throw new UnsupportedOperationException(
+      s"hivetext does not support $other")
+  }
+}
+
+/** Executor-side writer: one -joined line per row, nulls as \N —
+  * byte-identical to LazySimpleSerDe output for primitive schemas.
+  */
+private class HiveTextOutputWriter(val path: String, dataSchema: StructType,
+    context: TaskAttemptContext) extends OutputWriter {
+  private val out = {
+    val p = new Path(path)
+    p.getFileSystem(context.getConfiguration).create(p, false)
+  }
+  private val types = dataSchema.fields.map(_.dataType)
+  private val sb = new java.lang.StringBuilder
+
+  override def write(row: InternalRow): Unit = {
+    sb.setLength(0)
+    var i = 0
+    while (i < types.length) {
+      if (i > 0) sb.append(HiveText.FieldDelim)
+      if (row.isNullAt(i)) sb.append(HiveText.NullSequence)
+      else sb.append(HiveTextSource.encode(row, i, types(i)))
+      i += 1
+    }
+    sb.append('\n')
+    out.write(sb.toString.getBytes("UTF-8"))
+  }
+
+  override def close(): Unit = out.close()
+}

@@ -39,6 +39,41 @@ class QFileParitySpec extends SparkSpec {
     assert(!text.contains(","), "no CSV-style commas — this is Hive text")
   }
 
+  test("TEXTFILE tables keep LazySimpleSerDe null semantics: '' vs \\N") {
+    // the distinction Spark's CSV source cannot express (unquoted empty
+    // reads as null there) — the reason STORED AS TEXTFILE resolves to the
+    // graft hivetext FileFormat
+    spark.sql("DROP TABLE IF EXISTS ht_sem")
+    HiveQl.sql(spark, "CREATE TABLE ht_sem (k INT, v STRING) STORED AS TEXTFILE")
+    HiveQl.sql(spark, "INSERT INTO ht_sem SELECT 1, ''")
+    HiveQl.sql(spark, "INSERT INTO ht_sem SELECT 2, CAST(NULL AS STRING)")
+    HiveQl.sql(spark, "INSERT INTO ht_sem SELECT 3, 'x'")
+    val rows = spark.table("ht_sem").collect()
+      .map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) "NULL" else "[" + r.getString(1) + "]")).toMap
+    assert(rows === Map(1 -> "[]", 2 -> "NULL", 3 -> "[x]"),
+      s"LazyString: '' is a STRING, only \\N is null — got $rows")
+    spark.sql("DROP TABLE ht_sem")
+  }
+
+  test("hivetext: one large file reads in multiple splits, rows exact") {
+    val dir = java.nio.file.Files.createTempDirectory("ht_split").toString
+    import spark.implicits._
+    (0L until 50000L).map(i => (i, s"row_$i")).toDF("k", "v")
+      .coalesce(1).write.format("graft.sources.HiveTextSource")
+      .mode("overwrite").save(dir)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+      val df = spark.read.format("graft.sources.HiveTextSource")
+        .schema("k BIGINT, v STRING").load(dir)
+      assert(df.rdd.getNumPartitions > 1, "must split one big text file")
+      assert(df.count() === 50000)
+      assert(df.agg(org.apache.spark.sql.functions.sum($"k")).head.getLong(0)
+        === 49999L * 50000L / 2, "exactly-once line delivery across splits")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
   test("std/stddev/variance resolve to Hive POPULATION semantics") {
     Sessions.ensureRegistered(spark)
     import spark.implicits._
@@ -55,7 +90,9 @@ class QFileParitySpec extends SparkSpec {
 
   test("battery queries return rows and deterministic re-runs") {
     for (q <- Seq("q139_qf_groupby1", "q140_qf_groupby3", "q141_qf_input12",
-        "q142_qf_join2", "q144_qf_union3", "q145_qf_input_part1")) {
+        "q142_qf_join2", "q144_qf_union3", "q145_qf_input_part1",
+        "q146_qf_join25", "q147_qf_sample2", "q148_qf_cast1",
+        "q149_qf_udf_case_when")) {
       val a = runQ(q).collect()
       assert(a.nonEmpty, s"$q returned no rows")
       val b = runQ(q).collect()

@@ -185,6 +185,25 @@ class SqlDialectSpec extends SparkSpec {
     assert(!r3.matches("""(?s).*\)\s+tbl\s+s.*"""), r3)
   }
 
+  test("TABLESAMPLE BUCKET with NO ON-clause: default table sample columns") {
+    // SemanticAnalyzer.java:6240-6262 — no sample exprs → the TABLE'S
+    // bucket columns; non-bucketed → NON_BUCKETED_TABLE (ErrorMsg.java:104)
+    spark.sql("DROP TABLE IF EXISTS ts_bkt")
+    spark.sql("DROP TABLE IF EXISTS ts_flat")
+    spark.sql("CREATE TABLE ts_bkt (k INT, v STRING) USING parquet " +
+      "CLUSTERED BY (k) INTO 4 BUCKETS")
+    spark.sql("INSERT INTO ts_bkt SELECT id, CAST(id AS STRING) FROM range(100)")
+    val r = HiveQl.sql(spark,
+      "SELECT k FROM ts_bkt TABLESAMPLE (BUCKET 2 OUT OF 4) s").collect()
+    // bucket 2 of 4 on an int key = (k & MAX) % 4 == 1
+    assert(r.nonEmpty && r.forall(_.getInt(0) % 4 == 1), r.take(5).mkString(","))
+    spark.sql("CREATE TABLE ts_flat (k INT) USING parquet")
+    val e = intercept[Exception](HiveQl.sql(spark,
+      "SELECT k FROM ts_flat TABLESAMPLE (BUCKET 1 OUT OF 2) s"))
+    assert(e.getMessage.contains("Sampling expression needed for non-bucketed table"))
+    spark.sql("DROP TABLE ts_bkt"); spark.sql("DROP TABLE ts_flat")
+  }
+
   test("SET and ADD FILE command lines run through HiveQl (ql/processors analogue)") {
     // SET k=v (SetProcessor.java) and ADD FILE (AddResourceProcessor.java)
     // parse natively in Spark SQL — assert the whole command→effect loop
