@@ -30,6 +30,15 @@ final case class AudioStats(doc_id: Long, sample_rate: Int, channels: Int,
     bits: Int, n_frames: Long, duration_ms: Double,
     mean_amp: Double, min_amp: Int, max_amp: Int)
 
+/** One REAL-decoded video clip: container-parsed stream facts (header:
+  * dimensions, frame rate, frame count) + pixel stats over the SAMPLED
+  * keyframes (every k-th frame decoded; the rest skipped without decode —
+  * the frame-sampling access pattern of a training-data pipeline).
+  */
+final case class VideoStats(doc_id: Long, width: Int, height: Int,
+    fps: Double, n_frames: Int, duration_ms: Double, n_sampled: Int,
+    mean_px: Double, min_px: Int, max_px: Int)
+
 /** Multimodal-column operators (extension surface; the reference's closest
   * abstraction is the pluggable SerDe byte-interpretation layer,
   * serde2/SerDe.java). Payloads here are deterministic fakes built by
@@ -242,6 +251,70 @@ object Multimodal extends QueryModule {
                CAST(list_max(p) AS INT) AS max_amp
         FROM px ORDER BY doc_id""")),
 
+    // ---- REAL video decode (closes the LAST documented drop): each doc's
+    //      text bytes become a genuine RIFF/AVI container (uncompressed
+    //      24-bit 'DIB ' frames, data-dependent geometry and frame rate per
+    //      row), and the operator under test parses the container back —
+    //      dimensions, frame rate and frame count from the decoded headers
+    //      (avih/strh/strf), pixel stats from every 3rd frame's decoded BGR
+    //      plane (frame SAMPLING: unsampled frames are never decoded — the
+    //      keyframe-extraction access pattern). DIB is lossless, so the
+    //      oracle predicts every output from the text domain alone; the
+    //      MJPG lossy path is spec-checked in MediaCodecSpec (JPEG decode
+    //      is not byte-predictable). Scale posture: identical to q120/q123
+    //      — batched mapPartitions kernel, payload never leaves its
+    //      partition.
+    QueryDef(
+      "q150_video_decode",
+      (s, dir) => {
+        val session = s
+        import session.implicits._
+        asciiOnly(t(s, dir, "documents"))
+          .filter(col("doc_id") < 400)
+          .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload",
+            "'avi' AS fmt",
+            "cast(4 + doc_id % 5 AS int) AS width",
+            "cast(3 + doc_id % 4 AS int) AS height")
+          .as[Media]
+          .mapPartitions(it => it.grouped(64).flatMap { batch =>
+            batch.map { m =>
+              val fps = 8 + (m.doc_id % 5).toInt
+              val avi = MediaCodec.encodeAviDib(m.payload, m.width, m.height, fps)
+              MediaCodec.decodeVideo(m.doc_id, avi, sampleEvery = 3)
+            }
+          })
+          .toDF()
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH s AS (
+          SELECT doc_id,
+                 CAST(4 + doc_id % 5 AS INT) AS width,
+                 CAST(3 + doc_id % 4 AS INT) AS height,
+                 8 + doc_id % 5 AS fps,
+                 length(text) AS n, text
+          FROM documents WHERE doc_id < 400),
+        f AS (
+          SELECT doc_id, width, height, fps, n, text,
+                 GREATEST(CAST(ceil(n * 1.0 / (width * height)) AS INT), 1) AS nf
+          FROM s),
+        px AS (
+          SELECT doc_id, width, height, fps, nf,
+                 list_transform(
+                   list_filter(range(1, nf * width * height + 1),
+                     i -> ((i - 1) // (width * height)) % 3 = 0),
+                   i -> CASE WHEN i <= n THEN unicode(substr(text, CAST(i AS INT), 1))
+                             ELSE 0 END) AS p
+          FROM f)
+        SELECT doc_id, width, height,
+               CAST(fps AS DOUBLE) AS fps,
+               nf AS n_frames,
+               round(nf * 1000.0 / fps, 4) AS duration_ms,
+               CAST((nf + 2) // 3 AS INT) AS n_sampled,
+               round(list_avg(p), 4) AS mean_px,
+               CAST(list_min(p) AS INT) AS min_px,
+               CAST(list_max(p) AS INT) AS max_px
+        FROM px ORDER BY doc_id""")),
+
     // ---- Content-defined chunking dedup over the binary payload (the
     //      storage-level media-dedup scheme: rolling-hash boundaries are
     //      SHIFT-RESISTANT, unlike fixed-offset chunks, so shared runs
@@ -379,6 +452,294 @@ object MediaCodec {
     val code = proc.waitFor()
     require(code == 0, s"ffprobe failed (exit $code) for doc $docId")
     out
+  }
+
+  // ---------------------------------------------------------------- video
+  // RIFF/AVI container codec (pure JDK, public AVI 1.0 spec: RIFF('AVI '
+  // LIST('hdrl' avih LIST('strl' strh strf)) LIST('movi' 00db…) idx1),
+  // all fields little-endian, chunks word-aligned). Two codecs:
+  //   - 'DIB ' / BI_RGB: uncompressed 24-bit bottom-up BGR frames —
+  //     lossless, so q150's oracle predicts every output from the text
+  //     domain alone (the same property PNG gives q120 and WAV q123);
+  //   - 'MJPG': each frame a complete JPEG, decoded by ImageIO's own JPEG
+  //     reader (JDK-registered) — real lossy-codec decode, spec-checked on
+  //     the facts that survive lossy (dimensions, frame count, rate) plus
+  //     amplitude tolerance.
+
+  private def fourcc(s: String): Int =
+    (s(0) & 0xFF) | ((s(1) & 0xFF) << 8) | ((s(2) & 0xFF) << 16) | ((s(3) & 0xFF) << 24)
+  private val FccRiff = fourcc("RIFF")
+  private val FccAvi = fourcc("AVI ")
+  private val FccList = fourcc("LIST")
+  private val FccHdrl = fourcc("hdrl")
+  private val FccAvih = fourcc("avih")
+  private val FccStrl = fourcc("strl")
+  private val FccStrh = fourcc("strh")
+  private val FccStrf = fourcc("strf")
+  private val FccMovi = fourcc("movi")
+  private val FccVids = fourcc("vids")
+  private val FccMjpg = fourcc("MJPG")
+
+  private final class LeWriter {
+    val bos = new java.io.ByteArrayOutputStream()
+    def u32(v: Int): Unit = {
+      bos.write(v & 0xFF); bos.write((v >>> 8) & 0xFF)
+      bos.write((v >>> 16) & 0xFF); bos.write((v >>> 24) & 0xFF)
+    }
+    def u16(v: Int): Unit = { bos.write(v & 0xFF); bos.write((v >>> 8) & 0xFF) }
+    def tag(s: String): Unit = u32(fourcc(s))
+    def bytes(b: Array[Byte]): Unit = bos.write(b)
+  }
+
+  /** Slice the payload into `max(1, ceil(n / (w*h)))` gray frames of w×h,
+    * zero-padded past the payload end (the q120/q123 ingest convention).
+    */
+  private def grayFrames(payload: Array[Byte], w: Int, h: Int): Array[Array[Byte]] = {
+    val fsz = w * h
+    val n = math.max(1, (payload.length + fsz - 1) / fsz)
+    Array.tabulate(n) { f =>
+      Array.tabulate(fsz) { i =>
+        val p = f * fsz + i
+        if (p < payload.length) payload(p) else 0.toByte
+      }
+    }
+  }
+
+  /** One gray frame → bottom-up, 4-byte-row-aligned, 24-bit BGR DIB plane
+    * (BITMAPINFOHEADER positive-height storage order).
+    */
+  private def dibPlane(frame: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val stride = (w * 3 + 3) & ~3
+    val out = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val srcRow = h - 1 - y // stored row y holds image row h-1-y
+      var x = 0
+      while (x < w) {
+        val v = frame(srcRow * w + x)
+        val o = y * stride + x * 3
+        out(o) = v; out(o + 1) = v; out(o + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private def encodeAvi(frames: Array[Array[Byte]], w: Int, h: Int, fps: Int,
+      mjpeg: Boolean): Array[Byte] = {
+    require(fps > 0 && w > 0 && h > 0, s"bad AVI geometry ${w}x$h@$fps")
+    val chunks: Array[Array[Byte]] =
+      if (mjpeg) frames.map { f =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val r = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { r.setSample(x, y, 0, f(y * w + x) & 0xFF); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        require(javax.imageio.ImageIO.write(img, "jpg", bos), "no JPEG writer")
+        bos.toByteArray
+      }
+      else frames.map(dibPlane(_, w, h))
+    val ckId = if (mjpeg) "00dc" else "00db"
+    val frameBuf = chunks.map(_.length).max
+    val moviData = chunks.map(c => 8 + c.length + (c.length & 1)).sum
+    val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val idx1Size = 16 * chunks.length
+    val riffSize = 4 + (8 + hdrlSize) + (8 + 4 + moviData) + (8 + idx1Size)
+    val o = new LeWriter
+    o.tag("RIFF"); o.u32(riffSize); o.tag("AVI ")
+    // LIST hdrl
+    o.tag("LIST"); o.u32(hdrlSize); o.tag("hdrl")
+    o.tag("avih"); o.u32(56)
+    o.u32(1000000 / fps) // dwMicroSecPerFrame
+    o.u32(0); o.u32(0) // maxBytesPerSec, paddingGranularity
+    o.u32(0x10) // AVIF_HASINDEX
+    o.u32(chunks.length); o.u32(0) // totalFrames, initialFrames
+    o.u32(1); o.u32(frameBuf) // streams, suggestedBufferSize
+    o.u32(w); o.u32(h)
+    o.u32(0); o.u32(0); o.u32(0); o.u32(0) // reserved
+    // LIST strl
+    o.tag("LIST"); o.u32(4 + (8 + 56) + (8 + 40)); o.tag("strl")
+    o.tag("strh"); o.u32(56)
+    o.tag("vids"); o.tag(if (mjpeg) "MJPG" else "DIB ")
+    o.u32(0); o.u16(0); o.u16(0); o.u32(0) // flags, prio, lang, initialFrames
+    o.u32(1); o.u32(fps) // dwScale, dwRate → rate/scale = fps
+    o.u32(0); o.u32(chunks.length) // start, length (frames)
+    o.u32(frameBuf); o.u32(-1); o.u32(0) // bufSize, quality, sampleSize
+    o.u16(0); o.u16(0); o.u16(w); o.u16(h) // rcFrame
+    o.tag("strf"); o.u32(40) // BITMAPINFOHEADER
+    o.u32(40); o.u32(w); o.u32(h) // biSize, biWidth, biHeight (bottom-up)
+    o.u16(1); o.u16(24) // biPlanes, biBitCount
+    o.u32(if (mjpeg) FccMjpg else 0) // biCompression
+    o.u32(frameBuf); o.u32(0); o.u32(0); o.u32(0); o.u32(0)
+    // LIST movi
+    o.tag("LIST"); o.u32(4 + moviData); o.tag("movi")
+    val offsets = new Array[Int](chunks.length)
+    var off = 4 // idx1 offsets count from the 'movi' fourcc
+    var i = 0
+    while (i < chunks.length) {
+      offsets(i) = off
+      o.tag(ckId); o.u32(chunks(i).length); o.bytes(chunks(i))
+      if ((chunks(i).length & 1) == 1) o.bos.write(0) // RIFF word alignment
+      off += 8 + chunks(i).length + (chunks(i).length & 1)
+      i += 1
+    }
+    // idx1
+    o.tag("idx1"); o.u32(idx1Size)
+    i = 0
+    while (i < chunks.length) {
+      o.tag(ckId); o.u32(0x10) // AVIIF_KEYFRAME
+      o.u32(offsets(i)); o.u32(chunks(i).length)
+      i += 1
+    }
+    o.bos.toByteArray
+  }
+
+  /** AVI ingest, uncompressed path (q150): payload bytes as gray frames in
+    * 24-bit 'DIB ' BGR planes — lossless, oracle-predictable.
+    */
+  def encodeAviDib(payload: Array[Byte], w: Int, h: Int, fps: Int): Array[Byte] =
+    encodeAvi(grayFrames(payload, w, h), w, h, fps, mjpeg = false)
+
+  /** AVI ingest, MJPG path: the same gray frames as complete JPEGs (ImageIO's
+    * JDK JPEG encoder) — a real lossy video codec for the spec battery.
+    */
+  def encodeAviMjpeg(payload: Array[Byte], w: Int, h: Int, fps: Int): Array[Byte] =
+    encodeAvi(grayFrames(payload, w, h), w, h, fps, mjpeg = true)
+
+  /** REAL video decode — parses the RIFF/AVI container (header walk: avih,
+    * the 'vids' stream's strh/strf, the movi frame chunks; word-aligned
+    * little-endian per the public AVI spec), then decodes every
+    * `sampleEvery`-th frame — 'DIB '/BI_RGB planes natively (stride strip +
+    * bottom-up flip), 'MJPG' frames through ImageIO's JPEG reader — and
+    * reports header facts + amplitude stats over the sampled frames' samples.
+    * Unsampled frames are never decoded (frame-sampling, not full decode).
+    * Garbage and unsupported codecs are rejected loudly, never stubbed.
+    */
+  def decodeVideo(docId: Long, payload: Array[Byte], sampleEvery: Int = 1): VideoStats = {
+    require(sampleEvery > 0, "sampleEvery must be positive")
+    val b = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"undecodable video payload for doc $docId: $msg")
+    if (payload.length < 12 || b.getInt(0) != FccRiff || b.getInt(8) != FccAvi)
+      fail("not a RIFF/AVI container")
+    var width = -1; var height = -1
+    var scale = 0; var rate = 0
+    var totalFrames = -1
+    var biCompression = -1; var biBitCount = -1
+    val frameChunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    // walk one LIST/chunk level; returns offset just past the chunk
+    def walk(pos0: Int, end: Int, inMovi: Boolean, inHdrl: Boolean, inStrl: Boolean): Unit = {
+      var pos = pos0
+      while (pos + 8 <= end) {
+        val id = b.getInt(pos)
+        val sz = b.getInt(pos + 4)
+        if (sz < 0 || pos + 8 + sz > end) fail(f"chunk $id%08x overruns container")
+        if (id == FccList) {
+          val lt = b.getInt(pos + 8)
+          if (lt == FccHdrl) walk(pos + 12, pos + 8 + sz, inMovi = false, inHdrl = true, inStrl = false)
+          else if (lt == FccStrl && inHdrl) walk(pos + 12, pos + 8 + sz, inMovi = false, inHdrl = true, inStrl = true)
+          else if (lt == FccMovi) walk(pos + 12, pos + 8 + sz, inMovi = true, inHdrl = false, inStrl = false)
+          // 'rec ' grouping LISTs inside movi: frames one level down
+          else if (inMovi) walk(pos + 12, pos + 8 + sz, inMovi = true, inHdrl = false, inStrl = false)
+        } else if (id == FccAvih && inHdrl) {
+          totalFrames = b.getInt(pos + 8 + 16)
+          if (width < 0) { width = b.getInt(pos + 8 + 32); height = b.getInt(pos + 8 + 36) }
+        } else if (id == FccStrh && inStrl) {
+          if (b.getInt(pos + 8) == FccVids) {
+            scale = b.getInt(pos + 8 + 20); rate = b.getInt(pos + 8 + 24)
+          }
+        } else if (id == FccStrf && inStrl && biCompression < 0) {
+          width = b.getInt(pos + 8 + 4); height = b.getInt(pos + 8 + 8)
+          biBitCount = b.getShort(pos + 8 + 14) & 0xFFFF
+          biCompression = b.getInt(pos + 8 + 16)
+        } else if (inMovi) {
+          // a frame chunk: '##db' (uncompressed) or '##dc' (compressed)
+          val sub = (id >>> 16) & 0xFFFF
+          if (sub == 0x6264 || sub == 0x6364) frameChunks += ((pos + 8, sz))
+        }
+        pos += 8 + sz + (sz & 1)
+      }
+    }
+    walk(12, payload.length, inMovi = false, inHdrl = false, inStrl = false)
+    if (width <= 0 || height <= 0) fail("no vids stream geometry in hdrl")
+    if (rate <= 0 || scale <= 0) fail("no frame rate in strh")
+    if (frameChunks.isEmpty) fail("no frame chunks in movi")
+    val mjpeg = biCompression == FccMjpg
+    if (!mjpeg && biCompression != 0)
+      fail(f"unsupported biCompression 0x$biCompression%08x (DIB and MJPG only)")
+    if (!mjpeg && biBitCount != 24)
+      fail(s"unsupported DIB bit depth $biBitCount (24-bit only)")
+    if (totalFrames >= 0 && totalFrames != frameChunks.length)
+      fail(s"avih declares $totalFrames frames, movi carries ${frameChunks.length}")
+    var sum = 0L; var cnt = 0L
+    var min = Int.MaxValue; var max = Int.MinValue
+    var sampled = 0
+    val stride = (width * 3 + 3) & ~3
+    var f = 0
+    while (f < frameChunks.length) {
+      if (f % sampleEvery == 0) {
+        sampled += 1
+        val (off, sz) = frameChunks(f)
+        if (mjpeg) {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload, off, sz))
+          require(img != null, s"doc $docId: undecodable MJPG frame $f")
+          val r = img.getRaster
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              var band = 0
+              while (band < r.getNumBands) {
+                val v = r.getSample(x, y, band)
+                sum += v; cnt += 1
+                if (v < min) min = v
+                if (v > max) max = v
+                band += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+        } else {
+          if (sz != stride * height) fail(s"frame $f size $sz != ${stride * height}")
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < width) {
+              val o = off + y * stride + x * 3
+              var band = 0
+              while (band < 3) {
+                val v = payload(o + band) & 0xFF
+                sum += v; cnt += 1
+                if (v < min) min = v
+                if (v > max) max = v
+                band += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+        }
+      }
+      f += 1
+    }
+    val fps = rate.toDouble / scale
+    val mean =
+      if (cnt == 0) 0.0
+      else BigDecimal(sum.toDouble / cnt)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val durationMs = BigDecimal(frameChunks.length * 1000.0 / fps)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    VideoStats(docId, width, height, fps, frameChunks.length, durationMs,
+      sampled, mean, if (cnt == 0) 0 else min, if (cnt == 0) 0 else max)
   }
 
   /** WAV encode (ingest side of q123): payload bytes as 8-bit unsigned PCM
