@@ -220,7 +220,41 @@ object HiveQl {
 
   def rewrite(q: String): String = {
     val (masked, lits) = maskLiterals(q)
-    unmaskLiterals(rewriteMasked(masked), lits)
+    unmaskLiterals(rewriteMasked(rewriteSerdeFormats(masked, lits)), lits)
+  }
+
+  // ---- serde/format long forms (lits-aware: the class names live inside
+  // masked string literals, so these run on the masked text but look the
+  // literal CONTENT up by placeholder index) ----
+  // `ROW FORMAT SERDE 'ColumnarSerDe|LazySimpleSerDe'` ahead of a STORED AS
+  // clause adds nothing once the format maps to a graft FileFormat carrying
+  // that serde's exact codec — strip it (rcfile_union.q, rcfile_columnar.q)
+  private val RowFormatSerde =
+    ("""(?is)ROW\s+FORMAT\s+SERDE\s+(\d+)\s+(?=STORED\s+AS\b)""").r
+  // `STORED AS INPUTFORMAT '...' OUTPUTFORMAT '...'` (Hive.g:1171-1176
+  // tableFileFormat first alternative) → the graft FileFormat for the pair
+  private val StoredAsInOut =
+    ("""(?is)\bSTORED\s+AS\s+INPUTFORMAT\s+(\d+)\s+OUTPUTFORMAT\s+(\d+)""").r
+  private def rewriteSerdeFormats(masked: String, lits: IndexedSeq[String]): String = {
+    def lit(n: String): String =
+      lits(n.toInt).stripPrefix("'").stripSuffix("'")
+        .stripPrefix("\"").stripSuffix("\"")
+    val noSerde = RowFormatSerde.replaceAllIn(masked, m =>
+      if (lit(m.group(1)).matches(""".*(ColumnarSerDe|LazySimpleSerDe)""")) ""
+      else m.matched)
+    StoredAsInOut.replaceAllIn(noSerde, m => {
+      val (inF, outF) = (lit(m.group(1)), lit(m.group(2)))
+      if (inF.endsWith("RCFileInputFormat") && outF.endsWith("RCFileOutputFormat"))
+        "USING graft.sources.HiveRCSource"
+      else if (inF.endsWith("SequenceFileInputFormat") &&
+          outF.contains("SequenceFileOutputFormat"))
+        "USING graft.sources.HiveSeqSource"
+      else if (inF.endsWith("TextInputFormat") &&
+          outF.contains("IgnoreKeyTextOutputFormat"))
+        "USING graft.sources.HiveTextSource"
+      else throw new IllegalStateException(
+        s"unmapped STORED AS INPUTFORMAT $inF OUTPUTFORMAT $outF")
+    })
   }
 
   // CREATE TABLE ... STORED AS TEXTFILE (Hive.g tableFileFormat KW_TEXTFILE)
@@ -231,17 +265,26 @@ object HiveQl {
   // Hive-text interchange files. Hive puts PARTITIONED BY before the
   // format clause; Spark requires USING before the table clauses, so the
   // partitioned form swaps them.
-  private val HiveTextOpts = "USING graft.sources.HiveTextSource"
+  // SEQUENCEFILE (KW_SEQUENCEFILE → HiveSequenceFileOutputFormat's table
+  // layout) resolves the same way to the graft `hiveseq` FileFormat: the
+  // identical row codec inside Hadoop's SequenceFile container.
+  private def storedAsUsing(fmt: String): String = fmt.toUpperCase match {
+    case "TEXTFILE" => "USING graft.sources.HiveTextSource"
+    case "SEQUENCEFILE" => "USING graft.sources.HiveSeqSource"
+    case "RCFILE" => "USING graft.sources.HiveRCSource"
+    case other => throw new IllegalStateException(s"unmapped STORED AS $other")
+  }
   private val PartitionedStoredAsText =
-    """(?is)PARTITIONED\s+BY\s*(\([^)]*\))\s+STORED\s+AS\s+TEXTFILE""".r
-  private val StoredAsText = """(?is)\bSTORED\s+AS\s+TEXTFILE\b""".r
+    """(?is)PARTITIONED\s+BY\s*(\([^)]*\))\s+STORED\s+AS\s+(TEXTFILE|SEQUENCEFILE|RCFILE)""".r
+  private val StoredAsText =
+    """(?is)\bSTORED\s+AS\s+(TEXTFILE|SEQUENCEFILE|RCFILE)\b""".r
 
   private def rewriteMasked(q: String): String = {
     val storedAs = StoredAsText.replaceAllIn(
       PartitionedStoredAsText.replaceAllIn(q, m =>
         java.util.regex.Matcher.quoteReplacement(
-          s"$HiveTextOpts PARTITIONED BY ${m.group(1)}")),
-      java.util.regex.Matcher.quoteReplacement(HiveTextOpts))
+          s"${storedAsUsing(m.group(2))} PARTITIONED BY ${m.group(1)}")),
+      m => java.util.regex.Matcher.quoteReplacement(storedAsUsing(m.group(1))))
     // HOLD_DDLTIME is consumed in sql() (DDL-time suppression) — Spark's
     // planner must not see it as an unknown hint
     val noHold = HoldDdltime.replaceAllIn(storedAs, "")

@@ -389,5 +389,264 @@ object QFileParity extends QueryModule {
         SELECT CAST(key AS INT) AS key, value, hr, ds
         FROM srcpart
         WHERE CAST(key AS DOUBLE) < 100 AND ds = '2008-04-08' AND hr = '12'
-        ORDER BY key, value""")))
+        ORDER BY key, value""")),
+
+    // ---- clientpositive/groupby7.q: the SAME aggregate into TWO dests off
+    //      one scan (operators.MultiInsert shares the map phase); the SET
+    //      knobs run through the processor path verbatim
+    QueryDef(
+      "q151_qf_groupby7",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val (d1, d2) = (s"dest_g7a_$sfx", s"dest_g7b_$sfx")
+        fresh(s, d1, d2)
+        HiveQl.sql(s, s"CREATE TABLE $d1(key INT, value DOUBLE) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"CREATE TABLE $d2(key INT, value DOUBLE) STORED AS TEXTFILE")
+        HiveQl.sql(s, "SET hive.exec.compress.intermediate=true")
+        HiveQl.sql(s, "SET hive.exec.compress.output=true")
+        HiveQl.sql(s,
+          s"""FROM SRC
+             INSERT OVERWRITE TABLE $d1 SELECT SRC.key, sum(SUBSTR(SRC.value,5)) GROUP BY SRC.key
+             INSERT OVERWRITE TABLE $d2 SELECT SRC.key, sum(SUBSTR(SRC.value,5)) GROUP BY SRC.key""")
+        HiveQl.sql(s,
+          s"""SELECT t.src AS src, t.key AS key, round(t.value, 2) AS value FROM (
+              SELECT 1 AS src, key, value FROM $d1
+              UNION ALL SELECT 2 AS src, key, value FROM $d2) t
+              ORDER BY src, key""")
+      },
+      Some(s"""$SrcCte, agg AS (
+          SELECT CAST(key AS INT) AS key,
+                 round(sum(CAST(substr(value, 5) AS DOUBLE)), 2) AS value
+          FROM src GROUP BY key)
+        SELECT src, key, value FROM (
+          SELECT 1 AS src, key, value FROM agg
+          UNION ALL SELECT 2 AS src, key, value FROM agg) t
+        ORDER BY src, key""")),
+
+    // ---- clientpositive/input1_limit.q: multi-insert with a LIMIT in each
+    //      branch. LIMIT without ORDER BY is arbitrary-row by contract, so
+    //      the deterministic facts under oracle are the written COUNTS and
+    //      the branch predicate holding on every written row
+    QueryDef(
+      "q152_qf_input1_limit",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val (d1, d2) = (s"dest_l1_$sfx", s"dest_l2_$sfx")
+        fresh(s, d1, d2)
+        HiveQl.sql(s, s"CREATE TABLE $d1(key INT, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"CREATE TABLE $d2(key INT, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM src
+             INSERT OVERWRITE TABLE $d1 SELECT src.key, src.value WHERE src.key < 100 LIMIT 10
+             INSERT OVERWRITE TABLE $d2 SELECT src.key, src.value WHERE src.key < 100 LIMIT 5""")
+        HiveQl.sql(s,
+          s"""SELECT (SELECT count(*) FROM $d1) AS n1,
+                     (SELECT count(*) FROM $d2) AS n2,
+                     (SELECT count(*) FROM $d1 WHERE key >= 100) AS bad1,
+                     (SELECT count(*) FROM $d2 WHERE key >= 100) AS bad2""")
+      },
+      Some("""SELECT CAST(10 AS BIGINT) AS n1, CAST(5 AS BIGINT) AS n2,
+                     CAST(0 AS BIGINT) AS bad1, CAST(0 AS BIGINT) AS bad2""")),
+
+    // ---- clientpositive/quote1.q: reserved words as identifiers under
+    //      backticks everywhere — column names `location`/`type`, a
+    //      PARTITION COLUMN named `table`, select aliases `partition` and
+    //      `from`, a table alias `int`
+    QueryDef(
+      "q153_qf_quote1",
+      (s, dir) => {
+        val d = s"dest_q1_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(`location` INT, `type` STRING) " +
+          "PARTITIONED BY(`table` STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM src
+             INSERT OVERWRITE TABLE $d PARTITION(`table`='2008-04-08') SELECT src.key as `partition`, src.value as `from` WHERE src.key >= 200 and src.key < 300""")
+        HiveQl.sql(s, s"SELECT `int`.`location`, `int`.`type`, `int`.`table` " +
+          s"FROM $d `int` WHERE `int`.`table` = '2008-04-08' " +
+          "ORDER BY `location`, `type`")
+      },
+      Some(s"""$SrcCte
+        SELECT CAST(key AS INT) AS location, value AS type,
+               '2008-04-08' AS "table"
+        FROM src
+        WHERE CAST(key AS DOUBLE) >= 200 AND CAST(key AS DOUBLE) < 300
+        ORDER BY location, type""")),
+
+    // ---- clientpositive/nullgroup.q: global count over an empty filter
+    //      result must be one row of 0, under all four map-aggr/skew SET
+    //      permutations the .q sweeps
+    QueryDef(
+      "q154_qf_nullgroup",
+      (s, dir) => {
+        fixtures(s, dir)
+        var last: DataFrame = null
+        for (ma <- Seq("true", "false"); sk <- Seq("true", "false")) {
+          HiveQl.sql(s, s"set hive.map.aggr=$ma")
+          HiveQl.sql(s, s"set hive.groupby.skewindata=$sk")
+          last = HiveQl.sql(s, "select count(1) AS c from src x where x.key > 9999")
+        }
+        last
+      },
+      Some(s"""$SrcCte
+        SELECT count(1) AS c FROM src WHERE CAST(key AS DOUBLE) > 9999""")),
+
+    // ---- clientpositive/groupby_ppr.q: partition-pruned (ds only — both
+    //      hr partitions survive) count-DISTINCT + sum into a typed dest;
+    //      concat of a string and a Hive double-sum exercises double
+    //      rendering parity
+    QueryDef(
+      "q155_qf_groupby_ppr",
+      (s, dir) => {
+        val d = s"dest_gp_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(key STRING, c1 INT, c2 STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM srcpart src
+             INSERT OVERWRITE TABLE $d
+             SELECT substr(src.key,1,1), count(DISTINCT substr(src.value,5)), concat(substr(src.key,1,1),sum(substr(src.value,5)))
+             WHERE src.ds = '2008-04-08'
+             GROUP BY substr(src.key,1,1)""")
+        HiveQl.sql(s, s"SELECT key, c1, c2 FROM $d ORDER BY key")
+      },
+      Some(s"""$SrcPartCte
+        SELECT substr(key, 1, 1) AS key,
+               CAST(count(DISTINCT substr(value, 5)) AS INT) AS c1,
+               substr(key, 1, 1) ||
+                 CAST(sum(CAST(substr(value, 5) AS DOUBLE)) AS VARCHAR) AS c2
+        FROM srcpart WHERE ds = '2008-04-08'
+        GROUP BY substr(key, 1, 1) ORDER BY key""")),
+
+    // ---- clientpositive/ppd_gby.q: outer filter over an aggregating
+    //      subquery — the groupby-pushdown shape (the c2 conjunct cannot
+    //      push below the aggregate; the c1 conjuncts can)
+    QueryDef(
+      "q156_qf_ppd_gby",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s, "set hive.optimize.ppd=true")
+        HiveQl.sql(s,
+          """SELECT src1.c1
+            FROM
+            (SELECT src.value as c1, count(src.key) as c2 from src where src.value > 'val_10' group by src.value) src1
+            WHERE src1.c1 > 'val_200' and (src1.c2 > 30 or src1.c1 < 'val_400') ORDER BY c1""")
+      },
+      Some(s"""$SrcCte
+        SELECT c1 FROM
+          (SELECT value AS c1, count(key) AS c2 FROM src
+           WHERE value > 'val_10' GROUP BY value) t
+        WHERE c1 > 'val_200' AND (c2 > 30 OR c1 < 'val_400') ORDER BY c1""")),
+
+    // ---- clientpositive/input_testsequencefile.q: STORED AS SEQUENCEFILE
+    //      DDL → the graft `hiveseq` FileFormat (the reference's
+    //      HiveSequenceFileOutputFormat table layout: empty BytesWritable
+    //      key + hivetext-coded Text row); full src round-trips through a
+    //      genuine SequenceFile container
+    QueryDef(
+      "q157_qf_seqfile",
+      (s, dir) => {
+        val d = s"dest4_sequencefile_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, "set mapred.output.compress=true")
+        HiveQl.sql(s, "set mapred.output.compression.type=BLOCK")
+        HiveQl.sql(s, s"CREATE TABLE $d(key INT, value STRING) STORED AS SEQUENCEFILE")
+        HiveQl.sql(s, s"FROM src INSERT OVERWRITE TABLE $d SELECT src.key, src.value")
+        HiveQl.sql(s, "set mapred.output.compress=false")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY key, value")
+      },
+      Some(s"""$SrcCte
+        SELECT CAST(key AS INT) AS key, value FROM src
+        ORDER BY key, value""")),
+
+    // ---- clientpositive/rcfile_union.q: `ROW FORMAT SERDE ColumnarSerDe
+    //      STORED AS RCFILE` DDL (the serde strip + RCFILE→`hiverc`
+    //      FileFormat mapping), LIMIT-10 insert, union readback of the two
+    //      columns. LIMIT without ORDER BY is arbitrary-row, so the facts
+    //      under oracle are the union count and every written (b,c) pair
+    //      being a genuine src row (the round trip carries real pairs)
+    QueryDef(
+      "q158_qf_rcfile_union",
+      (s, dir) => {
+        val d = s"rcfile_uniontable_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s,
+          s"""CREATE table $d (b STRING, c STRING)
+             ROW FORMAT SERDE
+               'org.apache.hadoop.hive.serde2.columnar.ColumnarSerDe'
+             STORED AS RCFILE""")
+        HiveQl.sql(s,
+          s"""FROM src
+             INSERT OVERWRITE TABLE $d SELECT src.key, src.value LIMIT 10""")
+        HiveQl.sql(s,
+          s"""SELECT
+               (SELECT count(*) FROM (
+                  SELECT b AS cola FROM $d
+                  UNION ALL
+                  SELECT c AS cola FROM $d) s) AS n,
+               (SELECT count(*) FROM $d x WHERE NOT EXISTS (
+                  SELECT 1 FROM src
+                  WHERE src.key = x.b AND src.value = x.c)) AS bad""")
+      },
+      Some("""SELECT CAST(20 AS BIGINT) AS n, CAST(0 AS BIGINT) AS bad""")),
+
+    // ---- clientpositive/mapreduce1.q: the MAP ... USING script form
+    //      (Hive.g trfmClause KW_MAP — TRANSFORM's map-phase spelling)
+    //      through a real /bin/cat subprocess, with DISTRIBUTE BY +
+    //      SORT BY shaping the shuffle, into a typed dest
+    QueryDef(
+      "q159_qf_mapreduce1",
+      (s, dir) => {
+        val d = s"dest_mr1_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(key INT, ten INT, one INT, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM src
+             INSERT OVERWRITE TABLE $d
+             MAP src.key, CAST(src.key / 10 AS INT), CAST(src.key % 10 AS INT), src.value
+             USING '/bin/cat' AS (tkey, ten, one, tvalue)
+             DISTRIBUTE BY tvalue, tkey
+             SORT BY ten, one""")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY key, ten, one, value")
+      },
+      Some(s"""$SrcCte
+        SELECT CAST(key AS INT) AS key,
+               CAST(trunc(CAST(key AS DOUBLE) / 10) AS INT) AS ten,
+               CAST(CAST(key AS DOUBLE) % 10 AS INT) AS one,
+               value
+        FROM src ORDER BY key, ten, one, value""")),
+
+    // ---- clientpositive/groupby8.q: count-DISTINCT multi-insert into two
+    //      dests, run under BOTH hive.multigroupby.singlemr settings (the
+    //      .q's two passes; results must be identical)
+    QueryDef(
+      "q160_qf_groupby8",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val (d1, d2) = (s"dest_g8a_$sfx", s"dest_g8b_$sfx")
+        var out: DataFrame = null
+        for (singlemr <- Seq("false", "true")) {
+          fresh(s, d1, d2)
+          HiveQl.sql(s, s"set hive.multigroupby.singlemr=$singlemr")
+          HiveQl.sql(s, s"CREATE TABLE $d1(key INT, value STRING) STORED AS TEXTFILE")
+          HiveQl.sql(s, s"CREATE TABLE $d2(key INT, value STRING) STORED AS TEXTFILE")
+          HiveQl.sql(s,
+            s"""FROM SRC
+               INSERT OVERWRITE TABLE $d1 SELECT SRC.key, COUNT(DISTINCT SUBSTR(SRC.value,5)) GROUP BY SRC.key
+               INSERT OVERWRITE TABLE $d2 SELECT SRC.key, COUNT(DISTINCT SUBSTR(SRC.value,5)) GROUP BY SRC.key""")
+          out = HiveQl.sql(s,
+            s"""SELECT t.src AS src, t.key AS key, t.value AS value FROM (
+                SELECT 1 AS src, key, value FROM $d1
+                UNION ALL SELECT 2 AS src, key, value FROM $d2) t
+                ORDER BY src, key""")
+        }
+        out
+      },
+      Some(s"""$SrcCte, agg AS (
+          SELECT CAST(key AS INT) AS key,
+                 CAST(count(DISTINCT substr(value, 5)) AS VARCHAR) AS value
+          FROM src GROUP BY key)
+        SELECT src, key, value FROM (
+          SELECT 1 AS src, key, value FROM agg
+          UNION ALL SELECT 2 AS src, key, value FROM agg) t
+        ORDER BY src, key""")))
 }

@@ -139,28 +139,54 @@ object HiveRCFile {
   def writeFile(out: DataOutputStream, numCols: Int,
       rows: Iterator[Seq[Array[Byte]]], groupRows: Int = 1000,
       codecName: Option[String] = None): Unit = {
-    val codec = codecName.map(codecFor)
+    val w = new StreamWriter(out, numCols, groupRows, codecName)
+    rows.foreach(w.append)
+    w.finish()
+  }
+
+  /** Incremental .rc writer: header on construction, rows appended one at a
+    * time, a row-group flushed every `groupRows` — never more than one
+    * group's cells buffered (the shape [[HiveRCSource]]'s per-task
+    * OutputWriter needs; [[writeFile]] is the iterator façade over it).
+    */
+  final class StreamWriter(out: DataOutputStream, numCols: Int,
+      groupRows: Int = 1000, codecName: Option[String] = None) {
+    private val codec = codecName.map(codecFor)
+    // deterministic sync marker (readers treat it as opaque 16 bytes)
+    private val sync = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"graft-rcfile-$numCols".getBytes("UTF-8"))
+    private var sinceSync = 0
+    private val group = scala.collection.mutable.ArrayBuffer.empty[Seq[Array[Byte]]]
+
     out.write(Array[Byte]('S', 'E', 'Q', 6))
     Text.writeString(out, KeyClassName)
     Text.writeString(out, ValueClassName)
     out.writeBoolean(codec.isDefined)
     out.writeBoolean(false) // never block-compressed (RCFile.java:109)
     codecName.foreach(Text.writeString(out, _))
-    val meta = new SequenceFile.Metadata()
-    meta.set(new Text(ColumnNumberKey), new Text(numCols.toString))
-    meta.write(out)
-    // deterministic sync marker (readers treat it as opaque 16 bytes)
-    val sync = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"graft-rcfile-$numCols".getBytes("UTF-8"))
+    locally {
+      val meta = new SequenceFile.Metadata()
+      meta.set(new Text(ColumnNumberKey), new Text(numCols.toString))
+      meta.write(out)
+    }
     out.write(sync)
 
-    var sinceSync = 0
-    rows.grouped(groupRows).foreach { group =>
+    def append(row: Seq[Array[Byte]]): Unit = {
+      require(row.length == numCols, s"row arity ${row.length} != $numCols")
+      group += row
+      if (group.length >= groupRows) flushGroup()
+    }
+
+    def finish(): Unit = {
+      if (group.nonEmpty) flushGroup()
+      out.flush()
+    }
+
+    private def flushGroup(): Unit = {
       // columnar pivot: per column, concatenated cell bytes + lengths
       val colLens = Array.fill(numCols)(Vector.newBuilder[Int])
       val colBytes = Array.fill(numCols)(new java.io.ByteArrayOutputStream())
       group.foreach { row =>
-        require(row.length == numCols, s"row arity ${row.length} != $numCols")
         var c = 0
         while (c < numCols) {
           colLens(c) += row(c).length
@@ -204,8 +230,8 @@ object HiveRCFile {
       out.write(storedKey)
       blobs.foreach(out.write)
       sinceSync += 12 + storedKey.length + valueLen
+      group.clear()
     }
-    out.flush()
   }
 
   // ---- single-file read ----

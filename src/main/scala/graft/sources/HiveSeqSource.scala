@@ -1,0 +1,145 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.hadoop.io.{BytesWritable, NullWritable, SequenceFile, Text, Writable}
+import org.apache.hadoop.mapreduce.{Job, TaskAttemptContext}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.execution.datasources.{FileFormat, OutputWriter, OutputWriterFactory, PartitionedFile}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+
+/** `hiveseq` — `CREATE TABLE ... STORED AS SEQUENCEFILE` resolves here: the
+  * reference's SequenceFile table layout (HiveSequenceFileOutputFormat
+  * .java:40-43 — empty BytesWritable key, the LazySimpleSerDe-coded row as
+  * the Text value) behind a real Spark FileFormat. Rows share hivetext's
+  * exact field codec ([[HiveTextSource.decode]]/[[HiveTextSource.encode]]:
+  * ^A fields, `\N` nulls, '' is the empty STRING), so a table written here
+  * byte-matches what the reference's SEQUENCEFILE tables hold.
+  *
+  * Scale posture: SequenceFiles are sync-marker splittable — Hadoop's own
+  * SequenceFileRecordReader supplies the boundary semantics, so a 10 GB
+  * table file reads as many tasks. The reader is KEY-AGNOSTIC (the
+  * reference's files carry BytesWritable keys, QTestUtil fixtures Text):
+  * the row is whichever side is Text; a NullWritable value falls back to
+  * the key side (HiveLoad.readTable's contract).
+  */
+class HiveSeqSource extends FileFormat with DataSourceRegister with Serializable {
+
+  override def shortName(): String = "hiveseq"
+  override def toString: String = "HiveSequenceFile"
+
+  override def inferSchema(sparkSession: SparkSession,
+      options: Map[String, String],
+      files: Seq[FileStatus]): Option[StructType] = None // schema is DDL-given
+
+  override def isSplitable(sparkSession: SparkSession,
+      options: Map[String, String], path: Path): Boolean = true
+
+  override def supportDataType(dataType: DataType): Boolean = dataType match {
+    case StringType | IntegerType | LongType | ShortType | ByteType |
+         DoubleType | FloatType | BooleanType | DateType | TimestampType |
+         BinaryType => true
+    case _: DecimalType => true
+    case _ => false // nested: HiveText.encodeNested over STRING columns
+  }
+
+  override def prepareWrite(sparkSession: SparkSession, job: Job,
+      options: Map[String, String],
+      dataSchema: StructType): OutputWriterFactory =
+    new OutputWriterFactory {
+      override def getFileExtension(context: TaskAttemptContext): String = ".seq"
+      override def newInstance(path: String, dataSchema: StructType,
+          context: TaskAttemptContext): OutputWriter =
+        new HiveSeqOutputWriter(path, dataSchema, context)
+    }
+
+  override def buildReader(sparkSession: SparkSession, dataSchema: StructType,
+      partitionSchema: StructType, requiredSchema: StructType,
+      filters: Seq[Filter], options: Map[String, String],
+      hadoopConf: Configuration): PartitionedFile => Iterator[InternalRow] = {
+    val fieldIdx = requiredSchema.fields.map(f => dataSchema.fieldIndex(f.name))
+    val fieldTypes = requiredSchema.fields.map(_.dataType)
+    val nRequired = fieldIdx.length
+
+    (file: PartitionedFile) => {
+      val split = new org.apache.hadoop.mapreduce.lib.input.FileSplit(
+        file.toPath, file.start, file.length, Array.empty[String])
+      val reader = new org.apache.hadoop.mapreduce.lib.input
+        .SequenceFileRecordReader[Writable, Writable]()
+      val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+        new Configuration(), new org.apache.hadoop.mapreduce.TaskAttemptID())
+      reader.initialize(split, ctx)
+      new Iterator[InternalRow] {
+        private var ready = false
+        private var done = false
+        private def advance(): Unit =
+          if (!ready && !done) {
+            if (reader.nextKeyValue()) ready = true
+            else { done = true; reader.close() }
+          }
+        override def hasNext: Boolean = { advance(); ready }
+        override def next(): InternalRow = {
+          advance()
+          if (!ready) throw new NoSuchElementException
+          ready = false
+          val line = (reader.getCurrentValue, reader.getCurrentKey) match {
+            case (t: Text, _) => t.toString
+            case (_: NullWritable, k) => k.toString // row-in-key layout
+            case (b: BytesWritable, _) =>
+              new String(b.copyBytes(), "UTF-8")
+            case (v, _) => v.toString
+          }
+          val parts = line.split(HiveText.FieldDelim, -1)
+          val row = new GenericInternalRow(nRequired)
+          var i = 0
+          while (i < nRequired) {
+            val src = fieldIdx(i)
+            val raw = if (src < parts.length) parts(src) else null
+            row.update(i,
+              if (raw == null || raw == HiveText.NullSequence) null
+              else HiveTextSource.decode(raw, fieldTypes(i)))
+            i += 1
+          }
+          row
+        }
+      }
+    }
+  }
+
+  override def equals(other: Any): Boolean = other.isInstanceOf[HiveSeqSource]
+  override def hashCode(): Int = getClass.hashCode()
+}
+
+/** Executor-side writer: the reference table layout — empty BytesWritable
+  * key + hivetext-coded Text row (no trailing newline; the container frames
+  * records).
+  */
+private class HiveSeqOutputWriter(val path: String, dataSchema: StructType,
+    context: TaskAttemptContext) extends OutputWriter {
+  private val writer = SequenceFile.createWriter(context.getConfiguration,
+    SequenceFile.Writer.file(new Path(path)),
+    SequenceFile.Writer.keyClass(classOf[BytesWritable]),
+    SequenceFile.Writer.valueClass(classOf[Text]))
+  private val types = dataSchema.fields.map(_.dataType)
+  private val emptyKey = new BytesWritable()
+  private val value = new Text()
+  private val sb = new java.lang.StringBuilder
+
+  override def write(row: InternalRow): Unit = {
+    sb.setLength(0)
+    var i = 0
+    while (i < types.length) {
+      if (i > 0) sb.append(HiveText.FieldDelim)
+      if (row.isNullAt(i)) sb.append(HiveText.NullSequence)
+      else sb.append(HiveTextSource.encode(row, i, types(i)))
+      i += 1
+    }
+    value.set(sb.toString)
+    writer.append(emptyKey, value)
+  }
+
+  override def close(): Unit = writer.close()
+}

@@ -74,6 +74,109 @@ class QFileParitySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  test("SEQUENCEFILE tables hold the reference container layout on disk") {
+    spark.sql("DROP TABLE IF EXISTS hs_sem")
+    HiveQl.sql(spark, "CREATE TABLE hs_sem (k INT, v STRING) STORED AS SEQUENCEFILE")
+    HiveQl.sql(spark, "INSERT INTO hs_sem SELECT 1, ''")
+    HiveQl.sql(spark, "INSERT INTO hs_sem SELECT 2, CAST(NULL AS STRING)")
+    HiveQl.sql(spark, "INSERT INTO hs_sem SELECT 3, 'x'")
+    // on-disk: genuine SequenceFiles with the reference's header classes
+    // (HiveSequenceFileOutputFormat.java:40-43 — BytesWritable key, Text row)
+    val loc = spark.sql("DESCRIBE EXTENDED hs_sem").collect()
+      .find(_.getString(0) == "Location").get.getString(1)
+    val dir = new java.io.File(new java.net.URI(loc))
+    val seqs = dir.listFiles().filter(_.getName.endsWith(".seq"))
+    assert(seqs.nonEmpty, s"no .seq parts in $dir")
+    val head = java.nio.file.Files.readAllBytes(seqs.head.toPath)
+    assert(new String(head.take(3), "US-ASCII") == "SEQ", "SequenceFile magic")
+    val headStr = new String(head, "ISO-8859-1")
+    assert(headStr.contains("org.apache.hadoop.io.BytesWritable") &&
+      headStr.contains("org.apache.hadoop.io.Text"), "reference key/value classes")
+    // LazyString semantics survive the container: '' is a STRING, \N is null
+    val rows = spark.table("hs_sem").collect()
+      .map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) "NULL" else "[" + r.getString(1) + "]")).toMap
+    assert(rows === Map(1 -> "[]", 2 -> "NULL", 3 -> "[x]"), rows.toString)
+    spark.sql("DROP TABLE hs_sem")
+  }
+
+  test("hiveseq: one large SequenceFile reads in multiple splits, rows exact") {
+    val dir = java.nio.file.Files.createTempDirectory("hs_split").toString
+    import spark.implicits._
+    (0L until 50000L).map(i => (i, s"row_$i")).toDF("k", "v")
+      .coalesce(1).write.format("graft.sources.HiveSeqSource")
+      .mode("overwrite").save(dir)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "131072")
+      val df = spark.read.format("graft.sources.HiveSeqSource")
+        .schema("k BIGINT, v STRING").load(dir)
+      assert(df.rdd.getNumPartitions > 1, "must split one big SequenceFile")
+      assert(df.count() === 50000)
+      assert(df.agg(org.apache.spark.sql.functions.sum($"k")).head.getLong(0)
+        === 49999L * 50000L / 2, "exactly-once record delivery across splits")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
+  test("RCFILE tables hold the reference container layout; '' vs \\N survives") {
+    spark.sql("DROP TABLE IF EXISTS rc_sem")
+    HiveQl.sql(spark, "CREATE TABLE rc_sem (k INT, v STRING) STORED AS RCFILE")
+    HiveQl.sql(spark, "INSERT INTO rc_sem SELECT 1, ''")
+    HiveQl.sql(spark, "INSERT INTO rc_sem SELECT 2, CAST(NULL AS STRING)")
+    HiveQl.sql(spark, "INSERT INTO rc_sem SELECT 3, 'x'")
+    val loc = spark.sql("DESCRIBE EXTENDED rc_sem").collect()
+      .find(_.getString(0) == "Location").get.getString(1)
+    val dir = new java.io.File(new java.net.URI(loc))
+    val rcs = dir.listFiles().filter(_.getName.endsWith(".rc"))
+    assert(rcs.nonEmpty, s"no .rc parts in $dir")
+    val head = java.nio.file.Files.readAllBytes(rcs.head.toPath)
+    // RCFile header: SEQ\x06 preamble + the reference's KeyBuffer/ValueBuffer
+    // class names (RCFile.java:100-133)
+    assert(head.take(4).toSeq == Seq[Byte]('S', 'E', 'Q', 6), "RCFile preamble")
+    val headStr = new String(head, "ISO-8859-1")
+    assert(headStr.contains("RCFile$KeyBuffer") &&
+      headStr.contains("RCFile$ValueBuffer"), "reference key/value classes")
+    val rows = spark.table("rc_sem").collect()
+      .map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) "NULL" else "[" + r.getString(1) + "]")).toMap
+    assert(rows === Map(1 -> "[]", 2 -> "NULL", 3 -> "[x]"), rows.toString)
+    spark.sql("DROP TABLE rc_sem")
+  }
+
+  test("hiverc: one large RCFile reads in multiple splits, rows exact") {
+    val dir = java.nio.file.Files.createTempDirectory("rc_split").toString
+    import spark.implicits._
+    (0L until 50000L).map(i => (i, s"row_$i")).toDF("k", "v")
+      .coalesce(1).write.format("graft.sources.HiveRCSource")
+      .mode("overwrite").save(dir)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "131072")
+      val df = spark.read.format("graft.sources.HiveRCSource")
+        .schema("k BIGINT, v STRING").load(dir)
+      assert(df.rdd.getNumPartitions > 1, "must split one big RCFile")
+      assert(df.count() === 50000)
+      assert(df.agg(org.apache.spark.sql.functions.sum($"k")).head.getLong(0)
+        === 49999L * 50000L / 2, "exactly-once record delivery across splits")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
+  test("STORED AS INPUTFORMAT/OUTPUTFORMAT long form maps to the FileFormats") {
+    // rcfile_columnar.q's spelling (Hive.g:1171-1176 tableFileFormat)
+    val r = HiveQl.rewrite("""CREATE table columnTable (key STRING, value STRING)
+      ROW FORMAT SERDE
+        'org.apache.hadoop.hive.serde2.columnar.ColumnarSerDe'
+      STORED AS
+        INPUTFORMAT 'org.apache.hadoop.hive.ql.io.RCFileInputFormat'
+        OUTPUTFORMAT 'org.apache.hadoop.hive.ql.io.RCFileOutputFormat'""")
+    assert(r.contains("USING graft.sources.HiveRCSource"), r)
+    assert(!r.toUpperCase.contains("ROW FORMAT SERDE"), r)
+    // an unmapped pair is a loud error, not a silent passthrough
+    val e = intercept[IllegalStateException](HiveQl.rewrite(
+      "CREATE TABLE t (k INT) STORED AS INPUTFORMAT 'x.MysteryIn' OUTPUTFORMAT 'x.MysteryOut'"))
+    assert(e.getMessage.contains("unmapped"), e.getMessage)
+  }
+
   test("std/stddev/variance resolve to Hive POPULATION semantics") {
     Sessions.ensureRegistered(spark)
     import spark.implicits._
@@ -92,7 +195,9 @@ class QFileParitySpec extends SparkSpec {
     for (q <- Seq("q139_qf_groupby1", "q140_qf_groupby3", "q141_qf_input12",
         "q142_qf_join2", "q144_qf_union3", "q145_qf_input_part1",
         "q146_qf_join25", "q147_qf_sample2", "q148_qf_cast1",
-        "q149_qf_udf_case_when")) {
+        "q149_qf_udf_case_when", "q151_qf_groupby7", "q153_qf_quote1",
+        "q155_qf_groupby_ppr", "q157_qf_seqfile", "q158_qf_rcfile_union",
+        "q159_qf_mapreduce1", "q160_qf_groupby8")) {
       val a = runQ(q).collect()
       assert(a.nonEmpty, s"$q returned no rows")
       val b = runQ(q).collect()
