@@ -648,5 +648,97 @@ object QFileParity extends QueryModule {
         SELECT src, key, value FROM (
           SELECT 1 AS src, key, value FROM agg
           UNION ALL SELECT 2 AS src, key, value FROM agg) t
-        ORDER BY src, key""")))
+        ORDER BY src, key""")),
+
+    // ---- clientpositive/union2.q: count over a self-UNION ALL (both
+    //      subqueries map jobs on the same input)
+    QueryDef(
+      "q161_qf_union2",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """select count(1) AS c FROM (select s1.key as key, s1.value as value from src s1 UNION  ALL
+             select s2.key as key, s2.value as value from src s2) unionsrc""")
+      },
+      Some(s"""$SrcCte
+        SELECT count(1) AS c FROM (
+          SELECT key, value FROM src UNION ALL SELECT key, value FROM src) u""")),
+
+    // ---- clientpositive/join18.q: FULL OUTER join of two aggregating
+    //      subqueries — count over src vs count-DISTINCT over the
+    //      kv3-shaped src1 (empty-string keys join only each other)
+    QueryDef(
+      "q162_qf_join18",
+      (s, dir) => {
+        fixtures(s, dir)
+        // readback aliases disambiguate the .q's duplicate output names
+        // (key, value, key, value) for the column-sorted hash gate
+        HiveQl.sql(s,
+          """SELECT a.key AS a_key, a.value AS a_value, b.key AS b_key, b.value AS b_value
+             FROM
+              (
+              SELECT src1.key as key, count(src1.value) AS value FROM src src1 group by src1.key
+              ) a
+             FULL OUTER JOIN
+             (
+              SELECT src2.key as key, count(distinct(src2.value)) AS value
+              FROM src1 src2 group by src2.key
+             ) b
+             ON (a.key = b.key)
+             ORDER BY a_key, b_key""")
+      },
+      Some(s"""$Src1Cte
+        SELECT a.key AS a_key, a.value AS a_value, b.key AS b_key, b.value AS b_value
+        FROM (SELECT key, count(value) AS value FROM src GROUP BY key) a
+        FULL OUTER JOIN
+             (SELECT key, count(DISTINCT value) AS value FROM src1 GROUP BY key) b
+        ON a.key = b.key
+        ORDER BY a_key NULLS FIRST, b_key NULLS FIRST""")),
+
+    // ---- clientpositive/input8.q: NULL arithmetic through typed dest
+    //      columns — 4 + NULL, string - NULL, NULL + NULL over the 25-row
+    //      src1 all land as typed NULLs
+    QueryDef(
+      "q163_qf_input8",
+      (s, dir) => {
+        val d = s"dest_i8_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(c1 STRING, c2 INT, c3 DOUBLE) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM src1
+             INSERT OVERWRITE TABLE $d SELECT 4 + NULL, src1.key - NULL, NULL + NULL""")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY c1")
+      },
+      Some("""SELECT CAST(NULL AS VARCHAR) AS c1, CAST(NULL AS INT) AS c2,
+                     CAST(NULL AS DOUBLE) AS c3
+              FROM nation ORDER BY c1""")),
+
+    // ---- clientpositive/udf9.q: the DATEDIFF / DATE_ADD / DATE_SUB
+    //      constant battery (leap years, month ends, timestamp-string
+    //      inputs). kv1's key 86 is absent from this fixture's key space;
+    //      81 plays its role (the q148 adaptation)
+    QueryDef(
+      "q164_qf_udf9",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT DATEDIFF('2008-12-31', '2009-01-01') AS d1, DATEDIFF('2008-03-01', '2008-02-28') AS d2,
+                    DATEDIFF('2007-03-01', '2007-01-28') AS d3, DATEDIFF('2008-03-01 23:59:59', '2008-03-02 00:00:00') AS d4,
+                    DATE_ADD('2008-12-31', 1) AS a1, DATE_ADD('2008-12-31', 365) AS a2,
+                    DATE_ADD('2008-02-28', 2) AS a3, DATE_ADD('2009-02-28', 2) AS a4,
+                    DATE_ADD('2007-02-28', 365) AS a5, DATE_ADD('2007-02-28 23:59:59', 730) AS a6,
+                    DATE_SUB('2009-01-01', 1) AS s1, DATE_SUB('2009-01-01', 365) AS s2,
+                    DATE_SUB('2008-02-28', 2) AS s3, DATE_SUB('2009-02-28', 2) AS s4,
+                    DATE_SUB('2007-02-28', 365) AS s5, DATE_SUB('2007-02-28 01:12:34', 730) AS s6
+                    FROM src WHERE src.key = 81""")
+      },
+      Some(s"""$SrcCte
+        SELECT -1 AS d1, 2 AS d2, 32 AS d3, -1 AS d4,
+               DATE '2009-01-01' AS a1, DATE '2009-12-31' AS a2,
+               DATE '2008-03-01' AS a3, DATE '2009-03-02' AS a4,
+               DATE '2008-02-28' AS a5, DATE '2009-02-27' AS a6,
+               DATE '2008-12-31' AS s1, DATE '2008-01-02' AS s2,
+               DATE '2008-02-26' AS s3, DATE '2009-02-26' AS s4,
+               DATE '2006-02-28' AS s5, DATE '2005-02-28' AS s6
+        FROM src WHERE CAST(key AS DOUBLE) = 81""")))
 }

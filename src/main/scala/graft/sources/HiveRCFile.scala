@@ -269,10 +269,16 @@ object HiveRCFile {
   /** Parse ONE record's key + column blobs (the stream is positioned just
     * after the record-length int). Shared by the whole-file and the
     * split readers.
+    *
+    * `wanted`: when set, only those column indexes are materialized —
+    * every other column's blob is SKIPPED on the stream without being read,
+    * inflated, or sliced (the reference reader's column-pruning contract,
+    * RCFileRecordReader/ColumnarStruct: a projection over a wide table
+    * touches only the projected blobs). Unwanted cells come back null.
     */
   private def readRecord(in: DataInputStream, nc: Int,
       codec: Option[org.apache.hadoop.io.compress.CompressionCodec],
-      recordLen: Int): Seq[Array[Array[Byte]]] = {
+      recordLen: Int, wanted: Option[Array[Boolean]] = None): Seq[Array[Array[Byte]]] = {
     val keyLen = in.readInt() // PLAIN key size (even when compressed)
     val storedKeyLen = in.readInt()
     if (codec.isEmpty)
@@ -298,18 +304,32 @@ object HiveRCFile {
       s"RCFile: record length $recordLen != key $keyLen + values ${colDiskLen.sum}")
     val rows = Array.fill(numRows)(new Array[Array[Byte]](nc))
     (0 until nc).foreach { c =>
-      val disk = new Array[Byte](colDiskLen(c))
-      in.readFully(disk)
-      val blob = codec.map(inflate(_, disk, colPlainLen(c))).getOrElse(disk)
-      var off = 0
-      var r = 0
-      while (r < numRows) {
-        rows(r)(c) = java.util.Arrays.copyOfRange(blob, off, off + cellLens(c)(r))
-        off += cellLens(c)(r)
-        r += 1
+      if (wanted.exists(w => !w(c))) {
+        // pruned column: skip the on-disk blob without reading it (a seek
+        // on seekable streams — the bytes are never inflated or copied)
+        var toSkip = colDiskLen(c).toLong
+        while (toSkip > 0) {
+          val n = in.skip(toSkip)
+          if (n <= 0) { // fall back to a read when skip can't advance
+            if (in.read() < 0) throw new EOFException(
+              s"RCFile: EOF skipping pruned column $c")
+            toSkip -= 1
+          } else toSkip -= n
+        }
+      } else {
+        val disk = new Array[Byte](colDiskLen(c))
+        in.readFully(disk)
+        val blob = codec.map(inflate(_, disk, colPlainLen(c))).getOrElse(disk)
+        var off = 0
+        var r = 0
+        while (r < numRows) {
+          rows(r)(c) = java.util.Arrays.copyOfRange(blob, off, off + cellLens(c)(r))
+          off += cellLens(c)(r)
+          r += 1
+        }
+        require(off == blob.length,
+          s"RCFile: column $c cells sum to $off, blob is ${blob.length}")
       }
-      require(off == blob.length,
-        s"RCFile: column $c cells sum to $off, blob is ${blob.length}")
     }
     rows.toSeq
   }
@@ -392,7 +412,8 @@ object HiveRCFile {
     * across splits, no record parsed twice.
     */
   def readSplit(fs: org.apache.hadoop.fs.FileSystem, file: Path,
-      start: Long, end: Long): Iterator[Array[Array[Byte]]] = {
+      start: Long, end: Long,
+      wanted: Option[Array[Boolean]] = None): Iterator[Array[Array[Byte]]] = {
     val in = fs.open(file)
     val h = readHeader(in)
     val codec = h.codecName.map(codecFor)
@@ -421,7 +442,7 @@ object HiveRCFile {
         nextLen != -2
       }
       override def next(): Seq[Array[Array[Byte]]] = {
-        val rows = readRecord(in, nc, codec, nextLen)
+        val rows = readRecord(in, nc, codec, nextLen, wanted)
         nextLen = advance()
         rows
       }

@@ -73,8 +73,13 @@ class HiveRCSource extends FileFormat with DataSourceRegister with Serializable 
       val p = file.toPath
       val fs = p.getFileSystem(new Configuration())
       // sync-resync split read: this task owns records [start, start+len)
-      // by the Hadoop boundary rule (HiveRCFile.readSplit)
-      val cells = HiveRCFile.readSplit(fs, p, file.start, file.start + file.length)
+      // by the Hadoop boundary rule (HiveRCFile.readSplit); COLUMN PRUNING:
+      // only the projected columns' blobs are read off disk — unprojected
+      // blobs are skipped unread/uninflated (the columnar payoff at scale)
+      val wanted = Array.fill(nCols)(false)
+      fieldIdx.foreach(wanted(_) = true)
+      val cells = HiveRCFile.readSplit(fs, p, file.start,
+        file.start + file.length, Some(wanted))
       cells.map { row =>
         require(row.length == nCols,
           s"RCFile carries ${row.length} columns, table declares $nCols")

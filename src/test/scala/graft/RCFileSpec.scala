@@ -194,6 +194,54 @@ class RCFileSpec extends SparkSpec {
           org.apache.spark.sql.types.IntegerType)))).count() == 5000)
   }
 
+  test("column pruning skips unprojected blobs: corrupt blob never touched") {
+    // the rigorous proof that pruning means NOT READING: write a 2-column
+    // compressed file, corrupt column 0's compressed blob on disk, and
+    // show the pruned read (column 1 only) still succeeds while the full
+    // read throws on inflate — if pruning merely discarded parsed cells,
+    // both would throw
+    val dir = Files.createTempDirectory("rc_prune")
+    val f = dir.resolve("part-0.rc").toFile
+    val rows = (0 until 100).map { i =>
+      Seq(("A" * 50 + i).getBytes("UTF-8"), s"v$i".getBytes("UTF-8"))
+    }
+    val out = new DataOutputStream(new java.io.FileOutputStream(f))
+    HiveRCFile.writeFile(out, 2, rows.iterator,
+      codecName = Some(HiveRCFile.DefaultCodecName))
+    out.close()
+    val p = new org.apache.hadoop.fs.Path(f.toString)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // sanity: intact file reads fully
+    assert(HiveRCFile.readSplit(fs, p, 0, f.length).size == 100)
+    // locate column 0's blob: header, then record framing —
+    // [recordLen][plainKeyLen][storedKeyLen][storedKey][blob0][blob1]
+    val bytes = Files.readAllBytes(f.toPath)
+    class Cin(b: Array[Byte]) extends ByteArrayInputStream(b) {
+      def position: Int = pos
+    }
+    val cin = new Cin(bytes)
+    val din = new DataInputStream(cin)
+    HiveRCFile.readHeader(din)
+    din.readInt() // recordLen
+    din.readInt() // plain key len
+    val storedKeyLen = din.readInt()
+    din.skipBytes(storedKeyLen)
+    val blob0 = cin.position
+    // zlib blobs for 100×51-byte cells are far larger than 8 bytes; nuking
+    // the stream head guarantees an inflate failure if ever decompressed
+    (0 until 8).foreach(k => bytes(blob0 + k) = 0x55)
+    Files.write(f.toPath, bytes)
+    // pruned read: column 0's blob is skipped unread — success, col1 exact
+    val pruned = HiveRCFile.readSplit(fs, p, 0, f.length,
+      Some(Array(false, true))).toVector
+    assert(pruned.size == 100)
+    assert(pruned.zipWithIndex.forall { case (r, i) =>
+      r(0) == null && new String(r(1), "UTF-8") == s"v$i"
+    }, "pruned read must null col0 and decode col1 exactly")
+    // full read inflates the corrupted blob and must fail loudly
+    intercept[Exception](HiveRCFile.readSplit(fs, p, 0, f.length).toVector)
+  }
+
   test("malformed input fails loudly") {
     intercept[IllegalArgumentException](
       HiveRCFile.readFile("not an rcfile at all".getBytes("UTF-8")))
