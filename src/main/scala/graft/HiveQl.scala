@@ -279,9 +279,19 @@ object HiveQl {
   private val StoredAsText =
     """(?is)\bSTORED\s+AS\s+(TEXTFILE|SEQUENCEFILE|RCFILE)\b""".r
 
+  // Hive's bare `INSERT OVERWRITE [LOCAL] DIRECTORY 'path' SELECT ...`
+  // (Hive.g destination KW_DIRECTORY) writes LazySimpleSerDe text; Spark's
+  // native form requires a USING clause, so the bare form resolves to the
+  // hivetext FileFormat — same bytes the reference's moveTask lands
+  private val BareInsertDir =
+    ("""(?is)\b(INSERT\s+OVERWRITE\s+(?:LOCAL\s+)?DIRECTORY\s+\d+)(?!\s+(?:USING|STORED)\b)""").r
+
   private def rewriteMasked(q: String): String = {
+    val iod = BareInsertDir.replaceAllIn(q, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1)} USING graft.sources.HiveTextSource"))
     val storedAs = StoredAsText.replaceAllIn(
-      PartitionedStoredAsText.replaceAllIn(q, m =>
+      PartitionedStoredAsText.replaceAllIn(iod, m =>
         java.util.regex.Matcher.quoteReplacement(
           s"${storedAsUsing(m.group(2))} PARTITIONED BY ${m.group(1)}")),
       m => java.util.regex.Matcher.quoteReplacement(storedAsUsing(m.group(1))))
@@ -448,8 +458,52 @@ object HiveQl {
     unmaskLiterals(out, lits)
   }
 
+  /** TRANSFORM/MAP/REDUCE ... USING '<bare name>' where the name matches a
+    * session `ADD FILE` resource (scriptfile1.q's shape — Hive resolves
+    * the script from the distributed cache). Local mode: the added file is
+    * NOT on the task PATH/cwd, so the bare name resolves to SparkFiles'
+    * local copy (made executable — ADD FILE does not preserve +x). Cluster
+    * mode: added files localize into each task container's cwd where the
+    * bare name already works — leave the command untouched.
+    */
+  def resolveScriptPaths(spark: SparkSession, q: String): String = {
+    if (!spark.sparkContext.isLocal) return q
+    // name → the added file's own path (driver and tasks share one
+    // filesystem in local mode, so the original path IS the local copy)
+    val byName = spark.sparkContext.listFiles().flatMap { u =>
+      scala.util.Try {
+        val f = new java.io.File(new java.net.URI(u).getPath)
+        f.getName -> f.getAbsolutePath
+      }.toOption
+    }.toMap
+    if (byName.isEmpty) return q
+    // masking discipline: the command IS a literal, so match the USING
+    // keyword + placeholder in MASKED text and rewrite the literal by
+    // index — a "USING 'x'" spelled inside some other string can't fire
+    val (masked, lits) =
+      try maskLiterals(q) catch { case _: IllegalArgumentException => return q }
+    val hits = ("""(?i)\bUSING\s+(\d+)""").r
+      .findAllMatchIn(masked).map(_.group(1).toInt).toSet
+    if (hits.isEmpty) return q
+    val newLits = lits.zipWithIndex.map { case (lit, i) =>
+      if (!hits(i)) lit
+      else {
+        val quote = lit.head.toString // ' or " (maskLiterals keeps both)
+        val body = lit.stripPrefix(quote).stripSuffix(quote)
+        val cmd = body.split(" ", 2)
+        byName.get(cmd(0)).map { p =>
+          val f = new java.io.File(p)
+          if (f.isFile && !f.canExecute) f.setExecutable(true)
+          quote + (p +: cmd.drop(1)).mkString(" ") + quote
+        }.getOrElse(lit)
+      }
+    }
+    unmaskLiterals(masked, newLits)
+  }
+
   def sql(spark: SparkSession, rawQ: String): DataFrame = {
-    val q = resolveDefaultSampleCols(spark, substituteVars(spark, rawQ))
+    val q = resolveScriptPaths(spark,
+      resolveDefaultSampleCols(spark, substituteVars(spark, rawQ)))
     // Driver.doAuthorization layering: enforce before execution on every
     // entry point that funnels through this driver analogue (no-op unless
     // hive.security.authorization.enabled)

@@ -740,5 +740,106 @@ object QFileParity extends QueryModule {
                DATE '2008-12-31' AS s1, DATE '2008-01-02' AS s2,
                DATE '2008-02-26' AS s3, DATE '2009-02-26' AS s4,
                DATE '2006-02-28' AS s5, DATE '2005-02-28' AS s6
-        FROM src WHERE CAST(key AS DOUBLE) = 81""")))
+        FROM src WHERE CAST(key AS DOUBLE) = 81""")),
+
+    // ---- clientpositive/union.q: map-only UNION ALL subqueries into
+    //      INSERT OVERWRITE DIRECTORY — the readback then reads the
+    //      directory's Hive-text files back through the hivetext
+    //      FileFormat (the .q's `dfs -cat` check, engine-side)
+    QueryDef(
+      "q165_qf_union",
+      (s, dir) => {
+        fixtures(s, dir)
+        val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_qf_union_${dir.hashCode & Int.MaxValue}")
+        org.apache.commons.io.FileUtils.deleteQuietly(out)
+        HiveQl.sql(s,
+          s"""FROM (
+               FROM src select src.key, src.value WHERE src.key < 100
+               UNION ALL
+               FROM src SELECT src.* WHERE src.key > 100
+             ) unioninput
+             INSERT OVERWRITE DIRECTORY '${out.getAbsolutePath}' SELECT unioninput.*""")
+        s.read.format("graft.sources.HiveTextSource")
+          .schema("key STRING, value STRING").load(out.getAbsolutePath)
+          .orderBy("key", "value")
+      },
+      Some(s"""$SrcCte
+        SELECT key, value FROM (
+          SELECT key, value FROM src WHERE CAST(key AS DOUBLE) < 100
+          UNION ALL
+          SELECT key, value FROM src WHERE CAST(key AS DOUBLE) > 100) u
+        ORDER BY key, value""")),
+
+    // ---- clientpositive/groupby6.q: SELECT DISTINCT of a 1-char substring
+    //      into a dest, under the skew-groupby SETs
+    QueryDef(
+      "q166_qf_groupby6",
+      (s, dir) => {
+        val d = s"dest_g6_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, "set hive.map.aggr=false")
+        HiveQl.sql(s, "set hive.groupby.skewindata=true")
+        HiveQl.sql(s, s"CREATE TABLE $d(c1 STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"FROM src INSERT OVERWRITE TABLE $d SELECT DISTINCT substr(src.value,5,1)")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY c1")
+      },
+      Some(s"""$SrcCte
+        SELECT DISTINCT substr(value, 5, 1) AS c1 FROM src ORDER BY c1""")),
+
+    // ---- clientpositive/input14.q: TRANSFORM through /bin/cat inside a
+    //      FROM-subquery with CLUSTER BY, outer WHERE over the script's
+    //      string output (Hive double coercion for tkey < 100)
+    QueryDef(
+      "q167_qf_input14",
+      (s, dir) => {
+        val d = s"dest_i14_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(key INT, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM (
+               FROM src
+               SELECT TRANSFORM(src.key, src.value)
+                      USING '/bin/cat' AS (tkey, tvalue)
+               CLUSTER BY tkey
+             ) tmap
+             INSERT OVERWRITE TABLE $d SELECT tmap.tkey, tmap.tvalue WHERE tmap.tkey < 100""")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY key, value")
+      },
+      Some(s"""$SrcCte
+        SELECT CAST(key AS INT) AS key, value FROM src
+        WHERE CAST(key AS DOUBLE) < 100 ORDER BY key, value""")),
+
+    // ---- clientpositive/scriptfile1.q: ADD FILE a user script, then
+    //      TRANSFORM USING the BARE script name (Hive resolves it from the
+    //      distributed cache; the dialect resolves it from the session's
+    //      added files). The script is the .q's own 4-line testgrep
+    //      (ql/src/test/scripts/testgrep: egrep '10.*')
+    QueryDef(
+      "q168_qf_scriptfile1",
+      (s, dir) => {
+        val d = s"dest_sf1_${fixtures(s, dir)}"
+        fresh(s, d)
+        val script = new java.io.File(
+          System.getProperty("java.io.tmpdir"), "testgrep")
+        java.nio.file.Files.write(script.toPath,
+          "#!/bin/bash\n\negrep '10.*'\n\nexit 0;\n".getBytes("UTF-8"))
+        script.setExecutable(true)
+        HiveQl.sql(s, s"CREATE TABLE $d(key INT, value STRING)")
+        s.sql(s"ADD FILE '${script.getAbsolutePath}'")
+        HiveQl.sql(s,
+          s"""FROM (
+               FROM src
+               SELECT TRANSFORM(src.key, src.value)
+                      USING 'testgrep' AS (tkey, tvalue)
+               CLUSTER BY tkey
+             ) tmap
+             INSERT OVERWRITE TABLE $d SELECT tmap.tkey, tmap.tvalue""")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY key, value")
+      },
+      Some(s"""$SrcCte
+        SELECT CAST(key AS INT) AS key, value FROM src
+        WHERE (key || CHR(9) || value) SIMILAR TO '.*10.*'
+        ORDER BY key, value""")))
 }

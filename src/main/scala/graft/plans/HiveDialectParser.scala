@@ -52,8 +52,9 @@ class HiveDialectParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
   private def dialect(sqlText: String): String =
-    graft.HiveQl.rewrite(graft.HiveQl.resolveDefaultSampleCols(session,
-      graft.HiveQl.substituteVars(session, sqlText)))
+    graft.HiveQl.rewrite(graft.HiveQl.resolveScriptPaths(session,
+      graft.HiveQl.resolveDefaultSampleCols(session,
+        graft.HiveQl.substituteVars(session, sqlText))))
 
   override def parsePlan(sqlText: String): LogicalPlan = {
     val text = graft.HiveQl.substituteVars(session, sqlText)
@@ -66,7 +67,8 @@ class HiveDialectParser(session: SparkSession, delegate: ParserInterface)
     graft.HiveQl.statementExec(text) match {
       case Some(exec) => HiveStatement(text.linesIterator.mkString(" ").take(120), exec)
       case None => delegate.parsePlan(graft.HiveQl.rewrite(
-        graft.HiveQl.resolveDefaultSampleCols(session, text)))
+        graft.HiveQl.resolveScriptPaths(session,
+          graft.HiveQl.resolveDefaultSampleCols(session, text))))
     }
   }
   override def parseQuery(sqlText: String): LogicalPlan =

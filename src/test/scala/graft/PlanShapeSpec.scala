@@ -94,6 +94,25 @@ class PlanShapeSpec extends SparkSpec {
       s"q109 scan reads unused columns:\n$p109")
   }
 
+  test("hive FileFormat scans prune to the projected columns (ReadSchema)") {
+    // the r10 format sources are real FileFormats: Catalyst's column
+    // pruning must reach their ReadSchema, and for hiverc the pruned
+    // schema drives blob SKIPPING inside the reader (RCFileSpec proves the
+    // skip; this pins the plan side for all three)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ff_prune").toString
+    val df3 = Seq((1L, "a", 9.9), (2L, "b", 8.8)).toDF("k", "v", "w")
+    for (fmt <- Seq("graft.sources.HiveTextSource", "graft.sources.HiveSeqSource",
+        "graft.sources.HiveRCSource")) {
+      val sub = s"$dir/${fmt.split('.').last}"
+      df3.write.format(fmt).save(sub)
+      val p = spark.read.format(fmt).schema("k BIGINT, v STRING, w DOUBLE")
+        .load(sub).select("v").queryExecution.executedPlan.toString
+      assert(p.contains("ReadSchema: struct<v:string>"),
+        s"$fmt scan must prune to v only:\n$p")
+    }
+  }
+
   test("q119: cluster-size cap executes as Partial+Final WindowGroupLimit") {
     // the cap defends against mega-clusters; its scale-safety rests on
     // InferWindowGroupLimit keeping <=cap rows per cluster per MAP task

@@ -198,7 +198,9 @@ class QFileParitySpec extends SparkSpec {
         "q149_qf_udf_case_when", "q151_qf_groupby7", "q153_qf_quote1",
         "q155_qf_groupby_ppr", "q157_qf_seqfile", "q158_qf_rcfile_union",
         "q159_qf_mapreduce1", "q160_qf_groupby8", "q161_qf_union2",
-        "q162_qf_join18", "q163_qf_input8", "q164_qf_udf9")) {
+        "q162_qf_join18", "q163_qf_input8", "q164_qf_udf9",
+        "q165_qf_union", "q166_qf_groupby6", "q167_qf_input14",
+        "q168_qf_scriptfile1")) {
       val a = runQ(q).collect()
       assert(a.nonEmpty, s"$q returned no rows")
       val b = runQ(q).collect()

@@ -204,6 +204,28 @@ class SqlDialectSpec extends SparkSpec {
     spark.sql("DROP TABLE ts_bkt"); spark.sql("DROP TABLE ts_flat")
   }
 
+  test("bare INSERT OVERWRITE DIRECTORY resolves to hivetext (union.q form)") {
+    // Hive's destination KW_DIRECTORY writes LazySimpleSerDe text with no
+    // format clause; Spark needs USING — the dialect supplies hivetext
+    val r = HiveQl.rewrite("INSERT OVERWRITE DIRECTORY '/tmp/x' SELECT * FROM t")
+    assert(r.contains("DIRECTORY '/tmp/x' USING graft.sources.HiveTextSource"), r)
+    // an explicit USING is left alone
+    val r2 = HiveQl.rewrite(
+      "INSERT OVERWRITE DIRECTORY '/tmp/x' USING parquet SELECT * FROM t")
+    assert(r2.contains("USING parquet") &&
+      !r2.contains("HiveTextSource"), r2)
+    // end-to-end: the landed files are ^A-delimited Hive text
+    val dir = java.nio.file.Files.createTempDirectory("iod_bare").toString + "/out"
+    spark.range(3).selectExpr("id", "concat('v', id) AS v")
+      .createOrReplaceTempView("iod_src")
+    HiveQl.sql(spark,
+      s"INSERT OVERWRITE DIRECTORY '$dir' SELECT id, v FROM iod_src")
+    val back = spark.read.format("graft.sources.HiveTextSource")
+      .schema("id BIGINT, v STRING").load(dir)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(back == Seq((0L, "v0"), (1L, "v1"), (2L, "v2")), back.toString)
+  }
+
   test("SET and ADD FILE command lines run through HiveQl (ql/processors analogue)") {
     // SET k=v (SetProcessor.java) and ADD FILE (AddResourceProcessor.java)
     // parse natively in Spark SQL — assert the whole command→effect loop
