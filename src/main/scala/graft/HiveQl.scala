@@ -235,11 +235,23 @@ object HiveQl {
   // tableFileFormat first alternative) → the graft FileFormat for the pair
   private val StoredAsInOut =
     ("""(?is)\bSTORED\s+AS\s+INPUTFORMAT\s+(\d+)\s+OUTPUTFORMAT\s+(\d+)""").r
+  // `ROW FORMAT DELIMITED FIELDS TERMINATED BY '<d>' [LINES TERMINATED BY
+  // '\n'] STORED AS TEXTFILE` (Hive.g tableRowFormat KW_DELIMITED;
+  // LazySimpleSerDe's configurable separator, ctas.q's comma tables) →
+  // hivetext with the delimiter as an OPTION; the placeholder is emitted
+  // into the OPTIONS clause so unmasking restores the quoted literal
+  private val DelimitedText =
+    ("""(?is)ROW\s+FORMAT\s+DELIMITED\s+FIELDS\s+TERMINATED\s+BY\s+(\d+)""" +
+      """(?:\s+LINES\s+TERMINATED\s+BY\s+\d+)?\s+STORED\s+AS\s+TEXTFILE\b""").r
+
   private def rewriteSerdeFormats(masked: String, lits: IndexedSeq[String]): String = {
     def lit(n: String): String =
       lits(n.toInt).stripPrefix("'").stripSuffix("'")
         .stripPrefix("\"").stripSuffix("\"")
-    val noSerde = RowFormatSerde.replaceAllIn(masked, m =>
+    val delim = DelimitedText.replaceAllIn(masked, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"USING graft.sources.HiveTextSource OPTIONS (sep ${m.group(1)})"))
+    val noSerde = RowFormatSerde.replaceAllIn(delim, m =>
       if (lit(m.group(1)).matches(""".*(ColumnarSerDe|LazySimpleSerDe)""")) ""
       else m.matched)
     StoredAsInOut.replaceAllIn(noSerde, m => {

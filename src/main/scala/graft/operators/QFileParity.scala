@@ -841,5 +841,45 @@ object QFileParity extends QueryModule {
       Some(s"""$SrcCte
         SELECT CAST(key AS INT) AS key, value FROM src
         WHERE (key || CHR(9) || value) SIMILAR TO '.*10.*'
-        ORDER BY key, value""")))
+        ORDER BY key, value""")),
+
+    // ---- clientpositive/ctas.q: CREATE TABLE AS SELECT in four spellings
+    //      — plain, `row format serde ColumnarSerDe stored as RCFile`,
+    //      `row format delimited fields terminated by ',' stored as
+    //      textfile`, and IF NOT EXISTS over an existing table (a no-op:
+    //      ctas3 keeps its 10 rows, not the second statement's 2).
+    //      SORT BY + LIMIT picks arbitrary rows by contract, so the oracle
+    //      facts are per-table counts and src membership
+    QueryDef(
+      "q169_qf_ctas",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val (t1, t3, t4) = (s"nzhang_ctas1_$sfx", s"nzhang_ctas3_$sfx", s"nzhang_ctas4_$sfx")
+        fresh(s, t1, t3, t4)
+        HiveQl.sql(s,
+          s"create table $t1 as select key k, value from src sort by k, value limit 10")
+        HiveQl.sql(s,
+          s"""create table $t3 row format serde "org.apache.hadoop.hive.serde2.columnar.ColumnarSerDe" stored as RCFile as select key/2 half_key, concat(value, "_con") conb  from src sort by half_key, conb limit 10""")
+        // IF NOT EXISTS over the existing ctas3: must be a no-op
+        HiveQl.sql(s,
+          s"create table if not exists $t3 as select key, value from src sort by key, value limit 2")
+        HiveQl.sql(s,
+          s"create table $t4 row format delimited fields terminated by ',' stored as textfile as select key, value from src sort by key, value limit 10")
+        HiveQl.sql(s,
+          s"""SELECT
+            (SELECT count(*) FROM $t1) AS n1,
+            (SELECT count(*) FROM $t3) AS n3,
+            (SELECT count(*) FROM $t4) AS n4,
+            (SELECT count(*) FROM $t1 x WHERE NOT EXISTS (
+               SELECT 1 FROM src WHERE src.key = x.k AND src.value = x.value)) AS bad1,
+            (SELECT count(*) FROM $t3 x WHERE NOT EXISTS (
+               SELECT 1 FROM src
+               WHERE src.key / 2 = x.half_key
+                 AND concat(src.value, '_con') = x.conb)) AS bad3,
+            (SELECT count(*) FROM $t4 x WHERE NOT EXISTS (
+               SELECT 1 FROM src WHERE src.key = x.key AND src.value = x.value)) AS bad4""")
+      },
+      Some("""SELECT CAST(10 AS BIGINT) AS n1, CAST(10 AS BIGINT) AS n3,
+                     CAST(10 AS BIGINT) AS n4, CAST(0 AS BIGINT) AS bad1,
+                     CAST(0 AS BIGINT) AS bad3, CAST(0 AS BIGINT) AS bad4""")))
 }

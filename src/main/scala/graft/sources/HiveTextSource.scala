@@ -52,13 +52,18 @@ class HiveTextSource extends FileFormat with DataSourceRegister with Serializabl
 
   override def prepareWrite(sparkSession: SparkSession, job: Job,
       options: Map[String, String],
-      dataSchema: StructType): OutputWriterFactory =
+      dataSchema: StructType): OutputWriterFactory = {
+    // ROW FORMAT DELIMITED FIELDS TERMINATED BY '<d>' (LazySimpleSerDe's
+    // configurable separator — ctas.q's comma tables); default ^A
+    val sep = options.getOrElse("sep", HiveText.FieldDelim)
+    val nullSeq = options.getOrElse("nullvalue", HiveText.NullSequence)
     new OutputWriterFactory {
       override def getFileExtension(context: TaskAttemptContext): String = ".txt"
       override def newInstance(path: String, dataSchema: StructType,
           context: TaskAttemptContext): OutputWriter =
-        new HiveTextOutputWriter(path, dataSchema, context)
+        new HiveTextOutputWriter(path, dataSchema, context, sep, nullSeq)
     }
+  }
 
   override def buildReader(sparkSession: SparkSession, dataSchema: StructType,
       partitionSchema: StructType, requiredSchema: StructType,
@@ -69,6 +74,8 @@ class HiveTextSource extends FileFormat with DataSourceRegister with Serializabl
     val fieldIdx = requiredSchema.fields.map(f => dataSchema.fieldIndex(f.name))
     val fieldTypes = requiredSchema.fields.map(_.dataType)
     val nRequired = fieldIdx.length
+    val sep = options.getOrElse("sep", HiveText.FieldDelim)
+    val nullSeq = options.getOrElse("nullvalue", HiveText.NullSequence)
 
     (file: PartitionedFile) => {
       val split = new org.apache.hadoop.mapreduce.lib.input.FileSplit(
@@ -92,7 +99,7 @@ class HiveTextSource extends FileFormat with DataSourceRegister with Serializabl
           ready = false
           val line = reader.getCurrentValue.toString
           // -1: trailing empty fields are real empty strings
-          val parts = line.split(HiveText.FieldDelim, -1)
+          val parts = line.split(java.util.regex.Pattern.quote(sep), -1)
           val row = new GenericInternalRow(nRequired)
           var i = 0
           while (i < nRequired) {
@@ -101,7 +108,7 @@ class HiveTextSource extends FileFormat with DataSourceRegister with Serializabl
             // "missing fields are null")
             val raw = if (src < parts.length) parts(src) else null
             row.update(i,
-              if (raw == null || raw == HiveText.NullSequence) null
+              if (raw == null || raw == nullSeq) null
               else HiveTextSource.decode(raw, fieldTypes(i)))
             i += 1
           }
@@ -174,7 +181,8 @@ object HiveTextSource {
   * byte-identical to LazySimpleSerDe output for primitive schemas.
   */
 private class HiveTextOutputWriter(val path: String, dataSchema: StructType,
-    context: TaskAttemptContext) extends OutputWriter {
+    context: TaskAttemptContext, sep: String, nullSeq: String)
+    extends OutputWriter {
   private val out = {
     val p = new Path(path)
     p.getFileSystem(context.getConfiguration).create(p, false)
@@ -186,8 +194,8 @@ private class HiveTextOutputWriter(val path: String, dataSchema: StructType,
     sb.setLength(0)
     var i = 0
     while (i < types.length) {
-      if (i > 0) sb.append(HiveText.FieldDelim)
-      if (row.isNullAt(i)) sb.append(HiveText.NullSequence)
+      if (i > 0) sb.append(sep)
+      if (row.isNullAt(i)) sb.append(nullSeq)
       else sb.append(HiveTextSource.encode(row, i, types(i)))
       i += 1
     }

@@ -161,6 +161,26 @@ class QFileParitySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  test("ctas.q formats land on disk: RCFile parts and comma-delimited text") {
+    runQ("q169_qf_ctas").collect()
+    val sfx = (sfDir.hashCode & Int.MaxValue).toString
+    def loc(t: String): java.io.File = new java.io.File(new java.net.URI(
+      spark.sql(s"DESCRIBE EXTENDED $t").collect()
+        .find(_.getString(0) == "Location").get.getString(1)))
+    // ctas3: `stored as RCFile` through CTAS → genuine .rc parts
+    val rcs = loc(s"nzhang_ctas3_$sfx").listFiles().filter(_.getName.endsWith(".rc"))
+    assert(rcs.nonEmpty, "ctas3 must land .rc parts")
+    assert(java.nio.file.Files.readAllBytes(rcs.head.toPath).take(4).toSeq ==
+      Seq[Byte]('S', 'E', 'Q', 6), "RCFile preamble")
+    // ctas4: `fields terminated by ','` → comma-delimited Hive text
+    val txts = loc(s"nzhang_ctas4_$sfx").listFiles()
+      .filter(f => f.getName.endsWith(".txt") && !f.getName.endsWith(".crc"))
+    assert(txts.nonEmpty, "ctas4 must land .txt parts")
+    val text = scala.io.Source.fromFile(txts.head, "UTF-8").mkString
+    assert(text.contains(",") && !text.contains(""),
+      s"ctas4 rows must be comma-delimited: ${text.take(80)}")
+  }
+
   test("STORED AS INPUTFORMAT/OUTPUTFORMAT long form maps to the FileFormats") {
     // rcfile_columnar.q's spelling (Hive.g:1171-1176 tableFileFormat)
     val r = HiveQl.rewrite("""CREATE table columnTable (key STRING, value STRING)
@@ -200,7 +220,7 @@ class QFileParitySpec extends SparkSpec {
         "q159_qf_mapreduce1", "q160_qf_groupby8", "q161_qf_union2",
         "q162_qf_join18", "q163_qf_input8", "q164_qf_udf9",
         "q165_qf_union", "q166_qf_groupby6", "q167_qf_input14",
-        "q168_qf_scriptfile1")) {
+        "q168_qf_scriptfile1", "q169_qf_ctas")) {
       val a = runQ(q).collect()
       assert(a.nonEmpty, s"$q returned no rows")
       val b = runQ(q).collect()
