@@ -288,6 +288,12 @@ object HiveQl {
   }
   private val PartitionedStoredAsText =
     """(?is)PARTITIONED\s+BY\s*(\([^)]*\))\s+STORED\s+AS\s+(TEXTFILE|SEQUENCEFILE|RCFILE)""".r
+  // Hive puts the bucket spec before the format clause too (smb_mapjoin
+  // .q: CLUSTERED BY ... SORTED BY ... INTO n BUCKETS STORED AS RCFILE);
+  // Spark wants USING first — same swap as the partitioned form
+  private val ClusteredStoredAs =
+    ("""(?is)(CLUSTERED\s+BY\s*\([^)]*\)(?:\s+SORTED\s+BY\s*\([^)]*\))?""" +
+      """\s+INTO\s+\d+\s+BUCKETS)\s+STORED\s+AS\s+(TEXTFILE|SEQUENCEFILE|RCFILE)""").r
   private val StoredAsText =
     """(?is)\bSTORED\s+AS\s+(TEXTFILE|SEQUENCEFILE|RCFILE)\b""".r
 
@@ -302,8 +308,11 @@ object HiveQl {
     val iod = BareInsertDir.replaceAllIn(q, m =>
       java.util.regex.Matcher.quoteReplacement(
         s"${m.group(1)} USING graft.sources.HiveTextSource"))
+    val clustered = ClusteredStoredAs.replaceAllIn(iod, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"${storedAsUsing(m.group(2))} ${m.group(1)}"))
     val storedAs = StoredAsText.replaceAllIn(
-      PartitionedStoredAsText.replaceAllIn(iod, m =>
+      PartitionedStoredAsText.replaceAllIn(clustered, m =>
         java.util.regex.Matcher.quoteReplacement(
           s"${storedAsUsing(m.group(2))} PARTITIONED BY ${m.group(1)}")),
       m => java.util.regex.Matcher.quoteReplacement(storedAsUsing(m.group(1))))

@@ -881,5 +881,67 @@ object QFileParity extends QueryModule {
       },
       Some("""SELECT CAST(10 AS BIGINT) AS n1, CAST(10 AS BIGINT) AS n3,
                      CAST(10 AS BIGINT) AS n4, CAST(0 AS BIGINT) AS bad1,
-                     CAST(0 AS BIGINT) AS bad3, CAST(0 AS BIGINT) AS bad4""")))
+                     CAST(0 AS BIGINT) AS bad3, CAST(0 AS BIGINT) AS bad4""")),
+
+    // ---- clientpositive/smb_mapjoin_3.q: CLUSTERED+SORTED RCFILE tables
+    //      populated by LOAD DATA from the REFERENCE'S OWN .rc files
+    //      (data/files/smbbucket_*.rc, written by Hive's RCFile writer —
+    //      the interchange path end-to-end), then the .q's four join
+    //      flavors with the MAPJOIN hint. Oracle: the same joins over the
+    //      files' contents (pinned byte-exactly in QFileParitySpec)
+    QueryDef(
+      "q170_qf_smb_rcfile",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val (b2, b3) = (s"smb_bucket_2_$sfx", s"smb_bucket_3_$sfx")
+        fresh(s, b2, b3)
+        for (t <- Seq(b2 -> "smbbucket_2.rc", b3 -> "smbbucket_3.rc")) {
+          HiveQl.sql(s, s"create table ${t._1}(key int, value string) " +
+            "CLUSTERED BY (key) SORTED BY (key) INTO 1 BUCKETS STORED AS RCFILE")
+          HiveQl.sql(s,
+            s"load data local inpath '/root/reference/data/files/${t._2}' " +
+              s"overwrite into table ${t._1}")
+        }
+        // foreign-loaded files carry no Spark bucket ids in their names —
+        // read them as plain files (Hive trusts the load blindly too)
+        s.sql("SET spark.sql.sources.bucketing.enabled=false")
+        val out = HiveQl.sql(s,
+          s"""SELECT 1 AS jt, a.key AS a_key, a.value AS a_value, b.key AS b_key, b.value AS b_value
+              FROM $b2 a JOIN $b3 b ON a.key = b.key
+              UNION ALL
+              SELECT 2, a.key, a.value, b.key, b.value
+              FROM $b2 a LEFT OUTER JOIN $b3 b ON a.key = b.key
+              UNION ALL
+              SELECT 3, a.key, a.value, b.key, b.value
+              FROM $b2 a RIGHT OUTER JOIN $b3 b ON a.key = b.key
+              UNION ALL
+              SELECT 4, a.key, a.value, b.key, b.value
+              FROM $b2 a FULL OUTER JOIN $b3 b ON a.key = b.key
+              ORDER BY jt, a_key, b_key""")
+        // execute NOW, while bucketed scans are off (plans are lazy — a
+        // later conf flip would re-plan the full-outer as a bucketed scan
+        // over files with no Spark bucket ids and read them as empty)
+        val snap = out.localCheckpoint(true)
+        s.sql("SET spark.sql.sources.bucketing.enabled=true")
+        snap
+      },
+      Some("""WITH b2(key, value) AS (VALUES
+          (20,'val_20'),(23,'val_23'),(25,'val_25'),(30,'val_30')),
+        b3(key, value) AS (VALUES
+          (4,'val_4'),(10,'val_10'),(17,'val_17'),(19,'val_19'),
+          (20,'val_20'),(23,'val_23'))
+        SELECT jt, a_key, a_value, b_key, b_value FROM (
+          SELECT 1 AS jt, a.key AS a_key, a.value AS a_value,
+                 b.key AS b_key, b.value AS b_value
+          FROM b2 a JOIN b3 b ON a.key = b.key
+          UNION ALL
+          SELECT 2, a.key, a.value, b.key, b.value
+          FROM b2 a LEFT OUTER JOIN b3 b ON a.key = b.key
+          UNION ALL
+          SELECT 3, a.key, a.value, b.key, b.value
+          FROM b2 a RIGHT OUTER JOIN b3 b ON a.key = b.key
+          UNION ALL
+          SELECT 4, a.key, a.value, b.key, b.value
+          FROM b2 a FULL OUTER JOIN b3 b ON a.key = b.key) u
+        ORDER BY jt, a_key NULLS FIRST, b_key NULLS FIRST""")))
 }

@@ -19,6 +19,40 @@ object HiveLoad {
 
   def loadData(spark: SparkSession, path: String, table: String,
       overwrite: Boolean): Unit = {
+    // when the target is one of the graft format tables, use the
+    // reference's ACTUAL semantic — move the file into the table location
+    // and trust the format at read time (LoadSemanticAnalyzer plans a
+    // MoveTask, never a parse). That is what lets a reference-produced
+    // .rc/.seq/text file land verbatim (smb_mapjoin_3.q's LOAD of
+    // smbbucket_1.rc) — a parse would need the file to be hive TEXT.
+    val provider =
+      try {
+        val parts = table.split('.')
+        val ti =
+          if (parts.length > 1)
+            org.apache.spark.sql.catalyst.TableIdentifier(parts.last, Some(parts(parts.length - 2)))
+          else org.apache.spark.sql.catalyst.TableIdentifier(table)
+        spark.sessionState.catalog.getTableMetadata(ti)
+          .provider.getOrElse("")
+      } catch { case _: Exception => "" }
+    if (provider.startsWith("graft.sources.Hive")) {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table.split('.').last,
+          table.split('.').dropRight(1).lastOption))
+      val loc = new org.apache.hadoop.fs.Path(meta.location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val src = new org.apache.hadoop.fs.Path(path)
+      val srcFs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (overwrite && fs.exists(loc))
+        fs.listStatus(loc).filterNot(_.getPath.getName.startsWith("_"))
+          .foreach(st => fs.delete(st.getPath, true))
+      fs.mkdirs(loc)
+      org.apache.hadoop.fs.FileUtil.copy(srcFs, src, fs,
+        new org.apache.hadoop.fs.Path(loc, src.getName),
+        false /* keep source (LOCAL semantics) */, spark.sparkContext.hadoopConfiguration)
+      spark.catalog.refreshTable(table)
+      return
+    }
     val target = spark.table(table).schema
     // read nested columns as raw text, then decode to the declared type
     // (arbitrary nesting depth via LazySimpleSerDe's 8-level separators)

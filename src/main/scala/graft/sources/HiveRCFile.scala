@@ -374,7 +374,7 @@ object HiveRCFile {
     * Returns the pattern's START offset, or -1 when no sync occurs at or
     * after `start`.
     */
-  private def seekToSync(in: org.apache.hadoop.fs.FSDataInputStream,
+  private[sources] def seekToSync(in: org.apache.hadoop.fs.FSDataInputStream,
       start: Long, sync: Array[Byte]): Long = {
     val pattern = Array[Byte](-1, -1, -1, -1) ++ sync
     in.seek(start)

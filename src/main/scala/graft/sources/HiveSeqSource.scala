@@ -65,52 +65,147 @@ class HiveSeqSource extends FileFormat with DataSourceRegister with Serializable
     val nRequired = fieldIdx.length
 
     (file: PartitionedFile) => {
-      val split = new org.apache.hadoop.mapreduce.lib.input.FileSplit(
-        file.toPath, file.start, file.length, Array.empty[String])
-      val reader = new org.apache.hadoop.mapreduce.lib.input
-        .SequenceFileRecordReader[Writable, Writable]()
-      val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
-        new Configuration(), new org.apache.hadoop.mapreduce.TaskAttemptID())
-      reader.initialize(split, ctx)
-      new Iterator[InternalRow] {
-        private var ready = false
-        private var done = false
-        private def advance(): Unit =
-          if (!ready && !done) {
-            if (reader.nextKeyValue()) ready = true
-            else { done = true; reader.close() }
+      val lines: Iterator[String] =
+        try {
+          val split = new org.apache.hadoop.mapreduce.lib.input.FileSplit(
+            file.toPath, file.start, file.length, Array.empty[String])
+          val reader = new org.apache.hadoop.mapreduce.lib.input
+            .SequenceFileRecordReader[Writable, Writable]()
+          val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+            new Configuration(), new org.apache.hadoop.mapreduce.TaskAttemptID())
+          reader.initialize(split, ctx)
+          new Iterator[String] {
+            private var ready = false
+            private var done = false
+            private def advance(): Unit =
+              if (!ready && !done) {
+                if (reader.nextKeyValue()) ready = true
+                else { done = true; reader.close() }
+              }
+            override def hasNext: Boolean = { advance(); ready }
+            override def next(): String = {
+              advance()
+              if (!ready) throw new NoSuchElementException
+              ready = false
+              (reader.getCurrentValue, reader.getCurrentKey) match {
+                case (t: Text, _) => t.toString
+                case (_: NullWritable, k) => k.toString // row-in-key layout
+                case (b: BytesWritable, _) =>
+                  new String(b.copyBytes(), "UTF-8")
+                case (v, _) => v.toString
+              }
+            }
           }
-        override def hasNext: Boolean = { advance(); ready }
-        override def next(): InternalRow = {
-          advance()
-          if (!ready) throw new NoSuchElementException
-          ready = false
-          val line = (reader.getCurrentValue, reader.getCurrentKey) match {
-            case (t: Text, _) => t.toString
-            case (_: NullWritable, k) => k.toString // row-in-key layout
-            case (b: BytesWritable, _) =>
-              new String(b.copyBytes(), "UTF-8")
-            case (v, _) => v.toString
-          }
-          val parts = line.split(HiveText.FieldDelim, -1)
-          val row = new GenericInternalRow(nRequired)
-          var i = 0
-          while (i < nRequired) {
-            val src = fieldIdx(i)
-            val raw = if (src < parts.length) parts(src) else null
-            row.update(i,
-              if (raw == null || raw == HiveText.NullSequence) null
-              else HiveTextSource.decode(raw, fieldTypes(i)))
-            i += 1
-          }
-          row
+        } catch {
+          // key/value class not on THIS classpath (reference fixtures carry
+          // Hive's own ByteWritable): fall back to the raw record walk —
+          // the VALUE side is still plain Text framing (Hadoop wraps the
+          // ClassNotFound in IOException via WritableName.getClass)
+          case scala.util.control.NonFatal(_) =>
+            HiveSeqSource.rawValues(file.toPath, file.start,
+              file.start + file.length)
         }
+      lines.map { line =>
+        val parts = line.split(HiveText.FieldDelim, -1)
+        val row = new GenericInternalRow(nRequired)
+        var i = 0
+        while (i < nRequired) {
+          val src = fieldIdx(i)
+          val raw = if (src < parts.length) parts(src) else null
+          row.update(i,
+            if (raw == null || raw == HiveText.NullSequence) null
+            else HiveTextSource.decode(raw, fieldTypes(i)))
+          i += 1
+        }
+        row
       }
     }
   }
 
   override def equals(other: Any): Boolean = other.isInstanceOf[HiveSeqSource]
   override def hashCode(): Int = getClass.hashCode()
+}
+
+object HiveSeqSource {
+  /** Raw record walk over an UNCOMPRESSED SequenceFile split whose key
+    * class need not be loadable here (the reference's kv1.seq fixtures
+    * carry `org.apache.hadoop.hive.ql.exec.ByteWritable` keys). The
+    * container layout is Hadoop's own (SEQ6 header; `[-1][16-byte sync]`
+    * escapes between records; `[recordLen][keyLen][key][value]` framing) —
+    * the key bytes are SKIPPED, the value decodes per the header's declared
+    * class (Text vint framing / BytesWritable int framing). Honors the
+    * Hadoop split boundary rule via the same sync resync as RCFile.
+    */
+  def rawValues(path: Path, start: Long, end: Long): Iterator[String] = {
+    val fs = path.getFileSystem(new Configuration())
+    val in = fs.open(path)
+    val magic = new Array[Byte](4)
+    in.readFully(magic)
+    require(magic(0) == 'S' && magic(1) == 'E' && magic(2) == 'Q',
+      s"not a SequenceFile: ${magic.toSeq}")
+    require(magic(3) >= 5, s"SequenceFile version ${magic(3)} too old")
+    Text.readString(in) // key class (possibly foreign — never instantiated)
+    val valueClass = Text.readString(in)
+    val compressed = in.readBoolean()
+    val blockCompressed = if (magic(3) >= 4) in.readBoolean() else false
+    require(!compressed && !blockCompressed,
+      "raw SequenceFile fallback reads uncompressed files only " +
+        "(compressed files need their key class loadable)")
+    if (magic(3) >= 6) new SequenceFile.Metadata().readFields(in)
+    val sync = new Array[Byte](16)
+    in.readFully(sync)
+    if (start > 4 + 16 &&
+        HiveRCFile.seekToSync(in, start, sync) < 0) {
+      in.close()
+      return Iterator.empty
+    }
+    val textValue = valueClass == "org.apache.hadoop.io.Text"
+    val bytesValue = valueClass == "org.apache.hadoop.io.BytesWritable"
+    require(textValue || bytesValue,
+      s"raw SequenceFile fallback cannot frame value class $valueClass")
+    new Iterator[String] {
+      private var nextLen = advance()
+      private def advance(): Int =
+        try {
+          var len = in.readInt()
+          while (len == -1) {
+            val syncStart = in.getPos - 4
+            val s = new Array[Byte](16)
+            in.readFully(s)
+            require(s.toSeq == sync.toSeq, "SequenceFile: sync mismatch")
+            if (syncStart >= end) return -2 // next split owns what follows
+            len = in.readInt()
+          }
+          len
+        } catch { case _: java.io.EOFException => -2 }
+      override def hasNext: Boolean = {
+        if (nextLen == -2) in.close()
+        nextLen != -2
+      }
+      override def next(): String = {
+        val keyLen = in.readInt()
+        var toSkip = keyLen.toLong
+        while (toSkip > 0) {
+          val n = in.skip(toSkip)
+          require(n > 0, "SequenceFile: EOF inside key"); toSkip -= n
+        }
+        val valRaw = new Array[Byte](nextLen - keyLen)
+        in.readFully(valRaw)
+        val vin = new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(valRaw))
+        val line =
+          if (textValue) {
+            val n = org.apache.hadoop.io.WritableUtils.readVInt(vin)
+            new String(valRaw, valRaw.length - n, n, "UTF-8")
+          } else {
+            val n = vin.readInt()
+            new String(valRaw, 4, n, "UTF-8")
+          }
+        nextLen = advance()
+        line
+      }
+    }
+  }
 }
 
 /** Executor-side writer: the reference table layout — empty BytesWritable

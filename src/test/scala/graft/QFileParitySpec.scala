@@ -161,6 +161,46 @@ class QFileParitySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  test("REFERENCE-PRODUCED RCFiles decode exactly (data/files/smbbucket_*.rc)") {
+    // the definitive interchange proof: these .rc files were written by
+    // the reference's own RCFile writer (data/files; loaded by
+    // smb_mapjoin_*.q), not by our code — decode must match the golden
+    // contents the reference's .q.out results show
+    val expected = Map(
+      "smbbucket_1" -> Seq(1, 3, 4, 5, 10),
+      "smbbucket_2" -> Seq(20, 23, 25, 30),
+      "smbbucket_3" -> Seq(4, 10, 17, 19, 20, 23))
+    for ((f, keys) <- expected) {
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"/root/reference/data/files/$f.rc"))
+      val (nc, rows) = graft.sources.HiveRCFile.readFile(bytes)
+      assert(nc == 2, s"$f declares $nc columns")
+      val got = rows.toVector.map(r =>
+        (new String(r(0), "UTF-8"), new String(r(1), "UTF-8")))
+      assert(got == keys.map(k => (k.toString, s"val_$k")),
+        s"$f decoded to $got")
+    }
+  }
+
+  test("REFERENCE-PRODUCED kv1.seq reads through hiveseq (foreign key class)") {
+    // kv1.seq carries org.apache.hadoop.hive.ql.exec.ByteWritable keys — a
+    // class NOT on this classpath — so the raw record walk kicks in and
+    // yields the same 500 rows kv1.txt holds
+    val df = spark.read.format("graft.sources.HiveSeqSource")
+      .schema("key INT, value STRING")
+      .load("/root/reference/data/files/kv1.seq")
+    val got = df.collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      .sorted
+    val want = scala.io.Source.fromFile(
+        "/root/reference/data/files/kv1.txt", "UTF-8")
+      .getLines().map { l =>
+        val p = l.split(""); (p(0).toInt, p(1))
+      }.toSeq.sorted
+    assert(got.size == 500 && got == want,
+      s"kv1.seq decoded ${got.size} rows; first diff: ${
+        got.zip(want).find(t => t._1 != t._2)}")
+  }
+
   test("ctas.q formats land on disk: RCFile parts and comma-delimited text") {
     runQ("q169_qf_ctas").collect()
     val sfx = (sfDir.hashCode & Int.MaxValue).toString
@@ -220,7 +260,7 @@ class QFileParitySpec extends SparkSpec {
         "q159_qf_mapreduce1", "q160_qf_groupby8", "q161_qf_union2",
         "q162_qf_join18", "q163_qf_input8", "q164_qf_udf9",
         "q165_qf_union", "q166_qf_groupby6", "q167_qf_input14",
-        "q168_qf_scriptfile1", "q169_qf_ctas")) {
+        "q168_qf_scriptfile1", "q169_qf_ctas", "q170_qf_smb_rcfile")) {
       val a = runQ(q).collect()
       assert(a.nonEmpty, s"$q returned no rows")
       val b = runQ(q).collect()
