@@ -943,5 +943,54 @@ object QFileParity extends QueryModule {
           UNION ALL
           SELECT 4, a.key, a.value, b.key, b.value
           FROM b2 a FULL OUTER JOIN b3 b ON a.key = b.key) u
-        ORDER BY jt, a_key NULLS FIRST, b_key NULLS FIRST""")))
+        ORDER BY jt, a_key NULLS FIRST, b_key NULLS FIRST""")),
+
+    // ---- clientpositive/alter2.q: ADD PARTITION with explicit LOCATION on
+    //      managed and EXTERNAL partitioned tables, SHOW PARTITIONS after
+    //      each step; the .q's relative '2008/01/01' locations resolve
+    //      against the table dir (Hive's resolution rule), spelled
+    //      table-relative here
+    QueryDef(
+      "q171_qf_alter2",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+        var stage = 0
+        for (external <- Seq(false, true)) {
+          val t = s"alter2_${if (external) "e" else "m"}_$sfx"
+          fresh(s, t)
+          val base = java.nio.file.Files.createTempDirectory("alter2_loc")
+          val ext =
+            if (external) {
+              java.nio.file.Files.createDirectories(base.resolve("tbl"))
+              s" LOCATION '${base.resolve("tbl")}'"
+            } else ""
+          HiveQl.sql(s, s"create ${if (external) "external " else ""}table $t" +
+            s"(a int, b int) partitioned by (insertdate string) STORED AS TEXTFILE$ext")
+          def snap(): Unit = {
+            stage += 1
+            val ps = HiveQl.sql(s, s"show partitions $t").collect()
+              .map(_.getString(0)).sorted
+            rows += ((stage, ps.length, ps.mkString(",")))
+          }
+          snap()
+          HiveQl.sql(s, s"alter table $t add partition (insertdate='2008-01-01') " +
+            s"location '${base.resolve("2008/01/01")}'")
+          snap()
+          HiveQl.sql(s, s"alter table $t add partition (insertdate='2008-01-02') " +
+            s"location '${base.resolve("2008/01/02")}'")
+          snap()
+        }
+        val session = s
+        import session.implicits._
+        rows.toSeq.toDF("stage", "n", "parts").orderBy("stage")
+      },
+      Some("""SELECT stage, n, parts FROM (VALUES
+          (1, 0, ''),
+          (2, 1, 'insertdate=2008-01-01'),
+          (3, 2, 'insertdate=2008-01-01,insertdate=2008-01-02'),
+          (4, 0, ''),
+          (5, 1, 'insertdate=2008-01-01'),
+          (6, 2, 'insertdate=2008-01-01,insertdate=2008-01-02'))
+          v(stage, n, parts) ORDER BY stage""")))
 }

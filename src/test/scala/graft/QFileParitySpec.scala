@@ -201,6 +201,18 @@ class QFileParitySpec extends SparkSpec {
         got.zip(want).find(t => t._1 != t._2)}")
   }
 
+  test("truncated SequenceFile (kv1_broken.seq) fails loudly, never silently") {
+    // the reference ships a mid-record-truncated fixture; a reader that
+    // silently dropped the tail would hide corruption — ours must throw
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.HiveSeqSource")
+        .schema("key INT, value STRING")
+        .load("/root/reference/data/files/kv1_broken.seq")
+        .collect()
+    }
+    assert(e != null)
+  }
+
   test("ctas.q formats land on disk: RCFile parts and comma-delimited text") {
     runQ("q169_qf_ctas").collect()
     val sfx = (sfDir.hashCode & Int.MaxValue).toString
@@ -260,7 +272,8 @@ class QFileParitySpec extends SparkSpec {
         "q159_qf_mapreduce1", "q160_qf_groupby8", "q161_qf_union2",
         "q162_qf_join18", "q163_qf_input8", "q164_qf_udf9",
         "q165_qf_union", "q166_qf_groupby6", "q167_qf_input14",
-        "q168_qf_scriptfile1", "q169_qf_ctas", "q170_qf_smb_rcfile")) {
+        "q168_qf_scriptfile1", "q169_qf_ctas", "q170_qf_smb_rcfile",
+        "q171_qf_alter2")) {
       val a = runQ(q).collect()
       assert(a.nonEmpty, s"$q returned no rows")
       val b = runQ(q).collect()
