@@ -55,6 +55,11 @@ object QFileParity extends QueryModule {
              CASE WHEN n_nationkey % 3 = 0 THEN ''
                   ELSE concat('val_', CAST((4 * n_nationkey * n_nationkey) % 500 AS STRING)) END AS value
       FROM graft_qf_nation""")
+    // src_thrift (QTestUtil.java:478): the REFERENCE'S OWN complex.seq —
+    // TBinaryProtocol Complex records — decoded by sources.HiveThriftSeq
+    graft.sources.HiveThriftSeq
+      .readComplex(s, "/root/reference/data/files/complex.seq")
+      .createOrReplaceTempView("src_thrift")
     (dir.hashCode & Int.MaxValue).toString
   }
 
@@ -992,5 +997,47 @@ object QFileParity extends QueryModule {
           (4, 0, ''),
           (5, 1, 'insertdate=2008-01-01'),
           (6, 2, 'insertdate=2008-01-01,insertdate=2008-01-02'))
-          v(stage, n, parts) ORDER BY stage""")))
+          v(stage, n, parts) ORDER BY stage""")),
+
+    // ---- clientpositive/input_testxpath.q over the REFERENCE'S OWN
+    //      src_thrift fixture (complex.seq, TBinaryProtocol Complex rows
+    //      decoded by sources.HiveThriftSeq): array index, struct field
+    //      through an array, map lookup — incl. the all-null record.
+    //      Oracle: CreateSequenceFile.java's deterministic derivation
+    //      (lint=[i,2i,3i], lintstring=[{i²,'i³',i}], map {key_i: value_i})
+    QueryDef(
+      "q172_qf_testxpath",
+      (s, dir) => {
+        val d = s"dest_xp_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(key INT, value STRING, mapvalue STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM src_thrift
+             INSERT OVERWRITE TABLE $d SELECT src_thrift.lint[1], src_thrift.lintstring[0].mystring, src_thrift.mstringstring['key_2']""")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY key, value, mapvalue")
+      },
+      Some("""SELECT key, value, mapvalue FROM (VALUES
+          (0, '0', NULL), (2, '1', NULL), (4, '8', 'value_2'), (6, '27', NULL),
+          (8, '64', NULL), (10, '125', NULL), (12, '216', NULL),
+          (14, '343', NULL), (16, '512', NULL), (18, '729', NULL),
+          (NULL, NULL, NULL))
+          v(key, value, mapvalue)
+        ORDER BY key NULLS FIRST, value NULLS FIRST, mapvalue NULLS FIRST""")),
+
+    // ---- clientpositive/input_testxpath2.q: size() over the complex
+    //      columns with the null record filtered the .q's own way
+    QueryDef(
+      "q173_qf_testxpath2",
+      (s, dir) => {
+        val d = s"dest_xp2_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(lint_size INT, lintstring_size INT, mstringstring_size INT) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM src_thrift
+             INSERT OVERWRITE TABLE $d SELECT size(src_thrift.lint), size(src_thrift.lintstring), size(src_thrift.mstringstring) where src_thrift.lint IS NOT NULL AND NOT (src_thrift.mstringstring IS NULL)""")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY lint_size")
+      },
+      Some("""SELECT 3 AS lint_size, 1 AS lintstring_size,
+                     1 AS mstringstring_size
+              FROM range(10) ORDER BY lint_size""")))
 }
