@@ -1039,5 +1039,26 @@ object QFileParity extends QueryModule {
       },
       Some("""SELECT 3 AS lint_size, 1 AS lintstring_size,
                      1 AS mstringstring_size
-              FROM range(10) ORDER BY lint_size""")))
+              FROM range(10) ORDER BY lint_size""")),
+
+    // ---- clientpositive/case_sensitivity.q: mixed-case identifiers over
+    //      the thrift fixture — SRC_THRIFT / src_Thrift / liNT / MYSTRING
+    //      must all resolve case-insensitively, through complex accessors
+    QueryDef(
+      "q174_qf_case_sensitivity",
+      (s, dir) => {
+        val d = s"dest_cs_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE ${d.toUpperCase}(Key INT, VALUE STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM SRC_THRIFT
+             INSERT OVERWRITE TABLE $d SELECT src_Thrift.LINT[1], src_thrift.lintstring[0].MYSTRING where src_thrift.liNT[0] > 0""")
+        // Hive lowercases identifiers at DDL time; Spark preserves the
+        // declared case, so the readback aliases back to the .q's names
+        HiveQl.sql(s, s"SELECT Key AS key, VALUE AS value FROM ${d.capitalize} ORDER BY key")
+      },
+      Some("""SELECT key, value FROM (VALUES
+          (2, '1'), (4, '8'), (6, '27'), (8, '64'), (10, '125'),
+          (12, '216'), (14, '343'), (16, '512'), (18, '729'))
+          v(key, value) ORDER BY key""")))
 }
