@@ -1060,5 +1060,65 @@ object QFileParity extends QueryModule {
       Some("""SELECT key, value FROM (VALUES
           (2, '1'), (4, '8'), (6, '27'), (8, '64'), (10, '125'),
           (12, '216'), (14, '343'), (16, '512'), (18, '729'))
-          v(key, value) ORDER BY key""")))
+          v(key, value) ORDER BY key""")),
+
+    // ---- clientpositive/nullinput.q: selects and grouped counts over a
+    //      just-created EMPTY table (readback wraps the verbatim selects in
+    //      counts — a 0-row grouped aggregate must stay 0 rows, not 1)
+    QueryDef(
+      "q175_qf_nullinput",
+      (s, dir) => {
+        val t = s"tstnullinut_${fixtures(s, dir)}"
+        fresh(s, t)
+        HiveQl.sql(s, s"create table $t(a string, b string)")
+        HiveQl.sql(s, s"select x.* from $t x")
+        HiveQl.sql(s, s"select x.a, count(1) from $t x group by x.a")
+        HiveQl.sql(s,
+          s"""SELECT (SELECT count(*) FROM $t x) AS n_rows,
+                     (SELECT count(*) FROM (
+                        SELECT x.a, count(1) FROM $t x GROUP BY x.a)) AS n_groups""")
+      },
+      Some("SELECT CAST(0 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_groups")),
+
+    // ---- clientpositive/input9.q: WHERE NULL = NULL is UNKNOWN — the
+    //      insert lands zero rows
+    QueryDef(
+      "q176_qf_input9",
+      (s, dir) => {
+        val d = s"dest_i9_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(value STRING, key INT) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"FROM src1 INSERT OVERWRITE TABLE $d SELECT NULL, src1.key where NULL = NULL")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d")
+        HiveQl.sql(s, s"SELECT count(*) AS n FROM $d")
+      },
+      Some("SELECT CAST(0 AS BIGINT) AS n")),
+
+    // ---- clientpositive/udf_length.q: length() over the kv3-shaped src1
+    //      (empty strings are length 0) AND over a LOADed non-ascii file
+    //      (data/files/kv4.txt: two 3-byte UTF-8 chars — length counts
+    //      CHARACTERS, 2, not bytes)
+    QueryDef(
+      "q177_qf_udf_length",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val (d1, d2) = (s"dest_len_$sfx", s"dest_len4_$sfx")
+        fresh(s, d1, d2)
+        HiveQl.sql(s, "DESCRIBE FUNCTION length")
+        HiveQl.sql(s, s"CREATE TABLE $d1(len INT)")
+        HiveQl.sql(s, s"FROM src1 INSERT OVERWRITE TABLE $d1 SELECT length(src1.value)")
+        HiveQl.sql(s, s"CREATE TABLE $d2(name STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"LOAD DATA LOCAL INPATH '/root/reference/data/files/kv4.txt' INTO TABLE $d2")
+        HiveQl.sql(s,
+          s"""SELECT 1 AS src, len FROM $d1
+              UNION ALL SELECT 2 AS src, length($d2.name) AS len FROM $d2
+              ORDER BY src, len""")
+      },
+      Some(s"""$Src1Cte
+        SELECT src, len FROM (
+          SELECT 1 AS src, length(value) AS len FROM src1
+          UNION ALL SELECT 2 AS src, 2 AS len) u
+        ORDER BY src, len""")))
 }
