@@ -1120,5 +1120,60 @@ object QFileParity extends QueryModule {
         SELECT src, len FROM (
           SELECT 1 AS src, length(value) AS len FROM src1
           UNION ALL SELECT 2 AS src, 2 AS len) u
-        ORDER BY src, len""")))
+        ORDER BY src, len""")),
+
+    // ---- clientpositive/join_filters.q (representative 8 of its 112
+    //      selects): ON-clause FILTER placement on inner and outer joins
+    //      over NULL-bearing in3.txt — outer joins must keep unmatched
+    //      rows when the ON filter rejects the match (the classic
+    //      ON-vs-WHERE distinction), pure-filter ON clauses plan as
+    //      filtered nested-loop joins. Dest table spelled STORED AS
+    //      TEXTFILE (Hive's default format for the .q's bare CREATE)
+    QueryDef(
+      "q178_qf_join_filters",
+      (s, dir) => {
+        val t = s"myinput1_${fixtures(s, dir)}"
+        fresh(s, t)
+        HiveQl.sql(s, s"CREATE TABLE $t(key int, value int) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"LOAD DATA LOCAL INPATH '/root/reference/data/files/in3.txt' INTO TABLE $t")
+        val joins = Seq(
+          "JOIN" -> "a.key > 40 AND a.value > 50 AND a.key = a.value AND b.key > 40 AND b.value > 50 AND b.key = b.value",
+          "LEFT OUTER JOIN" -> "a.key > 40 AND a.value > 50 AND a.key = a.value AND b.key > 40 AND b.value > 50 AND b.key = b.value",
+          "RIGHT OUTER JOIN" -> "a.key > 40 AND a.value > 50 AND a.key = a.value AND b.key > 40 AND b.value > 50 AND b.key = b.value",
+          "FULL OUTER JOIN" -> "a.key > 40 AND a.value > 50 AND a.key = a.value AND b.key > 40 AND b.value > 50 AND b.key = b.value",
+          "JOIN" -> "a.key = b.value AND a.key > 40 AND a.value > 50 AND a.key = a.value AND b.key > 40 AND b.value > 50 AND b.key = b.value",
+          "JOIN" -> "a.key = b.key AND a.key > 40 AND a.value > 50 AND a.key = a.value AND b.key > 40 AND b.value > 50 AND b.key = b.value",
+          "LEFT OUTER JOIN" -> "a.key = b.key AND b.key > 40",
+          "RIGHT OUTER JOIN" -> "a.key = b.key AND a.key > 40")
+        val sql = joins.zipWithIndex.map { case ((jk, cond), i) =>
+          s"""SELECT ${i + 1} AS jt, a.key AS a_key, a.value AS a_value,
+                     b.key AS b_key, b.value AS b_value
+              FROM $t a $jk $t b ON $cond"""
+        }.mkString("\nUNION ALL\n") +
+          "\nORDER BY jt, a_key, a_value, b_key, b_value"
+        HiveQl.sql(s, sql)
+      },
+      Some {
+        val joins = Seq(
+          "JOIN" -> "a.key > 40 AND a.value > 50 AND a.key = a.value AND b.key > 40 AND b.value > 50 AND b.key = b.value",
+          "LEFT OUTER JOIN" -> "a.key > 40 AND a.value > 50 AND a.key = a.value AND b.key > 40 AND b.value > 50 AND b.key = b.value",
+          "RIGHT OUTER JOIN" -> "a.key > 40 AND a.value > 50 AND a.key = a.value AND b.key > 40 AND b.value > 50 AND b.key = b.value",
+          "FULL OUTER JOIN" -> "a.key > 40 AND a.value > 50 AND a.key = a.value AND b.key > 40 AND b.value > 50 AND b.key = b.value",
+          "JOIN" -> "a.key = b.value AND a.key > 40 AND a.value > 50 AND a.key = a.value AND b.key > 40 AND b.value > 50 AND b.key = b.value",
+          "JOIN" -> "a.key = b.key AND a.key > 40 AND a.value > 50 AND a.key = a.value AND b.key > 40 AND b.value > 50 AND b.key = b.value",
+          "LEFT OUTER JOIN" -> "a.key = b.key AND b.key > 40",
+          "RIGHT OUTER JOIN" -> "a.key = b.key AND a.key > 40")
+        """WITH m(key, value) AS (VALUES
+            (12, 35), (CAST(NULL AS INT), 40),
+            (48, CAST(NULL AS INT)), (100, 100))
+          SELECT jt, a_key, a_value, b_key, b_value FROM (""" +
+          joins.zipWithIndex.map { case ((jk, cond), i) =>
+            s"""SELECT ${i + 1} AS jt, a.key AS a_key, a.value AS a_value,
+                       b.key AS b_key, b.value AS b_value
+                FROM m a $jk m b ON $cond"""
+          }.mkString("\nUNION ALL\n") +
+          """) u ORDER BY jt, a_key NULLS FIRST, a_value NULLS FIRST,
+             b_key NULLS FIRST, b_value NULLS FIRST"""
+      }))
 }

@@ -69,7 +69,9 @@ class PlanShapeSpec extends SparkSpec {
       "q117_kmeans_iterated", // broadcast centroid set, per staged round
       "q119_semdedup_capped", // broadcast centroid set (q104's argmax)
       "q28_cluster_by",   // broadcast 1-row sorted_ok verdict scalar
-      "q137_bm25")        // broadcast 1-row (N, avgdl) corpus-stats scalar
+      "q137_bm25",        // broadcast 1-row (N, avgdl) corpus-stats scalar
+      "q178_qf_join_filters") // join_filters.q pure-filter ON clauses: the
+                              // .q's own 4-row fixture, nested-loop BY SPEC
     val flagged = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.contains("stream")) // streaming fns execute on call
       .flatMap { case (name, fn) =>

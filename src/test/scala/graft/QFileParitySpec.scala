@@ -274,7 +274,8 @@ class QFileParitySpec extends SparkSpec {
         "q165_qf_union", "q166_qf_groupby6", "q167_qf_input14",
         "q168_qf_scriptfile1", "q169_qf_ctas", "q170_qf_smb_rcfile",
         "q171_qf_alter2", "q172_qf_testxpath", "q173_qf_testxpath2", "q174_qf_case_sensitivity",
-        "q175_qf_nullinput", "q176_qf_input9", "q177_qf_udf_length")) {
+        "q175_qf_nullinput", "q176_qf_input9", "q177_qf_udf_length",
+        "q178_qf_join_filters")) {
       val a = runQ(q).collect()
       assert(a.nonEmpty, s"$q returned no rows")
       val b = runQ(q).collect()
