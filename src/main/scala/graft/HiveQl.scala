@@ -65,6 +65,13 @@ object HiveQl {
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+(ENABLE|DISABLE)\s+(NO_DROP|OFFLINE)\s*;?\s*$""".r
   private val AlterTouch =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+TOUCH\s*;?\s*$""".r
+  // ALTER TABLE t CHANGE [COLUMN] old new TYPE [COMMENT '..'] [FIRST|AFTER c]
+  // (Hive.g alterStatementSuffixRenameCol → TOK_ALTERTABLE_RENAMECOL;
+  // AlterTableDesc RENAMECOLUMN): rename + retype + reorder in one step
+  private val ChangeCol =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+CHANGE\s+(?:COLUMN\s+)?""" +
+      """(\w+)\s+(\w+)\s+([\w<>,()]+)(?:\s+COMMENT\s+'([^']*)')?""" +
+      """(?:\s+(FIRST|AFTER\s+\w+))?\s*;?\s*$""").r
   private val DropTable =
     """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
   // ALTER TABLE ... [UN]ARCHIVE PARTITION (TOK_ALTERTABLE_ARCHIVE,
@@ -641,6 +648,52 @@ object HiveQl {
     * statement form; plain queries go through [[rewrite]] + the delegate
     * parser.
     */
+  /** TOK_ALTERTABLE_RENAMECOL executor: rebuild the data schema with the
+    * column renamed/retyped/recommented and repositioned (FIRST / AFTER c —
+    * Hive's alterStatementSuffixRenameCol positions). Existing FILES are
+    * not rewritten (Hive's contract exactly: the new schema reinterprets
+    * old data at read time; mismatches surface as nulls through the
+    * format's lazy decode).
+    */
+  private def changeColumn(spark: SparkSession, table: String, oldName: String,
+      newName: String, typeStr: String, comment: Option[String],
+      pos: Option[String]): Unit = {
+    val parts = table.split('.')
+    val ti =
+      if (parts.length > 1)
+        org.apache.spark.sql.catalyst.TableIdentifier(parts.last, Some(parts(parts.length - 2)))
+      else org.apache.spark.sql.catalyst.TableIdentifier(table)
+    val cat = spark.sessionState.catalog
+    val meta = cat.getTableMetadata(ti)
+    val fields = scala.collection.mutable.ArrayBuffer(meta.dataSchema.fields: _*)
+    val idx = fields.indexWhere(_.name.equalsIgnoreCase(oldName))
+    require(idx >= 0,
+      s"Invalid column reference $oldName") // ErrorMsg INVALID_COLUMN
+    require(newName.equalsIgnoreCase(oldName) ||
+        !fields.exists(_.name.equalsIgnoreCase(newName)),
+      s"Column $newName already exists")
+    val dt = spark.sessionState.sqlParser.parseDataType(typeStr)
+    var f = org.apache.spark.sql.types.StructField(newName, dt, nullable = true)
+    comment.foreach(c => f = f.withComment(c))
+    fields.remove(idx)
+    pos.map(_.trim) match {
+      case None => fields.insert(idx, f)
+      case Some(p) if p.equalsIgnoreCase("FIRST") => fields.insert(0, f)
+      case Some(p) =>
+        val after = p.split("\\s+").last
+        val ai = fields.indexWhere(_.name.equalsIgnoreCase(after))
+        require(ai >= 0, s"Invalid column reference $after")
+        fields.insert(ai + 1, f)
+    }
+    // alterTableDataSchema refuses renames ("dropping columns"); the
+    // rename IS the operation here, so replace the metadata wholesale
+    // (data schema first, partition columns after — CatalogTable.schema's
+    // layout contract)
+    cat.alterTable(meta.copy(schema = org.apache.spark.sql.types.StructType(
+      fields.toSeq ++ meta.partitionSchema.fields)))
+    spark.catalog.refreshTable(table)
+  }
+
   def statementExec(q: String): Option[SparkSession => Unit] =
     if (bypassStatements.get) None
     else q match {
@@ -661,6 +714,9 @@ object HiveQl {
         Some(s => operators.Indexes.createIndex(s, name, table,
           cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq, handler,
           deferred != null, Option(comment)))
+      case ChangeCol(table, oldName, newName, typeStr, comment, pos) =>
+        Some(s => changeColumn(s, table, oldName, newName, typeStr,
+          Option(comment), Option(pos)))
       case AlterIndexRebuild(name, table) =>
         Some(s => operators.Indexes.rebuild(s, name, table))
       case DropIndex(ifExists, name, table) =>

@@ -1175,5 +1175,49 @@ object QFileParity extends QueryModule {
           }.mkString("\nUNION ALL\n") +
           """) u ORDER BY jt, a_key NULLS FIRST, a_value NULLS FIRST,
              b_key NULLS FIRST, b_value NULLS FIRST"""
-      }))
+      }),
+
+    // ---- clientpositive/rename_column.q: ALTER TABLE CHANGE in all its
+    //      forms — rename, retype, COMMENT, FIRST / AFTER repositioning —
+    //      with a DESCRIBE snapshot after each step
+    QueryDef(
+      "q179_qf_rename_column",
+      (s, dir) => {
+        val t = s"kv_rename_test_${fixtures(s, dir)}"
+        fresh(s, t)
+        HiveQl.sql(s, s"CREATE TABLE $t(a int, b int, c int)")
+        val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+        var stage = 0
+        def snap(): Unit = {
+          stage += 1
+          val cols = HiveQl.sql(s, s"DESCRIBE $t").collect()
+            .map(r => s"${r.getString(0)} ${r.getString(1)}").mkString(",")
+          rows += ((stage, cols))
+        }
+        snap()
+        for (stmt <- Seq(
+            s"ALTER TABLE $t CHANGE a a STRING",
+            s"ALTER TABLE $t CHANGE a a1 INT",
+            s"ALTER TABLE $t CHANGE a1 a2 INT FIRST",
+            s"ALTER TABLE $t CHANGE a2 a INT AFTER b",
+            s"ALTER TABLE $t CHANGE a a1 INT COMMENT 'test comment1'",
+            s"ALTER TABLE $t CHANGE a1 a2 INT COMMENT 'test comment2' FIRST",
+            s"ALTER TABLE $t CHANGE COLUMN a2 a INT AFTER b")) {
+          HiveQl.sql(s, stmt)
+          snap()
+        }
+        val session = s
+        import session.implicits._
+        rows.toSeq.toDF("stage", "cols").orderBy("stage")
+      },
+      Some("""SELECT stage, cols FROM (VALUES
+          (1, 'a int,b int,c int'),
+          (2, 'a string,b int,c int'),
+          (3, 'a1 int,b int,c int'),
+          (4, 'a2 int,b int,c int'),
+          (5, 'b int,a int,c int'),
+          (6, 'b int,a1 int,c int'),
+          (7, 'a2 int,b int,c int'),
+          (8, 'b int,a int,c int'))
+          v(stage, cols) ORDER BY stage""")))
 }

@@ -275,7 +275,7 @@ class QFileParitySpec extends SparkSpec {
         "q168_qf_scriptfile1", "q169_qf_ctas", "q170_qf_smb_rcfile",
         "q171_qf_alter2", "q172_qf_testxpath", "q173_qf_testxpath2", "q174_qf_case_sensitivity",
         "q175_qf_nullinput", "q176_qf_input9", "q177_qf_udf_length",
-        "q178_qf_join_filters")) {
+        "q178_qf_join_filters", "q179_qf_rename_column")) {
       val a = runQ(q).collect()
       assert(a.nonEmpty, s"$q returned no rows")
       val b = runQ(q).collect()
