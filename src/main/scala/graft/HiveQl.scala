@@ -65,6 +65,11 @@ object HiveQl {
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+(ENABLE|DISABLE)\s+(NO_DROP|OFFLINE)\s*;?\s*$""".r
   private val AlterTouch =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+TOUCH\s*;?\s*$""".r
+  // ALTER TABLE t REPLACE COLUMNS (a int, ...) (alterStatementSuffixAddCol
+  // with KW_REPLACE → TOK_ALTERTABLE_REPLACECOLS): swap the whole data
+  // schema; files are not rewritten (reinterpret-at-read, as CHANGE)
+  private val ReplaceCols =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+REPLACE\s+COLUMNS\s*\(([^)]*)\)\s*;?\s*$""".r
   // ALTER TABLE t CHANGE [COLUMN] old new TYPE [COMMENT '..'] [FIRST|AFTER c]
   // (Hive.g alterStatementSuffixRenameCol → TOK_ALTERTABLE_RENAMECOL;
   // AlterTableDesc RENAMECOLUMN): rename + retype + reorder in one step
@@ -694,6 +699,29 @@ object HiveQl {
     spark.catalog.refreshTable(table)
   }
 
+  /** TOK_ALTERTABLE_REPLACECOLS executor: the column list replaces the
+    * data schema wholesale (partition columns untouched).
+    */
+  private def replaceColumns(spark: SparkSession, table: String,
+      colsText: String): Unit = {
+    val parts = table.split('.')
+    val ti =
+      if (parts.length > 1)
+        org.apache.spark.sql.catalyst.TableIdentifier(parts.last, Some(parts(parts.length - 2)))
+      else org.apache.spark.sql.catalyst.TableIdentifier(table)
+    val cat = spark.sessionState.catalog
+    val meta = cat.getTableMetadata(ti)
+    val fields = colsText.split(",").map(_.trim).filter(_.nonEmpty).map { c =>
+      val bits = c.split("\\s+", 2)
+      require(bits.length == 2, s"cannot parse column spec '$c'")
+      org.apache.spark.sql.types.StructField(bits(0),
+        spark.sessionState.sqlParser.parseDataType(bits(1)), nullable = true)
+    }
+    cat.alterTable(meta.copy(schema = org.apache.spark.sql.types.StructType(
+      fields.toSeq ++ meta.partitionSchema.fields)))
+    spark.catalog.refreshTable(table)
+  }
+
   def statementExec(q: String): Option[SparkSession => Unit] =
     if (bypassStatements.get) None
     else q match {
@@ -714,6 +742,8 @@ object HiveQl {
         Some(s => operators.Indexes.createIndex(s, name, table,
           cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq, handler,
           deferred != null, Option(comment)))
+      case ReplaceCols(table, cols) =>
+        Some(s => replaceColumns(s, table, cols))
       case ChangeCol(table, oldName, newName, typeStr, comment, pos) =>
         Some(s => changeColumn(s, table, oldName, newName, typeStr,
           Option(comment), Option(pos)))

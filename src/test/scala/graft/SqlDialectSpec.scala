@@ -226,6 +226,24 @@ class SqlDialectSpec extends SparkSpec {
     assert(back == Seq((0L, "v0"), (1L, "v1"), (2L, "v2")), back.toString)
   }
 
+  test("ALTER TABLE CHANGE and REPLACE COLUMNS rewrite the catalog schema") {
+    // rename_column.q / alter1.q forms: TOK_ALTERTABLE_RENAMECOL and
+    // TOK_ALTERTABLE_REPLACECOLS — files are never rewritten
+    spark.sql("DROP TABLE IF EXISTS altcol_t")
+    HiveQl.sql(spark, "CREATE TABLE altcol_t(a int, b int)")
+    HiveQl.sql(spark, "ALTER TABLE altcol_t CHANGE a x STRING AFTER b")
+    assert(spark.table("altcol_t").schema.map(f => s"${f.name} ${f.dataType.sql}")
+      == Seq("b INT", "x STRING"))
+    HiveQl.sql(spark, "alter table altcol_t replace columns (a int, b int, c string)")
+    assert(spark.table("altcol_t").schema.map(f => s"${f.name} ${f.dataType.sql}")
+      == Seq("a INT", "b INT", "c STRING"))
+    // unknown source column is the reference's loud error
+    val e = intercept[Exception](
+      HiveQl.sql(spark, "ALTER TABLE altcol_t CHANGE zz yy INT"))
+    assert(e.getMessage.contains("Invalid column reference"), e.getMessage)
+    spark.sql("DROP TABLE altcol_t")
+  }
+
   test("SET and ADD FILE command lines run through HiveQl (ql/processors analogue)") {
     // SET k=v (SetProcessor.java) and ADD FILE (AddResourceProcessor.java)
     // parse natively in Spark SQL — assert the whole command→effect loop
