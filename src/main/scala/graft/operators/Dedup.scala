@@ -178,17 +178,30 @@ object Dedup extends QueryModule {
     * Both live as parquet under the staging scratch root (in production, a
     * table on the shared FS) — admission against a 100 TB corpus reads
     * THESE, never the corpus text. `name` scopes the staged paths, so
-    * successive deltas chain by overwriting the same store in place
-    * (write-audit-publish makes the in-place update safe: the new store is
-    * fully written before the old one is unlinked).
+    * successive deltas chain against the same store directories.
+    *
+    * LAYOUT (r11): the words and bands stores are EPOCH-PARTITIONED
+    * directories — `(store)_words/epoch=N/`, one partition per admission
+    * call, bootstrap = epoch 0. An admission APPENDS only the admitted
+    * delta's rows as a new epoch partition ([[Staging.appendEpoch]]) and
+    * the store reads as the union of partitions, so the update costs I/O
+    * proportional to the DELTA: the corpus-scale store is never rewritten
+    * (the r10 formulation unioned and overwrote the whole store per delta
+    * — O(corpus) I/O per admission, per micro-batch under `admitStream`).
+    * This is the reference's own incremental contract — `ALTER TABLE ADD
+    * PARTITION` (metastore Warehouse.java partition-add path) appends a
+    * partition without touching its siblings. Fragmentation from many
+    * small epochs is repaired out-of-band by [[compactSigStore]].
     */
   /** `epoch` numbers the admission calls chained through this store: each
     * delta's scratch artifacts (delta words, rejected verdict) stage under
     * epoch-scoped names, so the NEXT admit on the chain never clobbers
     * files a still-lazy `admitted` result from the PREVIOUS admit reads
-    * (the q131 composition consumes both deltas' admissions at the end).
-    * The store's own words/bands DO overwrite in place by design — always
-    * read the store through the most recently returned SigStore.
+    * (the q131 composition consumes both deltas' admissions at the end) —
+    * and each admission's store append lands under `epoch=N`, never
+    * touching earlier partitions, so a previously returned SigStore's
+    * DataFrames (a snapshot of the partitions that existed at its epoch)
+    * stay valid forever.
     */
   final case class SigStore(name: String,
       bands: org.apache.spark.sql.DataFrame,
@@ -210,6 +223,32 @@ object Dedup extends QueryModule {
       case None => Staging.stage(df, name)
     }
 
+  /** Directory of one store component (`words`/`bands`/`members`): the
+    * caller-owned durable dir when `baseDir` is set, else the app-scoped
+    * staging scratch.
+    */
+  private def storePath(s: org.apache.spark.sql.SparkSession, name: String,
+      baseDir: Option[String]): String =
+    baseDir.getOrElse(Staging.scratchRoot(s)) + "/" + name
+
+  /** The union-of-epoch-partitions read of a store component. Partition
+    * discovery adds the `epoch` column; downstream operators see only the
+    * data columns (their unions are positional). The file listing is
+    * snapshotted at read time, so a SigStore's DataFrames pin the
+    * partitions of THEIR epoch — later appends are invisible to earlier
+    * snapshots by construction.
+    */
+  private def readEpochs(s: org.apache.spark.sql.SparkSession, dir: String,
+      cols: String*): org.apache.spark.sql.DataFrame =
+    s.read.parquet(dir).select(cols.map(col): _*)
+
+  /** Append one epoch partition to a store component. */
+  private def appendStore(df: org.apache.spark.sql.DataFrame, name: String,
+      baseDir: Option[String], epoch: Long): Unit =
+    Staging.appendEpoch(df,
+      storePath(df.sparkSession, name, baseDir), epoch,
+      appScratch = baseDir.isEmpty)
+
   /** Bootstrap a [[SigStore]] from a deduped corpus — the ONE full scan of
     * `docs.text` in the store's lifetime. Words stage first; bands derive
     * from the staged words, so the text is read exactly once.
@@ -217,11 +256,16 @@ object Dedup extends QueryModule {
   def buildSigStore(docs: org.apache.spark.sql.DataFrame, name: String,
       numHashes: Int = 16, numBands: Int = 2,
       baseDir: Option[String] = None): SigStore = {
-    val words = stageStore(
-      wordsOf(docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)),
-      s"${name}_words", baseDir)
-    val bands = stageStore(bandsFromWords(words, numHashes, numBands),
-      s"${name}_bands", baseDir)
+    val s = docs.sparkSession
+    appendStore(
+      wordsOf(docs.repartition(s.sparkContext.defaultParallelism)),
+      s"${name}_words", baseDir, 0L)
+    val words = readEpochs(s, storePath(s, s"${name}_words", baseDir),
+      "doc_id", "ws")
+    appendStore(bandsFromWords(words, numHashes, numBands),
+      s"${name}_bands", baseDir, 0L)
+    val bands = readEpochs(s, storePath(s, s"${name}_bands", baseDir),
+      "doc_id", "band", "bh")
     SigStore(name, bands, words, baseDir)
   }
 
@@ -234,17 +278,19 @@ object Dedup extends QueryModule {
   def loadSigStore(spark: org.apache.spark.sql.SparkSession, name: String,
       baseDir: String): SigStore =
     SigStore(name,
-      spark.read.parquet(s"$baseDir/${name}_bands"),
-      spark.read.parquet(s"$baseDir/${name}_words"),
-      Some(baseDir))
+      readEpochs(spark, s"$baseDir/${name}_bands", "doc_id", "band", "bh"),
+      readEpochs(spark, s"$baseDir/${name}_words", "doc_id", "ws"),
+      Some(baseDir),
+      epoch = math.max(0L, Staging.maxEpoch(spark, s"$baseDir/${name}_words")))
 
   /** Incremental near-dup ADMISSION against a pre-staged [[SigStore]] — the
     * production delta-dedup loop: only the incoming delta is hashed; the
     * existing corpus is represented ENTIRELY by the store (zero scans of
     * existing text — IncrementalAdmitSpec pins the executed plan). Returns
     * `(admitted, updatedStore)`: the updated store carries the admitted
-    * docs' bands+words appended, overwritten in place under the store's
-    * name, so successive deltas chain with no rebuild.
+    * docs' bands+words APPENDED as a new `epoch=N` partition — existing
+    * partitions are untouched, the update writes delta-sized bytes only —
+    * so successive deltas chain with no rebuild.
     *
     * An incoming doc is rejected when an exact-Jaccard-verified candidate
     * pair links it to a store doc (ANY id order — a delta doc whose id
@@ -305,14 +351,49 @@ object Dedup extends QueryModule {
         .select(col("b_id").as("doc_id")).distinct(),
       s"${ep}_delta_rejected", store.baseDir)
     val admitted = incoming.join(rejected, Seq("doc_id"), "left_anti")
-    val newWords = stageStore(
-      store.words.union(inWords.join(rejected, Seq("doc_id"), "left_anti")),
-      s"${store.name}_words", store.baseDir)
-    val newBands = stageStore(
-      store.bands.union(inBands.join(rejected, Seq("doc_id"), "left_anti")),
-      s"${store.name}_bands", store.baseDir)
+    // store update = APPEND the admitted delta's rows as a new epoch
+    // partition — existing epochs are never read or rewritten, so the
+    // update's I/O is proportional to the delta (IncrementalAdmitSpec pins
+    // bytes-written and the untouched epoch-0 files)
+    val newEpoch = store.epoch + 1
+    appendStore(inWords.join(rejected, Seq("doc_id"), "left_anti"),
+      s"${store.name}_words", store.baseDir, newEpoch)
+    appendStore(inBands.join(rejected, Seq("doc_id"), "left_anti"),
+      s"${store.name}_bands", store.baseDir, newEpoch)
+    val newWords = readEpochs(s, storePath(s, s"${store.name}_words", store.baseDir),
+      "doc_id", "ws")
+    val newBands = readEpochs(s, storePath(s, s"${store.name}_bands", store.baseDir),
+      "doc_id", "band", "bh")
     (admitted,
-      SigStore(store.name, newBands, newWords, store.baseDir, store.epoch + 1))
+      SigStore(store.name, newBands, newWords, store.baseDir, newEpoch))
+  }
+
+  /** Out-of-band maintenance for an epoch-partitioned [[SigStore]]: fold
+    * every epoch into a single fresh partition (one read of the store, one
+    * write, published write-audit-then-swap). Run it OPPORTUNISTICALLY —
+    * e.g. when [[Staging.maxEpoch]] says hundreds of delta partitions have
+    * accumulated — exactly like [[graft.sources.Compaction]] repairs
+    * small-file sprawl; admissions themselves never pay this cost. The
+    * compacted store keeps the same epoch counter so chained scratch names
+    * never collide with the pre-compaction run's.
+    */
+  def compactSigStore(store: SigStore): SigStore = {
+    val s = store.words.sparkSession
+    def fold(name: String, cols: String*): org.apache.spark.sql.DataFrame = {
+      val dir = storePath(s, name, store.baseDir)
+      val merged = stageStore(readEpochs(s, dir, cols: _*),
+        s"${name}__compact", store.baseDir)
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(root, true)
+      Staging.appendEpoch(merged, dir, store.epoch,
+        appScratch = store.baseDir.isEmpty)
+      readEpochs(s, dir, cols: _*)
+    }
+    SigStore(store.name,
+      fold(s"${store.name}_bands", "doc_id", "band", "bh"),
+      fold(s"${store.name}_words", "doc_id", "ws"),
+      store.baseDir, store.epoch)
   }
 
   /** Convenience bootstrap form (and the q129 oracle surface): builds the
@@ -366,9 +447,12 @@ object Dedup extends QueryModule {
   def buildVecStore(existing: org.apache.spark.sql.DataFrame,
       centroids: org.apache.spark.sql.DataFrame, name: String,
       baseDir: Option[String] = None): VecStore = {
+    val s = existing.sparkSession
     val cents = stageStore(centroids, s"${name}_centroids", baseDir)
-    val members = stageStore(assignToCentroids(existing, cents),
-      s"${name}_members", baseDir)
+    appendStore(assignToCentroids(existing, cents),
+      s"${name}_members", baseDir, 0L)
+    val members = readEpochs(s, storePath(s, s"${name}_members", baseDir),
+      "vec_id", "c_id", "ne")
     VecStore(name, cents, members, baseDir)
   }
 
@@ -412,12 +496,16 @@ object Dedup extends QueryModule {
         .select(col("b_id").as("vec_id")).distinct(),
       s"${ep}_delta_rejected", store.baseDir)
     val admitted = incoming.join(rejected, Seq("vec_id"), "left_anti")
-    val newMembers = stageStore(
-      store.members.union(inAssigned.join(rejected, Seq("vec_id"), "left_anti")),
-      s"${store.name}_members", store.baseDir)
+    // same append-only update as [[incrementalAdmit]]: only the admitted
+    // delta's assignments land, as a fresh epoch partition
+    val newEpoch = store.epoch + 1
+    appendStore(inAssigned.join(rejected, Seq("vec_id"), "left_anti"),
+      s"${store.name}_members", store.baseDir, newEpoch)
+    val newMembers = readEpochs(s, storePath(s, s"${store.name}_members", store.baseDir),
+      "vec_id", "c_id", "ne")
     (admitted,
       VecStore(store.name, store.centroids, newMembers, store.baseDir,
-        store.epoch + 1))
+        newEpoch))
   }
 
   /** The FULL batch near-dup lifecycle as one composed operator — what a

@@ -92,6 +92,56 @@ object Staging {
   def stageAt(df: DataFrame, dir: String): DataFrame =
     publish(df, new Path(dir))
 
+  /** APPEND `df` as a new epoch partition `dir/epoch=<epoch>` of a durable
+    * store — the delta-sized update path for corpus-scale stores (the
+    * [[graft.operators.Dedup.SigStore]]/VecStore admission loop). Unlike
+    * [[stageAt]]'s whole-directory overwrite, ONLY the new partition is
+    * written: existing epochs are never read, rewritten, or unlinked, so a
+    * nightly delta (or a streaming micro-batch) costs I/O proportional to
+    * the DELTA, not the corpus — the same contract as the reference's
+    * `ALTER TABLE ADD PARTITION` (Warehouse.java partition-add path: new
+    * data lands beside existing partitions, nothing is rebuilt).
+    *
+    * Write-audit-publish per partition: the data lands in a tmp dir
+    * OUTSIDE the store root (partition discovery on a concurrent reader
+    * must never see a half-written `epoch=N`), is audited for `_SUCCESS`,
+    * and renames in atomically. Re-running the same epoch replaces just
+    * that partition (idempotent retry).
+    */
+  def appendEpoch(df: DataFrame, dir: String, epoch: Long,
+      appScratch: Boolean = false): Unit = {
+    val spark = df.sparkSession
+    if (appScratch) registerCleanup(spark)
+    val root = new Path(dir)
+    val target = new Path(root, s"epoch=$epoch")
+    val tmp = new Path(root.getParent, root.getName + s"__epoch${epoch}_tmp")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sized =
+      if (spark.conf.getOption("graft.staging.rebalance").contains("false")) df
+      else df.hint("REBALANCE")
+    sized.write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.exists(new Path(tmp, "_SUCCESS")))
+      throw new IllegalStateException(
+        s"epoch append for ${target} did not commit")
+    fs.mkdirs(root)
+    if (fs.exists(target)) fs.delete(target, true)
+    if (!fs.rename(tmp, target))
+      throw new IllegalStateException(s"epoch publish failed for $target")
+  }
+
+  /** Highest `epoch=N` partition present under `dir` (-1 if none) — how a
+    * restarted application rediscovers where an epoch-partitioned store
+    * left off ([[graft.operators.Dedup.loadSigStore]]).
+    */
+  def maxEpoch(spark: SparkSession, dir: String): Long = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) -1L
+    else fs.listStatus(root).iterator.map(_.getPath.getName)
+      .collect { case n if n.startsWith("epoch=") => n.drop(6).toLong }
+      .foldLeft(-1L)(math.max)
+  }
+
   private def publish(df: DataFrame, target: Path): DataFrame = {
     val spark = df.sparkSession
     val tmp = new Path(target.getParent, target.getName + "__stage_tmp")

@@ -130,6 +130,64 @@ class IncrementalAdmitSpec extends SparkSpec {
       "delta-2's twin of a delta-1 admission must reject via the updated store")
   }
 
+  test("store update writes delta-sized bytes and never rewrites earlier epochs") {
+    import spark.implicits._
+    // a store ~50× the delta: if the update path still rewrote the whole
+    // store (the r10 union+overwrite), the admission's store write would be
+    // corpus-sized and epoch-0's files would be unlinked and recreated
+    val corpus = (0L until 500L).map(i =>
+      (i, s"corpus doc $i " + (0 until 30).map(j => s"w${i}_$j").mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-epochstore").toString
+    val store = Dedup.buildSigStore(corpus.toDF("doc_id", "text"),
+      "epoch_proof", baseDir = Some(dir))
+
+    def snapshot(sub: String): Map[String, (Long, Long)] = {
+      val root = new java.io.File(dir, sub)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(root).map(f => f.getPath -> (f.length, f.lastModified)).toMap
+    }
+    val words0 = snapshot("epoch_proof_words/epoch=0")
+    val bands0 = snapshot("epoch_proof_bands/epoch=0")
+    val storeBytes = words0.values.map(_._1).sum + bands0.values.map(_._1).sum
+
+    val delta = docs(1000L -> other, 1001L -> perm) // 1001 has no store twin here
+    val (admitted, updated) = Dedup.incrementalAdmit(store, delta, 0.8, None, 16, 2)
+    assert(admitted.count() == 2)
+    assert(updated.words.count() == 502)
+
+    // 1) earlier epochs are byte-for-byte untouched: same paths, lengths,
+    //    and modification times — nothing was unlinked or rewritten
+    assert(snapshot("epoch_proof_words/epoch=0") == words0,
+      "epoch-0 words partition must not be rewritten by an admission")
+    assert(snapshot("epoch_proof_bands/epoch=0") == bands0,
+      "epoch-0 bands partition must not be rewritten by an admission")
+    // 2) the bytes the update DID write scale with the DELTA, not the store
+    val deltaBytes = snapshot("epoch_proof_words/epoch=1").values.map(_._1).sum +
+      snapshot("epoch_proof_bands/epoch=1").values.map(_._1).sum
+    assert(deltaBytes * 5 < storeBytes,
+      s"store update must be delta-sized: wrote $deltaBytes b against a $storeBytes b store")
+  }
+
+  test("compactSigStore folds epochs into one partition and preserves the corpus") {
+    val store0 = Dedup.buildSigStore(docs(1L -> base), "spec_admit_compact")
+    val (_, store1) = Dedup.incrementalAdmit(
+      store0, docs(50L -> other), 0.8, None, 16, 2)
+    val (_, store2) = Dedup.incrementalAdmit(
+      store1, docs(60L -> third), 0.8, None, 16, 2)
+    val compacted = Dedup.compactSigStore(store2)
+    assert(compacted.words.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 50L, 60L), "compaction must preserve the member set")
+    val root = new java.io.File(
+      graft.operators.Staging.scratchRoot(spark) + "/spec_admit_compact_words")
+    assert(root.listFiles.map(_.getName).count(_.startsWith("epoch=")) == 1,
+      "compaction must leave a single epoch partition")
+    // the compacted store still chains: its near-dups keep rejecting
+    val (adm, _) = Dedup.incrementalAdmit(
+      compacted, docs(70L -> perm), 0.8, None, 16, 2)
+    assert(adm.count() == 0, "a compacted store must still reject near-dups")
+  }
+
   test("a delta doc with a LOWER id than its existing near-dup is still rejected") {
     // ADVICE r9: the old a_id < b_id rule silently admitted this case
     val store = Dedup.buildSigStore(docs(500L -> base), "spec_admit_order")
