@@ -68,8 +68,11 @@ object HiveQl {
   // ALTER TABLE t REPLACE COLUMNS (a int, ...) (alterStatementSuffixAddCol
   // with KW_REPLACE → TOK_ALTERTABLE_REPLACECOLS): swap the whole data
   // schema; files are not rewritten (reinterpret-at-read, as CHANGE)
+  // greedy body capture (to the LAST paren): parameterized and nested
+  // types — decimal(10,2), map<string,int>, struct<...> — carry their own
+  // parens/commas, so the list is split depth-aware in [[replaceColumns]]
   private val ReplaceCols =
-    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+REPLACE\s+COLUMNS\s*\(([^)]*)\)\s*;?\s*$""".r
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+REPLACE\s+COLUMNS\s*\((.*)\)\s*;?\s*$""".r
   // ALTER TABLE t CHANGE [COLUMN] old new TYPE [COMMENT '..'] [FIRST|AFTER c]
   // (Hive.g alterStatementSuffixRenameCol → TOK_ALTERTABLE_RENAMECOL;
   // AlterTableDesc RENAMECOLUMN): rename + retype + reorder in one step
@@ -232,7 +235,7 @@ object HiveQl {
 
   def rewrite(q: String): String = {
     val (masked, lits) = maskLiterals(q)
-    unmaskLiterals(rewriteMasked(rewriteSerdeFormats(masked, lits)), lits)
+    unmaskLiterals(hoistUsing(rewriteMasked(rewriteSerdeFormats(masked, lits))), lits)
   }
 
   // ---- serde/format long forms (lits-aware: the class names live inside
@@ -279,6 +282,27 @@ object HiveQl {
       else throw new IllegalStateException(
         s"unmapped STORED AS INPUTFORMAT $inF OUTPUTFORMAT $outF")
     })
+  }
+
+  // The serde rewrites above emit `USING fmt [OPTIONS(...)]` IN PLACE of
+  // Hive's format clause, which sits AFTER any PARTITIONED BY / CLUSTERED
+  // BY — a position Spark's parser rejects (USING must precede table
+  // clauses). Hoist it, same order swap PartitionedStoredAsText /
+  // ClusteredStoredAs perform for the plain STORED AS forms. The patterns
+  // only match the already-invalid trailing-USING order, so a
+  // Spark-native CREATE is never touched.
+  private val UsingClause = """USING\s+[\w.]+(?:\s+OPTIONS\s*\([^)]*\))?"""
+  private val ClusteredUsing =
+    ("""(?is)(CLUSTERED\s+BY\s*\([^)]*\)(?:\s+SORTED\s+BY\s*\([^)]*\))?""" +
+      s"""\\s+INTO\\s+\\d+\\s+BUCKETS)\\s+($UsingClause)""").r
+  private val PartitionedUsing =
+    s"""(?is)(PARTITIONED\\s+BY\\s*\\([^)]*\\))\\s+($UsingClause)""".r
+
+  private def hoistUsing(q: String): String = {
+    val c = ClusteredUsing.replaceAllIn(q, m =>
+      java.util.regex.Matcher.quoteReplacement(s"${m.group(2)} ${m.group(1)}"))
+    PartitionedUsing.replaceAllIn(c, m =>
+      java.util.regex.Matcher.quoteReplacement(s"${m.group(2)} ${m.group(1)}"))
   }
 
   // CREATE TABLE ... STORED AS TEXTFILE (Hive.g tableFileFormat KW_TEXTFILE)
@@ -571,8 +595,12 @@ object HiveQl {
   // the hint sits in Hive's hint position (after SELECT); strip happens in
   // rewriteMasked like STREAMTABLE, detection happens in sql() above
   private val HoldDdltime = """(?i)/\*\+\s*HOLD_DDLTIME\s*\*/""".r
+  // the lookahead skips INSERT OVERWRITE [LOCAL] DIRECTORY (a path, not a
+  // table — it must not trigger table-property work); `quoted` identifiers
+  // are targets too (backtick/reserved-word tables, q153's `table`)
   private val InsertTarget =
-    """(?is)\bINSERT\s+(?:OVERWRITE\s+|INTO\s+)(?:TABLE\s+)?([\w.]+)\s*(PARTITION\s*\(([^)]*)\))?""".r
+    ("""(?is)\bINSERT\s+(?:OVERWRITE\s+|INTO\s+)(?!(?:LOCAL|DIRECTORY)\b)""" +
+      """(?:TABLE\s+)?((?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))*)\s*(PARTITION\s*\(([^)]*)\))?""").r
 
   /** SemanticAnalyzer.java:3720,3859: HOLD_DDLTIME is illegal on a dynamic
     * partition spec (a column with no `=`) and on a static partition that
@@ -626,15 +654,25 @@ object HiveQl {
     * on failure. The first failure happens at ANALYSIS, before any write,
     * so the retry never double-executes a side effect.
     */
+  // one monitor per SparkSession: the LEGACY flip below is session-global
+  // state, so concurrent retries on the same session must serialize or one
+  // thread's restore races another's flip (and could re-save LEGACY as the
+  // "previous" value, leaking it permanently)
+  private val storeRetryLocks =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Object]()
+
   private[graft] def withLegacyStoreRetry[T](spark: SparkSession)(body: => T): T =
     try body catch {
       case e: org.apache.spark.sql.AnalysisException
           if e.getMessage.contains("CANNOT_SAFELY_CAST") =>
-        val key = "spark.sql.storeAssignmentPolicy"
-        val prev = spark.conf.getOption(key)
-        spark.conf.set(key, "LEGACY")
-        try body
-        finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+        val lock = storeRetryLocks.computeIfAbsent(spark, _ => new Object)
+        lock.synchronized {
+          val key = "spark.sql.storeAssignmentPolicy"
+          val prev = spark.conf.getOption(key)
+          spark.conf.set(key, "LEGACY")
+          try body
+          finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+        }
     }
 
   /** Re-entrancy guard for [[statementExec]]: the multi-insert NATIVE
@@ -699,6 +737,28 @@ object HiveQl {
     spark.catalog.refreshTable(table)
   }
 
+  /** Split a Hive column-spec list on top-level commas only: parens
+    * (decimal(10,2)) and angle brackets (map<string,int>, nested structs)
+    * both nest. Distinct from [[splitSources]], whose inputs are
+    * expressions where a bare `<` is a comparison, not a bracket.
+    */
+  private def splitColumnSpecs(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var inQuote = false // COMMENT 'text, with commas' must not split
+    val cur = new StringBuilder
+    s.foreach {
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case c if inQuote => cur += c
+      case c @ ('(' | '<') => depth += 1; cur += c
+      case c @ (')' | '>') => depth -= 1; cur += c
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.result()
+  }
+
   /** TOK_ALTERTABLE_REPLACECOLS executor: the column list replaces the
     * data schema wholesale (partition columns untouched).
     */
@@ -711,8 +771,13 @@ object HiveQl {
       else org.apache.spark.sql.catalyst.TableIdentifier(table)
     val cat = spark.sessionState.catalog
     val meta = cat.getTableMetadata(ti)
-    val fields = colsText.split(",").map(_.trim).filter(_.nonEmpty).map { c =>
-      val bits = c.split("\\s+", 2)
+    // depth-aware split: decimal(10,2) / map<string,int> carry commas of
+    // their own; per-column COMMENT clauses are metadata Hive accepts and
+    // the swap ignores (columnNameTypeList in Hive.g)
+    val fields = splitColumnSpecs(colsText).map(_.trim).filter(_.nonEmpty).map { c =>
+      val noComment =
+        """(?is)\s+COMMENT\s+'[^']*'\s*$""".r.replaceAllIn(c, "").trim
+      val bits = noComment.split("\\s+", 2)
       require(bits.length == 2, s"cannot parse column spec '$c'")
       org.apache.spark.sql.types.StructField(bits(0),
         spark.sessionState.sqlParser.parseDataType(bits(1)), nullable = true)

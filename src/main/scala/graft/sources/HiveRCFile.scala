@@ -304,7 +304,11 @@ object HiveRCFile {
       s"RCFile: record length $recordLen != key $keyLen + values ${colDiskLen.sum}")
     val rows = Array.fill(numRows)(new Array[Array[Byte]](nc))
     (0 until nc).foreach { c =>
-      if (wanted.exists(w => !w(c))) {
+      // a column index past the projection mask is a file written under a
+      // WIDER schema than the table now declares (ALTER TABLE REPLACE
+      // COLUMNS narrows; files are never rewritten) — skipped like any
+      // pruned column, matching ColumnarSerDe's ignore-extras read
+      if (wanted.exists(w => c >= w.length || !w(c))) {
         // pruned column: skip the on-disk blob without reading it (a seek
         // on seekable streams — the bytes are never inflated or copied)
         var toSkip = colDiskLen(c).toLong

@@ -81,14 +81,19 @@ class HiveRCSource extends FileFormat with DataSourceRegister with Serializable 
       val cells = HiveRCFile.readSplit(fs, p, file.start,
         file.start + file.length, Some(wanted))
       cells.map { row =>
-        require(row.length == nCols,
-          s"RCFile carries ${row.length} columns, table declares $nCols")
+        // file/table column-count drift is LEGAL (ALTER TABLE CHANGE/
+        // REPLACE COLUMNS reinterprets at read; files are never rewritten):
+        // columns past the file's count read as NULL, extra file columns
+        // are skipped unread — ColumnarSerDe's null-pad/ignore semantics,
+        // same as the hivetext/hiveseq short/long-row handling
         val out = new GenericInternalRow(nRequired)
         var i = 0
         while (i < nRequired) {
-          val raw = new String(row(fieldIdx(i)), "UTF-8")
+          val fi = fieldIdx(i)
+          val cell = if (fi < row.length) row(fi) else null
+          val raw = if (cell == null) null else new String(cell, "UTF-8")
           out.update(i,
-            if (raw == HiveRCFile.NullSeq) null
+            if (raw == null || raw == HiveRCFile.NullSeq) null
             else HiveTextSource.decode(raw, fieldTypes(i)))
           i += 1
         }

@@ -106,6 +106,35 @@ class RCFileSpec extends SparkSpec {
     assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(".rc")))
   }
 
+  test("schema drift: REPLACE COLUMNS narrows and widens an RCFILE table without rewrite") {
+    // ADVICE r10: the reader required file columns == table columns, but
+    // CHANGE/REPLACE COLUMNS reinterpret at read (files never rewritten).
+    // ColumnarSerDe semantics: extra file columns are skipped unread,
+    // missing ones read as NULL — like the hivetext/hiveseq readers.
+    spark.sql("DROP TABLE IF EXISTS rc_drift")
+    HiveQl.sql(spark,
+      "CREATE TABLE rc_drift(a int, b string, c int) STORED AS RCFILE")
+    HiveQl.sql(spark, "INSERT INTO rc_drift SELECT 1, 'x', 10")
+    // NARROW: the file still carries 3 columns; reads must skip column c
+    HiveQl.sql(spark, "ALTER TABLE rc_drift REPLACE COLUMNS (a int, b string)")
+    assert(HiveQl.sql(spark, "SELECT a, b FROM rc_drift").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "x")))
+    // WIDEN: mapping is positional, so the file's 3rd column is c again
+    // (10); columns PAST the file's count (d) read as NULL
+    HiveQl.sql(spark,
+      "ALTER TABLE rc_drift REPLACE COLUMNS (a int, b string, c int, d string)")
+    val wide = HiveQl.sql(spark, "SELECT a, b, c, d FROM rc_drift").collect()
+    assert(wide.map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.isNullAt(3)))
+      .toSeq == Seq((1, "x", 10, true)),
+      "positional reinterpret: file col 3 is c again, d (absent) is NULL")
+    // new writes under the wide schema coexist with the 3-column file
+    HiveQl.sql(spark, "INSERT INTO rc_drift SELECT 2, 'y', 20, 'z'")
+    val all = HiveQl.sql(spark, "SELECT a, d FROM rc_drift ORDER BY a").collect()
+    assert(all.map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .toSeq == Seq((1, null), (2, "z")))
+    spark.sql("DROP TABLE rc_drift")
+  }
+
   test("compressed round trip (DefaultCodec = zlib, the reference's default)") {
     val rows = (0 until 500).map { i =>
       Seq(s"key$i".getBytes("UTF-8"),

@@ -244,6 +244,68 @@ class SqlDialectSpec extends SparkSpec {
     spark.sql("DROP TABLE altcol_t")
   }
 
+  test("REPLACE COLUMNS handles parameterized/nested types and COMMENT clauses") {
+    // ADVICE r10: decimal(10,2) and map<string,int> carry commas/parens of
+    // their own; COMMENT text may even contain a comma — the list must
+    // split depth- and quote-aware, not on bare commas
+    import org.apache.spark.sql.types._
+    spark.sql("DROP TABLE IF EXISTS altcol_p")
+    HiveQl.sql(spark, "CREATE TABLE altcol_p(a int)")
+    HiveQl.sql(spark, "ALTER TABLE altcol_p REPLACE COLUMNS (" +
+      "d decimal(10,2) COMMENT 'price, rounded', m map<string,int>, " +
+      "s struct<x:int,y:string>)")
+    val sch = spark.table("altcol_p").schema
+    assert(sch.map(_.name) == Seq("d", "m", "s"))
+    assert(sch("d").dataType == DecimalType(10, 2))
+    assert(sch("m").dataType == MapType(StringType, IntegerType))
+    assert(sch("s").dataType ==
+      StructType(Seq(StructField("x", IntegerType), StructField("y", StringType))))
+    spark.sql("DROP TABLE altcol_p")
+  }
+
+  test("PARTITIONED BY + ROW FORMAT DELIMITED ... TEXTFILE: USING clause hoists") {
+    // ADVICE r10: the delimited rewrite emitted USING in place (after
+    // PARTITIONED BY) — invalid Spark DDL. The hoist must reorder it.
+    spark.sql("DROP TABLE IF EXISTS delim_part")
+    HiveQl.sql(spark, "CREATE TABLE delim_part(a int, b string) " +
+      "PARTITIONED BY (p string) " +
+      "ROW FORMAT DELIMITED FIELDS TERMINATED BY ',' STORED AS TEXTFILE")
+    HiveQl.sql(spark, "INSERT OVERWRITE TABLE delim_part PARTITION (p='x') " +
+      "SELECT 7, 'v'")
+    val got = HiveQl.sql(spark, "SELECT a, b, p FROM delim_part").collect()
+    assert(got.map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+      == Seq((7, "v", "x")))
+    // the comma delimiter actually reached the hivetext writer
+    val loc = spark.sql("DESCRIBE FORMATTED delim_part").collect()
+      .find(_.getString(0).trim == "Location").get.getString(1).trim
+    val files = new java.io.File(new java.net.URI(loc).getPath, "p=x")
+      .listFiles.filter(f => f.isFile && !f.getName.startsWith("_"))
+    val bytes = java.nio.file.Files.readAllBytes(files.head.toPath)
+    assert(new String(bytes, "UTF-8").startsWith("7,v"),
+      s"expected comma-delimited row, got: ${new String(bytes, "UTF-8")}")
+    spark.sql("DROP TABLE delim_part")
+  }
+
+  test("INSERT OVERWRITE LOCAL DIRECTORY must not be treated as a table target") {
+    // ADVICE r10: the InsertTarget regex captured LOCAL as a table name,
+    // issuing a stray SHOW TBLPROPERTIES LOCAL per statement
+    val dir = tmp("graft-localdir")
+    HiveQl.sql(spark,
+      s"INSERT OVERWRITE LOCAL DIRECTORY '$dir/out' SELECT 1, 'z'")
+    val files = new java.io.File(dir + "/out")
+      .listFiles.filter(f => f.isFile && !f.getName.startsWith("_"))
+    assert(files.nonEmpty, "directory insert must land files")
+    // and a BACKQUOTED target still gets its DDL-time refresh
+    spark.sql("DROP TABLE IF EXISTS `end`")
+    spark.sql("CREATE TABLE `end` (k BIGINT) USING parquet")
+    HiveQl.sql(spark, "INSERT INTO `end` SELECT 5")
+    val props = spark.sql("SHOW TBLPROPERTIES `end`").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("transient_lastDdlTime").exists(_.trim.forall(_.isDigit)),
+      s"backquoted insert target must refresh transient_lastDdlTime, got $props")
+    spark.sql("DROP TABLE `end`")
+  }
+
   test("SET and ADD FILE command lines run through HiveQl (ql/processors analogue)") {
     // SET k=v (SetProcessor.java) and ADD FILE (AddResourceProcessor.java)
     // parse natively in Spark SQL — assert the whole command→effect loop
