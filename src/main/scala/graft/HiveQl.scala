@@ -869,7 +869,7 @@ object HiveQl {
         // multi-insert fallback uses). A MANAGED storage-handler table
         // also drops its KV store table (HiveMetaHook commitDropTable).
         Some { s =>
-          Protect.checkDrop(table.split('.').last)
+          Protect.checkDrop(s, table.split('.').last)
           val meta = try Some(s.sessionState.catalog.getTableMetadata(
             s.sessionState.sqlParser.parseTableIdentifier(table)))
           catch { case _: Exception => None }
@@ -897,15 +897,15 @@ object HiveQl {
         Some(s => Locks.lockTable(s, table, mode))
       case UnlockTable(table) =>
         Some(s => Locks.unlockTable(s, table))
-      case CreateRole(role) => Some(_ => Authz.createRole(role))
-      case DropRole(role) => Some(_ => Authz.dropRole(role))
-      case GrantRole(role, user) => Some(_ => Authz.grantRole(role, user))
-      case RevokeRole(role, user) => Some(_ => Authz.revokeRole(role, user))
+      case CreateRole(role) => Some(s => Authz.createRole(s, role))
+      case DropRole(role) => Some(s => Authz.dropRole(s, role))
+      case GrantRole(role, user) => Some(s => Authz.grantRole(s, role, user))
+      case RevokeRole(role, user) => Some(s => Authz.revokeRole(s, role, user))
       case GrantPriv(privs, objType, objName, pType, principal, withGrant) =>
         Some(s => Authz.grant(s, privs.split(",").map(_.trim).toSeq, pType,
           principal, objType, objName, withGrant != null))
       case RevokePriv(privs, objType, objName, pType, principal) =>
-        Some(_ => Authz.revoke(privs.split(",").map(_.trim).toSeq, pType,
+        Some(s => Authz.revoke(s, privs.split(",").map(_.trim).toSeq, pType,
           principal, objType, objName))
       case _ if statementRows(q).isDefined => None
       case _ if operators.MultiInsert.matches(q) =>
@@ -955,7 +955,7 @@ object HiveQl {
             Option(objType).map(_ -> objName))))
       case ShowRoleGrant(user) =>
         Some((schema("role", "grant_time"),
-          _ => Authz.showRoleGrant(user)))
+          s => Authz.showRoleGrant(s, user)))
       case _ => None
     }
   }

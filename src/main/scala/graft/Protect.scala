@@ -29,12 +29,41 @@ object Protect {
 
   private val modes = TrieMap.empty[String, (Boolean, Boolean)] // (noDrop, offline)
 
-  def reset(): Unit = modes.clear()
+  // ---- durable flags (VERDICT r10 #4): the reference stores PROTECT_MODE
+  // in TABLE_PARAMS; these snapshots reload on first use per JVM and
+  // re-persist on mutation, so NO_DROP/OFFLINE survive a restart
+  private implicit val modeEnc: org.apache.spark.sql.Encoder[ModeRow] =
+    org.apache.spark.sql.Encoders.product[ModeRow]
+  private val metaLoaded = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private[graft] def ensureLoaded(spark: SparkSession): Unit =
+    if (metaLoaded.compareAndSet(false, true))
+      MetaPersist.load[ModeRow](spark, "protect").foreach(_.foreach(m =>
+        modes.putIfAbsent(m.table, (m.noDrop, m.offline))))
+
+  private def persist(spark: SparkSession): Unit = synchronized {
+    MetaPersist.save(spark, "protect",
+      modes.toSeq.sortBy(_._1).map { case (t, (n, o)) => ModeRow(t, n, o) })
+  }
+
+  /** Restart simulation for specs: forget in-memory state so the next
+    * access reloads the persisted snapshot, as a fresh JVM would.
+    */
+  private[graft] def forgetInMemory(): Unit = {
+    modes.clear()
+    metaLoaded.set(false)
+  }
+
+  def reset(): Unit = {
+    modes.clear()
+    metaLoaded.set(true) // a reset sticks; see Authz.reset
+  }
 
   private def key(t: String): String = t.toLowerCase
 
   def setMode(spark: SparkSession, table: String, enable: Boolean,
       mode: String): Unit = {
+    ensureLoaded(spark)
     val (noDrop, offline) = modes.getOrElse(key(table), (false, false))
     val next = mode.trim.toUpperCase match {
       case "NO_DROP" => (enable, offline)
@@ -43,6 +72,7 @@ object Protect {
     }
     if (next == ((false, false))) modes.remove(key(table))
     else modes.put(key(table), next)
+    persist(spark)
   }
 
   def isNoDrop(table: String): Boolean =
@@ -52,15 +82,18 @@ object Protect {
     modes.get(key(table)).exists(_._2)
 
   /** DDLTask.dropTable's protect check (DDLTask.java:2995-3010). */
-  def checkDrop(table: String): Unit =
+  def checkDrop(spark: SparkSession, table: String): Unit = {
+    ensureLoaded(spark)
     if (isNoDrop(table))
       throw new IllegalStateException(
         s"Table $table is protected from being dropped")
+  }
 
   /** ErrorMsg.OFFLINE_TABLE_OR_PARTITION for any statement referencing an
     * offline table (checked in the driver layer like the reference).
     */
   def checkStatement(spark: SparkSession, stmt: String): Unit = {
+    ensureLoaded(spark)
     if (modes.isEmpty || !modes.values.exists(_._2)) return
     val plan =
       try spark.sessionState.sqlParser.parsePlan(HiveQl.rewrite(stmt))

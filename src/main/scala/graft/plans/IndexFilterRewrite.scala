@@ -50,6 +50,7 @@ class IndexFilterRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           case fs: HadoopFsRelation
               if fs.partitionSchema.isEmpty &&
                 !fs.location.isInstanceOf[IndexPrunedFileIndex] =>
+            Indexes.ensureLoaded(spark) // durable registry: first use reloads
             val key = Indexes.rootKeyOf(fs.location.rootPaths.map(_.toString))
             val defs = Indexes.forRoot(key)
             if (defs.isEmpty) f

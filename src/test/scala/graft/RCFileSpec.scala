@@ -112,6 +112,8 @@ class RCFileSpec extends SparkSpec {
     // ColumnarSerDe semantics: extra file columns are skipped unread,
     // missing ones read as NULL — like the hivetext/hiveseq readers.
     spark.sql("DROP TABLE IF EXISTS rc_drift")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "rc_drift"))
     HiveQl.sql(spark,
       "CREATE TABLE rc_drift(a int, b string, c int) STORED AS RCFILE")
     HiveQl.sql(spark, "INSERT INTO rc_drift SELECT 1, 'x', 10")

@@ -267,6 +267,11 @@ class SqlDialectSpec extends SparkSpec {
     // ADVICE r10: the delimited rewrite emitted USING in place (after
     // PARTITIONED BY) — invalid Spark DDL. The hoist must reorder it.
     spark.sql("DROP TABLE IF EXISTS delim_part")
+    // partitioned non-native tables can leave their location behind on
+    // DROP (SourcesSpec's stale-warehouse note) — clear it so re-runs pass
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(wh, "delim_part"))
     HiveQl.sql(spark, "CREATE TABLE delim_part(a int, b string) " +
       "PARTITIONED BY (p string) " +
       "ROW FORMAT DELIMITED FIELDS TERMINATED BY ',' STORED AS TEXTFILE")
