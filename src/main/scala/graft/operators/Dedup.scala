@@ -330,10 +330,18 @@ object Dedup extends QueryModule {
       .agg(count(lit(1)).as("n_bands"))
   }
 
-  def incrementalAdmit(store: SigStore,
+  /** The JUDGMENT half of an admission — delta staging, candidate pairs,
+    * verification, the anti-join — without the store update. Factored out
+    * so the bootstrap convenience overload (q129's shape), which DISCARDS
+    * the updated store, does not pay the update's append writes (the r10
+    * bench regression: two store writes for a result nobody reads).
+    * Returns (admitted, delta words, delta bands, rejected verdict).
+    */
+  private def judgeDelta(store: SigStore,
       incoming: org.apache.spark.sql.DataFrame, threshold: Double,
-      cap: Option[Int], numHashes: Int,
-      numBands: Int): (org.apache.spark.sql.DataFrame, SigStore) = {
+      cap: Option[Int], numHashes: Int, numBands: Int):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val s = incoming.sparkSession
     // delta scratch names are EPOCH-scoped (see SigStore.epoch): the next
     // admit in the chain must not replace files this call's lazy results read
@@ -350,7 +358,17 @@ object Dedup extends QueryModule {
       verifyPairsW(store.words.union(inWords), pairs, threshold)
         .select(col("b_id").as("doc_id")).distinct(),
       s"${ep}_delta_rejected", store.baseDir)
-    val admitted = incoming.join(rejected, Seq("doc_id"), "left_anti")
+    (incoming.join(rejected, Seq("doc_id"), "left_anti"),
+      inWords, inBands, rejected)
+  }
+
+  def incrementalAdmit(store: SigStore,
+      incoming: org.apache.spark.sql.DataFrame, threshold: Double,
+      cap: Option[Int], numHashes: Int,
+      numBands: Int): (org.apache.spark.sql.DataFrame, SigStore) = {
+    val s = incoming.sparkSession
+    val (admitted, inWords, inBands, rejected) =
+      judgeDelta(store, incoming, threshold, cap, numHashes, numBands)
     // store update = APPEND the admitted delta's rows as a new epoch
     // partition — existing epochs are never read or rewritten, so the
     // update's I/O is proportional to the delta (IncrementalAdmitSpec pins
@@ -396,16 +414,32 @@ object Dedup extends QueryModule {
       store.baseDir, store.epoch)
   }
 
-  /** Convenience bootstrap form (and the q129 oracle surface): builds the
-    * signature store from `existing` — the one-time full-corpus scan that
-    * CREATES the store — then admits through it. Production deltas call the
-    * store overload so the corpus is never re-hashed.
+  /** Convenience bootstrap form (and the q129 oracle surface): one-shot
+    * judgment of `incoming` against `existing`, same admission rule as the
+    * store overload but with only the two staged writes the plan actually
+    * reuses — each word set feeds both banding and verification, so each
+    * stages once; the rejected verdict and the band frames have single
+    * consumers and stay lazy, and no store is materialized or updated
+    * (this form discards it — the r11 idle A/B caught the bootstrap path
+    * paying the chaining overload's store writes for a result nobody
+    * read). Production deltas call the store overload so the corpus is
+    * never re-hashed.
     */
   def incrementalAdmit(existing: org.apache.spark.sql.DataFrame,
       incoming: org.apache.spark.sql.DataFrame, threshold: Double,
-      cap: Option[Int] = None): org.apache.spark.sql.DataFrame =
-    incrementalAdmit(buildSigStore(existing, "sigstore_existing"),
-      incoming, threshold, cap, 16, 2)._1
+      cap: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    val s = existing.sparkSession
+    val dp = s.sparkContext.defaultParallelism
+    val exWords = Staging.stage(wordsOf(existing.repartition(dp)),
+      "sigstore_existing_words")
+    val inWords = Staging.stage(wordsOf(incoming.repartition(dp)),
+      "sigstore_existing_d0_delta_words")
+    val pairs = admissionPairs(bandsFromWords(exWords), bandsFromWords(inWords),
+      resolvedCap(s, cap))
+    val rejected = verifyPairsW(exWords.union(inWords), pairs, threshold)
+      .select(col("b_id").as("doc_id")).distinct()
+    incoming.join(rejected, Seq("doc_id"), "left_anti")
+  }
 
   // ---- Embedding-side incremental admission (the SemDeDup delta shape) --
 
