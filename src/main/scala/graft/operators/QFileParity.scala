@@ -1219,5 +1219,786 @@ object QFileParity extends QueryModule {
           (6, 'b int,a1 int,c int'),
           (7, 'a2 int,b int,c int'),
           (8, 'b int,a int,c int'))
-          v(stage, cols) ORDER BY stage""")))
+          v(stage, cols) ORDER BY stage""")),
+
+    // ================= round-11 battery growth: join family =============
+    // (VERDICT r10 #3: the families with the highest divergence yield)
+
+    // ---- clientpositive/join0.q: ON-less JOIN of two filtered subqueries
+    //      (a genuine cross join) — string key < int 10 coerces to DOUBLE
+    //      on both engines; the .q's SORT BY becomes a total ORDER BY for
+    //      the hash gate (the documented readback adaptation)
+    QueryDef(
+      "q180_qf_join0",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT src1.key as k1, src1.value as v1,
+                    src2.key as k2, src2.value as v2 FROM
+               (SELECT * FROM src WHERE src.key < 10) src1
+                 JOIN
+               (SELECT * FROM src WHERE src.key < 10) src2
+               ORDER BY k1, v1, k2, v2""")
+      },
+      Some(s"""$SrcCte
+        SELECT s1.key AS k1, s1.value AS v1, s2.key AS k2, s2.value AS v2
+        FROM (SELECT * FROM src WHERE CAST(key AS DOUBLE) < 10) s1,
+             (SELECT * FROM src WHERE CAST(key AS DOUBLE) < 10) s2
+        ORDER BY k1, v1, k2, v2""")),
+
+    // ---- clientpositive/join1.q: the corpus' canonical INSERT-through-
+    //      join — self equi-join on the string key, string->INT dest cast
+    QueryDef(
+      "q181_qf_join1",
+      (s, dir) => {
+        val d = s"dest_jq1_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(key INT, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"FROM src src1 JOIN src src2 ON (src1.key = src2.key) " +
+          s"INSERT OVERWRITE TABLE $d SELECT src1.key, src2.value")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY key, value")
+      },
+      Some(s"""$SrcCte
+        SELECT CAST(s1.key AS INT) AS key, s2.value AS value
+        FROM src s1 JOIN src s2 ON s1.key = s2.key
+        ORDER BY key, value""")),
+
+    // ---- clientpositive/join4.q: Hive FROM-SELECT subqueries composed
+    //      under a LEFT OUTER JOIN, whole composition re-selected through
+    //      an outer FROM and inserted — the left side's (10,20) band keeps
+    //      unmatched rows with NULL c3/c4
+    QueryDef(
+      "q182_qf_join4",
+      (s, dir) => {
+        val d = s"dest_jq4_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(c1 INT, c2 STRING, c3 INT, c4 STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM (
+               FROM
+                (
+                FROM src src1 SELECT src1.key AS c1, src1.value AS c2 WHERE src1.key > 10 and src1.key < 20
+                ) a
+               LEFT OUTER JOIN
+               (
+                FROM src src2 SELECT src2.key AS c3, src2.value AS c4 WHERE src2.key > 15 and src2.key < 25
+               ) b
+               ON (a.c1 = b.c3)
+               SELECT a.c1 AS c1, a.c2 AS c2, b.c3 AS c3, b.c4 AS c4
+              ) c
+              INSERT OVERWRITE TABLE $d SELECT c.c1, c.c2, c.c3, c.c4""")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY c1, c2, c3, c4")
+      },
+      Some(s"""$SrcCte
+        SELECT CAST(a.key AS INT) AS c1, a.value AS c2,
+               CAST(b.key AS INT) AS c3, b.value AS c4
+        FROM (SELECT * FROM src WHERE CAST(key AS DOUBLE) > 10 AND CAST(key AS DOUBLE) < 20) a
+        LEFT OUTER JOIN
+             (SELECT * FROM src WHERE CAST(key AS DOUBLE) > 15 AND CAST(key AS DOUBLE) < 25) b
+        ON a.key = b.key
+        ORDER BY c1, c2, c3 NULLS FIRST, c4 NULLS FIRST""")),
+
+    // ---- clientpositive/join5.q: the RIGHT OUTER twin of join4 — NULL
+    //      c1/c2 for right rows in (20,25)
+    QueryDef(
+      "q183_qf_join5",
+      (s, dir) => {
+        val d = s"dest_jq5_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(c1 INT, c2 STRING, c3 INT, c4 STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM (
+               FROM
+                (
+                FROM src src1 SELECT src1.key AS c1, src1.value AS c2 WHERE src1.key > 10 and src1.key < 20
+                ) a
+               RIGHT OUTER JOIN
+               (
+                FROM src src2 SELECT src2.key AS c3, src2.value AS c4 WHERE src2.key > 15 and src2.key < 25
+               ) b
+               ON (a.c1 = b.c3)
+               SELECT a.c1 AS c1, a.c2 AS c2, b.c3 AS c3, b.c4 AS c4
+              ) c
+              INSERT OVERWRITE TABLE $d SELECT c.c1, c.c2, c.c3, c.c4""")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY c1, c2, c3, c4")
+      },
+      Some(s"""$SrcCte
+        SELECT CAST(a.key AS INT) AS c1, a.value AS c2,
+               CAST(b.key AS INT) AS c3, b.value AS c4
+        FROM (SELECT * FROM src WHERE CAST(key AS DOUBLE) > 10 AND CAST(key AS DOUBLE) < 20) a
+        RIGHT OUTER JOIN
+             (SELECT * FROM src WHERE CAST(key AS DOUBLE) > 15 AND CAST(key AS DOUBLE) < 25) b
+        ON a.key = b.key
+        ORDER BY c1 NULLS FIRST, c2 NULLS FIRST, c3, c4""")),
+
+    // ---- clientpositive/join6.q: the FULL OUTER member of the family —
+    //      both bands contribute unmatched NULL-extended rows
+    QueryDef(
+      "q184_qf_join6",
+      (s, dir) => {
+        val d = s"dest_jq6_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(c1 INT, c2 STRING, c3 INT, c4 STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM (
+               FROM
+                (
+                FROM src src1 SELECT src1.key AS c1, src1.value AS c2 WHERE src1.key > 10 and src1.key < 20
+                ) a
+               FULL OUTER JOIN
+               (
+                FROM src src2 SELECT src2.key AS c3, src2.value AS c4 WHERE src2.key > 15 and src2.key < 25
+               ) b
+               ON (a.c1 = b.c3)
+               SELECT a.c1 AS c1, a.c2 AS c2, b.c3 AS c3, b.c4 AS c4
+              ) c
+              INSERT OVERWRITE TABLE $d SELECT c.c1, c.c2, c.c3, c.c4""")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY c1, c2, c3, c4")
+      },
+      Some(s"""$SrcCte
+        SELECT CAST(a.key AS INT) AS c1, a.value AS c2,
+               CAST(b.key AS INT) AS c3, b.value AS c4
+        FROM (SELECT * FROM src WHERE CAST(key AS DOUBLE) > 10 AND CAST(key AS DOUBLE) < 20) a
+        FULL OUTER JOIN
+             (SELECT * FROM src WHERE CAST(key AS DOUBLE) > 15 AND CAST(key AS DOUBLE) < 25) b
+        ON a.key = b.key
+        ORDER BY c1 NULLS FIRST, c2 NULLS FIRST, c3 NULLS FIRST, c4 NULLS FIRST""")),
+
+    // ---- clientpositive/join7.q: FULL OUTER then LEFT OUTER chained over
+    //      three FROM-SELECT subqueries — the left-join probe side is the
+    //      FULL OUTER's preserved a-side, so b-only rows keep NULL c5/c6
+    QueryDef(
+      "q185_qf_join7",
+      (s, dir) => {
+        val d = s"dest_jq7_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(c1 INT, c2 STRING, c3 INT, c4 STRING, c5 INT, c6 STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM (
+               FROM
+                (
+                FROM src src1 SELECT src1.key AS c1, src1.value AS c2 WHERE src1.key > 10 and src1.key < 20
+                ) a
+               FULL OUTER JOIN
+               (
+                FROM src src2 SELECT src2.key AS c3, src2.value AS c4 WHERE src2.key > 15 and src2.key < 25
+               ) b
+               ON (a.c1 = b.c3)
+               LEFT OUTER JOIN
+               (
+                FROM src src3 SELECT src3.key AS c5, src3.value AS c6 WHERE src3.key > 20 and src3.key < 25
+               ) c
+               ON (a.c1 = c.c5)
+               SELECT a.c1 AS c1, a.c2 AS c2, b.c3 AS c3, b.c4 AS c4, c.c5 AS c5, c.c6 AS c6
+              ) c
+              INSERT OVERWRITE TABLE $d SELECT c.c1, c.c2, c.c3, c.c4, c.c5, c.c6""")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY c1, c2, c3, c4, c5, c6")
+      },
+      Some(s"""$SrcCte
+        SELECT CAST(a.key AS INT) AS c1, a.value AS c2,
+               CAST(b.key AS INT) AS c3, b.value AS c4,
+               CAST(c.key AS INT) AS c5, c.value AS c6
+        FROM (SELECT * FROM src WHERE CAST(key AS DOUBLE) > 10 AND CAST(key AS DOUBLE) < 20) a
+        FULL OUTER JOIN
+             (SELECT * FROM src WHERE CAST(key AS DOUBLE) > 15 AND CAST(key AS DOUBLE) < 25) b
+        ON a.key = b.key
+        LEFT OUTER JOIN
+             (SELECT * FROM src WHERE CAST(key AS DOUBLE) > 20 AND CAST(key AS DOUBLE) < 25) c
+        ON a.key = c.key
+        ORDER BY c1 NULLS FIRST, c2 NULLS FIRST, c3 NULLS FIRST,
+                 c4 NULLS FIRST, c5 NULLS FIRST, c6 NULLS FIRST""")),
+
+    // ---- clientpositive/join8.q: join4's composition filtered to the
+    //      ANTI rows (c3 IS NULL AND c1 IS NOT NULL) at insert time — the
+    //      left-outer-as-anti-join idiom. ADAPTATION (q149-style, documented):
+    //      the .q's (10,20) left band contains only key 16 under our
+    //      quadratic-residue fixture and 16 always matches, leaving the
+    //      anti set empty (a vacuous oracle); kv1.txt's band has unmatched
+    //      keys 11/12/15. The left bound drops to 0 so the anti set is
+    //      non-empty ({1,4,9}) — the operator shape is untouched.
+    QueryDef(
+      "q186_qf_join8",
+      (s, dir) => {
+        val d = s"dest_jq8_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(c1 INT, c2 STRING, c3 INT, c4 STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM (
+               FROM
+                (
+                FROM src src1 SELECT src1.key AS c1, src1.value AS c2 WHERE src1.key > 0 and src1.key < 20
+                ) a
+               LEFT OUTER JOIN
+               (
+                FROM src src2 SELECT src2.key AS c3, src2.value AS c4 WHERE src2.key > 15 and src2.key < 25
+               ) b
+               ON (a.c1 = b.c3)
+               SELECT a.c1 AS c1, a.c2 AS c2, b.c3 AS c3, b.c4 AS c4
+              ) c
+              INSERT OVERWRITE TABLE $d SELECT c.c1, c.c2, c.c3, c.c4 where c.c3 IS NULL AND c.c1 IS NOT NULL""")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY c1, c2")
+      },
+      Some(s"""$SrcCte
+        SELECT c1, c2, c3, c4 FROM (
+          SELECT CAST(a.key AS INT) AS c1, a.value AS c2,
+                 CAST(b.key AS INT) AS c3, b.value AS c4
+          FROM (SELECT * FROM src WHERE CAST(key AS DOUBLE) > 0 AND CAST(key AS DOUBLE) < 20) a
+          LEFT OUTER JOIN
+               (SELECT * FROM src WHERE CAST(key AS DOUBLE) > 15 AND CAST(key AS DOUBLE) < 25) b
+          ON a.key = b.key) t
+        WHERE c3 IS NULL AND c1 IS NOT NULL
+        ORDER BY c1, c2""")),
+
+    // ---- clientpositive/join12.q: three aliased subqueries, each ON
+    //      carrying an extra range conjunct (c1 < 100, c5 < 80) — inner
+    //      joins, so the conjuncts behave as pushable filters
+    QueryDef(
+      "q187_qf_join12",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT src1.c1, src2.c4
+             FROM
+             (SELECT src.key as c1, src.value as c2 from src) src1
+             JOIN
+             (SELECT src.key as c3, src.value as c4 from src) src2
+             ON src1.c1 = src2.c3 AND src1.c1 < 100
+             JOIN
+             (SELECT src.key as c5, src.value as c6 from src) src3
+             ON src1.c1 = src3.c5 AND src3.c5 < 80
+             ORDER BY c1, c4""")
+      },
+      Some(s"""$SrcCte
+        SELECT s1.key AS c1, s2.value AS c4
+        FROM src s1 JOIN src s2 ON s1.key = s2.key AND CAST(s1.key AS DOUBLE) < 100
+        JOIN src s3 ON s1.key = s3.key AND CAST(s3.key AS DOUBLE) < 80
+        ORDER BY c1, c4""")),
+
+    // ---- clientpositive/join13.q: the third join's key is an EXPRESSION
+    //      over both earlier sides (c1 + c3 = c5) — string operands coerce
+    //      to DOUBLE for + and =
+    QueryDef(
+      "q188_qf_join13",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT src1.c1, src2.c4
+             FROM
+             (SELECT src.key as c1, src.value as c2 from src) src1
+             JOIN
+             (SELECT src.key as c3, src.value as c4 from src) src2
+             ON src1.c1 = src2.c3 AND src1.c1 < 100
+             JOIN
+             (SELECT src.key as c5, src.value as c6 from src) src3
+             ON src1.c1 + src2.c3 = src3.c5 AND src3.c5 < 200
+             ORDER BY c1, c4""")
+      },
+      Some(s"""$SrcCte
+        SELECT s1.key AS c1, s2.value AS c4
+        FROM src s1 JOIN src s2 ON s1.key = s2.key AND CAST(s1.key AS DOUBLE) < 100
+        JOIN src s3
+          ON CAST(s1.key AS DOUBLE) + CAST(s2.key AS DOUBLE) = CAST(s3.key AS DOUBLE)
+         AND CAST(s3.key AS DOUBLE) < 200
+        ORDER BY c1, c4""")),
+
+    // ---- clientpositive/join14.q: src x srcpart with a partition-column
+    //      conjunct INSIDE the ON (ds = '2008-04-08') plus a numeric range
+    //      on the probe side — partition pruning from an ON clause
+    QueryDef(
+      "q189_qf_join14",
+      (s, dir) => {
+        val d = s"dest_jq14_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(c1 INT, c2 STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM src JOIN srcpart ON src.key = srcpart.key AND srcpart.ds = '2008-04-08' and src.key > 100
+              INSERT OVERWRITE TABLE $d SELECT src.key, srcpart.value""")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY c1, c2")
+      },
+      Some(s"""$SrcPartCte
+        SELECT CAST(src.key AS INT) AS c1, srcpart.value AS c2
+        FROM src JOIN srcpart
+          ON src.key = srcpart.key AND srcpart.ds = '2008-04-08'
+         AND CAST(src.key AS DOUBLE) > 100
+        ORDER BY c1, c2""")),
+
+    // ---- clientpositive/join17.q: SELECT src1.*, src2.* through a wide
+    //      typed dest — star expansion across join sides into INT/STRING
+    //      column pairs
+    QueryDef(
+      "q190_qf_join17",
+      (s, dir) => {
+        val d = s"dest_jq17_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(key1 INT, value1 STRING, key2 INT, value2 STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"FROM src src1 JOIN src src2 ON (src1.key = src2.key) " +
+          s"INSERT OVERWRITE TABLE $d SELECT src1.*, src2.*")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY key1, value1, key2, value2")
+      },
+      Some(s"""$SrcCte
+        SELECT CAST(s1.key AS INT) AS key1, s1.value AS value1,
+               CAST(s2.key AS INT) AS key2, s2.value AS value2
+        FROM src s1 JOIN src s2 ON s1.key = s2.key
+        ORDER BY key1, value1, key2, value2""")),
+
+    // ---- clientpositive/join20.q: INNER then RIGHT OUTER with range
+    //      conjuncts in BOTH ONs — the inner join's conjunct must not
+    //      filter right-side-preserved rows; output columns dealiased for
+    //      the gate (join18 pattern)
+    QueryDef(
+      "q191_qf_join20",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT src1.key AS k1, src1.value AS v1, src2.key AS k2,
+                    src2.value AS v2, src3.key AS k3, src3.value AS v3
+             FROM src src1 JOIN src src2 ON (src1.key = src2.key AND src1.key < 10)
+             RIGHT OUTER JOIN src src3 ON (src1.key = src3.key AND src3.key < 20)
+             ORDER BY k1, v1, k2, v2, k3, v3""")
+      },
+      Some(s"""$SrcCte
+        SELECT a.k1, a.v1, a.k2, a.v2, s3.key AS k3, s3.value AS v3
+        FROM (SELECT s1.key AS k1, s1.value AS v1, s2.key AS k2, s2.value AS v2
+              FROM src s1 JOIN src s2
+                ON s1.key = s2.key AND CAST(s1.key AS DOUBLE) < 10) a
+        RIGHT OUTER JOIN src s3
+          ON a.k1 = s3.key AND CAST(s3.key AS DOUBLE) < 20
+        ORDER BY k1 NULLS FIRST, v1 NULLS FIRST, k2 NULLS FIRST,
+                 v2 NULLS FIRST, k3, v3""")),
+
+    // ================= round-11 battery growth: ppd family ==============
+    // (predicate-pushdown correctness: the .q pairs run each query under
+    // both hive.ppd.remove.duplicatefilters settings and expect identical
+    // rows — here Catalyst owns pushdown, so the parity claim is that the
+    // PUSHED plan still computes Hive's answer)
+
+    // ---- clientpositive/ppd1.q: STRING-comparison filter ('2' is a
+    //      string literal — lexicographic, NOT numeric: '19' < '2')
+    QueryDef(
+      "q192_qf_ppd1",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          "SELECT src.key as c3 from src where src.key > '2' ORDER BY c3")
+      },
+      Some(s"""$SrcCte
+        SELECT key AS c3 FROM src WHERE key > '2' ORDER BY c3""")),
+
+    // ---- clientpositive/ppd_gby2.q: filter over a grouped subquery with
+    //      a mixed pushable/unpushable conjunct (c1 > 'val_200' pushes
+    //      below the outer agg; the OR over count must not)
+    QueryDef(
+      "q193_qf_ppd_gby2",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT max(src1.c1) AS m, src1.c2
+             FROM
+             (SELECT src.value AS c1, count(src.key) AS c2 FROM src WHERE src.value > 'val_10' GROUP BY src.value) src1
+             WHERE src1.c1 > 'val_200' AND (src1.c2 > 30 OR src1.c1 < 'val_400')
+             GROUP BY src1.c2
+             ORDER BY m, c2""")
+      },
+      Some(s"""$SrcCte
+        SELECT max(c1) AS m, c2 FROM
+          (SELECT value AS c1, CAST(count(key) AS BIGINT) AS c2
+           FROM src WHERE value > 'val_10' GROUP BY value) t
+        WHERE c1 > 'val_200' AND (c2 > 30 OR c1 < 'val_400')
+        GROUP BY c2 ORDER BY m, c2""")),
+
+    // ---- clientpositive/ppd_join.q: filtered subqueries under a join
+    //      with an ON range conjunct plus a 4-conjunct WHERE mixing both
+    //      sides (all STRING comparisons)
+    QueryDef(
+      "q194_qf_ppd_join",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT src1.c1, src2.c4
+             FROM
+             (SELECT src.key as c1, src.value as c2 from src where src.key > '1' ) src1
+             JOIN
+             (SELECT src.key as c3, src.value as c4 from src where src.key > '2' ) src2
+             ON src1.c1 = src2.c3 AND src1.c1 < '400'
+             WHERE src1.c1 > '20' and (src1.c2 < 'val_50' or src1.c1 > '2') and (src2.c3 > '50' or src1.c1 < '50') and (src2.c3 <> '4')
+             ORDER BY c1, c4""")
+      },
+      Some(s"""$SrcCte
+        SELECT s1.key AS c1, s2.value AS c4
+        FROM (SELECT key, value FROM src WHERE key > '1') s1
+        JOIN (SELECT key, value FROM src WHERE key > '2') s2
+          ON s1.key = s2.key AND s1.key < '400'
+        WHERE s1.key > '20' AND (s1.value < 'val_50' OR s1.key > '2')
+          AND (s2.key > '50' OR s1.key < '50') AND s2.key <> '4'
+        ORDER BY c1, c4""")),
+
+    // ---- clientpositive/ppd_join2.q: three-way with a VALUE-keyed third
+    //      join (c2 = c6) and a sqrt() conjunct — pushdown must respect
+    //      the non-key join and the non-deterministic-looking UDF
+    QueryDef(
+      "q195_qf_ppd_join2",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT src1.c1, src2.c4
+             FROM
+             (SELECT src.key as c1, src.value as c2 from src where src.key <> '302' ) src1
+             JOIN
+             (SELECT src.key as c3, src.value as c4 from src where src.key <> '305' ) src2
+             ON src1.c1 = src2.c3 AND src1.c1 < '400'
+             JOIN
+             (SELECT src.key as c5, src.value as c6 from src where src.key <> '306' ) src3
+             ON src1.c2 = src3.c6
+             WHERE src1.c1 <> '311' and (src1.c2 <> 'val_50' or src1.c1 > '1') and (src2.c3 <> '10' or src1.c1 <> '10') and (src2.c3 <> '14') and (sqrt(src3.c5) <> 13)
+             ORDER BY c1, c4""")
+      },
+      Some(s"""$SrcCte
+        SELECT s1.key AS c1, s2.value AS c4
+        FROM (SELECT key, value FROM src WHERE key <> '302') s1
+        JOIN (SELECT key, value FROM src WHERE key <> '305') s2
+          ON s1.key = s2.key AND s1.key < '400'
+        JOIN (SELECT key, value FROM src WHERE key <> '306') s3
+          ON s1.value = s3.value
+        WHERE s1.key <> '311' AND (s1.value <> 'val_50' OR s1.key > '1')
+          AND (s2.key <> '10' OR s1.key <> '10') AND s2.key <> '14'
+          AND sqrt(CAST(s3.key AS DOUBLE)) <> 13
+        ORDER BY c1, c4""")),
+
+    // ---- clientpositive/ppd_outer_join1.q: WHERE over a LEFT OUTER join
+    //      with NUMERIC comparisons on both sides — post-join b-side
+    //      filters null out the preserved rows, collapsing to inner
+    QueryDef(
+      "q196_qf_ppd_outer_join1",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """FROM
+              src a
+             LEFT OUTER JOIN
+              src b
+             ON (a.key = b.key)
+             SELECT a.key AS k1, a.value AS v1, b.key AS k2, b.value AS v2
+             WHERE a.key > 10 AND a.key < 20 AND b.key > 15 AND b.key < 25
+             ORDER BY k1, v1, k2, v2""")
+      },
+      Some(s"""$SrcCte
+        SELECT a.key AS k1, a.value AS v1, b.key AS k2, b.value AS v2
+        FROM src a LEFT OUTER JOIN src b ON a.key = b.key
+        WHERE CAST(a.key AS DOUBLE) > 10 AND CAST(a.key AS DOUBLE) < 20
+          AND CAST(b.key AS DOUBLE) > 15 AND CAST(b.key AS DOUBLE) < 25
+        ORDER BY k1, v1, k2, v2""")),
+
+    // ---- clientpositive/ppd_outer_join2.q: the RIGHT OUTER twin with
+    //      STRING comparisons (lexicographic bands select entirely
+    //      different keys than the numeric form)
+    QueryDef(
+      "q197_qf_ppd_outer_join2",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """FROM
+              src a
+             RIGHT OUTER JOIN
+              src b
+             ON (a.key = b.key)
+             SELECT a.key AS k1, a.value AS v1, b.key AS k2, b.value AS v2
+             WHERE a.key > '10' AND a.key < '20' AND b.key > '15' AND b.key < '25'
+             ORDER BY k1, v1, k2, v2""")
+      },
+      Some(s"""$SrcCte
+        SELECT a.key AS k1, a.value AS v1, b.key AS k2, b.value AS v2
+        FROM src a RIGHT OUTER JOIN src b ON a.key = b.key
+        WHERE a.key > '10' AND a.key < '20' AND b.key > '15' AND b.key < '25'
+        ORDER BY k1, v1, k2, v2""")),
+
+    // ---- clientpositive/ppd_outer_join3.q: FULL OUTER under both-side
+    //      WHERE bands — filters on both sides collapse it to inner
+    QueryDef(
+      "q198_qf_ppd_outer_join3",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """FROM
+              src a
+             FULL OUTER JOIN
+              src b
+             ON (a.key = b.key)
+             SELECT a.key AS k1, a.value AS v1, b.key AS k2, b.value AS v2
+             WHERE a.key > '10' AND a.key < '20' AND b.key > '15' AND b.key < '25'
+             ORDER BY k1, v1, k2, v2""")
+      },
+      Some(s"""$SrcCte
+        SELECT a.key AS k1, a.value AS v1, b.key AS k2, b.value AS v2
+        FROM src a FULL OUTER JOIN src b ON a.key = b.key
+        WHERE a.key > '10' AND a.key < '20' AND b.key > '15' AND b.key < '25'
+        ORDER BY k1, v1, k2, v2""")),
+
+    // ---- clientpositive/ppd_outer_join4.q: LEFT OUTER then RIGHT OUTER
+    //      chained, plus a sqrt() conjunct on the right-preserved side
+    QueryDef(
+      "q199_qf_ppd_outer_join4",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """FROM
+              src a
+             LEFT OUTER JOIN
+              src b
+             ON (a.key = b.key)
+             RIGHT OUTER JOIN
+              src c
+             ON (a.key = c.key)
+             SELECT a.key AS k1, a.value AS v1, b.key AS k2, b.value AS v2, c.key AS k3
+             WHERE a.key > '10' AND a.key < '20' AND b.key > '15' AND b.key < '25' AND sqrt(c.key) <> 13
+             ORDER BY k1, v1, k2, v2, k3""")
+      },
+      Some(s"""$SrcCte
+        SELECT a.key AS k1, a.value AS v1, b.key AS k2, b.value AS v2, c.key AS k3
+        FROM src a LEFT OUTER JOIN src b ON a.key = b.key
+        RIGHT OUTER JOIN src c ON a.key = c.key
+        WHERE a.key > '10' AND a.key < '20' AND b.key > '15' AND b.key < '25'
+          AND sqrt(CAST(c.key AS DOUBLE)) <> 13
+        ORDER BY k1, v1, k2, v2, k3""")),
+
+    // ---- clientpositive/ppd_clusterby.q: filters under CLUSTER BY, solo
+    //      and through a join (numeric equality on the string key); the
+    //      readback wraps a total ORDER BY over the clustered output.
+    //      ADAPTATION: the .q's keys 10/20 are not quadratic residues, so
+    //      under our fixture both branches were empty (vacuous oracle) —
+    //      9/16 are present and keep both branches non-empty
+    QueryDef(
+      "q200_qf_ppd_clusterby",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT key, value FROM
+               (SELECT * FROM src x where x.key = 9 CLUSTER BY x.key) t
+             UNION ALL
+             SELECT key2 AS key, v1 AS value FROM
+               (SELECT x.key AS key2, x.value as v1, y.key AS yk
+                FROM src x JOIN src y ON (x.key = y.key)
+                where x.key = 16 CLUSTER BY v1) u
+             ORDER BY key, value""")
+      },
+      Some(s"""$SrcCte
+        SELECT key, value FROM src WHERE CAST(key AS DOUBLE) = 9
+        UNION ALL
+        SELECT x.key, x.value FROM src x JOIN src y ON x.key = y.key
+        WHERE CAST(x.key AS DOUBLE) = 16
+        ORDER BY key, value""")),
+
+    // ---- clientpositive/ppd_union.q: filters above and below a UNION ALL
+    //      of two FROM-SELECT branches — the outer predicate pushes into
+    //      BOTH branches
+    QueryDef(
+      "q201_qf_ppd_union",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """FROM (
+               FROM src select src.key, src.value WHERE src.key < '100'
+                 UNION ALL
+               FROM src SELECT src.* WHERE src.key > '150'
+             ) unioned_query
+             SELECT unioned_query.*
+               WHERE key > '4' and value > 'val_4'
+             ORDER BY key, value""")
+      },
+      Some(s"""$SrcCte
+        SELECT key, value FROM (
+          SELECT key, value FROM src WHERE key < '100'
+          UNION ALL
+          SELECT key, value FROM src WHERE key > '150') t
+        WHERE key > '4' AND value > 'val_4'
+        ORDER BY key, value""")),
+
+    // ---- clientpositive/ppd_transform.q: predicate above a TRANSFORM
+    //      subquery — the filter CANNOT push through the script (the
+    //      engine can't see through /bin/cat), so it evaluates over the
+    //      script's string output with numeric coercion
+    QueryDef(
+      "q202_qf_ppd_transform",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """FROM (
+               FROM src
+               SELECT TRANSFORM(src.key, src.value)
+                      USING '/bin/cat' AS (tkey, tvalue)
+               CLUSTER BY tkey
+             ) tmap
+             SELECT tmap.tkey, tmap.tvalue WHERE tmap.tkey < 100
+             ORDER BY tkey, tvalue""")
+      },
+      Some(s"""$SrcCte
+        SELECT key AS tkey, value AS tvalue FROM src
+        WHERE CAST(key AS DOUBLE) < 100
+        ORDER BY tkey, tvalue""")),
+
+    // ================= round-11 battery growth: groupby family ==========
+
+    // ---- clientpositive/groupby2.q: count(DISTINCT) beside a plain sum,
+    //      and concat(string, sum-double) — Hive's double-to-string
+    //      rendering ("67312.0") must survive the STRING dest column
+    QueryDef(
+      "q203_qf_groupby2",
+      (s, dir) => {
+        val d = s"dest_g2b_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(key STRING, c1 INT, c2 STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"FROM src INSERT OVERWRITE TABLE $d " +
+          "SELECT substr(src.key,1,1), count(DISTINCT substr(src.value,5)), " +
+          "concat(substr(src.key,1,1),sum(substr(src.value,5))) GROUP BY substr(src.key,1,1)")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY key")
+      },
+      Some(s"""$SrcCte
+        SELECT substr(key,1,1) AS key,
+               CAST(count(DISTINCT substr(value,5)) AS INT) AS c1,
+               substr(key,1,1) ||
+                 CAST(sum(CAST(substr(value,5) AS DOUBLE)) AS VARCHAR) AS c2
+        FROM src GROUP BY substr(key,1,1) ORDER BY key""")),
+
+    // ---- clientpositive/groupby4.q: grouping on a pure substr projection
+    //      (no aggregates beside the key — the distinct-first-char set)
+    QueryDef(
+      "q204_qf_groupby4",
+      (s, dir) => {
+        val d = s"dest_g4_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(c1 STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"FROM src INSERT OVERWRITE TABLE $d " +
+          "SELECT substr(src.key,1,1) GROUP BY substr(src.key,1,1)")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY c1")
+      },
+      Some(s"""$SrcCte
+        SELECT DISTINCT substr(key,1,1) AS c1 FROM src ORDER BY c1""")),
+
+    // ---- clientpositive/groupby5.q: groupby1's aggregation written
+    //      INSERT-first (INSERT OVERWRITE ... SELECT ... FROM ... GROUP BY)
+    QueryDef(
+      "q205_qf_groupby5",
+      (s, dir) => {
+        val d = s"dest_g5_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(key INT, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""INSERT OVERWRITE TABLE $d
+              SELECT src.key, sum(substr(src.value,5))
+              FROM src
+              GROUP BY src.key""")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY key")
+      },
+      Some(s"""$SrcCte
+        SELECT CAST(key AS INT) AS key,
+               CAST(sum(CAST(substr(value,5) AS DOUBLE)) AS VARCHAR) AS value
+        FROM src GROUP BY key ORDER BY key""")),
+
+    // ---- clientpositive/groupby9.q: ONE source scan feeding TWO grouped
+    //      dests with different keys (multi-insert x group-by), then the
+    //      same pair with dest2's GROUP BY columns reordered
+    QueryDef(
+      "q206_qf_groupby9",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val (d1, d2) = (s"dest_g9a_$sfx", s"dest_g9b_$sfx")
+        fresh(s, d1, d2)
+        HiveQl.sql(s, s"CREATE TABLE $d1(key INT, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"CREATE TABLE $d2(key INT, val1 STRING, val2 STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM SRC
+              INSERT OVERWRITE TABLE $d1 SELECT SRC.key, COUNT(DISTINCT SUBSTR(SRC.value,5)) GROUP BY SRC.key
+              INSERT OVERWRITE TABLE $d2 SELECT SRC.key, SRC.value, COUNT(DISTINCT SUBSTR(SRC.value,5)) GROUP BY SRC.key, SRC.value""")
+        // the .q's second pair: identical aggregates, GROUP BY reordered
+        HiveQl.sql(s,
+          s"""FROM SRC
+              INSERT OVERWRITE TABLE $d1 SELECT SRC.key, COUNT(DISTINCT SUBSTR(SRC.value,5)) GROUP BY SRC.key
+              INSERT OVERWRITE TABLE $d2 SELECT SRC.key, SRC.value, COUNT(DISTINCT SUBSTR(SRC.value,5)) GROUP BY SRC.value, SRC.key""")
+        HiveQl.sql(s,
+          s"""SELECT 'd1' AS tag, key, value AS v1, '' AS v2 FROM $d1
+              UNION ALL
+              SELECT 'd2' AS tag, key, val1 AS v1, val2 AS v2 FROM $d2
+              ORDER BY tag, key, v1, v2""")
+      },
+      Some(s"""$SrcCte
+        SELECT 'd1' AS tag, CAST(key AS INT) AS key,
+               CAST(count(DISTINCT substr(value,5)) AS VARCHAR) AS v1, '' AS v2
+        FROM src GROUP BY key
+        UNION ALL
+        SELECT 'd2' AS tag, CAST(key AS INT) AS key, value AS v1,
+               CAST(count(DISTINCT substr(value,5)) AS VARCHAR) AS v2
+        FROM src GROUP BY key, value
+        ORDER BY tag, key, v1, v2""")),
+
+    // ---- clientpositive/groupby2_map_multi_distinct.q: TWO distinct
+    //      aggregates over the same column expression beside plain ones —
+    //      count(DISTINCT) + sum(DISTINCT) + count in one GROUP BY
+    QueryDef(
+      "q207_qf_groupby2_multi_distinct",
+      (s, dir) => {
+        val d = s"dest_g2md_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(key STRING, c1 INT, c2 STRING, c3 INT, c4 INT) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"FROM src INSERT OVERWRITE TABLE $d " +
+          "SELECT substr(src.key,1,1), count(DISTINCT substr(src.value,5)), " +
+          "concat(substr(src.key,1,1),sum(substr(src.value,5))), " +
+          "sum(DISTINCT substr(src.value, 5)), count(src.value) GROUP BY substr(src.key,1,1)")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY key")
+      },
+      Some(s"""$SrcCte
+        SELECT substr(key,1,1) AS key,
+               CAST(count(DISTINCT substr(value,5)) AS INT) AS c1,
+               substr(key,1,1) ||
+                 CAST(sum(CAST(substr(value,5) AS DOUBLE)) AS VARCHAR) AS c2,
+               CAST(sum(DISTINCT CAST(substr(value,5) AS DOUBLE)) AS INT) AS c3,
+               CAST(count(value) AS INT) AS c4
+        FROM src GROUP BY substr(key,1,1) ORDER BY key""")),
+
+    // ---- clientpositive/groupby_ppr_multi_distinct.q: the multi-distinct
+    //      aggregate over srcpart with a partition-pruning WHERE — the
+    //      ds filter must prune before the distinct shuffle
+    QueryDef(
+      "q208_qf_groupby_ppr_multi_distinct",
+      (s, dir) => {
+        val d = s"dest_gppr_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(key STRING, c1 INT, c2 STRING, c3 INT, c4 INT) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM srcpart src
+              INSERT OVERWRITE TABLE $d
+              SELECT substr(src.key,1,1), count(DISTINCT substr(src.value,5)), concat(substr(src.key,1,1),sum(substr(src.value,5))), sum(DISTINCT substr(src.value, 5)), count(DISTINCT src.value)
+              WHERE src.ds = '2008-04-08'
+              GROUP BY substr(src.key,1,1)""")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY key")
+      },
+      Some(s"""$SrcPartCte
+        SELECT substr(key,1,1) AS key,
+               CAST(count(DISTINCT substr(value,5)) AS INT) AS c1,
+               substr(key,1,1) ||
+                 CAST(sum(CAST(substr(value,5) AS DOUBLE)) AS VARCHAR) AS c2,
+               CAST(sum(DISTINCT CAST(substr(value,5) AS DOUBLE)) AS INT) AS c3,
+               CAST(count(DISTINCT value) AS INT) AS c4
+        FROM srcpart WHERE ds = '2008-04-08'
+        GROUP BY substr(key,1,1) ORDER BY key""")),
+
+    // ---- clientpositive/groupby_neg_float.q: grouping on a NEGATIVE
+    //      float constant, as DOUBLE and as bare string — the double's
+    //      string rendering must keep the sign and decimals
+    QueryDef(
+      "q209_qf_groupby_neg_float",
+      (s, dir) => {
+        fixtures(s, dir)
+        val a = HiveQl.sql(s,
+          """FROM src
+             SELECT cast('-30.33' as DOUBLE) AS c
+             GROUP BY cast('-30.33' as DOUBLE)
+             LIMIT 1""").selectExpr("'dbl' AS tag", "CAST(c AS STRING) AS c")
+        val b = HiveQl.sql(s,
+          """FROM src
+             SELECT '-30.33' AS c
+             GROUP BY '-30.33'
+             LIMIT 1""").selectExpr("'str' AS tag", "c")
+        a.union(b).orderBy("tag")
+      },
+      Some("""SELECT 'dbl' AS tag, '-30.33' AS c
+              UNION ALL SELECT 'str', '-30.33' ORDER BY tag""")))
 }
