@@ -255,6 +255,10 @@ object HiveQl {
   // LazySimpleSerDe's configurable separator, ctas.q's comma tables) →
   // hivetext with the delimiter as an OPTION; the placeholder is emitted
   // into the OPTIONS clause so unmasking restores the quoted literal
+  // TRANSFORM-side explicit LazySimpleSerDe (Hive.g rowFormat in
+  // selectTrfmClause) — not followed by STORED, which is the CREATE form
+  private val TransformSerde =
+    """(?is)\bROW\s+FORMAT\s+SERDE\s+(\d+)\s*(?!STORED\b)""".r
   private val DelimitedText =
     ("""(?is)ROW\s+FORMAT\s+DELIMITED\s+FIELDS\s+TERMINATED\s+BY\s+(\d+)""" +
       """(?:\s+LINES\s+TERMINATED\s+BY\s+\d+)?\s+STORED\s+AS\s+TEXTFILE\b""").r
@@ -269,7 +273,15 @@ object HiveQl {
     val noSerde = RowFormatSerde.replaceAllIn(delim, m =>
       if (lit(m.group(1)).matches(""".*(ColumnarSerDe|LazySimpleSerDe)""")) ""
       else m.matched)
-    StoredAsInOut.replaceAllIn(noSerde, m => {
+    // TRANSFORM(...) ROW FORMAT SERDE 'LazySimpleSerDe' USING ... /
+    // AS (...) ROW FORMAT SERDE '...' (input34.q): LazySimpleSerDe with
+    // default properties IS Spark's default TRANSFORM row codec (^A
+    // delimiters, \N nulls), and Spark rejects the explicit SERDE spelling
+    // outside hive mode — strip it. The negative lookahead leaves the
+    // CREATE-side `SERDE ... STORED AS` form to the rewrite above.
+    val noTransformSerde = TransformSerde.replaceAllIn(noSerde, m =>
+      if (lit(m.group(1)).endsWith("LazySimpleSerDe")) " " else m.matched)
+    StoredAsInOut.replaceAllIn(noTransformSerde, m => {
       val (inF, outF) = (lit(m.group(1)), lit(m.group(2)))
       if (inF.endsWith("RCFileInputFormat") && outF.endsWith("RCFileOutputFormat"))
         "USING graft.sources.HiveRCSource"
@@ -340,8 +352,32 @@ object HiveQl {
   private val BareInsertDir =
     ("""(?is)\b(INSERT\s+OVERWRITE\s+(?:LOCAL\s+)?DIRECTORY\s+\d+)(?!\s+(?:USING|STORED)\b)""").r
 
+  // Hive 0.8 has NO decimal type: a bare float literal IS a DOUBLE
+  // (Hive.g Number -> TOK_DOUBLE; DECIMAL arrived in 0.11). Spark types
+  // `1.0` as DECIMAL(2,1), which silently changes arithmetic: Hive's
+  // 1.0/0.0 is Infinity, decimal division is NULL-on-divide-by-zero
+  // (udf_round.q's round(1.0/0.0, 0) caught the divergence). Suffix
+  // unquoted decimal-point literals with `D` so they type as DOUBLE.
+  // Guards: no leading/trailing word or dot char (identifiers, exponent
+  // and D/BD-suffixed forms excluded), and not followed by an INTERVAL /
+  // TABLESAMPLE unit keyword, where a typed literal is invalid.
+  private val FloatLiteral =
+    ("""(?i)(?<![\w.])(\d+\.\d+)(?![\w.])""" +
+      """(?!\s*(?:PERCENT|SECOND|MINUTE|HOUR|DAY|MONTH|YEAR|WEEK)S?\b)""").r
+
+  // Hive charset string literals `_UTF-8 0xE982B5...` (Hive.g
+  // charSetStringLiteral): bytes in the named charset. Spark has no
+  // literal form for this -> decode(unhex(hex), charset), the identical
+  // bytes-to-string read (udf_reverse.q's non-ascii case).
+  private val CharsetLiteral =
+    """(?<![\w])_([A-Za-z][\w-]*)\s+0[xX]([0-9A-Fa-f]+)""".r
+
   private def rewriteMasked(q: String): String = {
-    val iod = BareInsertDir.replaceAllIn(q, m =>
+    val cs = CharsetLiteral.replaceAllIn(q, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"decode(unhex('${m.group(2)}'), '${m.group(1)}')"))
+    val dbl = FloatLiteral.replaceAllIn(cs, m => m.group(1) + "D")
+    val iod = BareInsertDir.replaceAllIn(dbl, m =>
       java.util.regex.Matcher.quoteReplacement(
         s"${m.group(1)} USING graft.sources.HiveTextSource"))
     val clustered = ClusteredStoredAs.replaceAllIn(iod, m =>
@@ -912,9 +948,12 @@ object HiveQl {
         Some { s =>
           if (!operators.MultiInsert.run(s, q)) {
             // unhandled shape: native per-branch execution, guarded so the
-            // re-submitted text reaches the delegate parser
+            // re-submitted text reaches the delegate parser; same Hive
+            // store-assignment retry as the handled path (a DIRECTORY
+            // branch, e.g., lands here — input13.q)
             bypassStatements.set(true)
-            try s.sql(rewrite(q)) finally bypassStatements.set(false)
+            try withLegacyStoreRetry(s)(s.sql(rewrite(q)))
+            finally bypassStatements.set(false)
           }
         }
       case _ => None

@@ -93,6 +93,17 @@ object GraftFunctions {
       es => aggregate.StddevPop(Cast(es.head, DoubleType)).toAggregateExpression()),
     reg("variance", classOf[aggregate.VariancePop],
       es => aggregate.VariancePop(Cast(es.head, DoubleType)).toAggregateExpression()),
+    // Hive UDFRound passes NON-FINITE doubles through unchanged
+    // (udf_round.q golden: round(1.0/0.0, 0) = Infinity), while Spark's
+    // BigDecimal rounding nulls them. Wrap, preserving the operand type in
+    // both branches so no result type changes for finite inputs.
+    reg("round", classOf[Round], es => {
+      val x = es.head
+      val sc = if (es.size >= 2) es(1) else Literal(0)
+      val xd = Cast(x, DoubleType)
+      If(Or(IsNaN(xd), EqualTo(Abs(xd), Literal(Double.PositiveInfinity))),
+        x, Round(x, sc))
+    }),
     reg("parse_url_tuple", classOf[ParseUrlTuple], ParseUrlTuple(_)),
     // NOTE: fully qualified on purpose. The wildcard import of
     // catalyst.expressions._ SHADOWS same-package classes from other files
@@ -259,7 +270,7 @@ object GraftFunctions {
     * Spark 3.5+'s raw-popcount `bitmap_count`, which reads compressed
     * bitmap bytes as garbage).
     */
-  val overridesBuiltin: Set[String] = Set("hash", "bitmap_count", "split",
+  val overridesBuiltin: Set[String] = Set("hash", "bitmap_count", "split", "round",
     "xpath", "xpath_string", "xpath_boolean", "xpath_short", "xpath_int",
     "xpath_long", "xpath_float", "xpath_double", "xpath_number",
     // Hive's std/stddev/variance are population; Spark's builtins are sample

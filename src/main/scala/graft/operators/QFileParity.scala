@@ -2000,5 +2000,383 @@ object QFileParity extends QueryModule {
         a.union(b).orderBy("tag")
       },
       Some("""SELECT 'dbl' AS tag, '-30.33' AS c
-              UNION ALL SELECT 'str', '-30.33' ORDER BY tag""")))
+              UNION ALL SELECT 'str', '-30.33' ORDER BY tag""")),
+
+    // ================= round-11 battery growth: input family ============
+
+    // ---- clientpositive/input11.q: the canonical filtered INSERT (the
+    //      serde/typed-dest baseline the rest of the family varies)
+    QueryDef(
+      "q210_qf_input11",
+      (s, dir) => {
+        val d = s"dest_i11_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(key INT, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"FROM src INSERT OVERWRITE TABLE $d " +
+          "SELECT src.key, src.value WHERE src.key < 100")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY key, value")
+      },
+      Some(s"""$SrcCte
+        SELECT CAST(key AS INT) AS key, value FROM src
+        WHERE CAST(key AS DOUBLE) < 100 ORDER BY key, value""")),
+
+    // ---- clientpositive/input13.q: FOUR-branch multi-insert — two plain
+    //      dests, a STATIC-PARTITION dest, and an INSERT OVERWRITE
+    //      DIRECTORY sink, all from one scan
+    QueryDef(
+      "q211_qf_input13",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val (d1, d2, d3) = (s"dest_i13a_$sfx", s"dest_i13b_$sfx", s"dest_i13c_$sfx")
+        fresh(s, d1, d2, d3)
+        val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_qf_dest4_$sfx")
+        org.apache.commons.io.FileUtils.deleteQuietly(out)
+        HiveQl.sql(s, s"CREATE TABLE $d1(key INT, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"CREATE TABLE $d2(key INT, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"CREATE TABLE $d3(key INT) PARTITIONED BY(ds STRING, hr STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM src
+              INSERT OVERWRITE TABLE $d1 SELECT src.* WHERE src.key < 100
+              INSERT OVERWRITE TABLE $d2 SELECT src.key, src.value WHERE src.key >= 100 and src.key < 200
+              INSERT OVERWRITE TABLE $d3 PARTITION(ds='2008-04-08', hr='12') SELECT src.key WHERE src.key >= 200 and src.key < 300
+              INSERT OVERWRITE DIRECTORY '${out.getAbsolutePath}' SELECT src.value WHERE src.key >= 300""")
+        val d4 = s.read.format("graft.sources.HiveTextSource")
+          .schema("value STRING").load(out.getAbsolutePath)
+        d4.createOrReplaceTempView(s"qf_i13_d4_$sfx")
+        HiveQl.sql(s,
+          s"""SELECT 'd1' AS tag, CAST(key AS STRING) AS c1, value AS c2 FROM $d1
+              UNION ALL SELECT 'd2', CAST(key AS STRING), value FROM $d2
+              UNION ALL SELECT 'd3', CAST(key AS STRING), concat(ds, '/', hr) FROM $d3
+              UNION ALL SELECT 'd4', value, '' FROM qf_i13_d4_$sfx
+              ORDER BY tag, c1, c2""")
+      },
+      Some(s"""$SrcCte
+        SELECT tag, c1, c2 FROM (
+          SELECT 'd1' AS tag, CAST(CAST(key AS INT) AS VARCHAR) AS c1, value AS c2
+          FROM src WHERE CAST(key AS DOUBLE) < 100
+          UNION ALL
+          SELECT 'd2', CAST(CAST(key AS INT) AS VARCHAR), value FROM src
+          WHERE CAST(key AS DOUBLE) >= 100 AND CAST(key AS DOUBLE) < 200
+          UNION ALL
+          SELECT 'd3', CAST(CAST(key AS INT) AS VARCHAR), '2008-04-08/12' FROM src
+          WHERE CAST(key AS DOUBLE) >= 200 AND CAST(key AS DOUBLE) < 300
+          UNION ALL
+          SELECT 'd4', value, '' FROM src WHERE CAST(key AS DOUBLE) >= 300) t
+        ORDER BY tag, c1, c2""")),
+
+    // ---- clientpositive/input17.q: TRANSFORM over the reference's OWN
+    //      src_thrift complex types — arithmetic over array elements and a
+    //      STRUCT through the script pipe, which serializes as the same
+    //      JSON Hive's DelimitedJSONSerDe emits. Oracle = the reference's
+    //      golden rows (input17.q.out), with ONE documented divergence:
+    //      for the all-NULL record Hive pipes the JSON text "null" while
+    //      Spark's transform writes its \N null marker, which reads back
+    //      as SQL NULL — asserted as NULL here.
+    QueryDef(
+      "q212_qf_input17",
+      (s, dir) => {
+        val d = s"dest_i17_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(key INT, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM (
+               FROM src_thrift
+               SELECT TRANSFORM(src_thrift.aint + src_thrift.lint[0], src_thrift.lintstring[0])
+                      USING '/bin/cat' AS (tkey, tvalue)
+               CLUSTER BY tkey
+             ) tmap
+             INSERT OVERWRITE TABLE $d SELECT tmap.tkey, tmap.tvalue""")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY key, value")
+      },
+      Some("""SELECT key, value FROM (VALUES
+          (NULL, NULL),
+          (-1461153966, '{"myint":49,"mystring":"343","underscore_int":7}'),
+          (-1952710705, '{"myint":25,"mystring":"125","underscore_int":5}'),
+          (-734328905, '{"myint":16,"mystring":"64","underscore_int":4}'),
+          (-751827636, '{"myint":4,"mystring":"8","underscore_int":2}'),
+          (1244525196, '{"myint":36,"mystring":"216","underscore_int":6}'),
+          (1638581586, '{"myint":64,"mystring":"512","underscore_int":8}'),
+          (1712634731, '{"myint":0,"mystring":"0","underscore_int":0}'),
+          (336964422, '{"myint":81,"mystring":"729","underscore_int":9}'),
+          (465985201, '{"myint":1,"mystring":"1","underscore_int":1}'),
+          (477111225, '{"myint":9,"mystring":"27","underscore_int":3}'))
+          v(key, value)
+        ORDER BY key NULLS FIRST, value NULLS FIRST""")),
+
+    // ---- clientpositive/input2_limit.q: LIMIT without ORDER BY — the
+    //      deterministic facts are the row count and the predicate holding
+    //      on every returned row (input1_limit's oracle pattern)
+    QueryDef(
+      "q213_qf_input2_limit",
+      (s, dir) => {
+        fixtures(s, dir)
+        val got = HiveQl.sql(s,
+          "SELECT x.* FROM SRC x WHERE x.key < 300 LIMIT 5")
+        got.createOrReplaceTempView("qf_i2l")
+        HiveQl.sql(s,
+          """SELECT (SELECT count(*) FROM qf_i2l) AS n,
+                    (SELECT count(*) FROM qf_i2l WHERE key >= 300) AS bad""")
+      },
+      Some("""SELECT CAST(5 AS BIGINT) AS n, CAST(0 AS BIGINT) AS bad""")),
+
+    // ---- clientpositive/input_part2.q: TWO partition-pruned branches of
+    //      one srcpart scan into schema-widened dests (partition columns
+    //      re-materialized as data columns)
+    QueryDef(
+      "q214_qf_input_part2",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val (d1, d2) = (s"dest_ip2a_$sfx", s"dest_ip2b_$sfx")
+        fresh(s, d1, d2)
+        HiveQl.sql(s, s"CREATE TABLE $d1(key INT, value STRING, hr STRING, ds STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"CREATE TABLE $d2(key INT, value STRING, hr STRING, ds STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM srcpart
+              INSERT OVERWRITE TABLE $d1 SELECT srcpart.key, srcpart.value, srcpart.hr, srcpart.ds WHERE srcpart.key < 100 and srcpart.ds = '2008-04-08' and srcpart.hr = '12'
+              INSERT OVERWRITE TABLE $d2 SELECT srcpart.key, srcpart.value, srcpart.hr, srcpart.ds WHERE srcpart.key < 100 and srcpart.ds = '2008-04-09' and srcpart.hr = '12'""")
+        HiveQl.sql(s,
+          s"""SELECT 'd1' AS tag, key, value, hr, ds FROM $d1
+              UNION ALL SELECT 'd2', key, value, hr, ds FROM $d2
+              ORDER BY tag, key, value, ds, hr""")
+      },
+      Some(s"""$SrcPartCte
+        SELECT 'd1' AS tag, CAST(key AS INT) AS key, value, hr, ds FROM srcpart
+        WHERE CAST(key AS DOUBLE) < 100 AND ds = '2008-04-08' AND hr = '12'
+        UNION ALL
+        SELECT 'd2', CAST(key AS INT), value, hr, ds FROM srcpart
+        WHERE CAST(key AS DOUBLE) < 100 AND ds = '2008-04-09' AND hr = '12'
+        ORDER BY tag, key, value, ds, hr""")),
+
+    // ---- clientpositive/input26.q: ORDER BY ... LIMIT inside one UNION
+    //      ALL branch, plain LIMIT over an EMPTY partition in the other
+    //      (hr='14' does not exist) — deterministic because ties on the
+    //      ordered prefix share identical full rows. ADAPTATION: Spark
+    //      requires parens around a union branch carrying ORDER BY/LIMIT
+    //      (Hive's grammar allows the bare form) — semantics unchanged
+    QueryDef(
+      "q215_qf_input26",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """select key, value, ds, hr from (
+               (select * from srcpart a where a.ds = '2008-04-08' and a.hr = '11' order by a.key limit 5)
+                 union all
+               (select * from srcpart b where b.ds = '2008-04-08' and b.hr = '14' limit 5)
+             )subq
+             ORDER BY key, value, ds, hr""")
+      },
+      Some(s"""$SrcPartCte
+        SELECT key, value, ds, hr FROM (
+          SELECT * FROM srcpart WHERE ds = '2008-04-08' AND hr = '11'
+          ORDER BY key LIMIT 5) t
+        ORDER BY key, value, ds, hr""")),
+
+    // ---- clientpositive/input34.q: TRANSFORM with EXPLICIT ROW FORMAT
+    //      SERDE LazySimpleSerDe on both sides — the spelled-out default
+    //      codec must behave exactly like the bare form (dialect strips it;
+    //      Spark rejects TRANSFORM-with-SERDE outside hive mode)
+    QueryDef(
+      "q216_qf_input34",
+      (s, dir) => {
+        val d = s"dest_i34_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(key INT, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM (
+               FROM src
+               SELECT TRANSFORM(src.key, src.value) ROW FORMAT SERDE 'org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe'
+               USING '/bin/cat'
+               AS (tkey, tvalue) ROW FORMAT SERDE 'org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe'
+             ) tmap
+             INSERT OVERWRITE TABLE $d SELECT tkey, tvalue""")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY key, value")
+      },
+      Some(s"""$SrcCte
+        SELECT CAST(key AS INT) AS key, value FROM src ORDER BY key, value""")),
+
+    // ---- clientpositive/input41.q: strict mode + a UNION of two COUNTs
+    //      (one branch over a nonexistent partition -> count 0) through a
+    //      dest, read back ordered
+    QueryDef(
+      "q217_qf_input41",
+      (s, dir) => {
+        val d = s"dest_sp41_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(cnt int)")
+        HiveQl.sql(s,
+          s"""insert overwrite table $d
+              select * from
+                (select count(1) as cnt from src
+                  union all
+                 select count(1) as cnt from srcpart where ds = '2009-08-09'
+                )x""")
+        HiveQl.sql(s, s"select * from $d x order by x.cnt limit 2")
+      },
+      Some(s"""$SrcCte
+        SELECT CAST(cnt AS INT) AS cnt FROM (
+          SELECT count(1) AS cnt FROM src
+          UNION ALL
+          SELECT 0 AS cnt) t
+        ORDER BY cnt LIMIT 2""")),
+
+    // ================= round-11 battery growth: udf family ==============
+
+    // ---- clientpositive/udf_round.q: the full rounding sweep — NULL
+    //      scale, Infinity and NaN operands (1.0/0.0 IS Infinity under
+    //      Hive's double literals — the divergence that drove the
+    //      FloatLiteral dialect rewrite; round passes non-finite doubles
+    //      through per UDFRound — the `round` override), negative scales
+    //      past the magnitude, and the 15-decimal pi ladder. a4 pins the
+    //      engine's ONE documented `/` divergence (Sessions.scala, q88:
+    //      non-ANSI Spark nulls divide-by-zero where Hive's raw Java `/`
+    //      gives Infinity); a6 asserts round-of-Infinity itself is
+    //      Hive-faithful. Oracle notes:
+    //      integer-input negative scales render as INT here where Hive
+    //      renders DOUBLE (same values); the r1/r2 expectations are the
+    //      reference's OWN golden doubles — DuckDB's round lands one ulp
+    //      away at that representability edge, Spark matches Hive
+    QueryDef(
+      "q218_qf_udf_round",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT round(null) AS a1, round(null, 0) AS a2, round(125, null) AS a3,
+                    round(1.0/0.0, 0) AS a4, round(power(-1.0,0.5), 0) AS a5,
+                    round(cast('Infinity' as double), 0) AS a6,
+                    round(55555) AS b1, round(55555, -1) AS b2, round(55555, -2) AS b3,
+                    round(55555, -3) AS b4, round(55555, -4) AS b5, round(55555, -5) AS b6,
+                    round(125.315) AS c1, round(125.315, 1) AS c2, round(125.315, 2) AS c3,
+                    round(125.315, 3) AS c4, round(125.315, -1) AS c5, round(125.315, -2) AS c6,
+                    round(-125.315, 2) AS c7, round(-125.315, -1) AS c8,
+                    round(3.141592653589793, 3) AS p1, round(3.141592653589793, 7) AS p2,
+                    round(3.141592653589793, 13) AS p3, round(3.141592653589793, -1) AS p4,
+                    round(1809242.3151111344, 9) AS r1, round(-1809242.3151111344, 9) AS r2
+             FROM src LIMIT 1""")
+      },
+      Some("""SELECT CAST(NULL AS DOUBLE) AS a1, CAST(NULL AS DOUBLE) AS a2,
+                     CAST(NULL AS INT) AS a3,
+                     CAST(NULL AS DOUBLE) AS a4, CAST('nan' AS DOUBLE) AS a5,
+                     CAST('infinity' AS DOUBLE) AS a6,
+                     55555 AS b1,
+                     CAST(round(55555, -1) AS INT) AS b2,
+                     CAST(round(55555, -2) AS INT) AS b3,
+                     CAST(round(55555, -3) AS INT) AS b4,
+                     CAST(round(55555, -4) AS INT) AS b5,
+                     CAST(round(55555, -5) AS INT) AS b6,
+                     round(CAST(125.315 AS DOUBLE)) AS c1,
+                     round(CAST(125.315 AS DOUBLE), 1) AS c2,
+                     round(CAST(125.315 AS DOUBLE), 2) AS c3,
+                     round(CAST(125.315 AS DOUBLE), 3) AS c4,
+                     round(CAST(125.315 AS DOUBLE), -1) AS c5,
+                     round(CAST(125.315 AS DOUBLE), -2) AS c6,
+                     round(CAST(-125.315 AS DOUBLE), 2) AS c7,
+                     round(CAST(-125.315 AS DOUBLE), -1) AS c8,
+                     round(CAST(3.141592653589793 AS DOUBLE), 3) AS p1,
+                     round(CAST(3.141592653589793 AS DOUBLE), 7) AS p2,
+                     round(CAST(3.141592653589793 AS DOUBLE), 13) AS p3,
+                     round(CAST(3.141592653589793 AS DOUBLE), -1) AS p4,
+                     CAST('1809242.315111134' AS DOUBLE) AS r1,
+                     CAST('-1809242.315111134' AS DOUBLE) AS r2""")),
+
+    // ---- clientpositive/udf_reverse.q: reverse through a dest, then the
+    //      NON-ASCII case — the .q's `_UTF-8 0x...` charset literal
+    //      (dialect-rewritten to decode(unhex)) over its kv4.txt fixture,
+    //      reversing a 2-codepoint CJK string CODEPOINT-wise, not byte-wise
+    QueryDef(
+      "q219_qf_udf_reverse",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val (d1, d2) = (s"dest_rev_$sfx", s"dest_rev4_$sfx")
+        fresh(s, d1, d2)
+        HiveQl.sql(s, s"CREATE TABLE $d1(len STRING)")
+        HiveQl.sql(s, s"FROM src1 INSERT OVERWRITE TABLE $d1 SELECT reverse(src1.value)")
+        HiveQl.sql(s, s"CREATE TABLE $d2(name STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"LOAD DATA LOCAL INPATH '/root/reference/data/files/kv4.txt' INTO TABLE $d2")
+        HiveQl.sql(s,
+          s"""SELECT v, n FROM (
+                SELECT len AS v, CAST(-1 AS BIGINT) AS n FROM $d1
+                UNION ALL
+                SELECT 'utf8-count', count(1) FROM $d2 WHERE reverse($d2.name) = _UTF-8 0xE993AEE982B5
+              ) u ORDER BY v, n""")
+      },
+      Some(s"""$Src1Cte
+        SELECT v, n FROM (
+          SELECT reverse(value) AS v, CAST(-1 AS BIGINT) AS n FROM src1
+          UNION ALL
+          SELECT 'utf8-count', 1) u
+        ORDER BY v, n""")),
+
+    // ---- clientpositive/udf_concat_insert1.q: a CONSTANT select item
+    //      under GROUP BY (legal in Hive), concat of a single argument,
+    //      string '1234' through the INT dest
+    QueryDef(
+      "q220_qf_udf_concat_insert1",
+      (s, dir) => {
+        val d = s"dest_ci1_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(key INT, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"FROM src INSERT OVERWRITE TABLE $d " +
+          "SELECT '1234', concat(src.key) WHERE src.key < 100 group by src.key")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY key, value")
+      },
+      Some(s"""$SrcCte
+        SELECT 1234 AS key, key AS value FROM src
+        WHERE CAST(key AS DOUBLE) < 100 GROUP BY key ORDER BY key, value""")),
+
+    // ---- clientpositive/udf_isnull_isnotnull.q: IS NULL family over
+    //      literals and over src_thrift's COMPLEX columns (array/map
+    //      null-ness, the .q's own NOT (x IS NULL) spelling)
+    QueryDef(
+      "q221_qf_udf_isnull_isnotnull",
+      (s, dir) => {
+        fixtures(s, dir)
+        val a = HiveQl.sql(s,
+          """SELECT NULL IS NULL AS b1,
+                    1 IS NOT NULL AS b2,
+                    'my string' IS NOT NULL AS b3
+             FROM src
+             WHERE true IS NOT NULL LIMIT 1""")
+        val b = HiveQl.sql(s,
+          """FROM src_thrift
+             SELECT src_thrift.lint IS NOT NULL AS b1,
+                    src_thrift.lintstring IS NOT NULL AS b2,
+                    src_thrift.mstringstring IS NOT NULL AS b3
+             WHERE  src_thrift.lint IS NOT NULL
+                    AND NOT (src_thrift.mstringstring IS NULL) LIMIT 1""")
+        a.selectExpr("'lit' AS tag", "b1", "b2", "b3")
+          .union(b.selectExpr("'thrift' AS tag", "b1", "b2", "b3"))
+          .orderBy("tag")
+      },
+      Some("""SELECT tag, b1, b2, b3 FROM (VALUES
+          ('lit', TRUE, TRUE, TRUE), ('thrift', TRUE, TRUE, TRUE))
+          v(tag, b1, b2, b3) ORDER BY tag""")),
+
+    // ---- clientpositive/udf_instr.q: instr over every coercible operand
+    //      type — ints, booleans ('true' contains no '1'), numeric
+    //      needles, TINYINT/SMALLINT/BIGINT casts, floats, NULLs
+    QueryDef(
+      "q222_qf_udf_instr",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT instr('abcd', 'abc') AS i1,
+                    instr('abcabc', 'ccc') AS i2,
+                    instr(123, '23') AS i3,
+                    instr(123, 23) AS i4,
+                    instr(TRUE, 1) AS i5,
+                    instr(FALSE, 1) AS i6,
+                    instr('12345', CAST('2' AS TINYINT)) AS i7,
+                    instr(CAST('12345' AS SMALLINT), '34') AS i8,
+                    instr(CAST('123456789012' AS BIGINT), '456') AS i9,
+                    instr(CAST(1.25 AS FLOAT), '.25') AS i10,
+                    instr(CAST(16.0 AS DOUBLE), '.0') AS i11,
+                    instr(null, 'abc') AS i12,
+                    instr('abcd', null) AS i13
+             FROM src LIMIT 1""")
+      },
+      Some("""SELECT 1 AS i1, 0 AS i2, 2 AS i3, 2 AS i4, 0 AS i5, 0 AS i6,
+                     2 AS i7, 3 AS i8, 4 AS i9, 2 AS i10, 3 AS i11,
+                     CAST(NULL AS INT) AS i12, CAST(NULL AS INT) AS i13""")))
 }

@@ -70,8 +70,13 @@ class PlanShapeSpec extends SparkSpec {
       "q119_semdedup_capped", // broadcast centroid set (q104's argmax)
       "q28_cluster_by",   // broadcast 1-row sorted_ok verdict scalar
       "q137_bm25",        // broadcast 1-row (N, avgdl) corpus-stats scalar
-      "q178_qf_join_filters") // join_filters.q pure-filter ON clauses: the
+      "q178_qf_join_filters", // join_filters.q pure-filter ON clauses: the
                               // .q's own 4-row fixture, nested-loop BY SPEC
+      "q180_qf_join0",        // join0.q IS an ON-less join of two <10
+                              // filtered subqueries — cross join by spec
+      "q215_qf_input26")      // srcpart's 4-row (ds,hr) VALUES side under a
+                              // branch filter that empties it — broadcast
+                              // nested-loop over a constant-size side
     val flagged = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.contains("stream")) // streaming fns execute on call
       .flatMap { case (name, fn) =>

@@ -284,7 +284,8 @@ class SqlDialectSpec extends SparkSpec {
     val loc = spark.sql("DESCRIBE FORMATTED delim_part").collect()
       .find(_.getString(0).trim == "Location").get.getString(1).trim
     val files = new java.io.File(new java.net.URI(loc).getPath, "p=x")
-      .listFiles.filter(f => f.isFile && !f.getName.startsWith("_"))
+      .listFiles.filter(f => f.isFile && !f.getName.startsWith("_")
+        && !f.getName.startsWith("."))
     val bytes = java.nio.file.Files.readAllBytes(files.head.toPath)
     assert(new String(bytes, "UTF-8").startsWith("7,v"),
       s"expected comma-delimited row, got: ${new String(bytes, "UTF-8")}")
