@@ -85,6 +85,14 @@ object ScaleRehearsal {
         cust.columns.filter(_ != "c_custkey"): _*)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    // supplier feeds the HAR round trip (q138): key-shifted replication
+    val sup = Tables.load(spark, sf1, "supplier")
+    val nSup = sup.selectExpr("max(s_suppkey)").head().getLong(0) + 1
+    sup.crossJoin(reps)
+      .selectExpr(Seq(s"s_suppkey + k * ${nSup}L AS s_suppkey") ++
+        sup.columns.filter(_ != "s_suppkey"): _*)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/supplier.parquet")
     // lineitem feeds the index queries (q133): key-shifted replication on
     // the order key; l_partkey kept as-is so the indexed point predicate
     // matches factor× more rows — the worst case for the index probe

@@ -2378,5 +2378,34 @@ object QFileParity extends QueryModule {
       },
       Some("""SELECT 1 AS i1, 0 AS i2, 2 AS i3, 2 AS i4, 0 AS i5, 0 AS i6,
                      2 AS i7, 3 AS i8, 4 AS i9, 2 AS i10, 3 AS i11,
-                     CAST(NULL AS INT) AS i12, CAST(NULL AS INT) AS i13""")))
+                     CAST(NULL AS INT) AS i12, CAST(NULL AS INT) AS i13""")),
+
+    // ---- Compressed TEXTFILE table under the reference's conf names
+    //      (HiveIgnoreKeyTextOutputFormat.java: mapred.output.compress +
+    //      mapred.output.compression.codec): the INSERT lands .txt.deflate
+    //      files (in-query require), reads decompress transparently
+    QueryDef(
+      "q223_compressed_text",
+      (s, dir) => {
+        val d = s"dest_comp_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(key INT, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s, "SET mapred.output.compress=true")
+        try {
+          HiveQl.sql(s, s"FROM src INSERT OVERWRITE TABLE $d " +
+            "SELECT src.key, src.value WHERE src.key < 50")
+        } finally s.conf.unset("mapred.output.compress")
+        val loc = s.sql(s"DESCRIBE FORMATTED $d").collect()
+          .find(_.getString(0).trim == "Location").get.getString(1).trim
+        val files = new java.io.File(new java.net.URI(loc).getPath).listFiles
+          .filter(f => f.isFile && !f.getName.startsWith("_")
+            && !f.getName.startsWith("."))
+        require(files.nonEmpty && files.forall(_.getName.endsWith(".txt.deflate")),
+          s"compressed insert must land DefaultCodec text files, got " +
+            files.map(_.getName).mkString(", "))
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY key, value")
+      },
+      Some(s"""$SrcCte
+        SELECT CAST(key AS INT) AS key, value FROM src
+        WHERE CAST(key AS DOUBLE) < 50 ORDER BY key, value""")))
 }

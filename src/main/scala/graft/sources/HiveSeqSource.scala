@@ -48,13 +48,24 @@ class HiveSeqSource extends FileFormat with DataSourceRegister with Serializable
 
   override def prepareWrite(sparkSession: SparkSession, job: Job,
       options: Map[String, String],
-      dataSchema: StructType): OutputWriterFactory =
+      dataSchema: StructType): OutputWriterFactory = {
+    // HiveSequenceFileOutputFormat.java: mapred.output.compress selects a
+    // compressed container (RECORD or BLOCK per mapred.output.compression
+    // .type); SequenceFileRecordReader decompresses on read transparently
+    val codec = HiveSeqSource.writeCodec(job.getConfiguration, options)
+    val ctype = options.get("compression.type")
+      .orElse(Option(job.getConfiguration.get("mapred.output.compression.type")))
+      .map(_.toUpperCase) match {
+      case Some("BLOCK") => SequenceFile.CompressionType.BLOCK
+      case _ => SequenceFile.CompressionType.RECORD
+    }
     new OutputWriterFactory {
       override def getFileExtension(context: TaskAttemptContext): String = ".seq"
       override def newInstance(path: String, dataSchema: StructType,
           context: TaskAttemptContext): OutputWriter =
-        new HiveSeqOutputWriter(path, dataSchema, context)
+        new HiveSeqOutputWriter(path, dataSchema, context, codec, ctype)
     }
+  }
 
   override def buildReader(sparkSession: SparkSession, dataSchema: StructType,
       partitionSchema: StructType, requiredSchema: StructType,
@@ -127,6 +138,32 @@ class HiveSeqSource extends FileFormat with DataSourceRegister with Serializable
 }
 
 object HiveSeqSource {
+
+  /** Resolve the write-side compression codec: a `compression` write
+    * option (gzip/deflate/bzip2/none), else the reference's own conf
+    * names (`mapred.output.compress` + `mapred.output.compression.codec`,
+    * HiveIgnoreKeyTextOutputFormat.java / HiveSequenceFileOutputFormat
+    * .java) from the job conf — which Spark populates from the SQL conf,
+    * so a ported `SET mapred.output.compress=true` just works.
+    */
+  def writeCodec(conf: Configuration, options: Map[String, String])
+      : Option[Class[_ <: org.apache.hadoop.io.compress.CompressionCodec]] = {
+    import org.apache.hadoop.io.compress.{BZip2Codec, CompressionCodec, DefaultCodec, GzipCodec}
+    options.get("compression").map(_.toLowerCase) match {
+      case Some("none") | Some("uncompressed") => None
+      case Some("gzip") => Some(classOf[GzipCodec])
+      case Some("deflate") | Some("default") => Some(classOf[DefaultCodec])
+      case Some("bzip2") => Some(classOf[BZip2Codec])
+      case Some(other) => throw new IllegalArgumentException(
+        s"unsupported compression '$other' (gzip, deflate, bzip2, none)")
+      case None =>
+        if (conf.getBoolean("mapred.output.compress", false))
+          Some(conf.getClass("mapred.output.compression.codec",
+            classOf[DefaultCodec], classOf[CompressionCodec]))
+        else None
+    }
+  }
+
   /** Raw record walk over an UNCOMPRESSED SequenceFile split whose key
     * class need not be loadable here (the reference's kv1.seq fixtures
     * carry `org.apache.hadoop.hive.ql.exec.ByteWritable` keys). The
@@ -213,11 +250,17 @@ object HiveSeqSource {
   * records).
   */
 private class HiveSeqOutputWriter(val path: String, dataSchema: StructType,
-    context: TaskAttemptContext) extends OutputWriter {
+    context: TaskAttemptContext,
+    codec: Option[Class[_ <: org.apache.hadoop.io.compress.CompressionCodec]] = None,
+    ctype: SequenceFile.CompressionType = SequenceFile.CompressionType.NONE)
+    extends OutputWriter {
   private val writer = SequenceFile.createWriter(context.getConfiguration,
-    SequenceFile.Writer.file(new Path(path)),
-    SequenceFile.Writer.keyClass(classOf[BytesWritable]),
-    SequenceFile.Writer.valueClass(classOf[Text]))
+    (Seq(SequenceFile.Writer.file(new Path(path)),
+      SequenceFile.Writer.keyClass(classOf[BytesWritable]),
+      SequenceFile.Writer.valueClass(classOf[Text])) ++
+      codec.map(c => SequenceFile.Writer.compression(ctype,
+        org.apache.hadoop.util.ReflectionUtils
+          .newInstance(c, context.getConfiguration)))): _*)
   private val types = dataSchema.fields.map(_.dataType)
   private val emptyKey = new BytesWritable()
   private val value = new Text()

@@ -57,11 +57,21 @@ class HiveTextSource extends FileFormat with DataSourceRegister with Serializabl
     // configurable separator — ctas.q's comma tables); default ^A
     val sep = options.getOrElse("sep", HiveText.FieldDelim)
     val nullSeq = options.getOrElse("nullvalue", HiveText.NullSequence)
+    // compressed writes (HiveIgnoreKeyTextOutputFormat.java honors
+    // mapred.output.compress/.compression.codec): a `compression` write
+    // option, or the reference's conf names — `SET mapred.output.compress
+    // =true` reaches the job conf through Spark's SQL-conf→Hadoop-conf
+    // copy. Reads need nothing: LineRecordReader resolves the codec from
+    // the extension, and isSplitable already falls to whole-file for it.
+    val codec = HiveSeqSource.writeCodec(job.getConfiguration, options)
     new OutputWriterFactory {
-      override def getFileExtension(context: TaskAttemptContext): String = ".txt"
+      override def getFileExtension(context: TaskAttemptContext): String =
+        ".txt" + codec.map(c => org.apache.hadoop.util.ReflectionUtils
+          .newInstance(c, context.getConfiguration).getDefaultExtension)
+          .getOrElse("")
       override def newInstance(path: String, dataSchema: StructType,
           context: TaskAttemptContext): OutputWriter =
-        new HiveTextOutputWriter(path, dataSchema, context, sep, nullSeq)
+        new HiveTextOutputWriter(path, dataSchema, context, sep, nullSeq, codec)
     }
   }
 
@@ -181,11 +191,17 @@ object HiveTextSource {
   * byte-identical to LazySimpleSerDe output for primitive schemas.
   */
 private class HiveTextOutputWriter(val path: String, dataSchema: StructType,
-    context: TaskAttemptContext, sep: String, nullSeq: String)
+    context: TaskAttemptContext, sep: String, nullSeq: String,
+    codec: Option[Class[_ <: org.apache.hadoop.io.compress.CompressionCodec]] = None)
     extends OutputWriter {
-  private val out = {
+  private val out: java.io.OutputStream = {
     val p = new Path(path)
-    p.getFileSystem(context.getConfiguration).create(p, false)
+    val raw = p.getFileSystem(context.getConfiguration).create(p, false)
+    codec match {
+      case Some(c) => org.apache.hadoop.util.ReflectionUtils
+        .newInstance(c, context.getConfiguration).createOutputStream(raw)
+      case None => raw
+    }
   }
   private val types = dataSchema.fields.map(_.dataType)
   private val sb = new java.lang.StringBuilder
