@@ -99,6 +99,95 @@ object QFileParity extends QueryModule {
     if (fs.exists(p)) fs.delete(p, true)
   }
 
+  /** clientpositive/join_nulls.q select inventory (non-SMB section): join
+    * type × ON condition × optional MAPJOIN hint over the NULL-bearing
+    * in1.txt rows. Executed verbatim on the Spark side; the DuckDB oracle
+    * re-expresses only the conditionless forms per ANSI (CROSS JOIN /
+    * ON TRUE), which is the identical join.
+    */
+  private case class JN(jt: String, cond: Option[String],
+      hint: Option[String] = None)
+  private val JoinNullsCases: Seq[JN] = Seq(
+    JN("JOIN", None), JN("LEFT OUTER JOIN", None),
+    JN("RIGHT OUTER JOIN", None),
+    JN("JOIN", Some("a.key = b.value")), JN("JOIN", Some("a.key = b.key")),
+    JN("JOIN", Some("a.value = b.value")),
+    JN("JOIN", Some("a.value = b.value and a.key = b.key")),
+    JN("LEFT OUTER JOIN", Some("a.key = b.value")),
+    JN("LEFT OUTER JOIN", Some("a.value = b.value")),
+    JN("LEFT OUTER JOIN", Some("a.key = b.key")),
+    JN("LEFT OUTER JOIN", Some("a.key = b.key and a.value = b.value")),
+    JN("RIGHT OUTER JOIN", Some("a.key = b.value")),
+    JN("RIGHT OUTER JOIN", Some("a.key = b.key")),
+    JN("RIGHT OUTER JOIN", Some("a.value = b.value")),
+    JN("RIGHT OUTER JOIN", Some("a.key = b.key and a.value = b.value")),
+    JN("FULL OUTER JOIN", Some("a.key = b.value")),
+    JN("FULL OUTER JOIN", Some("a.key = b.key")),
+    JN("FULL OUTER JOIN", Some("a.value = b.value")),
+    JN("FULL OUTER JOIN", Some("a.value = b.value and a.key = b.key")),
+    JN("JOIN", None, Some("a")),
+    JN("JOIN", Some("a.key = b.value"), Some("a")),
+    JN("JOIN", Some("a.key = b.key"), Some("a")),
+    JN("JOIN", Some("a.value = b.value"), Some("a")),
+    JN("JOIN", Some("a.key = b.value"), Some("b")),
+    JN("JOIN", Some("a.key = b.key"), Some("b")),
+    JN("JOIN", Some("a.value = b.value"), Some("b")),
+    JN("JOIN", Some("a.value = b.value and a.key = b.key"), Some("b")),
+    JN("LEFT OUTER JOIN", Some("a.key = b.value"), Some("b")),
+    JN("LEFT OUTER JOIN", Some("a.key = b.key"), Some("b")),
+    JN("LEFT OUTER JOIN", Some("a.value = b.value"), Some("b")),
+    JN("RIGHT OUTER JOIN", Some("a.key = b.value"), Some("a")),
+    JN("RIGHT OUTER JOIN", Some("a.key = b.key"), Some("a")),
+    JN("RIGHT OUTER JOIN", Some("a.value = b.value"), Some("a")))
+
+  /** join_nulls.q SMB section: bucketed-sorted tables, MAPJOIN hints under
+    * hive.optimize.bucketmapJOIN[.sortedmerge] — `l`/`r` pick smb_input1/2.
+    */
+  private case class SJN(l: Int, r: Int, jt: String, cond: String,
+      hint: String)
+  private val SmbNullsCases: Seq[SJN] = Seq(
+    SJN(1, 1, "JOIN", "a.key = b.key", "a"),
+    SJN(1, 1, "JOIN", "a.key = b.key AND a.value = b.value", "a"),
+    SJN(1, 1, "RIGHT OUTER JOIN", "a.key = b.key", "a"),
+    SJN(1, 1, "JOIN", "a.key = b.key", "b"),
+    SJN(1, 1, "LEFT OUTER JOIN", "a.key = b.key", "b"),
+    SJN(1, 2, "JOIN", "a.key = b.value", "a"),
+    SJN(1, 2, "JOIN", "a.key = b.value", "b"),
+    SJN(1, 2, "LEFT OUTER JOIN", "a.key = b.value", "b"),
+    SJN(1, 2, "RIGHT OUTER JOIN", "a.key = b.value", "a"),
+    SJN(2, 2, "JOIN", "a.value = b.value", "a"),
+    SJN(2, 2, "RIGHT OUTER JOIN", "a.value = b.value", "a"),
+    SJN(2, 2, "JOIN", "a.value = b.value", "b"),
+    SJN(2, 2, "LEFT OUTER JOIN", "a.value = b.value", "b"))
+
+  /** join_1to1.q's five distinct selects (the .q repeats them under three
+    * hive.join.emit.interval and two hive.outerjoin.supports.filters
+    * settings — reduce-side buffering knobs that do not change results).
+    */
+  private val Join1to1Conds: Seq[(String, String)] = Seq(
+    "JOIN" -> "a.key1 = b.key1",
+    "FULL OUTER JOIN" -> "a.key1 = b.key1",
+    "FULL OUTER JOIN" -> "a.key1 = b.key1 AND a.value = 66 AND b.value = 66",
+    "FULL OUTER JOIN" -> "a.key1 = b.key1 AND a.key2 = b.key2",
+    "FULL OUTER JOIN" ->
+      "a.key1 = b.key1 AND a.key2 = b.key2 AND a.value = 66 AND b.value = 66")
+
+  /** DuckDB VALUES transcriptions of the reference join fixtures
+    * (data/files/in5.txt, in6.txt — ^A-delimited, '' = NULL).
+    */
+  private val In5Values =
+    """(5,10005,66),(15,10015,66),(20,10020,66),(25,10025,88),(30,10030,66),
+       (35,10035,88),(40,10040,66),(40,10040,88),(50,10050,88),(50,10050,66),
+       (50,10050,88),(60,10040,66),(60,10040,66),(70,10040,66),(70,10040,66),
+       (80,10040,88),(80,10040,88),(CAST(NULL AS INT),10050,66),
+       (CAST(NULL AS INT),CAST(NULL AS INT),66)"""
+  private val In6Values =
+    """(5,10005,66),(10,10010,66),(20,10020,66),(25,10025,66),(30,10030,88),
+       (35,10035,88),(40,10040,66),(40,10040,88),(50,10050,66),(50,10050,88),
+       (50,10050,66),(60,10040,66),(60,10040,66),(70,10040,88),(70,10040,88),
+       (80,10040,66),(80,10040,66),(CAST(NULL AS INT),10050,66),
+       (CAST(NULL AS INT),CAST(NULL AS INT),66)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- clientpositive/groupby1.q: the corpus' canonical aggregation —
@@ -2407,5 +2496,472 @@ object QFileParity extends QueryModule {
       },
       Some(s"""$SrcCte
         SELECT CAST(key AS INT) AS key, value FROM src
-        WHERE CAST(key AS DOUBLE) < 50 ORDER BY key, value""")))
+        WHERE CAST(key AS DOUBLE) < 50 ORDER BY key, value""")),
+
+    // ================= round-11 battery growth: join tranche 2 ==========
+
+    // ---- clientpositive/join_1to1.q: FULL OUTER JOIN with ON-clause
+    //      filters (value = 66 on BOTH sides) over NULL-keyed rows — the
+    //      ON filter must suppress the MATCH, not the row; NULL keys never
+    //      match each other but both survive a full join
+    QueryDef(
+      "q224_qf_join_1to1",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val (t1, t2) = (s"join_1to1_1_$sfx", s"join_1to1_2_$sfx")
+        fresh(s, t1, t2)
+        HiveQl.sql(s, s"CREATE TABLE $t1(key1 int, key2 int, value int) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"LOAD DATA LOCAL INPATH '/root/reference/data/files/in5.txt' INTO TABLE $t1")
+        HiveQl.sql(s, s"CREATE TABLE $t2(key1 int, key2 int, value int) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"LOAD DATA LOCAL INPATH '/root/reference/data/files/in6.txt' INTO TABLE $t2")
+        // reduce-side buffering knobs the .q sweeps; results identical
+        HiveQl.sql(s, "SET hive.outerjoin.supports.filters=false")
+        HiveQl.sql(s, "SET hive.join.emit.interval=5")
+        val sql = Join1to1Conds.zipWithIndex.map { case ((jk, cond), i) =>
+          s"""SELECT ${i + 1} AS jt, a.key1 AS ak1, a.key2 AS ak2,
+                     a.value AS av, b.key1 AS bk1, b.key2 AS bk2,
+                     b.value AS bv
+              FROM $t1 a $jk $t2 b ON $cond"""
+        }.mkString("\nUNION ALL\n") +
+          "\nORDER BY jt, ak1, ak2, av, bk1, bk2, bv"
+        HiveQl.sql(s, sql)
+      },
+      Some {
+        s"""WITH a1(key1, key2, value) AS (VALUES $In5Values),
+                b1(key1, key2, value) AS (VALUES $In6Values)
+           SELECT jt, ak1, ak2, av, bk1, bk2, bv FROM (""" +
+          Join1to1Conds.zipWithIndex.map { case ((jk, cond), i) =>
+            s"""SELECT ${i + 1} AS jt, a.key1 AS ak1, a.key2 AS ak2,
+                       a.value AS av, b.key1 AS bk1, b.key2 AS bk2,
+                       b.value AS bv
+                FROM a1 a $jk b1 b ON $cond"""
+          }.mkString("\nUNION ALL\n") +
+          """) u ORDER BY jt, ak1 NULLS FIRST, ak2 NULLS FIRST,
+               av NULLS FIRST, bk1 NULLS FIRST, bk2 NULLS FIRST,
+               bv NULLS FIRST"""
+      }),
+
+    // ---- clientpositive/join_nulls.q: the full NULL-join battery — 34
+    //      two-table selects (cartesian, every join type × key/value ON
+    //      combos, MAPJOIN hints), the two chained outer joins, and the
+    //      bucketed-sorted SMB section under hive.optimize.bucketmapJOIN.
+    //      NULL keys must never equi-match, including under broadcast
+    QueryDef(
+      "q225_qf_join_nulls",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val t = s"myinput1_$sfx"
+        val (s1, s2) = (s"smb_input1_$sfx", s"smb_input2_$sfx")
+        fresh(s, t, s1, s2)
+        HiveQl.sql(s, s"CREATE TABLE $t(key int, value int) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"LOAD DATA LOCAL INPATH '/root/reference/data/files/in1.txt' INTO TABLE $t")
+        HiveQl.sql(s, s"CREATE TABLE $s1(key int, value int) CLUSTERED BY (key) SORTED BY (key) INTO 2 BUCKETS STORED AS TEXTFILE")
+        HiveQl.sql(s, s"CREATE TABLE $s2(key int, value int) CLUSTERED BY (value) SORTED BY (value) INTO 2 BUCKETS STORED AS TEXTFILE")
+        for (f <- Seq("in1.txt", "in2.txt"); tt <- Seq(s1, s2))
+          HiveQl.sql(s, s"LOAD DATA LOCAL INPATH '/root/reference/data/files/$f' INTO TABLE $tt")
+        HiveQl.sql(s, "SET hive.optimize.bucketmapJOIN=true")
+        HiveQl.sql(s, "SET hive.optimize.bucketmapJOIN.sortedmerge=true")
+        val two = JoinNullsCases.zipWithIndex.map { case (c, i) =>
+          val hint = c.hint.map(h => s"/*+ MAPJOIN($h) */ ").getOrElse("")
+          val on = c.cond.map(" ON " + _).getOrElse("")
+          s"SELECT $hint${i + 1} AS jt, a.key AS ak, a.value AS av, " +
+            s"b.key AS bk, b.value AS bv, CAST(NULL AS INT) AS ck, " +
+            s"CAST(NULL AS INT) AS cv FROM $t a ${c.jt} $t b$on"
+        }
+        val chains = Seq(
+          s"SELECT 41 AS jt, a.key AS ak, a.value AS av, b.key AS bk, " +
+            s"b.value AS bv, c.key AS ck, c.value AS cv FROM $t a " +
+            s"LEFT OUTER JOIN $t b ON (a.value = b.value) " +
+            s"RIGHT OUTER JOIN $t c ON (b.value = c.value)",
+          s"SELECT 42 AS jt, a.key AS ak, a.value AS av, b.key AS bk, " +
+            s"b.value AS bv, c.key AS ck, c.value AS cv FROM $t a " +
+            s"RIGHT OUTER JOIN $t b ON (a.value = b.value) " +
+            s"LEFT OUTER JOIN $t c ON (b.value = c.value)")
+        val smb = SmbNullsCases.zipWithIndex.map { case (c, i) =>
+          val (ta, tb) = (if (c.l == 1) s1 else s2, if (c.r == 1) s1 else s2)
+          s"SELECT /*+ MAPJOIN(${c.hint}) */ ${51 + i} AS jt, a.key AS ak, " +
+            s"a.value AS av, b.key AS bk, b.value AS bv, " +
+            s"CAST(NULL AS INT) AS ck, CAST(NULL AS INT) AS cv " +
+            s"FROM $ta a ${c.jt} $tb b ON ${c.cond}"
+        }
+        HiveQl.sql(s, (two ++ chains ++ smb).mkString("\nUNION ALL\n") +
+          "\nORDER BY jt, ak, av, bk, bv, ck, cv")
+      },
+      Some {
+        val two = JoinNullsCases.zipWithIndex.map { case (c, i) =>
+          val join = (c.jt, c.cond) match {
+            case ("JOIN", None) => "CROSS JOIN m b"
+            case (jt, None) => s"$jt m b ON TRUE"
+            case (jt, Some(cond)) => s"$jt m b ON $cond"
+          }
+          s"SELECT ${i + 1} AS jt, a.key AS ak, a.value AS av, " +
+            s"b.key AS bk, b.value AS bv, CAST(NULL AS INT) AS ck, " +
+            s"CAST(NULL AS INT) AS cv FROM m a $join"
+        }
+        val chains = Seq(
+          "SELECT 41 AS jt, a.key AS ak, a.value AS av, b.key AS bk, " +
+            "b.value AS bv, c.key AS ck, c.value AS cv FROM m a " +
+            "LEFT OUTER JOIN m b ON (a.value = b.value) " +
+            "RIGHT OUTER JOIN m c ON (b.value = c.value)",
+          "SELECT 42 AS jt, a.key AS ak, a.value AS av, b.key AS bk, " +
+            "b.value AS bv, c.key AS ck, c.value AS cv FROM m a " +
+            "RIGHT OUTER JOIN m b ON (a.value = b.value) " +
+            "LEFT OUTER JOIN m c ON (b.value = c.value)")
+        val smb = SmbNullsCases.zipWithIndex.map { case (c, i) =>
+          val (ta, tb) = (if (c.l == 1) "sm" else "sm2",
+            if (c.r == 1) "sm" else "sm2")
+          s"SELECT ${51 + i} AS jt, a.key AS ak, a.value AS av, " +
+            s"b.key AS bk, b.value AS bv, CAST(NULL AS INT) AS ck, " +
+            s"CAST(NULL AS INT) AS cv FROM $ta a ${c.jt} $tb b ON ${c.cond}"
+        }
+        """WITH m(key, value) AS (VALUES
+             (CAST(NULL AS INT), 35), (48, CAST(NULL AS INT)), (100, 100)),
+           sm(key, value) AS (VALUES
+             (CAST(NULL AS INT), 35), (48, CAST(NULL AS INT)), (100, 100),
+             (CAST(NULL AS INT), 135), (148, CAST(NULL AS INT)), (200, 200)),
+           sm2(key, value) AS (SELECT * FROM sm)
+           SELECT jt, ak, av, bk, bv, ck, cv FROM (""" +
+          (two ++ chains ++ smb).mkString("\nUNION ALL\n") +
+          """) u ORDER BY jt, ak NULLS FIRST, av NULLS FIRST,
+               bk NULLS FIRST, bv NULLS FIRST, ck NULLS FIRST,
+               cv NULLS FIRST"""
+      }),
+
+    // ---- clientpositive/join_hive_626.q: three comma-delimited tables
+    //      (ROW FORMAT DELIMITED FIELDS TERMINATED BY ',') loaded from the
+    //      reference's own files, three-way join chain foo->bar->count
+    QueryDef(
+      "q226_qf_join_hive_626",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val (tf, tb, tc) = (s"hive_foo_$sfx", s"hive_bar_$sfx", s"hive_count_$sfx")
+        fresh(s, tf, tb, tc)
+        HiveQl.sql(s, s"""CREATE TABLE $tf (foo_id int, foo_name string, foo_a string, foo_b string,
+          foo_c string, foo_d string) ROW FORMAT DELIMITED FIELDS TERMINATED BY ','
+          STORED AS TEXTFILE""")
+        HiveQl.sql(s, s"""CREATE TABLE $tb (bar_id int, bar_0 int, foo_id int, bar_1 int, bar_name
+          string, bar_a string, bar_b string, bar_c string, bar_d string) ROW FORMAT DELIMITED
+          FIELDS TERMINATED BY ',' STORED AS TEXTFILE""")
+        HiveQl.sql(s, s"""CREATE TABLE $tc (bar_id int, n int) ROW FORMAT DELIMITED FIELDS
+          TERMINATED BY ',' STORED AS TEXTFILE""")
+        HiveQl.sql(s, s"LOAD DATA LOCAL INPATH '/root/reference/data/files/hive_626_foo.txt' OVERWRITE INTO TABLE $tf")
+        HiveQl.sql(s, s"LOAD DATA LOCAL INPATH '/root/reference/data/files/hive_626_bar.txt' OVERWRITE INTO TABLE $tb")
+        HiveQl.sql(s, s"LOAD DATA LOCAL INPATH '/root/reference/data/files/hive_626_count.txt' OVERWRITE INTO TABLE $tc")
+        HiveQl.sql(s,
+          s"""select $tf.foo_name, $tb.bar_name, n from $tf join $tb on $tf.foo_id =
+              $tb.foo_id join $tc on $tc.bar_id = $tb.bar_id""")
+      },
+      Some("SELECT 'foo1' AS foo_name, 'bar10' AS bar_name, CAST(2 AS INT) AS n")),
+
+    // ---- clientpositive/join15.q: src self-join, SELECT * (columns
+    //      dealiased — the driver's compare needs unique names)
+    QueryDef(
+      "q227_qf_join15",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT src1.key AS k1, src1.value AS v1, src2.key AS k2,
+                    src2.value AS v2
+             FROM src src1 JOIN src src2 ON (src1.key = src2.key)
+             SORT BY k1, v1, k2, v2""")
+      },
+      Some(s"""$SrcCte
+        SELECT src1.key AS k1, src1.value AS v1, src2.key AS k2,
+               src2.value AS v2
+        FROM src src1 JOIN src src2 ON (src1.key = src2.key)
+        ORDER BY k1, v1, k2, v2""")),
+
+    // ---- clientpositive/join16.q: subquery join with numeric predicates
+    //      over STRING columns — 'val_x' < 200 coerces to DOUBLE and NULLs
+    //      out, so the result is EMPTY; the count pins that coercion
+    QueryDef(
+      "q228_qf_join16",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT count(*) AS n FROM (
+               SELECT subq.key, tab.value
+               FROM (select a.key, a.value from src a where a.key > 10) subq
+               JOIN src tab
+               ON (subq.key = tab.key and subq.key > 20 and subq.value = tab.value)
+               WHERE tab.value < 200) t""")
+      },
+      Some("""SELECT count(*) AS n FROM (
+          SELECT subq.key, tab.value
+          FROM (SELECT a.key, a.value FROM src a
+                WHERE TRY_CAST(a.key AS DOUBLE) > 10) subq
+          JOIN src tab
+          ON subq.key = tab.key AND TRY_CAST(subq.key AS DOUBLE) > 20
+             AND subq.value = tab.value
+          WHERE TRY_CAST(tab.value AS DOUBLE) < 200) t""".replaceFirst(
+        "SELECT count", SrcCte + "\nSELECT count"))),
+
+    // ---- clientpositive/join21.q: LEFT OUTER with self-contradictory ON
+    //      filters (key < 10 AND key > 10 on equal keys) chained into a
+    //      RIGHT OUTER — the left tree contributes nothing but NULLs, the
+    //      right join then keeps only src3 rows
+    QueryDef(
+      "q229_qf_join21",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT src1.key AS k1, src1.value AS v1, src2.key AS k2,
+                    src2.value AS v2, src3.key AS k3, src3.value AS v3
+             FROM src src1
+             LEFT OUTER JOIN src src2
+               ON (src1.key = src2.key AND src1.key < 10 AND src2.key > 10)
+             RIGHT OUTER JOIN src src3
+               ON (src2.key = src3.key AND src3.key < 10)
+             SORT BY k1, v1, k2, v2, k3, v3""")
+      },
+      Some(s"""$SrcCte
+        SELECT src1.key AS k1, src1.value AS v1, src2.key AS k2,
+               src2.value AS v2, src3.key AS k3, src3.value AS v3
+        FROM src src1
+        LEFT OUTER JOIN src src2
+          ON (src1.key = src2.key AND CAST(src1.key AS DOUBLE) < 10
+              AND CAST(src2.key AS DOUBLE) > 10)
+        RIGHT OUTER JOIN src src3
+          ON (src2.key = src3.key AND CAST(src3.key AS DOUBLE) < 10)
+        ORDER BY k1 NULLS FIRST, v1 NULLS FIRST, k2 NULLS FIRST,
+                 v2 NULLS FIRST, k3 NULLS FIRST, v3 NULLS FIRST""")),
+
+    // ---- clientpositive/join22.q: doubly-nested join subqueries with
+    //      star-expansion of an aliased subquery, single-column projection
+    QueryDef(
+      "q230_qf_join22",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT src5.src1_value FROM
+             (SELECT src3.*, src4.value as src4_value, src4.key as src4_key
+              FROM src src4
+              JOIN (SELECT src2.*, src1.key as src1_key, src1.value as src1_value
+                    FROM src src1 JOIN src src2 ON src1.key = src2.key) src3
+              ON src3.src1_key = src4.key) src5
+             ORDER BY src1_value""")
+      },
+      Some(s"""$SrcCte
+        SELECT src5.src1_value FROM
+        (SELECT src3.*, src4.value AS src4_value, src4.key AS src4_key
+         FROM src src4
+         JOIN (SELECT src2.*, src1.key AS src1_key, src1.value AS src1_value
+               FROM src src1 JOIN src src2 ON src1.key = src2.key) src3
+         ON src3.src1_key = src4.key) src5
+        ORDER BY src1_value""")),
+
+    // ---- clientpositive/join23.q: cartesian JOIN (no ON) restricted by
+    //      WHERE on both sides
+    QueryDef(
+      "q231_qf_join23",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT src1.key AS k1, src1.value AS v1, src2.key AS k2,
+                    src2.value AS v2
+             FROM src src1 JOIN src src2
+             WHERE src1.key < 10 and src2.key < 10
+             SORT BY k1, v1, k2, v2""")
+      },
+      Some(s"""$SrcCte
+        SELECT src1.key AS k1, src1.value AS v1, src2.key AS k2,
+               src2.value AS v2
+        FROM src src1 CROSS JOIN src src2
+        WHERE CAST(src1.key AS DOUBLE) < 10 AND CAST(src2.key AS DOUBLE) < 10
+        ORDER BY k1, v1, k2, v2""")),
+
+    // ---- clientpositive/join24.q: aggregate into a dest, then sum over a
+    //      self-join of the aggregated table
+    QueryDef(
+      "q232_qf_join24",
+      (s, dir) => {
+        val d = s"tst1_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"create table $d(key STRING, cnt INT)")
+        HiveQl.sql(s, s"INSERT OVERWRITE TABLE $d " +
+          "SELECT a.key, count(1) FROM src a group by a.key")
+        HiveQl.sql(s, s"SELECT sum(a.cnt) AS s FROM $d a JOIN $d b ON a.key = b.key")
+      },
+      Some(s"""$SrcCte
+        SELECT CAST(sum(a.cnt) AS BIGINT) AS s
+        FROM (SELECT key, count(1) AS cnt FROM src GROUP BY key) a
+        JOIN (SELECT key, count(1) AS cnt FROM src GROUP BY key) b
+        ON a.key = b.key""")),
+
+    // ================= round-11 battery growth: ppd tranche 2 ===========
+
+    // ---- clientpositive/ppd_gby_join.q: pushdown through a join of two
+    //      filtered subqueries under a GROUP BY, all-STRING comparisons
+    //      (lexicographic, NOT numeric) — run under both
+    //      hive.ppd.remove.duplicatefilters settings like the .q
+    QueryDef(
+      "q233_qf_ppd_gby_join",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s, "SET hive.optimize.ppd=true")
+        HiveQl.sql(s, "SET hive.ppd.remove.duplicatefilters=false")
+        val q =
+          """SELECT src1.c1, count(1) AS cnt
+             FROM
+             (SELECT src.key AS c1, src.value AS c2 from src where src.key > '1' ) src1
+             JOIN
+             (SELECT src.key AS c3, src.value AS c4 from src where src.key > '2' ) src2
+             ON src1.c1 = src2.c3 AND src1.c1 < '400'
+             WHERE src1.c1 > '20' AND (src1.c2 < 'val_50' OR src1.c1 > '2')
+               AND (src2.c3 > '50' OR src1.c1 < '50') AND (src2.c3 <> '4')
+             GROUP BY src1.c1
+             ORDER BY c1"""
+        HiveQl.sql(s, q).count()
+        HiveQl.sql(s, "SET hive.ppd.remove.duplicatefilters=true")
+        HiveQl.sql(s, q)
+      },
+      Some(s"""$SrcCte
+        SELECT src1.c1, count(1) AS cnt
+        FROM
+        (SELECT src.key AS c1, src.value AS c2 FROM src WHERE src.key > '1') src1
+        JOIN
+        (SELECT src.key AS c3, src.value AS c4 FROM src WHERE src.key > '2') src2
+        ON src1.c1 = src2.c3 AND src1.c1 < '400'
+        WHERE src1.c1 > '20' AND (src1.c2 < 'val_50' OR src1.c1 > '2')
+          AND (src2.c3 > '50' OR src1.c1 < '50') AND (src2.c3 <> '4')
+        GROUP BY src1.c1
+        ORDER BY c1""")),
+
+    // ---- clientpositive/ppd_join3.q: three-way join of filtered
+    //      subqueries with <>-heavy residuals, duplicate-bearing projection
+    QueryDef(
+      "q234_qf_ppd_join3",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT src1.c1, src2.c4
+             FROM
+             (SELECT src.key as c1, src.value as c2 from src where src.key <> '11' ) src1
+             JOIN
+             (SELECT src.key as c3, src.value as c4 from src where src.key <> '12' ) src2
+             ON src1.c1 = src2.c3 AND src1.c1 < '400'
+             JOIN
+             (SELECT src.key as c5, src.value as c6 from src where src.key <> '13' ) src3
+             ON src1.c1 = src3.c5
+             WHERE src1.c1 > '0' and (src1.c2 <> 'val_500' or src1.c1 > '1')
+               and (src2.c3 > '10' or src1.c1 <> '10') and (src2.c3 <> '4')
+               and (src3.c5 <> '1')
+             ORDER BY c1, c4""")
+      },
+      Some(s"""$SrcCte
+        SELECT src1.c1, src2.c4
+        FROM
+        (SELECT src.key AS c1, src.value AS c2 FROM src WHERE src.key <> '11') src1
+        JOIN
+        (SELECT src.key AS c3, src.value AS c4 FROM src WHERE src.key <> '12') src2
+        ON src1.c1 = src2.c3 AND src1.c1 < '400'
+        JOIN
+        (SELECT src.key AS c5, src.value AS c6 FROM src WHERE src.key <> '13') src3
+        ON src1.c1 = src3.c5
+        WHERE src1.c1 > '0' AND (src1.c2 <> 'val_500' OR src1.c1 > '1')
+          AND (src2.c3 > '10' OR src1.c1 <> '10') AND (src2.c3 <> '4')
+          AND (src3.c5 <> '1')
+        ORDER BY c1, c4""")),
+
+    // ---- clientpositive/ppd_multi_insert.q: FOUR pushdown targets off one
+    //      self-join scan — two plain dests, a static-partition dest, and
+    //      an INSERT OVERWRITE DIRECTORY (path adapted to tmp; the .q's
+    //      relative build path), read back union-tagged
+    QueryDef(
+      "q235_qf_ppd_multi_insert",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val (m1, m2, m3) = (s"mi1_$sfx", s"mi2_$sfx", s"mi3_$sfx")
+        fresh(s, m1, m2, m3)
+        val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_qf_mi4_$sfx.out")
+        org.apache.commons.io.FileUtils.deleteQuietly(out)
+        HiveQl.sql(s, s"CREATE TABLE $m1(key INT, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"CREATE TABLE $m2(key INT, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"CREATE TABLE $m3(key INT) PARTITIONED BY(ds STRING, hr STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s, "SET hive.optimize.ppd=true")
+        HiveQl.sql(s,
+          s"""FROM src a JOIN src b ON (a.key = b.key)
+              INSERT OVERWRITE TABLE $m1 SELECT a.* WHERE a.key < 100
+              INSERT OVERWRITE TABLE $m2 SELECT a.key, a.value WHERE a.key >= 100 and a.key < 200
+              INSERT OVERWRITE TABLE $m3 PARTITION(ds='2008-04-08', hr='12') SELECT a.key WHERE a.key >= 200 and a.key < 300
+              INSERT OVERWRITE DIRECTORY '${out.getAbsolutePath}' SELECT a.value WHERE a.key >= 300""")
+        val dir4 = s.read.format("graft.sources.HiveTextSource")
+          .schema("value STRING").load(out.getAbsolutePath)
+        dir4.createOrReplaceTempView("qf_mi4")
+        HiveQl.sql(s,
+          s"""SELECT 'm1' AS tag, key, value FROM $m1
+              UNION ALL SELECT 'm2', key, value FROM $m2
+              UNION ALL SELECT 'm3', key, CAST(NULL AS STRING) FROM $m3
+              UNION ALL SELECT 'm4', CAST(NULL AS INT), value FROM qf_mi4
+              ORDER BY tag, key, value""")
+      },
+      Some(s"""$SrcCte, j AS (
+          SELECT a.key, a.value FROM src a JOIN src b ON a.key = b.key)
+        SELECT tag, key, value FROM (
+          SELECT 'm1' AS tag, CAST(key AS INT) AS key, value FROM j
+          WHERE CAST(key AS DOUBLE) < 100
+          UNION ALL
+          SELECT 'm2', CAST(key AS INT), value FROM j
+          WHERE CAST(key AS DOUBLE) >= 100 AND CAST(key AS DOUBLE) < 200
+          UNION ALL
+          SELECT 'm3', CAST(key AS INT), CAST(NULL AS VARCHAR) FROM j
+          WHERE CAST(key AS DOUBLE) >= 200 AND CAST(key AS DOUBLE) < 300
+          UNION ALL
+          SELECT 'm4', CAST(NULL AS INT), value FROM j
+          WHERE CAST(key AS DOUBLE) >= 300) u
+        ORDER BY tag, key NULLS FIRST, value NULLS FIRST""")),
+
+    // ---- clientpositive/ppd_constant_expr.q: constant-folded NULL
+    //      arithmetic (4 + NULL, key - NULL, NULL + NULL) through typed
+    //      dest columns off the kv3-shaped src1
+    QueryDef(
+      "q236_qf_ppd_constant_expr",
+      (s, dir) => {
+        val d = s"ppd_constant_expr_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(c1 STRING, c2 INT, c3 DOUBLE) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"FROM src1 INSERT OVERWRITE TABLE $d " +
+          "SELECT 4 + NULL, src1.key - NULL, NULL + NULL")
+        HiveQl.sql(s, s"SELECT $d.*, 1 AS one FROM $d")
+      },
+      Some(s"""$Src1Cte
+        SELECT CAST(NULL AS VARCHAR) AS c1, CAST(NULL AS INT) AS c2,
+               CAST(NULL AS DOUBLE) AS c3, 1 AS one
+        FROM src1""")),
+
+    // ---- clientpositive/ppd_udf_col.q: pushdown must STOP at a
+    //      nondeterministic projection — the rand()-derived filter stays
+    //      above the Project computing rand() (in-plan require), while the
+    //      deterministic key filter still reaches the scan; the two
+    //      constant-false derived-column variants return empty
+    QueryDef(
+      "q237_qf_ppd_udf_col",
+      (s, dir) => {
+        fixtures(s, dir)
+        val df = HiveQl.sql(s,
+          """SELECT key, randum123
+             FROM (SELECT *, cast(rand() as double) AS randum123 FROM src WHERE key = 100) a
+             WHERE randum123 <= 0.1""")
+        val plan = df.queryExecution.optimizedPlan.toString
+        val fRand = plan.indexOf("<= 0.1")
+        val pRand = plan.indexOf("rand(")
+        require(fRand >= 0 && pRand >= 0 && fRand < pRand,
+          s"rand()-derived filter must sit ABOVE the rand() projection:\n$plan")
+        require(plan.indexOf("= 100.0") > pRand,
+          s"deterministic key filter must push BELOW the rand() projection:\n$plan")
+        val n3 = HiveQl.sql(s,
+          """SELECT key, randum123, h4
+             FROM (SELECT *, cast(rand() as double) AS randum123, hex(4) AS h4
+                   FROM src WHERE key = 100) a
+             WHERE a.h4 <= 3""").count()
+        val n4 = HiveQl.sql(s,
+          """SELECT key, randum123, v10
+             FROM (SELECT *, cast(rand() as double) AS randum123, value*10 AS v10
+                   FROM src WHERE key = 100) a
+             WHERE a.v10 <= 200""").count()
+        import s.implicits._
+        Seq((1, n3, n4)).toDF("ok", "n3", "n4")
+      },
+      Some("SELECT 1 AS ok, CAST(0 AS BIGINT) AS n3, CAST(0 AS BIGINT) AS n4")))
 }
