@@ -622,7 +622,8 @@ object HiveQl {
     if (holdDdl) checkHoldDdltime(spark, maskedQ, qLits)
     val result = statementExec(q) match {
       case Some(exec) => exec(spark); spark.emptyDataFrame
-      case None => withLegacyStoreRetry(spark)(spark.sql(rewrite(q)))
+      case None => withSelfReadOverwriteRetry(spark, q)(
+        withLegacyStoreRetry(spark)(spark.sql(rewrite(q))))
     }
     if (!holdDdl) bumpInsertTargets(spark, maskedQ)
     result
@@ -709,6 +710,39 @@ object HiveQl {
           try body
           finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
         }
+    }
+
+  /** Hive permits INSERT OVERWRITE of a table (or one partition of it)
+    * whose SOURCE query reads the same table: MR fully materializes map
+    * inputs before the MoveTask swaps the dest directory, so the read
+    * always sees the pre-insert data (union22.q overwrites ds='2' from a
+    * join that reads ds='1' of the same table). Spark's v1 insert rejects
+    * ANY self-read at the table level (UNSUPPORTED_OVERWRITE.TABLE). Shim,
+    * driver path only: on that exact error for a single INSERT OVERWRITE
+    * TABLE statement, run the source query alone, materialize it
+    * (`localCheckpoint` severs the plan's lineage against the dest
+    * relation — the engine-level analogue of Hive's intermediate map
+    * outputs), and re-run the INSERT over the snapshot. Hive semantics:
+    * the read sees pre-insert data either way.
+    */
+  private val SelfReadInsert =
+    ("""(?is)^\s*(INSERT\s+OVERWRITE\s+TABLE\s+(?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))*""" +
+      """\s*(?:PARTITION\s*\([^)]*\))?)\s*(SELECT|FROM|\().*""").r
+  private def withSelfReadOverwriteRetry(spark: SparkSession, q: String)(
+      body: => DataFrame): DataFrame =
+    try body catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("UNSUPPORTED_OVERWRITE") =>
+        val m = SelfReadInsert.findFirstMatchIn(q).getOrElse(throw e)
+        val query = q.substring(m.end(1))
+        val snap = withLegacyStoreRetry(spark)(spark.sql(rewrite(query)))
+          .localCheckpoint(true)
+        val tmp = "graft_self_read_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
+        snap.createOrReplaceTempView(tmp)
+        try withLegacyStoreRetry(spark)(
+          spark.sql(rewrite(s"${m.group(1)} SELECT * FROM $tmp")))
+        finally spark.catalog.dropTempView(tmp)
     }
 
   /** Re-entrancy guard for [[statementExec]]: the multi-insert NATIVE

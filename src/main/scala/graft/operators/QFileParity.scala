@@ -2963,5 +2963,478 @@ object QFileParity extends QueryModule {
         import s.implicits._
         Seq((1, n3, n4)).toDF("ok", "n3", "n4")
       },
-      Some("SELECT 1 AS ok, CAST(0 AS BIGINT) AS n3, CAST(0 AS BIGINT) AS n4")))
+      Some("SELECT 1 AS ok, CAST(0 AS BIGINT) AS n3, CAST(0 AS BIGINT) AS n4")),
+
+    // ================= round-11 battery growth: union tranche ===========
+
+    // ---- clientpositive/union4.q: union of two map-reduce-side aggregates
+    //      through an INT dest (count BIGINT -> INT store cast)
+    QueryDef(
+      "q238_qf_union4",
+      (s, dir) => {
+        val d = s"tmptable_u4_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"create table $d(key string, value int)")
+        HiveQl.sql(s,
+          s"""insert overwrite table $d
+              select unionsrc.key, unionsrc.value FROM (select 'tst1' as key, count(1) as value from src s1
+                                                    UNION  ALL
+                                                        select 'tst2' as key, count(1) as value from src s2) unionsrc""")
+        HiveQl.sql(s, s"select * from $d x sort by x.key")
+      },
+      Some(s"""$SrcCte
+        SELECT key, CAST(value AS INT) AS value FROM (
+          SELECT 'tst1' AS key, count(1) AS value FROM src
+          UNION ALL
+          SELECT 'tst2' AS key, count(1) AS value FROM src) u
+        ORDER BY key""")),
+
+    // ---- clientpositive/union5.q: GROUP BY over a union of aggregates
+    QueryDef(
+      "q239_qf_union5",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """select unionsrc.key, count(1) AS cnt FROM (select 'tst1' as key, count(1) as value from src s1
+                                            UNION  ALL
+                                              select 'tst2' as key, count(1) as value from src s2) unionsrc group by unionsrc.key
+             ORDER BY key""")
+      },
+      Some(s"""$SrcCte
+        SELECT key, count(1) AS cnt FROM (
+          SELECT 'tst1' AS key, count(1) AS value FROM src
+          UNION ALL
+          SELECT 'tst2' AS key, count(1) AS value FROM src) u
+        GROUP BY key ORDER BY key""")),
+
+    // ---- clientpositive/union6.q: union of an aggregate with the
+    //      empty-string-bearing src1 rows through a dest
+    QueryDef(
+      "q240_qf_union6",
+      (s, dir) => {
+        val d = s"tmptable_u6_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"create table $d(key string, value string)")
+        HiveQl.sql(s,
+          s"""insert overwrite table $d
+              select unionsrc.key, unionsrc.value FROM (select 'tst1' as key, cast(count(1) as string) as value from src s1
+                                                    UNION  ALL
+                                                        select s2.key as key, s2.value as value from src1 s2) unionsrc""")
+        HiveQl.sql(s, s"select * from $d x sort by x.key, x.value")
+      },
+      Some(s"""$Src1Cte
+        SELECT key, value FROM (
+          SELECT 'tst1' AS key, CAST(count(1) AS VARCHAR) AS value FROM src
+          UNION ALL
+          SELECT key, value FROM src1) u
+        ORDER BY key, value""")),
+
+    // ---- clientpositive/union7.q: GROUP BY over aggregate-with-src1 union
+    QueryDef(
+      "q241_qf_union7",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """select unionsrc.key, count(1) AS cnt FROM (select 'tst1' as key, cast(count(1) as string) as value from src s1
+                                              UNION  ALL
+                                                select s2.key as key, s2.value as value from src1 s2) unionsrc group by unionsrc.key
+             ORDER BY key""")
+      },
+      Some(s"""$Src1Cte
+        SELECT key, count(1) AS cnt FROM (
+          SELECT 'tst1' AS key, CAST(count(1) AS VARCHAR) AS value FROM src
+          UNION ALL
+          SELECT key, value FROM src1) u
+        GROUP BY key ORDER BY key""")),
+
+    // ---- clientpositive/union8.q: three-branch self-union, plain select
+    QueryDef(
+      "q242_qf_union8",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """select unionsrc.key, unionsrc.value FROM (select s1.key as key, s1.value as value from src s1 UNION  ALL
+                                                      select s2.key as key, s2.value as value from src s2 UNION  ALL
+                                                      select s3.key as key, s3.value as value from src s3) unionsrc
+             ORDER BY key, value""")
+      },
+      Some(s"""$SrcCte
+        SELECT key, value FROM (
+          SELECT key, value FROM src UNION ALL
+          SELECT key, value FROM src UNION ALL
+          SELECT key, value FROM src) u
+        ORDER BY key, value""")),
+
+    // ---- clientpositive/union9.q: count over the three-branch union
+    QueryDef(
+      "q243_qf_union9",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """select count(1) AS cnt FROM (select s1.key as key, s1.value as value from src s1 UNION  ALL
+                                  select s2.key as key, s2.value as value from src s2 UNION ALL
+                                  select s3.key as key, s3.value as value from src s3) unionsrc""")
+      },
+      Some(s"""$SrcCte
+        SELECT count(1) AS cnt FROM (
+          SELECT key, value FROM src UNION ALL
+          SELECT key, value FROM src UNION ALL
+          SELECT key, value FROM src) u""")),
+
+    // ---- clientpositive/union10.q: three aggregate branches into a dest
+    QueryDef(
+      "q244_qf_union10",
+      (s, dir) => {
+        val d = s"tmptable_u10_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"create table $d(key string, value int)")
+        HiveQl.sql(s,
+          s"""insert overwrite table $d
+              select unionsrc.key, unionsrc.value FROM (select 'tst1' as key, count(1) as value from src s1
+                                                    UNION  ALL
+                                                        select 'tst2' as key, count(1) as value from src s2
+                                                    UNION ALL
+                                                        select 'tst3' as key, count(1) as value from src s3) unionsrc""")
+        HiveQl.sql(s, s"select * from $d x sort by x.key")
+      },
+      Some(s"""$SrcCte
+        SELECT key, CAST(value AS INT) AS value FROM (
+          SELECT 'tst1' AS key, count(1) AS value FROM src
+          UNION ALL SELECT 'tst2', count(1) FROM src
+          UNION ALL SELECT 'tst3', count(1) FROM src) u
+        ORDER BY key""")),
+
+    // ---- clientpositive/union11.q: GROUP BY over three aggregate branches
+    QueryDef(
+      "q245_qf_union11",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """select unionsrc.key, count(1) AS cnt FROM (select 'tst1' as key, count(1) as value from src s1
+                                              UNION  ALL
+                                                  select 'tst2' as key, count(1) as value from src s2
+                                              UNION ALL
+                                                  select 'tst3' as key, count(1) as value from src s3) unionsrc group by unionsrc.key
+             ORDER BY key""")
+      },
+      Some("""SELECT key, CAST(cnt AS BIGINT) AS cnt FROM (VALUES
+          ('tst1', 1), ('tst2', 1), ('tst3', 1)) v(key, cnt)
+        ORDER BY key""")),
+
+    // ---- clientpositive/union13.q: two-branch self-union, plain select
+    QueryDef(
+      "q246_qf_union13",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """select unionsrc.key, unionsrc.value FROM (select s1.key as key, s1.value as value from src s1 UNION  ALL
+                                                      select s2.key as key, s2.value as value from src s2) unionsrc
+             ORDER BY key, value""")
+      },
+      Some(s"""$SrcCte
+        SELECT key, value FROM (
+          SELECT key, value FROM src UNION ALL
+          SELECT key, value FROM src) u
+        ORDER BY key, value""")),
+
+    // ---- clientpositive/union14.q: src1 first, aggregate branch second
+    //      (map-side/reduce-side branch order flipped vs union7)
+    QueryDef(
+      "q247_qf_union14",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """select unionsrc.key, count(1) AS cnt FROM (select s2.key as key, s2.value as value from src1 s2
+                                                UNION  ALL
+                                              select 'tst1' as key, cast(count(1) as string) as value from src s1)
+             unionsrc group by unionsrc.key
+             ORDER BY key""")
+      },
+      Some(s"""$Src1Cte
+        SELECT key, count(1) AS cnt FROM (
+          SELECT key, value FROM src1
+          UNION ALL
+          SELECT 'tst1' AS key, CAST(count(1) AS VARCHAR) AS value FROM src) u
+        GROUP BY key ORDER BY key""")),
+
+    // ---- clientpositive/union15.q: one aggregate branch + src1 twice —
+    //      per-key counts double for the repeated side
+    QueryDef(
+      "q248_qf_union15",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """select unionsrc.key, count(1) AS cnt FROM (select 'tst1' as key, cast(count(1) as string) as value from src s1
+                                                UNION  ALL
+                                                    select s2.key as key, s2.value as value from src1 s2
+                                                UNION  ALL
+                                                    select s3.key as key, s3.value as value from src1 s3) unionsrc group by unionsrc.key
+             ORDER BY key""")
+      },
+      Some(s"""$Src1Cte
+        SELECT key, count(1) AS cnt FROM (
+          SELECT 'tst1' AS key, CAST(count(1) AS VARCHAR) AS value FROM src
+          UNION ALL SELECT key, value FROM src1
+          UNION ALL SELECT key, value FROM src1) u
+        GROUP BY key ORDER BY key""")),
+
+    // ---- clientpositive/union16.q: 25-way self-union under one count —
+    //      plan-width stress; the .q's point is the single-scan rewrite
+    QueryDef(
+      "q249_qf_union16",
+      (s, dir) => {
+        fixtures(s, dir)
+        val branch = "SELECT key, value FROM src"
+        HiveQl.sql(s,
+          "SELECT count(1) AS cnt FROM (" +
+            Seq.fill(25)(branch).mkString(" UNION ALL ") + ") u")
+      },
+      Some(s"""$SrcCte
+        SELECT 25 * count(1) AS cnt FROM src""")),
+
+    // ---- clientpositive/union17.q: one union scan into TWO dests with
+    //      different GROUP BYs and COUNT(DISTINCT SUBSTR) — substr past the
+    //      string's end is '' (not NULL) and counts as one distinct value
+    QueryDef(
+      "q250_qf_union17",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val (d1, d2) = (s"dest1_u17_$sfx", s"dest2_u17_$sfx")
+        fresh(s, d1, d2)
+        HiveQl.sql(s, s"CREATE TABLE $d1(key STRING, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"CREATE TABLE $d2(key STRING, val1 STRING, val2 STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM (select 'tst1' as key, cast(count(1) as string) as value from src s1
+                                       UNION  ALL
+                    select s2.key as key, s2.value as value from src s2) unionsrc
+              INSERT OVERWRITE TABLE $d1 SELECT unionsrc.key, COUNT(DISTINCT SUBSTR(unionsrc.value,5)) GROUP BY unionsrc.key
+              INSERT OVERWRITE TABLE $d2 SELECT unionsrc.key, unionsrc.value, COUNT(DISTINCT SUBSTR(unionsrc.value,5)) GROUP BY unionsrc.key, unionsrc.value""")
+        HiveQl.sql(s,
+          s"""SELECT 'd1' AS tag, key, value AS val1, CAST(NULL AS STRING) AS val2 FROM $d1
+              UNION ALL SELECT 'd2', key, val1, val2 FROM $d2
+              ORDER BY tag, key, val1, val2""")
+      },
+      Some(s"""$SrcCte, u AS (
+          SELECT 'tst1' AS key, CAST(count(1) AS VARCHAR) AS value FROM src
+          UNION ALL SELECT key, value FROM src)
+        SELECT tag, key, val1, val2 FROM (
+          SELECT 'd1' AS tag, key,
+                 CAST(count(DISTINCT substr(value, 5)) AS VARCHAR) AS val1,
+                 CAST(NULL AS VARCHAR) AS val2
+          FROM u GROUP BY key
+          UNION ALL
+          SELECT 'd2', key, value,
+                 CAST(count(DISTINCT substr(value, 5)) AS VARCHAR)
+          FROM u GROUP BY key, value) t
+        ORDER BY tag, key, val1, val2 NULLS FIRST""")),
+
+    // ---- clientpositive/union18.q: same union into two dests, no
+    //      aggregation — every union row lands in both
+    QueryDef(
+      "q251_qf_union18",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val (d1, d2) = (s"dest1_u18_$sfx", s"dest2_u18_$sfx")
+        fresh(s, d1, d2)
+        HiveQl.sql(s, s"CREATE TABLE $d1(key STRING, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"CREATE TABLE $d2(key STRING, val1 STRING, val2 STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM (select 'tst1' as key, cast(count(1) as string) as value from src s1
+                                       UNION  ALL
+                    select s2.key as key, s2.value as value from src s2) unionsrc
+              INSERT OVERWRITE TABLE $d1 SELECT unionsrc.key, unionsrc.value
+              INSERT OVERWRITE TABLE $d2 SELECT unionsrc.key, unionsrc.value, unionsrc.value""")
+        HiveQl.sql(s,
+          s"""SELECT 'd1' AS tag, key, value AS val1, CAST(NULL AS STRING) AS val2 FROM $d1
+              UNION ALL SELECT 'd2', key, val1, val2 FROM $d2
+              ORDER BY tag, key, val1, val2""")
+      },
+      Some(s"""$SrcCte, u AS (
+          SELECT 'tst1' AS key, CAST(count(1) AS VARCHAR) AS value FROM src
+          UNION ALL SELECT key, value FROM src)
+        SELECT tag, key, val1, val2 FROM (
+          SELECT 'd1' AS tag, key, value AS val1, CAST(NULL AS VARCHAR) AS val2 FROM u
+          UNION ALL
+          SELECT 'd2', key, value, value FROM u) t
+        ORDER BY tag, key, val1, val2 NULLS FIRST""")),
+
+    // ---- clientpositive/union19.q: one dest aggregated, one dest plain,
+    //      off the same union scan
+    QueryDef(
+      "q252_qf_union19",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val (d1, d2) = (s"dest1_u19_$sfx", s"dest2_u19_$sfx")
+        fresh(s, d1, d2)
+        HiveQl.sql(s, s"CREATE TABLE $d1(key STRING, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"CREATE TABLE $d2(key STRING, val1 STRING, val2 STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM (select 'tst1' as key, cast(count(1) as string) as value from src s1
+                                       UNION  ALL
+                    select s2.key as key, s2.value as value from src s2) unionsrc
+              INSERT OVERWRITE TABLE $d1 SELECT unionsrc.key, count(unionsrc.value) group by unionsrc.key
+              INSERT OVERWRITE TABLE $d2 SELECT unionsrc.key, unionsrc.value, unionsrc.value""")
+        HiveQl.sql(s,
+          s"""SELECT 'd1' AS tag, key, value AS val1, CAST(NULL AS STRING) AS val2 FROM $d1
+              UNION ALL SELECT 'd2', key, val1, val2 FROM $d2
+              ORDER BY tag, key, val1, val2""")
+      },
+      Some(s"""$SrcCte, u AS (
+          SELECT 'tst1' AS key, CAST(count(1) AS VARCHAR) AS value FROM src
+          UNION ALL SELECT key, value FROM src)
+        SELECT tag, key, val1, val2 FROM (
+          SELECT 'd1' AS tag, key, CAST(count(value) AS VARCHAR) AS val1,
+                 CAST(NULL AS VARCHAR) AS val2
+          FROM u GROUP BY key
+          UNION ALL
+          SELECT 'd2', key, value, value FROM u) t
+        ORDER BY tag, key, val1, val2 NULLS FIRST""")),
+
+    // ---- clientpositive/union20.q: JOIN of two unions on the union
+    //      output key — aggregate branches match each other, small keys
+    //      match per-branch
+    QueryDef(
+      "q253_qf_union20",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT unionsrc1.key AS k1, unionsrc1.value AS v1,
+                    unionsrc2.key AS k2, unionsrc2.value AS v2
+             FROM (select 'tst1' as key, cast(count(1) as string) as value from src s1
+                                      UNION  ALL
+                   select s2.key as key, s2.value as value from src s2 where s2.key < 10) unionsrc1
+             JOIN
+                  (select 'tst1' as key, cast(count(1) as string) as value from src s3
+                                      UNION  ALL
+                   select s4.key as key, s4.value as value from src s4 where s4.key < 10) unionsrc2
+             ON (unionsrc1.key = unionsrc2.key)
+             ORDER BY k1, v1, k2, v2""")
+      },
+      Some(s"""$SrcCte, u AS (
+          SELECT 'tst1' AS key, CAST(count(1) AS VARCHAR) AS value FROM src
+          UNION ALL
+          SELECT key, value FROM src WHERE TRY_CAST(key AS DOUBLE) < 10)
+        SELECT a.key AS k1, a.value AS v1, b.key AS k2, b.value AS v2
+        FROM u a JOIN u b ON a.key = b.key
+        ORDER BY k1, v1, k2, v2""")),
+
+    // ---- clientpositive/union21.q: union across heterogeneous sources —
+    //      constants, reverse(key), src keys, and the thrift fixture's
+    //      astring / lstring[0]; NULL forms its own group
+    QueryDef(
+      "q254_qf_union21",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT key, count(1) AS cnt
+             FROM (
+               SELECT '1' as key from src
+               UNION ALL
+               SELECT reverse(key) as key from src
+               UNION ALL
+               SELECT key as key from src
+               UNION ALL
+               SELECT astring as key from src_thrift
+               UNION ALL
+               SELECT lstring[0] as key from src_thrift
+             ) union_output
+             GROUP BY key
+             ORDER BY key""")
+      },
+      Some(s"""$SrcCte, th(astring, l0) AS (VALUES
+          ('record_0', '0'), ('record_1', '10'), ('record_2', '20'),
+          ('record_3', '30'), ('record_4', '40'), ('record_5', '50'),
+          ('record_6', '60'), ('record_7', '70'), ('record_8', '80'),
+          ('record_9', '90'), (CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)))
+        SELECT key, count(1) AS cnt FROM (
+          SELECT '1' AS key FROM src
+          UNION ALL SELECT reverse(key) FROM src
+          UNION ALL SELECT key FROM src
+          UNION ALL SELECT astring FROM th
+          UNION ALL SELECT l0 FROM th) u
+        GROUP BY key ORDER BY key NULLS FIRST""")),
+
+    // ---- clientpositive/union22.q: partitioned dest rebuilt from a union
+    //      of a filtered delta slice and a MAPJOIN left-outer against the
+    //      previous partition — string-numeric k0 <= 50 coercion decides
+    //      the split
+    QueryDef(
+      "q255_qf_union22",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val (t, td) = (s"dst_union22_$sfx", s"dst_union22_delta_$sfx")
+        fresh(s, t, td)
+        HiveQl.sql(s, s"create table $t(k1 string, k2 string, k3 string, k4 string) partitioned by (ds string)")
+        HiveQl.sql(s, s"create table $td(k0 string, k1 string, k2 string, k3 string, k4 string, k5 string) partitioned by (ds string)")
+        HiveQl.sql(s, s"insert overwrite table $t partition (ds='1') select key, value, key , value from src")
+        HiveQl.sql(s, s"insert overwrite table $td partition (ds='1') select key, key, value, key, value, value from src")
+        HiveQl.sql(s,
+          s"""insert overwrite table $t partition (ds='2')
+              select * from
+              (
+              select k1 as k1, k2 as k2, k3 as k3, k4 as k4 from $td where ds = '1' and k0 <= 50
+              union all
+              select /*+ MAPJOIN(b) */ a.k1 as k1, a.k2 as k2, b.k3 as k3, b.k4 as k4
+              from $t a left outer join (select * from $td where ds = '1' and k0 > 50) b on
+              a.k1 = b.k1 and a.ds='1'
+              ) subq""")
+        HiveQl.sql(s, s"select * from $t where ds='2' order by k1, k2, k3, k4")
+      },
+      Some(s"""$SrcCte,
+          a AS (SELECT key AS k1, value AS k2, key AS k3, value AS k4 FROM src),
+          delta AS (SELECT key AS k0, key AS k1, value AS k2, key AS k3,
+                           value AS k4, value AS k5 FROM src)
+        SELECT k1, k2, k3, k4, '2' AS ds FROM (
+          SELECT k1, k2, k3, k4 FROM delta WHERE TRY_CAST(k0 AS DOUBLE) <= 50
+          UNION ALL
+          SELECT a.k1, a.k2, b.k3, b.k4 FROM a LEFT OUTER JOIN
+            (SELECT * FROM delta WHERE TRY_CAST(k0 AS DOUBLE) > 50) b
+            ON a.k1 = b.k1) u
+        ORDER BY k1, k2, k3 NULLS FIRST, k4 NULLS FIRST""")),
+
+    // ---- clientpositive/union23.q: TRANSFORM branch unioned with a plain
+    //      branch — the script output (STRING,STRING) must union cleanly
+    QueryDef(
+      "q256_qf_union23",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """select s.key2, s.value2
+             from (
+               select transform(key, value) using 'cat' as (key2, value2)
+               from src
+               union all
+               select key as key2, value as value2 from src) s
+             order by s.key2, s.value2""")
+      },
+      Some(s"""$SrcCte
+        SELECT key2, value2 FROM (
+          SELECT key AS key2, value AS value2 FROM src
+          UNION ALL
+          SELECT key, value FROM src) u
+        ORDER BY key2, value2""")),
+
+    // ---- clientpositive/union_ppr.q: partition pruning THROUGH a union —
+    //      the ds filter must prune both branches' srcpart scans
+    QueryDef(
+      "q257_qf_union_ppr",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT A.key AS key, A.value AS value, A.ds AS ds, A.hr AS hr
+             FROM (
+               SELECT X.* FROM SRCPART X WHERE X.key < 100
+               UNION ALL
+               SELECT Y.* FROM SRCPART Y WHERE Y.key < 100
+             ) A
+             WHERE A.ds = '2008-04-08'
+             SORT BY key, value, ds, hr""")
+      },
+      Some(s"""$SrcPartCte
+        SELECT key, value, ds, hr FROM (
+          SELECT * FROM srcpart WHERE TRY_CAST(key AS DOUBLE) < 100
+          UNION ALL
+          SELECT * FROM srcpart WHERE TRY_CAST(key AS DOUBLE) < 100) u
+        WHERE ds = '2008-04-08'
+        ORDER BY key, value, ds, hr""")))
 }

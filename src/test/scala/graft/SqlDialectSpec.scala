@@ -382,4 +382,30 @@ class SqlDialectSpec extends SparkSpec {
     val total = Tables.load(spark, sfDir, "lineitem").count()
     assert(n1 == total && n2 == total)
   }
+
+  test("INSERT OVERWRITE a partition from a SELF-READ of the same table " +
+      "(union22.q; Hive materializes inputs before the MoveTask swap)") {
+    val t = "self_read_dst"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    HiveQl.sql(spark,
+      s"create table $t(k string, v string) partitioned by (ds string)")
+    HiveQl.sql(spark, s"insert overwrite table $t partition (ds='1') " +
+      "select * from (values ('a','1'), ('b','2')) t(k, v)")
+    // reads ds='1' of t while overwriting ds='2' of t — Spark alone
+    // rejects this with UNSUPPORTED_OVERWRITE.TABLE
+    HiveQl.sql(spark, s"insert overwrite table $t partition (ds='2') " +
+      s"select k, concat(v, 'x') from $t where ds='1'")
+    val got = HiveQl.sql(spark, s"select k, v, ds from $t order by ds, k")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq(("a", "1", "1"), ("b", "2", "1"),
+      ("a", "1x", "2"), ("b", "2x", "2")), got.mkString(","))
+    // re-running the self-read insert sees the PRE-insert dest (ds='1'
+    // unchanged), per Hive's read-before-move semantics
+    HiveQl.sql(spark, s"insert overwrite table $t partition (ds='2') " +
+      s"select k, concat(v, 'y') from $t where ds='1'")
+    val v2 = HiveQl.sql(spark, s"select v from $t where ds='2' order by v")
+      .collect().map(_.getString(0))
+    assert(v2.toSeq == Seq("1y", "2y"), v2.mkString(","))
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }
