@@ -104,6 +104,12 @@ object GraftFunctions {
       If(Or(IsNaN(xd), EqualTo(Abs(xd), Literal(Double.PositiveInfinity))),
         x, Round(x, sc))
     }),
+    // Hive UDFSubstr (udf_substr.q golden): a NEGATIVE pos whose magnitude
+    // exceeds the string length yields '' (start = len + pos lands before
+    // the string), while Spark's Substring clamps to the start and returns
+    // the whole string — substr('ABC', -4) is '' in Hive, 'ABC' in Spark.
+    reg("substr", classOf[Substring], hiveSubstr _),
+    reg("substring", classOf[Substring], hiveSubstr _),
     reg("parse_url_tuple", classOf[ParseUrlTuple], ParseUrlTuple(_)),
     // NOTE: fully qualified on purpose. The wildcard import of
     // catalyst.expressions._ SHADOWS same-package classes from other files
@@ -274,7 +280,37 @@ object GraftFunctions {
     "xpath", "xpath_string", "xpath_boolean", "xpath_short", "xpath_int",
     "xpath_long", "xpath_float", "xpath_double", "xpath_number",
     // Hive's std/stddev/variance are population; Spark's builtins are sample
-    "std", "stddev", "variance")
+    "std", "stddev", "variance",
+    // Hive substr('ABC', -4) = '' where Spark clamps to 'ABC'
+    "substr", "substring")
+
+  /** Hive-0.8 UDFSubstr semantics over Spark's Substring: '' when the
+    * negative start lands before the string (len + pos < 0). NULL operands
+    * flow through both the guard (null condition -> else branch) and
+    * Substring itself as NULL, matching Hive.
+    */
+  private def hiveSubstr(es: Seq[Expression]): Expression = {
+    val str = es.head
+    val pos = Cast(es(1), IntegerType)
+    val len: Expression =
+      if (es.size >= 3) Cast(es(2), IntegerType) else Literal(Int.MaxValue)
+    // a non-negative literal pos can never trip the guard — skip it so the
+    // hot relational/binary paths keep Spark's plain Substring plan
+    val guardNeeded = es(1) match {
+      case Literal(v: Int, IntegerType) => v < 0
+      case Literal(v: Long, LongType) => v < 0
+      case _ => true
+    }
+    if (!guardNeeded) Substring(str, pos, len)
+    else {
+      val beforeStart = And(LessThan(pos, Literal(0)),
+        LessThan(Add(pos, Length(str)), Literal(0)))
+      // empty branch spelled as a zero-length substring of the SAME operand
+      // so string and binary inputs both type-check
+      If(beforeStart, Substring(str, Literal(1), Literal(0)),
+        Substring(str, pos, len))
+    }
+  }
 }
 
 /** `field(needle, v1..vn)`: 1-based index of the first vi equal to needle,

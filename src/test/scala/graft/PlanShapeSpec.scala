@@ -74,9 +74,17 @@ class PlanShapeSpec extends SparkSpec {
                               // .q's own 4-row fixture, nested-loop BY SPEC
       "q180_qf_join0",        // join0.q IS an ON-less join of two <10
                               // filtered subqueries — cross join by spec
-      "q215_qf_input26")      // srcpart's 4-row (ds,hr) VALUES side under a
+      "q215_qf_input26",      // srcpart's 4-row (ds,hr) VALUES side under a
                               // branch filter that empties it — broadcast
                               // nested-loop over a constant-size side
+      "q225_qf_join_nulls",   // join_nulls.q's conditionless JOIN/outer
+                              // selects ARE cartesians by spec (3-row table)
+      "q231_qf_join23",       // join23.q IS an ON-less JOIN with WHERE on
+                              // both sides — cross join by spec
+      "q257_qf_union_ppr",    // srcpart (ds,hr) VALUES side as q215
+      "q274_qf_udf_coalesce", // 1-row constant select joined to the 11-row
+                              // thrift fixture for a single result set
+      "q275_qf_udf_in")       // same 1-row constant-battery join shape
     val flagged = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.contains("stream")) // streaming fns execute on call
       .flatMap { case (name, fn) =>
