@@ -3994,5 +3994,305 @@ object QFileParity extends QueryModule {
                round(quantile_cont(CAST(substr(value, 5) AS INT), 0.99), 4) AS a99
         FROM src
         GROUP BY CAST(key AS INT) // 10
-        ORDER BY g""")))
+        ORDER BY g""")),
+
+    // ========== round-11 battery growth: auto_join tranche ==============
+    // hive.auto.convert.join=true is Hive's common-join -> map-join
+    // auto-conversion (CommonJoinResolver); Spark's analogue is the
+    // autoBroadcastJoinThreshold + AQE conversion, which these fixtures
+    // always qualify for — select-form queries require the broadcast in
+    // the executed plan. The .q's sum(hash(...)) readback checksum is
+    // replaced by the full row multiset (strictly stronger under the
+    // DuckDB oracle; Hive's hash is its golden-file row checksum).
+
+    // ---- clientpositive/auto_join0.q: ON-less join of two filtered
+    //      subqueries, auto-converted — broadcast nested-loop required
+    QueryDef(
+      "q284_qf_auto_join0",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s, "SET hive.auto.convert.join=true")
+        val df = HiveQl.sql(s,
+          """SELECT src1.key as k1, src1.value as v1,
+                    src2.key as k2, src2.value as v2 FROM
+               (SELECT * FROM src WHERE src.key < 10) src1
+                 JOIN
+               (SELECT * FROM src WHERE src.key < 10) src2
+             SORT BY k1, v1, k2, v2""")
+        require(df.queryExecution.executedPlan.toString
+          .contains("BroadcastNestedLoopJoin"),
+          "auto-converted ON-less join must broadcast")
+        df
+      },
+      Some(s"""$SrcCte, f AS (
+          SELECT * FROM src WHERE TRY_CAST(key AS DOUBLE) < 10)
+        SELECT a.key AS k1, a.value AS v1, b.key AS k2, b.value AS v2
+        FROM f a CROSS JOIN f b
+        ORDER BY k1, v1, k2, v2""")),
+
+    // ---- clientpositive/auto_join1.q: equi self-join into a dest under
+    //      auto-conversion
+    QueryDef(
+      "q285_qf_auto_join1",
+      (s, dir) => {
+        val d = s"dest_j1_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, "SET hive.auto.convert.join=true")
+        HiveQl.sql(s, s"CREATE TABLE $d(key INT, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM src src1 JOIN src src2 ON (src1.key = src2.key)
+              INSERT OVERWRITE TABLE $d SELECT src1.key, src2.value""")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY key, value")
+      },
+      Some(s"""$SrcCte
+        SELECT CAST(src1.key AS INT) AS key, src2.value
+        FROM src src1 JOIN src src2 ON src1.key = src2.key
+        ORDER BY 1, 2""")),
+
+    // ---- clientpositive/auto_join4.q: nested FROM-SELECT subqueries,
+    //      LEFT OUTER with overlapping range filters, 4-col dest
+    QueryDef(
+      "q286_qf_auto_join4",
+      (s, dir) => {
+        val d = s"dest1_aj4_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, "SET hive.auto.convert.join=true")
+        HiveQl.sql(s, s"CREATE TABLE $d(c1 INT, c2 STRING, c3 INT, c4 STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM (
+               FROM
+                (
+                FROM src src1 SELECT src1.key AS c1, src1.value AS c2 WHERE src1.key > 10 and src1.key < 20
+                ) a
+               LEFT OUTER JOIN
+               (
+                FROM src src2 SELECT src2.key AS c3, src2.value AS c4 WHERE src2.key > 15 and src2.key < 25
+               ) b
+               ON (a.c1 = b.c3)
+               SELECT a.c1 AS c1, a.c2 AS c2, b.c3 AS c3, b.c4 AS c4
+             ) c
+             INSERT OVERWRITE TABLE $d SELECT c.c1, c.c2, c.c3, c.c4""")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY c1, c2, c3, c4")
+      },
+      Some(s"""$SrcCte,
+          a AS (SELECT key AS c1, value AS c2 FROM src
+                WHERE TRY_CAST(key AS DOUBLE) > 10 AND TRY_CAST(key AS DOUBLE) < 20),
+          b AS (SELECT key AS c3, value AS c4 FROM src
+                WHERE TRY_CAST(key AS DOUBLE) > 15 AND TRY_CAST(key AS DOUBLE) < 25)
+        SELECT CAST(a.c1 AS INT) AS c1, a.c2 AS c2,
+               CAST(b.c3 AS INT) AS c3, b.c4 AS c4
+        FROM a LEFT OUTER JOIN b ON a.c1 = b.c3
+        ORDER BY c1, c2, c3 NULLS FIRST, c4 NULLS FIRST""")),
+
+    // ---- clientpositive/auto_join5.q: the RIGHT OUTER mirror
+    QueryDef(
+      "q287_qf_auto_join5",
+      (s, dir) => {
+        val d = s"dest1_aj5_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, "SET hive.auto.convert.join=true")
+        HiveQl.sql(s, s"CREATE TABLE $d(c1 INT, c2 STRING, c3 INT, c4 STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM (
+               FROM
+                (
+                FROM src src1 SELECT src1.key AS c1, src1.value AS c2 WHERE src1.key > 10 and src1.key < 20
+                ) a
+               RIGHT OUTER JOIN
+               (
+                FROM src src2 SELECT src2.key AS c3, src2.value AS c4 WHERE src2.key > 15 and src2.key < 25
+               ) b
+               ON (a.c1 = b.c3)
+               SELECT a.c1 AS c1, a.c2 AS c2, b.c3 AS c3, b.c4 AS c4
+             ) c
+             INSERT OVERWRITE TABLE $d SELECT c.c1, c.c2, c.c3, c.c4""")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY c1, c2, c3, c4")
+      },
+      Some(s"""$SrcCte,
+          a AS (SELECT key AS c1, value AS c2 FROM src
+                WHERE TRY_CAST(key AS DOUBLE) > 10 AND TRY_CAST(key AS DOUBLE) < 20),
+          b AS (SELECT key AS c3, value AS c4 FROM src
+                WHERE TRY_CAST(key AS DOUBLE) > 15 AND TRY_CAST(key AS DOUBLE) < 25)
+        SELECT CAST(a.c1 AS INT) AS c1, a.c2 AS c2,
+               CAST(b.c3 AS INT) AS c3, b.c4 AS c4
+        FROM a RIGHT OUTER JOIN b ON a.c1 = b.c3
+        ORDER BY c1 NULLS FIRST, c2 NULLS FIRST, c3, c4""")),
+
+    // ---- clientpositive/auto_join8.q: LEFT OUTER then keep only the
+    //      UNMATCHED left rows (c3 IS NULL AND c1 IS NOT NULL) — the
+    //      hand-written anti-join idiom
+    QueryDef(
+      "q288_qf_auto_join8",
+      (s, dir) => {
+        val d = s"dest1_aj8_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, "SET hive.auto.convert.join=true")
+        HiveQl.sql(s, s"CREATE TABLE $d(c1 INT, c2 STRING, c3 INT, c4 STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM (
+               FROM
+                (
+                FROM src src1 SELECT src1.key AS c1, src1.value AS c2 WHERE src1.key > 10 and src1.key < 20
+                ) a
+               LEFT OUTER JOIN
+               (
+                FROM src src2 SELECT src2.key AS c3, src2.value AS c4 WHERE src2.key > 15 and src2.key < 25
+               ) b
+               ON (a.c1 = b.c3)
+               SELECT a.c1 AS c1, a.c2 AS c2, b.c3 AS c3, b.c4 AS c4
+             ) c
+             INSERT OVERWRITE TABLE $d SELECT c.c1, c.c2, c.c3, c.c4 where c.c3 IS NULL AND c.c1 IS NOT NULL""")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY c1, c2")
+      },
+      Some(s"""$SrcCte,
+          a AS (SELECT key AS c1, value AS c2 FROM src
+                WHERE TRY_CAST(key AS DOUBLE) > 10 AND TRY_CAST(key AS DOUBLE) < 20),
+          b AS (SELECT key AS c3, value AS c4 FROM src
+                WHERE TRY_CAST(key AS DOUBLE) > 15 AND TRY_CAST(key AS DOUBLE) < 25)
+        SELECT CAST(a.c1 AS INT) AS c1, a.c2 AS c2,
+               CAST(NULL AS INT) AS c3, CAST(NULL AS VARCHAR) AS c4
+        FROM a LEFT OUTER JOIN b ON a.c1 = b.c3
+        WHERE b.c3 IS NULL AND a.c1 IS NOT NULL
+        ORDER BY c1, c2""")),
+
+    // ---- clientpositive/auto_join14.q: src x srcpart with the partition
+    //      predicate inside the ON (inner join -> prunes like WHERE)
+    QueryDef(
+      "q289_qf_auto_join14",
+      (s, dir) => {
+        val d = s"dest1_aj14_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, "SET hive.auto.convert.join=true")
+        HiveQl.sql(s, s"CREATE TABLE $d(c1 INT, c2 STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM src JOIN srcpart ON src.key = srcpart.key AND srcpart.ds = '2008-04-08' and src.key > 100
+              INSERT OVERWRITE TABLE $d SELECT src.key, srcpart.value""")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY c1, c2")
+      },
+      Some(s"""$SrcPartCte
+        SELECT CAST(src.key AS INT) AS c1, srcpart.value AS c2
+        FROM src JOIN srcpart
+        ON src.key = srcpart.key AND srcpart.ds = '2008-04-08'
+           AND TRY_CAST(src.key AS DOUBLE) > 100
+        ORDER BY c1, c2""")),
+
+    // ---- clientpositive/auto_join15.q: equi self-join, full projection
+    QueryDef(
+      "q290_qf_auto_join15",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s, "SET hive.auto.convert.join=true")
+        val df = HiveQl.sql(s,
+          """SELECT src1.key as k1, src1.value as v1, src2.key as k2, src2.value as v2
+             FROM src src1 JOIN src src2 ON (src1.key = src2.key)
+             SORT BY k1, v1, k2, v2""")
+        require(df.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"),
+          "auto-converted equi join must broadcast")
+        df
+      },
+      Some(s"""$SrcCte
+        SELECT src1.key AS k1, src1.value AS v1, src2.key AS k2,
+               src2.value AS v2
+        FROM src src1 JOIN src src2 ON src1.key = src2.key
+        ORDER BY k1, v1, k2, v2""")),
+
+    // ---- clientpositive/auto_join20.q: inner-with-filter chained into a
+    //      RIGHT OUTER whose ON references the FIRST table (merged join
+    //      tree scope)
+    QueryDef(
+      "q291_qf_auto_join20",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s, "SET hive.auto.convert.join=true")
+        HiveQl.sql(s,
+          """SELECT src1.key as k1, src1.value as v1, src2.key as k2,
+                    src2.value as v2, src3.key as k3, src3.value as v3
+             FROM src src1 JOIN src src2 ON (src1.key = src2.key AND src1.key < 10)
+             RIGHT OUTER JOIN src src3 ON (src1.key = src3.key AND src3.key < 20)
+             SORT BY k1, v1, k2, v2, k3, v3""")
+      },
+      Some(s"""$SrcCte
+        SELECT j.key AS k1, j.v1, j.k2, j.v2, src3.key AS k3,
+               src3.value AS v3
+        FROM (SELECT src1.key, src1.value AS v1, src2.key AS k2,
+                     src2.value AS v2
+              FROM src src1 JOIN src src2
+              ON src1.key = src2.key AND TRY_CAST(src1.key AS DOUBLE) < 10) j
+        RIGHT OUTER JOIN src src3
+        ON j.key = src3.key AND TRY_CAST(src3.key AS DOUBLE) < 20
+        ORDER BY k1 NULLS FIRST, v1 NULLS FIRST, k2 NULLS FIRST,
+                 v2 NULLS FIRST, k3, v3""")),
+
+    // ---- clientpositive/auto_join21.q: join21's contradictory-ON chain
+    //      under auto-conversion (same result set)
+    QueryDef(
+      "q292_qf_auto_join21",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s, "SET hive.auto.convert.join=true")
+        HiveQl.sql(s,
+          """SELECT src1.key AS k1, src1.value AS v1, src2.key AS k2,
+                    src2.value AS v2, src3.key AS k3, src3.value AS v3
+             FROM src src1
+             LEFT OUTER JOIN src src2
+               ON (src1.key = src2.key AND src1.key < 10 AND src2.key > 10)
+             RIGHT OUTER JOIN src src3
+               ON (src2.key = src3.key AND src3.key < 10)
+             SORT BY k1, v1, k2, v2, k3, v3""")
+      },
+      Some(s"""$SrcCte
+        SELECT src1.key AS k1, src1.value AS v1, src2.key AS k2,
+               src2.value AS v2, src3.key AS k3, src3.value AS v3
+        FROM src src1
+        LEFT OUTER JOIN src src2
+          ON (src1.key = src2.key AND CAST(src1.key AS DOUBLE) < 10
+              AND CAST(src2.key AS DOUBLE) > 10)
+        RIGHT OUTER JOIN src src3
+          ON (src2.key = src3.key AND CAST(src3.key AS DOUBLE) < 10)
+        ORDER BY k1 NULLS FIRST, v1 NULLS FIRST, k2 NULLS FIRST,
+                 v2 NULLS FIRST, k3 NULLS FIRST, v3 NULLS FIRST""")),
+
+    // ---- clientpositive/auto_join26.q: src1 x src aggregated into a dest
+    //      ('' keys never equi-match)
+    QueryDef(
+      "q293_qf_auto_join26",
+      (s, dir) => {
+        val d = s"dest_j26_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(key INT, cnt INT)")
+        HiveQl.sql(s, "SET hive.auto.convert.join=true")
+        HiveQl.sql(s,
+          s"""INSERT OVERWRITE TABLE $d
+              SELECT x.key, count(1) FROM src1 x JOIN src y ON (x.key = y.key) group by x.key""")
+        HiveQl.sql(s, s"select * from $d x order by x.key")
+      },
+      Some(s"""$Src1Cte
+        SELECT CAST(x.key AS INT) AS key, CAST(count(1) AS INT) AS cnt
+        FROM src1 x JOIN src y ON x.key = y.key
+        GROUP BY x.key ORDER BY CAST(x.key AS INT)""")),
+
+    // ---- clientpositive/auto_join30.q: sorted subqueries feeding the
+    //      auto-converted join (the sort must not break conversion)
+    QueryDef(
+      "q294_qf_auto_join30",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s, "SET hive.auto.convert.join=true")
+        val df = HiveQl.sql(s,
+          """FROM
+             (SELECT src.* FROM src sort by key) x
+             JOIN
+             (SELECT src.* FROM src sort by value) Y
+             ON (x.key = Y.key)
+             select Y.key AS k, Y.value AS v""")
+        require(df.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"),
+          "auto-converted sorted-subquery join must broadcast")
+        df.orderBy("k", "v")
+      },
+      Some(s"""$SrcCte
+        SELECT y.key AS k, y.value AS v
+        FROM src x JOIN src y ON x.key = y.key
+        ORDER BY k, v""")))
 }

@@ -84,7 +84,9 @@ class PlanShapeSpec extends SparkSpec {
       "q257_qf_union_ppr",    // srcpart (ds,hr) VALUES side as q215
       "q274_qf_udf_coalesce", // 1-row constant select joined to the 11-row
                               // thrift fixture for a single result set
-      "q275_qf_udf_in")       // same 1-row constant-battery join shape
+      "q275_qf_udf_in",       // same 1-row constant-battery join shape
+      "q284_qf_auto_join0")   // auto_join0.q IS an ON-less join — its own
+                              // require() pins the BroadcastNestedLoopJoin
     val flagged = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.contains("stream")) // streaming fns execute on call
       .flatMap { case (name, fn) =>
