@@ -30,7 +30,7 @@ object HiveQl {
   private val MapJoin = """(?i)/\*\+\s*MAPJOIN\s*\(([^)]*)\)\s*\*/""".r
   private val StreamTable = """(?i)/\*\+\s*STREAMTABLE\s*\(([^)]*)\)\s*\*/""".r
   private val LoadData =
-    """(?is)^\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+'([^']+)'\s+(OVERWRITE\s+)?INTO\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
+    """(?is)^\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+'([^']+)'\s+(OVERWRITE\s+)?INTO\s+TABLE\s+([\w.]+)(?:\s+PARTITION\s*\(([^)]*)\))?\s*;?\s*$""".r
   // EXPORT TABLE t [PARTITION (spec)] TO 'dir' /
   // IMPORT [[EXTERNAL] TABLE t [PARTITION (spec)]] FROM 'dir' [LOCATION 'loc']
   // (Hive.g:309-317 tableOrPartition; EximUtil partition walk)
@@ -595,8 +595,8 @@ object HiveQl {
   }
 
   def sql(spark: SparkSession, rawQ: String): DataFrame = {
-    val q = resolveScriptPaths(spark,
-      resolveDefaultSampleCols(spark, substituteVars(spark, rawQ)))
+    val q = absorbTransformRemainder(spark, resolveScriptPaths(spark,
+      resolveDefaultSampleCols(spark, substituteVars(spark, rawQ))))
     // Driver.doAuthorization layering: enforce before execution on every
     // entry point that funnels through this driver analogue (no-op unless
     // hive.security.authorization.enabled)
@@ -711,6 +711,50 @@ object HiveQl {
           finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
         }
     }
+
+  /** Hive's script-output reader hands the LAST declared column the entire
+    * remainder of its line: LazySimpleSerDe parses N-1 delimiters and the
+    * Nth column keeps any further tabs (input18.q: TRANSFORM of 4 exprs
+    * through cat into the default (key, value) pair gives
+    * value = 'val_x<tab>3<tab>7'). Spark's BaseScriptTransformationExec
+    * splits EVERY field (String.split(fmt, -1)) and drops the extras.
+    * Opt-in parity rewrite (SET graft.transform.absorbRemainder=true,
+    * driver path): pipe the script through sed turning its first N-1 tabs
+    * into \x02 and declare the output row format FIELDS TERMINATED BY
+    * '\x02' — Spark then splits into exactly N fields and the last keeps
+    * its real tabs. Skipped for commands carrying double quotes (wrapper
+    * quoting would corrupt them) and serde/row-format forms.
+    */
+  private val TransformUsing =
+    """(?is)(TRANSFORM\s*\([^)]*\)\s*)USING\s+'([^']+)'(\s*AS\s*\(([^)]*)\))?""".r
+  private def absorbTransformRemainder(spark: SparkSession, q: String): String = {
+    if (!spark.conf.getOption("graft.transform.absorbRemainder")
+        .contains("true")) return q
+    TransformUsing.replaceAllIn(q, m => {
+      val cmd = m.group(2)
+      val after = q.substring(m.end)
+      if (cmd.contains("\"") ||
+          after.matches("(?is)\\s*ROW\\s+FORMAT.*")) m.group(0)
+      else {
+        val cols = Option(m.group(4)).map(splitSources(_).map(_.trim))
+          .getOrElse(Seq("key", "value"))
+        // the sed expressions travel through Spark's SQL-literal unescape
+        // (one backslash level) then bash double quotes, so the SQL text
+        // carries \\t / \\x02 for sed to receive \t / \x02
+        val seds = Seq.fill(cols.size - 1)("-e \"s/\\\\t/\\\\x02/\"")
+          .mkString(" ")
+        val wrapped =
+          if (cols.size == 1) cmd else s"$cmd | sed $seds"
+        // input side: Hive feeds scripts TAB-separated fields (its
+        // transform LazySimpleSerDe default), while Spark's native default
+        // is \\u0001 -- declare the Hive delimiter so ported scripts parse
+        scala.util.matching.Regex.quoteReplacement(
+          s"${m.group(1)}ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\t' " +
+            s"USING '$wrapped' AS (${cols.mkString(", ")}) " +
+            "ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\u0002'")
+      }
+    })
+  }
 
   /** Hive permits INSERT OVERWRITE of a table (or one partition of it)
     * whose SOURCE query reads the same table: MR fully materializes map
@@ -860,8 +904,9 @@ object HiveQl {
   def statementExec(q: String): Option[SparkSession => Unit] =
     if (bypassStatements.get) None
     else q match {
-      case LoadData(path, overwrite, table) =>
-        Some(s => sources.HiveLoad.loadData(s, path, table, overwrite != null))
+      case LoadData(path, overwrite, table, part) =>
+        Some(s => sources.HiveLoad.loadData(s, path, table, overwrite != null,
+          Option(part).map(sources.HiveExim.parsePartSpec).getOrElse(Nil)))
       case ExportTable(table, part, dir) =>
         Some(s => sources.HiveExim.exportTable(s, table, dir,
           Option(part).map(sources.HiveExim.parsePartSpec).getOrElse(Nil)))

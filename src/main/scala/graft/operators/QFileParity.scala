@@ -4294,5 +4294,277 @@ object QFileParity extends QueryModule {
       Some(s"""$SrcCte
         SELECT y.key AS k, y.value AS v
         FROM src x JOIN src y ON x.key = y.key
-        ORDER BY k, v""")))
+        ORDER BY k, v""")),
+
+    // ========== round-11 battery growth: input/nullgroup tranche ========
+
+    // ---- clientpositive/input0.q: the corpus' first query
+    QueryDef(
+      "q295_qf_input0",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s, "SELECT src.* FROM src ORDER BY key, value")
+      },
+      Some(s"""$SrcCte
+        SELECT key, value FROM src ORDER BY key, value""")),
+
+    // ---- clientpositive/input4.q: the reference's OWN kv1.txt loaded
+    //      TWICE (append semantics), read back column-swapped; the oracle
+    //      reads the same ^A-delimited file via DuckDB's CSV reader
+    QueryDef(
+      "q296_qf_input4",
+      (s, dir) => {
+        val d = s"input4_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(KEY STRING, VALUE STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"LOAD DATA LOCAL INPATH '/root/reference/data/files/kv1.txt' INTO TABLE $d")
+        HiveQl.sql(s, s"LOAD DATA LOCAL INPATH '/root/reference/data/files/kv1.txt' INTO TABLE $d")
+        HiveQl.sql(s, s"SELECT $d.VALUE AS value, $d.KEY AS key FROM $d ORDER BY key, value")
+      },
+      Some("""WITH kv1 AS (
+          SELECT * FROM read_csv('/root/reference/data/files/kv1.txt',
+            delim=chr(1), header=false,
+            columns={'key': 'VARCHAR', 'value': 'VARCHAR'}))
+        SELECT value, key FROM (
+          SELECT * FROM kv1 UNION ALL SELECT * FROM kv1) u
+        ORDER BY key, value""")),
+
+    // ---- clientpositive/input5.q: TRANSFORM over the thrift fixture's
+    //      COMPLEX columns — arrays/structs serialize to the script in
+    //      Hive's JSON spelling. DIVERGENCE NOTE: the all-null record's
+    //      complex columns leave the script as the engine null marker and
+    //      read back as SQL NULL, where Hive 0.8 JSON-serializes them as
+    //      the literal text 'null' (input5.q.out last row)
+    QueryDef(
+      "q297_qf_input5",
+      (s, dir) => {
+        val d = s"dest1_i5_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(key STRING, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM (
+               FROM src_thrift
+               SELECT TRANSFORM(src_thrift.lint, src_thrift.lintstring)
+                      USING '/bin/cat' AS (tkey, tvalue)
+               CLUSTER BY tkey
+             ) tmap
+             INSERT OVERWRITE TABLE $d SELECT tmap.tkey, tmap.tvalue""")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY key, value")
+      },
+      Some("""SELECT key, value FROM (VALUES
+          ('[0,0,0]', '[{"myint":0,"mystring":"0","underscore_int":0}]'),
+          ('[1,2,3]', '[{"myint":1,"mystring":"1","underscore_int":1}]'),
+          ('[2,4,6]', '[{"myint":4,"mystring":"8","underscore_int":2}]'),
+          ('[3,6,9]', '[{"myint":9,"mystring":"27","underscore_int":3}]'),
+          ('[4,8,12]', '[{"myint":16,"mystring":"64","underscore_int":4}]'),
+          ('[5,10,15]', '[{"myint":25,"mystring":"125","underscore_int":5}]'),
+          ('[6,12,18]', '[{"myint":36,"mystring":"216","underscore_int":6}]'),
+          ('[7,14,21]', '[{"myint":49,"mystring":"343","underscore_int":7}]'),
+          ('[8,16,24]', '[{"myint":64,"mystring":"512","underscore_int":8}]'),
+          ('[9,18,27]', '[{"myint":81,"mystring":"729","underscore_int":9}]'),
+          (CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))) v(key, value)
+        ORDER BY key NULLS FIRST, value NULLS FIRST""")),
+
+    // ---- clientpositive/input6.q: IS NULL over src1 — kv3's empty
+    //      STRING fields are '' (never NULL), so the dest stays EMPTY
+    QueryDef(
+      "q298_qf_input6",
+      (s, dir) => {
+        val d = s"dest1_i6_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(key STRING, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"FROM src1 INSERT OVERWRITE TABLE $d " +
+          "SELECT src1.key, src1.value WHERE src1.key is null")
+        HiveQl.sql(s, s"SELECT $d.*, 1 AS one FROM $d")
+      },
+      Some("""SELECT '' AS key, '' AS value, 1 AS one WHERE FALSE""")),
+
+    // ---- clientpositive/input7.q: NULL into a DOUBLE column, string
+    //      keys (incl '') into INT — '' coerces to NULL
+    QueryDef(
+      "q299_qf_input7",
+      (s, dir) => {
+        val d = s"dest1_i7_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(c1 DOUBLE, c2 INT) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"FROM src1 INSERT OVERWRITE TABLE $d SELECT NULL, src1.key")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY c2")
+      },
+      Some(s"""$Src1Cte
+        SELECT CAST(NULL AS DOUBLE) AS c1, TRY_CAST(key AS INT) AS c2
+        FROM src1 ORDER BY c2 NULLS FIRST""")),
+
+    // ---- clientpositive/input18.q: TRANSFORM of FOUR exprs into the
+    //      default (key, value) pair — Hive's last column absorbs the
+    //      remainder WITH its tabs ('val_x\t3\t7'), proven here through
+    //      the graft.transform.absorbRemainder parity rewrite
+    QueryDef(
+      "q300_qf_input18",
+      (s, dir) => {
+        val d = s"dest1_i18_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(key INT, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s, "SET graft.transform.absorbRemainder=true")
+        try
+          HiveQl.sql(s,
+            s"""FROM (
+                 FROM src
+                 SELECT TRANSFORM(src.key, src.value, 1+2, 3+4)
+                        USING '/bin/cat'
+                 CLUSTER BY key
+               ) tmap
+               INSERT OVERWRITE TABLE $d SELECT tmap.key, regexp_replace(tmap.value,'\t','+') WHERE tmap.key < 100""")
+        finally s.conf.unset("graft.transform.absorbRemainder")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY key, value")
+      },
+      Some(s"""$SrcCte
+        SELECT CAST(key AS INT) AS key, value || '+3+7' AS value
+        FROM src WHERE CAST(key AS DOUBLE) < 100
+        ORDER BY key, value""")),
+
+    // ---- clientpositive/input24.q: count over an added-but-empty
+    //      partition
+    QueryDef(
+      "q301_qf_input24",
+      (s, dir) => {
+        val t = s"tst_i24_${fixtures(s, dir)}"
+        fresh(s, t)
+        HiveQl.sql(s, s"create table $t(a int, b int) partitioned by (d string)")
+        HiveQl.sql(s, s"alter table $t add partition (d='2009-01-01')")
+        HiveQl.sql(s, s"select count(1) AS cnt from $t x where x.d='2009-01-01'")
+      },
+      Some("SELECT CAST(0 AS BIGINT) AS cnt")),
+
+    // ---- clientpositive/input3_limit.q: kv1+kv2 loads, LIMIT 20 after a
+    //      non-total DISTRIBUTE/SORT BY — facts oracle (count + strict
+    //      membership), the input1_limit pattern
+    QueryDef(
+      "q302_qf_input3_limit",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val (t1, t2) = (s"t1_i3l_$sfx", s"t2_i3l_$sfx")
+        fresh(s, t1, t2)
+        HiveQl.sql(s, s"CREATE TABLE $t1(key STRING, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"LOAD DATA LOCAL INPATH '/root/reference/data/files/kv1.txt' INTO TABLE $t1")
+        HiveQl.sql(s, s"LOAD DATA LOCAL INPATH '/root/reference/data/files/kv2.txt' INTO TABLE $t1")
+        HiveQl.sql(s, s"CREATE TABLE $t2(key STRING, value STRING)")
+        HiveQl.sql(s, s"INSERT OVERWRITE TABLE $t2 SELECT * FROM " +
+          s"(SELECT * FROM $t1 DISTRIBUTE BY key SORT BY key, value) T LIMIT 20")
+        HiveQl.sql(s,
+          s"""SELECT (SELECT count(*) FROM $t2) AS n,
+                     (SELECT count(*) FROM $t2 a LEFT ANTI JOIN $t1 b
+                      ON a.key = b.key AND a.value = b.value) AS bad""")
+      },
+      Some("SELECT CAST(20 AS BIGINT) AS n, CAST(0 AS BIGINT) AS bad")),
+
+    // ---- clientpositive/nullgroup2.q: GROUP BY over an empty filter
+    //      under all four map-aggr x skew combos -> zero GROUPS each
+    QueryDef(
+      "q303_qf_nullgroup2",
+      (s, dir) => {
+        fixtures(s, dir)
+        val counts = for {
+          aggr <- Seq("true", "false"); skew <- Seq("true", "false")
+        } yield {
+          HiveQl.sql(s, s"SET hive.map.aggr=$aggr")
+          HiveQl.sql(s, s"SET hive.groupby.skewindata=$skew")
+          HiveQl.sql(s,
+            "select x.key, count(1) from src x where x.key > 9999 group by x.key")
+            .count()
+        }
+        import s.implicits._
+        Seq((counts(0), counts(1), counts(2), counts(3)))
+          .toDF("n1", "n2", "n3", "n4")
+      },
+      Some("""SELECT CAST(0 AS BIGINT) AS n1, CAST(0 AS BIGINT) AS n2,
+                     CAST(0 AS BIGINT) AS n3, CAST(0 AS BIGINT) AS n4""")),
+
+    // ---- clientpositive/nullgroup3.q: a kv1 partition plus an
+    //      EMPTY-FILE partition count 500; two empty-file partitions
+    //      count 0 (empty files are rows-none, not errors)
+    QueryDef(
+      "q304_qf_nullgroup3",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val (t1, t2) = (s"tstparttbl_$sfx", s"tstparttbl2_$sfx")
+        fresh(s, t1, t2)
+        HiveQl.sql(s, s"CREATE TABLE $t1(KEY STRING, VALUE STRING) PARTITIONED BY(ds string) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"LOAD DATA LOCAL INPATH '/root/reference/data/files/kv1.txt' INTO TABLE $t1 PARTITION (ds='2008-04-09')")
+        HiveQl.sql(s, s"LOAD DATA LOCAL INPATH '/root/reference/data/files/nullfile.txt' INTO TABLE $t1 PARTITION (ds='2008-04-08')")
+        HiveQl.sql(s, s"CREATE TABLE $t2(KEY STRING, VALUE STRING) PARTITIONED BY(ds string) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"LOAD DATA LOCAL INPATH '/root/reference/data/files/nullfile.txt' INTO TABLE $t2 PARTITION (ds='2008-04-09')")
+        HiveQl.sql(s, s"LOAD DATA LOCAL INPATH '/root/reference/data/files/nullfile.txt' INTO TABLE $t2 PARTITION (ds='2008-04-08')")
+        HiveQl.sql(s,
+          s"""SELECT (select count(1) from $t1) AS n1,
+                     (select count(1) from $t2) AS n2""")
+      },
+      Some("SELECT CAST(500 AS BIGINT) AS n1, CAST(0 AS BIGINT) AS n2")),
+
+    // ---- clientpositive/nullgroup4.q: GLOBAL aggregate over an empty
+    //      filter stays ONE row (0, 0) — not zero rows — under all four
+    //      SET combos
+    QueryDef(
+      "q305_qf_nullgroup4",
+      (s, dir) => {
+        fixtures(s, dir)
+        var last: DataFrame = null
+        for (aggr <- Seq("true", "false"); skew <- Seq("true", "false")) {
+          HiveQl.sql(s, s"SET hive.map.aggr=$aggr")
+          HiveQl.sql(s, s"SET hive.groupby.skewindata=$skew")
+          last = HiveQl.sql(s,
+            """select count(1) AS c1, count(distinct x.value) AS c2
+               from src x where x.key = 9999""")
+          require(last.count() == 1, "empty global aggregate must emit 1 row")
+        }
+        last
+      },
+      Some("SELECT CAST(0 AS BIGINT) AS c1, CAST(0 AS BIGINT) AS c2")),
+
+    // ---- clientpositive/nullgroup5.q: union of a nonexistent-partition
+    //      filter with a loaded partition — all kv1 rows survive
+    QueryDef(
+      "q306_qf_nullgroup5",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val (t1, t2) = (s"ng5_a_$sfx", s"ng5_b_$sfx")
+        fresh(s, t1, t2)
+        HiveQl.sql(s, s"CREATE TABLE $t1(KEY STRING, VALUE STRING) PARTITIONED BY(ds string) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"LOAD DATA LOCAL INPATH '/root/reference/data/files/kv1.txt' INTO TABLE $t1 PARTITION (ds='2009-04-09')")
+        HiveQl.sql(s, s"CREATE TABLE $t2(KEY STRING, VALUE STRING) PARTITIONED BY(ds string) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"LOAD DATA LOCAL INPATH '/root/reference/data/files/kv1.txt' INTO TABLE $t2 PARTITION (ds='2009-04-09')")
+        HiveQl.sql(s,
+          s"""select u.* from
+              (
+                select key, value from $t1 x where x.ds='2009-04-05'
+                  union all
+                select key, value from $t2 y where y.ds='2009-04-09'
+              )u ORDER BY key, value""")
+      },
+      Some("""WITH kv1 AS (
+          SELECT * FROM read_csv('/root/reference/data/files/kv1.txt',
+            delim=chr(1), header=false,
+            columns={'key': 'VARCHAR', 'value': 'VARCHAR'}))
+        SELECT key, value FROM kv1 ORDER BY key, value""")),
+
+    // ---- clientpositive/groupby1_limit.q: grouped insert with LIMIT 5
+    //      and no total order — facts oracle: five rows, each matching the
+    //      full aggregate exactly
+    QueryDef(
+      "q307_qf_groupby1_limit",
+      (s, dir) => {
+        val d = s"dest1_g1l_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, "SET mapred.reduce.tasks=31")
+        HiveQl.sql(s, s"CREATE TABLE $d(key INT, value DOUBLE) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"FROM src INSERT OVERWRITE TABLE $d " +
+          "SELECT src.key, sum(substr(src.value,5)) GROUP BY src.key LIMIT 5")
+        HiveQl.sql(s,
+          s"""SELECT (SELECT count(*) FROM $d) AS n,
+                     (SELECT count(*) FROM $d a LEFT ANTI JOIN
+                        (SELECT CAST(src.key AS INT) AS key,
+                                sum(CAST(substr(src.value, 5) AS DOUBLE)) AS value
+                         FROM src GROUP BY src.key) g
+                      ON a.key = g.key AND round(a.value, 6) = round(g.value, 6)) AS bad""")
+      },
+      Some("SELECT CAST(5 AS BIGINT) AS n, CAST(0 AS BIGINT) AS bad")))
 }

@@ -18,7 +18,16 @@ import org.apache.spark.sql.types._
 object HiveLoad {
 
   def loadData(spark: SparkSession, path: String, table: String,
-      overwrite: Boolean): Unit = {
+      overwrite: Boolean,
+      part: Seq[(String, Option[String])] = Nil): Unit = {
+    // LOAD ... PARTITION (k=v): Hive's MoveTask targets the partition
+    // DIRECTORY and loadPartition registers it in the metastore
+    // (Hive.java loadPartition). All values must be static for a LOAD.
+    val partSpec: Seq[(String, String)] = part.map {
+      case (k, Some(v)) => k -> v
+      case (k, None) => throw new IllegalArgumentException(
+        s"LOAD DATA partition spec requires a value for '$k'")
+    }
     // when the target is one of the graft format tables, use the
     // reference's ACTUAL semantic — move the file into the table location
     // and trust the format at read time (LoadSemanticAnalyzer plans a
@@ -39,7 +48,11 @@ object HiveLoad {
       val meta = spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(table.split('.').last,
           table.split('.').dropRight(1).lastOption))
-      val loc = new org.apache.hadoop.fs.Path(meta.location)
+      val tableLoc = new org.apache.hadoop.fs.Path(meta.location)
+      // partition spec -> the partition's directory under the table root
+      val loc = partSpec.foldLeft(tableLoc) { case (p, (k, v)) =>
+        new org.apache.hadoop.fs.Path(p, s"$k=$v")
+      }
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val src = new org.apache.hadoop.fs.Path(path)
       val srcFs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -47,13 +60,30 @@ object HiveLoad {
         fs.listStatus(loc).filterNot(_.getPath.getName.startsWith("_"))
           .foreach(st => fs.delete(st.getPath, true))
       fs.mkdirs(loc)
-      org.apache.hadoop.fs.FileUtil.copy(srcFs, src, fs,
-        new org.apache.hadoop.fs.Path(loc, src.getName),
+      // repeated LOAD INTO of a same-named file appends under a fresh name
+      // (Warehouse.mvFile's name_copy_N), never overwrites the prior copy
+      val (base, ext) = src.getName.indexOf('.') match {
+        case -1 => (src.getName, "")
+        case i => (src.getName.substring(0, i), src.getName.substring(i))
+      }
+      var dest = new org.apache.hadoop.fs.Path(loc, src.getName)
+      var copyN = 0
+      while (fs.exists(dest)) {
+        copyN += 1
+        dest = new org.apache.hadoop.fs.Path(loc, s"${base}_copy_$copyN$ext")
+      }
+      org.apache.hadoop.fs.FileUtil.copy(srcFs, src, fs, dest,
         false /* keep source (LOCAL semantics) */, spark.sparkContext.hadoopConfiguration)
+      if (partSpec.nonEmpty) {
+        val spec = partSpec.map { case (k, v) => s"$k='$v'" }.mkString(", ")
+        spark.sql(s"ALTER TABLE $table ADD IF NOT EXISTS PARTITION ($spec)")
+      }
       spark.catalog.refreshTable(table)
       return
     }
-    val target = spark.table(table).schema
+    val partCols = partSpec.map(_._1.toLowerCase).toSet
+    val target = StructType(spark.table(table).schema
+      .filterNot(f => partCols.contains(f.name.toLowerCase)))
     // read nested columns as raw text, then decode to the declared type
     // (arbitrary nesting depth via LazySimpleSerDe's 8-level separators)
     val flat = StructType(target.map { f =>
@@ -70,7 +100,17 @@ object HiveLoad {
         case _ => df
       }
     }
-    decoded.write
+    if (partSpec.nonEmpty) {
+      // static-partition INSERT touches ONLY the named partition on
+      // overwrite (Hive loadPartition semantics)
+      val tmp = "graft_load_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      decoded.createOrReplaceTempView(tmp)
+      val spec = partSpec.map { case (k, v) => s"$k='$v'" }.mkString(", ")
+      val verb = if (overwrite) "OVERWRITE TABLE" else "INTO TABLE"
+      try spark.sql(s"INSERT $verb $table PARTITION ($spec) SELECT * FROM $tmp")
+      finally spark.catalog.dropTempView(tmp)
+    } else decoded.write
       .mode(if (overwrite) "overwrite" else "append")
       .insertInto(table)
   }
