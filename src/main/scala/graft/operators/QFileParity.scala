@@ -4566,5 +4566,243 @@ object QFileParity extends QueryModule {
                          FROM src GROUP BY src.key) g
                       ON a.key = g.key AND round(a.value, 6) = round(g.value, 6)) AS bad""")
       },
-      Some("SELECT CAST(5 AS BIGINT) AS n, CAST(0 AS BIGINT) AS bad")))
+      Some("SELECT CAST(5 AS BIGINT) AS n, CAST(0 AS BIGINT) AS bad")),
+
+    // ========== round-11 battery growth: mixed tranche F ================
+
+    // ---- clientpositive/join_reorder.q: STREAMTABLE hints (result
+    //      no-ops), arithmetic join keys (c.key+1 = a.key coerces through
+    //      DOUBLE), LOJ/ROJ chain on mixed key/val conditions, and the
+    //      composite-key UNIQUEJOIN PRESERVE section
+    QueryDef(
+      "q308_qf_join_reorder",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val (t1, t2, t3) = (s"t1_jr_$sfx", s"t2_jr_$sfx", s"t3_jr_$sfx")
+        fresh(s, t1, t2, t3)
+        for ((t, f) <- Seq(t1 -> "T1.txt", t2 -> "T2.txt", t3 -> "T3.txt")) {
+          HiveQl.sql(s, s"CREATE TABLE $t(key STRING, val STRING) STORED AS TEXTFILE")
+          HiveQl.sql(s, s"LOAD DATA LOCAL INPATH '/root/reference/data/files/$f' INTO TABLE $t")
+        }
+        val parts = Seq(
+          s"SELECT 1 AS jt, a.key AS c1, a.val AS c2, c.key AS c3, CAST(NULL AS STRING) AS c4 FROM $t1 a JOIN src c ON c.key+1=a.key",
+          s"SELECT /*+ STREAMTABLE(a) */ 2 AS jt, a.key AS c1, a.val AS c2, c.key AS c3, CAST(NULL AS STRING) AS c4 FROM $t1 a JOIN src c ON c.key+1=a.key",
+          s"SELECT 3 AS jt, a.key AS c1, b.key AS c2, a.val AS c3, c.val AS c4 FROM $t1 a LEFT OUTER JOIN $t2 b ON (b.key=a.key) RIGHT OUTER JOIN $t3 c ON (c.val = a.val)",
+          s"SELECT /*+ STREAMTABLE(a) */ 4 AS jt, a.key AS c1, b.key AS c2, a.val AS c3, c.val AS c4 FROM $t1 a LEFT OUTER JOIN $t2 b ON (b.key=a.key) RIGHT OUTER JOIN $t3 c ON (c.val = a.val)",
+          s"SELECT 5 AS jt, a.key AS c1, b.key AS c2, c.key AS c3, CAST(NULL AS STRING) AS c4 FROM UNIQUEJOIN PRESERVE $t1 a (a.key, a.val), PRESERVE $t2 b (b.key, b.val), PRESERVE $t3 c (c.key, c.val)")
+        HiveQl.sql(s, parts.mkString("\nUNION ALL\n") +
+          "\nORDER BY jt, c1, c2, c3, c4")
+      },
+      Some {
+        s"""$SrcCte,
+            t1(key, val) AS (VALUES ('1','11'),('2','12'),('3','13'),
+              ('7','17'),('8','18'),('8','28')),
+            t2(key, val) AS (VALUES ('2','22'),('3','13'),('4','14'),
+              ('5','15'),('8','18'),('8','18')),
+            t3(key, val) AS (VALUES ('2','12'),('4','14'),('6','16'),
+              ('7','17'))
+          SELECT jt, c1, c2, c3, c4 FROM (
+            SELECT 1 AS jt, a.key AS c1, a.val AS c2, c.key AS c3,
+                   CAST(NULL AS VARCHAR) AS c4
+            FROM t1 a JOIN src c ON TRY_CAST(c.key AS DOUBLE)+1 = TRY_CAST(a.key AS DOUBLE)
+            UNION ALL
+            SELECT 2, a.key, a.val, c.key, CAST(NULL AS VARCHAR)
+            FROM t1 a JOIN src c ON TRY_CAST(c.key AS DOUBLE)+1 = TRY_CAST(a.key AS DOUBLE)
+            UNION ALL
+            SELECT 3, a.key, b.key, a.val, c.val
+            FROM t1 a LEFT OUTER JOIN t2 b ON (b.key = a.key)
+            RIGHT OUTER JOIN t3 c ON (c.val = a.val)
+            UNION ALL
+            SELECT 4, a.key, b.key, a.val, c.val
+            FROM t1 a LEFT OUTER JOIN t2 b ON (b.key = a.key)
+            RIGHT OUTER JOIN t3 c ON (c.val = a.val)
+            UNION ALL
+            SELECT 5, a.key, b.key, c.key, CAST(NULL AS VARCHAR)
+            FROM t1 a
+            FULL OUTER JOIN t2 b ON a.key = b.key AND a.val = b.val
+            FULL OUTER JOIN t3 c ON COALESCE(a.key, b.key) = c.key
+                                AND COALESCE(a.val, b.val) = c.val) u
+          ORDER BY jt, c1 NULLS FIRST, c2 NULLS FIRST, c3 NULLS FIRST,
+                   c4 NULLS FIRST"""
+      }),
+
+    // ---- clientpositive/join_map_ppr.q: two-table MAPJOIN(x,y) hint on a
+    //      3-way join with partition-pruned srcpart
+    QueryDef(
+      "q309_qf_join_map_ppr",
+      (s, dir) => {
+        val d = s"dest_jmp_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(key STRING, value STRING, val2 STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""INSERT OVERWRITE TABLE $d
+              SELECT /*+ MAPJOIN(x,y) */ x.key, z.value, y.value
+              FROM src1 x JOIN src y ON (x.key = y.key)
+              JOIN srcpart z ON (x.key = z.key)
+              WHERE z.ds='2008-04-08' and z.hr=11""")
+        HiveQl.sql(s, s"select * from $d x order by x.key, x.value, x.val2")
+      },
+      Some(s"""$SrcPartCte, s1 AS (
+          SELECT CASE WHEN n_nationkey % 5 = 0 THEN ''
+                      ELSE CAST((4 * n_nationkey * n_nationkey) % 500 AS VARCHAR) END AS key,
+                 CASE WHEN n_nationkey % 3 = 0 THEN ''
+                      ELSE 'val_' || CAST((4 * n_nationkey * n_nationkey) % 500 AS VARCHAR) END AS value
+          FROM nation)
+        SELECT x.key, z.value, y.value AS val2
+        FROM s1 x JOIN src y ON x.key = y.key
+        JOIN srcpart z ON x.key = z.key
+        WHERE z.ds = '2008-04-08' AND TRY_CAST(z.hr AS DOUBLE) = 11
+        ORDER BY 1, 2, 3""")),
+
+    // ---- clientpositive/udf_explode.q: array and map explode, both AS
+    //      spellings, LIMIT over the generator, re-aggregation
+    QueryDef(
+      "q310_qf_udf_explode",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT 1 AS jt, CAST(a.myCol AS STRING) AS c1, CAST(NULL AS STRING) AS c2, CAST(NULL AS BIGINT) AS cnt
+             FROM (SELECT explode(array(1,2,3)) AS myCol FROM src LIMIT 3) a
+             UNION ALL
+             SELECT 2, CAST(a.myCol AS STRING), CAST(NULL AS STRING), count(1)
+             FROM (SELECT explode(array(1,2,3)) AS myCol FROM src LIMIT 3) a GROUP BY a.myCol
+             UNION ALL
+             SELECT 3, CAST(a.key AS STRING), a.val, CAST(NULL AS BIGINT)
+             FROM (SELECT explode(map(1,'one',2,'two',3,'three')) AS (key,val) FROM src LIMIT 3) a
+             UNION ALL
+             SELECT 4, CAST(a.key AS STRING), a.val, count(1)
+             FROM (SELECT explode(map(1,'one',2,'two',3,'three')) AS (key,val) FROM src LIMIT 3) a GROUP BY a.key, a.val
+             ORDER BY jt, c1, c2, cnt""")
+      },
+      Some("""SELECT jt, c1, c2, CAST(cnt AS BIGINT) AS cnt FROM (VALUES
+          (1, '1', CAST(NULL AS VARCHAR), CAST(NULL AS INT)),
+          (1, '2', NULL, NULL), (1, '3', NULL, NULL),
+          (2, '1', NULL, 1), (2, '2', NULL, 1), (2, '3', NULL, 1),
+          (3, '1', 'one', NULL), (3, '2', 'two', NULL),
+          (3, '3', 'three', NULL),
+          (4, '1', 'one', 1), (4, '2', 'two', 1), (4, '3', 'three', 1))
+          v(jt, c1, c2, cnt)
+        ORDER BY jt, c1, c2 NULLS FIRST, cnt""")),
+
+    // ---- clientpositive/union_script.q: TRANSFORM branches unioned
+    QueryDef(
+      "q311_qf_union_script",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """select * from (
+               select transform(key) using 'cat' as cola from src
+               union all
+               select transform(key) using 'cat' as cola from src) s order by cola""")
+      },
+      Some(s"""$SrcCte
+        SELECT cola FROM (
+          SELECT key AS cola FROM src
+          UNION ALL SELECT key FROM src) u
+        ORDER BY cola""")),
+
+    // ---- clientpositive/groupby_map_ppr.q: partition-pruned aggregate
+    //      with COUNT(DISTINCT) and a concat over sum, map-side aggr SETs
+    QueryDef(
+      "q312_qf_groupby_map_ppr",
+      (s, dir) => {
+        val d = s"dest1_gmp_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, "SET hive.map.aggr=true")
+        HiveQl.sql(s, "SET hive.groupby.skewindata=false")
+        HiveQl.sql(s, s"CREATE TABLE $d(key STRING, c1 INT, c2 STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM srcpart src
+              INSERT OVERWRITE TABLE $d
+              SELECT substr(src.key,1,1), count(DISTINCT substr(src.value,5)), concat(substr(src.key,1,1),sum(substr(src.value,5)))
+              WHERE src.ds = '2008-04-08'
+              GROUP BY substr(src.key,1,1)""")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY key")
+      },
+      Some(s"""$SrcPartCte
+        SELECT substr(key, 1, 1) AS key,
+               CAST(count(DISTINCT substr(value, 5)) AS INT) AS c1,
+               substr(key, 1, 1) ||
+                 CAST(sum(CAST(substr(value, 5) AS DOUBLE)) AS VARCHAR) AS c2
+        FROM srcpart WHERE ds = '2008-04-08'
+        GROUP BY substr(key, 1, 1)
+        ORDER BY key""")),
+
+    // ---- clientpositive/join9.q: srcpart x src with the partition filter
+    //      in the WHERE of the insert branch
+    QueryDef(
+      "q313_qf_join9",
+      (s, dir) => {
+        val d = s"dest1_j9_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(key INT, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM srcpart src1 JOIN src src2 ON (src1.key = src2.key)
+              INSERT OVERWRITE TABLE $d SELECT src1.key, src2.value where src1.ds = '2008-04-08' and src1.hr = '12'""")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY key, value")
+      },
+      Some(s"""$SrcPartCte
+        SELECT CAST(src1.key AS INT) AS key, src2.value
+        FROM srcpart src1 JOIN src src2 ON src1.key = src2.key
+        WHERE src1.ds = '2008-04-08' AND src1.hr = '12'
+        ORDER BY 1, 2""")),
+
+    // ---- clientpositive/join10.q: Y.* star expansion through the join
+    QueryDef(
+      "q314_qf_join10",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """FROM
+             (SELECT src.* FROM src) x
+             JOIN
+             (SELECT src.* FROM src) Y
+             ON (x.key = Y.key)
+             SELECT Y.key AS k, Y.value AS v
+             ORDER BY k, v""")
+      },
+      Some(s"""$SrcCte
+        SELECT y.key AS k, y.value AS v
+        FROM src x JOIN src y ON x.key = y.key
+        ORDER BY k, v""")),
+
+    // ---- clientpositive/join11.q: numeric residual INSIDE the ON over
+    //      string keys
+    QueryDef(
+      "q315_qf_join11",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT src1.c1, src2.c4
+             FROM
+             (SELECT src.key as c1, src.value as c2 from src) src1
+             JOIN
+             (SELECT src.key as c3, src.value as c4 from src) src2
+             ON src1.c1 = src2.c3 AND src1.c1 < 100
+             ORDER BY c1, c4""")
+      },
+      Some(s"""$SrcCte
+        SELECT src1.c1, src2.c4
+        FROM (SELECT key AS c1, value AS c2 FROM src) src1
+        JOIN (SELECT key AS c3, value AS c4 FROM src) src2
+        ON src1.c1 = src2.c3 AND TRY_CAST(src1.c1 AS DOUBLE) < 100
+        ORDER BY c1, c4""")),
+
+    // ---- clientpositive/join3.q: 3-way self equi-join into a dest
+    QueryDef(
+      "q316_qf_join3",
+      (s, dir) => {
+        val d = s"dest1_j3_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(key INT, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM src src1 JOIN src src2 ON (src1.key = src2.key) JOIN src src3 ON (src1.key = src3.key)
+              INSERT OVERWRITE TABLE $d SELECT src1.key, src3.value""")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY key, value")
+      },
+      Some(s"""$SrcCte
+        SELECT CAST(src1.key AS INT) AS key, src3.value
+        FROM src src1 JOIN src src2 ON src1.key = src2.key
+        JOIN src src3 ON src1.key = src3.key
+        ORDER BY 1, 2""")))
 }
