@@ -4804,5 +4804,243 @@ object QFileParity extends QueryModule {
         SELECT CAST(src1.key AS INT) AS key, src3.value
         FROM src src1 JOIN src src2 ON src1.key = src2.key
         JOIN src src3 ON src1.key = src3.key
-        ORDER BY 1, 2""")))
+        ORDER BY 1, 2"""))) ++ GbVariantDefs
+
+  // ========== round-11 battery growth: groupbyN SET-variant block =======
+  // The groupbyN_{map,map_skew,noskew,...} .q files run their family's
+  // statements under explicit hive.map.aggr x hive.groupby.skewindata
+  // combinations — in Hive the PLANS differ (map-side partial aggregation;
+  // the skew two-job group-by), the results must not. One QueryDef per .q
+  // file; Catalyst's partial/final aggregation subsumes all four plans.
+
+  private def gbSets(s: SparkSession, aggr: Boolean, skew: Boolean,
+      nomap: Boolean): Unit = {
+    HiveQl.sql(s, s"SET hive.map.aggr=$aggr")
+    HiveQl.sql(s, s"SET hive.groupby.skewindata=$skew")
+    if (nomap) HiveQl.sql(s, "SET hive.groupby.mapaggr.checkinterval=20")
+    HiveQl.sql(s, "SET mapred.reduce.tasks=31")
+  }
+
+  private def gbDest(s: SparkSession, dir: String, tag: String,
+      ddlCols: String): String = {
+    val d = s"dest_${tag}_${fixtures(s, dir)}"
+    fresh(s, d)
+    HiveQl.sql(s, s"CREATE TABLE $d($ddlCols) STORED AS TEXTFILE")
+    d
+  }
+
+  /** (family key -> (body, oracle)); body(s, dir, tag). */
+  private lazy val GbFamilies: Map[String, ((SparkSession, String, String) => DataFrame, String)] = Map(
+    "g1" -> (((s: SparkSession, dir: String, tag: String) => {
+      val d = gbDest(s, dir, tag, "key INT, value DOUBLE")
+      HiveQl.sql(s, s"FROM src INSERT OVERWRITE TABLE $d " +
+        "SELECT src.key, sum(substr(src.value,5)) GROUP BY src.key")
+      HiveQl.sql(s, s"SELECT $d.key, round($d.value, 2) AS value FROM $d ORDER BY key")
+    }, s"""$SrcCte
+      SELECT CAST(key AS INT) AS key,
+             round(sum(CAST(substr(value, 5) AS DOUBLE)), 2) AS value
+      FROM src GROUP BY key ORDER BY key""")),
+    "g2" -> (((s: SparkSession, dir: String, tag: String) => {
+      val d = gbDest(s, dir, tag, "key STRING, c1 INT, c2 STRING")
+      HiveQl.sql(s, s"FROM src INSERT OVERWRITE TABLE $d " +
+        "SELECT substr(src.key,1,1), count(DISTINCT substr(src.value,5)), " +
+        "concat(substr(src.key,1,1),sum(substr(src.value,5))) GROUP BY substr(src.key,1,1)")
+      HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY key")
+    }, s"""$SrcCte
+      SELECT substr(key,1,1) AS key,
+             CAST(count(DISTINCT substr(value,5)) AS INT) AS c1,
+             substr(key,1,1) ||
+               CAST(sum(CAST(substr(value,5) AS DOUBLE)) AS VARCHAR) AS c2
+      FROM src GROUP BY substr(key,1,1) ORDER BY key""")),
+    "g2md" -> (((s: SparkSession, dir: String, tag: String) => {
+      val d = gbDest(s, dir, tag, "key STRING, c1 INT, c2 STRING, c3 INT, c4 INT")
+      HiveQl.sql(s, s"FROM src INSERT OVERWRITE TABLE $d " +
+        "SELECT substr(src.key,1,1), count(DISTINCT substr(src.value,5)), " +
+        "concat(substr(src.key,1,1),sum(substr(src.value,5))), " +
+        "sum(DISTINCT substr(src.value, 5)), count(src.value) " +
+        "GROUP BY substr(src.key,1,1)")
+      HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY key")
+    }, s"""$SrcCte
+      SELECT substr(key,1,1) AS key,
+             CAST(count(DISTINCT substr(value,5)) AS INT) AS c1,
+             substr(key,1,1) ||
+               CAST(sum(CAST(substr(value,5) AS DOUBLE)) AS VARCHAR) AS c2,
+             CAST(sum(DISTINCT CAST(substr(value,5) AS DOUBLE)) AS INT) AS c3,
+             CAST(count(value) AS INT) AS c4
+      FROM src GROUP BY substr(key,1,1) ORDER BY key""")),
+    "g3" -> (((s: SparkSession, dir: String, tag: String) => {
+      val d = gbDest(s, dir, tag, "c1 DOUBLE, c2 DOUBLE, c3 DOUBLE, " +
+        "c4 DOUBLE, c5 DOUBLE, c6 DOUBLE, c7 DOUBLE, c8 DOUBLE, c9 DOUBLE")
+      HiveQl.sql(s,
+        s"""FROM src INSERT OVERWRITE TABLE $d SELECT
+           sum(substr(src.value,5)), avg(substr(src.value,5)),
+           avg(DISTINCT substr(src.value,5)), max(substr(src.value,5)),
+           min(substr(src.value,5)), std(substr(src.value,5)),
+           stddev_samp(substr(src.value,5)), variance(substr(src.value,5)),
+           var_samp(substr(src.value,5))""")
+      HiveQl.sql(s, s"SELECT round(c1,2) AS c1, round(c2,4) AS c2, " +
+        s"round(c3,4) AS c3, c4, c5, round(c6,4) AS c6, round(c7,4) AS c7, " +
+        s"round(c8,2) AS c8, round(c9,2) AS c9 FROM $d ORDER BY c1")
+    }, s"""$SrcCte
+      SELECT round(sum(v), 2) AS c1, round(avg(v), 4) AS c2,
+             round(avg(DISTINCT v), 4) AS c3,
+             CAST(max(sv) AS DOUBLE) AS c4, CAST(min(sv) AS DOUBLE) AS c5,
+             round(stddev_pop(v), 4) AS c6, round(stddev_samp(v), 4) AS c7,
+             round(var_pop(v), 2) AS c8, round(var_samp(v), 2) AS c9
+      FROM (SELECT substr(value, 5) AS sv,
+                   CAST(substr(value, 5) AS DOUBLE) AS v FROM src) t
+      ORDER BY c1""")),
+    "g3md" -> (((s: SparkSession, dir: String, tag: String) => {
+      val d = gbDest(s, dir, tag, "c1 DOUBLE, c2 DOUBLE, c3 DOUBLE, " +
+        "c4 DOUBLE, c5 DOUBLE, c6 DOUBLE, c7 DOUBLE, c8 DOUBLE, " +
+        "c9 DOUBLE, c10 DOUBLE, c11 DOUBLE")
+      HiveQl.sql(s,
+        s"""FROM src INSERT OVERWRITE TABLE $d SELECT
+           sum(substr(src.value,5)), avg(substr(src.value,5)),
+           avg(DISTINCT substr(src.value,5)), max(substr(src.value,5)),
+           min(substr(src.value,5)), std(substr(src.value,5)),
+           stddev_samp(substr(src.value,5)), variance(substr(src.value,5)),
+           var_samp(substr(src.value,5)),
+           sum(DISTINCT substr(src.value, 5)),
+           count(DISTINCT substr(src.value, 5))""")
+      HiveQl.sql(s, s"SELECT round(c1,2) AS c1, round(c2,4) AS c2, " +
+        s"round(c3,4) AS c3, c4, c5, round(c6,4) AS c6, round(c7,4) AS c7, " +
+        s"round(c8,2) AS c8, round(c9,2) AS c9, round(c10,2) AS c10, " +
+        s"c11 FROM $d ORDER BY c1")
+    }, s"""$SrcCte
+      SELECT round(sum(v), 2) AS c1, round(avg(v), 4) AS c2,
+             round(avg(DISTINCT v), 4) AS c3,
+             CAST(max(sv) AS DOUBLE) AS c4, CAST(min(sv) AS DOUBLE) AS c5,
+             round(stddev_pop(v), 4) AS c6, round(stddev_samp(v), 4) AS c7,
+             round(var_pop(v), 2) AS c8, round(var_samp(v), 2) AS c9,
+             round(sum(DISTINCT v), 2) AS c10,
+             CAST(count(DISTINCT v) AS DOUBLE) AS c11
+      FROM (SELECT substr(value, 5) AS sv,
+                   CAST(substr(value, 5) AS DOUBLE) AS v FROM src) t
+      ORDER BY c1""")),
+    "g4count" -> (((s: SparkSession, dir: String, tag: String) => {
+      val d = gbDest(s, dir, tag, "key INT")
+      HiveQl.sql(s, s"FROM src INSERT OVERWRITE TABLE $d SELECT count(1)")
+      HiveQl.sql(s, s"SELECT $d.* FROM $d")
+    }, s"""$SrcCte
+      SELECT CAST(count(1) AS INT) AS key FROM src""")),
+    "g4sub" -> (((s: SparkSession, dir: String, tag: String) => {
+      val d = gbDest(s, dir, tag, "c1 STRING")
+      HiveQl.sql(s, s"FROM src INSERT OVERWRITE TABLE $d " +
+        "SELECT substr(src.key,1,1) GROUP BY substr(src.key,1,1)")
+      HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY c1")
+    }, s"""$SrcCte
+      SELECT DISTINCT substr(key,1,1) AS c1 FROM src ORDER BY c1""")),
+    "g5sumkey" -> (((s: SparkSession, dir: String, tag: String) => {
+      val d = gbDest(s, dir, tag, "key INT")
+      HiveQl.sql(s, s"FROM src INSERT OVERWRITE TABLE $d SELECT sum(src.key)")
+      HiveQl.sql(s, s"SELECT $d.* FROM $d")
+    }, s"""$SrcCte
+      SELECT CAST(sum(CAST(key AS DOUBLE)) AS INT) AS key FROM src""")),
+    "g5ins" -> (((s: SparkSession, dir: String, tag: String) => {
+      val d = gbDest(s, dir, tag, "key INT, value STRING")
+      HiveQl.sql(s,
+        s"""INSERT OVERWRITE TABLE $d
+            SELECT src.key, sum(substr(src.value,5))
+            FROM src
+            GROUP BY src.key""")
+      HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY key")
+    }, s"""$SrcCte
+      SELECT CAST(key AS INT) AS key,
+             CAST(sum(CAST(substr(value,5) AS DOUBLE)) AS VARCHAR) AS value
+      FROM src GROUP BY key ORDER BY key""")),
+    "g6dist" -> (((s: SparkSession, dir: String, tag: String) => {
+      val d = gbDest(s, dir, tag, "c1 STRING")
+      HiveQl.sql(s, s"FROM src INSERT OVERWRITE TABLE $d " +
+        "SELECT DISTINCT substr(src.value,5,1)")
+      HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY c1")
+    }, s"""$SrcCte
+      SELECT DISTINCT substr(value,5,1) AS c1 FROM src ORDER BY c1""")),
+    "g7" -> (((s: SparkSession, dir: String, tag: String) => {
+      val sfx = fixtures(s, dir)
+      val (d1, d2) = (s"dest_${tag}a_$sfx", s"dest_${tag}b_$sfx")
+      fresh(s, d1, d2)
+      HiveQl.sql(s, s"CREATE TABLE $d1(key INT, value STRING) STORED AS TEXTFILE")
+      HiveQl.sql(s, s"CREATE TABLE $d2(key INT, value STRING) STORED AS TEXTFILE")
+      HiveQl.sql(s,
+        s"""FROM SRC
+           INSERT OVERWRITE TABLE $d1 SELECT SRC.key, sum(SUBSTR(SRC.value,5)) GROUP BY SRC.key
+           INSERT OVERWRITE TABLE $d2 SELECT SRC.key, sum(SUBSTR(SRC.value,5)) GROUP BY SRC.key""")
+      HiveQl.sql(s,
+        s"""SELECT t.src AS src, t.key AS key, t.value AS value FROM (
+            SELECT 1 AS src, key, value FROM $d1
+            UNION ALL SELECT 2 AS src, key, value FROM $d2) t
+            ORDER BY src, key""")
+    }, s"""$SrcCte, agg AS (
+        SELECT CAST(key AS INT) AS key,
+               CAST(sum(CAST(substr(value, 5) AS DOUBLE)) AS VARCHAR) AS value
+        FROM src GROUP BY key)
+      SELECT src, key, value FROM (
+        SELECT 1 AS src, key, value FROM agg
+        UNION ALL SELECT 2 AS src, key, value FROM agg) t
+      ORDER BY src, key""")),
+    "g8" -> (((s: SparkSession, dir: String, tag: String) => {
+      val sfx = fixtures(s, dir)
+      val (d1, d2) = (s"dest_${tag}a_$sfx", s"dest_${tag}b_$sfx")
+      fresh(s, d1, d2)
+      HiveQl.sql(s, s"CREATE TABLE $d1(key INT, value STRING) STORED AS TEXTFILE")
+      HiveQl.sql(s, s"CREATE TABLE $d2(key INT, value STRING) STORED AS TEXTFILE")
+      HiveQl.sql(s,
+        s"""FROM SRC
+           INSERT OVERWRITE TABLE $d1 SELECT SRC.key, COUNT(DISTINCT SUBSTR(SRC.value,5)) GROUP BY SRC.key
+           INSERT OVERWRITE TABLE $d2 SELECT SRC.key, COUNT(DISTINCT SUBSTR(SRC.value,5)) GROUP BY SRC.key""")
+      HiveQl.sql(s,
+        s"""SELECT t.src AS src, t.key AS key, t.value AS value FROM (
+            SELECT 1 AS src, key, value FROM $d1
+            UNION ALL SELECT 2 AS src, key, value FROM $d2) t
+            ORDER BY src, key""")
+    }, s"""$SrcCte, agg AS (
+        SELECT CAST(key AS INT) AS key,
+               CAST(count(DISTINCT substr(value, 5)) AS VARCHAR) AS value
+        FROM src GROUP BY key)
+      SELECT src, key, value FROM (
+        SELECT 1 AS src, key, value FROM agg
+        UNION ALL SELECT 2 AS src, key, value FROM agg) t
+      ORDER BY src, key""")))
+
+  /** (qname, family, map.aggr, skewindata, checkinterval-nomap). */
+  private lazy val GbVariants: Seq[(String, String, Boolean, Boolean, Boolean)] = Seq(
+    ("q317_qf_groupby1_map", "g1", true, false, false),
+    ("q318_qf_groupby1_map_nomap", "g1", true, false, true),
+    ("q319_qf_groupby1_map_skew", "g1", true, true, false),
+    ("q320_qf_groupby1_noskew", "g1", false, false, false),
+    ("q321_qf_groupby2_map", "g2", true, false, false),
+    ("q322_qf_groupby2_map_skew", "g2", true, true, false),
+    ("q323_qf_groupby2_noskew", "g2", false, false, false),
+    ("q324_qf_groupby2_noskew_multi_distinct", "g2md", false, false, false),
+    ("q325_qf_groupby3_map", "g3", true, false, false),
+    ("q326_qf_groupby3_map_skew", "g3", true, true, false),
+    ("q327_qf_groupby3_noskew", "g3", false, false, false),
+    ("q328_qf_groupby3_map_multi_distinct", "g3md", true, false, false),
+    ("q329_qf_groupby3_noskew_multi_distinct", "g3md", false, false, false),
+    ("q330_qf_groupby4_map", "g4count", true, false, false),
+    ("q331_qf_groupby4_map_skew", "g4count", true, true, false),
+    ("q332_qf_groupby4_noskew", "g4sub", false, false, false),
+    ("q333_qf_groupby5_map", "g5sumkey", true, false, false),
+    ("q334_qf_groupby5_map_skew", "g5sumkey", true, true, false),
+    ("q335_qf_groupby5_noskew", "g5ins", false, false, false),
+    ("q336_qf_groupby6_map", "g6dist", true, false, false),
+    ("q337_qf_groupby6_map_skew", "g6dist", true, true, false),
+    ("q338_qf_groupby6_noskew", "g6dist", false, false, false),
+    ("q339_qf_groupby7_map", "g7", true, false, false),
+    ("q340_qf_groupby7_map_skew", "g7", true, true, false),
+    ("q341_qf_groupby7_noskew", "g7", false, false, false),
+    ("q342_qf_groupby8_map", "g8", true, false, false),
+    ("q343_qf_groupby8_map_skew", "g8", true, true, false),
+    ("q344_qf_groupby8_noskew", "g8", false, false, false))
+
+  private lazy val GbVariantDefs: Seq[QueryDef] = GbVariants.map {
+    case (qn, fam, aggr, skew, nomap) =>
+      val (body, oracle) = GbFamilies(fam)
+      val tag = qn.substring(1, 4) // q317 -> "317", unique dest prefix
+      QueryDef(qn, (s, dir) => {
+        gbSets(s, aggr, skew, nomap)
+        body(s, dir, s"v$tag")
+      }, Some(oracle))
+  }
 }
