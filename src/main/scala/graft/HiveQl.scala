@@ -124,6 +124,11 @@ object HiveQl {
   // whenever y isn't a power of two.
   private val TableSample =
     """(?i)([\w.]+)\s+TABLESAMPLE\s*\(\s*BUCKET\s+(\d+)\s+OUT\s+OF\s+(\d+)\s+ON\s+(\w+(?:\s*,\s*\w+)*)\s*\)(\s+(?:AS\s+)?(\w+))?""".r
+  // BUCKET x OUT OF y ON rand() (sample1.q): random bucket assignment —
+  // each row lands in floor(rand()*y); keep bucket x-1. y = 1 is the
+  // degenerate full sample.
+  private val TableSampleRand =
+    """(?i)([\w.]+)\s+TABLESAMPLE\s*\(\s*BUCKET\s+(\d+)\s+OUT\s+OF\s+(\d+)\s+ON\s+rand\s*\(\s*\)\s*\)(\s+(?:AS\s+)?(\w+))?""".r
   // BUCKET x OUT OF y with NO ON-clause — "default table sample columns"
   // (Hive.g tableSample; SemanticAnalyzer.java:6240-6262): sample on the
   // TABLE'S bucket columns, error on a non-bucketed table. Needs the
@@ -393,7 +398,17 @@ object HiveQl {
     val noHold = HoldDdltime.replaceAllIn(storedAs, "")
     val noStream = StreamTable.replaceAllIn(noHold, "")
     val hinted = MapJoin.replaceAllIn(noStream, m => s"/*+ BROADCAST(${m.group(1)}) */")
-    val sampled = TableSample.replaceAllIn(hinted, m => {
+    val randSampled = TableSampleRand.replaceAllIn(hinted, m => {
+      val (tbl, x, y) = (m.group(1), m.group(2).toInt, m.group(3).toInt)
+      val explicit = Option(m.group(5)).filterNot(a => NotAnAlias(a.toUpperCase))
+      val alias = explicit.getOrElse(tbl.split('.').last)
+      val trailer = if (m.group(4) != null && explicit.isEmpty) m.group(4) else ""
+      val body =
+        if (y == 1) s"SELECT * FROM $tbl"
+        else s"SELECT * FROM $tbl WHERE floor(rand() * $y) = ${x - 1}"
+      s"($body) $alias$trailer"
+    })
+    val sampled = TableSample.replaceAllIn(randSampled, m => {
       val (tbl, x, y, c) = (m.group(1), m.group(2).toInt, m.group(3), m.group(4))
       // subquery alias: an explicit trailing alias if present, else the last
       // identifier segment (a qualified db.tbl is not a legal alias)

@@ -104,6 +104,16 @@ object GraftFunctions {
       If(Or(IsNaN(xd), EqualTo(Abs(xd), Literal(Double.PositiveInfinity))),
         x, Round(x, sc))
     }),
+    // Hive 0.8 UDFHour/UDFMinute/UDFSecond regex-extract the time fields
+    // from the STRING rendering: a bare 'HH:mm:ss' works and a date-only
+    // string yields NULL (udf_hour.q golden: hour('13:14:15') = 13,
+    // hour('2009-08-07') = NULL), where Spark's hour() can't parse bare
+    // times and maps date-only strings to 0. The regex over the string
+    // cast is also exact for real TIMESTAMP columns (their rendering
+    // always carries HH:mm:ss).
+    reg("hour", classOf[RegExpExtract], es => hiveTimeField(es.head, 1)),
+    reg("minute", classOf[RegExpExtract], es => hiveTimeField(es.head, 2)),
+    reg("second", classOf[RegExpExtract], es => hiveTimeField(es.head, 3)),
     // Hive UDFSubstr (udf_substr.q golden): a NEGATIVE pos whose magnitude
     // exceeds the string length yields '' (start = len + pos lands before
     // the string), while Spark's Substring clamps to the start and returns
@@ -282,7 +292,18 @@ object GraftFunctions {
     // Hive's std/stddev/variance are population; Spark's builtins are sample
     "std", "stddev", "variance",
     // Hive substr('ABC', -4) = '' where Spark clamps to 'ABC'
-    "substr", "substring")
+    "substr", "substring",
+    // Hive hour/minute/second regex-extract from strings (bare times work,
+    // date-only is NULL); Spark's builtins cast to timestamp
+    "hour", "minute", "second")
+
+  /** Hive UDFHour/Minute/Second: first HH:mm:ss match in the string form;
+    * no match -> '' -> NULL through the (non-ANSI) int cast.
+    */
+  private def hiveTimeField(e: Expression, group: Int): Expression =
+    Cast(RegExpExtract(Cast(e, StringType),
+      Literal("(\\d{1,2}):(\\d{1,2}):(\\d{1,2})"), Literal(group)),
+      IntegerType)
 
   /** Hive-0.8 UDFSubstr semantics over Spark's Substring: '' when the
     * negative start lands before the string (len + pos < 0). NULL operands

@@ -4804,7 +4804,220 @@ object QFileParity extends QueryModule {
         SELECT CAST(src1.key AS INT) AS key, src3.value
         FROM src src1 JOIN src src2 ON src1.key = src2.key
         JOIN src src3 ON src1.key = src3.key
-        ORDER BY 1, 2"""))) ++ GbVariantDefs
+        ORDER BY 1, 2""")),
+
+    // ========== round-11 battery growth: time/length/sample tranche =====
+
+    // ---- clientpositive/udf_hour.q: Hive regex-extracts from the STRING
+    //      form — bare 'HH:mm:ss' works, date-only is NULL (key 86 -> 100
+    //      as q265)
+    QueryDef(
+      "q345_qf_udf_hour",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT hour('2009-08-07 13:14:15') AS c1, hour('13:14:15') AS c2,
+                    hour('2009-08-07') AS c3
+             FROM src WHERE key = 100""")
+      },
+      Some(s"""$SrcCte
+        SELECT CAST(13 AS INT) AS c1, CAST(13 AS INT) AS c2,
+               CAST(NULL AS INT) AS c3
+        FROM src WHERE TRY_CAST(key AS DOUBLE) = 100""")),
+
+    // ---- clientpositive/udf_minute.q
+    QueryDef(
+      "q346_qf_udf_minute",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT minute('2009-08-07 13:14:15') AS c1, minute('13:14:15') AS c2,
+                    minute('2009-08-07') AS c3
+             FROM src WHERE key = 100""")
+      },
+      Some(s"""$SrcCte
+        SELECT CAST(14 AS INT) AS c1, CAST(14 AS INT) AS c2,
+               CAST(NULL AS INT) AS c3
+        FROM src WHERE TRY_CAST(key AS DOUBLE) = 100""")),
+
+    // ---- clientpositive/udf_second.q
+    QueryDef(
+      "q347_qf_udf_second",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT second('2009-08-07 13:14:15') AS c1, second('13:14:15') AS c2,
+                    second('2009-08-07') AS c3
+             FROM src WHERE key = 100""")
+      },
+      Some(s"""$SrcCte
+        SELECT CAST(15 AS INT) AS c1, CAST(15 AS INT) AS c2,
+               CAST(NULL AS INT) AS c3
+        FROM src WHERE TRY_CAST(key AS DOUBLE) = 100""")),
+
+    // ---- clientpositive/udf_weekofyear.q: ISO week numbers incl. the
+    //      year-boundary cases (golden-paired)
+    QueryDef(
+      "q348_qf_udf_weekofyear",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT weekofyear('1980-01-01') AS c1, weekofyear('1980-01-06') AS c2,
+                    weekofyear('1980-01-07') AS c3, weekofyear('1980-12-31') AS c4,
+                    weekofyear('1984-1-1') AS c5, weekofyear('2008-02-20 00:00:00') AS c6,
+                    weekofyear('1980-12-28 23:59:59') AS c7, weekofyear('1980-12-29 23:59:59') AS c8
+             FROM src LIMIT 1""")
+      },
+      Some("""SELECT CAST(1 AS INT) AS c1, CAST(1 AS INT) AS c2,
+                     CAST(2 AS INT) AS c3, CAST(1 AS INT) AS c4,
+                     CAST(52 AS INT) AS c5, CAST(8 AS INT) AS c6,
+                     CAST(52 AS INT) AS c7, CAST(1 AS INT) AS c8""")),
+
+    // ---- clientpositive/udf_unix_timestamp.q: default format, explicit
+    //      patterns, unparseable -> NULL. The reference harness ran in
+    //      PST so its absolute goldens shift; both engines here evaluate
+    //      in the session's UTC
+    QueryDef(
+      "q349_qf_udf_unix_timestamp",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT unix_timestamp('2009-03-20 11:30:01') AS c1,
+                    unix_timestamp('2009-03-20', 'yyyy-MM-dd') AS c2,
+                    unix_timestamp('2009 Mar 20 11:30:01 am', 'yyyy MMM dd h:mm:ss a') AS c3,
+                    unix_timestamp('random_string') AS c4
+             FROM src LIMIT 1""")
+      },
+      Some("""SELECT CAST(epoch(TIMESTAMP '2009-03-20 11:30:01') AS BIGINT) AS c1,
+                     CAST(epoch(TIMESTAMP '2009-03-20 00:00:00') AS BIGINT) AS c2,
+                     CAST(epoch(strptime('2009 Mar 20 11:30:01 am', '%Y %b %d %I:%M:%S %p')) AS BIGINT) AS c3,
+                     CAST(NULL AS BIGINT) AS c4""")),
+
+    // ---- clientpositive/udf_length.q: char (not byte) lengths over the
+    //      ''-bearing src1, then over the non-ASCII kv4.txt fixture
+    QueryDef(
+      "q350_qf_udf_length",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val (d1, d2) = (s"dest1_len_$sfx", s"dest2_len_$sfx")
+        fresh(s, d1, d2)
+        HiveQl.sql(s, s"CREATE TABLE $d1(len INT)")
+        HiveQl.sql(s, s"FROM src1 INSERT OVERWRITE TABLE $d1 SELECT length(src1.value)")
+        HiveQl.sql(s, s"CREATE TABLE $d2(name STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"LOAD DATA LOCAL INPATH '/root/reference/data/files/kv4.txt' INTO TABLE $d2")
+        HiveQl.sql(s,
+          s"""SELECT 'a' AS tag, len FROM $d1
+              UNION ALL SELECT 'b', length($d2.name) FROM $d2
+              ORDER BY tag, len""")
+      },
+      Some(s"""$Src1Cte
+        SELECT tag, CAST(len AS INT) AS len FROM (
+          SELECT 'a' AS tag, length(value) AS len FROM src1
+          UNION ALL
+          SELECT 'b', length(name) FROM read_csv(
+            '/root/reference/data/files/kv4.txt', delim=chr(1),
+            header=false, columns={'name': 'VARCHAR'})) u
+        ORDER BY tag, len""")),
+
+    // ---- clientpositive/sample1.q: BUCKET 1 OUT OF 1 ON rand() — the
+    //      degenerate full sample over a pruned srcpart partition
+    QueryDef(
+      "q351_qf_sample1",
+      (s, dir) => {
+        val d = s"dest1_s1_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(key INT, value STRING, dt STRING, hr STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""INSERT OVERWRITE TABLE $d SELECT s.*
+              FROM srcpart TABLESAMPLE (BUCKET 1 OUT OF 1 ON rand()) s
+              WHERE s.ds='2008-04-08' and s.hr='11'""")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY key, value")
+      },
+      Some(s"""$SrcPartCte
+        SELECT CAST(key AS INT) AS key, value, ds AS dt, hr
+        FROM srcpart WHERE ds = '2008-04-08' AND hr = '11'
+        ORDER BY key, value""")),
+
+    // ---- clientpositive/sample4.q: bucket-file sampling over the
+    //      reference's own 2-bucket srcbucket fixtures — BUCKET 1 OUT OF 2
+    //      ON key keeps rows with (hash & MAX_INT) % 2 = 0
+    QueryDef(
+      "q352_qf_sample4",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val (t, d) = (s"srcbucket_$sfx", s"dest1_s4_$sfx")
+        fresh(s, t, d)
+        HiveQl.sql(s, s"CREATE TABLE $t(key int, value string) CLUSTERED BY (key) INTO 2 BUCKETS STORED AS TEXTFILE")
+        HiveQl.sql(s, s"LOAD DATA LOCAL INPATH '/root/reference/data/files/srcbucket0.txt' INTO TABLE $t")
+        HiveQl.sql(s, s"LOAD DATA LOCAL INPATH '/root/reference/data/files/srcbucket1.txt' INTO TABLE $t")
+        HiveQl.sql(s, s"CREATE TABLE $d(key INT, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"INSERT OVERWRITE TABLE $d SELECT s.* " +
+          s"FROM $t TABLESAMPLE (BUCKET 1 OUT OF 2 on key) s")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY key, value")
+      },
+      Some("""WITH sb AS (
+          SELECT * FROM read_csv('/root/reference/data/files/srcbucket0.txt',
+            delim=chr(1), header=false,
+            columns={'key': 'INT', 'value': 'VARCHAR'})
+          UNION ALL
+          SELECT * FROM read_csv('/root/reference/data/files/srcbucket1.txt',
+            delim=chr(1), header=false,
+            columns={'key': 'INT', 'value': 'VARCHAR'}))
+        SELECT key, value FROM sb WHERE key % 2 = 0
+        ORDER BY key, value""")),
+
+    // ---- clientpositive/sample6.q: BUCKET 1 OUT OF 4 over the 2-bucket
+    //      table (denominator > bucket count -> in-bucket filter)
+    QueryDef(
+      "q353_qf_sample6",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val (t, d) = (s"srcbucket6_$sfx", s"dest1_s6_$sfx")
+        fresh(s, t, d)
+        HiveQl.sql(s, s"CREATE TABLE $t(key int, value string) CLUSTERED BY (key) INTO 2 BUCKETS STORED AS TEXTFILE")
+        HiveQl.sql(s, s"LOAD DATA LOCAL INPATH '/root/reference/data/files/srcbucket0.txt' INTO TABLE $t")
+        HiveQl.sql(s, s"LOAD DATA LOCAL INPATH '/root/reference/data/files/srcbucket1.txt' INTO TABLE $t")
+        HiveQl.sql(s, s"CREATE TABLE $d(key INT, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"INSERT OVERWRITE TABLE $d SELECT s.* " +
+          s"FROM $t TABLESAMPLE (BUCKET 1 OUT OF 4 on key) s")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY key, value")
+      },
+      Some("""WITH sb AS (
+          SELECT * FROM read_csv('/root/reference/data/files/srcbucket0.txt',
+            delim=chr(1), header=false,
+            columns={'key': 'INT', 'value': 'VARCHAR'})
+          UNION ALL
+          SELECT * FROM read_csv('/root/reference/data/files/srcbucket1.txt',
+            delim=chr(1), header=false,
+            columns={'key': 'INT', 'value': 'VARCHAR'}))
+        SELECT key, value FROM sb WHERE key % 4 = 0
+        ORDER BY key, value""")),
+
+    // ---- clientpositive/sample7.q: sampled scan with a residual filter
+    QueryDef(
+      "q354_qf_sample7",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val (t, d) = (s"srcbucket7_$sfx", s"dest1_s7_$sfx")
+        fresh(s, t, d)
+        HiveQl.sql(s, s"CREATE TABLE $t(key int, value string) CLUSTERED BY (key) INTO 2 BUCKETS STORED AS TEXTFILE")
+        HiveQl.sql(s, s"LOAD DATA LOCAL INPATH '/root/reference/data/files/srcbucket0.txt' INTO TABLE $t")
+        HiveQl.sql(s, s"LOAD DATA LOCAL INPATH '/root/reference/data/files/srcbucket1.txt' INTO TABLE $t")
+        HiveQl.sql(s, s"CREATE TABLE $d(key INT, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"INSERT OVERWRITE TABLE $d SELECT s.* " +
+          s"FROM $t TABLESAMPLE (BUCKET 1 OUT OF 4 on key) s WHERE s.key > 100")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY key, value")
+      },
+      Some("""WITH sb AS (
+          SELECT * FROM read_csv('/root/reference/data/files/srcbucket0.txt',
+            delim=chr(1), header=false,
+            columns={'key': 'INT', 'value': 'VARCHAR'})
+          UNION ALL
+          SELECT * FROM read_csv('/root/reference/data/files/srcbucket1.txt',
+            delim=chr(1), header=false,
+            columns={'key': 'INT', 'value': 'VARCHAR'}))
+        SELECT key, value FROM sb WHERE key % 4 = 0 AND key > 100
+        ORDER BY key, value"""))) ++ GbVariantDefs
 
   // ========== round-11 battery growth: groupbyN SET-variant block =======
   // The groupbyN_{map,map_skew,noskew,...} .q files run their family's
