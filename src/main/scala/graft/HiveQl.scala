@@ -265,16 +265,50 @@ object HiveQl {
   private val TransformSerde =
     """(?is)\bROW\s+FORMAT\s+SERDE\s+(\d+)\s*(?!STORED\b)""".r
   private val DelimitedText =
-    ("""(?is)ROW\s+FORMAT\s+DELIMITED\s+FIELDS\s+TERMINATED\s+BY\s+(\d+)""" +
-      """(?:\s+LINES\s+TERMINATED\s+BY\s+\d+)?\s+STORED\s+AS\s+TEXTFILE\b""").r
+    ("""(?is)ROW\s+FORMAT\s+DELIMITED\s+FIELDS\s+TERMINATED\s+BY\s+((\d+))""" +
+      """(?:\s+ESCAPED\s+BY\s+\d+)?""" +
+      """(?:\s+COLLECTION\s+ITEMS\s+TERMINATED\s+BY\s+(\d+))?""" +
+      """(?:\s+MAP\s+KEYS\s+TERMINATED\s+BY\s+(\d+))?""" +
+      """(?:\s+LINES\s+TERMINATED\s+BY\s+(\d+))?\s+STORED\s+AS\s+TEXTFILE\b""").r
+  // the same DELIMITED clause ending the statement (no STORED AS -- Hive's
+  // default format IS textfile; input_lazyserde.q's ESCAPED BY tables).
+  // Anchored to end-of-statement so TRANSFORM row formats never match.
+  private val DelimitedBare =
+    ("""(?is)ROW\s+FORMAT\s+DELIMITED\s+FIELDS\s+TERMINATED\s+BY\s+((\d+))""" +
+      """(?:\s+ESCAPED\s+BY\s+\d+)?\s*;?\s*$""").r
 
   private def rewriteSerdeFormats(masked: String, lits: IndexedSeq[String]): String = {
     def lit(n: String): String =
       lits(n.toInt).stripPrefix("'").stripSuffix("'")
         .stripPrefix("\"").stripSuffix("\"")
-    val delim = DelimitedText.replaceAllIn(masked, m =>
+    // LazySimpleSerDe's delimiter resolution (getByte): an all-digits
+    // delimiter string is a BYTE CODE ('1' = \x01, '10' = \n --
+    // input_dynamicserde.q), anything else is taken literally. Emit the
+    // field separator as a fresh quoted literal when it needs the
+    // byte-code translation, else keep the placeholder (unmasking
+    // restores the original quoted literal).
+    def sepOption(placeholder: String, digits: String): String = {
+      val v = lit(digits)
+      if (v.matches("\\d+")) s"'${v.toInt.toChar}'" else placeholder
+    }
+    def delimChar(digits: String): String = {
+      val v = lit(digits)
+      if (v.matches("\\d+")) v.toInt.toChar.toString else v
+    }
+    val delimFull = DelimitedText.replaceAllIn(masked, m => {
+      // collection/map-key/line delimiters other than the engine's fixed
+      // LazySimpleSerDe levels (\x02 / \x03 / \n) are unsupported --
+      // leave the statement for the delegate parser to reject loudly
+      val collOk = Option(m.group(3)).forall(delimChar(_) == "\u0002")
+      val keyOk = Option(m.group(4)).forall(delimChar(_) == "\u0003")
+      val lineOk = Option(m.group(5)).forall(delimChar(_) == "\n")
+      if (!collOk || !keyOk || !lineOk) m.matched
+      else java.util.regex.Matcher.quoteReplacement(
+        s"USING graft.sources.HiveTextSource OPTIONS (sep ${sepOption(m.group(1), m.group(2))})")
+    })
+    val delim = DelimitedBare.replaceAllIn(delimFull, m =>
       java.util.regex.Matcher.quoteReplacement(
-        s"USING graft.sources.HiveTextSource OPTIONS (sep ${m.group(1)})"))
+        s"USING graft.sources.HiveTextSource OPTIONS (sep ${sepOption(m.group(1), m.group(2))})"))
     val noSerde = RowFormatSerde.replaceAllIn(delim, m =>
       if (lit(m.group(1)).matches(""".*(ColumnarSerDe|LazySimpleSerDe)""")) ""
       else m.matched)

@@ -5017,7 +5017,313 @@ object QFileParity extends QueryModule {
             delim=chr(1), header=false,
             columns={'key': 'INT', 'value': 'VARCHAR'}))
         SELECT key, value FROM sb WHERE key % 4 = 0 AND key > 100
-        ORDER BY key, value"""))) ++ GbVariantDefs
+        ORDER BY key, value""")),
+
+    // ========== round-11 battery growth: serde/order/case tranche =======
+
+    // ---- clientpositive/udf_case_thrift.q: CASE over complex accessors,
+    //      a branch returning a whole array then indexed
+    QueryDef(
+      "q355_qf_udf_case_thrift",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT CASE src_thrift.lint[0]
+                     WHEN 0 THEN src_thrift.lint[0] + 1
+                     WHEN 1 THEN src_thrift.lint[0] + 2
+                     WHEN 2 THEN 100
+                     ELSE 5
+                    END AS c1,
+                    CASE src_thrift.lstring[0]
+                     WHEN '0' THEN 'zero'
+                     WHEN '10' THEN CONCAT(src_thrift.lstring[0], " is ten")
+                     ELSE 'default'
+                    END AS c2,
+                    (CASE src_thrift.lstring[0]
+                     WHEN '0' THEN src_thrift.lstring
+                     ELSE NULL
+                    END)[0] AS c3
+             FROM src_thrift LIMIT 3""")
+      },
+      Some("""SELECT c1, c2, c3 FROM (VALUES
+          (1, 'zero', '0'), (3, '10 is ten', CAST(NULL AS VARCHAR)),
+          (100, 'default', CAST(NULL AS VARCHAR))) v(c1, c2, c3)""")),
+
+    // ---- clientpositive/udf_case_column_pruning.q: CASE key over a
+    //      self-join, ordered LIMIT (tie rows identical)
+    QueryDef(
+      "q356_qf_udf_case_col_prune",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT CASE a.key
+                     WHEN '1' THEN 2
+                     WHEN '3' THEN 4
+                     ELSE 5
+                    END as key
+             FROM src a JOIN src b
+             ON a.key = b.key
+             ORDER BY key LIMIT 10""")
+      },
+      Some(s"""$SrcCte
+        SELECT CASE a.key WHEN '1' THEN 2 WHEN '3' THEN 4 ELSE 5 END AS key
+        FROM src a JOIN src b ON a.key = b.key
+        ORDER BY key LIMIT 10""")),
+
+    // ---- clientpositive/groupby10.q: count/count-distinct AND
+    //      sum/sum-distinct pairs into two dests off kv5.txt, run under
+    //      both hive.multigroupby.singlemr settings
+    QueryDef(
+      "q357_qf_groupby10",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val (d1, d2, inp) = (s"dest1_g10_$sfx", s"dest2_g10_$sfx", s"input_g10_$sfx")
+        fresh(s, d1, d2, inp)
+        HiveQl.sql(s, "SET hive.map.aggr=false")
+        HiveQl.sql(s, "SET hive.groupby.skewindata=true")
+        HiveQl.sql(s, s"CREATE TABLE $d1(key INT, val1 INT, val2 INT)")
+        HiveQl.sql(s, s"CREATE TABLE $d2(key INT, val1 INT, val2 INT)")
+        HiveQl.sql(s, s"CREATE TABLE $inp(key INT, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"LOAD DATA LOCAL INPATH '/root/reference/data/files/kv5.txt' INTO TABLE $inp")
+        val stmt =
+          s"""FROM $inp
+              INSERT OVERWRITE TABLE $d1 SELECT $inp.key, count(substr($inp.value,5)), count(distinct substr($inp.value,5)) GROUP BY $inp.key
+              INSERT OVERWRITE TABLE $d2 SELECT $inp.key, sum(substr($inp.value,5)), sum(distinct substr($inp.value,5))   GROUP BY $inp.key"""
+        HiveQl.sql(s, stmt)
+        HiveQl.sql(s, "SET hive.multigroupby.singlemr=true")
+        HiveQl.sql(s, stmt)
+        HiveQl.sql(s,
+          s"""SELECT 'd1' AS tag, key, val1, val2 FROM $d1
+              UNION ALL SELECT 'd2', key, val1, val2 FROM $d2
+              ORDER BY tag, key""")
+      },
+      Some("""WITH kv5 AS (
+          SELECT * FROM read_csv('/root/reference/data/files/kv5.txt',
+            delim=chr(1), header=false,
+            columns={'key': 'INT', 'value': 'VARCHAR'}))
+        SELECT tag, key, CAST(val1 AS INT) AS val1, CAST(val2 AS INT) AS val2
+        FROM (
+          SELECT 'd1' AS tag, key, count(substr(value, 5)) AS val1,
+                 count(DISTINCT substr(value, 5)) AS val2
+          FROM kv5 GROUP BY key
+          UNION ALL
+          SELECT 'd2', key, sum(CAST(substr(value, 5) AS DOUBLE)),
+                 sum(DISTINCT CAST(substr(value, 5) AS DOUBLE))
+          FROM kv5 GROUP BY key) u
+        ORDER BY tag, key""")),
+
+    // ---- clientpositive/groupby11.q: count/count-distinct into two
+    //      PARTITIONED dests grouped by value and by substr(value)
+    QueryDef(
+      "q358_qf_groupby11",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val (d1, d2) = (s"dest1_g11_$sfx", s"dest2_g11_$sfx")
+        fresh(s, d1, d2)
+        HiveQl.sql(s, "SET hive.map.aggr=false")
+        HiveQl.sql(s, "SET hive.groupby.skewindata=true")
+        HiveQl.sql(s, s"CREATE TABLE $d1(key STRING, val1 INT, val2 INT) partitioned by (ds string)")
+        HiveQl.sql(s, s"CREATE TABLE $d2(key STRING, val1 INT, val2 INT) partitioned by (ds string)")
+        HiveQl.sql(s,
+          s"""FROM src
+              INSERT OVERWRITE TABLE $d1 partition(ds='111')
+                SELECT src.value, count(src.key), count(distinct src.key) GROUP BY src.value
+              INSERT OVERWRITE TABLE $d2  partition(ds='111')
+                SELECT substr(src.value, 5), count(src.key), count(distinct src.key) GROUP BY substr(src.value, 5)""")
+        HiveQl.sql(s,
+          s"""SELECT 'd1' AS tag, key, val1, val2, ds FROM $d1
+              UNION ALL SELECT 'd2', key, val1, val2, ds FROM $d2
+              ORDER BY tag, key""")
+      },
+      Some(s"""$SrcCte
+        SELECT tag, key, CAST(val1 AS INT) AS val1, CAST(val2 AS INT) AS val2,
+               '111' AS ds
+        FROM (
+          SELECT 'd1' AS tag, value AS key, count(key) AS val1,
+                 count(DISTINCT key) AS val2
+          FROM src GROUP BY value
+          UNION ALL
+          SELECT 'd2', substr(value, 5), count(key), count(DISTINCT key)
+          FROM src GROUP BY substr(value, 5)) u
+        ORDER BY tag, key""")),
+
+    // ---- clientpositive/union12.q: three aggregate branches over THREE
+    //      different tables — src, src1, and the 2-bucket srcbucket
+    QueryDef(
+      "q359_qf_union12",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val (d, sb) = (s"tmptable_u12_$sfx", s"srcbucket_u12_$sfx")
+        fresh(s, d, sb)
+        HiveQl.sql(s, "SET hive.map.aggr=true")
+        HiveQl.sql(s, s"CREATE TABLE $sb(key int, value string) CLUSTERED BY (key) INTO 2 BUCKETS STORED AS TEXTFILE")
+        HiveQl.sql(s, s"LOAD DATA LOCAL INPATH '/root/reference/data/files/srcbucket0.txt' INTO TABLE $sb")
+        HiveQl.sql(s, s"LOAD DATA LOCAL INPATH '/root/reference/data/files/srcbucket1.txt' INTO TABLE $sb")
+        HiveQl.sql(s, s"create table $d(key string, value int)")
+        HiveQl.sql(s,
+          s"""insert overwrite table $d
+              select unionsrc.key, unionsrc.value FROM (select 'tst1' as key, count(1) as value from src s1
+                                                    UNION  ALL
+                                                        select 'tst2' as key, count(1) as value from src1 s2
+                                                    UNION ALL
+                                                        select 'tst3' as key, count(1) as value from $sb s3) unionsrc""")
+        HiveQl.sql(s, s"select * from $d x sort by x.key")
+      },
+      Some(s"""$SrcCte
+        SELECT key, CAST(value AS INT) AS value FROM (
+          SELECT 'tst1' AS key, count(1) AS value FROM src
+          UNION ALL SELECT 'tst2', 25
+          UNION ALL SELECT 'tst3', 1000) u
+        ORDER BY key""")),
+
+    // ---- clientpositive/input_dynamicserde.q: DELIMITED table whose
+    //      delimiters are NUMERIC BYTE CODES ('1'/'2'/'3'/'10' =
+    //      \x01/\x02/\x03/\n — LazySimpleSerDe's getByte), complex
+    //      columns round-tripped and read back through accessors
+    QueryDef(
+      "q360_qf_input_dynamicserde",
+      (s, dir) => {
+        val d = s"dest1_dyn_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s,
+          s"""CREATE TABLE $d(a array<int>, b array<string>, c map<string,string>, d int, e string)
+              ROW FORMAT DELIMITED
+              FIELDS TERMINATED BY '1'
+              COLLECTION ITEMS TERMINATED BY '2'
+              MAP KEYS TERMINATED BY '3'
+              LINES TERMINATED BY '10'
+              STORED AS TEXTFILE""")
+        HiveQl.sql(s,
+          s"""FROM src_thrift
+              INSERT OVERWRITE TABLE $d SELECT src_thrift.lint, src_thrift.lstring, src_thrift.mstringstring, src_thrift.aint, src_thrift.astring""")
+        HiveQl.sql(s,
+          s"SELECT $d.a[0] AS a0, $d.b[0] AS b0, $d.c['key2'] AS c2, " +
+            s"$d.d AS d, $d.e AS e FROM $d ORDER BY d, e")
+      },
+      Some("""SELECT a0, b0, CAST(NULL AS VARCHAR) AS c2, d, e FROM (VALUES
+          (0, '0', 1712634731, 'record_0'), (1, '10', 465985200, 'record_1'),
+          (2, '20', -751827638, 'record_2'), (3, '30', 477111222, 'record_3'),
+          (4, '40', -734328909, 'record_4'), (5, '50', -1952710710, 'record_5'),
+          (6, '60', 1244525190, 'record_6'), (7, '70', -1461153973, 'record_7'),
+          (8, '80', 1638581578, 'record_8'), (9, '90', 336964413, 'record_9'),
+          (CAST(NULL AS INT), CAST(NULL AS VARCHAR), 0, CAST(NULL AS VARCHAR)))
+          v(a0, b0, d, e)
+        ORDER BY d, e NULLS FIRST""")),
+
+    // ---- clientpositive/input_lazyserde.q: same layout plus the
+    //      single-complex-column ESCAPED BY tables (array and map forms)
+    QueryDef(
+      "q361_qf_input_lazyserde",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val (d1, d2, d3) = (s"dest1_lazy_$sfx", s"dest2_lazy_$sfx", s"dest3_lazy_$sfx")
+        fresh(s, d1, d2, d3)
+        HiveQl.sql(s,
+          s"""CREATE TABLE $d1(a array<int>, b array<string>, c map<string,string>, d int, e string)
+              ROW FORMAT DELIMITED
+              FIELDS TERMINATED BY '1'
+              COLLECTION ITEMS TERMINATED BY '2'
+              MAP KEYS TERMINATED BY '3'
+              LINES TERMINATED BY '10'
+              STORED AS TEXTFILE""")
+        HiveQl.sql(s, s"FROM src_thrift INSERT OVERWRITE TABLE $d1 " +
+          "SELECT src_thrift.lint, src_thrift.lstring, src_thrift.mstringstring, src_thrift.aint, src_thrift.astring DISTRIBUTE BY 1")
+        HiveQl.sql(s, s"CREATE TABLE $d2(a array<int>) ROW FORMAT DELIMITED FIELDS TERMINATED BY '1' ESCAPED BY '\\\\'")
+        HiveQl.sql(s, s"INSERT OVERWRITE TABLE $d2 SELECT src_thrift.lint FROM src_thrift DISTRIBUTE BY 1")
+        HiveQl.sql(s, s"CREATE TABLE $d3(a map<string,string>) ROW FORMAT DELIMITED FIELDS TERMINATED BY '1' ESCAPED BY '\\\\'")
+        HiveQl.sql(s, s"INSERT OVERWRITE TABLE $d3 SELECT src_thrift.mstringstring FROM src_thrift DISTRIBUTE BY 1")
+        HiveQl.sql(s,
+          s"""SELECT 'd1' AS tag, CAST($d1.a[0] AS STRING) AS v1, $d1.b[0] AS v2, $d1.e AS v3 FROM $d1
+              UNION ALL
+              SELECT 'd2', CAST(a[0] AS STRING), CAST(a[2] AS STRING), CAST(NULL AS STRING) FROM $d2 WHERE a IS NOT NULL
+              UNION ALL
+              SELECT 'd3', a['key_2'], CAST(NULL AS STRING), CAST(NULL AS STRING) FROM $d3 WHERE a IS NOT NULL
+              ORDER BY tag, v1, v2, v3""")
+      },
+      Some("""SELECT tag, v1, v2, v3 FROM (
+          SELECT 'd1' AS tag, CAST(a0 AS VARCHAR) AS v1, b0 AS v2, e AS v3
+          FROM (VALUES
+            (0, '0', 'record_0'), (1, '10', 'record_1'), (2, '20', 'record_2'),
+            (3, '30', 'record_3'), (4, '40', 'record_4'), (5, '50', 'record_5'),
+            (6, '60', 'record_6'), (7, '70', 'record_7'), (8, '80', 'record_8'),
+            (9, '90', 'record_9'),
+            (CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)))
+            a(a0, b0, e)
+          UNION ALL
+          SELECT 'd2', CAST(i AS VARCHAR), CAST(3 * i AS VARCHAR),
+                 CAST(NULL AS VARCHAR)
+          FROM range(10) t(i)
+          UNION ALL
+          SELECT 'd3', CASE WHEN i = 2 THEN 'value_2' END,
+                 CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+          FROM range(10) t(i)) u
+        ORDER BY tag, v1 NULLS FIRST, v2 NULLS FIRST, v3 NULLS FIRST""")),
+
+    // ---- clientpositive/order.q: ordered LIMIT both directions (tie
+    //      rows identical under the string sort)
+    QueryDef(
+      "q362_qf_order",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT u.key, u.value FROM (
+               SELECT x.key, x.value, 1 AS d FROM SRC x ORDER BY key limit 10
+             ) u
+             UNION ALL
+             SELECT v.key, v.value FROM (
+               SELECT x.key, x.value, 2 AS d FROM SRC x ORDER BY key desc limit 10
+             ) v
+             ORDER BY key, value""")
+      },
+      Some(s"""$SrcCte
+        SELECT key, value FROM (
+          SELECT key, value FROM src ORDER BY key LIMIT 10) a
+        UNION ALL
+        SELECT key, value FROM (
+          SELECT key, value FROM src ORDER BY key DESC LIMIT 10) b
+        ORDER BY key, value""")),
+
+    // ---- clientpositive/order2.q: filter ABOVE an ordered-LIMIT
+    //      subquery (pushdown must stop at the limit)
+    QueryDef(
+      "q363_qf_order2",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s, "SET hive.optimize.ppd=true")
+        HiveQl.sql(s,
+          """SELECT subq.key, subq.value FROM
+             (SELECT x.key, x.value FROM SRC x ORDER BY key limit 10) subq
+             where subq.key < 10
+             ORDER BY key, value""")
+      },
+      Some(s"""$SrcCte
+        SELECT key, value FROM (
+          SELECT key, value FROM src ORDER BY key LIMIT 10) subq
+        WHERE TRY_CAST(key AS DOUBLE) < 10
+        ORDER BY key, value""")),
+
+    // ---- clientpositive/rcfile_columnar.q: ColumnarSerDe +
+    //      INPUTFORMAT/OUTPUTFORMAT DDL mapped to the hiverc FileFormat,
+    //      LIMIT insert -> facts oracle
+    QueryDef(
+      "q364_qf_rcfile_columnar",
+      (s, dir) => {
+        val d = s"columntable_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s,
+          s"""CREATE table $d (key STRING, value STRING)
+              ROW FORMAT SERDE
+                'org.apache.hadoop.hive.serde2.columnar.ColumnarSerDe'
+              STORED AS
+                INPUTFORMAT 'org.apache.hadoop.hive.ql.io.RCFileInputFormat'
+                OUTPUTFORMAT 'org.apache.hadoop.hive.ql.io.RCFileOutputFormat'""")
+        HiveQl.sql(s, s"FROM src INSERT OVERWRITE TABLE $d SELECT src.key, src.value LIMIT 10")
+        HiveQl.sql(s,
+          s"""SELECT (SELECT count(*) FROM $d) AS n,
+                     (SELECT count(*) FROM $d a LEFT ANTI JOIN src b
+                      ON a.key = b.key AND a.value = b.value) AS bad""")
+      },
+      Some("SELECT CAST(10 AS BIGINT) AS n, CAST(0 AS BIGINT) AS bad"))) ++ GbVariantDefs
 
   // ========== round-11 battery growth: groupbyN SET-variant block =======
   // The groupbyN_{map,map_skew,noskew,...} .q files run their family's

@@ -47,7 +47,12 @@ class HiveTextSource extends FileFormat with DataSourceRegister with Serializabl
          DoubleType | FloatType | BooleanType | DateType | TimestampType |
          BinaryType => true
     case _: DecimalType => true
-    case _ => false // nested: HiveText.encodeNested over STRING columns
+    // LazySimpleSerDe's level separators (\x02, \x03, ... — 8 deep):
+    // input_dynamicserde.q / input_lazyserde.q complex columns
+    case ArrayType(et, _) => supportDataType(et)
+    case MapType(kt, vt, _) => supportDataType(kt) && supportDataType(vt)
+    case StructType(fs) => fs.forall(f => supportDataType(f.dataType))
+    case _ => false
   }
 
   override def prepareWrite(sparkSession: SparkSession, job: Job,
@@ -136,7 +141,7 @@ object HiveTextSource {
   /** One field's text → Catalyst value; malformed → null (the Lazy*
     * parsers catch NumberFormatException — Hive's UDFToX contract).
     */
-  def decode(raw: String, dt: DataType): Any =
+  def decode(raw: String, dt: DataType, level: Int = 1): Any =
     try dt match {
       case StringType => UTF8String.fromString(raw)
       case IntegerType => java.lang.Integer.valueOf(raw.trim)
@@ -157,12 +162,54 @@ object HiveTextSource {
       case TimestampType =>
         DateTimeUtils.fromJavaTimestamp(java.sql.Timestamp.valueOf(raw.trim))
       case BinaryType => raw.getBytes("UTF-8")
+      case ArrayType(et, _) =>
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          raw.split(java.util.regex.Pattern.quote(levelSep(level)), -1)
+            .map(e => if (e == HiveText.NullSequence) null
+                      else decode(e, et, level + 1)))
+      case MapType(kt, vt, _) =>
+        if (raw.isEmpty)
+          org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+            Array.empty[Any], Array.empty[Any])
+        else {
+          val entries = raw.split(
+            java.util.regex.Pattern.quote(levelSep(level)), -1)
+          val kvs = entries.map { e =>
+            val kv = e.split(
+              java.util.regex.Pattern.quote(levelSep(level + 1)), 2)
+            val k = if (kv(0) == HiveText.NullSequence) null
+                    else decode(kv(0), kt, level + 2)
+            val v = if (kv.length < 2 || kv(1) == HiveText.NullSequence) null
+                    else decode(kv(1), vt, level + 2)
+            (k, v)
+          }
+          org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+            kvs.map(_._1), kvs.map(_._2))
+        }
+      case StructType(fields) =>
+        val parts = raw.split(
+          java.util.regex.Pattern.quote(levelSep(level)), -1)
+        val r = new GenericInternalRow(fields.length)
+        var i = 0
+        while (i < fields.length) {
+          val p = if (i < parts.length) parts(i) else null
+          r.update(i,
+            if (p == null || p == HiveText.NullSequence) null
+            else decode(p, fields(i).dataType, level + 1))
+          i += 1
+        }
+        r
       case other => throw new UnsupportedOperationException(
         s"hivetext does not support $other")
     } catch {
       case _: NumberFormatException => null
       case _: IllegalArgumentException => null
     }
+
+  /** LazySimpleSerDe separator ladder: level 1 = \x02, level 2 = \x03, ...
+    * (the level-0 field separator is the configurable `sep` option).
+    */
+  private def levelSep(level: Int): String = (level + 1).toChar.toString
 
   /** One Catalyst value → field text (LazySimpleSerDe.serialize: the
     * primitive's Java toString; booleans lowercase; null handled by the
@@ -182,9 +229,47 @@ object HiveTextSource {
     case DateType => DateTimeUtils.toJavaDate(row.getInt(i)).toString
     case TimestampType => DateTimeUtils.toJavaTimestamp(row.getLong(i)).toString
     case BinaryType => new String(row.getBinary(i), "UTF-8")
+    case _: ArrayType | _: MapType | _: StructType =>
+      encodeValue(row.get(i, dt), dt, 1)
     case other => throw new UnsupportedOperationException(
       s"hivetext does not support $other")
   }
+
+  /** Catalyst value → text at the given separator level (LazySimpleSerDe
+    * .serialize's recursive walk; nested nulls as \N).
+    */
+  private def encodeValue(v: Any, dt: DataType, level: Int): String =
+    if (v == null) HiveText.NullSequence
+    else dt match {
+      case ArrayType(et, _) =>
+        val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        (0 until a.numElements()).map { j =>
+          encodeValue(if (a.isNullAt(j)) null else a.get(j, et), et, level + 1)
+        }.mkString(levelSep(level))
+      case MapType(kt, vt, _) =>
+        val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+        val ks = m.keyArray(); val vs = m.valueArray()
+        (0 until m.numElements()).map { j =>
+          encodeValue(if (ks.isNullAt(j)) null else ks.get(j, kt), kt, level + 2) +
+            levelSep(level + 1) +
+            encodeValue(if (vs.isNullAt(j)) null else vs.get(j, vt), vt, level + 2)
+        }.mkString(levelSep(level))
+      case StructType(fields) =>
+        val r = v.asInstanceOf[InternalRow]
+        fields.indices.map { j =>
+          encodeValue(if (r.isNullAt(j)) null else r.get(j, fields(j).dataType),
+            fields(j).dataType, level + 1)
+        }.mkString(levelSep(level))
+      case StringType => v.asInstanceOf[UTF8String].toString
+      case d: DecimalType =>
+        v.asInstanceOf[Decimal].toJavaBigDecimal.toPlainString
+      case DateType =>
+        DateTimeUtils.toJavaDate(v.asInstanceOf[Int]).toString
+      case TimestampType =>
+        DateTimeUtils.toJavaTimestamp(v.asInstanceOf[Long]).toString
+      case BinaryType => new String(v.asInstanceOf[Array[Byte]], "UTF-8")
+      case _ => v.toString
+    }
 }
 
 /** Executor-side writer: one -joined line per row, nulls as \N —
