@@ -5323,7 +5323,161 @@ object QFileParity extends QueryModule {
                      (SELECT count(*) FROM $d a LEFT ANTI JOIN src b
                       ON a.key = b.key AND a.value = b.value) AS bad""")
       },
-      Some("SELECT CAST(10 AS BIGINT) AS n, CAST(0 AS BIGINT) AS bad"))) ++ GbVariantDefs
+      Some("SELECT CAST(10 AS BIGINT) AS n, CAST(0 AS BIGINT) AS bad")),
+
+    // ========== round-11 battery growth: math/trig udf tranche ==========
+    // Irrational results round to 10 decimals on both sides; NaN results
+    // (asin/acos outside [-1,1]) compare through isnan() because DuckDB
+    // raises on out-of-domain trig instead of returning NaN.
+
+    // ---- clientpositive/udf_negative.q: typed NULL negation
+    QueryDef(
+      "q365_qf_udf_negative",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """select - cast(null as int) AS c1, - cast(null as bigint) AS c2,
+                    - cast(null as double) AS c3, - cast(null as float) AS c4,
+                    - cast(null as smallint) AS c5, - cast(null as tinyint) AS c6
+             from src limit 1""")
+      },
+      Some("""SELECT CAST(NULL AS INT) AS c1, CAST(NULL AS BIGINT) AS c2,
+                     CAST(NULL AS DOUBLE) AS c3, CAST(NULL AS FLOAT) AS c4,
+                     CAST(NULL AS SMALLINT) AS c5, CAST(NULL AS TINYINT) AS c6""")),
+
+    // ---- clientpositive/udf_lower.q (key 86 -> 100 as q265)
+    QueryDef(
+      "q366_qf_udf_lower",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          "SELECT lower('AbC 123') AS c1, upper('AbC 123') AS c2 " +
+            "FROM src WHERE key = 100")
+      },
+      Some(s"""$SrcCte
+        SELECT 'abc 123' AS c1, 'ABC 123' AS c2
+        FROM src WHERE TRY_CAST(key AS DOUBLE) = 100""")),
+
+    // ---- clientpositive/udf_cos.q
+    QueryDef(
+      "q367_qf_udf_cos",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT round(cos(0.98), 10) AS c1, round(cos(1.57), 10) AS c2,
+                    round(cos(-0.5), 10) AS c3, cos(null) AS c4
+             FROM src LIMIT 1""")
+      },
+      Some("""SELECT round(cos(0.98), 10) AS c1, round(cos(1.57), 10) AS c2,
+                     round(cos(-0.5), 10) AS c3, CAST(NULL AS DOUBLE) AS c4""")),
+
+    // ---- clientpositive/udf_sin.q
+    QueryDef(
+      "q368_qf_udf_sin",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT round(sin(0.98), 10) AS c1, round(sin(1.57), 10) AS c2,
+                    round(sin(-0.5), 10) AS c3, sin(null) AS c4
+             FROM src LIMIT 1""")
+      },
+      Some("""SELECT round(sin(0.98), 10) AS c1, round(sin(1.57), 10) AS c2,
+                     round(sin(-0.5), 10) AS c3, CAST(NULL AS DOUBLE) AS c4""")),
+
+    // ---- clientpositive/udf_tan.q
+    QueryDef(
+      "q369_qf_udf_tan",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT round(tan(1), 10) AS c1, round(tan(6), 10) AS c2,
+                    round(tan(-1.0), 10) AS c3, tan(null) AS c4
+             FROM src LIMIT 1""")
+      },
+      Some("""SELECT round(tan(1), 10) AS c1, round(tan(6), 10) AS c2,
+                     round(tan(-1.0), 10) AS c3, CAST(NULL AS DOUBLE) AS c4""")),
+
+    // ---- clientpositive/udf_asin.q (out-of-domain -> NaN)
+    QueryDef(
+      "q370_qf_udf_asin",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT round(asin(-0.5), 10) AS c1, round(asin(0.66), 10) AS c2,
+                    round(asin(0), 10) AS c3, isnan(asin(2)) AS c4,
+                    asin(null) AS c5
+             FROM src LIMIT 1""")
+      },
+      Some("""SELECT round(asin(-0.5), 10) AS c1, round(asin(0.66), 10) AS c2,
+                     round(asin(0), 10) AS c3, TRUE AS c4,
+                     CAST(NULL AS DOUBLE) AS c5""")),
+
+    // ---- clientpositive/udf_acos.q (the .q's second column IS asin)
+    QueryDef(
+      "q371_qf_udf_acos",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT round(acos(-0.5), 10) AS c1, round(asin(0.66), 10) AS c2,
+                    round(acos(0), 10) AS c3, isnan(acos(2)) AS c4,
+                    acos(null) AS c5
+             FROM src LIMIT 1""")
+      },
+      Some("""SELECT round(acos(-0.5), 10) AS c1, round(asin(0.66), 10) AS c2,
+                     round(acos(0), 10) AS c3, TRUE AS c4,
+                     CAST(NULL AS DOUBLE) AS c5""")),
+
+    // ---- clientpositive/udf_atan.q
+    QueryDef(
+      "q372_qf_udf_atan",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT round(atan(1), 10) AS c1, round(atan(6), 10) AS c2,
+                    round(atan(-1.0), 10) AS c3, atan(null) AS c4
+             FROM src LIMIT 1""")
+      },
+      Some("""SELECT round(atan(1), 10) AS c1, round(atan(6), 10) AS c2,
+                     round(atan(-1.0), 10) AS c3, CAST(NULL AS DOUBLE) AS c4""")),
+
+    // ---- clientpositive/udf_degrees.q
+    QueryDef(
+      "q373_qf_udf_degrees",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s, "select round(degrees(PI()), 10) AS c1 FROM src LIMIT 1")
+      },
+      Some("SELECT CAST(180.0 AS DOUBLE) AS c1")),
+
+    // ---- clientpositive/udf_radians.q
+    QueryDef(
+      "q374_qf_udf_radians",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """select round(radians(143.2394), 10) AS c1,
+                    round(radians(57.2958), 10) AS c2 FROM src LIMIT 1""")
+      },
+      Some("""SELECT round(radians(143.2394), 10) AS c1,
+                     round(radians(57.2958), 10) AS c2""")),
+
+    // ---- clientpositive/udf_E.q
+    QueryDef(
+      "q375_qf_udf_e",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s, "select round(E(), 10) AS c1 FROM src LIMIT 1")
+      },
+      Some("SELECT round(exp(1.0), 10) AS c1")),
+
+    // ---- clientpositive/udf_PI.q
+    QueryDef(
+      "q376_qf_udf_pi",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s, "select round(PI(), 10) AS c1 FROM src LIMIT 1")
+      },
+      Some("SELECT round(pi(), 10) AS c1"))) ++ GbVariantDefs
 
   // ========== round-11 battery growth: groupbyN SET-variant block =======
   // The groupbyN_{map,map_skew,noskew,...} .q files run their family's
