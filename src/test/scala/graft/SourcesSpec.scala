@@ -364,4 +364,56 @@ class SourcesSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
+
+  test("hivetext complex columns round-trip LazySimpleSerDe's separator " +
+      "ladder; numeric DELIMITED codes resolve as bytes") {
+    val t = "complex_text_rt"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    // a fresh JVM has an empty catalog but the warehouse dir survives
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir") + "/" + t)
+        .getPath))
+    // '1'/'2'/'3'/'10' are BYTE CODES (LazySimpleSerDe getByte) = the
+    // default \x01 field / \x02 item / \x03 key separators + \n lines
+    HiveQl.sql(spark,
+      s"""CREATE TABLE $t(a array<int>, c map<string,string>, d int)
+          ROW FORMAT DELIMITED
+          FIELDS TERMINATED BY '1'
+          COLLECTION ITEMS TERMINATED BY '2'
+          MAP KEYS TERMINATED BY '3'
+          LINES TERMINATED BY '10'
+          STORED AS TEXTFILE""")
+    HiveQl.sql(spark,
+      s"""INSERT OVERWRITE TABLE $t
+          SELECT * FROM VALUES
+            (array(1, 2, NULL), map('k1', 'v1', 'k2', NULL), 7),
+            (CAST(NULL AS ARRAY<INT>), CAST(NULL AS MAP<STRING,STRING>), 8)
+          AS v(a, c, d)""")
+    // the on-disk bytes are the reference's layout: 1\x022\x02\N ...
+    val loc = spark.sql(s"DESCRIBE FORMATTED $t").collect()
+      .find(_.getString(0).trim == "Location").get.getString(1).trim
+    val f = new java.io.File(new java.net.URI(loc).getPath).listFiles
+      .filter(x => x.isFile && !x.getName.startsWith("_")
+        && !x.getName.startsWith(".")).head
+    val bytes = new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    assert(bytes.contains("12\\N"), bytes.replace('', '|'))
+    assert(bytes.contains("k1v1k2\\N"),
+      bytes.replace('', ':').replace('', '|'))
+    val got = HiveQl.sql(spark,
+      s"SELECT a[0], a[2], c['k1'], c['k2'], d FROM $t ORDER BY d")
+      .collect().map(_.toSeq)
+    assert(got(0) == Seq(1, null, "v1", null, 7), got(0).toString)
+    assert(got(1) == Seq(null, null, null, null, 8), got(1).toString)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("Hive hour/minute/second extract from bare-time strings; " +
+      "date-only is NULL (UDFHour semantics)") {
+    val r = spark.sql(
+      """SELECT hour('13:14:15'), minute('13:14:15'), second('13:14:15'),
+                hour('2009-08-07'), hour(TIMESTAMP '2009-08-07 01:02:03')""")
+      .collect().head.toSeq
+    assert(r == Seq(13, 14, 15, null, 1), r.toString)
+  }
 }
