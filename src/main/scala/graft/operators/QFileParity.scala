@@ -5477,7 +5477,361 @@ object QFileParity extends QueryModule {
         fixtures(s, dir)
         HiveQl.sql(s, "select round(PI(), 10) AS c1 FROM src LIMIT 1")
       },
-      Some("SELECT round(pi(), 10) AS c1"))) ++ GbVariantDefs
+      Some("SELECT round(pi(), 10) AS c1")),
+
+    // ========== round-11 battery growth: auto_join tranche 2 ============
+    // (auto_join3/9/10/22/23/24 are their joinN bases verbatim plus the
+    // auto-convert SET, whose conversion q284/q290/q294 already pin
+    // in-plan — the distinct shapes below are the ones not yet covered)
+
+    // ---- clientpositive/auto_join2.q: ARITHMETIC second join key
+    //      (src1.key + src2.key = src3.key coerces through DOUBLE)
+    QueryDef(
+      "q377_qf_auto_join2",
+      (s, dir) => {
+        val d = s"dest_j2_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, "SET hive.auto.convert.join=true")
+        HiveQl.sql(s, s"CREATE TABLE $d(key INT, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM src src1 JOIN src src2 ON (src1.key = src2.key) JOIN src src3 ON (src1.key + src2.key = src3.key)
+              INSERT OVERWRITE TABLE $d SELECT src1.key, src3.value""")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY key, value")
+      },
+      Some(s"""$SrcCte
+        SELECT CAST(src1.key AS INT) AS key, src3.value
+        FROM src src1 JOIN src src2 ON src1.key = src2.key
+        JOIN src src3
+        ON TRY_CAST(src1.key AS DOUBLE) + TRY_CAST(src2.key AS DOUBLE)
+           = TRY_CAST(src3.key AS DOUBLE)
+        ORDER BY 1, 2""")),
+
+    // ---- clientpositive/auto_join6.q: FULL OUTER of the overlapping
+    //      range subqueries
+    QueryDef(
+      "q378_qf_auto_join6",
+      (s, dir) => {
+        val d = s"dest1_aj6_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, "SET hive.auto.convert.join=true")
+        HiveQl.sql(s, s"CREATE TABLE $d(c1 INT, c2 STRING, c3 INT, c4 STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM (
+               FROM
+                (
+                FROM src src1 SELECT src1.key AS c1, src1.value AS c2 WHERE src1.key > 10 and src1.key < 20
+                ) a
+               FULL OUTER JOIN
+               (
+                FROM src src2 SELECT src2.key AS c3, src2.value AS c4 WHERE src2.key > 15 and src2.key < 25
+               ) b
+               ON (a.c1 = b.c3)
+               SELECT a.c1 AS c1, a.c2 AS c2, b.c3 AS c3, b.c4 AS c4
+             ) c
+             INSERT OVERWRITE TABLE $d SELECT c.c1, c.c2, c.c3, c.c4""")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY c1, c2, c3, c4")
+      },
+      Some(s"""$SrcCte,
+          a AS (SELECT key AS c1, value AS c2 FROM src
+                WHERE TRY_CAST(key AS DOUBLE) > 10 AND TRY_CAST(key AS DOUBLE) < 20),
+          b AS (SELECT key AS c3, value AS c4 FROM src
+                WHERE TRY_CAST(key AS DOUBLE) > 15 AND TRY_CAST(key AS DOUBLE) < 25)
+        SELECT CAST(a.c1 AS INT) AS c1, a.c2 AS c2,
+               CAST(b.c3 AS INT) AS c3, b.c4 AS c4
+        FROM a FULL OUTER JOIN b ON a.c1 = b.c3
+        ORDER BY c1 NULLS FIRST, c2 NULLS FIRST, c3 NULLS FIRST,
+                 c4 NULLS FIRST""")),
+
+    // ---- clientpositive/auto_join7.q: FULL OUTER then LEFT OUTER over a
+    //      third range subquery, 6-col dest
+    QueryDef(
+      "q379_qf_auto_join7",
+      (s, dir) => {
+        val d = s"dest1_aj7_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, "SET hive.auto.convert.join=true")
+        HiveQl.sql(s, s"CREATE TABLE $d(c1 INT, c2 STRING, c3 INT, c4 STRING, c5 INT, c6 STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM (
+               FROM
+                (
+                FROM src src1 SELECT src1.key AS c1, src1.value AS c2 WHERE src1.key > 10 and src1.key < 20
+                ) a
+               FULL OUTER JOIN
+               (
+                FROM src src2 SELECT src2.key AS c3, src2.value AS c4 WHERE src2.key > 15 and src2.key < 25
+               ) b
+               ON (a.c1 = b.c3)
+               LEFT OUTER JOIN
+               (
+                FROM src src3 SELECT src3.key AS c5, src3.value AS c6 WHERE src3.key > 20 and src3.key < 25
+               ) c
+               ON (a.c1 = c.c5)
+               SELECT a.c1 AS c1, a.c2 AS c2, b.c3 AS c3, b.c4 AS c4, c.c5 AS c5, c.c6 AS c6
+             ) c
+             INSERT OVERWRITE TABLE $d SELECT c.c1, c.c2, c.c3, c.c4, c.c5, c.c6""")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY c1, c2, c3, c4, c5, c6")
+      },
+      Some(s"""$SrcCte,
+          a AS (SELECT key AS c1, value AS c2 FROM src
+                WHERE TRY_CAST(key AS DOUBLE) > 10 AND TRY_CAST(key AS DOUBLE) < 20),
+          b AS (SELECT key AS c3, value AS c4 FROM src
+                WHERE TRY_CAST(key AS DOUBLE) > 15 AND TRY_CAST(key AS DOUBLE) < 25),
+          c AS (SELECT key AS c5, value AS c6 FROM src
+                WHERE TRY_CAST(key AS DOUBLE) > 20 AND TRY_CAST(key AS DOUBLE) < 25)
+        SELECT CAST(a.c1 AS INT) AS c1, a.c2 AS c2,
+               CAST(b.c3 AS INT) AS c3, b.c4 AS c4,
+               CAST(c.c5 AS INT) AS c5, c.c6 AS c6
+        FROM a FULL OUTER JOIN b ON a.c1 = b.c3
+        LEFT OUTER JOIN c ON a.c1 = c.c5
+        ORDER BY c1 NULLS FIRST, c2 NULLS FIRST, c3 NULLS FIRST,
+                 c4 NULLS FIRST, c5 NULLS FIRST, c6 NULLS FIRST""")),
+
+    // ---- clientpositive/auto_join11.q: subquery join with the filter
+    //      INSIDE the ON (count readback — the .q's sum(hash) checksum)
+    QueryDef(
+      "q380_qf_auto_join11",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s, "SET hive.auto.convert.join=true")
+        HiveQl.sql(s,
+          """SELECT count(*) AS n, count(DISTINCT src1.c1) AS d
+             FROM
+             (SELECT src.key as c1, src.value as c2 from src) src1
+             JOIN
+             (SELECT src.key as c3, src.value as c4 from src) src2
+             ON src1.c1 = src2.c3 AND src1.c1 < 100""")
+      },
+      Some(s"""$SrcCte
+        SELECT count(*) AS n, count(DISTINCT src1.c1) AS d
+        FROM (SELECT key AS c1 FROM src) src1
+        JOIN (SELECT key AS c3 FROM src) src2
+        ON src1.c1 = src2.c3 AND TRY_CAST(src1.c1 AS DOUBLE) < 100""")),
+
+    // ---- clientpositive/auto_join12.q: three-way with a second ON filter
+    QueryDef(
+      "q381_qf_auto_join12",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s, "SET hive.auto.convert.join=true")
+        HiveQl.sql(s,
+          """SELECT count(*) AS n, count(DISTINCT src1.c1) AS d
+             FROM
+             (SELECT src.key as c1, src.value as c2 from src) src1
+             JOIN
+             (SELECT src.key as c3, src.value as c4 from src) src2
+             ON src1.c1 = src2.c3 AND src1.c1 < 100
+             JOIN
+             (SELECT src.key as c5, src.value as c6 from src) src3
+             ON src1.c1 = src3.c5 AND src3.c5 < 80""")
+      },
+      Some(s"""$SrcCte
+        SELECT count(*) AS n, count(DISTINCT src1.c1) AS d
+        FROM (SELECT key AS c1 FROM src) src1
+        JOIN (SELECT key AS c3 FROM src) src2
+        ON src1.c1 = src2.c3 AND TRY_CAST(src1.c1 AS DOUBLE) < 100
+        JOIN (SELECT key AS c5 FROM src) src3
+        ON src1.c1 = src3.c5 AND TRY_CAST(src3.c5 AS DOUBLE) < 80""")),
+
+    // ---- clientpositive/auto_join13.q: ARITHMETIC third join key over
+    //      the first two tables' sum
+    QueryDef(
+      "q382_qf_auto_join13",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s, "SET hive.auto.convert.join=true")
+        HiveQl.sql(s,
+          """SELECT count(*) AS n, count(DISTINCT src1.c1) AS d
+             FROM
+             (SELECT src.key as c1, src.value as c2 from src) src1
+             JOIN
+             (SELECT src.key as c3, src.value as c4 from src) src2
+             ON src1.c1 = src2.c3 AND src1.c1 < 100
+             JOIN
+             (SELECT src.key as c5, src.value as c6 from src) src3
+             ON src1.c1 + src2.c3 = src3.c5 AND src3.c5 < 200""")
+      },
+      Some(s"""$SrcCte
+        SELECT count(*) AS n, count(DISTINCT src1.c1) AS d
+        FROM (SELECT key AS c1 FROM src) src1
+        JOIN (SELECT key AS c3 FROM src) src2
+        ON src1.c1 = src2.c3 AND TRY_CAST(src1.c1 AS DOUBLE) < 100
+        JOIN (SELECT key AS c5 FROM src) src3
+        ON TRY_CAST(src1.c1 AS DOUBLE) + TRY_CAST(src2.c3 AS DOUBLE)
+           = TRY_CAST(src3.c5 AS DOUBLE)
+           AND TRY_CAST(src3.c5 AS DOUBLE) < 200""")),
+
+    // ---- clientpositive/auto_join17.q: both sides' stars into one dest
+    QueryDef(
+      "q383_qf_auto_join17",
+      (s, dir) => {
+        val d = s"dest1_aj17_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, "SET hive.auto.convert.join=true")
+        HiveQl.sql(s, s"CREATE TABLE $d(key1 INT, value1 STRING, key2 INT, value2 STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM src src1 JOIN src src2 ON (src1.key = src2.key)
+              INSERT OVERWRITE TABLE $d SELECT src1.*, src2.*""")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d ORDER BY key1, value1, key2, value2")
+      },
+      Some(s"""$SrcCte
+        SELECT CAST(src1.key AS INT) AS key1, src1.value AS value1,
+               CAST(src2.key AS INT) AS key2, src2.value AS value2
+        FROM src src1 JOIN src src2 ON src1.key = src2.key
+        ORDER BY 1, 2, 3, 4""")),
+
+    // ---- clientpositive/auto_join18.q: FULL OUTER of two AGGREGATE
+    //      subqueries — count over src vs count-distinct over src1
+    QueryDef(
+      "q384_qf_auto_join18",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s, "SET hive.auto.convert.join=true")
+        HiveQl.sql(s,
+          """SELECT a.key AS ak, a.value AS av, b.key AS bk, b.value AS bv
+             FROM
+              (
+              SELECT src1.key as key, count(src1.value) AS value FROM src src1 group by src1.key
+              ) a
+             FULL OUTER JOIN
+              (
+              SELECT src2.key as key, count(distinct(src2.value)) AS value
+              FROM src1 src2 group by src2.key
+             ) b
+             ON (a.key = b.key)
+             ORDER BY ak, av, bk, bv""")
+      },
+      Some(s"""$Src1Cte
+        SELECT a.key AS ak, a.value AS av, b.key AS bk, b.value AS bv
+        FROM (SELECT key, count(value) AS value FROM src GROUP BY key) a
+        FULL OUTER JOIN
+             (SELECT key, count(DISTINCT value) AS value FROM src1 GROUP BY key) b
+        ON a.key = b.key
+        ORDER BY ak NULLS FIRST, av NULLS FIRST, bk NULLS FIRST,
+                 bv NULLS FIRST""")),
+
+    // ---- clientpositive/auto_join19.q: OR-of-partitions filter over all
+    //      four srcpart partitions
+    QueryDef(
+      "q385_qf_auto_join19",
+      (s, dir) => {
+        val d = s"dest1_aj19_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, "SET hive.auto.convert.join=true")
+        HiveQl.sql(s, s"CREATE TABLE $d(key INT, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM srcpart src1 JOIN src src2 ON (src1.key = src2.key)
+              INSERT OVERWRITE TABLE $d SELECT src1.key, src2.value
+              where (src1.ds = '2008-04-08' or src1.ds = '2008-04-09' )and (src1.hr = '12' or src1.hr = '11')""")
+        HiveQl.sql(s, s"SELECT count(*) AS n, count(DISTINCT key) AS d FROM $d")
+      },
+      Some(s"""$SrcPartCte
+        SELECT count(*) AS n, count(DISTINCT src1.key) AS d
+        FROM srcpart src1 JOIN src src2 ON src1.key = src2.key
+        WHERE (src1.ds = '2008-04-08' OR src1.ds = '2008-04-09')
+          AND (src1.hr = '12' OR src1.hr = '11')""")),
+
+    // ---- clientpositive/auto_join27.q: UNION ALL of a plain and a
+    //      DISTINCT branch joined against a filtered subquery
+    QueryDef(
+      "q386_qf_auto_join27",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s, "SET hive.auto.convert.join=true")
+        HiveQl.sql(s,
+          """SELECT count(1) AS cnt
+             FROM
+             (
+             SELECT src.key, src.value from src
+             UNION ALL
+             SELECT DISTINCT src.key, src.value from src
+             ) src_12
+             JOIN
+             (SELECT src.key as k, src.value as v from src) src3
+             ON src_12.key = src3.k AND src3.k < 200""")
+      },
+      Some(s"""$SrcCte
+        SELECT count(1) AS cnt
+        FROM (
+          SELECT key, value FROM src
+          UNION ALL
+          SELECT DISTINCT key, value FROM src) src_12
+        JOIN (SELECT key AS k FROM src) src3
+        ON src_12.key = src3.k AND TRY_CAST(src3.k AS DOUBLE) < 200""")),
+
+    // ---- clientpositive/auto_join28.q: all four LEFT/RIGHT chain
+    //      permutations of the contradictory-ON pattern, union-tagged
+    QueryDef(
+      "q387_qf_auto_join28",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s, "SET hive.auto.convert.join=true")
+        val combos = Seq(
+          ("LEFT OUTER JOIN", "RIGHT OUTER JOIN"),
+          ("LEFT OUTER JOIN", "LEFT OUTER JOIN"),
+          ("RIGHT OUTER JOIN", "LEFT OUTER JOIN"),
+          ("RIGHT OUTER JOIN", "RIGHT OUTER JOIN"))
+        val sql = combos.zipWithIndex.map { case ((j1, j2), i) =>
+          s"""SELECT ${i + 1} AS jt, src1.key AS k1, src1.value AS v1,
+                     src2.key AS k2, src2.value AS v2, src3.key AS k3,
+                     src3.value AS v3
+              FROM src src1 $j1 src src2
+                ON (src1.key = src2.key AND src1.key < 10 AND src2.key > 10)
+              $j2 src src3 ON (src2.key = src3.key AND src3.key < 10)"""
+        }.mkString("\nUNION ALL\n") +
+          "\nORDER BY jt, k1, v1, k2, v2, k3, v3"
+        HiveQl.sql(s, sql)
+      },
+      Some {
+        val combos = Seq(
+          ("LEFT OUTER JOIN", "RIGHT OUTER JOIN"),
+          ("LEFT OUTER JOIN", "LEFT OUTER JOIN"),
+          ("RIGHT OUTER JOIN", "LEFT OUTER JOIN"),
+          ("RIGHT OUTER JOIN", "RIGHT OUTER JOIN"))
+        val SrcCteLocal =
+          """WITH src AS (
+               SELECT CAST((rn * rn) % 500 AS VARCHAR) AS key,
+                      'val_' || CAST((rn * rn) % 500 AS VARCHAR) AS value
+               FROM (SELECT row_number() OVER (ORDER BY o_orderkey) AS rn
+                     FROM orders) t
+               WHERE rn <= 500)"""
+        SrcCteLocal + "\nSELECT jt, k1, v1, k2, v2, k3, v3 FROM (" +
+          combos.zipWithIndex.map { case ((j1, j2), i) =>
+            s"""SELECT ${i + 1} AS jt, src1.key AS k1, src1.value AS v1,
+                       src2.key AS k2, src2.value AS v2, src3.key AS k3,
+                       src3.value AS v3
+                FROM src src1 $j1 src src2
+                  ON (src1.key = src2.key AND CAST(src1.key AS DOUBLE) < 10
+                      AND CAST(src2.key AS DOUBLE) > 10)
+                $j2 src src3
+                  ON (src2.key = src3.key AND CAST(src3.key AS DOUBLE) < 10)"""
+          }.mkString("\nUNION ALL\n") +
+          """) u ORDER BY jt, k1 NULLS FIRST, v1 NULLS FIRST, k2 NULLS FIRST,
+               v2 NULLS FIRST, k3 NULLS FIRST, v3 NULLS FIRST"""
+      }),
+
+    // ---- clientpositive/auto_join31.q: RIGHT OUTER + INNER over three
+    //      sorted subqueries
+    QueryDef(
+      "q388_qf_auto_join31",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s, "SET hive.auto.convert.join=true")
+        HiveQl.sql(s,
+          """FROM
+             (SELECT src.* FROM src sort by key) x
+             RIGHT OUTER JOIN
+             (SELECT src.* FROM src sort by value) Y
+             ON (x.key = Y.key)
+             JOIN
+             (SELECT src.* FROM src sort by value) Z
+             ON (x.key = Z.key)
+             select count(*) AS n, count(DISTINCT Y.key) AS d""")
+      },
+      Some(s"""$SrcCte
+        SELECT count(*) AS n, count(DISTINCT y.key) AS d
+        FROM src x RIGHT OUTER JOIN src y ON x.key = y.key
+        JOIN src z ON x.key = z.key""")))  ++ GbVariantDefs
 
   // ========== round-11 battery growth: groupbyN SET-variant block =======
   // The groupbyN_{map,map_skew,noskew,...} .q files run their family's
