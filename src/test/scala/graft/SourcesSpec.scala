@@ -392,11 +392,13 @@ class SourcesSpec extends SparkSpec {
     // the on-disk bytes are the reference's layout: 1\x022\x02\N ...
     val loc = spark.sql(s"DESCRIBE FORMATTED $t").collect()
       .find(_.getString(0).trim == "Location").get.getString(1).trim
-    val f = new java.io.File(new java.net.URI(loc).getPath).listFiles
+    // the two VALUES rows may land in separate task files — read them all
+    val bytes = new java.io.File(new java.net.URI(loc).getPath).listFiles
       .filter(x => x.isFile && !x.getName.startsWith("_")
-        && !x.getName.startsWith(".")).head
-    val bytes = new String(
-      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        && !x.getName.startsWith("."))
+      .map(f => new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      .mkString
     assert(bytes.contains("12\\N"), bytes.replace('', '|'))
     assert(bytes.contains("k1v1k2\\N"),
       bytes.replace('', ':').replace('', '|'))
