@@ -20,5 +20,8 @@ object GraftExtensions {
     // automatic index rewrite (IndexWhereProcessor posture, gated by
     // hive.optimize.index.filter — default off, like the reference)
     ext.injectOptimizerRule(session => new plans.IndexFilterRewrite(session))
+    // hive.outerjoin.supports.filters=false legacy ON-filter semantics
+    // (default true = ANSI; gated off like the reference's default)
+    ext.injectOptimizerRule(session => new plans.HiveOuterJoinFilters(session))
   }
 }

@@ -5831,7 +5831,512 @@ object QFileParity extends QueryModule {
       Some(s"""$SrcCte
         SELECT count(*) AS n, count(DISTINCT y.key) AS d
         FROM src x RIGHT OUTER JOIN src y ON x.key = y.key
-        JOIN src z ON x.key = z.key""")))  ++ GbVariantDefs
+        JOIN src z ON x.key = z.key""")))  ++ GbVariantDefs ++ AutoJoin3Defs
+
+  // ========== round-11 battery growth: auto_join tranche 3 ==============
+  // The remaining auto_join family files. auto_join_nulls/auto_join_filters
+  // load the reference's OWN in1.txt/in3.txt verbatim, so their .q.out
+  // golden checksums transfer unchanged — the oracle IS the reference
+  // golden (sum(hash(...)) through graft's Hive-parity `hash`, q83).
+  // src-based files use the derived fixture, so their checksums are
+  // replaced by row multisets under the DuckDB oracle (the documented
+  // battery convention, strictly stronger where the fixture is shared).
+
+  /** auto_join_nulls.q: the 22 select forms IN FILE ORDER, paired with the
+    * reference goldens (ql/src/test/results/clientpositive/
+    * auto_join_nulls.q.out). Forms 20-22 are the chained outer joins
+    * including the merged-ON `a LEFT OUTER JOIN b RIGHT OUTER JOIN c ON
+    * cond1 and cond2` shape.
+    */
+  private def autoNullsSelects(t: String): Seq[(String, Long)] = {
+    def two(jt: String, on: String): String =
+      s"FROM $t a $jt $t b" + (if (on.isEmpty) "" else s" ON $on")
+    Seq(
+      two("JOIN", "") -> 13630578L,
+      two("LEFT OUTER JOIN", "") -> 13630578L,
+      two("RIGHT OUTER JOIN", "") -> 13630578L,
+      two("JOIN", "a.key = b.value") -> 3078400L,
+      two("JOIN", "a.key = b.key") -> 4509856L,
+      two("JOIN", "a.value = b.value") -> 3112070L,
+      two("JOIN", "a.value = b.value and a.key=b.key") -> 3078400L,
+      two("LEFT OUTER JOIN", "a.key = b.value") -> 4542003L,
+      two("LEFT OUTER JOIN", "a.value = b.value") -> 4542038L,
+      two("LEFT OUTER JOIN", "a.key = b.key") -> 4543491L,
+      two("LEFT OUTER JOIN", "a.key = b.key and a.value=b.value") -> 4542003L,
+      two("RIGHT OUTER JOIN", "a.key = b.value") -> 3079923L,
+      two("RIGHT OUTER JOIN", "a.key = b.key") -> 4509891L,
+      two("RIGHT OUTER JOIN", "a.value = b.value") -> 3113558L,
+      two("RIGHT OUTER JOIN", "a.key=b.key and a.value = b.value") -> 3079923L,
+      two("FULL OUTER JOIN", "a.key = b.value") -> 4543526L,
+      two("FULL OUTER JOIN", "a.key = b.key") -> 4543526L,
+      two("FULL OUTER JOIN", "a.value = b.value") -> 4543526L,
+      two("FULL OUTER JOIN", "a.value = b.value and a.key=b.key") -> 4543526L,
+      s"from $t a LEFT OUTER JOIN $t b ON (a.value=b.value) " +
+        s"RIGHT OUTER JOIN $t c ON (b.value=c.value)" -> 3112070L,
+      s"from $t a RIGHT OUTER JOIN $t b ON (a.value=b.value) " +
+        s"LEFT OUTER JOIN $t c ON (b.value=c.value)" -> 3113558L,
+      s"FROM $t a LEFT OUTER JOIN $t b RIGHT OUTER JOIN $t c " +
+        s"ON a.value = b.value and b.value = c.value" -> 3112070L)
+  }
+
+  /** auto_join_filters.q: the 26 select forms IN FILE ORDER with the
+    * first-half goldens (hive.outerjoin.supports.filters=true, the ANSI
+    * leg). The .q repeats all 26 under supports.filters=false, where every
+    * golden collapses to the pre-filtered 3078400/3080335 results — that
+    * leg runs through [[graft.plans.HiveOuterJoinFilters]].
+    */
+  private def autoFiltersSelects(t: String): Seq[(String, Long)] = {
+    val aF = "a.key > 40 AND a.value > 50 AND a.key = a.value"
+    val bF = "b.key > 40 AND b.value > 50 AND b.key = b.value"
+    val cF = "c.key > 40 AND c.value > 50 AND c.key = c.value"
+    def two(jt: String, eq: String, g: Long): (String, Long) = {
+      val on = if (eq.isEmpty) s"$aF AND $bF" else s"$eq AND $aF AND $bF"
+      s"FROM $t a $jt $t b ON $on" -> g
+    }
+    Seq(
+      two("JOIN", "", 3078400L),
+      two("LEFT OUTER JOIN", "", 4937935L),
+      two("RIGHT OUTER JOIN", "", 3080335L),
+      // DOCUMENTED DIVERGENCE (the one non-golden value in this battery):
+      // the reference golden is 19749880, which decomposes EXACTLY as
+      // Hive 0.8's CommonJoinOperator per-pair null-supplement bug on
+      // FULL OUTER with filter-only ON (no key group): for every pair in
+      // the cross product it emits (a, NULL) when the pair fails, PLUS
+      // (NULL, b) per pair where b fails — 3078400 (match) + 3x3075200 +
+      // 1935 + 1859535 + 3x1859535 + 3x1935 = 19749880, i.e. unmatched
+      // rows null-pad once PER PAIR instead of once per row. ANSI (and
+      // Spark, DuckDB, and Hive's own later fix) emits each unmatched row
+      // once: 3078400 + 1859535 + 1935 = 4939870, pinned here. Every
+      // equi-keyed FULL OUTER form below matches its golden (singleton
+      // key groups can't manifest the bug).
+      two("FULL OUTER JOIN", "", 4939870L),
+      two("JOIN", "a.key = b.value", 3078400L),
+      two("JOIN", "a.key = b.key", 3078400L),
+      two("JOIN", "a.value = b.value", 3078400L),
+      two("JOIN", "a.value = b.value and a.key=b.key", 3078400L),
+      two("LEFT OUTER JOIN", "a.key = b.value", 4937935L),
+      two("LEFT OUTER JOIN", "a.value = b.value", 4937935L),
+      two("LEFT OUTER JOIN", "a.key = b.key", 4937935L),
+      two("LEFT OUTER JOIN", "a.key = b.key and a.value=b.value", 4937935L),
+      two("RIGHT OUTER JOIN", "a.key = b.value", 3080335L),
+      two("RIGHT OUTER JOIN", "a.key = b.key", 3080335L),
+      two("RIGHT OUTER JOIN", "a.value = b.value", 3080335L),
+      two("RIGHT OUTER JOIN", "a.key=b.key and a.value = b.value", 3080335L),
+      two("FULL OUTER JOIN", "a.key = b.value", 4939870L),
+      two("FULL OUTER JOIN", "a.key = b.key", 4939870L),
+      two("FULL OUTER JOIN", "a.value = b.value", 4939870L),
+      two("FULL OUTER JOIN", "a.value = b.value and a.key=b.key", 4939870L),
+      (s"from $t a LEFT OUTER JOIN $t b ON (a.value=b.value AND $aF AND $bF) " +
+        s"RIGHT OUTER JOIN $t c ON (b.value=c.value AND $cF AND $bF)") -> 3078400L,
+      (s"from $t a RIGHT OUTER JOIN $t b ON (a.value=b.value AND $aF AND $bF) " +
+        s"LEFT OUTER JOIN $t c ON (b.value=c.value AND $cF AND $bF)") -> 3080335L,
+      (s"FROM $t a LEFT OUTER JOIN $t b RIGHT OUTER JOIN $t c " +
+        s"ON a.value = b.value and b.value = c.value AND $aF AND $bF AND $cF") -> 3078400L,
+      (s"from $t a LEFT OUTER JOIN $t b ON (a.value=b.value AND $aF AND $bF) " +
+        s"RIGHT OUTER JOIN $t c ON (b.key=c.key AND $cF AND $bF)") -> 3078400L,
+      (s"from $t a RIGHT OUTER JOIN $t b ON (a.value=b.value AND $aF AND $bF) " +
+        s"LEFT OUTER JOIN $t c ON (b.key=c.key AND $cF AND $bF)") -> 3080335L,
+      (s"FROM $t a LEFT OUTER JOIN $t b RIGHT OUTER JOIN $t c " +
+        s"ON a.value = b.value and b.key = c.key AND $aF AND $bF AND $cF") -> 3078400L)
+  }
+
+  private def checksumUnion(s: SparkSession, selects: Seq[(String, Long)],
+      offset: Int): DataFrame =
+    HiveQl.sql(s, selects.zipWithIndex.map { case ((frag, _), i) =>
+      s"SELECT ${offset + i + 1} AS jt, " +
+        s"sum(hash(a.key,a.value,b.key,b.value)) AS s $frag"
+    }.mkString("\nUNION ALL\n"))
+
+  private def checksumOracle(selects: Seq[(Long, Int)]): String =
+    "SELECT CAST(jt AS INT) AS jt, CAST(s AS BIGINT) AS s FROM (VALUES " +
+      selects.map { case (g, i) => s"($i, $g)" }.mkString(", ") +
+      ") v(jt, s) ORDER BY jt"
+
+  private lazy val AutoJoin3Defs: Seq[QueryDef] = Seq(
+
+    // ---- clientpositive/auto_join_nulls.q: the NULL-join battery over
+    //      the reference's own in1.txt, auto-converted; oracle = the
+    //      reference's .q.out golden checksums verbatim
+    QueryDef(
+      "q389_qf_auto_join_nulls",
+      (s, dir) => {
+        val t = s"myinput1_ajn_${fixtures(s, dir)}"
+        fresh(s, t)
+        HiveQl.sql(s, s"CREATE TABLE $t(key int, value int) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"LOAD DATA LOCAL INPATH '/root/reference/data/files/in1.txt' INTO TABLE $t")
+        HiveQl.sql(s, "SET hive.auto.convert.join=true")
+        checksumUnion(s, autoNullsSelects(t), 0).orderBy("jt")
+      },
+      Some(checksumOracle(
+        autoNullsSelects("t").map(_._2).zipWithIndex.map {
+          case (g, i) => (g, i + 1) }))),
+
+    // ---- clientpositive/auto_join_filters.q: 26 filter-heavy ON forms ×
+    //      two legs — hive.outerjoin.supports.filters=true (ANSI) and
+    //      =false (input pre-filtering via plans.HiveOuterJoinFilters);
+    //      all 52 goldens from auto_join_filters.q.out. Leg 2 is
+    //      materialized via localCheckpoint while the conf holds.
+    QueryDef(
+      "q390_qf_auto_join_filters",
+      (s, dir) => {
+        val t = s"myinput1_ajf_${fixtures(s, dir)}"
+        fresh(s, t)
+        HiveQl.sql(s, s"CREATE TABLE $t(key int, value int) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"LOAD DATA LOCAL INPATH '/root/reference/data/files/in3.txt' INTO TABLE $t")
+        HiveQl.sql(s, "SET hive.auto.convert.join=true")
+        val forms = autoFiltersSelects(t)
+        val leg1 = checksumUnion(s, forms, 0).localCheckpoint(true)
+        // leg 2 runs in an ISOLATED newSession(): the conf flip must not
+        // leak into concurrently-analyzing queries on the shared session
+        // (Verify runs query threads in parallel — a session-wide SET here
+        // poisoned q178/q224's outer joins). newSession shares the catalog
+        // (the loaded table) and extensions but owns its conf; the eager
+        // localCheckpoint pins the legacy-semantics result so the final
+        // union can't re-optimize it under the parent session's conf.
+        val s2 = s.newSession()
+        s2.conf.set("hive.outerjoin.supports.filters", "false")
+        val leg2 = checksumUnion(s2, forms, 26).localCheckpoint(true)
+        leg1.union(leg2).orderBy("jt")
+      },
+      Some(checksumOracle(
+        autoFiltersSelects("t").map(_._2).zipWithIndex.map {
+          case (g, i) => (g, i + 1) } ++
+        // leg 2 goldens: with supports.filters=false every form pre-filters
+        // both inputs down to the single (100,100) row, so ALL 26 second-
+        // half .q.out checksums are the one-row 3078400 — chains included
+        autoFiltersSelects("t").indices.map(i => (3078400L, i + 27))))),
+
+    // ---- clientpositive/auto_join29.q: the full 3x3 outer/inner chain
+    //      matrix over the contradictory ON filters (q387 = auto_join28
+    //      covered the 4 LEFT/RIGHT-only combos; this adds the 5
+    //      JOIN-mixed ones and re-runs all 9 verbatim)
+    QueryDef(
+      "q391_qf_auto_join29",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s, "SET hive.auto.convert.join=true")
+        val combos = Seq(
+          ("LEFT OUTER JOIN", "RIGHT OUTER JOIN"),
+          ("LEFT OUTER JOIN", "LEFT OUTER JOIN"),
+          ("RIGHT OUTER JOIN", "LEFT OUTER JOIN"),
+          ("RIGHT OUTER JOIN", "RIGHT OUTER JOIN"),
+          ("JOIN", "LEFT OUTER JOIN"),
+          ("JOIN", "RIGHT OUTER JOIN"),
+          ("LEFT OUTER JOIN", "JOIN"),
+          ("RIGHT OUTER JOIN", "JOIN"),
+          ("JOIN", "JOIN"))
+        HiveQl.sql(s, "SELECT jt, k1, v1, k2, v2, k3, v3 FROM (" +
+          combos.zipWithIndex.map { case ((j1, j2), i) =>
+            s"""SELECT ${i + 1} AS jt, src1.key AS k1, src1.value AS v1,
+                       src2.key AS k2, src2.value AS v2, src3.key AS k3,
+                       src3.value AS v3
+                FROM src src1 $j1 src src2
+                  ON (src1.key = src2.key AND src1.key < 10 AND src2.key > 10)
+                $j2 src src3
+                  ON (src2.key = src3.key AND src3.key < 10)"""
+          }.mkString("\nUNION ALL\n") +
+          ") u ORDER BY jt, k1, v1, k2, v2, k3, v3")
+      },
+      Some {
+        val combos = Seq(
+          ("LEFT OUTER JOIN", "RIGHT OUTER JOIN"),
+          ("LEFT OUTER JOIN", "LEFT OUTER JOIN"),
+          ("RIGHT OUTER JOIN", "LEFT OUTER JOIN"),
+          ("RIGHT OUTER JOIN", "RIGHT OUTER JOIN"),
+          ("JOIN", "LEFT OUTER JOIN"),
+          ("JOIN", "RIGHT OUTER JOIN"),
+          ("LEFT OUTER JOIN", "JOIN"),
+          ("RIGHT OUTER JOIN", "JOIN"),
+          ("JOIN", "JOIN"))
+        SrcCte + "\nSELECT jt, k1, v1, k2, v2, k3, v3 FROM (" +
+          combos.zipWithIndex.map { case ((j1, j2), i) =>
+            s"""SELECT ${i + 1} AS jt, src1.key AS k1, src1.value AS v1,
+                       src2.key AS k2, src2.value AS v2, src3.key AS k3,
+                       src3.value AS v3
+                FROM src src1 $j1 src src2
+                  ON (src1.key = src2.key AND CAST(src1.key AS DOUBLE) < 10
+                      AND CAST(src2.key AS DOUBLE) > 10)
+                $j2 src src3
+                  ON (src2.key = src3.key AND CAST(src3.key AS DOUBLE) < 10)"""
+          }.mkString("\nUNION ALL\n") +
+          """) u ORDER BY jt, k1 NULLS FIRST, v1 NULLS FIRST, k2 NULLS FIRST,
+               v2 NULLS FIRST, k3 NULLS FIRST, v3 NULLS FIRST"""
+      }),
+
+    // ---- clientpositive/auto_join16.q: subquery join whose WHERE
+    //      `tab.value < 200` coerces 'val_x' to DOUBLE NULL — the result
+    //      is EMPTY and the .q golden is the NULL checksum
+    QueryDef(
+      "q392_qf_auto_join16",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s, "SET hive.auto.convert.join=true")
+        HiveQl.sql(s,
+          """SELECT sum(hash(subq.key, tab.value)) AS s
+             FROM
+             (select a.key, a.value from src a where a.key > 10 ) subq
+             JOIN src tab
+             ON (subq.key = tab.key and subq.key > 20 and subq.value = tab.value)
+             where tab.value < 200""")
+      },
+      Some("SELECT CAST(NULL AS BIGINT) AS s")),
+
+    // ---- clientpositive/auto_join25.q: the map-join memory-pressure
+    //      confs (localtask.max.memory.usage / check.memory.rows) with the
+    //      three backup-task dests — results must equal the plain joins
+    //      regardless of the local-task fallback machinery
+    QueryDef(
+      "q393_qf_auto_join25",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val (d1, d2, d3) = (s"dest1_aj25_$sfx", s"dest_j2_aj25_$sfx", s"dest_j1_aj25_$sfx")
+        fresh(s, d1, d2, d3)
+        HiveQl.sql(s, "SET hive.auto.convert.join=true")
+        HiveQl.sql(s, "SET hive.mapjoin.localtask.max.memory.usage=0.0001")
+        HiveQl.sql(s, "SET hive.mapjoin.check.memory.rows=2")
+        HiveQl.sql(s, s"CREATE TABLE $d1(key INT, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM srcpart src1 JOIN src src2 ON (src1.key = src2.key)
+              INSERT OVERWRITE TABLE $d1 SELECT src1.key, src2.value
+              where (src1.ds = '2008-04-08' or src1.ds = '2008-04-09' )and (src1.hr = '12' or src1.hr = '11')""")
+        HiveQl.sql(s, s"CREATE TABLE $d2(key INT, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM src src1 JOIN src src2 ON (src1.key = src2.key) JOIN src src3 ON (src1.key + src2.key = src3.key)
+              INSERT OVERWRITE TABLE $d2 SELECT src1.key, src3.value""")
+        HiveQl.sql(s, s"CREATE TABLE $d3(key INT, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM src src1 JOIN src src2 ON (src1.key = src2.key)
+              INSERT OVERWRITE TABLE $d3 SELECT src1.key, src2.value""")
+        HiveQl.sql(s,
+          s"""SELECT tag, key, value, n FROM (
+              SELECT 'd1' AS tag, key, value, CAST(count(*) AS BIGINT) AS n FROM $d1 GROUP BY key, value
+              UNION ALL SELECT 'j2', key, value, CAST(count(*) AS BIGINT) FROM $d2 GROUP BY key, value
+              UNION ALL SELECT 'j1', key, value, CAST(count(*) AS BIGINT) FROM $d3 GROUP BY key, value) u
+              ORDER BY tag, key, value""")
+      },
+      Some(s"""$SrcPartCte
+        SELECT tag, key, value, n FROM (
+          SELECT 'd1' AS tag, CAST(sp.key AS INT) AS key, s2.value AS value,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM srcpart sp JOIN src s2 ON sp.key = s2.key
+          WHERE (sp.ds = '2008-04-08' OR sp.ds = '2008-04-09')
+            AND (sp.hr = '12' OR sp.hr = '11')
+          GROUP BY 2, 3
+          UNION ALL
+          SELECT 'j2', CAST(s1.key AS INT), s3.value, CAST(count(*) AS BIGINT)
+          FROM src s1 JOIN src s2 ON s1.key = s2.key
+          JOIN src s3
+            ON CAST(s1.key AS DOUBLE) + CAST(s2.key AS DOUBLE) = CAST(s3.key AS DOUBLE)
+          GROUP BY 2, 3
+          UNION ALL
+          SELECT 'j1', CAST(s1.key AS INT), s2.value, CAST(count(*) AS BIGINT)
+          FROM src s1 JOIN src s2 ON s1.key = s2.key
+          GROUP BY 2, 3) u
+        ORDER BY tag, key, value""")),
+
+    // ---- clientpositive/join18_multi_distinct.q: FULL OUTER of a plain
+    //      count aggregate against a TWO-count-distinct aggregate over the
+    //      kv3-shaped src1 side
+    QueryDef(
+      "q394_qf_join18_multi_distinct",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT a.key AS ak, a.value AS av, b.key AS bk,
+                    b.value1 AS bv1, b.value2 AS bv2
+             FROM
+              (
+              SELECT src1.key as key, count(src1.value) AS value FROM src src1 group by src1.key
+              ) a
+             FULL OUTER JOIN
+             (
+              SELECT src2.key as key, count(distinct(src2.value)) AS value1,
+              count(distinct(src2.key)) AS value2
+              FROM src1 src2 group by src2.key
+             ) b
+             ON (a.key = b.key)
+             ORDER BY ak, av, bk, bv1, bv2""")
+      },
+      Some(s"""$Src1Cte
+        SELECT a.key AS ak, a.value AS av, b.key AS bk,
+               b.value1 AS bv1, b.value2 AS bv2
+        FROM (SELECT key, CAST(count(value) AS BIGINT) AS value
+              FROM src GROUP BY key) a
+        FULL OUTER JOIN
+             (SELECT key, CAST(count(DISTINCT value) AS BIGINT) AS value1,
+                     CAST(count(DISTINCT key) AS BIGINT) AS value2
+              FROM src1 GROUP BY key) b
+        ON a.key = b.key
+        ORDER BY ak NULLS FIRST, av NULLS FIRST, bk NULLS FIRST,
+                 bv1 NULLS FIRST, bv2 NULLS FIRST""")),
+
+    // ---- clientpositive/auto_join18_multi_distinct.q: the same FULL
+    //      OUTER multi-distinct shape under auto-conversion (Hive falls
+    //      back to common join for FULL OUTER; so does Spark)
+    QueryDef(
+      "q395_qf_auto_join18_multi_distinct",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s, "SET hive.auto.convert.join=true")
+        HiveQl.sql(s,
+          """SELECT a.key AS ak, a.value AS av, b.key AS bk,
+                    b.value1 AS bv1, b.value2 AS bv2
+             FROM
+              (
+              SELECT src1.key as key, count(src1.value) AS value FROM src src1 group by src1.key
+              ) a
+             FULL OUTER JOIN
+             (
+              SELECT src2.key as key, count(distinct(src2.value)) AS value1,
+              count(distinct(src2.key)) AS value2
+              FROM src1 src2 group by src2.key
+             ) b
+             ON (a.key = b.key)
+             ORDER BY ak, av, bk, bv1, bv2""")
+      },
+      Some(s"""$Src1Cte
+        SELECT a.key AS ak, a.value AS av, b.key AS bk,
+               b.value1 AS bv1, b.value2 AS bv2
+        FROM (SELECT key, CAST(count(value) AS BIGINT) AS value
+              FROM src GROUP BY key) a
+        FULL OUTER JOIN
+             (SELECT key, CAST(count(DISTINCT value) AS BIGINT) AS value1,
+                     CAST(count(DISTINCT key) AS BIGINT) AS value2
+              FROM src1 GROUP BY key) b
+        ON a.key = b.key
+        ORDER BY ak NULLS FIRST, av NULLS FIRST, bk NULLS FIRST,
+                 bv1 NULLS FIRST, bv2 NULLS FIRST""")),
+
+    // ---- clientpositive/auto_join3.q: three-way SAME-key self join into
+    //      a dest under auto-conversion (join3's base verbatim)
+    QueryDef(
+      "q396_qf_auto_join3",
+      (s, dir) => {
+        val d = s"dest1_aj3_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, "SET hive.auto.convert.join=true")
+        HiveQl.sql(s, s"CREATE TABLE $d(key INT, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM src src1 JOIN src src2 ON (src1.key = src2.key) JOIN src src3 ON (src1.key = src3.key)
+              INSERT OVERWRITE TABLE $d SELECT src1.key, src3.value""")
+        HiveQl.sql(s, s"SELECT key, value, CAST(count(*) AS BIGINT) AS n " +
+          s"FROM $d GROUP BY key, value ORDER BY key, value")
+      },
+      Some(s"""$SrcCte
+        SELECT CAST(s1.key AS INT) AS key, s3.value AS value,
+               CAST(count(*) AS BIGINT) AS n
+        FROM src s1 JOIN src s2 ON s1.key = s2.key
+        JOIN src s3 ON s1.key = s3.key
+        GROUP BY 1, 2 ORDER BY key, value""")),
+
+    // ---- clientpositive/auto_join9.q: srcpart x src with static ds/hr
+    //      SELECT-side filters into a dest
+    QueryDef(
+      "q397_qf_auto_join9",
+      (s, dir) => {
+        val d = s"dest1_aj9_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, "SET hive.auto.convert.join=true")
+        HiveQl.sql(s, s"CREATE TABLE $d(key INT, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"""FROM srcpart src1 JOIN src src2 ON (src1.key = src2.key)
+              INSERT OVERWRITE TABLE $d SELECT src1.key, src2.value where src1.ds = '2008-04-08' and src1.hr = '12'""")
+        HiveQl.sql(s, s"SELECT key, value, CAST(count(*) AS BIGINT) AS n " +
+          s"FROM $d GROUP BY key, value ORDER BY key, value")
+      },
+      Some(s"""$SrcPartCte
+        SELECT CAST(sp.key AS INT) AS key, s2.value AS value,
+               CAST(count(*) AS BIGINT) AS n
+        FROM srcpart sp JOIN src s2 ON sp.key = s2.key
+        WHERE sp.ds = '2008-04-08' AND sp.hr = '12'
+        GROUP BY 1, 2 ORDER BY key, value""")),
+
+    // ---- clientpositive/auto_join10.q: subquery self-join (checksum
+    //      replaced by the Y-side row multiset)
+    QueryDef(
+      "q398_qf_auto_join10",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s, "SET hive.auto.convert.join=true")
+        HiveQl.sql(s,
+          """SELECT Y.key AS key, Y.value AS value, CAST(count(*) AS BIGINT) AS n
+             FROM
+             (SELECT src.* FROM src) x
+             JOIN
+             (SELECT src.* FROM src) Y
+             ON (x.key = Y.key)
+             GROUP BY Y.key, Y.value ORDER BY key, value""")
+      },
+      Some(s"""$SrcCte
+        SELECT y.key AS key, y.value AS value, CAST(count(*) AS BIGINT) AS n
+        FROM src x JOIN src y ON x.key = y.key
+        GROUP BY 1, 2 ORDER BY key, value""")),
+
+    // ---- clientpositive/auto_join22.q: doubly-nested subquery chain
+    //      (src4 x (src1 x src2)) projecting the innermost value
+    QueryDef(
+      "q399_qf_auto_join22",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s, "SET hive.auto.convert.join=true")
+        HiveQl.sql(s,
+          """SELECT src5.src1_value AS v, CAST(count(*) AS BIGINT) AS n
+             FROM (SELECT src3.*, src4.value as src4_value, src4.key as src4_key
+                   FROM src src4
+                   JOIN (SELECT src2.*, src1.key as src1_key, src1.value as src1_value
+                         FROM src src1 JOIN src src2 ON src1.key = src2.key) src3
+                   ON src3.src1_key = src4.key) src5
+             GROUP BY src5.src1_value ORDER BY v""")
+      },
+      Some(s"""$SrcCte
+        SELECT s1.value AS v, CAST(count(*) AS BIGINT) AS n
+        FROM src s1 JOIN src s2 ON s1.key = s2.key
+        JOIN src s4 ON s1.key = s4.key
+        GROUP BY 1 ORDER BY v""")),
+
+    // ---- clientpositive/auto_join23.q: ON-less join + WHERE range
+    //      filters, auto-converted — broadcast nested-loop required
+    QueryDef(
+      "q400_qf_auto_join23",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s, "SET hive.auto.convert.join=true")
+        val df = HiveQl.sql(s,
+          """SELECT src1.key AS k1, src1.value AS v1, src2.key AS k2,
+                    src2.value AS v2
+             FROM src src1 JOIN src src2
+             WHERE src1.key < 10 and src2.key < 10
+             SORT BY k1, v1, k2, v2""")
+        require(df.queryExecution.executedPlan.toString
+          .contains("BroadcastNestedLoopJoin"),
+          "auto-converted ON-less join must broadcast")
+        df
+      },
+      Some(s"""$SrcCte, f AS (
+          SELECT * FROM src WHERE TRY_CAST(key AS DOUBLE) < 10)
+        SELECT a.key AS k1, a.value AS v1, b.key AS k2, b.value AS v2
+        FROM f a CROSS JOIN f b
+        ORDER BY k1, v1, k2, v2""")),
+
+    // ---- clientpositive/auto_join24.q: CTAS-style aggregate table then
+    //      the 1:1 self-join sum
+    QueryDef(
+      "q401_qf_auto_join24",
+      (s, dir) => {
+        val t = s"tst1_aj24_${fixtures(s, dir)}"
+        fresh(s, t)
+        HiveQl.sql(s, "SET hive.auto.convert.join=true")
+        HiveQl.sql(s, s"create table $t(key STRING, cnt INT)")
+        HiveQl.sql(s,
+          s"""INSERT OVERWRITE TABLE $t
+              SELECT a.key, count(1) FROM src a group by a.key""")
+        HiveQl.sql(s,
+          s"SELECT sum(a.cnt) AS s FROM $t a JOIN $t b ON a.key = b.key")
+      },
+      Some(s"""$SrcCte
+        SELECT CAST(sum(a.cnt) AS BIGINT) AS s
+        FROM (SELECT key, CAST(count(*) AS INT) AS cnt FROM src GROUP BY key) a
+        JOIN (SELECT key FROM src GROUP BY key) b ON a.key = b.key""")))
 
   // ========== round-11 battery growth: groupbyN SET-variant block =======
   // The groupbyN_{map,map_skew,noskew,...} .q files run their family's
