@@ -85,8 +85,14 @@ object Bench {
     // evaluated (a bare count() would let Catalyst prune them away).
     // A failed query reports -1, never a plausible-looking duration.
     def once(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // fresh newSession per timed pass: same conf-leak isolation as Verify
+      // (a QueryDef's semantic SET must not change a neighbor's timing or
+      // plan). newSession() is a SessionState clone — microseconds, noise
+      // next to the seconds-scale queries being timed.
+      val qsess = spark.newSession()
+      Sessions.ensureRegistered(qsess)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try { fn(qsess, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0

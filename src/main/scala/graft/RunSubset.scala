@@ -5,8 +5,11 @@ object RunSubset {
     val sfDir = args(1); val outDir = args(2)
     val spark = Sessions.get("graft-subset")
     spark.sparkContext.setLogLevel("WARN")
+    // same per-query conf isolation as Verify (see comment there)
     names.foreach { n =>
-      SparkEntry.queries(n)(spark, sfDir)
+      val qs = spark.newSession()
+      Sessions.ensureRegistered(qs)
+      SparkEntry.queries(n)(qs, sfDir)
         .write.mode("overwrite").parquet(s"$outDir/$n")
     }
     val sqls = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))

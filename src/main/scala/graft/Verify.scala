@@ -23,10 +23,20 @@ object Verify {
     val spark = Sessions.get("graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    // Each query builds against its OWN newSession (shared catalog +
+    // SparkContext, PRIVATE SQLConf + temp views): a QueryDef that SETs a
+    // semantic conf (hive.outerjoin.supports.filters, singlemr, …) can no
+    // longer poison a neighbor whichever order the Map iterates (r11: q224's
+    // leaked SET broke q178). Sorted order makes any residual cross-query
+    // effect at least deterministic. ensureRegistered: function registry is
+    // per-SessionState, so shadowing builtins must be re-pinned per session.
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val qs = spark.newSession()
+        Sessions.ensureRegistered(qs)
+        fn(qs, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

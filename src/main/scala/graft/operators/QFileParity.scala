@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{HiveQl, QueryDef, QueryModule}
+import graft.{HiveQl, QueryDef, QueryModule, Sessions}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Reference `.q`-file parity battery (SURVEY.md §5 carry-over): the
@@ -2501,9 +2501,21 @@ object QFileParity extends QueryModule {
     // ================= round-11 battery growth: join tranche 2 ==========
 
     // ---- clientpositive/join_1to1.q: FULL OUTER JOIN with ON-clause
-    //      filters (value = 66 on BOTH sides) over NULL-keyed rows — the
-    //      ON filter must suppress the MATCH, not the row; NULL keys never
-    //      match each other but both survive a full join
+    //      filters (value = 66 on BOTH sides) over NULL-keyed rows, under
+    //      BOTH hive.outerjoin.supports.filters settings — the legs DIFFER
+    //      (join_1to1.q.out: 21 rows under false vs 47 under true for the
+    //      value=66 conds; the r11 "results identical" claim was wrong).
+    //      Leg 1 (jt 1-5) = supports.filters=true: ON filters suppress the
+    //      MATCH, never the row (ANSI; the reference's 47-row true-leg
+    //      golden double-emits null-extended rows — a known Hive 0.8 join-
+    //      buffer artifact we deliberately do NOT replicate, so leg 1 is
+    //      oracled per ANSI). Leg 2 (jt 6-10) = false: each single-side ON
+    //      conjunct PRE-FILTERS its input (plans.HiveOuterJoinFilters);
+    //      verified row-for-row against the .q.out false-leg goldens, which
+    //      the prefilter SQL transcription below reproduces exactly. The
+    //      false leg runs in an ISOLATED newSession (the r11 shared-session
+    //      SET here leaked into q178) and is pinned via localCheckpoint
+    //      while that conf holds.
     QueryDef(
       "q224_qf_join_1to1",
       (s, dir) => {
@@ -2514,28 +2526,46 @@ object QFileParity extends QueryModule {
         HiveQl.sql(s, s"LOAD DATA LOCAL INPATH '/root/reference/data/files/in5.txt' INTO TABLE $t1")
         HiveQl.sql(s, s"CREATE TABLE $t2(key1 int, key2 int, value int) STORED AS TEXTFILE")
         HiveQl.sql(s, s"LOAD DATA LOCAL INPATH '/root/reference/data/files/in6.txt' INTO TABLE $t2")
-        // reduce-side buffering knobs the .q sweeps; results identical
-        HiveQl.sql(s, "SET hive.outerjoin.supports.filters=false")
-        HiveQl.sql(s, "SET hive.join.emit.interval=5")
-        val sql = Join1to1Conds.zipWithIndex.map { case ((jk, cond), i) =>
-          s"""SELECT ${i + 1} AS jt, a.key1 AS ak1, a.key2 AS ak2,
-                     a.value AS av, b.key1 AS bk1, b.key2 AS bk2,
-                     b.value AS bv
-              FROM $t1 a $jk $t2 b ON $cond"""
-        }.mkString("\nUNION ALL\n") +
-          "\nORDER BY jt, ak1, ak2, av, bk1, bk2, bv"
-        HiveQl.sql(s, sql)
-      },
-      Some {
-        s"""WITH a1(key1, key2, value) AS (VALUES $In5Values),
-                b1(key1, key2, value) AS (VALUES $In6Values)
-           SELECT jt, ak1, ak2, av, bk1, bk2, bv FROM (""" +
-          Join1to1Conds.zipWithIndex.map { case ((jk, cond), i) =>
-            s"""SELECT ${i + 1} AS jt, a.key1 AS ak1, a.key2 AS ak2,
+        def legSql(off: Int) = Join1to1Conds.zipWithIndex.map {
+          case ((jk, cond), i) =>
+            s"""SELECT ${i + 1 + off} AS jt, a.key1 AS ak1, a.key2 AS ak2,
                        a.value AS av, b.key1 AS bk1, b.key2 AS bk2,
                        b.value AS bv
-                FROM a1 a $jk b1 b ON $cond"""
-          }.mkString("\nUNION ALL\n") +
+                FROM $t1 a $jk $t2 b ON $cond"""
+        }.mkString("\nUNION ALL\n")
+        val leg1 = HiveQl.sql(s, legSql(0)).localCheckpoint(true)
+        val s2 = s.newSession()
+        Sessions.ensureRegistered(s2)
+        s2.conf.set("hive.outerjoin.supports.filters", "false")
+        // the .q also sweeps hive.join.emit.interval (5/2/1) — a reduce-
+        // side buffering knob with no Spark analogue and, per the goldens,
+        // no effect on results within a leg
+        val leg2 = HiveQl.sql(s2, legSql(5)).localCheckpoint(true)
+        leg1.union(leg2).orderBy("jt", "ak1", "ak2", "av", "bk1", "bk2", "bv")
+      },
+      Some {
+        def sel(jk: String, cond: String, jt: Int, at: String, bt: String) =
+          s"""SELECT $jt AS jt, a.key1 AS ak1, a.key2 AS ak2,
+                     a.value AS av, b.key1 AS bk1, b.key2 AS bk2,
+                     b.value AS bv
+              FROM $at a $jk $bt b ON $cond"""
+        val leg1 = Join1to1Conds.zipWithIndex.map { case ((jk, cond), i) =>
+          sel(jk, cond, i + 1, "a1", "b1") }
+        // false leg: strip the single-side value=66 conjuncts from the ON
+        // clause and apply them as input prefilters (af/bf) instead
+        val leg2 = Join1to1Conds.zipWithIndex.map { case ((jk, cond), i) =>
+          val keyCond = cond.split(" AND ")
+            .filter(c => c.contains("a.") && c.contains("b."))
+            .mkString(" AND ")
+          val filtered = keyCond != cond
+          sel(jk, keyCond, i + 6,
+            if (filtered) "af" else "a1", if (filtered) "bf" else "b1") }
+        s"""WITH a1(key1, key2, value) AS (VALUES $In5Values),
+                b1(key1, key2, value) AS (VALUES $In6Values),
+                af AS (SELECT * FROM a1 WHERE value = 66),
+                bf AS (SELECT * FROM b1 WHERE value = 66)
+           SELECT jt, ak1, ak2, av, bk1, bk2, bv FROM (""" +
+          (leg1 ++ leg2).mkString("\nUNION ALL\n") +
           """) u ORDER BY jt, ak1 NULLS FIRST, ak2 NULLS FIRST,
                av NULLS FIRST, bk1 NULLS FIRST, bk2 NULLS FIRST,
                bv NULLS FIRST"""

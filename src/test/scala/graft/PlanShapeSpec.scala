@@ -85,8 +85,15 @@ class PlanShapeSpec extends SparkSpec {
       "q274_qf_udf_coalesce", // 1-row constant select joined to the 11-row
                               // thrift fixture for a single result set
       "q275_qf_udf_in",       // same 1-row constant-battery join shape
-      "q284_qf_auto_join0")   // auto_join0.q IS an ON-less join — its own
+      "q284_qf_auto_join0",   // auto_join0.q IS an ON-less join — its own
                               // require() pins the BroadcastNestedLoopJoin
+      "q389_qf_auto_join_nulls", // auto_join_nulls.q opens with three
+                              // conditionless JOIN/outer selects over the
+                              // 3-row in1.txt fixture — cartesians by spec
+                              // (same forms as q225's join_nulls.q)
+      "q400_qf_auto_join23")  // auto_join23.q IS an ON-less JOIN with a
+                              // WHERE range — cross join by spec (same
+                              // form as q231's join23.q, auto-convert leg
     val flagged = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.contains("stream")) // streaming fns execute on call
       .flatMap { case (name, fn) =>
