@@ -62,15 +62,21 @@ object Authz {
     org.apache.spark.sql.Encoders.product[Grant]
   private val metaLoaded = new java.util.concurrent.atomic.AtomicBoolean(false)
 
+  // double-checked under the lock, flag set only AFTER the load completes
+  // (ADVICE r11 — same fail-during-load window as Protect.ensureLoaded:
+  // here fail-closed, but grants were transiently invisible)
   private[graft] def ensureLoaded(spark: SparkSession): Unit =
-    if (metaLoaded.compareAndSet(false, true)) synchronized {
-      MetaPersist.load[RoleRow](spark, "authz_roles")
-        .foreach(_.foreach(r => roles.putIfAbsent(r.role, r.createTime)))
-      MetaPersist.load[MemberRow](spark, "authz_role_members")
-        .foreach(_.foreach(m =>
-          roleMembers.putIfAbsent((m.user, m.role), m.grantTime)))
-      MetaPersist.load[Grant](spark, "authz_grants")
-        .foreach(gs => grants ++= gs)
+    if (!metaLoaded.get) synchronized {
+      if (!metaLoaded.get) {
+        MetaPersist.load[RoleRow](spark, "authz_roles")
+          .foreach(_.foreach(r => roles.putIfAbsent(r.role, r.createTime)))
+        MetaPersist.load[MemberRow](spark, "authz_role_members")
+          .foreach(_.foreach(m =>
+            roleMembers.putIfAbsent((m.user, m.role), m.grantTime)))
+        MetaPersist.load[Grant](spark, "authz_grants")
+          .foreach(gs => grants ++= gs)
+        metaLoaded.set(true)
+      }
     }
 
   private def persist(spark: SparkSession): Unit = synchronized {

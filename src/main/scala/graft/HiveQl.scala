@@ -261,9 +261,14 @@ object HiveQl {
   // hivetext with the delimiter as an OPTION; the placeholder is emitted
   // into the OPTIONS clause so unmasking restores the quoted literal
   // TRANSFORM-side explicit LazySimpleSerDe (Hive.g rowFormat in
-  // selectTrfmClause) — not followed by STORED, which is the CREATE form
+  // selectTrfmClause) — not followed by STORED, which is the CREATE form.
+  // The lookahead sits BEFORE any trailing \s* is consumed: with a trailing
+  // `\s*(?!STORED\b)` the regex engine backtracks \s* to empty, the
+  // lookahead then sees ' STORED' (leading space != STORED) and passes,
+  // silently stripping CREATE-side bare-SERDE clauses (ADVICE r11) so the
+  // table landed on the default parquet provider instead of hivetext.
   private val TransformSerde =
-    """(?is)\bROW\s+FORMAT\s+SERDE\s+(\d+)\s*(?!STORED\b)""".r
+    """(?is)\bROW\s+FORMAT\s+SERDE\s+(\d+)(?!\s*STORED\b)\s*""".r
   private val DelimitedText =
     ("""(?is)ROW\s+FORMAT\s+DELIMITED\s+FIELDS\s+TERMINATED\s+BY\s+((\d+))""" +
       """(?:\s+ESCAPED\s+BY\s+\d+)?""" +
@@ -287,13 +292,21 @@ object HiveQl {
     // field separator as a fresh quoted literal when it needs the
     // byte-code translation, else keep the placeholder (unmasking
     // restores the original quoted literal).
+    // LazySimpleSerDe.getByte parity (ADVICE r11): Byte.valueOf with a
+    // charAt(0) fallback — a numeric literal OUTSIDE signed-byte range is
+    // NOT a byte code; the reference falls back to its first character
+    // ('200' → '2', not char 200)
+    def byteCodeChar(v: String): Option[Char] =
+      if (!v.matches("-?\\d+")) None
+      else try Some((java.lang.Byte.parseByte(v) & 0xFF).toChar)
+      catch { case _: NumberFormatException => Some(v.charAt(0)) }
     def sepOption(placeholder: String, digits: String): String = {
       val v = lit(digits)
-      if (v.matches("\\d+")) s"'${v.toInt.toChar}'" else placeholder
+      byteCodeChar(v).map(c => s"'$c'").getOrElse(placeholder)
     }
     def delimChar(digits: String): String = {
       val v = lit(digits)
-      if (v.matches("\\d+")) v.toInt.toChar.toString else v
+      byteCodeChar(v).map(_.toString).getOrElse(v)
     }
     val delimFull = DelimitedText.replaceAllIn(masked, m => {
       // collection/map-key/line delimiters other than the engine's fixed
@@ -318,8 +331,22 @@ object HiveQl {
     // delimiters, \N nulls), and Spark rejects the explicit SERDE spelling
     // outside hive mode — strip it. The negative lookahead leaves the
     // CREATE-side `SERDE ... STORED AS` form to the rewrite above.
-    val noTransformSerde = TransformSerde.replaceAllIn(noSerde, m =>
-      if (lit(m.group(1)).endsWith("LazySimpleSerDe")) " " else m.matched)
+    // Dispatch by statement shape (ADVICE r11): on a CREATE, a bare
+    // `ROW FORMAT SERDE 'LazySimpleSerDe'` with no STORED AS is Hive's
+    // DEFAULT-textfile table (tableRowFormat with implicit tableFileFormat)
+    // and maps to hivetext — stripping it here landed the table on Spark's
+    // default parquet provider. WITH SERDEPROPERTIES stays unmatched so the
+    // delegate parser rejects non-default serde properties loudly.
+    val isCreate = masked.matches("(?is)^\\s*CREATE\\s.*")
+    val noTransformSerde =
+      if (isCreate)
+        TransformSerde.replaceAllIn(noSerde, m =>
+          if (lit(m.group(1)).endsWith("LazySimpleSerDe") &&
+              !m.after.toString.trim.toUpperCase.startsWith("WITH"))
+            "USING graft.sources.HiveTextSource "
+          else m.matched)
+      else TransformSerde.replaceAllIn(noSerde, m =>
+        if (lit(m.group(1)).endsWith("LazySimpleSerDe")) " " else m.matched)
     StoredAsInOut.replaceAllIn(noTransformSerde, m => {
       val (inF, outF) = (lit(m.group(1)), lit(m.group(2)))
       if (inF.endsWith("RCFileInputFormat") && outF.endsWith("RCFileOutputFormat"))

@@ -36,10 +36,18 @@ object Protect {
     org.apache.spark.sql.Encoders.product[ModeRow]
   private val metaLoaded = new java.util.concurrent.atomic.AtomicBoolean(false)
 
+  // Double-checked under the lock, flag set only AFTER the load completes
+  // (ADVICE r11): a CAS-first flip let a concurrent first-touch thread
+  // proceed against a still-empty registry — checkDrop could approve
+  // dropping a NO_DROP table inside the load window (fail-open).
   private[graft] def ensureLoaded(spark: SparkSession): Unit =
-    if (metaLoaded.compareAndSet(false, true))
-      MetaPersist.load[ModeRow](spark, "protect").foreach(_.foreach(m =>
-        modes.putIfAbsent(m.table, (m.noDrop, m.offline))))
+    if (!metaLoaded.get) synchronized {
+      if (!metaLoaded.get) {
+        MetaPersist.load[ModeRow](spark, "protect").foreach(_.foreach(m =>
+          modes.putIfAbsent(m.table, (m.noDrop, m.offline))))
+        metaLoaded.set(true)
+      }
+    }
 
   private def persist(spark: SparkSession): Unit = synchronized {
     MetaPersist.save(spark, "protect",
@@ -57,6 +65,17 @@ object Protect {
   def reset(): Unit = {
     modes.clear()
     metaLoaded.set(true) // a reset sticks; see Authz.reset
+  }
+
+  /** As [[reset]], and clears the persisted snapshot too (ADVICE r11: a
+    * NO_DROP flag persisted in one JVM otherwise resurrects in the next
+    * JVM's first ensureLoaded against the same warehouse, failing
+    * unrelated DROP TABLE statements across runs). Mirrors
+    * [[Authz.reset(spark*]].
+    */
+  def reset(spark: SparkSession): Unit = {
+    reset()
+    persist(spark)
   }
 
   private def key(t: String): String = t.toLowerCase

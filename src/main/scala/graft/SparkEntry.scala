@@ -34,9 +34,26 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q01_agg")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Every entry is conf-ISOLATED at the registry boundary: the QueryDef
+    * runs against a `newSession()` clone of the caller's session (shared
+    * SparkContext + catalog, private SQLConf + temp views + function
+    * registry). A `.q`-battery `SET hive.*` therefore cannot escape its own
+    * query — not into the caller's session and not into a neighboring
+    * query — no matter who invokes the registry (Verify, Bench, a spec, or
+    * a driver-owned session). This retires the r11 q224→q178 leak class
+    * structurally instead of per-QueryDef discipline.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    all.map(d => d.name -> d.fn).toMap
+    all.map(d => d.name -> isolated(d.fn)).toMap
+
+  private def isolated(fn: (SparkSession, String) => DataFrame)
+      : (SparkSession, String) => DataFrame = (s, dir) => {
+    val qs = s.newSession()
+    Sessions.ensureRegistered(qs)
+    fn(qs, dir)
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */

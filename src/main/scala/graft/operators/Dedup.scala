@@ -403,9 +403,29 @@ object Dedup extends QueryModule {
         s"${name}__compact", store.baseDir)
       val root = new org.apache.hadoop.fs.Path(dir)
       val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(root, true)
-      Staging.appendEpoch(merged, dir, store.epoch,
+      // Swap via rename (ADVICE r11): the replacement root is FULLY built
+      // at a sibling path before the live root is touched, so no crash
+      // window leaves the store absent with nothing recoverable on disk —
+      // a crash between the two renames leaves <name>__old (the complete
+      // pre-compaction store) and <name>__next (the complete compacted
+      // one) both intact.
+      val next = new org.apache.hadoop.fs.Path(dir + "__next")
+      val old = new org.apache.hadoop.fs.Path(dir + "__old")
+      fs.delete(next, true); fs.delete(old, true)
+      Staging.appendEpoch(merged, next.toString, store.epoch,
         appScratch = store.baseDir.isEmpty)
+      if (!fs.rename(root, old))
+        throw new IllegalStateException(
+          s"compaction swap: could not move $root aside")
+      if (!fs.rename(next, root)) {
+        fs.rename(old, root) // restore the pre-compaction store
+        throw new IllegalStateException(s"compaction swap failed for $root")
+      }
+      fs.delete(old, true)
+      // the __compact staging copy auto-cleans only in app-scratch mode; a
+      // durable baseDir would otherwise leak a full store copy per fold
+      fs.delete(new org.apache.hadoop.fs.Path(
+        storePath(s, s"${name}__compact", store.baseDir)), true)
       readEpochs(s, dir, cols: _*)
     }
     SigStore(store.name,

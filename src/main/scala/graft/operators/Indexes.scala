@@ -94,8 +94,14 @@ object Indexes extends QueryModule {
     org.apache.spark.sql.Encoders.product[IndexDef]
   private val metaLoaded = new java.util.concurrent.atomic.AtomicBoolean(false)
 
+  // double-checked under the lock, flag set only AFTER the load completes
+  // (ADVICE r11 — same transient-invisibility window as Authz.ensureLoaded)
   private[graft] def ensureLoaded(spark: SparkSession): Unit =
-    if (metaLoaded.compareAndSet(false, true))
+    if (!metaLoaded.get) synchronized {
+      if (!metaLoaded.get) { doLoad(spark); metaLoaded.set(true) }
+    }
+
+  private def doLoad(spark: SparkSession): Unit =
       graft.MetaPersist.load[IndexDef](spark, "indexes").foreach(_.foreach { d =>
         // a def whose index DATA is gone (warehouse pruned out-of-band) is
         // treated as dropped rather than resurrected broken

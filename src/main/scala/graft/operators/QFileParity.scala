@@ -33,7 +33,14 @@ object QFileParity extends QueryModule {
   /** Register `src`/`srcpart` temp views on this session; returns the per-SF
     * dest-table suffix. Idempotent per (session, dir).
     */
-  private def fixtures(s: SparkSession, dir: String): String = {
+  /** Spec access to the fixture registration (the registry wrapper runs
+    * QueryDefs in isolated sessions, so a spec can no longer piggyback on
+    * a query call to get `src` onto ITS session).
+    */
+  private[graft] def registerFixtures(s: SparkSession, dir: String): String =
+    fixtures(s, dir)
+
+  private[operators] def fixtures(s: SparkSession, dir: String): String = {
     t(s, dir, "orders").createOrReplaceTempView("graft_qf_orders")
     t(s, dir, "nation").createOrReplaceTempView("graft_qf_nation")
     s.sql("""CREATE OR REPLACE TEMPORARY VIEW src AS
@@ -64,7 +71,7 @@ object QFileParity extends QueryModule {
   }
 
   /** DuckDB twin of the `src` view (same derivation over the same parquet). */
-  private val SrcCte =
+  private[operators] val SrcCte =
     """WITH src AS (
          SELECT CAST((rn * rn) % 500 AS VARCHAR) AS key,
                 'val_' || CAST((rn * rn) % 500 AS VARCHAR) AS value
@@ -72,14 +79,14 @@ object QFileParity extends QueryModule {
                FROM orders) t
          WHERE rn <= 500)"""
 
-  private val SrcPartCte = SrcCte.stripSuffix(")") + """),
+  private[operators] val SrcPartCte = SrcCte.stripSuffix(")") + """),
        srcpart AS (
          SELECT src.key, src.value, p.ds, p.hr
          FROM src, (SELECT * FROM (VALUES
            ('2008-04-08','11'), ('2008-04-08','12'),
            ('2008-04-09','11'), ('2008-04-09','12')) v(ds, hr)) p)"""
 
-  private val Src1Cte = SrcCte.stripSuffix(")") + """),
+  private[operators] val Src1Cte = SrcCte.stripSuffix(")") + """),
        src1 AS (
          SELECT CASE WHEN n_nationkey % 5 = 0 THEN ''
                      ELSE CAST((4 * n_nationkey * n_nationkey) % 500 AS VARCHAR) END AS key,
@@ -91,7 +98,7 @@ object QFileParity extends QueryModule {
     * q101 pattern — a fresh JVM has an empty in-memory catalog but the
     * warehouse dir survives).
     */
-  private def fresh(s: SparkSession, names: String*): Unit = names.foreach { n =>
+  private[operators] def fresh(s: SparkSession, names: String*): Unit = names.foreach { n =>
     s.sql(s"DROP TABLE IF EXISTS $n")
     val p = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"), n)

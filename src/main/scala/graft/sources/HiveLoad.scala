@@ -61,8 +61,11 @@ object HiveLoad {
           .foreach(st => fs.delete(st.getPath, true))
       fs.mkdirs(loc)
       // repeated LOAD INTO of a same-named file appends under a fresh name
-      // (Warehouse.mvFile's name_copy_N), never overwrites the prior copy
-      val (base, ext) = src.getName.indexOf('.') match {
+      // (Warehouse.mvFile's name_copy_N), never overwrites the prior copy.
+      // Split at the LAST dot like the reference (Hive.java:1822-1828 uses
+      // the filename's final extension): 'a.b.txt' → 'a.b_copy_1.txt',
+      // not 'a_copy_1.b.txt' (ADVICE r11)
+      val (base, ext) = src.getName.lastIndexOf('.') match {
         case -1 => (src.getName, "")
         case i => (src.getName.substring(0, i), src.getName.substring(i))
       }

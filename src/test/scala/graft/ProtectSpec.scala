@@ -8,7 +8,7 @@ package graft
 class ProtectSpec extends SparkSpec {
 
   test("ENABLE NO_DROP protects a table from DROP; DISABLE lifts it") {
-    Protect.reset()
+    Protect.reset(spark)
     spark.sql("DROP TABLE IF EXISTS prot_t")
     spark.sql("CREATE TABLE prot_t (k BIGINT) USING parquet")
     HiveQl.sql(spark, "ALTER TABLE prot_t ENABLE NO_DROP")
@@ -26,7 +26,7 @@ class ProtectSpec extends SparkSpec {
   }
 
   test("ENABLE OFFLINE blocks statements referencing the table") {
-    Protect.reset()
+    Protect.reset(spark)
     Tables.registerAll(spark, sfDir)
     HiveQl.sql(spark, "ALTER TABLE nation ENABLE OFFLINE")
     try {
@@ -42,8 +42,26 @@ class ProtectSpec extends SparkSpec {
       .collect().head.getLong(0) == 25)
   }
 
+  test("reset(spark) clears the persisted snapshot, not just memory") {
+    // ADVICE r11: a NO_DROP persisted in one JVM must not resurrect after
+    // a reset — the bare reset() left the snapshot on disk, so the next
+    // JVM's first ensureLoaded failed unrelated DROP TABLE statements
+    Protect.reset(spark)
+    spark.sql("DROP TABLE IF EXISTS prot_p")
+    spark.sql("CREATE TABLE prot_p (k BIGINT) USING parquet")
+    HiveQl.sql(spark, "ALTER TABLE prot_p ENABLE NO_DROP")
+    Protect.forgetInMemory() // simulated restart: reload from snapshot
+    val e = intercept[Exception](HiveQl.sql(spark, "DROP TABLE prot_p"))
+    assert(e.getMessage.contains("protected from being dropped"),
+      "NO_DROP must survive the snapshot reload")
+    Protect.reset(spark) // clears memory AND the snapshot
+    Protect.forgetInMemory() // the next "JVM" must not resurrect NO_DROP
+    HiveQl.sql(spark, "DROP TABLE prot_p")
+    assert(!spark.catalog.tableExists("prot_p"))
+  }
+
   test("TOUCH bumps transient_lastDdlTime on a catalog table") {
-    Protect.reset()
+    Protect.reset(spark)
     spark.sql("DROP TABLE IF EXISTS touch_t")
     spark.sql("CREATE TABLE touch_t (k BIGINT) USING parquet")
     HiveQl.sql(spark, "ALTER TABLE touch_t TOUCH")

@@ -12,8 +12,10 @@ class QFileParitySpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sfDir)
 
   test("src fixture: 500 rows, kv1-shaped duplicate keys (counts above 3)") {
-    // build fixtures via any battery query's fixture step: run the cheapest
-    runQ("q143_qf_having").collect() // registers src + exercises the query
+    // registry queries run in isolated sessions, so register the fixture
+    // views on THIS session directly (and still exercise a battery query)
+    runQ("q143_qf_having").collect()
+    operators.QFileParity.registerFixtures(spark, sfDir)
     val src = spark.table("src")
     assert(src.count() === 500)
     val hist = src.groupBy("key").count()

@@ -90,6 +90,59 @@ class SourcesSpec extends SparkSpec {
     spark.sql("DROP TABLE load_target")
   }
 
+  test("repeated LOAD of a dotted filename splits at the LAST dot (copy_N)") {
+    // Hive.java:1822-1828: 'a.b.txt' appends as 'a.b_copy_1.txt', keeping
+    // the real extension — not 'a_copy_1.b.txt' (ADVICE r11)
+    val f = Files.createTempDirectory("graft-loadcopy").resolve("a.b.txt")
+    Files.writeString(f, "1x\n")
+    spark.sql("DROP TABLE IF EXISTS load_copy_t")
+    HiveQl.sql(spark, "CREATE TABLE load_copy_t (k INT, v STRING) STORED AS TEXTFILE")
+    HiveQl.sql(spark, s"LOAD DATA LOCAL INPATH '$f' INTO TABLE load_copy_t")
+    HiveQl.sql(spark, s"LOAD DATA LOCAL INPATH '$f' INTO TABLE load_copy_t")
+    val loc = spark.sql("DESCRIBE EXTENDED load_copy_t").collect()
+      .find(_.getString(0) == "Location").get.getString(1)
+    val names = new java.io.File(new java.net.URI(loc)).listFiles()
+      .map(_.getName).filterNot(n => n.startsWith(".") || n.startsWith("_"))
+      .toSet
+    assert(names == Set("a.b.txt", "a.b_copy_1.txt"), names.toString)
+    assert(spark.table("load_copy_t").count() == 2)
+    spark.sql("DROP TABLE load_copy_t")
+  }
+
+  test("CREATE-side bare LazySimpleSerDe maps to hivetext; TRANSFORM serde still strips") {
+    // ADVICE r11: the bare form (no STORED AS = Hive's default textfile)
+    // was silently stripped, landing the table on the parquet provider
+    val r = HiveQl.rewrite("CREATE TABLE t (k INT) ROW FORMAT SERDE " +
+      "'org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe'")
+    assert(r.contains("USING graft.sources.HiveTextSource"), r)
+    assert(!r.toUpperCase.contains("SERDE"), r)
+    // the SERDE ... STORED AS TEXTFILE form keeps resolving via the format
+    val r1 = HiveQl.rewrite("CREATE TABLE t (k INT) ROW FORMAT SERDE " +
+      "'org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe' STORED AS TEXTFILE")
+    assert(r1.contains("USING graft.sources.HiveTextSource"), r1)
+    // TRANSFORM-side LazySimpleSerDe still strips to Spark's default codec
+    val r2 = HiveQl.rewrite("SELECT TRANSFORM(k) ROW FORMAT SERDE " +
+      "'org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe' USING 'cat' AS (x) FROM t")
+    assert(!r2.toUpperCase.contains("SERDE"), r2)
+    // non-default serde properties stay unrewritten (loud delegate error)
+    val r3 = HiveQl.rewrite("CREATE TABLE t (k INT) ROW FORMAT SERDE " +
+      "'org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe' " +
+      "WITH SERDEPROPERTIES ('field.delim'='|')")
+    assert(r3.toUpperCase.contains("SERDE"), r3)
+  }
+
+  test("delimiter literals outside signed-byte range fall back to charAt(0)") {
+    // LazySimpleSerDe.getByte: Byte.valueOf('200') throws, so the
+    // delimiter is '2' in the reference — never char 200 (ADVICE r11)
+    val r = HiveQl.rewrite("CREATE TABLE t (k INT) ROW FORMAT DELIMITED " +
+      "FIELDS TERMINATED BY '200' STORED AS TEXTFILE")
+    assert(r.contains("sep '2'"), r)
+    // in-range byte codes keep decoding: '9' is TAB
+    val r1 = HiveQl.rewrite("CREATE TABLE t (k INT) ROW FORMAT DELIMITED " +
+      "FIELDS TERMINATED BY '9' STORED AS TEXTFILE")
+    assert(r1.contains("sep '\t'"), r1)
+  }
+
   test("sequencefile round trip parses hive-delimited values (QTestUtil src_sequencefile)") {
     import graft.sources.HiveSequenceFile
     val dir = Files.createTempDirectory("graft-seq").toString + "/sf"
