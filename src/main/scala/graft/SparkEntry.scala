@@ -19,6 +19,7 @@ object SparkEntry {
     operators.Multimodal,
     operators.Misc,
     operators.QFileParity,
+    operators.QFileParity2,
     operators.Indexes,
     operators.ScaleOps,
     streaming.Streaming)
