@@ -89,8 +89,11 @@ object Bench {
       // (a QueryDef's semantic SET must not change a neighbor's timing or
       // plan). newSession() is a SessionState clone — microseconds, noise
       // next to the seconds-scale queries being timed.
-      val qsess = spark.newSession()
-      Sessions.ensureRegistered(qsess)
+      val qsess = Sessions.isolatedClone(spark)
+      // SessionState (analyzer/optimizer/registry) builds lazily on first
+      // use — force it OUTSIDE the timed region so the clock measures the
+      // query, not harness session setup (~90 ms, §6.13b round 12)
+      qsess.sql("SELECT 1").collect()
       val t0 = System.nanoTime()
       try { fn(qsess, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9 }

@@ -251,6 +251,16 @@ object HiveQl {
   // that serde's exact codec — strip it (rcfile_union.q, rcfile_columnar.q)
   private val RowFormatSerde =
     ("""(?is)ROW\s+FORMAT\s+SERDE\s+(\d+)\s+(?=STORED\s+AS\b)""").r
+  // contrib RegexSerDe (RegexSerDe.java:1): `ROW FORMAT SERDE
+  // '...RegexSerDe' WITH SERDEPROPERTIES ("input.regex" = ..., ...)
+  // [STORED AS TEXTFILE]` -> the graft `hiveregex` FileFormat with the
+  // serde properties carried through as OPTIONS (placeholders unmask back
+  // to the original quoted literals, so regex escapes survive verbatim)
+  private val RegexSerdeCreate =
+    ("""(?is)ROW\s+FORMAT\s+SERDE\s+(\d+)\s+WITH\s+SERDEPROPERTIES\s*""" +
+      """\(([^)]*)\)(?:\s+STORED\s+AS\s+TEXTFILE\b)?""").r
+  private val SerdePropPair = """(\d+)\s*=\s*(\d+)""".r
+
   // `STORED AS INPUTFORMAT '...' OUTPUTFORMAT '...'` (Hive.g:1171-1176
   // tableFileFormat first alternative) → the graft FileFormat for the pair
   private val StoredAsInOut =
@@ -308,7 +318,28 @@ object HiveQl {
       val v = lit(digits)
       byteCodeChar(v).map(_.toString).getOrElse(v)
     }
-    val delimFull = DelimitedText.replaceAllIn(masked, m => {
+    // RegexSerDe first: its WITH SERDEPROPERTIES form must not fall into
+    // the bare-serde branches below. Column types are validated here, the
+    // same CREATE-time failure the reference's SerDeException produces
+    // (contrib clientnegative/serde_regex.q: INT columns must error)
+    val regexed = RegexSerdeCreate.replaceAllIn(masked, m =>
+      if (!lit(m.group(1)).endsWith("RegexSerDe")) m.matched
+      else {
+        val colsRe = """(?is)CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[\w.]+\s*\((.*?)\)\s*ROW\s+FORMAT""".r
+        colsRe.findFirstMatchIn(masked).foreach { cm =>
+          cm.group(1).split(',').map(_.trim).filter(_.nonEmpty).foreach { c =>
+            val ty = c.split("\\s+", 2).lift(1).getOrElse("")
+            if (!ty.equalsIgnoreCase("STRING"))
+              throw new IllegalStateException(
+                s"RegexSerDe only accepts string columns, but column '$c' does not")
+          }
+        }
+        val opts = SerdePropPair.findAllMatchIn(m.group(2)).map(pm =>
+          s"\u0001${pm.group(1)}\u0001 = \u0001${pm.group(2)}\u0001").mkString(", ")
+        java.util.regex.Matcher.quoteReplacement(
+          s"USING graft.sources.HiveRegexSource OPTIONS ($opts)")
+      })
+    val delimFull = DelimitedText.replaceAllIn(regexed, m => {
       // collection/map-key/line delimiters other than the engine's fixed
       // LazySimpleSerDe levels (\x02 / \x03 / \n) are unsupported --
       // leave the statement for the delegate parser to reject loudly

@@ -7,8 +7,7 @@ object RunSubset {
     spark.sparkContext.setLogLevel("WARN")
     // same per-query conf isolation as Verify (see comment there)
     names.foreach { n =>
-      val qs = spark.newSession()
-      Sessions.ensureRegistered(qs)
+      val qs = Sessions.isolatedClone(spark)
       SparkEntry.queries(n)(qs, sfDir)
         .write.mode("overwrite").parquet(s"$outDir/$n")
     }

@@ -53,6 +53,24 @@ object Sessions {
     spark
   }
 
+  /** Conf marker on sessions produced by [[isolatedClone]]: tells
+    * SparkEntry's registry wrapper the caller already isolated this
+    * session, so a second clone (and its SessionState build) is wasted.
+    */
+  val IsolatedFlag = "graft.session.isolated"
+
+  /** A conf-isolated clone of `s` (shared SparkContext + catalog, private
+    * SQLConf/temp views/function registry), registered and marked. The
+    * clone's SessionState is built lazily on first use — callers timing
+    * queries should warm it (one trivial sql) before starting the clock.
+    */
+  def isolatedClone(s: SparkSession): SparkSession = {
+    val qs = s.newSession()
+    ensureRegistered(qs)
+    qs.conf.set(IsolatedFlag, "true")
+    qs
+  }
+
   /** Defensive post-hoc registration for sessions NOT built by [[builder]]
     * (e.g. a driver-owned session calling into SparkEntry.queries directly):
     * injects the custom expressions and UDAFs idempotently so every query

@@ -51,9 +51,14 @@ object SparkEntry {
 
   private def isolated(fn: (SparkSession, String) => DataFrame)
       : (SparkSession, String) => DataFrame = (s, dir) => {
-    val qs = s.newSession()
-    Sessions.ensureRegistered(qs)
-    fn(qs, dir)
+    // a caller that already built a throwaway clone (Bench's per-pass
+    // session, Verify's per-query session) marks it; re-wrapping would
+    // only pay a second SessionState build inside the caller's timer
+    if (s.conf.get(Sessions.IsolatedFlag, "false").toBoolean) fn(s, dir)
+    else {
+      val qs = Sessions.isolatedClone(s)
+      fn(qs, dir)
+    }
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -62,11 +62,25 @@ object Tables {
         s"events.ts fixture drifted to unsupported type $other — extend Tables.normalizeEventsTs")
     }
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") {
-      ensureNanosReadable(spark)
-      normalizeEventsTs(spark.read.parquet(s"$sfDir/$name.parquet"))
-    } else spark.read.parquet(s"$sfDir/$name.parquet")
+  /** JVM-wide inferred-schema cache. Schema inference reads parquet
+    * footers and is cached per SESSION by Spark — with the per-query
+    * session isolation (SparkEntry.isolated) every query would otherwise
+    * re-read every table's footers (~80-100 ms/table measured at sf0.1,
+    * §6.13b round 12). The fixture schemas are immutable within a run, so
+    * one inference serves every session; passing the schema explicitly
+    * skips inference entirely.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    if (name == "events") ensureNanosReadable(spark)
+    val schema = schemaCache.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+    val df = spark.read.schema(schema).parquet(path)
+    if (name == "events") normalizeEventsTs(df) else df
+  }
 
   /** Register every fixture as a temp view (idempotent, lazy — no I/O). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

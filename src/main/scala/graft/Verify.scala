@@ -32,8 +32,7 @@ object Verify {
     // per-SessionState, so shadowing builtins must be re-pinned per session.
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val qs = spark.newSession()
-        Sessions.ensureRegistered(qs)
+        val qs = Sessions.isolatedClone(spark)
         fn(qs, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
       } catch { case e: Throwable =>

@@ -442,6 +442,51 @@ object QFileParity2 extends QueryModule {
                         c4 NULLS FIRST, c5 NULLS FIRST, c6 NULLS FIRST"""
       }),
 
+    // ---- contrib clientpositive/serde_regex.q: the contrib RegexSerDe as
+    //      a ROW FORMAT SERDE table surface (sources.HiveRegexSource) over
+    //      the reference's own apache.access.log fixtures — optional
+    //      trailing capture groups read NULL on the short-form line; the
+    //      oracle is the two goldens transcribed (ORDER BY time)
+    QueryDef(
+      "q417_qf_serde_regex",
+      (s, dir) => {
+        val t = s"serde_regex_${fixtures(s, dir)}"
+        fresh(s, t)
+        HiveQl.sql(s, "CREATE TABLE " + t + """(
+            host STRING,
+            identity STRING,
+            user STRING,
+            time STRING,
+            request STRING,
+            status STRING,
+            size STRING,
+            referer STRING,
+            agent STRING)
+          ROW FORMAT SERDE 'org.apache.hadoop.hive.contrib.serde2.RegexSerDe'
+          WITH SERDEPROPERTIES (
+            "input.regex" = "([^ ]*) ([^ ]*) ([^ ]*) (-|\\[[^\\]]*\\]) ([^ \"]*|\"[^\"]*\") (-|[0-9]*) (-|[0-9]*)(?: ([^ \"]*|\"[^\"]*\") ([^ \"]*|\"[^\"]*\"))?",
+            "output.format.string" = "%1$s %2$s %3$s %4$s %5$s %6$s %7$s %8$s %9$s"
+          )
+          STORED AS TEXTFILE""")
+        HiveQl.sql(s, "LOAD DATA LOCAL INPATH '/root/reference/data/files/apache.access.log' INTO TABLE " + t)
+        HiveQl.sql(s, "LOAD DATA LOCAL INPATH '/root/reference/data/files/apache.access.2.log' INTO TABLE " + t)
+        HiveQl.sql(s, "SELECT host, identity, user, time, request, status, " +
+          "size, referer, agent FROM " + t + " ORDER BY time")
+      },
+      Some {
+        val agent = "\"Mozilla/5.0 (Windows; U; Windows NT 6.0; en-US) " +
+          "AppleWebKit/525.19 (KHTML, like Gecko) Chrome/1.0.154.65 Safari/525.19\""
+        s"""SELECT * FROM (VALUES
+             ('127.0.0.1', '-', 'frank', '[10/Oct/2000:13:55:36 -0700]',
+              '"GET /apache_pb.gif HTTP/1.0"', '200', '2326',
+              CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+             ('127.0.0.1', '-', '-', '[26/May/2009:00:00:00 +0000]',
+              '"GET /someurl/?track=Blabla(Main) HTTP/1.1"', '200', '5864',
+              '-', '$agent')
+           ) v(host, identity, user, time, request, status, size, referer, agent)
+           ORDER BY time"""
+      }),
+
     // ---- clientpositive/join19.q: the 6-way semantic-web triple-store
     //      self-join. The .q is EXPLAIN-only (it loads no data); to make
     //      the chain a real result test we seed one citation→author→doc

@@ -143,6 +143,42 @@ class SourcesSpec extends SparkSpec {
     assert(r1.contains("sep '\t'"), r1)
   }
 
+  test("RegexSerDe: write formats via output.format.string; read re-parses; INT columns error") {
+    // contrib RegexSerDe.java: serialize = String.format(output.format
+    // .string, fields); deserialize = whole-line match, group c+1 per col
+    spark.sql("DROP TABLE IF EXISTS regex_rt")
+    HiveQl.sql(spark, "CREATE TABLE regex_rt(k STRING, v STRING) " +
+      "ROW FORMAT SERDE 'org.apache.hadoop.hive.contrib.serde2.RegexSerDe' " +
+      """WITH SERDEPROPERTIES ("input.regex" = "(\\w+)=(\\w+)", """ +
+      """"output.format.string" = "%1$s=%2$s") STORED AS TEXTFILE""")
+    HiveQl.sql(spark, "INSERT INTO regex_rt SELECT 'a', 'b'")
+    HiveQl.sql(spark, "INSERT INTO regex_rt SELECT 'c', 'd'")
+    val got = spark.table("regex_rt").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set("a" -> "b", "c" -> "d"), got.toString)
+    // on-disk: the formatted lines, not ^A-delimited text
+    val loc = spark.sql("DESCRIBE EXTENDED regex_rt").collect()
+      .find(_.getString(0) == "Location").get.getString(1)
+    val lines = new java.io.File(new java.net.URI(loc)).listFiles()
+      .filter(f => f.getName.endsWith(".txt"))
+      .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines()).toSet
+    assert(lines == Set("a=b", "c=d"), lines.toString)
+    spark.sql("DROP TABLE regex_rt")
+    // unmatched lines are SKIPPED (RegexSerDe returns a null row)
+    val dir = Files.createTempDirectory("regex_skip")
+    Files.writeString(dir.resolve("part-0.txt"), "x=1\nnot a match\ny=2\n")
+    val df = spark.read.format("graft.sources.HiveRegexSource")
+      .schema("k STRING, v STRING")
+      .option("input.regex", "(\\w+)=(\\w+)").load(dir.toString)
+    assert(df.collect().map(_.getString(0)).sorted.toSeq == Seq("x", "y"))
+    // clientnegative/serde_regex.q: non-STRING columns must fail loudly
+    val e = intercept[Exception](HiveQl.sql(spark,
+      "CREATE TABLE regex_bad(k STRING, n INT) " +
+        "ROW FORMAT SERDE 'org.apache.hadoop.hive.contrib.serde2.RegexSerDe' " +
+        """WITH SERDEPROPERTIES ("input.regex" = "(\\w+)=(\\w+)") STORED AS TEXTFILE"""))
+    assert(e.getMessage.contains("only accepts string columns"), e.getMessage)
+  }
+
   test("sequencefile round trip parses hive-delimited values (QTestUtil src_sequencefile)") {
     import graft.sources.HiveSequenceFile
     val dir = Files.createTempDirectory("graft-seq").toString + "/sf"
