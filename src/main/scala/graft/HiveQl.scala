@@ -240,7 +240,8 @@ object HiveQl {
 
   def rewrite(q: String): String = {
     val (masked, lits) = maskLiterals(q)
-    unmaskLiterals(hoistUsing(rewriteMasked(rewriteSerdeFormats(masked, lits))), lits)
+    unmaskLiterals(hoistUsing(rewriteMasked(
+      expandTransformComplex(rewriteSerdeFormats(masked, lits)))), lits)
   }
 
   // ---- serde/format long forms (lits-aware: the class names live inside
@@ -690,20 +691,27 @@ object HiveQl {
       else {
         val quote = lit.head.toString // ' or " (maskLiterals keeps both)
         val body = lit.stripPrefix(quote).stripSuffix(quote)
-        val cmd = body.split(" ", 2)
-        byName.get(cmd(0)).map { p =>
-          val f = new java.io.File(p)
-          if (f.isFile && !f.canExecute) f.setExecutable(true)
-          quote + (p +: cmd.drop(1)).mkString(" ") + quote
-        }.getOrElse(lit)
+        // Hive localizes EVERY added file into the script's cwd, so any
+        // argv token naming one resolves — 'python dumpdata_script.py'
+        // (groupby_bigdata.q) needs the SECOND token resolved, not the
+        // command. Resolve each exact basename match.
+        val resolved = body.split(" ").map { tok =>
+          byName.get(tok).map { p =>
+            val f = new java.io.File(p)
+            if (f.isFile && !f.canExecute) f.setExecutable(true)
+            p
+          }.getOrElse(tok)
+        }.mkString(" ")
+        quote + resolved + quote
       }
     }
     unmaskLiterals(masked, newLits)
   }
 
   def sql(spark: SparkSession, rawQ: String): DataFrame = {
-    val q = absorbTransformRemainder(spark, resolveScriptPaths(spark,
-      resolveDefaultSampleCols(spark, substituteVars(spark, rawQ))))
+    val q = absorbTransformRemainder(spark, wrapPartialConsumption(spark,
+      injectScriptEnv(spark, resolveScriptPaths(spark,
+        resolveDefaultSampleCols(spark, substituteVars(spark, rawQ))))))
     // Driver.doAuthorization layering: enforce before execution on every
     // entry point that funnels through this driver analogue (no-op unless
     // hive.security.authorization.enabled)
@@ -832,6 +840,125 @@ object HiveQl {
     * its real tabs. Skipped for commands carrying double quotes (wrapper
     * quoting would corrupt them) and serde/row-format forms.
     */
+  /** ScriptOperator.java:274-277: every script operator exports an env var
+    * (name from hive.script.operator.id.env.var, default
+    * HIVE_SCRIPT_OPERATOR_ID, dots/dashes mangled to '_' per
+    * safeEnvVarName) whose value uniquely identifies that operator
+    * instance (script_env_var1.q asserts two TRANSFORMs in one statement
+    * see different values). Spark's script transform runs the command via
+    * `bash -c` but exports no such variable — prefix the command with an
+    * `env VAR=SCR_n` assignment, one fresh n per USING occurrence. Masked
+    * discipline as in [[resolveScriptPaths]]: a quoted `USING '<cmd>'` is
+    * always a script command (datasource USING providers are unquoted).
+    */
+  private val scriptOpId = new java.util.concurrent.atomic.AtomicInteger(0)
+  def injectScriptEnv(spark: SparkSession, q: String): String = {
+    val (masked, lits) =
+      try maskLiterals(q) catch { case _: IllegalArgumentException => return q }
+    val hits = ("""(?i)\bUSING\s+(\d+)""").r
+      .findAllMatchIn(masked).map(_.group(1).toInt).toSet
+    if (hits.isEmpty) return q
+    val envVar = spark.conf.getOption("hive.script.operator.id.env.var")
+      .getOrElse("HIVE_SCRIPT_OPERATOR_ID").replaceAll("[.-]", "_")
+    val newLits = lits.zipWithIndex.map { case (lit, i) =>
+      if (!hits(i)) lit
+      else {
+        val quote = lit.head.toString
+        val body = lit.stripPrefix(quote).stripSuffix(quote)
+        s"${quote}env $envVar=SCR_${scriptOpId.incrementAndGet()} $body$quote"
+      }
+    }
+    unmaskLiterals(masked, newLits)
+  }
+
+  /** ScriptOperator close/processOp tolerate a script that exits without
+    * consuming its whole input ONLY under
+    * hive.exec.script.allow.partial.consumption (script_pipe.q; default
+    * false → the broken pipe fails the query, which Spark's writer thread
+    * does natively). Under the conf, wrap the command in a subshell that
+    * drains the remaining stdin after the script exits, so the producer
+    * never sees EPIPE: `( cmd ; cat > /dev/null )`.
+    */
+  def wrapPartialConsumption(spark: SparkSession, q: String): String = {
+    if (!spark.conf.getOption("hive.exec.script.allow.partial.consumption")
+        .exists(_.trim.equalsIgnoreCase("true"))) return q
+    val (masked, lits) =
+      try maskLiterals(q) catch { case _: IllegalArgumentException => return q }
+    val hits = ("""(?i)\bUSING\s+(\d+)""").r
+      .findAllMatchIn(masked).map(_.group(1).toInt).toSet
+    if (hits.isEmpty) return q
+    val newLits = lits.zipWithIndex.map { case (lit, i) =>
+      if (!hits(i)) lit
+      else {
+        val quote = lit.head.toString
+        val body = lit.stripPrefix(quote).stripSuffix(quote)
+        s"$quote( $body ; cat > /dev/null )$quote"
+      }
+    }
+    unmaskLiterals(masked, newLits)
+  }
+
+  /** Hive TRANSFORM output columns with COMPLEX types parse from the
+    * script's text through LazySimpleSerDe's separator ladder (^B between
+    * array elements / map entries, ^C between map key and value —
+    * transform1.q: `AS (col array<int>)` over the line `0^B1^B2` reads
+    * [0,1,2]). Spark's script transform casts each field only through
+    * atomic casts and yields NULL for complex columns. Rewrite: declare
+    * the complex columns STRING inside the TRANSFORM and wrap the select
+    * so an outer projection applies the ladder (split / str_to_map) and
+    * casts to the declared type.
+    */
+  private val TransformComplexAs =
+    ("""(?is)^(\s*(?:INSERT\s+(?:OVERWRITE\s+|INTO\s+)(?:TABLE\s+)?\S+\s+)?)""" +
+      """SELECT\s+(TRANSFORM\s*\([^)]*\)\s*USING\s+\d+)\s+AS\s*\(([^)]*)\)\s+(FROM\s.*)$""").r
+  private def splitTypeList(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    val cur = new StringBuilder
+    s.foreach {
+      case c @ ('<' | '(') => depth += 1; cur += c
+      case c @ ('>' | ')') => depth -= 1; cur += c
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    (out += cur.toString).result().map(_.trim).filter(_.nonEmpty)
+  }
+  private def expandTransformComplex(masked: String): String =
+    TransformComplexAs.findFirstMatchIn(masked) match {
+      case None => masked
+      case Some(m) =>
+        val cols = splitTypeList(m.group(3)).map { c =>
+          val parts = c.split("\\s+", 2)
+          (parts(0), parts.lift(1).getOrElse("STRING"))
+        }
+        if (!cols.exists(c => c._2.toLowerCase.startsWith("array") ||
+            c._2.toLowerCase.startsWith("map"))) masked
+        else {
+          val inner = cols.map { case (n, ty) =>
+            if (ty.toLowerCase.startsWith("array") ||
+                ty.toLowerCase.startsWith("map")) s"$n STRING" else s"$n $ty"
+          }.mkString(", ")
+          val outer = cols.map { case (n, ty) =>
+            val tl = ty.toLowerCase
+            if (tl.startsWith("array")) {
+              val elem = ty.substring(ty.indexOf('<') + 1, ty.lastIndexOf('>'))
+              if (elem.contains("<")) throw new IllegalStateException(
+                s"TRANSFORM output type $ty: nested complex elements unsupported")
+              s"CASE WHEN $n IS NULL OR $n = '\\\\N' THEN NULL " +
+                s"ELSE CAST(split($n, '') AS ARRAY<$elem>) END AS $n"
+            } else if (tl.startsWith("map")) {
+              val kv = ty.substring(ty.indexOf('<') + 1, ty.lastIndexOf('>'))
+              if (kv.contains("<")) throw new IllegalStateException(
+                s"TRANSFORM output type $ty: nested complex elements unsupported")
+              s"CASE WHEN $n IS NULL OR $n = '\\\\N' THEN NULL " +
+                s"ELSE CAST(str_to_map($n, '', '') AS MAP<$kv>) END AS $n"
+            } else n
+          }.mkString(", ")
+          s"${m.group(1)}SELECT $outer FROM (SELECT ${m.group(2)} " +
+            s"AS ($inner) ${m.group(4)}) graft_tx0"
+        }
+    }
+
   private val TransformUsing =
     """(?is)(TRANSFORM\s*\([^)]*\)\s*)USING\s+'([^']+)'(\s*AS\s*\(([^)]*)\))?""".r
   private def absorbTransformRemainder(spark: SparkSession, q: String): String = {

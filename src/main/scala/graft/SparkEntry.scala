@@ -20,6 +20,7 @@ object SparkEntry {
     operators.Misc,
     operators.QFileParity,
     operators.QFileParity2,
+    operators.QFileParity3,
     operators.Indexes,
     operators.ScaleOps,
     streaming.Streaming)
