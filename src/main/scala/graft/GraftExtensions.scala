@@ -12,6 +12,10 @@ object GraftExtensions {
     functions.GraftFunctions.registrations.foreach(ext.injectFunction)
     // Hive 0.8 both-to-double string↔numeric comparison (q100; §7.4)
     ext.injectResolutionRule(_ => plans.HiveComparisonCoercion)
+    // Hive UDFRegExp: empty literal pattern → false (udf1.q)
+    ext.injectResolutionRule(_ => plans.HiveRegexpSemantics)
+    // timestamp→tinyint/smallint/int wraps like Java (timestamp_1.q)
+    ext.injectResolutionRule(_ => plans.HiveTimestampNarrowing)
     // HiveQL dialect below EVERY entry point (Driver.compile layering):
     // Thrift/JDBC clients and view re-parsing get the same hint/TABLESAMPLE/
     // UNIQUEJOIN rewrites + variable substitution as HiveQl.sql callers

@@ -63,6 +63,16 @@ object HiveQl {
   // DROP intercept that enforces NO_DROP → graft.Protect
   private val AlterProtect =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+(ENABLE|DISABLE)\s+(NO_DROP|OFFLINE)\s*;?\s*$""".r
+  // ALTER TABLE t SET SERDE 'class' [WITH SERDEPROPERTIES (...)]
+  // (alterStatementSuffixSerdeProperties → TOK_ALTERTABLE_SERIALIZER;
+  // timestamp_1.q/timestamp_2.q). The storage layer is engine-owned
+  // (hivetext/hiveseq/hiverc formats), so a row-serde switch among the
+  // known lazy serdes is metadata: validate the class and record it as a
+  // table property — the observable `.q` results (what the rows SELECT
+  // as) are serde-independent by construction.
+  private val AlterSetSerde =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s+SERDE\s+'([^']+)'""" +
+      """(?:\s+WITH\s+SERDEPROPERTIES\s*\((.*?)\))?\s*;?\s*$""").r
   private val AlterTouch =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+TOUCH\s*;?\s*$""".r
   // ALTER TABLE t REPLACE COLUMNS (a int, ...) (alterStatementSuffixAddCol
@@ -240,9 +250,52 @@ object HiveQl {
 
   def rewrite(q: String): String = {
     val (masked, lits) = maskLiterals(q)
-    unmaskLiterals(hoistUsing(rewriteMasked(
-      expandTransformComplex(rewriteSerdeFormats(masked, lits)))), lits)
+    unmaskLiterals(hoistUsing(rewriteMasked(defaultTransformTabDelims(
+      expandTransformComplex(rewriteSerdeFormats(masked, lits))))), lits)
   }
+
+  /** Hive's default TRANSFORM row codec is TAB-delimited text on BOTH
+    * sides (PlanUtils.getDefaultTableDesc over separatorCode "9" —
+    * ScriptOperator feeds scripts TAB-separated fields and parses their
+    * stdout at TABs), while Spark's native script-transform default is
+    * the \\u0001 byte. Symmetric pass-through scripts mask the difference; a
+    * delimiter-aware script diverges (insert_into1.q-family `tr \t _`
+    * sees no TAB to translate and the single output column reads only the
+    * first ^A field). Declare Hive's delimiter explicitly on every script
+    * clause that doesn't spell its own row format / record reader-writer:
+    * `ROW FORMAT DELIMITED FIELDS TERMINATED BY '\t'` before USING (input
+    * side) and after the AS clause (output side). Runs on MASKED text —
+    * a quoted `USING '<cmd>'` placeholder is always a script command
+    * (datasource USING providers are unquoted), the invariant
+    * [[injectScriptEnv]]/[[resolveScriptPaths]] already rely on.
+    */
+  private val PhRe = "\\d+"
+  private val RowFmtTailRe =
+    ("(?is).*(?:ROW\\s+FORMAT\\s+(?:SERDE\\s+" + PhRe +
+      "(?:\\s+WITH\\s+SERDEPROPERTIES\\s*\\([^)]*\\))?|DELIMITED" +
+      "(?:\\s+(?:FIELDS\\s+TERMINATED\\s+BY\\s+" + PhRe +
+      "(?:\\s+ESCAPED\\s+BY\\s+" + PhRe + ")?" +
+      "|COLLECTION\\s+ITEMS\\s+TERMINATED\\s+BY\\s+" + PhRe +
+      "|MAP\\s+KEYS\\s+TERMINATED\\s+BY\\s+" + PhRe +
+      "|LINES\\s+TERMINATED\\s+BY\\s+" + PhRe +
+      "|NULL\\s+DEFINED\\s+AS\\s+" + PhRe + "))*)" +
+      "|RECORDWRITER\\s+" + PhRe + ")\\s*$").r
+  private val ScriptUsingAs =
+    ("(?is)\\bUSING\\s+(" + PhRe + ")" +
+      "((?:\\s+AS\\s*\\([^)]*\\)|\\s+AS\\s+\\w+(?:\\s*,\\s*\\w+)*))?").r
+  private val TabFmt = "ROW FORMAT DELIMITED FIELDS TERMINATED BY '\t'"
+  private def defaultTransformTabDelims(masked: String): String =
+    ScriptUsingAs.replaceAllIn(masked, m => {
+      val inFmt =
+        if (RowFmtTailRe.pattern.matcher(m.before.toString).matches()) ""
+        else TabFmt + " "
+      val asClause = Option(m.group(2)).getOrElse("")
+      val outFmt =
+        if (m.after.toString.matches("(?is)\\s*(ROW\\s+FORMAT|RECORDREADER)\\b.*")) ""
+        else " " + TabFmt
+      java.util.regex.Matcher.quoteReplacement(
+        s"${inFmt}USING ${m.group(1)}$asClause$outFmt")
+    })
 
   // ---- serde/format long forms (lits-aware: the class names live inside
   // masked string literals, so these run on the masked text but look the
@@ -378,7 +431,11 @@ object HiveQl {
             "USING graft.sources.HiveTextSource "
           else m.matched)
       else TransformSerde.replaceAllIn(noSerde, m =>
-        if (lit(m.group(1)).endsWith("LazySimpleSerDe")) " " else m.matched)
+        // keep a bare DELIMITED marker: explicit LazySimpleSerDe means the
+        // serde's own ^A default (Spark's native default), and the marker
+        // stops defaultTransformTabDelims from re-declaring Hive's TAB
+        if (lit(m.group(1)).endsWith("LazySimpleSerDe")) "ROW FORMAT DELIMITED "
+        else m.matched)
     StoredAsInOut.replaceAllIn(noTransformSerde, m => {
       val (inF, outF) = (lit(m.group(1)), lit(m.group(2)))
       if (inF.endsWith("RCFileInputFormat") && outF.endsWith("RCFileOutputFormat"))
@@ -667,6 +724,34 @@ object HiveQl {
     * mode: added files localize into each task container's cwd where the
     * bare name already works — leave the command untouched.
     */
+  /** Hive's ScriptOperator argv-splits the (SQL-unescaped) command itself
+    * on spaces, so a raw TAB produced by the literal escape `\t` survives
+    * as its own argument (`USING 'tr \t _'`, insert_into1.q). Spark runs
+    * the command through `bash -c`, where an unquoted TAB is just IFS —
+    * the argument vanishes. Re-quote standalone `\t` tokens inside USING
+    * literals so bash hands the script a literal 2-char `\t` (which tr's
+    * own SET escapes then decode — same tab the reference's argv carried).
+    */
+  private def bashSafeScriptArgs(q: String): String = {
+    if (!q.toLowerCase.contains("using")) return q
+    val (masked, lits) =
+      try maskLiterals(q) catch { case _: IllegalArgumentException => return q }
+    val hits = ("""(?i)\bUSING\s+(\d+)""").r
+      .findAllMatchIn(masked).map(_.group(1).toInt).toSet
+    if (hits.isEmpty) return q
+    val newLits = lits.zipWithIndex.map { case (lit, i) =>
+      if (!hits(i)) lit
+      else {
+        val quote = lit.head.toString
+        val body = lit.stripPrefix(quote).stripSuffix(quote)
+        quote + body.split(" ", -1).map { tok =>
+          if (tok == "\\t" || tok == "\t") "\\'\\\\t\\'" else tok
+        }.mkString(" ") + quote
+      }
+    }
+    unmaskLiterals(masked, newLits)
+  }
+
   def resolveScriptPaths(spark: SparkSession, q: String): String = {
     if (!spark.sparkContext.isLocal) return q
     // name → the added file's own path (driver and tasks share one
@@ -709,9 +794,13 @@ object HiveQl {
   }
 
   def sql(spark: SparkSession, rawQ: String): DataFrame = {
-    val q = absorbTransformRemainder(spark, wrapPartialConsumption(spark,
-      injectScriptEnv(spark, resolveScriptPaths(spark,
-        resolveDefaultSampleCols(spark, substituteVars(spark, rawQ))))))
+    // bashSafeScriptArgs runs OUTERMOST: it introduces escaped quotes into
+    // USING literals that the other TRANSFORM passes' `[^']+` matchers
+    // must never see
+    val q = bashSafeScriptArgs(absorbTransformRemainder(spark,
+      wrapPartialConsumption(spark, injectScriptEnv(spark,
+        resolveScriptPaths(spark,
+          resolveDefaultSampleCols(spark, substituteVars(spark, rawQ)))))))
     // Driver.doAuthorization layering: enforce before execution on every
     // entry point that funnels through this driver analogue (no-op unless
     // hive.security.authorization.enabled)
@@ -1212,6 +1301,17 @@ object HiveQl {
           toggle.equalsIgnoreCase("ENABLE"), mode))
       case AlterTouch(table) =>
         Some(s => Protect.touch(s, table))
+      case AlterSetSerde(table, serdeClass, _) =>
+        Some { s =>
+          val known = Seq("LazySimpleSerDe", "LazyBinarySerDe", "ColumnarSerDe",
+            "MetadataTypedColumnsetSerDe", "DynamicSerDe", "ThriftDeserializer")
+          require(known.exists(serdeClass.endsWith),
+            s"ALTER TABLE SET SERDE: unknown serde class $serdeClass")
+          bypassStatements.set(true)
+          try s.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+            s"('graft.row.serde'='$serdeClass')")
+          finally bypassStatements.set(false)
+        }
       case DropTable(table) =>
         // NO_DROP enforcement (DDLTask.java:2995-3010), then the native
         // DROP runs through the delegate parser (bypass guard as the

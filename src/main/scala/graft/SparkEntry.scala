@@ -21,6 +21,7 @@ object SparkEntry {
     operators.QFileParity,
     operators.QFileParity2,
     operators.QFileParity3,
+    operators.QFileParity4,
     operators.Indexes,
     operators.ScaleOps,
     streaming.Streaming)

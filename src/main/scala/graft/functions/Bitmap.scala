@@ -98,13 +98,28 @@ case class BitmapAgg(
 }
 
 /** bitmap_and / bitmap_or over two serialized bitmaps. */
+/** The scalar ewah_bitmap_* family in the reference accepts bitmaps in
+  * their on-disk `array<bigint>` EWAH word form too (udf_bitmap_empty.q
+  * passes a literal `array(13,2,4,...)`) — coerce either representation
+  * to the internal Roaring bytes.
+  */
+private[functions] object BitmapInput {
+  def toBitmap(v: Any): org.roaringbitmap.RoaringBitmap = v match {
+    case b: Array[Byte] => BitmapCodec.fromBytes(b)
+    case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+      EwahCodec.decode(a.toLongArray())
+    case other => throw new IllegalArgumentException(
+      s"not a bitmap: ${other.getClass.getName}")
+  }
+}
+
 case class BitmapCombine(left: Expression, right: Expression, isAnd: Boolean)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
   override def prettyName: String = if (isAnd) "bitmap_and" else "bitmap_or"
   override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = BitmapCodec.fromBytes(l.asInstanceOf[Array[Byte]])
-    val b = BitmapCodec.fromBytes(r.asInstanceOf[Array[Byte]])
+    val a = BitmapInput.toBitmap(l)
+    val b = BitmapInput.toBitmap(r)
     if (isAnd) a.and(b) else a.or(b)
     BitmapCodec.toBytes(a)
   }
@@ -268,7 +283,7 @@ case class BitmapCount(child: Expression)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "bitmap_count"
   override protected def nullSafeEval(v: Any): Any =
-    BitmapCodec.fromBytes(v.asInstanceOf[Array[Byte]]).getCardinality
+    BitmapInput.toBitmap(v).getCardinality
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -38,10 +38,31 @@ object GraftFunctions {
     * reference's UDF class loading (no reflection: the builder closures are
     * the only safe way to construct typed expression trees).
     */
+  /** The reference's in-tree TEST UDF classes (ql/src/test/.../udf/) —
+    * clientpositive files CREATE TEMPORARY FUNCTION against them
+    * (udf_testlength.q, udf_logic_java_boolean.q), so the names resolve
+    * here to equivalent Catalyst expressions.
+    */
+  private val testClassBuilders: Map[String, Seq[Expression] => Expression] = Map(
+    // UDFTestLength.java / UDFTestLength2.java: String.length
+    "org.apache.hadoop.hive.ql.udf.UDFTestLength" ->
+      (es => Length(Cast(es.head, StringType))),
+    "org.apache.hadoop.hive.ql.udf.UDFTestLength2" ->
+      (es => Length(Cast(es.head, StringType))),
+    // GenericUDFTestGetJavaBoolean.java: 'true'/'false' (ci) else NULL
+    "org.apache.hadoop.hive.ql.udf.generic.GenericUDFTestGetJavaBoolean" ->
+      (es => {
+        val s = Lower(Cast(es.head, StringType))
+        CaseWhen(Seq(
+          (EqualTo(s, Literal("true")), Literal(true)),
+          (EqualTo(s, Literal("false")), Literal(false))),
+          Literal(null, BooleanType))
+      }))
+
   def registerAs(spark: org.apache.spark.sql.SparkSession, name: String,
       className: String): Unit = {
-    val builder = registrations
-      .find(_._2.getClassName == className).map(_._3)
+    val builder = testClassBuilders.get(className)
+      .orElse(registrations.find(_._2.getClassName == className).map(_._3))
       .getOrElse(throw new IllegalArgumentException(
         s"CREATE TEMPORARY FUNCTION: unknown implementation class " +
           s"$className; available: " +
@@ -99,11 +120,52 @@ object GraftFunctions {
     // both branches so no result type changes for finite inputs.
     reg("round", classOf[Round], es => {
       val x = es.head
-      val sc = if (es.size >= 2) es(1) else Literal(0)
       val xd = Cast(x, DoubleType)
-      If(Or(IsNaN(xd), EqualTo(Abs(xd), Literal(Double.PositiveInfinity))),
-        x, Round(x, sc))
+      val nonFinite =
+        Or(IsNaN(xd), EqualTo(Abs(xd), Literal(Double.PositiveInfinity)))
+      if (es.size >= 2) If(nonFinite, x, Round(x, es(1)))
+      else
+        // UDFRound.java:44-50: the NO-SCALE form is BigDecimal HALF_UP to
+        // a LONG (udf4.q golden: round(1.5) = 2, round(-1.5) = -2, both
+        // BIGINT), where Spark keeps the operand type. Non-finite doubles
+        // fall to the plain long cast (the reference throws there —
+        // untested corner, a total function is kinder).
+        Cast(If(nonFinite, x, Round(xd, Literal(0))), LongType)
     }),
+    // UDFSqrt.java: negative input → NULL (udf4.q golden sqrt(-1.0) =
+    // NULL), where Spark returns NaN
+    reg("sqrt", classOf[Sqrt], es => {
+      val xd = Cast(es.head, DoubleType)
+      If(LessThan(xd, Literal(0d)), Literal(null, DoubleType), Sqrt(xd))
+    }),
+    // UDFLog.java: log(base, x) is NULL for base <= 1 (udf7.q golden
+    // LOG(0.5, 2) = NULL), where Spark computes it for any base > 0;
+    // 1-arg log = ln (both engines NULL non-positive x)
+    reg("log", classOf[Logarithm], es =>
+      if (es.size < 2) Log(Cast(es.head, DoubleType))
+      else {
+        val b = Cast(es(0), DoubleType)
+        If(LessThanOrEqual(b, Literal(1d)), Literal(null, DoubleType),
+          Logarithm(b, Cast(es(1), DoubleType)))
+      }),
+    // UDFUnhex.java: returns the decoded bytes as a STRING (Text), where
+    // Spark's unhex is BINARY — and GenericUDFSplit coerces its args
+    // through their string form (udf_split.q: split(50401020, 0))
+    reg("unhex", classOf[Unhex], es => Cast(Unhex(es.head), StringType)),
+    // UDFUnixTimeStamp: the 1-arg string form parses with a LENIENT
+    // SimpleDateFormat that ignores trailing text past the seconds field
+    // (timestamp_udf.q: unix_timestamp('2011-05-06 07:08:09.1234567') =
+    // the epoch second), where Spark's format-driven parse NULLs. Fall
+    // back through the string→timestamp CAST (which accepts fractions)
+    // when the formatted parse misses; timestamp/0-arg/2-arg untouched.
+    reg("unix_timestamp", classOf[UnixTimestamp], es =>
+      if (es.size == 1) Coalesce(Seq(
+        UnixTimestamp(es.head, Literal("yyyy-MM-dd HH:mm:ss")),
+        Cast(Cast(es.head, TimestampType), LongType)))
+      else if (es.isEmpty) UnixTimestamp(
+        org.apache.spark.sql.catalyst.expressions.CurrentTimestamp(),
+        Literal("yyyy-MM-dd HH:mm:ss"))
+      else UnixTimestamp(es(0), es(1))),
     // Hive 0.8 UDFHour/UDFMinute/UDFSecond regex-extract the time fields
     // from the STRING rendering: a bare 'HH:mm:ss' works and a date-only
     // string yields NULL (udf_hour.q golden: hour('13:14:15') = 13,
@@ -159,7 +221,8 @@ object GraftFunctions {
     // 2-arg form gets Hive semantics; the 3-arg Spark extension (explicit
     // limit) passes through untouched.
     reg("split", classOf[HiveSplit], es =>
-      if (es.size == 2) HiveSplit(es(0), es(1))
+      if (es.size == 2)
+        HiveSplit(Cast(es(0), StringType), Cast(es(1), StringType))
       else StringSplit(es(0), es(1), es(2))),
     // ngrams family: TypedImperativeAggregates (live mutable buffer between
     // rows — an Encoder-buffered typed Aggregator would copy the counts map
@@ -287,6 +350,7 @@ object GraftFunctions {
     * bitmap bytes as garbage).
     */
   val overridesBuiltin: Set[String] = Set("hash", "bitmap_count", "split", "round",
+    "sqrt", "log", "unhex", "unix_timestamp",
     "xpath", "xpath_string", "xpath_boolean", "xpath_short", "xpath_int",
     "xpath_long", "xpath_float", "xpath_double", "xpath_number",
     // Hive's std/stddev/variance are population; Spark's builtins are sample
@@ -381,11 +445,16 @@ case class HiveSplit(left: Expression, right: Expression)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       "split expects (string, string)")
-  override protected def nullSafeEval(s: Any, regex: Any): Any =
+  override protected def nullSafeEval(s: Any, regex: Any): Any = {
+    val str = s.asInstanceOf[UTF8String].toString
+    // the reference's golden for split('', '.') is [] (udf_split.q.out) —
+    // its era JVM dropped the lone trailing empty; modern String.split
+    // returns [""] for empty input, so special-case it
+    val parts = if (str.isEmpty) Array.empty[String]
+      else str.split(regex.asInstanceOf[UTF8String].toString)
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      s.asInstanceOf[UTF8String].toString
-        .split(regex.asInstanceOf[UTF8String].toString)
-        .map(UTF8String.fromString(_): Any))
+      parts.map(UTF8String.fromString(_): Any))
+  }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

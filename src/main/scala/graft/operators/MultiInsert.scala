@@ -236,7 +236,13 @@ object MultiInsert {
         branchSql.foreach(b =>
           graft.HiveQl.withLegacyStoreRetry(spark)(spark.sql(b)))
         lastReport = Some(Report(view, needed, materialize, branchSql,
-          branchSql.map(s => spark.sql(s.substring(s.indexOf("SELECT"))))))
+          branchSql.map { s =>
+            // the leg text keeps the .q's original case (insert_into3.q
+            // spells `select`) — find the keyword case-insensitively
+            val at = "(?i)\\bSELECT\\b".r.findFirstMatchIn(s)
+              .map(_.start).getOrElse(0)
+            spark.sql(s.substring(at))
+          }))
       } finally if (materialize) pruned.unpersist(false)
       true
     } finally spark.catalog.dropTempView(view)

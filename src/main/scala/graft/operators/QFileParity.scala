@@ -2360,7 +2360,7 @@ object QFileParity extends QueryModule {
                      CAST(round(55555, -3) AS INT) AS b4,
                      CAST(round(55555, -4) AS INT) AS b5,
                      CAST(round(55555, -5) AS INT) AS b6,
-                     round(CAST(125.315 AS DOUBLE)) AS c1,
+                     CAST(round(CAST(125.315 AS DOUBLE)) AS BIGINT) AS c1,
                      round(CAST(125.315 AS DOUBLE), 1) AS c2,
                      round(CAST(125.315 AS DOUBLE), 2) AS c3,
                      round(CAST(125.315 AS DOUBLE), 3) AS c4,

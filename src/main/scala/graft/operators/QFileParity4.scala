@@ -1,0 +1,939 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{HiveQl, QueryDef, QueryModule}
+
+/** Parity battery, tranche file 4 (round 12): the SELECT-bearing udf_*
+  * singles of clientpositive (udf1–udf8, udf_concat family, udf_regexp,
+  * udf_split, udf_unhex, udf_bitmap_empty, …) — the files that drove this
+  * round's function-semantics shims (1-arg round → BIGINT HALF_UP, sqrt
+  * NULL-on-negative, 2-arg log NULL for base ≤ 1, split arg coercion,
+  * unhex → STRING, empty-regex RLIKE → false; GraftFunctions.scala,
+  * HiveRegexpSemantics.scala).
+  *
+  * Conventions: the `.q` seeds a one-row dest1 via `WHERE src.key = 86` —
+  * 86 isn't in the graft key space ((rn·rn)%500 is never ≡ 2 mod 4), so
+  * the seed uses key 100 with LIMIT 1 (key 100 has four rn roots; the
+  * selected cell is a literal, so any one row is identical). Timezone-
+  * dependent from_unixtime goldens are re-derived under the engine's UTC
+  * session (the reference ran PST). rand(3) is checked by range verdict —
+  * Hive's java.util.Random vs Spark's XorShift sequences differ by
+  * design, and a seeded-rand parity shim would break vectorized rand.
+  */
+object QFileParity4 extends QueryModule {
+
+  import QFileParity.{fixtures, fresh, SrcCte}
+
+  /** Seeded one-row scratch table (the udfN.q dest1 pattern). */
+  private def seed(s: SparkSession, dir: String, cell: String): String = {
+    val d = s"dest_u1_${fixtures(s, dir)}"
+    fresh(s, d)
+    HiveQl.sql(s, s"CREATE TABLE $d(c1 STRING) STORED AS TEXTFILE")
+    HiveQl.sql(s, s"FROM src INSERT OVERWRITE TABLE $d SELECT '$cell' WHERE src.key = 100 LIMIT 1")
+    d
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- clientpositive/udf1.q: LIKE/RLIKE/REGEXP_REPLACE literal battery
+    //      (the final cell is the empty-regex RLIKE → false semantics)
+    QueryDef(
+      "q434_qf_udf1",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT 'a' LIKE '%a%' AS c1, 'b' LIKE '%a%' AS c2, 'ab' LIKE '%a%' AS c3, 'ab' LIKE '%a_' AS c4,
+               '%_' LIKE '\%\_' AS c5, 'ab' LIKE '\%\_' AS c6, 'ab' LIKE '_a%' AS c7, 'ab' LIKE 'a' AS c8,
+               '' RLIKE '.*' AS c9, 'a' RLIKE '[ab]' AS c10, '' RLIKE '[ab]' AS c11,
+               'hadoop' RLIKE '[a-z]*' AS c12, 'hadoop' RLIKE 'o*' AS c13,
+               REGEXP_REPLACE('abc', 'b', 'c') AS c14, REGEXP_REPLACE('abc', 'z', 'a') AS c15,
+               REGEXP_REPLACE('abbbb', 'bb', 'b') AS c16, REGEXP_REPLACE('hadoop', '(.)[a-z]*', '$1ive') AS c17,
+               REGEXP_REPLACE('hadoopAAA','A.*','') AS c18, REGEXP_REPLACE('abc', '', 'A') AS c19,
+               'abc' RLIKE '' AS c20
+             FROM src LIMIT 1""")
+      },
+      Some("""SELECT true AS c1, false AS c2, true AS c3, true AS c4, true AS c5,
+                     false AS c6, false AS c7, false AS c8, true AS c9, true AS c10,
+                     false AS c11, true AS c12, true AS c13, 'acc' AS c14, 'abc' AS c15,
+                     'abb' AS c16, 'hive' AS c17, 'hadoop' AS c18, 'AaAbAcA' AS c19,
+                     false AS c20""")),
+
+    // ---- clientpositive/udf2.q: trim family over the seeded '  abc  '
+    QueryDef(
+      "q435_qf_udf2",
+      (s, dir) => {
+        val d = seed(s, dir, "  abc  ")
+        HiveQl.sql(s, s"SELECT '|' AS a1, trim($d.c1) AS t, '|' AS a2, " +
+          s"rtrim($d.c1) AS r, '|' AS a3, ltrim($d.c1) AS l, '|' AS a4 FROM $d")
+      },
+      Some("SELECT '|' AS a1, 'abc' AS t, '|' AS a2, '  abc' AS r, " +
+        "'|' AS a3, 'abc  ' AS l, '|' AS a4")),
+
+    // ---- clientpositive/udf3.q: aggregates over an all-NULL cast column,
+    //      stored through STRING dest columns
+    QueryDef(
+      "q436_qf_udf3",
+      (s, dir) => {
+        val d = s"dest_u3_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(c1 STRING, c2 STRING, c3 STRING, " +
+          "c4 STRING, c5 STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"FROM src INSERT OVERWRITE TABLE $d SELECT " +
+          "count(CAST('' AS INT)), sum(CAST('' AS INT)), avg(CAST('' AS INT)), " +
+          "min(CAST('' AS INT)), max(CAST('' AS INT))")
+        HiveQl.sql(s, s"SELECT $d.* FROM $d")
+      },
+      Some("SELECT '0' AS c1, CAST(NULL AS VARCHAR) AS c2, " +
+        "CAST(NULL AS VARCHAR) AS c3, CAST(NULL AS VARCHAR) AS c4, " +
+        "CAST(NULL AS VARCHAR) AS c5")),
+
+    // ---- clientpositive/udf4.q: round/floor/sqrt/ceil/unary-op battery —
+    //      1-arg round is BIGINT HALF_UP, sqrt(-1) NULL; the rand(3) cell
+    //      is a range verdict (see scaladoc)
+    QueryDef(
+      "q437_qf_udf4",
+      (s, dir) => {
+        val d = seed(s, dir, "  abc  ")
+        HiveQl.sql(s,
+          s"""SELECT round(1.0) AS c1, round(1.5) AS c2, round(-1.5) AS c3,
+                floor(1.0) AS c4, floor(1.5) AS c5, floor(-1.5) AS c6,
+                sqrt(1.0) AS c7, sqrt(-1.0) AS c8, sqrt(0.0) AS c9,
+                ceil(1.0) AS c10, ceil(1.5) AS c11, ceil(-1.5) AS c12,
+                ceiling(1.0) AS c13,
+                CASE WHEN rand(3) >= 0.0 AND rand(3) < 1.0 THEN 'in_range' END AS c14,
+                +3 AS c15, -3 AS c16, 1++2 AS c17, 1+-2 AS c18, ~1 AS c19
+              FROM $d""")
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS c1, CAST(2 AS BIGINT) AS c2,
+                     CAST(-2 AS BIGINT) AS c3, CAST(1 AS BIGINT) AS c4,
+                     CAST(1 AS BIGINT) AS c5, CAST(-2 AS BIGINT) AS c6,
+                     1.0::DOUBLE AS c7, CAST(NULL AS DOUBLE) AS c8, 0.0::DOUBLE AS c9,
+                     CAST(1 AS BIGINT) AS c10, CAST(2 AS BIGINT) AS c11,
+                     CAST(-1 AS BIGINT) AS c12, CAST(1 AS BIGINT) AS c13,
+                     'in_range' AS c14, CAST(3 AS INT) AS c15,
+                     CAST(-3 AS INT) AS c16, CAST(3 AS INT) AS c17,
+                     CAST(-1 AS INT) AS c18, CAST(-2 AS INT) AS c19""")),
+
+    // ---- clientpositive/udf5.q: from_unixtime / to_date / day-month-year
+    //      battery + format-string round trip (UTC values; reference ran
+    //      PST — the epoch cells shift by the zone, the date-literal cells
+    //      don't)
+    QueryDef(
+      "q438_qf_udf5",
+      (s, dir) => {
+        val d = seed(s, dir, "  abc  ")
+        val l1 = HiveQl.sql(s,
+          s"""SELECT from_unixtime(1226446340) AS c1,
+                to_date(from_unixtime(1226446340)) AS c2,
+                day('2008-11-01') AS c3, month('2008-11-01') AS c4,
+                year('2008-11-01') AS c5, day('2008-11-01 15:32:20') AS c6,
+                month('2008-11-01 15:32:20') AS c7,
+                year('2008-11-01 15:32:20') AS c8 FROM $d""")
+        val l2 = HiveQl.sql(s,
+          s"""SELECT from_unixtime(unix_timestamp('2010-01-13 11:57:40', 'yyyy-MM-dd HH:mm:ss'), 'MM/dd/yy HH:mm:ss') AS c1,
+                from_unixtime(unix_timestamp('2010-01-13 11:57:40')) AS c2 FROM $d""")
+        val pad8 = (df: DataFrame, sec: Int) => {
+          val cs = df.columns.map(c => col(c).cast("string"))
+          val padded = cs ++ Array.fill(8 - cs.length)(lit(null).cast("string"))
+          df.select(lit(sec).as("sec") +: padded.zipWithIndex.map {
+            case (c, i) => c.as(s"c${i + 1}") }: _*)
+        }
+        pad8(l1, 1).union(pad8(l2, 2)).sort("sec")
+      },
+      Some("""SELECT * FROM (VALUES
+          (1, '2008-11-11 23:32:20', '2008-11-11', '1', '11', '2008', '1', '11', '2008'),
+          (2, '01/13/10 11:57:40', '2010-01-13 11:57:40', NULL, NULL, NULL, NULL, NULL, NULL)
+        ) v(sec, c1, c2, c3, c4, c5, c6, c7, c8) ORDER BY sec""")),
+
+    // ---- clientpositive/udf6.q: IF() across types + cast battery
+    QueryDef(
+      "q439_qf_udf6",
+      (s, dir) => {
+        val d = seed(s, dir, "  abc  ")
+        val l1 = HiveQl.sql(s, s"SELECT IF(TRUE, 1, 2) AS c1 FROM $d")
+        val l2 = HiveQl.sql(s,
+          s"""SELECT IF(TRUE, 1, 2) AS c1, IF(FALSE, 1, 2) AS c2, IF(NULL, 1, 2) AS c3,
+                IF(TRUE, "a", "b") AS c4, IF(TRUE, 0.1, 0.2) AS c5,
+                IF(FALSE, CAST(1 AS BIGINT), CAST(2 AS BIGINT)) AS c6,
+                IF(FALSE, CAST(127 AS TINYINT), CAST(126 AS TINYINT)) AS c7,
+                IF(FALSE, CAST(127 AS SMALLINT), CAST(128 AS SMALLINT)) AS c8,
+                CAST(128 AS INT) AS c9, CAST(1.0 AS DOUBLE) AS c10,
+                CAST('128' AS STRING) AS c11 FROM $d""")
+        val pad = (df: DataFrame, sec: Int) => {
+          val cs = df.columns.map(c => col(c).cast("string"))
+          val padded = cs ++ Array.fill(11 - cs.length)(lit(null).cast("string"))
+          df.select(lit(sec).as("sec") +: padded.zipWithIndex.map {
+            case (c, i) => c.as(s"c${i + 1}") }: _*)
+        }
+        pad(l1, 1).union(pad(l2, 2)).sort("sec")
+      },
+      Some("""SELECT * FROM (VALUES
+          (1, '1', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+          (2, '1', '2', '2', 'a', '0.1', '2', '126', '128', '128', '1.0', '128')
+        ) v(sec, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11) ORDER BY sec""")),
+
+    // ---- clientpositive/udf7.q: log family NULL domains (ln/log/log2/
+    //      log10 non-positive → NULL; 2-arg log base ≤ 1 → NULL) + pow
+    QueryDef(
+      "q440_qf_udf7",
+      (s, dir) => {
+        val d = seed(s, dir, "  abc  ")
+        HiveQl.sql(s,
+          s"""SELECT ROUND(LN(3.0),12) AS c1, LN(0.0) AS c2, LN(-1) AS c3,
+                ROUND(LOG(3.0),12) AS c4, LOG(0.0) AS c5, LOG(-1) AS c6,
+                ROUND(LOG2(3.0),12) AS c7, LOG2(0.0) AS c8, LOG2(-1) AS c9,
+                ROUND(LOG10(3.0),12) AS c10, LOG10(0.0) AS c11, LOG10(-1) AS c12,
+                ROUND(LOG(2, 3.0),12) AS c13, LOG(2, 0.0) AS c14, LOG(2, -1) AS c15,
+                LOG(0.5, 2) AS c16, LOG(2, 0.5) AS c17, ROUND(EXP(2.0),12) AS c18,
+                POW(2,3) AS c19, POWER(2,3) AS c20, POWER(2,-3) AS c21,
+                POWER(0.5, -3) AS c22, POWER(4, 0.5) AS c23,
+                POWER(-1, 0.5) AS c24, POWER(-1, 2) AS c25 FROM $d""")
+      },
+      Some("""SELECT 1.098612288668::DOUBLE AS c1, CAST(NULL AS DOUBLE) AS c2,
+                     CAST(NULL AS DOUBLE) AS c3, 1.098612288668::DOUBLE AS c4,
+                     CAST(NULL AS DOUBLE) AS c5, CAST(NULL AS DOUBLE) AS c6,
+                     1.584962500721::DOUBLE AS c7, CAST(NULL AS DOUBLE) AS c8,
+                     CAST(NULL AS DOUBLE) AS c9, 0.47712125472::DOUBLE AS c10,
+                     CAST(NULL AS DOUBLE) AS c11, CAST(NULL AS DOUBLE) AS c12,
+                     1.584962500721::DOUBLE AS c13, CAST(NULL AS DOUBLE) AS c14,
+                     CAST(NULL AS DOUBLE) AS c15, CAST(NULL AS DOUBLE) AS c16,
+                     -1.0::DOUBLE AS c17, 7.389056098931::DOUBLE AS c18, 8.0::DOUBLE AS c19, 8.0::DOUBLE AS c20,
+                     0.125::DOUBLE AS c21, 8.0::DOUBLE AS c22, 2.0::DOUBLE AS c23, 'NaN'::DOUBLE AS c24,
+                     1.0::DOUBLE AS c25""")),
+
+    // ---- clientpositive/udf8.q: the SECOND INSERT OVERWRITE replaces the
+    //      first (dest1 holds only '1'), then string-column aggregates
+    QueryDef(
+      "q441_qf_udf8",
+      (s, dir) => {
+        val d = s"dest_u8_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(c1 STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"FROM src INSERT OVERWRITE TABLE $d SELECT '' WHERE src.key = 100 LIMIT 1")
+        HiveQl.sql(s, s"FROM src INSERT OVERWRITE TABLE $d SELECT '1' WHERE src.key = 100 LIMIT 1")
+        HiveQl.sql(s, s"SELECT avg(c1) AS a, sum(c1) AS s, count(c1) AS c FROM $d")
+      },
+      Some("SELECT 1.0::DOUBLE AS a, 1.0::DOUBLE AS s, CAST(1 AS BIGINT) AS c")),
+
+    // ---- clientpositive/udf_concat.q: null/numeric arg coercion battery
+    QueryDef(
+      "q442_qf_udf_concat",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT concat('a', 'b') AS c1, concat('a', 'b', 'c') AS c2,
+               concat('a', null, 'c') AS c3, concat(null) AS c4, concat('a') AS c5,
+               concat(null, 1, 2) AS c6, concat(1, 2, 3, 'a') AS c7,
+               concat(1, 2) AS c8, concat(1) AS c9,
+               concat('1234', 'abc', 'extra argument') AS c10
+             FROM src LIMIT 1""")
+      },
+      Some("""SELECT 'ab' AS c1, 'abc' AS c2, CAST(NULL AS VARCHAR) AS c3,
+                     CAST(NULL AS VARCHAR) AS c4, 'a' AS c5,
+                     CAST(NULL AS VARCHAR) AS c6, '123a' AS c7, '12' AS c8,
+                     '1' AS c9, '1234abcextra argument' AS c10""")),
+
+    // ---- clientpositive/udf_concat_insert2.q: constant concat inserted
+    //      beside a filtered column (string<int via double coercion)
+    QueryDef(
+      "q443_qf_udf_concat_insert2",
+      (s, dir) => {
+        val d = s"dest_uci2_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d(key STRING, value STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s, s"FROM src INSERT OVERWRITE TABLE $d SELECT " +
+          "concat('1234', 'abc', 'extra argument'), src.value WHERE src.key < 100")
+        HiveQl.sql(s, s"SELECT key, value, count(*) AS n FROM $d " +
+          "GROUP BY key, value ORDER BY key, value")
+      },
+      Some(s"""$SrcCte
+        SELECT '1234abcextra argument' AS key, value, count(*) AS n
+        FROM src WHERE CAST(key AS DOUBLE) < 100
+        GROUP BY 1, 2 ORDER BY key, value""")),
+
+    // ---- clientpositive/udf_regexp.q: REGEXP find() semantics battery
+    QueryDef(
+      "q444_qf_udf_regexp",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT 'fofo' REGEXP '^fo' AS c1, 'fo\no' REGEXP '^fo\no$' AS c2,
+               'Bn' REGEXP '^Ba*n' AS c3, 'afofo' REGEXP 'fo' AS c4,
+               'afofo' REGEXP '^fo' AS c5, 'Baan' REGEXP '^Ba?n' AS c6,
+               'axe' REGEXP 'pi|apa' AS c7, 'pip' REGEXP '^(pi)*$' AS c8
+             FROM src LIMIT 1""")
+      },
+      Some("""SELECT true AS c1, true AS c2, true AS c3, true AS c4,
+                     false AS c5, false AS c6, false AS c7, false AS c8""")),
+
+    // ---- clientpositive/udf_split.q: raw String.split semantics incl.
+    //      NUMERIC args coerced through their string form
+    QueryDef(
+      "q445_qf_udf_split",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT split('a b c', ' ') AS c1, split('oneAtwoBthreeC', '[ABC]') AS c2,
+               split('', '.') AS c3, split(50401020, 0) AS c4
+             FROM src LIMIT 1""")
+      },
+      Some("""SELECT ['a','b','c'] AS c1, ['one','two','three'] AS c2,
+                     CAST([] AS VARCHAR[]) AS c3, ['5','4','1','2'] AS c4""")),
+
+    // ---- clientpositive/udf_unhex.q: STRING result, odd-length pad,
+    //      non-hex input → NULL
+    QueryDef(
+      "q446_qf_udf_unhex",
+      (s, dir) => {
+        fixtures(s, dir)
+        val l1 = HiveQl.sql(s,
+          """SELECT unhex('4D7953514C') AS c1, unhex('31323637') AS c2,
+               unhex('61') AS c3, unhex('2D34') AS c4, unhex('') AS c5
+             FROM src limit 1""")
+        val l2 = HiveQl.sql(s,
+          """SELECT unhex('MySQL') AS c1, unhex('G123') AS c2, unhex('\0') AS c3
+             FROM src limit 1""")
+        val pad = (df: DataFrame, sec: Int) => {
+          val cs = df.columns.map(col)
+          val padded = cs ++ Array.fill(5 - cs.length)(lit(null).cast("string"))
+          df.select(lit(sec).as("sec") +: padded.zipWithIndex.map {
+            case (c, i) => c.as(s"c${i + 1}") }: _*)
+        }
+        pad(l1, 1).union(pad(l2, 2)).sort("sec")
+      },
+      Some("""SELECT * FROM (VALUES
+          (1, 'MySQL', '1267', 'a', '-4', ''),
+          (2, NULL, NULL, NULL, NULL, NULL)
+        ) v(sec, c1, c2, c3, c4, c5) ORDER BY sec""")),
+
+    // ---- clientpositive/udf_bitmap_empty.q: the scalar accepts the
+    //      on-disk EWAH array<bigint> word form directly
+    QueryDef(
+      "q447_qf_udf_bitmap_empty",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT * FROM (
+               (SELECT 1 AS sec, ewah_bitmap_empty(array(13,2,4,8589934592,0,0)) AS c1 FROM src LIMIT 1)
+               UNION ALL
+               (SELECT 2, ewah_bitmap_empty(array(13,2,4,8589934592,4096,0)) FROM src LIMIT 1)
+             ) t ORDER BY sec""")
+      },
+      Some("SELECT * FROM (VALUES (1, true), (2, false)) v(sec, c1) ORDER BY sec"))
+
+    ,
+
+    // ---- clientpositive/udf_E.q / udf_PI.q: the mathematical-constant
+    //      zero-arg functions (the .q repeats each SELECT verbatim twice;
+    //      one leg carries the information)
+    QueryDef(
+      "q448_qf_udf_e",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s, "select E() AS c1 FROM src LIMIT 1")
+      },
+      Some("SELECT 2.718281828459045::DOUBLE AS c1")),
+    QueryDef(
+      "q449_qf_udf_pi",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s, "select PI() AS c1 FROM src LIMIT 1")
+      },
+      Some("SELECT 3.141592653589793::DOUBLE AS c1")),
+
+    // ---- clientpositive/udf_testlength.q / udf_testlength2.q: CREATE
+    //      TEMPORARY FUNCTION against the reference's in-tree TEST UDF
+    //      classes (UDFTestLength[2].java: String.length), resolved by
+    //      GraftFunctions.testClassBuilders. Readback length-histogram.
+    QueryDef(
+      "q450_qf_udf_testlength",
+      (s, dir) => {
+        val d = s"dest_utl_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, "CREATE TEMPORARY FUNCTION testlength AS 'org.apache.hadoop.hive.ql.udf.UDFTestLength'")
+        HiveQl.sql(s, s"CREATE TABLE $d(len INT)")
+        HiveQl.sql(s, s"FROM src INSERT OVERWRITE TABLE $d SELECT testlength(src.value)")
+        val r = HiveQl.sql(s, s"SELECT len, count(*) AS n FROM $d GROUP BY len ORDER BY len")
+          .localCheckpoint(true)
+        HiveQl.sql(s, "DROP TEMPORARY FUNCTION testlength")
+        r
+      },
+      Some(s"""$SrcCte
+        SELECT CAST(length(value) AS INT) AS len, count(*) AS n
+        FROM src GROUP BY 1 ORDER BY len""")),
+    QueryDef(
+      "q451_qf_udf_testlength2",
+      (s, dir) => {
+        val d = s"dest_utl2_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, "CREATE TEMPORARY FUNCTION testlength2 AS 'org.apache.hadoop.hive.ql.udf.UDFTestLength2'")
+        HiveQl.sql(s, s"CREATE TABLE $d(len INT)")
+        HiveQl.sql(s, s"FROM src INSERT OVERWRITE TABLE $d SELECT testlength2(src.value)")
+        val r = HiveQl.sql(s, s"SELECT len, count(*) AS n FROM $d GROUP BY len ORDER BY len")
+          .localCheckpoint(true)
+        HiveQl.sql(s, "DROP TEMPORARY FUNCTION testlength2")
+        r
+      },
+      Some(s"""$SrcCte
+        SELECT CAST(length(value) AS INT) AS len, count(*) AS n
+        FROM src GROUP BY 1 ORDER BY len""")),
+
+    // ---- clientpositive/udf_logic_java_boolean.q: a GenericUDF returning
+    //      a NATIVE Java Boolean drives AND/OR/NOT short-circuit paths;
+    //      18 WHERE legs, each contributing its matched-row count
+    QueryDef(
+      "q452_qf_udf_logic_java_boolean",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s, "CREATE TEMPORARY FUNCTION test_udf_get_java_boolean AS 'org.apache.hadoop.hive.ql.udf.generic.GenericUDFTestGetJavaBoolean'")
+        val conds = Seq(
+          """test_udf_get_java_boolean("false") and True""",
+          """test_udf_get_java_boolean("true") and True""",
+          """True and test_udf_get_java_boolean("false")""",
+          """False and test_udf_get_java_boolean("false")""",
+          """test_udf_get_java_boolean("true") and test_udf_get_java_boolean("true")""",
+          """test_udf_get_java_boolean("true") and test_udf_get_java_boolean("false")""",
+          """test_udf_get_java_boolean("false") and test_udf_get_java_boolean("true")""",
+          """test_udf_get_java_boolean("false") and test_udf_get_java_boolean("false")""",
+          """test_udf_get_java_boolean("false") or True""",
+          """test_udf_get_java_boolean("true") or True""",
+          """True or test_udf_get_java_boolean("false")""",
+          """False or test_udf_get_java_boolean("false")""",
+          """test_udf_get_java_boolean("true") or test_udf_get_java_boolean("true")""",
+          """test_udf_get_java_boolean("true") or test_udf_get_java_boolean("false")""",
+          """test_udf_get_java_boolean("false") or test_udf_get_java_boolean("true")""",
+          """test_udf_get_java_boolean("false") or test_udf_get_java_boolean("false")""",
+          """not(test_udf_get_java_boolean("false"))""",
+          """not(test_udf_get_java_boolean("true"))""")
+        val counts = conds.zipWithIndex.map { case (c, i) =>
+          (i + 1, HiveQl.sql(s, s"select 1 from src where $c limit 1").count())
+        }
+        HiveQl.sql(s, "DROP TEMPORARY FUNCTION test_udf_get_java_boolean")
+        import s.implicits._
+        counts.toDF("leg", "n").sort("leg")
+      },
+      Some("""SELECT * FROM (VALUES
+          (1, CAST(0 AS BIGINT)), (2, 1), (3, 0), (4, 0), (5, 1), (6, 0),
+          (7, 0), (8, 0), (9, 1), (10, 1), (11, 1), (12, 0), (13, 1),
+          (14, 1), (15, 1), (16, 0), (17, 1), (18, 0)
+        ) v(leg, n) ORDER BY leg""")),
+
+    // ---- clientpositive/udf_min.q / udf_max.q: min/max over STRUCTs
+    //      (lexicographic by field order) under the four map-aggr x
+    //      skewindata combos. Hive renames struct fields positionally
+    //      (col1, col2); Spark keeps source names for named members —
+    //      metadata-only divergence, normalized through to_json with our
+    //      names.
+    QueryDef(
+      "q453_qf_udf_min",
+      (s, dir) => {
+        fixtures(s, dir)
+        val legs = for {
+          aggr <- Seq("false", "true"); skew <- Seq("false", "true")
+        } yield {
+          HiveQl.sql(s, s"SET hive.map.aggr = $aggr")
+          HiveQl.sql(s, s"SET hive.groupby.skewindata = $skew")
+          HiveQl.sql(s,
+            """SELECT to_json(min(struct(CAST(key as INT), value))) AS c1,
+                      to_json(min(struct(key, value))) AS c2 FROM src""")
+            .localCheckpoint(true)
+        }
+        legs.zipWithIndex.map { case (df, i) =>
+          df.select(lit(i + 1).as("leg"), col("c1"), col("c2"))
+        }.reduce(_ union _).sort("leg")
+      },
+      Some("""SELECT leg, '{"col1":0,"value":"val_0"}' AS c1,
+                     '{"key":"0","value":"val_0"}' AS c2
+              FROM (VALUES (1), (2), (3), (4)) v(leg) ORDER BY leg""")),
+    QueryDef(
+      "q454_qf_udf_max",
+      (s, dir) => {
+        fixtures(s, dir)
+        val legs = for {
+          aggr <- Seq("false", "true"); skew <- Seq("false", "true")
+        } yield {
+          HiveQl.sql(s, s"SET hive.map.aggr = $aggr")
+          HiveQl.sql(s, s"SET hive.groupby.skewindata = $skew")
+          HiveQl.sql(s,
+            """SELECT to_json(max(struct(CAST(key as INT), value))) AS c1,
+                      to_json(max(struct(key, value))) AS c2 FROM src""")
+            .localCheckpoint(true)
+        }
+        legs.zipWithIndex.map { case (df, i) =>
+          df.select(lit(i + 1).as("leg"), col("c1"), col("c2"))
+        }.reduce(_ union _).sort("leg")
+      },
+      Some("""SELECT leg, '{"col1":496,"value":"val_496"}' AS c1,
+                     '{"key":"96","value":"val_96"}' AS c2
+              FROM (VALUES (1), (2), (3), (4)) v(leg) ORDER BY leg""")),
+
+    // ---- clientpositive/udf_count.q: count over column / DISTINCT /
+    //      multi-col DISTINCT / star / 1, and the WHERE FALSE zeros
+    QueryDef(
+      "q455_qf_udf_count",
+      (s, dir) => {
+        fixtures(s, dir)
+        val l1 = HiveQl.sql(s,
+          """SELECT count(key) AS c1, count(DISTINCT key) AS c2,
+                    count(DISTINCT key, value) AS c3, count(*) AS c4,
+                    count(1) AS c5 FROM src""")
+        val l2 = HiveQl.sql(s,
+          "select count(1) AS c1, count(*) AS c2 from src where false")
+        l1.select(lit(1).as("sec"), col("c1"), col("c2"), col("c3"), col("c4"), col("c5"))
+          .union(l2.select(lit(2).as("sec"), col("c1"), col("c2"),
+            lit(null).cast("long").as("c3"), lit(null).cast("long").as("c4"),
+            lit(null).cast("long").as("c5")))
+          .sort("sec")
+      },
+      Some(s"""$SrcCte, agg AS (
+          SELECT CAST(count(key) AS BIGINT) AS c1,
+                 CAST(count(DISTINCT key) AS BIGINT) AS c2,
+                 CAST(count(DISTINCT key || '|' || value) AS BIGINT) AS c3,
+                 CAST(count(*) AS BIGINT) AS c4, CAST(count(1) AS BIGINT) AS c5
+          FROM src)
+        SELECT 1 AS sec, c1, c2, c3, c4, c5 FROM agg
+        UNION ALL SELECT 2, 0, 0, NULL, NULL, NULL
+        ORDER BY sec""")),
+
+    // ---- clientpositive/udf_notequal.q: <> and != over a string filter
+    QueryDef(
+      "q456_qf_udf_notequal",
+      (s, dir) => {
+        fixtures(s, dir)
+        val l1 = HiveQl.sql(s, "SELECT key, value FROM src WHERE key <> '302'")
+        val l2 = HiveQl.sql(s, "SELECT key, value FROM src WHERE key != '302'")
+        l1.select(lit(1).as("sec"), col("key"), col("value"))
+          .union(l2.select(lit(2).as("sec"), col("key"), col("value")))
+          .groupBy("sec", "key", "value").agg(count(lit(1)).as("n"))
+          .sort("sec", "key", "value")
+      },
+      Some(s"""$SrcCte
+        SELECT sec, key, value, count(*) AS n
+        FROM (SELECT 1 AS sec, key, value FROM src WHERE key <> '302'
+              UNION ALL SELECT 2, key, value FROM src WHERE key <> '302') t
+        GROUP BY 1, 2, 3 ORDER BY sec, key, value""")),
+
+    // ---- clientpositive/udf_notop.q: NOT IN / NOT LIKE / NOT RLIKE /
+    //      NOT REGEXP battery (incl. the chained `= ... NOT IN` precedence)
+    QueryDef(
+      "q457_qf_udf_notop",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT 1 NOT IN (1, 2, 3) AS c1, 4 NOT IN (1, 2, 3) AS c2,
+               1 = 2 NOT IN (true, false) AS c3,
+               "abc" NOT LIKE "a%" AS c4, "abc" NOT LIKE "b%" AS c5,
+               "abc" NOT RLIKE "^ab" AS c6, "abc" NOT RLIKE "^bc" AS c7,
+               "abc" NOT REGEXP "^ab" AS c8, "abc" NOT REGEXP "^bc" AS c9,
+               1 IN (1, 2) AND "abc" NOT LIKE "bc%" AS c10 FROM src LIMIT 1""")
+      },
+      Some("""SELECT false AS c1, true AS c2, false AS c3, false AS c4,
+                     true AS c5, false AS c6, true AS c7, false AS c8,
+                     true AS c9, true AS c10""")),
+
+    // ---- clientpositive/udf_size.q: size over the src_thrift complex
+    //      fixture's list/list<struct>/map columns; size(null) = -1
+    QueryDef(
+      "q458_qf_udf_size",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """FROM src_thrift
+             SELECT size(src_thrift.lint) AS c1, size(src_thrift.lintstring) AS c2,
+                    size(src_thrift.mstringstring) AS c3, size(null) AS c4
+             WHERE src_thrift.lint IS NOT NULL
+                   AND NOT (src_thrift.mstringstring IS NULL) LIMIT 1""")
+      },
+      Some("SELECT CAST(3 AS INT) AS c1, CAST(1 AS INT) AS c2, " +
+        "CAST(1 AS INT) AS c3, CAST(-1 AS INT) AS c4")),
+
+    // ---- clientpositive/udf_struct.q: struct construction + field access
+    //      (positional col1/col2 names for unnamed members)
+    QueryDef(
+      "q459_qf_udf_struct",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT to_json(struct(1)) AS c1, to_json(struct(1, "a")) AS c2,
+                    struct(1, "b", 1.5).col1 AS c3,
+                    struct(1, struct("a", 1.5)).col2.col1 AS c4
+             FROM src LIMIT 1""")
+      },
+      Some("""SELECT '{"col1":1}' AS c1, '{"col1":1,"col2":"a"}' AS c2,
+                     CAST(1 AS INT) AS c3, 'a' AS c4""")),
+
+    // ---- clientpositive/udf_union.q: create_union battery over the two
+    //      smallest keys (the .q's bare LIMIT 2 is order-dependent; a
+    //      deterministic ORDER BY key subselect stands in). Encoding is
+    //      the engine's documented struct<tag, field0..> uniontype
+    //      (SURVEY 1.2); to_json drops the dead NULL branch.
+    QueryDef(
+      "q460_qf_udf_union",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT to_json(create_union(0, key)) AS c1,
+                    to_json(create_union(if(key<100, 0, 1), 2.0, value)) AS c2,
+                    to_json(create_union(1, "a", struct(2, "b"))) AS c3
+             FROM (SELECT key, value FROM src ORDER BY CAST(key AS INT), value LIMIT 2) src""")
+      },
+      Some("""SELECT '{"tag":0,"field0":"0"}' AS c1,
+                     '{"tag":0,"field0":2.0}' AS c2,
+                     '{"tag":1,"field1":{"col1":2,"col2":"b"}}' AS c3
+              FROM (VALUES (1), (2)) v(i)""")),
+
+    // ---- clientpositive/udf_elt.q: 1-based element pick with every-arg
+    //      string coercion; out-of-range/NULL index yields NULL
+    QueryDef(
+      "q461_qf_udf_elt",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """SELECT elt(2, 'abc', 'defg') AS c1,
+               elt(3, 'aa', 'bb', 'cc', 'dd', 'ee', 'ff', 'gg') AS c2,
+               elt('1', 'abc', 'defg') AS c3,
+               elt(2, 'aa', CAST('2' AS TINYINT)) AS c4,
+               elt(2, 'aa', CAST('12345' AS SMALLINT)) AS c5,
+               elt(2, 'aa', CAST('123456789012' AS BIGINT)) AS c6,
+               elt(2, 'aa', CAST(1.25 AS FLOAT)) AS c7,
+               elt(2, 'aa', CAST(16.0 AS DOUBLE)) AS c8,
+               elt(null, 'abc', 'defg') AS c9,
+               elt(0, 'abc', 'defg') AS c10,
+               elt(3, 'abc', 'defg') AS c11
+             FROM src LIMIT 1""")
+      },
+      Some("""SELECT 'defg' AS c1, 'cc' AS c2, 'abc' AS c3, '2' AS c4,
+                     '12345' AS c5, '123456789012' AS c6, '1.25' AS c7,
+                     '16.0' AS c8, CAST(NULL AS VARCHAR) AS c9,
+                     CAST(NULL AS VARCHAR) AS c10, CAST(NULL AS VARCHAR) AS c11""")),
+
+    // ================= timestamp family (timestamp_1/2/3, comparison, udf) =
+
+    // ---- clientpositive/timestamp_1.q + timestamp_2.q: the cast battery
+    //      (timestamp → boolean/tinyint/smallint/int/bigint/float/double/
+    //      string) across insert forms — explicit CAST, implicit
+    //      string→timestamp on insert, and fractional-second literals.
+    //      timestamp_2 is the same battery under LazyBinarySerDe (the
+    //      ALTER SET SERDE surface); goldens re-derived under the
+    //      engine's UTC session (the reference ran PST: its 1293872461
+    //      epoch is this 1293843661). The narrow casts WRAP
+    //      (plans/HiveTimestampNarrowing: (byte)epoch, (short)epoch per
+    //      TimestampWritable), vs Spark's NULL-on-overflow. The `.q`'s
+    //      final nano-fraction stage ('...01.001000011') is carried at
+    //      MICRO precision — Spark timestamps are micros; sub-micro
+    //      digits are a documented platform truncation (the reference
+    //      stores nanos), so its battery row equals the '.001' row here.
+    QueryDef(
+      "q462_qf_timestamp_1",
+      (s, dir) => {
+        val d = s"ts1_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"create table $d (t timestamp)")
+        HiveQl.sql(s, s"alter table $d set serde " +
+          "'org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe'")
+        val stages = Seq(
+          s"insert overwrite table $d select cast('2011-01-01 01:01:01' as timestamp) from src limit 1",
+          s"insert overwrite table $d select '2011-01-01 01:01:01' from src limit 1",
+          s"insert overwrite table $d select '2011-01-01 01:01:01.1' from src limit 1",
+          s"insert overwrite table $d select '2011-01-01 01:01:01.0001' from src limit 1",
+          s"insert overwrite table $d select '2011-01-01 01:01:01.000100000' from src limit 1")
+        val rows = stages.zipWithIndex.map { case (ins, i) =>
+          HiveQl.sql(s, ins)
+          // materialize before the next overwrite replaces the data
+          HiveQl.sql(s,
+            s"""select $i as stage, cast(t as boolean) as b, cast(t as tinyint) as ti,
+                 cast(t as smallint) as si, cast(t as int) as iv, cast(t as bigint) as bi,
+                 cast(t as float) as f, cast(t as double) as d, cast(t as string) as str
+               from $d limit 1""").localCheckpoint(true)
+        }
+        rows.reduce(_ union _).orderBy("stage")
+      },
+      Some("""SELECT stage, b, ti, si, iv, bi, f::DOUBLE AS f, d::DOUBLE AS d, str
+          FROM (VALUES
+          (0, true, -51, 31949, 1293843661, 1293843661, 1293843712.0, 1293843661.0,    '2011-01-01 01:01:01'),
+          (1, true, -51, 31949, 1293843661, 1293843661, 1293843712.0, 1293843661.0,    '2011-01-01 01:01:01'),
+          (2, true, -51, 31949, 1293843661, 1293843661, 1293843712.0, 1293843661.1,    '2011-01-01 01:01:01.1'),
+          (3, true, -51, 31949, 1293843661, 1293843661, 1293843712.0, 1293843661.0001, '2011-01-01 01:01:01.0001'),
+          (4, true, -51, 31949, 1293843661, 1293843661, 1293843712.0, 1293843661.0001, '2011-01-01 01:01:01.0001'))
+          v(stage, b, ti, si, iv, bi, f, d, str) ORDER BY stage""")),
+
+    // ---- clientpositive/timestamp_2.q: identical battery, LazyBinary row
+    //      serde (values are serde-independent; the ALTER is the surface)
+    QueryDef(
+      "q463_qf_timestamp_2",
+      (s, dir) => {
+        val d = s"ts2_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"create table $d (t timestamp)")
+        HiveQl.sql(s, s"alter table $d set serde " +
+          "'org.apache.hadoop.hive.serde2.lazybinary.LazyBinarySerDe'")
+        HiveQl.sql(s,
+          s"insert overwrite table $d select cast('2011-01-01 01:01:01.1' as timestamp) from src limit 1")
+        HiveQl.sql(s,
+          s"""select cast(t as boolean) as b, cast(t as tinyint) as ti,
+               cast(t as smallint) as si, cast(t as int) as iv, cast(t as bigint) as bi,
+               cast(t as float) as f, cast(t as double) as d, cast(t as string) as str
+             from $d limit 1""")
+      },
+      Some("""SELECT true AS b, -51 AS ti, 31949 AS si, 1293843661 AS iv,
+                     CAST(1293843661 AS BIGINT) AS bi, 1293843712.0::DOUBLE AS f,
+                     1293843661.1::DOUBLE AS d, '2011-01-01 01:01:01.1' AS str""")),
+
+    // ---- clientpositive/timestamp_3.q: DOUBLE → timestamp (fractional
+    //      epoch seconds) then the cast battery back out
+    QueryDef(
+      "q464_qf_timestamp_3",
+      (s, dir) => {
+        val d = s"ts3_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"create table $d (t timestamp)")
+        HiveQl.sql(s,
+          s"insert overwrite table $d select cast(cast('1.3041352164485E9' as double) as timestamp) from src limit 1")
+        HiveQl.sql(s,
+          s"""select cast(t as boolean) as b, cast(t as tinyint) as ti,
+               cast(t as smallint) as si, cast(t as int) as iv, cast(t as bigint) as bi,
+               cast(t as float) as f, cast(t as double) as d, cast(t as string) as str
+             from $d limit 1""")
+      },
+      Some("""SELECT true AS b, 48 AS ti, -31184 AS si, 1304135216 AS iv,
+                     CAST(1304135216 AS BIGINT) AS bi, 1304135168.0::DOUBLE AS f,
+                     1304135216.4485::DOUBLE AS d, '2011-04-30 03:46:56.4485' AS str""")),
+
+    // ---- clientpositive/timestamp_comparison.q: every comparison op over
+    //      timestamp operands, incl. trailing-zero fraction equality
+    QueryDef(
+      "q465_qf_timestamp_comparison",
+      (s, dir) => {
+        fixtures(s, dir)
+        HiveQl.sql(s,
+          """select cast('2011-05-06 07:08:09' as timestamp) > cast('2011-05-06 07:08:09' as timestamp) as c1,
+               cast('2011-05-06 07:08:09' as timestamp) < cast('2011-05-06 07:08:09' as timestamp) as c2,
+               cast('2011-05-06 07:08:09' as timestamp) = cast('2011-05-06 07:08:09' as timestamp) as c3,
+               cast('2011-05-06 07:08:09' as timestamp) <> cast('2011-05-06 07:08:09' as timestamp) as c4,
+               cast('2011-05-06 07:08:09' as timestamp) >= cast('2011-05-06 07:08:09' as timestamp) as c5,
+               cast('2011-05-06 07:08:09' as timestamp) <= cast('2011-05-06 07:08:09' as timestamp) as c6,
+               cast('2011-05-06 07:08:09' as timestamp) >= cast('2011-05-06 07:08:09.1' as timestamp) as c7,
+               cast('2011-05-06 07:08:09' as timestamp) < cast('2011-05-06 07:08:09.1' as timestamp) as c8,
+               cast('2011-05-06 07:08:09.1000' as timestamp) = cast('2011-05-06 07:08:09.1' as timestamp) as c9
+             from src limit 1""")
+      },
+      Some("""SELECT false AS c1, false AS c2, true AS c3, false AS c4, true AS c5,
+                     true AS c6, false AS c7, true AS c8, true AS c9""")),
+
+    // ---- clientpositive/timestamp_udf.q: the date/time UDF battery over a
+    //      TIMESTAMP column and over the same value as a STRING column
+    //      (both legs golden-identical in the reference). UTC-rederived:
+    //      unix_timestamp = 1304665689 (the golden 1304690889 is the PDT
+    //      rendering); the 1-arg string unix_timestamp needs the
+    //      lenient-parse fallback (GraftFunctions `unix_timestamp`).
+    //      from_utc/to_utc are carried at Spark semantics: the reference's
+    //      golden fraction '.2464567' double-adds the millis part to the
+    //      nano field (GenericUDFFromUtcTimestamp's millis arithmetic) —
+    //      an upstream defect this engine deliberately does not clone;
+    //      the offset math (±5h America/Chicago on 2011-05-06) matches.
+    QueryDef(
+      "q466_qf_timestamp_udf",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val (d1, d2) = (s"tsu_$sfx", s"tsus_$sfx")
+        fresh(s, d1, d2)
+        HiveQl.sql(s, s"create table $d1 (t timestamp)")
+        HiveQl.sql(s, s"create table $d2 (t string)")
+        HiveQl.sql(s,
+          s"""from src
+              insert overwrite table $d1 select '2011-05-06 07:08:09.1234567' limit 1
+              insert overwrite table $d2 select '2011-05-06 07:08:09.1234567' limit 1""")
+        def battery(t: String) = HiveQl.sql(s,
+          s"""select unix_timestamp(t) as ut, year(t) as y, month(t) as mo, day(t) as d,
+                dayofmonth(t) as dm, weekofyear(t) as wk, hour(t) as h, minute(t) as mi,
+                second(t) as sec, cast(to_date(t) as string) as td,
+                cast(date_add(t, 5) as string) as da, cast(date_sub(t, 10) as string) as ds,
+                datediff(t, t) as dd0, datediff(t, '2002-03-21') as dd1,
+                datediff('2002-03-21', t) as dd2,
+                cast(from_utc_timestamp(t, 'America/Chicago') as string) as fu,
+                cast(to_utc_timestamp(t, 'America/Chicago') as string) as tu
+              from $t""").localCheckpoint(true)
+        battery(d1).withColumn("leg", org.apache.spark.sql.functions.lit("ts"))
+          .union(battery(d2).withColumn("leg", org.apache.spark.sql.functions.lit("str")))
+          .orderBy("leg")
+      },
+      Some("""SELECT * FROM (VALUES
+          (CAST(1304665689 AS BIGINT), 2011, 5, 6, 6, 18, 7, 8, 9, '2011-05-06',
+           '2011-05-11', '2011-04-26', 0, 3333, -3333,
+           '2011-05-06 02:08:09.123456', '2011-05-06 12:08:09.123456', 'str'),
+          (CAST(1304665689 AS BIGINT), 2011, 5, 6, 6, 18, 7, 8, 9, '2011-05-06',
+           '2011-05-11', '2011-04-26', 0, 3333, -3333,
+           '2011-05-06 02:08:09.123456', '2011-05-06 12:08:09.123456', 'ts'))
+          v(ut, y, mo, d, dm, wk, h, mi, sec, td, da, ds, dd0, dd1, dd2, fu, tu, leg)
+          ORDER BY leg""")),
+
+    // ================= insert_into family (INSERT INTO appends) ==========
+
+    // ---- clientpositive/insert_into1.q: INTO appends (100 + 100), then
+    //      OVERWRITE resets to 10; every row provably from src (the .q
+    //      verifies contents by script-hash — LIMIT without ORDER BY is a
+    //      nondeterministic subset, so the oracle carries count +
+    //      membership facts per the battery convention, and the script
+    //      TRANSFORM leg is exercised as a parsed-row count)
+    QueryDef(
+      "q467_qf_insert_into1",
+      (s, dir) => {
+        val d = s"ii1_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d (key int, value string)")
+        HiveQl.sql(s, s"INSERT INTO TABLE $d SELECT * from src LIMIT 100")
+        val c1 = HiveQl.sql(s, s"SELECT COUNT(*) AS n FROM $d").localCheckpoint(true)
+        HiveQl.sql(s, s"INSERT INTO TABLE $d SELECT * FROM src LIMIT 100")
+        val c2 = HiveQl.sql(s, s"SELECT COUNT(*) AS n FROM $d").localCheckpoint(true)
+        val tr = HiveQl.sql(s,
+          s"""SELECT COUNT(c) AS n FROM (
+                SELECT TRANSFORM(*) USING 'tr \\t _' AS (c) FROM $d) t""")
+          .localCheckpoint(true)
+        val stray = HiveQl.sql(s,
+          s"SELECT COUNT(*) AS n FROM $d a LEFT ANTI JOIN src b ON a.key = b.key")
+          .localCheckpoint(true)
+        HiveQl.sql(s, s"INSERT OVERWRITE TABLE $d SELECT * FROM src LIMIT 10")
+        val c3 = HiveQl.sql(s, s"SELECT COUNT(*) AS n FROM $d").localCheckpoint(true)
+        Seq(c1, c2, tr, stray, c3).zipWithIndex
+          .map { case (df, i) => df.withColumn("stage", org.apache.spark.sql.functions.lit(i)) }
+          .reduce(_ union _).orderBy("stage")
+      },
+      Some("""SELECT * FROM (VALUES
+          (CAST(100 AS BIGINT), 0), (200, 1), (200, 2), (0, 3), (10, 4))
+          v(n, stage) ORDER BY stage""")),
+
+    // ---- clientpositive/insert_into2.q: INTO/OVERWRITE on a PARTITIONED
+    //      dest — appends accumulate within ds='1', overwrite replaces
+    //      only ds='2'
+    QueryDef(
+      "q468_qf_insert_into2",
+      (s, dir) => {
+        val d = s"ii2_${fixtures(s, dir)}"
+        fresh(s, d)
+        HiveQl.sql(s, s"CREATE TABLE $d (key int, value string) PARTITIONED BY (ds string)")
+        HiveQl.sql(s, s"INSERT INTO TABLE $d PARTITION (ds='1') SELECT * FROM src limit 100")
+        HiveQl.sql(s, s"INSERT INTO TABLE $d PARTITION (ds='1') SELECT * FROM src limit 100")
+        val c1 = HiveQl.sql(s, s"SELECT COUNT(*) AS n FROM $d WHERE ds='1'").localCheckpoint(true)
+        HiveQl.sql(s, s"INSERT OVERWRITE TABLE $d PARTITION (ds='2') SELECT * FROM src LIMIT 100")
+        val c2 = HiveQl.sql(s, s"SELECT COUNT(*) AS n FROM $d").localCheckpoint(true)
+        HiveQl.sql(s, s"INSERT OVERWRITE TABLE $d PARTITION (ds='2') SELECT * FROM src LIMIT 50")
+        val c3 = HiveQl.sql(s, s"SELECT COUNT(*) AS n FROM $d").localCheckpoint(true)
+        val c4 = HiveQl.sql(s, s"SELECT COUNT(*) AS n FROM $d WHERE ds='2'").localCheckpoint(true)
+        Seq(c1, c2, c3, c4).zipWithIndex
+          .map { case (df, i) => df.withColumn("stage", org.apache.spark.sql.functions.lit(i)) }
+          .reduce(_ union _).orderBy("stage")
+      },
+      Some("""SELECT * FROM (VALUES
+          (CAST(200 AS BIGINT), 0), (300, 1), (250, 2), (50, 3))
+          v(n, stage) ORDER BY stage""")),
+
+    // ---- clientpositive/insert_into3.q: MULTI-insert with INTO legs (and
+    //      a second pass mixing OVERWRITE + INTO), per-leg LIMITs
+    QueryDef(
+      "q469_qf_insert_into3",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val (a, b) = (s"ii3a_$sfx", s"ii3b_$sfx")
+        fresh(s, a, b)
+        HiveQl.sql(s, s"CREATE TABLE $a (key int, value string)")
+        HiveQl.sql(s, s"CREATE TABLE $b (key int, value string)")
+        HiveQl.sql(s,
+          s"""FROM src INSERT INTO TABLE $a SELECT * LIMIT 50
+                      INSERT INTO TABLE $b SELECT * LIMIT 100""")
+        val c1 = HiveQl.sql(s,
+          s"SELECT (SELECT COUNT(*) FROM $a) AS na, (SELECT COUNT(*) FROM $b) AS nb")
+          .localCheckpoint(true)
+        HiveQl.sql(s,
+          s"""FROM src INSERT OVERWRITE TABLE $a SELECT * LIMIT 10
+                      INSERT INTO TABLE $b SELECT * LIMIT 10""")
+        val c2 = HiveQl.sql(s,
+          s"SELECT (SELECT COUNT(*) FROM $a) AS na, (SELECT COUNT(*) FROM $b) AS nb")
+          .localCheckpoint(true)
+        Seq(c1, c2).zipWithIndex
+          .map { case (df, i) => df.withColumn("stage", org.apache.spark.sql.functions.lit(i)) }
+          .reduce(_ union _).orderBy("stage")
+      },
+      Some("""SELECT * FROM (VALUES
+          (CAST(50 AS BIGINT), CAST(100 AS BIGINT), 0), (10, 110, 1))
+          v(na, nb, stage) ORDER BY stage""")),
+
+    // ---- clientpositive/insert_into4.q: repeated INTO leaves multiple
+    //      files behind (merge threshold conf honored as a session knob);
+    //      a table-to-table INTO copies all accumulated rows
+    QueryDef(
+      "q470_qf_insert_into4",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val (a, b) = (s"ii4a_$sfx", s"ii4b_$sfx")
+        fresh(s, a, b)
+        HiveQl.sql(s, "set hive.merge.smallfiles.avgsize=16000000")
+        HiveQl.sql(s, s"CREATE TABLE $a (key int, value string)")
+        HiveQl.sql(s, s"CREATE TABLE $b (key int, value string)")
+        HiveQl.sql(s, s"INSERT INTO TABLE $a SELECT * FROM src LIMIT 10")
+        HiveQl.sql(s, s"INSERT INTO TABLE $a SELECT * FROM src LIMIT 10")
+        HiveQl.sql(s, s"INSERT INTO TABLE $b SELECT * FROM $a")
+        HiveQl.sql(s,
+          s"SELECT (SELECT COUNT(*) FROM $a) AS na, (SELECT COUNT(*) FROM $b) AS nb")
+      },
+      Some("SELECT CAST(20 AS BIGINT) AS na, CAST(20 AS BIGINT) AS nb")),
+
+    // ---- clientpositive/insert_into5.q: INSERT INTO reading the SAME
+    //      table it appends to (the INTO-side self-read; constant source
+    //      rows make every stage fully deterministic incl. the TRANSFORM
+    //      leg), then partitioned self-append doubling ds='1'
+    QueryDef(
+      "q471_qf_insert_into5",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val (a, b) = (s"ii5a_$sfx", s"ii5b_$sfx")
+        fresh(s, a, b)
+        HiveQl.sql(s, s"CREATE TABLE $a (key int, value string)")
+        HiveQl.sql(s, s"CREATE TABLE $b (key int, value string) PARTITIONED BY (ds string)")
+        HiveQl.sql(s, s"INSERT INTO TABLE $a SELECT 1, 'one' FROM src LIMIT 10")
+        HiveQl.sql(s, s"INSERT INTO TABLE $a SELECT * FROM $a")
+        val c1 = HiveQl.sql(s,
+          s"""SELECT COUNT(c) AS n, MIN(c) AS lo, MAX(c) AS hi FROM (
+                SELECT TRANSFORM(*) USING 'tr \\t _' AS (c) FROM $a) t""")
+          .localCheckpoint(true)
+        HiveQl.sql(s, s"INSERT INTO TABLE $b PARTITION (ds='1') SELECT * FROM $a")
+        HiveQl.sql(s, s"INSERT INTO TABLE $b PARTITION (ds='1') SELECT key, value FROM $b")
+        val c2 = HiveQl.sql(s, s"SELECT COUNT(*) AS n, MIN(key) AS lo, MAX(key) AS hi FROM $b")
+          .localCheckpoint(true)
+        c1.withColumn("stage", org.apache.spark.sql.functions.lit(0))
+          .union(c2.selectExpr("n", "cast(lo as string) as lo",
+            "cast(hi as string) as hi")
+            .withColumn("stage", org.apache.spark.sql.functions.lit(1)))
+          .orderBy("stage")
+      },
+      Some("""SELECT * FROM (VALUES
+          (CAST(20 AS BIGINT), '1_one', '1_one', 0), (40, '1', '1', 1))
+          v(n, lo, hi, stage) ORDER BY stage""")),
+
+    // ---- clientpositive/insert_into6.q: INTO with static partitions then
+    //      a DYNAMIC-partition INTO copying both; SHOW PARTITIONS proves
+    //      the dynamic legs landed
+    QueryDef(
+      "q472_qf_insert_into6",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val (a, b) = (s"ii6a_$sfx", s"ii6b_$sfx")
+        fresh(s, a, b)
+        HiveQl.sql(s, "set hive.exec.dynamic.partition.mode=nonstrict")
+        HiveQl.sql(s, "set hive.exec.dynamic.partition=true")
+        HiveQl.sql(s, s"CREATE TABLE $a (key int, value string) PARTITIONED BY (ds string)")
+        HiveQl.sql(s, s"CREATE TABLE $b (key int, value string) PARTITIONED BY (ds string)")
+        HiveQl.sql(s, s"INSERT INTO TABLE $a PARTITION (ds='1') SELECT * FROM src LIMIT 150")
+        HiveQl.sql(s, s"INSERT INTO TABLE $a PARTITION (ds='2') SELECT * FROM src LIMIT 100")
+        HiveQl.sql(s, s"INSERT INTO TABLE $b PARTITION (ds) SELECT * FROM $a")
+        val parts = HiveQl.sql(s, s"SHOW PARTITIONS $b").localCheckpoint(true)
+        val counts = HiveQl.sql(s,
+          s"SELECT ds AS p, COUNT(*) AS n FROM $b GROUP BY ds").localCheckpoint(true)
+        parts.selectExpr("partition AS p", "CAST(-1 AS BIGINT) AS n")
+          .union(counts).orderBy("p", "n")
+      },
+      Some("""SELECT * FROM (VALUES
+          ('1', CAST(150 AS BIGINT)), ('2', 100), ('ds=1', -1), ('ds=2', -1))
+          v(p, n) ORDER BY p, n"""))
+  )
+}

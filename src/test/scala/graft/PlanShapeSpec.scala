@@ -82,6 +82,13 @@ class PlanShapeSpec extends SparkSpec {
       "q231_qf_join23",       // join23.q IS an ON-less JOIN with WHERE on
                               // both sides — cross join by spec
       "q257_qf_union_ppr",    // srcpart (ds,hr) VALUES side as q215
+      "q426_qf_transform_ppr1", // transform_ppr1.q reads srcpart — its
+                              // 4-row (ds,hr) VALUES side is a broadcast
+                              // nested-loop against constant data (as q215)
+      "q427_qf_transform_ppr2", // transform_ppr2.q — same srcpart shape
+      "q428_qf_ppd_udf_case", // ppd_udf_case.q self-joins srcpart — the
+                              // equi key-join is hashed; the flagged join
+                              // is srcpart's own VALUES side (as q215)
       "q274_qf_udf_coalesce", // 1-row constant select joined to the 11-row
                               // thrift fixture for a single result set
       "q275_qf_udf_in",       // same 1-row constant-battery join shape
