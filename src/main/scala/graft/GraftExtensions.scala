@@ -16,6 +16,8 @@ object GraftExtensions {
     ext.injectResolutionRule(_ => plans.HiveRegexpSemantics)
     // timestamp→tinyint/smallint/int wraps like Java (timestamp_1.q)
     ext.injectResolutionRule(_ => plans.HiveTimestampNarrowing)
+    // sum over STRING is non-NULL for any non-null input (udaf_number_format.q)
+    ext.injectResolutionRule(_ => plans.HiveStringSum)
     // HiveQL dialect below EVERY entry point (Driver.compile layering):
     // Thrift/JDBC clients and view re-parsing get the same hint/TABLESAMPLE/
     // UNIQUEJOIN rewrites + variable substitution as HiveQl.sql callers

@@ -22,6 +22,7 @@ object SparkEntry {
     operators.QFileParity2,
     operators.QFileParity3,
     operators.QFileParity4,
+    operators.QFileParity5,
     operators.Indexes,
     operators.ScaleOps,
     streaming.Streaming)

@@ -115,14 +115,29 @@ private[functions] object BitmapInput {
 
 case class BitmapCombine(left: Expression, right: Expression, isAnd: Boolean)
     extends BinaryExpression with CodegenFallback {
-  override def dataType: DataType = BinaryType
+  // when BOTH inputs arrive in the reference's EWAH word form, the result
+  // keeps that form too (udf_bitmap_and.q goldens are `array<bigint>`);
+  // the binary-native Roaring form is preserved for graft-built bitmaps
+  private def arrayInputs: Boolean =
+    left.dataType.isInstanceOf[ArrayType] && right.dataType.isInstanceOf[ArrayType]
+  override def dataType: DataType =
+    if (arrayInputs) ArrayType(LongType, containsNull = false) else BinaryType
   override def prettyName: String = if (isAnd) "bitmap_and" else "bitmap_or"
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = BitmapInput.toBitmap(l)
-    val b = BitmapInput.toBitmap(r)
-    if (isAnd) a.and(b) else a.or(b)
-    BitmapCodec.toBytes(a)
-  }
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    if (arrayInputs) {
+      // stay in the reference's serialized form end-to-end: word-identical
+      // to javaewah's and()/or() for the goldens, incl. sizeinbits and the
+      // zero-run shape of an annihilated intersection
+      val la = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val ra = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      new GenericArrayData(
+        EwahCodec.combine(la.toLongArray(), ra.toLongArray(), isAnd))
+    } else {
+      val a = BitmapInput.toBitmap(l)
+      val b = BitmapInput.toBitmap(r)
+      if (isAnd) a.and(b) else a.or(b)
+      BitmapCodec.toBytes(a)
+    }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -191,7 +206,125 @@ object EwahCodec {
     }
     if (buf.isEmpty) buf += 0L // javaewah's empty bitmap: one all-zero marker
     val sizeinbits = maxPos + 1
-    (Seq(sizeinbits, buf.length.toLong, buf.length.toLong) ++ buf :+ rlwPos.toLong).toArray
+    (Seq(sizeinbits, buf.length.toLong, grownCapacity(buf.length)) ++
+      buf :+ rlwPos.toLong).toArray
+  }
+
+  /** javaewah's serialized word [2] is the buffer ALLOCATION, not the used
+    * length: the buffer starts at 4 longs and doubles on growth, so the
+    * value is the smallest 4·2^k ≥ actualsizeinwords — reproduced so
+    * encode is word-for-word identical to the reference's serialize
+    * (udf_bitmap_and.q goldens include the alloc word).
+    */
+  private def grownCapacity(actual: Long): Long = {
+    var c = 4L
+    while (c < actual) c *= 2
+    c
+  }
+
+  /** AND/OR directly on two serialized EWAH streams, the
+    * GenericUDFEWAHBitmapAnd/Or surface (AbstractGenericUDFEWAHBitmapBop
+    * .java:46 over javaewah 0.2's and()/or()): run-aligned merge, no dense
+    * word walk, result sizeinbits = max of the inputs (javaewah's
+    * setSizeInBits posture), zero/one result words re-compressed into
+    * fills. The shorter stream is padded with a zero fill to the longer
+    * stream's word count (AND annihilates the tail, OR passes it through).
+    */
+  def combine(a: Array[Long], b: Array[Long], isAnd: Boolean): Array[Long] = {
+    val sa = new EwahStream(a)
+    val sb = new EwahStream(b)
+    val out = new EwahBuilder
+    while (!sa.done || !sb.done) {
+      (sa.inFill, sb.inFill) match {
+        case (true, true) =>
+          val n = math.min(sa.fillLeft, sb.fillLeft)
+          val bit = if (isAnd) sa.fillBit && sb.fillBit else sa.fillBit || sb.fillBit
+          out.addFill(bit, n); sa.takeFill(n); sb.takeFill(n)
+        case (true, false) =>
+          val w = sb.nextLiteral()
+          out.addWord(if (isAnd) (if (sa.fillBit) w else 0L)
+            else (if (sa.fillBit) -1L else w))
+          sa.takeFill(1)
+        case (false, true) =>
+          val w = sa.nextLiteral()
+          out.addWord(if (isAnd) (if (sb.fillBit) w else 0L)
+            else (if (sb.fillBit) -1L else w))
+          sb.takeFill(1)
+        case (false, false) =>
+          val (wa, wb) = (sa.nextLiteral(), sb.nextLiteral())
+          out.addWord(if (isAnd) wa & wb else wa | wb)
+      }
+    }
+    out.result(math.max(a(0), b(0)))
+  }
+
+  /** Cursor over a serialized stream yielding fills and literal words; a
+    * stream shorter than its sibling reads as an endless zero fill (`done`
+    * flags the true end so [[combine]] stops at max length).
+    */
+  private final class EwahStream(words: Array[Long]) {
+    private val actual = words(1)
+    private var p = 0L        // marker index within the buffer
+    private var fill = 0L
+    private var fb = false
+    private var lits = 0L
+    private var lit = 0L      // buffer index of next literal
+    loadMarker()
+    private def loadMarker(): Unit =
+      if (p < actual) {
+        val m = words((3 + p).toInt)
+        fb = (m & 1L) == 1L
+        fill = (m >>> 1) & 0xFFFFFFFFL
+        lits = m >>> 33
+        lit = p + 1
+        p += 1 + lits
+        if (fill == 0 && lits == 0 && p < actual) loadMarker()
+      }
+    private def settle(): Unit =
+      if (fill == 0 && lits == 0 && p < actual) loadMarker()
+    def done: Boolean = { settle(); fill == 0 && lits == 0 && p >= actual }
+    def inFill: Boolean = { settle(); fill > 0 || done }
+    def fillLeft: Long = if (done) Long.MaxValue else fill
+    def fillBit: Boolean = if (done) false else fb
+    def takeFill(n: Long): Unit = if (!done) { fill -= n }
+    def nextLiteral(): Long = {
+      val w = words((3 + lit).toInt); lit += 1; lits -= 1; w
+    }
+  }
+
+  /** Greedy EWAH writer with javaewah's marker mechanics: one run + its
+    * literals per marker, polarity or literal-then-fill transitions open a
+    * new marker, all-zero/all-one literal words fold into fills.
+    */
+  private final class EwahBuilder {
+    private val buf = scala.collection.mutable.ArrayBuffer[Long](0L)
+    private var mPos = 0      // current marker index
+    private var runBit = false
+    private var runLen = 0L
+    private var nLits = 0L
+    private def newMarker(): Unit = {
+      mPos = buf.length; buf += 0L; runBit = false; runLen = 0L; nLits = 0L
+    }
+    private def writeMarker(): Unit =
+      buf(mPos) = (if (runBit) 1L else 0L) | (runLen << 1) | (nLits << 33)
+    def addFill(bit: Boolean, n0: Long): Unit = {
+      var n = n0
+      while (n > 0) {
+        if (nLits > 0 || (runLen > 0 && runBit != bit) ||
+            runLen >= MaxRun) newMarker()
+        if (runLen == 0) runBit = bit
+        val take = math.min(n, MaxRun - runLen)
+        runLen += take; n -= take
+        writeMarker()
+      }
+    }
+    def addWord(w: Long): Unit =
+      if (w == 0L) addFill(bit = false, 1)
+      else if (w == -1L) addFill(bit = true, 1)
+      else { nLits += 1; buf += w; writeMarker() }
+    def result(sizeinbits: Long): Array[Long] =
+      (Seq(sizeinbits, buf.length.toLong, grownCapacity(buf.length)) ++
+        buf :+ mPos.toLong).toArray
   }
 
   def decode(words: Array[Long]): RoaringBitmap = {

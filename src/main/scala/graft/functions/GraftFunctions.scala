@@ -102,6 +102,10 @@ object GraftFunctions {
     // answer for any query that buckets or samples by hash(). Overrides the
     // builtin (Sessions force-registers names in `overridesBuiltin`).
     reg("hash", classOf[HiveHash08], HiveHash08(_)),
+    // eval-time method resolution + instance methods (GenericUDFReflect):
+    // Spark's CallMethodViaReflection is static-only and fails ANALYSIS for
+    // a bogus method sitting in a never-taken CASE branch (udf_case.q)
+    reg("reflect", classOf[HiveReflect], es => HiveReflect(es)),
     reg("create_union", classOf[CreateNamedStruct], createUnionBuilder),
     // Hive-0.8 statistical names are POPULATION aggregates (GenericUDAFStd /
     // GenericUDAFVariance, FunctionRegistry.java:377-390: std = stddev =
@@ -233,12 +237,19 @@ object GraftFunctions {
     // replaced by the pruned buffer).
     reg("ngrams_topk", classOf[NGramsAgg],
       es => NGramsAgg(es(0), es(1), es(2)).toAggregateExpression()),
+    // the builtin names carry the reference's own output shape
+    // (array<struct<ngram: array<string>, estfrequency: double>> —
+    // udaf_ngrams.q does `.estfrequency`) and accept the sentences()
+    // nesting; the optional 4th precision-factor argument is subsumed by
+    // the pruned partial buffer (NGramKernel.PruneFactor)
     reg("ngrams", classOf[NGramsAgg],
-      es => NGramsAgg(es(0), es(1), es(2)).toAggregateExpression()),
+      es => NGramsAgg(es(0), es(1), es(2), hiveShape = true)
+        .toAggregateExpression()),
     reg("context_ngrams_topk", classOf[ContextNGramsAgg],
       es => ContextNGramsAgg(es(0), es(1), es(2)).toAggregateExpression()),
     reg("context_ngrams", classOf[ContextNGramsAgg],
-      es => ContextNGramsAgg(es(0), es(1), es(2)).toAggregateExpression()),
+      es => ContextNGramsAgg(es(0), es(1), es(2), hiveShape = true)
+        .toAggregateExpression()),
     // per-group top-k with a bounded partial buffer (extension): only
     // ~k rows per partition reach the shuffle, vs the window formulation
     // sorting every group row
@@ -350,7 +361,7 @@ object GraftFunctions {
     * bitmap bytes as garbage).
     */
   val overridesBuiltin: Set[String] = Set("hash", "bitmap_count", "split", "round",
-    "sqrt", "log", "unhex", "unix_timestamp",
+    "sqrt", "log", "unhex", "unix_timestamp", "reflect",
     "xpath", "xpath_string", "xpath_boolean", "xpath_short", "xpath_int",
     "xpath_long", "xpath_float", "xpath_double", "xpath_number",
     // Hive's std/stddev/variance are population; Spark's builtins are sample
@@ -399,9 +410,12 @@ object GraftFunctions {
 }
 
 /** `field(needle, v1..vn)`: 1-based index of the first vi equal to needle,
-  * else 0. All arguments must share the needle's type (callers cast).
-  * Cold-path lookup function → interpreted eval (CodegenFallback); the hot
-  * relational path never routes through it.
+  * else 0. Arguments may be HETEROGENEOUS (GenericUDFField accepts any
+  * primitive mix); a candidate of a different type simply never matches —
+  * udf_field.q's goldens pin `field('66', 66, 88) = 0` (no string↔numeric
+  * coercion) and `field(66, col_int, col_string) = 1` (the string column
+  * is skipped, not an error). Cold-path lookup function → interpreted eval
+  * (CodegenFallback); the hot relational path never routes through it.
   */
 case class Field(children: Seq[Expression])
     extends Expression with CodegenFallback {
@@ -411,18 +425,18 @@ case class Field(children: Seq[Expression])
     if (children.size < 2)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         "field() needs a needle and at least one candidate")
-    else if (children.exists(c => c.dataType != children.head.dataType))
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        "field() arguments must all have the needle's type")
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
   }
   override def eval(input: InternalRow): Any = {
     val needle = children.head.eval(input)
     if (needle == null) return 0
+    val needleType = children.head.dataType
     var i = 1
     while (i < children.size) {
-      val v = children(i).eval(input)
-      if (v != null && v == needle) return i
+      if (children(i).dataType == needleType) {
+        val v = children(i).eval(input)
+        if (v != null && v == needle) return i
+      }
       i += 1
     }
     0

@@ -149,9 +149,45 @@ object NGramKernel {
     StructField("ngram", StringType, nullable = false),
     StructField("freq", LongType, nullable = false))), containsNull = false)
 
+  /** The reference's own output shape (GenericUDAFnGrams.java:361 /
+    * GenericUDAFContextNGrams.java:424 terminate):
+    * `array<struct<ngram: array<string>, estfrequency: double>>` — grams as
+    * word arrays, counts as double estimates. The builtin `ngrams`/
+    * `context_ngrams` names present this shape (udaf_ngrams.q does
+    * `.estfrequency`); the graft `_topk` extension names keep the compact
+    * space-joined string + exact long count.
+    */
+  val hiveOutputType: DataType = ArrayType(StructType(Seq(
+    StructField("ngram", ArrayType(StringType, containsNull = false),
+      nullable = false),
+    StructField("estfrequency", DoubleType, nullable = false))),
+    containsNull = false)
+
   def toArrayData(top: Seq[NGramFreq]): GenericArrayData =
     new GenericArrayData(top.map(f =>
       InternalRow(UTF8String.fromString(f.ngram), f.freq)).toArray[Any])
+
+  def toHiveArrayData(top: Seq[NGramFreq]): GenericArrayData =
+    new GenericArrayData(top.map { f =>
+      val words = f.ngram.split(" ").map(w =>
+        UTF8String.fromString(w): Any)
+      InternalRow(new GenericArrayData(words), f.freq.toDouble)
+    }.toArray[Any])
+
+  /** Word sequences from an input value that is either `array<string>` or
+    * the sentences() shape `array<array<string>>` (grams never cross
+    * sentence boundaries — GenericUDAFnGrams.java iterate walks each inner
+    * list independently).
+    */
+  def wordSeqs(v: Any, nested: Boolean): Seq[IndexedSeq[String]] =
+    if (!nested) Seq(stringArray(v))
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      (0 until arr.numElements()).flatMap { i =>
+        if (arr.isNullAt(i)) None else Some(stringArray(arr.get(i,
+          ArrayType(StringType))))
+      }
+    }
 
   def stringArray(v: Any): IndexedSeq[String] = {
     val arr = v.asInstanceOf[ArrayData]
@@ -171,19 +207,28 @@ object NGramKernel {
   */
 case class NGramsAgg(
     words: Expression, nExpr: Expression, kExpr: Expression,
+    hiveShape: Boolean = false,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[NGramState] {
 
   override def children: Seq[Expression] = Seq(words, nExpr, kExpr)
   override def nullable: Boolean = false
-  override def dataType: DataType = NGramKernel.outputType
+  override def dataType: DataType =
+    if (hiveShape) NGramKernel.hiveOutputType else NGramKernel.outputType
+
+  private lazy val nestedWords = words.dataType match {
+    case ArrayType(ArrayType(StringType, _), _) => true
+    case _ => false
+  }
 
   override def checkInputDataTypes(): TypeCheckResult =
     (words.dataType, nExpr.dataType, kExpr.dataType) match {
       case (ArrayType(StringType, _), IntegerType, IntegerType) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(ArrayType(StringType, _), _), IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        "ngrams expects (array<string>, int, int)")
+        "ngrams expects (array<string> | array<array<string>>, int, int)")
     }
 
   override def createAggregationBuffer(): NGramState = new NGramState()
@@ -193,7 +238,8 @@ case class NGramsAgg(
     if (w != null) {
       val n = nExpr.eval(input).asInstanceOf[Int]
       s.k = math.max(s.k, kExpr.eval(input).asInstanceOf[Int])
-      NGramKernel.countNGrams(s, NGramKernel.stringArray(w), n)
+      NGramKernel.wordSeqs(w, nestedWords)
+        .foreach(NGramKernel.countNGrams(s, _, n))
       NGramKernel.prune(s)
     }
     s
@@ -202,7 +248,8 @@ case class NGramsAgg(
   override def merge(a: NGramState, b: NGramState): NGramState =
     NGramKernel.merge(a, b)
   override def eval(s: NGramState): Any =
-    NGramKernel.toArrayData(NGramKernel.finish(s))
+    if (hiveShape) NGramKernel.toHiveArrayData(NGramKernel.finish(s))
+    else NGramKernel.toArrayData(NGramKernel.finish(s))
   override def serialize(s: NGramState): Array[Byte] = NGramKernel.serialize(s)
   override def deserialize(bytes: Array[Byte]): NGramState =
     NGramKernel.deserialize(bytes)
@@ -221,30 +268,50 @@ case class NGramsAgg(
   */
 case class ContextNGramsAgg(
     words: Expression, pattern: Expression, kExpr: Expression,
+    hiveShape: Boolean = false,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[NGramState] {
 
   override def children: Seq[Expression] = Seq(words, pattern, kExpr)
   override def nullable: Boolean = false
-  override def dataType: DataType = NGramKernel.outputType
+  override def dataType: DataType =
+    if (hiveShape) NGramKernel.hiveOutputType else NGramKernel.outputType
+
+  private lazy val nestedWords = words.dataType match {
+    case ArrayType(ArrayType(StringType, _), _) => true
+    case _ => false
+  }
 
   override def checkInputDataTypes(): TypeCheckResult =
     (words.dataType, pattern.dataType, kExpr.dataType) match {
-      case (ArrayType(StringType, _), ArrayType(StringType, _), IntegerType) =>
+      case (ArrayType(StringType, _) | ArrayType(ArrayType(StringType, _), _),
+            ArrayType(StringType, _) | ArrayType(NullType, _), IntegerType) =>
         TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        "context_ngrams expects (array<string>, array<string>, int)")
+        "context_ngrams expects (array<string> | array<array<string>>, " +
+          "array<string>, int)")
     }
 
   override def createAggregationBuffer(): NGramState = new NGramState()
+
+  private lazy val nullPattern = pattern.dataType match {
+    case ArrayType(NullType, _) => true
+    case _ => false
+  }
 
   override def update(s: NGramState, input: InternalRow): NGramState = {
     val w = words.eval(input)
     val p = pattern.eval(input)
     if (w != null && p != null) {
-      val pat = NGramKernel.stringArray(p)
+      val pat =
+        if (nullPattern) // array(null[, null…]): every slot is a wildcard
+          IndexedSeq.fill[String](
+            p.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+              .numElements())(null)
+        else NGramKernel.stringArray(p)
       s.k = math.max(s.k, kExpr.eval(input).asInstanceOf[Int])
-      NGramKernel.countContext(s, NGramKernel.stringArray(w), pat, pat.length)
+      NGramKernel.wordSeqs(w, nestedWords)
+        .foreach(NGramKernel.countContext(s, _, pat, pat.length))
       NGramKernel.prune(s)
     }
     s
@@ -253,7 +320,8 @@ case class ContextNGramsAgg(
   override def merge(a: NGramState, b: NGramState): NGramState =
     NGramKernel.merge(a, b)
   override def eval(s: NGramState): Any =
-    NGramKernel.toArrayData(NGramKernel.finish(s))
+    if (hiveShape) NGramKernel.toHiveArrayData(NGramKernel.finish(s))
+    else NGramKernel.toArrayData(NGramKernel.finish(s))
   override def serialize(s: NGramState): Array[Byte] = NGramKernel.serialize(s)
   override def deserialize(bytes: Array[Byte]): NGramState =
     NGramKernel.deserialize(bytes)

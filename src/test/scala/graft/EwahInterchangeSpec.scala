@@ -72,8 +72,9 @@ class EwahInterchangeSpec extends SparkSpec {
   // ---- encode against the same hand-encoded streams ----
 
   test("encode: literals and gaps match the hand encoding") {
+    // word [2] is javaewah's buffer ALLOCATION (starts at 4, doubles)
     assert(EwahCodec.encode(rbOf(0, 2, 64)).toSeq ===
-      Seq[Long](65, 3, 3, 2L << 33, 5L, 1L, 0))
+      Seq[Long](65, 3, 4, 2L << 33, 5L, 1L, 0))
     assert(EwahCodec.encode(rbOf(0, 300)).toSeq ===
       Seq[Long](301, 4, 4, 1L << 33, 1L, (3L << 1) | (1L << 33), 1L << 44, 2))
   }
@@ -82,7 +83,7 @@ class EwahInterchangeSpec extends SparkSpec {
     val rb = new RoaringBitmap(); rb.add(0L, 128L); rb.add(200)
     // marker(ones-run 2, 0 lit) then marker(zero-run 1, 1 lit): bit 8 of word 3
     assert(EwahCodec.encode(rb).toSeq ===
-      Seq[Long](201, 3, 3, (2L << 1) | 1L, (1L << 1) | (1L << 33), 1L << 8, 1))
+      Seq[Long](201, 3, 4, (2L << 1) | 1L, (1L << 1) | (1L << 33), 1L << 8, 1))
   }
 
   test("encode: a stray bit near 2^31 stays O(cardinality)") {
@@ -139,15 +140,11 @@ class EwahInterchangeSpec extends SparkSpec {
     }
   }
 
-  test("golden: encode matches javaewah word-for-word except the alloc word") {
+  test("golden: encode matches javaewah word-for-word incl the alloc word") {
     golden.foreach { case (set, jar) =>
-      val ours = EwahCodec.encode(rbOf(set: _*)).toSeq
-      assert(ours.length === jar.length, s"golden $set: stream length")
-      // word [2] is javaewah's amortized buffer ALLOCATION (initial 4,
-      // grows 2×); ours is the tight actualsizeinwords — deserializers
-      // treat it as capacity, so any value ≥ actual interchanges
-      assert(ours.patch(2, Nil, 1) === jar.patch(2, Nil, 1), s"golden $set")
-      assert(jar(2) >= ours(2), s"golden $set: alloc < actual")
+      // word-for-word INCLUDING the alloc word: encode reproduces
+      // javaewah's buffer-growth rule (max(4, doubling) >= actual)
+      assert(EwahCodec.encode(rbOf(set: _*)).toSeq === jar, s"golden $set")
     }
   }
 

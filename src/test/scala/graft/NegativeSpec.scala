@@ -14,10 +14,13 @@ class NegativeSpec extends SparkSpec {
     assert(e.getMessage.toUpperCase.contains("SYNTAX"))
   }
 
-  test("field() rejects mixed argument types at analysis time") {
-    val e = intercept[AnalysisException](
-      spark.range(1).selectExpr("field('a', 'b', 3)").collect())
-    assert(e.getMessage.contains("needle's type"), e.getMessage)
+  test("field() accepts mixed argument types; off-type candidates never match") {
+    // GenericUDFField takes any primitive mix — udf_field.q goldens pin
+    // field('66', 66, 88) = 0 (no coercion) rather than an analysis error
+    assert(spark.range(1).selectExpr("field('a', 'b', 3, 'a')")
+      .head().getInt(0) === 3)
+    assert(spark.range(1).selectExpr("field('3', 3, '4')")
+      .head().getInt(0) === 0)
   }
 
   test("field() rejects a lone needle") {

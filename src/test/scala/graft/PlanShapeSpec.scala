@@ -89,6 +89,8 @@ class PlanShapeSpec extends SparkSpec {
       "q428_qf_ppd_udf_case", // ppd_udf_case.q self-joins srcpart — the
                               // equi key-join is hashed; the flagged join
                               // is srcpart's own VALUES side (as q215)
+      "q478_qf_udaf_percentile_approx", // 1-row approx-aggregate row joined
+                              // to the 1-row exact-percentile row (as q45)
       "q274_qf_udf_coalesce", // 1-row constant select joined to the 11-row
                               // thrift fixture for a single result set
       "q275_qf_udf_in",       // same 1-row constant-battery join shape
