@@ -83,6 +83,13 @@ object HiveQl {
   // parens/commas, so the list is split depth-aware in [[replaceColumns]]
   private val ReplaceCols =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+REPLACE\s+COLUMNS\s*\((.*)\)\s*;?\s*$""".r
+  // ALTER TABLE t ADD COLUMNS (a int, ...) (same alterStatementSuffixAddCol
+  // without KW_REPLACE): append to the data schema, files unchanged —
+  // readers null-fill the new tail (input3.q). Intercepted because Spark's
+  // native ALTER ADD COLUMNS refuses custom-FileFormat tables (hivetext &
+  // co), where the reference's textfile tables accept it.
+  private val AddCols =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMNS\s*\((.*)\)\s*;?\s*$""".r
   // ALTER TABLE t CHANGE [COLUMN] old new TYPE [COMMENT '..'] [FIRST|AFTER c]
   // (Hive.g alterStatementSuffixRenameCol → TOK_ALTERTABLE_RENAMECOL;
   // AlterTableDesc RENAMECOLUMN): rename + retype + reorder in one step
@@ -289,7 +296,14 @@ object HiveQl {
       val inFmt =
         if (RowFmtTailRe.pattern.matcher(m.before.toString).matches()) ""
         else TabFmt + " "
-      val asClause = Option(m.group(2)).getOrElse("")
+      // an UNPARENTHESIZED `AS a, b` followed by a row format fails to
+      // parse in the multi-insert REDUCE position (input20.q's shape) —
+      // parenthesize it, which is valid everywhere
+      val asClause = Option(m.group(2)).map { a =>
+        val inner = "(?is)^\\s+AS\\s+(?!\\()(.*)$".r
+        inner.findFirstMatchIn(a)
+          .map(mm => s" AS (${mm.group(1).trim})").getOrElse(a)
+      }.getOrElse("")
       val outFmt =
         if (m.after.toString.matches("(?is)\\s*(ROW\\s+FORMAT|RECORDREADER)\\b.*")) ""
         else " " + TabFmt
@@ -364,12 +378,44 @@ object HiveQl {
       if (!v.matches("-?\\d+")) None
       else try Some((java.lang.Byte.parseByte(v) & 0xFF).toChar)
       catch { case _: NumberFormatException => Some(v.charAt(0)) }
+    // these literals never reach Spark's lexer (they're consumed by the
+    // rewrite), so HiveQL's string escapes must be decoded here: octal
+    // ('\012' = \n, input4_cb_delim.q) and the letter escapes
+    def unescDelim(v: String): String =
+      if (!v.contains("\\")) v
+      else {
+        val sb = new StringBuilder
+        var i = 0
+        while (i < v.length) {
+          val c = v.charAt(i)
+          if (c == '\\' && i + 1 < v.length) {
+            val n = v.charAt(i + 1)
+            if (n >= '0' && n <= '7') {
+              var j = i + 1
+              var code = 0
+              while (j < v.length && j < i + 4 &&
+                  v.charAt(j) >= '0' && v.charAt(j) <= '7') {
+                code = code * 8 + (v.charAt(j) - '0'); j += 1
+              }
+              sb += code.toChar; i = j
+            } else {
+              sb += (n match {
+                case 't' => '\t'; case 'n' => '\n'; case 'r' => '\r'
+                case other => other
+              })
+              i += 2
+            }
+          } else { sb += c; i += 1 }
+        }
+        sb.toString
+      }
     def sepOption(placeholder: String, digits: String): String = {
-      val v = lit(digits)
-      byteCodeChar(v).map(c => s"'$c'").getOrElse(placeholder)
+      val v = unescDelim(lit(digits))
+      byteCodeChar(v).map(c => s"'$c'")
+        .getOrElse(if (v == lit(digits)) placeholder else s"'$v'")
     }
     def delimChar(digits: String): String = {
-      val v = lit(digits)
+      val v = unescDelim(lit(digits))
       byteCodeChar(v).map(_.toString).getOrElse(v)
     }
     // RegexSerDe first: its WITH SERDEPROPERTIES form must not fall into
@@ -404,9 +450,16 @@ object HiveQl {
       else java.util.regex.Matcher.quoteReplacement(
         s"USING graft.sources.HiveTextSource OPTIONS (sep ${sepOption(m.group(1), m.group(2))})")
     })
-    val delim = DelimitedBare.replaceAllIn(delimFull, m =>
-      java.util.regex.Matcher.quoteReplacement(
-        s"USING graft.sources.HiveTextSource OPTIONS (sep ${sepOption(m.group(1), m.group(2))})"))
+    // CREATE-only: the bare end-of-statement DELIMITED clause is the
+    // tableRowFormat position. A TRANSFORM's trailing output row format
+    // ends statements too (defaultTransformTabDelims inserts one), and the
+    // dialect-parser layering re-runs this rewrite on already-rewritten
+    // text — matching there would corrupt the script clause.
+    val delim =
+      if (!delimFull.matches("(?is)^\\s*CREATE\\s.*")) delimFull
+      else DelimitedBare.replaceAllIn(delimFull, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          s"USING graft.sources.HiveTextSource OPTIONS (sep ${sepOption(m.group(1), m.group(2))})"))
     val noSerde = RowFormatSerde.replaceAllIn(delim, m =>
       if (lit(m.group(1)).matches(""".*(ColumnarSerDe|LazySimpleSerDe)""")) ""
       else m.matched)
@@ -1200,7 +1253,7 @@ object HiveQl {
     * data schema wholesale (partition columns untouched).
     */
   private def replaceColumns(spark: SparkSession, table: String,
-      colsText: String): Unit = {
+      colsText: String, append: Boolean = false): Unit = {
     val parts = table.split('.')
     val ti =
       if (parts.length > 1)
@@ -1219,8 +1272,13 @@ object HiveQl {
       org.apache.spark.sql.types.StructField(bits(0),
         spark.sessionState.sqlParser.parseDataType(bits(1)), nullable = true)
     }
+    val dataFields =
+      if (append) {
+        val partNames = meta.partitionSchema.fieldNames.toSet
+        meta.schema.fields.filterNot(f => partNames(f.name)).toSeq ++ fields
+      } else fields.toSeq
     cat.alterTable(meta.copy(schema = org.apache.spark.sql.types.StructType(
-      fields.toSeq ++ meta.partitionSchema.fields)))
+      dataFields ++ meta.partitionSchema.fields)))
     spark.catalog.refreshTable(table)
   }
 
@@ -1247,6 +1305,8 @@ object HiveQl {
           deferred != null, Option(comment)))
       case ReplaceCols(table, cols) =>
         Some(s => replaceColumns(s, table, cols))
+      case AddCols(table, cols) =>
+        Some(s => replaceColumns(s, table, cols, append = true))
       case ChangeCol(table, oldName, newName, typeStr, comment, pos) =>
         Some(s => changeColumn(s, table, oldName, newName, typeStr,
           Option(comment), Option(pos)))

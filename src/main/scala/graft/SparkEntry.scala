@@ -23,6 +23,7 @@ object SparkEntry {
     operators.QFileParity3,
     operators.QFileParity4,
     operators.QFileParity5,
+    operators.QFileParity6,
     operators.Indexes,
     operators.ScaleOps,
     streaming.Streaming)

@@ -91,6 +91,10 @@ class PlanShapeSpec extends SparkSpec {
                               // is srcpart's own VALUES side (as q215)
       "q478_qf_udaf_percentile_approx", // 1-row approx-aggregate row joined
                               // to the 1-row exact-percentile row (as q45)
+      "q528_qf_input42",      // srcpart's 4-row (ds,hr) VALUES side (as q215)
+      "q533_qf_input_part0",  // srcpart VALUES side (as q215)
+      "q534_qf_input_part3",  // srcpart VALUES side (as q215)
+      "q537_qf_input_part7",  // srcpart VALUES side, both union legs (as q215)
       "q274_qf_udf_coalesce", // 1-row constant select joined to the 11-row
                               // thrift fixture for a single result set
       "q275_qf_udf_in",       // same 1-row constant-battery join shape
