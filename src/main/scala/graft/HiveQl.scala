@@ -145,7 +145,7 @@ object HiveQl {
   // each row lands in floor(rand()*y); keep bucket x-1. y = 1 is the
   // degenerate full sample.
   private val TableSampleRand =
-    """(?i)([\w.]+)\s+TABLESAMPLE\s*\(\s*BUCKET\s+(\d+)\s+OUT\s+OF\s+(\d+)\s+ON\s+rand\s*\(\s*\)\s*\)(\s+(?:AS\s+)?(\w+))?""".r
+    """(?i)([\w.]+)\s+TABLESAMPLE\s*\(\s*BUCKET\s+(\d+)\s+OUT\s+OF\s+(\d+)\s+ON\s+rand\s*\(\s*(\d*)\s*\)\s*\)(\s+(?:AS\s+)?(\w+))?""".r
   // BUCKET x OUT OF y with NO ON-clause — "default table sample columns"
   // (Hive.g tableSample; SemanticAnalyzer.java:6240-6262): sample on the
   // TABLE'S bucket columns, error on a non-bucketed table. Needs the
@@ -327,6 +327,8 @@ object HiveQl {
   private val RegexSerdeCreate =
     ("""(?is)ROW\s+FORMAT\s+SERDE\s+(\d+)\s+WITH\s+SERDEPROPERTIES\s*""" +
       """\(([^)]*)\)(?:\s+STORED\s+AS\s+TEXTFILE\b)?""").r
+  private val TestSerdeBare =
+    ("""(?is)ROW\s+FORMAT\s+SERDE\s+(\d+)\s+(?:STORED\s+AS\s+TEXTFILE\b)""").r
   private val SerdePropPair = """(\d+)\s*=\s*(\d+)""".r
 
   // `STORED AS INPUTFORMAT '...' OUTPUTFORMAT '...'` (Hive.g:1171-1176
@@ -439,7 +441,31 @@ object HiveQl {
         java.util.regex.Matcher.quoteReplacement(
           s"USING graft.sources.HiveRegexSource OPTIONS ($opts)")
       })
-    val delimFull = DelimitedText.replaceAllIn(regexed, m => {
+    // the reference's TestSerDe (ql/src/test/.../TestSerDe.java:83-95):
+    // LazySimpleSerDe semantics with a DEFAULT Ctrl-B separator,
+    // overridable through the `testserde.default.serialization.format`
+    // serde property (byte-code or literal, as LazySimpleSerDe.getByte) —
+    // input16.q/input16_cc.q ADD JAR it; the engine maps the class to
+    // hivetext with the resolved separator
+    val tested = RegexSerdeCreate.replaceAllIn(regexed, m =>
+      if (!lit(m.group(1)).endsWith("serde2.TestSerDe")) m.matched
+      else {
+        val sep = Option(m.group(2)).flatMap(props =>
+          SerdePropPair.findAllMatchIn(props).collectFirst {
+            case pm if lit(pm.group(1)) == "testserde.default.serialization.format" =>
+              val v = unescDelim(lit(pm.group(2)))
+              byteCodeChar(v).map(_.toString).getOrElse(v)
+          }).getOrElse("")
+        java.util.regex.Matcher.quoteReplacement(
+          s"USING graft.sources.HiveTextSource OPTIONS (sep '$sep')")
+      })
+    // prop-less TestSerDe spelling (input16.q): SERDE '...' STORED AS TEXTFILE
+    val noPropsTestSerde = TestSerdeBare.replaceAllIn(tested, m =>
+      if (lit(m.group(1)).endsWith("serde2.TestSerDe"))
+        java.util.regex.Matcher.quoteReplacement(
+          "USING graft.sources.HiveTextSource OPTIONS (sep '\u0002')")
+      else m.matched)
+    val delimFull = DelimitedText.replaceAllIn(noPropsTestSerde, m => {
       // collection/map-key/line delimiters other than the engine's fixed
       // LazySimpleSerDe levels (\x02 / \x03 / \n) are unsupported --
       // leave the statement for the delegate parser to reject loudly
@@ -603,12 +629,13 @@ object HiveQl {
     val hinted = MapJoin.replaceAllIn(noStream, m => s"/*+ BROADCAST(${m.group(1)}) */")
     val randSampled = TableSampleRand.replaceAllIn(hinted, m => {
       val (tbl, x, y) = (m.group(1), m.group(2).toInt, m.group(3).toInt)
-      val explicit = Option(m.group(5)).filterNot(a => NotAnAlias(a.toUpperCase))
+      val seed = m.group(4) // optional: ON rand(460476415) — test-mode's seed
+      val explicit = Option(m.group(6)).filterNot(a => NotAnAlias(a.toUpperCase))
       val alias = explicit.getOrElse(tbl.split('.').last)
-      val trailer = if (m.group(4) != null && explicit.isEmpty) m.group(4) else ""
+      val trailer = if (m.group(5) != null && explicit.isEmpty) m.group(5) else ""
       val body =
         if (y == 1) s"SELECT * FROM $tbl"
-        else s"SELECT * FROM $tbl WHERE floor(rand() * $y) = ${x - 1}"
+        else s"SELECT * FROM $tbl WHERE floor(rand($seed) * $y) = ${x - 1}"
       s"($body) $alias$trailer"
     })
     val sampled = TableSample.replaceAllIn(randSampled, m => {
@@ -846,6 +873,53 @@ object HiveQl {
     unmaskLiterals(masked, newLits)
   }
 
+  /** hive.test.mode (BaseSemanticAnalyzer.java:626-630 + SemanticAnalyzer
+    * .java:6314-6360, input30-32.q): INSERT target table names get
+    * hive.test.mode.prefix prepended, and every scanned table whose name
+    * is not on hive.test.mode.nosamplelist is sampled — BUCKET 1 OUT OF
+    * numBuckets (input pruning) when the table is bucketed, else BUCKET 1
+    * OUT OF hive.test.mode.samplefreq ON rand(460476415) (the reference's
+    * fixed test-mode seed). Fires only under the conf, so the FROM/JOIN
+    * table-name rewrite stays off every normal path.
+    */
+  private def applyTestMode(spark: SparkSession, q: String): String = {
+    if (!spark.conf.getOption("hive.test.mode")
+        .exists(_.trim.equalsIgnoreCase("true"))) return q
+    val prefix = spark.conf.getOption("hive.test.mode.prefix").getOrElse("test_")
+    val freq = spark.conf.getOption("hive.test.mode.samplefreq")
+      .map(_.trim.toInt).getOrElse(32)
+    val noSample = spark.conf.getOption("hive.test.mode.nosamplelist")
+      .getOrElse("").split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
+    val (masked, lits) =
+      try maskLiterals(q) catch { case _: IllegalArgumentException => return q }
+    // 1. dest redirect: INSERT OVERWRITE/INTO TABLE t -> prefix+t
+    val destRe =
+      """(?is)\b(INSERT\s+(?:OVERWRITE|INTO)\s+TABLE\s+)([\w.]+)""".r
+    val redirected = destRe.replaceAllIn(masked, m =>
+      java.util.regex.Matcher.quoteReplacement(s"${m.group(1)}$prefix${m.group(2)}"))
+    // 2. source sampling: FROM/JOIN <existing table not in nosamplelist>
+    val srcRe = """(?is)\b(FROM|JOIN)\s+([A-Za-z_]\w*)\b(?!\s*TABLESAMPLE)""".r
+    val sampled = srcRe.replaceAllIn(redirected, m => {
+      val name = m.group(2)
+      val lower = name.toLowerCase
+      val keep = noSample(lower) || !spark.catalog.tableExists(name) ||
+        lower.startsWith(prefix.toLowerCase)
+      if (keep) m.matched
+      else {
+        val buckets = scala.util.Try(spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+          .bucketSpec.map(_.numBuckets)).toOption.flatten
+        val sampleClause = buckets match {
+          case Some(n) if n > 0 => s"TABLESAMPLE (BUCKET 1 OUT OF $n)"
+          case _ => s"TABLESAMPLE (BUCKET 1 OUT OF $freq ON rand(460476415))"
+        }
+        java.util.regex.Matcher.quoteReplacement(
+          s"${m.group(1)} $name $sampleClause")
+      }
+    })
+    unmaskLiterals(sampled, lits)
+  }
+
   def sql(spark: SparkSession, rawQ: String): DataFrame = {
     // bashSafeScriptArgs runs OUTERMOST: it introduces escaped quotes into
     // USING literals that the other TRANSFORM passes' `[^']+` matchers
@@ -853,7 +927,8 @@ object HiveQl {
     val q = bashSafeScriptArgs(absorbTransformRemainder(spark,
       wrapPartialConsumption(spark, injectScriptEnv(spark,
         resolveScriptPaths(spark,
-          resolveDefaultSampleCols(spark, substituteVars(spark, rawQ)))))))
+          resolveDefaultSampleCols(spark,
+            applyTestMode(spark, substituteVars(spark, rawQ))))))))
     // Driver.doAuthorization layering: enforce before execution on every
     // entry point that funnels through this driver analogue (no-op unless
     // hive.security.authorization.enabled)

@@ -38,6 +38,11 @@ object Sessions {
       // it — it rewrites anything unresolved to empty string and doesn't
       // know the hivevar: namespace.
       .config("spark.sql.variable.substitute", "false")
+      // Hive's dynamic-partition INSERT OVERWRITE replaces ONLY the
+      // partitions the query writes (load_dyn_part4.q: a pre-seeded
+      // partition survives a full-dynamic overwrite); Spark's default
+      // `static` mode truncates the whole table first.
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")

@@ -24,6 +24,9 @@ object SparkEntry {
     operators.QFileParity4,
     operators.QFileParity5,
     operators.QFileParity6,
+    operators.QFileParity7,
+    operators.QFileParity8,
+    operators.QFileParity9,
     operators.Indexes,
     operators.ScaleOps,
     streaming.Streaming)

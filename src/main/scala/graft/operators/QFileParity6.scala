@@ -25,7 +25,7 @@ object QFileParity6 extends QueryModule {
     * `# Partition Information` section rows dropped and the partition
     * columns deduped (Hive 0.8 lists every column exactly once).
     */
-  private def describeRows(s: SparkSession, table: String, stage: Int): DataFrame = {
+  private[operators] def describeRows(s: SparkSession, table: String, stage: Int): DataFrame = {
     // Hive 0.8 lower-cases identifiers in DESCRIBE output (the goldens
     // show `a int` for `CREATE TABLE t(A INT)`); Spark echoes as-declared
     val rows = HiveQl.sql(s, s"DESCRIBE $table").collect()

@@ -42,7 +42,14 @@ class HiveRCSource extends FileFormat with DataSourceRegister with Serializable 
          DoubleType | FloatType | BooleanType | DateType | TimestampType |
          BinaryType => true
     case _: DecimalType => true
-    case _ => false // nested: HiveText.encodeNested over STRING columns
+    // complex columns ride the same LazySimpleSerDe separator ladder the
+    // reference's ColumnarSerDe uses per column blob
+    // (input_columnarserde.q's array/map columns) — the shared
+    // HiveTextSource codec below handles them recursively
+    case ArrayType(et, _) => supportDataType(et)
+    case MapType(kt, vt, _) => supportDataType(kt) && supportDataType(vt)
+    case StructType(fs) => fs.forall(f => supportDataType(f.dataType))
+    case _ => false
   }
 
   override def prepareWrite(sparkSession: SparkSession, job: Job,

@@ -95,6 +95,8 @@ class PlanShapeSpec extends SparkSpec {
       "q533_qf_input_part0",  // srcpart VALUES side (as q215)
       "q534_qf_input_part3",  // srcpart VALUES side (as q215)
       "q537_qf_input_part7",  // srcpart VALUES side, both union legs (as q215)
+      "q559_qf_rand_partitionpruner3", // 1-row sampled count × 1-row exact
+                              // count verdict join (as q45) over srcpart
       "q274_qf_udf_coalesce", // 1-row constant select joined to the 11-row
                               // thrift fixture for a single result set
       "q275_qf_udf_in",       // same 1-row constant-battery join shape
