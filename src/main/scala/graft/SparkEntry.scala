@@ -27,6 +27,7 @@ object SparkEntry {
     operators.QFileParity7,
     operators.QFileParity8,
     operators.QFileParity9,
+    operators.QFileParity10,
     operators.Indexes,
     operators.ScaleOps,
     streaming.Streaming)

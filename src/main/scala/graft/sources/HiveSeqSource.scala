@@ -63,7 +63,8 @@ class HiveSeqSource extends FileFormat with DataSourceRegister with Serializable
       override def getFileExtension(context: TaskAttemptContext): String = ".seq"
       override def newInstance(path: String, dataSchema: StructType,
           context: TaskAttemptContext): OutputWriter =
-        new HiveSeqOutputWriter(path, dataSchema, context, codec, ctype)
+        new HiveSeqOutputWriter(path, dataSchema, context, codec, ctype,
+          options.getOrElse("sep", HiveText.FieldDelim))
     }
   }
 
@@ -74,6 +75,9 @@ class HiveSeqSource extends FileFormat with DataSourceRegister with Serializable
     val fieldIdx = requiredSchema.fields.map(f => dataSchema.fieldIndex(f.name))
     val fieldTypes = requiredSchema.fields.map(_.dataType)
     val nRequired = fieldIdx.length
+    // ROW FORMAT DELIMITED FIELDS TERMINATED BY over SEQUENCEFILE
+    // (create_1.q's table4): the delimiter applies to the Text value rows
+    val sep = options.getOrElse("sep", HiveText.FieldDelim)
 
     (file: PartitionedFile) => {
       val lines: Iterator[String] =
@@ -117,7 +121,7 @@ class HiveSeqSource extends FileFormat with DataSourceRegister with Serializable
               file.start + file.length)
         }
       lines.map { line =>
-        val parts = line.split(HiveText.FieldDelim, -1)
+        val parts = line.split(java.util.regex.Pattern.quote(sep), -1)
         val row = new GenericInternalRow(nRequired)
         var i = 0
         while (i < nRequired) {
@@ -252,7 +256,8 @@ object HiveSeqSource {
 private class HiveSeqOutputWriter(val path: String, dataSchema: StructType,
     context: TaskAttemptContext,
     codec: Option[Class[_ <: org.apache.hadoop.io.compress.CompressionCodec]] = None,
-    ctype: SequenceFile.CompressionType = SequenceFile.CompressionType.NONE)
+    ctype: SequenceFile.CompressionType = SequenceFile.CompressionType.NONE,
+    sep: String = HiveText.FieldDelim)
     extends OutputWriter {
   private val writer = SequenceFile.createWriter(context.getConfiguration,
     (Seq(SequenceFile.Writer.file(new Path(path)),
@@ -270,7 +275,7 @@ private class HiveSeqOutputWriter(val path: String, dataSchema: StructType,
     sb.setLength(0)
     var i = 0
     while (i < types.length) {
-      if (i > 0) sb.append(HiveText.FieldDelim)
+      if (i > 0) sb.append(sep)
       if (row.isNullAt(i)) sb.append(HiveText.NullSequence)
       else sb.append(HiveTextSource.encode(row, i, types(i)))
       i += 1

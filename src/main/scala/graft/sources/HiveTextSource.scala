@@ -61,6 +61,7 @@ class HiveTextSource extends FileFormat with DataSourceRegister with Serializabl
     // ROW FORMAT DELIMITED FIELDS TERMINATED BY '<d>' (LazySimpleSerDe's
     // configurable separator — ctas.q's comma tables); default ^A
     val sep = options.getOrElse("sep", HiveText.FieldDelim)
+    val esc = options.get("esc").filter(_.nonEmpty).map(_.charAt(0))
     val nullSeq = options.getOrElse("nullvalue", HiveText.NullSequence)
     // compressed writes (HiveIgnoreKeyTextOutputFormat.java honors
     // mapred.output.compress/.compression.codec): a `compression` write
@@ -76,7 +77,7 @@ class HiveTextSource extends FileFormat with DataSourceRegister with Serializabl
           .getOrElse("")
       override def newInstance(path: String, dataSchema: StructType,
           context: TaskAttemptContext): OutputWriter =
-        new HiveTextOutputWriter(path, dataSchema, context, sep, nullSeq, codec)
+        new HiveTextOutputWriter(path, dataSchema, context, sep, nullSeq, codec, esc)
     }
   }
 
@@ -90,6 +91,7 @@ class HiveTextSource extends FileFormat with DataSourceRegister with Serializabl
     val fieldTypes = requiredSchema.fields.map(_.dataType)
     val nRequired = fieldIdx.length
     val sep = options.getOrElse("sep", HiveText.FieldDelim)
+    val esc = options.get("esc").filter(_.nonEmpty).map(_.charAt(0))
     val nullSeq = options.getOrElse("nullvalue", HiveText.NullSequence)
 
     (file: PartitionedFile) => {
@@ -114,7 +116,10 @@ class HiveTextSource extends FileFormat with DataSourceRegister with Serializabl
           ready = false
           val line = reader.getCurrentValue.toString
           // -1: trailing empty fields are real empty strings
-          val parts = line.split(java.util.regex.Pattern.quote(sep), -1)
+          val parts = esc match {
+            case Some(e) => HiveTextSource.escapedSplit(line, sep, e)
+            case None => line.split(java.util.regex.Pattern.quote(sep), -1)
+          }
           val row = new GenericInternalRow(nRequired)
           var i = 0
           while (i < nRequired) {
@@ -122,9 +127,12 @@ class HiveTextSource extends FileFormat with DataSourceRegister with Serializabl
             // a short row leaves trailing columns null (LazyStruct:
             // "missing fields are null")
             val raw = if (src < parts.length) parts(src) else null
+            // the null sequence is checked against the RAW bytes (Lazy-
+            // SimpleSerDe writes \N unescaped); escapes strip AFTERWARD
             row.update(i,
               if (raw == null || raw == nullSeq) null
-              else HiveTextSource.decode(raw, fieldTypes(i)))
+              else HiveTextSource.decode(esc.fold(raw)(e =>
+                HiveTextSource.unescapeCell(raw, e)), fieldTypes(i)))
             i += 1
           }
           row
@@ -270,6 +278,62 @@ object HiveTextSource {
       case BinaryType => new String(v.asInstanceOf[Array[Byte]], "UTF-8")
       case _ => v.toString
     }
+
+  /** LazySimpleSerDe escape semantics (ESCAPED BY, create_escape.q):
+    * serialize prefixes the escape char before any in-field separator or
+    * escape byte; deserialize splits only at UNESCAPED separators and
+    * strips the escapes.
+    */
+  def escapeCell(cell: String, sep: String, esc: Char): String = {
+    val sepC = sep.charAt(0)
+    if (cell.indexOf(sepC) < 0 && cell.indexOf(esc) < 0) cell
+    else {
+      val sb = new java.lang.StringBuilder(cell.length + 4)
+      var i = 0
+      while (i < cell.length) {
+        val c = cell.charAt(i)
+        if (c == sepC || c == esc) sb.append(esc)
+        sb.append(c)
+        i += 1
+      }
+      sb.toString
+    }
+  }
+
+  /** Split at UNESCAPED separators, keeping the escape bytes in place —
+    * the \N null check compares raw field bytes before unescaping.
+    */
+  def escapedSplit(line: String, sep: String, esc: Char): Array[String] = {
+    val sepC = sep.charAt(0)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (c == esc && i + 1 < line.length) {
+        sb.append(c).append(line.charAt(i + 1)); i += 2
+      }
+      else if (c == sepC) { out += sb.toString; sb.setLength(0); i += 1 }
+      else { sb.append(c); i += 1 }
+    }
+    out += sb.toString
+    out.toArray
+  }
+
+  def unescapeCell(cell: String, esc: Char): String =
+    if (cell.indexOf(esc) < 0) cell
+    else {
+      val sb = new java.lang.StringBuilder(cell.length)
+      var i = 0
+      while (i < cell.length) {
+        val c = cell.charAt(i)
+        if (c == esc && i + 1 < cell.length) {
+          sb.append(cell.charAt(i + 1)); i += 2
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+
 }
 
 /** Executor-side writer: one -joined line per row, nulls as \N —
@@ -277,7 +341,8 @@ object HiveTextSource {
   */
 private class HiveTextOutputWriter(val path: String, dataSchema: StructType,
     context: TaskAttemptContext, sep: String, nullSeq: String,
-    codec: Option[Class[_ <: org.apache.hadoop.io.compress.CompressionCodec]] = None)
+    codec: Option[Class[_ <: org.apache.hadoop.io.compress.CompressionCodec]] = None,
+    esc: Option[Char] = None)
     extends OutputWriter {
   private val out: java.io.OutputStream = {
     val p = new Path(path)
@@ -297,7 +362,13 @@ private class HiveTextOutputWriter(val path: String, dataSchema: StructType,
     while (i < types.length) {
       if (i > 0) sb.append(sep)
       if (row.isNullAt(i)) sb.append(nullSeq)
-      else sb.append(HiveTextSource.encode(row, i, types(i)))
+      else {
+        val cell = HiveTextSource.encode(row, i, types(i))
+        esc match {
+          case Some(e) => sb.append(HiveTextSource.escapeCell(cell, sep, e))
+          case None => sb.append(cell)
+        }
+      }
       i += 1
     }
     sb.append('\n')
