@@ -103,6 +103,12 @@ object HiveQl {
   // post-rename partition reads come back empty) - repoint them
   private val AlterRename =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*;?\s*$""".r
+  // ALTER TABLE t DROP [IF EXISTS] PARTITION (spec): Hive drops EVERY
+  // partition matching a PARTIAL spec (drop_multi_partitions.q's
+  // (b='1') takes both (1,1) and (1,2)); Spark requires the full spec
+  private val AlterDropPartition =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+(IF\s+EXISTS\s+)?""" +
+      """PARTITION\s*\(([^)]*)\)\s*;?\s*$""").r
   // ALTER TABLE t NOT CLUSTERED (alterStatementSuffixClusterbySortby,
   // alter4.q): drop the bucket spec, files unchanged
   private val AlterNotClustered =
@@ -1464,6 +1470,24 @@ object HiveQl {
             if (fixed.nonEmpty) cat.alterPartitions(newTi, fixed)
             s.catalog.refreshTable(newName)
           }
+        }
+      case AlterDropPartition(table, ifExists, specText) =>
+        Some { s =>
+          val cat = s.sessionState.catalog
+          val ti = org.apache.spark.sql.catalyst.TableIdentifier(table)
+          val spec = sources.HiveExim.parsePartSpec(specText)
+            .collect { case (k, Some(v)) => k -> v }.toMap
+          val partCols = cat.getTableMetadata(ti).partitionColumnNames
+          val partial = spec.size < partCols.size
+          val matching =
+            if (!partial) Seq(spec)
+            else cat.listPartitions(ti, Some(spec)).map(_.spec)
+          if (matching.isEmpty) {
+            if (ifExists == null) throw new IllegalArgumentException(
+              s"Partition not found: $specText")
+          } else cat.dropPartitions(ti, matching, ignoreIfNotExists =
+            ifExists != null, purge = false, retainData = false)
+          s.catalog.refreshTable(table)
         }
       case AlterNotClustered(table) =>
         Some { s =>

@@ -28,6 +28,7 @@ object SparkEntry {
     operators.QFileParity8,
     operators.QFileParity9,
     operators.QFileParity10,
+    operators.QFileParity11,
     operators.Indexes,
     operators.ScaleOps,
     streaming.Streaming)
