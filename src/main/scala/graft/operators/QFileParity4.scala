@@ -268,18 +268,24 @@ object QFileParity4 extends QueryModule {
                      false AS c5, false AS c6, false AS c7, false AS c8""")),
 
     // ---- clientpositive/udf_split.q: raw String.split semantics incl.
-    //      NUMERIC args coerced through their string form
+    //      NUMERIC args coerced through their string form. Outputs are
+    //      JSON-stringified on both sides: the driver's pandas sorter
+    //      cannot hash list cells (r12 verdict), so no registry query may
+    //      emit nested columns.
     QueryDef(
       "q445_qf_udf_split",
       (s, dir) => {
         fixtures(s, dir)
         HiveQl.sql(s,
-          """SELECT split('a b c', ' ') AS c1, split('oneAtwoBthreeC', '[ABC]') AS c2,
-               split('', '.') AS c3, split(50401020, 0) AS c4
+          """SELECT to_json(split('a b c', ' ')) AS c1,
+               to_json(split('oneAtwoBthreeC', '[ABC]')) AS c2,
+               to_json(split('', '.')) AS c3, to_json(split(50401020, 0)) AS c4
              FROM src LIMIT 1""")
       },
-      Some("""SELECT ['a','b','c'] AS c1, ['one','two','three'] AS c2,
-                     CAST([] AS VARCHAR[]) AS c3, ['5','4','1','2'] AS c4""")),
+      Some("""SELECT to_json(['a','b','c'])::VARCHAR AS c1,
+                     to_json(['one','two','three'])::VARCHAR AS c2,
+                     to_json(CAST([] AS VARCHAR[]))::VARCHAR AS c3,
+                     to_json(['5','4','1','2'])::VARCHAR AS c4""")),
 
     // ---- clientpositive/udf_unhex.q: STRING result, odd-length pad,
     //      non-hex input → NULL
@@ -649,7 +655,7 @@ object QFileParity4 extends QueryModule {
         }
         rows.reduce(_ union _).orderBy("stage")
       },
-      Some("""SELECT stage, b, ti, si, iv, bi, f::DOUBLE AS f, d::DOUBLE AS d, str
+      Some("""SELECT stage, b, ti, si, iv, bi, f::FLOAT4 AS f, d::DOUBLE AS d, str
           FROM (VALUES
           (0, true, -51, 31949, 1293843661, 1293843661, 1293843712.0, 1293843661.0,    '2011-01-01 01:01:01'),
           (1, true, -51, 31949, 1293843661, 1293843661, 1293843712.0, 1293843661.0,    '2011-01-01 01:01:01'),
@@ -677,7 +683,7 @@ object QFileParity4 extends QueryModule {
              from $d limit 1""")
       },
       Some("""SELECT true AS b, -51 AS ti, 31949 AS si, 1293843661 AS iv,
-                     CAST(1293843661 AS BIGINT) AS bi, 1293843712.0::DOUBLE AS f,
+                     CAST(1293843661 AS BIGINT) AS bi, 1293843712.0::FLOAT4 AS f,
                      1293843661.1::DOUBLE AS d, '2011-01-01 01:01:01.1' AS str""")),
 
     // ---- clientpositive/timestamp_3.q: DOUBLE → timestamp (fractional
@@ -697,7 +703,7 @@ object QFileParity4 extends QueryModule {
              from $d limit 1""")
       },
       Some("""SELECT true AS b, 48 AS ti, -31184 AS si, 1304135216 AS iv,
-                     CAST(1304135216 AS BIGINT) AS bi, 1304135168.0::DOUBLE AS f,
+                     CAST(1304135216 AS BIGINT) AS bi, 1304135168.0::FLOAT4 AS f,
                      1304135216.4485::DOUBLE AS d, '2011-04-30 03:46:56.4485' AS str""")),
 
     // ---- clientpositive/timestamp_comparison.q: every comparison op over

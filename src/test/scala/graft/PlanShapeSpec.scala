@@ -109,17 +109,33 @@ class PlanShapeSpec extends SparkSpec {
       "q400_qf_auto_join23")  // auto_join23.q IS an ON-less JOIN with a
                               // WHERE range — cross join by spec (same
                               // form as q231's join23.q, auto-convert leg
-    val flagged = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.contains("stream")) // streaming fns execute on call
-      .flatMap { case (name, fn) =>
-        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
-        if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
-          Some(name)
-        else None
-      }.toSet
+      .map { case (name, fn) =>
+        val df = fn(spark, sfDir)
+        (name, df.queryExecution.executedPlan.toString, df.schema)
+      }
+    val flagged = results.collect {
+      case (name, p, _)
+        if p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin") =>
+        name
+    }.toSet
     assert(flagged == allowed,
       s"unexpected non-equi joins: ${(flagged -- allowed).mkString(", ")}; " +
         s"missing (plan changed?): ${(allowed -- flagged).mkString(", ")}")
+    // registry lint (r12 q445): the driver pandas-sorts every oracled output
+    // and cannot hash list/struct/map cells — no QueryDef may emit nested
+    // columns. Stringify with to_json on both sides instead.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val nested = results.collect {
+      case (name, _, schema) if schema.exists(f => f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType => true
+        case _ => false
+      }) => name
+    }
+    assert(nested.isEmpty,
+      s"queries with nested output columns (driver cannot hash them — " +
+        s"to_json both sides): ${nested.mkString(", ")}")
   }
 
   test("q106/q109: pipeline scans read only the projected columns") {

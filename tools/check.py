@@ -56,15 +56,41 @@ def main():
             # BOTH sides: oracle HUGEINT/DECIMAL (DuckDB sum(int), bare
             # decimal literals) AND Spark DECIMAL parquet (a bare `100.0` in
             # selectExpr SQL text is DECIMAL(4,1) — use 100.0D).
-            bad = [("oracle", c, ty) for c, ty, *_ in
-                   con.execute(f"DESCRIBE ({oracles[name]})").fetchall()
+            exp_desc = {c: ty for c, ty, *_ in
+                        con.execute(f"DESCRIBE ({oracles[name]})").fetchall()}
+            got_desc = {c: ty for c, ty, *_ in
+                        con.execute(f"DESCRIBE (SELECT * FROM '{out_dir}/{name}/*.parquet')").fetchall()}
+            bad = [("oracle", c, ty) for c, ty in exp_desc.items()
                    if ty.startswith(("HUGEINT", "UHUGEINT", "DECIMAL"))]
-            bad += [("spark", c, ty) for c, ty, *_ in
-                    con.execute(f"DESCRIBE (SELECT * FROM '{out_dir}/{name}/*.parquet')").fetchall()
+            bad += [("spark", c, ty) for c, ty in got_desc.items()
                     if ty.startswith(("HUGEINT", "UHUGEINT", "DECIMAL"))]
             if bad:
                 print(f"FAIL {name}: driver-unsafe column types {bad} "
                       f"(CAST sums to BIGINT; double literals: SQL-text 1.0D)")
+                n_fail += 1
+                continue
+            # r12 lesson (q445): the DRIVER pandas-sorts final outputs and
+            # cannot hash list/struct/map cells — refuse nested types on
+            # either side (DuckDB spells them 'T[]', 'STRUCT(...)', 'MAP(...)').
+            nested = [(side, c, ty) for side, desc in
+                      (("oracle", exp_desc), ("spark", got_desc))
+                      for c, ty in desc.items()
+                      if "[]" in ty or ty.startswith(("STRUCT", "MAP", "LIST", "UNION"))]
+            if nested:
+                print(f"FAIL {name}: nested output columns {nested} — the "
+                      f"driver's pandas sorter cannot hash them; to_json both sides")
+                n_fail += 1
+                continue
+            # r12 lesson (q462-464): the DRIVER's hasher is dtype-sensitive;
+            # FLOAT4 on one side vs DOUBLE on the other hash-diverges even
+            # for equal values. Refuse float-width mismatches per column.
+            fmix = [(c, exp_desc.get(c), got_desc.get(c)) for c in got_desc
+                    if c in exp_desc
+                    and {exp_desc[c], got_desc[c]} == {"FLOAT", "DOUBLE"}]
+            if fmix:
+                print(f"FAIL {name}: float-width mismatch {fmix} — driver "
+                      f"hash is dtype-sensitive; spell the oracle ::FLOAT4 or "
+                      f"cast the engine column to double")
                 n_fail += 1
                 continue
         except Exception as e:
