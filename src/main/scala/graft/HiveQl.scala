@@ -113,6 +113,22 @@ object HiveQl {
   // alter4.q): drop the bucket spec, files unchanged
   private val AlterNotClustered =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+NOT\s+CLUSTERED\s*;?\s*$""".r
+  // ALTER TABLE t [PARTITION (spec)] SET FILEFORMAT fmt
+  // (alterStatementSuffixFileFormat → TOK_ALTERTABLE_FILEFORMAT;
+  // partition_wise_fileformat.q 1-7, alter_partition_format_loc.q):
+  // declares the format FUTURE writes use. Existing partitions keep their
+  // bytes and are read per-path exactly like the reference's MapOperator
+  // per-partition SerDe pick (MapOperator.java:62) — the table converts to
+  // the dispatching [[graft.sources.HiveHeteroSource]] format.
+  private val AlterSetFileFormat =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)(?:\s+PARTITION\s*\(([^)]*)\))?""" +
+      """\s+SET\s+FILEFORMAT\s+(\w+)\s*;?\s*$""").r
+  // ANALYZE TABLE t [PARTITION (spec)] COMPUTE STATISTICS (Hive.g
+  // analyzeStatement → StatsTask.java:56; stats5-7.q): spec may be partial
+  // or fully dynamic (bare keys) — every matching partition is counted
+  private val AnalyzeTable =
+    ("""(?is)^\s*ANALYZE\s+TABLE\s+([\w.]+)(?:\s+PARTITION\s*\(([^)]*)\))?""" +
+      """\s+COMPUTE\s+STATISTICS\s*;?\s*$""").r
   private val DropTable =
     """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
   // ALTER TABLE ... [UN]ARCHIVE PARTITION (TOK_ALTERTABLE_ARCHIVE,
@@ -481,7 +497,28 @@ object HiveQl {
         java.util.regex.Matcher.quoteReplacement(
           "USING graft.sources.HiveTextSource OPTIONS (sep '\u0002')")
       else m.matched)
-    val delimFull = DelimitedText.replaceAllIn(noPropsTestSerde, m => {
+    // DynamicSerDe over TCTLSeparatedProtocol (serde2/dynamic_type/
+    // DynamicSerDe.java + serde2/thrift/TCTLSeparatedProtocol.java;
+    // input19.q's apache-log table): field.delim / quote.delim /
+    // serialization.null.format flow through as hivectl OPTIONS, the
+    // serialization.format prop itself is the dispatch and is consumed
+    val ctlMapped = RegexSerdeCreate.replaceAllIn(noPropsTestSerde, m =>
+      if (!lit(m.group(1)).endsWith("dynamic_type.DynamicSerDe")) m.matched
+      else {
+        val pairs = SerdePropPair.findAllMatchIn(m.group(2)).toSeq
+        val isCtl = pairs.exists(pm => lit(pm.group(1)) == "serialization.format" &&
+          lit(pm.group(2)).endsWith("TCTLSeparatedProtocol"))
+        if (!isCtl) throw new IllegalStateException(
+          "DynamicSerDe: only the TCTLSeparatedProtocol serialization.format " +
+            "has an engine mapping")
+        val opts = pairs.filterNot(pm => lit(pm.group(1)) == "serialization.format")
+          .map(pm => s"${pm.group(1)} = ${pm.group(2)}")
+          .mkString(", ")
+        java.util.regex.Matcher.quoteReplacement(
+          "USING graft.sources.HiveCtlSource" +
+            (if (opts.nonEmpty) s" OPTIONS ($opts)" else ""))
+      })
+    val delimFull = DelimitedText.replaceAllIn(ctlMapped, m => {
       // collection/map-key/line delimiters other than the engine's fixed
       // LazySimpleSerDe levels (\x02 / \x03 / \n) are unsupported --
       // leave the statement for the delegate parser to reject loudly
@@ -831,8 +868,8 @@ object HiveQl {
             if (parts.length > 1)
               org.apache.spark.sql.catalyst.TableIdentifier(parts.last, Some(parts(parts.length - 2)))
             else org.apache.spark.sql.catalyst.TableIdentifier(tbl)
-          spark.sessionState.catalog.getTableMetadata(ti).bucketSpec
-            .map(_.bucketColumnNames).getOrElse(Nil)
+          hiveBucketSpec(spark.sessionState.catalog.getTableMetadata(ti))
+            .map(_._1).getOrElse(Nil)
         } catch { case _: Exception => Nil }
       if (cols.isEmpty)
         throw new IllegalStateException(
@@ -842,6 +879,115 @@ object HiveQl {
           s"ON ${cols.mkString(", ")})")
     })
     unmaskLiterals(out, lits)
+  }
+
+  /** Hive TABLESAMPLE(BUCKET n OUT OF d ON <bucket cols>) FILE pruning
+    * (SemanticAnalyzer.java genTablePlan + TableSample.java): when the ON
+    * columns ARE the table's bucket columns, the reference prunes bucket
+    * FILES — one bucket per data file, files sorted by name — instead of
+    * filtering rows:
+    *   d == b          → file n-1
+    *   d <  b, b%d==0  → files n-1, n-1+d, n-1+2d, …
+    *   d >  b, d%b==0  → file (n-1)%b, plus the residual hash%d filter
+    * This matters when loaded fixture files are NOT hash-clean for the
+    * declared column type (srcbucket2's files are bucketed by the STRING
+    * hash of an INT column — sample6.q's golden shows file contents, not
+    * value-hash rows). Applies only to LOAD-shaped layouts: engine-written
+    * bucketed files carry Spark bucket-id markers (`_NNNNN.` in the name)
+    * and fall back to the value-hash predicate rewrite — their data is
+    * hash-clean by construction, so the predicate IS the file semantics.
+    * Partitioned tables prune per partition directory (each holds its own
+    * b bucket files). The rewrite happens driver-side at parse time — at
+    * scale this is one directory listing per partition, the same metadata
+    * walk the reference's sampling pruner does.
+    */
+  private val TableSampleOnColsPre =
+    """(?i)([\w.]+)\s+TABLESAMPLE\s*\(\s*BUCKET\s+(\d+)\s+OUT\s+OF\s+(\d+)\s+ON\s+(\w+(?:\s*,\s*\w+)*)\s*\)(\s+(?:AS\s+)?(\w+))?""".r
+
+  /** A table's Hive bucket layout: the live Spark bucketSpec, or the spec
+    * stashed by HiveLoad when foreign loaded files demoted the table to
+    * plain scans (cols, numBuckets). */
+  private[graft] def hiveBucketSpec(
+      meta: org.apache.spark.sql.catalyst.catalog.CatalogTable): Option[(Seq[String], Int)] =
+    meta.bucketSpec.map(bs => (bs.bucketColumnNames, bs.numBuckets))
+      .orElse(for {
+        cols <- meta.properties.get("graft.hive.bucket.cols")
+        n <- meta.properties.get("graft.hive.bucket.n")
+      } yield (cols.split(",").toSeq, n.toInt))
+
+  def resolveBucketFileSampling(spark: SparkSession, q: String): String = {
+    if (!q.toUpperCase.contains("TABLESAMPLE")) return q
+    val (masked, lits) =
+      try maskLiterals(q) catch { case _: IllegalArgumentException => return q }
+    if (TableSampleOnColsPre.findFirstIn(masked).isEmpty) return q
+    val out = TableSampleOnColsPre.replaceAllIn(masked, m => {
+      val (tbl, n, d) = (m.group(1), m.group(2).toInt, m.group(3).toInt)
+      val cols = m.group(4).split(",").map(_.trim.toLowerCase).toSeq
+      bucketSampleFiles(spark, tbl, n, d, cols) match {
+        case None => m.matched // not file-prunable: static predicate rewrite
+        case Some((files, residual)) =>
+          val explicit = Option(m.group(6)).filterNot(a => NotAnAlias(a.toUpperCase))
+          val alias = explicit.getOrElse(tbl.split('.').last)
+          val trailer = if (m.group(5) != null && explicit.isEmpty) m.group(5) else ""
+          val filePred =
+            if (files.isEmpty) "false" // empty bucketed table: no files
+            else files.map(f => s"input_file_name() LIKE '%$f'").mkString("(", " OR ", ")")
+          val resPred = residual.fold("")(r => s" AND $r")
+          java.util.regex.Matcher.quoteReplacement(
+            s"(SELECT * FROM $tbl WHERE $filePred$resPred) $alias$trailer")
+      }
+    })
+    unmaskLiterals(out, lits)
+  }
+
+  /** Selected bucket-file suffixes (+ residual predicate) for a file-pruned
+    * sample, or None when the predicate rewrite should handle it. */
+  private def bucketSampleFiles(spark: SparkSession, tbl: String, n: Int,
+      d: Int, onCols: Seq[String]): Option[(Seq[String], Option[String])] = {
+    val meta = try {
+      val parts = tbl.split('.')
+      val ti =
+        if (parts.length > 1) org.apache.spark.sql.catalyst.TableIdentifier(
+          parts.last, Some(parts(parts.length - 2)))
+        else org.apache.spark.sql.catalyst.TableIdentifier(tbl)
+      spark.sessionState.catalog.getTableMetadata(ti)
+    } catch { case _: Exception => return None }
+    val (bucketCols, b) = hiveBucketSpec(meta).getOrElse(return None)
+    if (bucketCols.map(_.toLowerCase) != onCols) return None
+    if (d != b && !(d < b && b % d == 0) && !(d > b && d % b == 0)) return None
+    val dirs: Seq[org.apache.hadoop.fs.Path] =
+      if (meta.partitionColumnNames.nonEmpty)
+        spark.sessionState.catalog.listPartitions(meta.identifier)
+          .map(p => new org.apache.hadoop.fs.Path(p.location))
+      else Seq(new org.apache.hadoop.fs.Path(meta.location))
+    val fs = dirs.headOption.map(_.getFileSystem(spark.sparkContext.hadoopConfiguration))
+      .getOrElse(return None)
+    val perDir = dirs.map { dir =>
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).filter(st => st.isFile &&
+          !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+        .map(_.getPath).sortBy(_.getName).toSeq
+    }
+    // engine-written bucketed layout (Spark bucket-id marker): predicate wins
+    if (perDir.exists(_.exists(p => """_\d{5}[._]""".r.findFirstIn(p.getName).isDefined)))
+      return None
+    // Hive trusts one file per bucket; a dir with a different file count
+    // can't be pruned positionally
+    if (perDir.exists(fl => fl.nonEmpty && fl.size != b)) return None
+    val idx: Seq[Int] =
+      if (d == b) Seq(n - 1)
+      else if (d < b) (n - 1) until b by d
+      else Seq((n - 1) % b)
+    val residual =
+      if (d > b) Some(s"(hash(${onCols.mkString(", ")}) & 2147483647) % $d = ${n - 1}")
+      else None
+    val files = perDir.flatMap { fl =>
+      idx.filter(_ < fl.size).map { i =>
+        val p = fl(i)
+        s"/${p.getParent.getName}/${p.getName}" // partition-dir-qualified suffix
+      }
+    }
+    Some((files, residual))
   }
 
   /** TRANSFORM/MAP/REDUCE ... USING '<bare name>' where the name matches a
@@ -954,9 +1100,9 @@ object HiveQl {
         lower.startsWith(prefix.toLowerCase)
       if (keep) m.matched
       else {
-        val buckets = scala.util.Try(spark.sessionState.catalog
-          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
-          .bucketSpec.map(_.numBuckets)).toOption.flatten
+        val buckets = scala.util.Try(hiveBucketSpec(spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name)))
+          .map(_._2)).toOption.flatten
         val sampleClause = buckets match {
           case Some(n) if n > 0 => s"TABLESAMPLE (BUCKET 1 OUT OF $n)"
           case _ => s"TABLESAMPLE (BUCKET 1 OUT OF $freq ON rand(460476415))"
@@ -975,8 +1121,9 @@ object HiveQl {
     val q = bashSafeScriptArgs(absorbTransformRemainder(spark,
       wrapPartialConsumption(spark, injectScriptEnv(spark,
         resolveScriptPaths(spark,
-          resolveDefaultSampleCols(spark,
-            applyTestMode(spark, substituteVars(spark, rawQ))))))))
+          resolveBucketFileSampling(spark,
+            resolveDefaultSampleCols(spark,
+              applyTestMode(spark, substituteVars(spark, rawQ)))))))))
     // Driver.doAuthorization layering: enforce before execution on every
     // entry point that funnels through this driver analogue (no-op unless
     // hive.security.authorization.enabled)
@@ -1003,10 +1150,58 @@ object HiveQl {
     val result = statementExec(q) match {
       case Some(exec) => exec(spark); spark.emptyDataFrame
       case None => withSelfReadOverwriteRetry(spark, q)(
-        withLegacyStoreRetry(spark)(spark.sql(rewrite(q))))
+        withLegacyStoreRetry(spark)(c => c.sql(rewrite(q))))
     }
     if (!holdDdl) bumpInsertTargets(spark, maskedQ)
+    mergeSmallFiles(spark, maskedQ)
+    autogatherStats(spark, maskedQ, qLits)
     result
+  }
+
+  /** The reference's conditional small-file merge job after an INSERT
+    * (GenMRFileSink1.java ConditionalTask, gated by hive.merge.mapfiles /
+    * hive.merge.mapredfiles + hive.merge.smallfiles.avgsize +
+    * hive.merge.size.per.task): when the conf is SET true, each written
+    * table/partition directory whose average file size is under the
+    * threshold is rewritten through [[sources.Compaction]] (one rebalance
+    * shuffle, write-audit-publish swap). Like autogather, activation needs
+    * the explicit SET — Spark's write path already sizes output by task,
+    * so the implicit Hive default would re-examine every insert for
+    * nothing. Runs BEFORE autogatherStats so published numFiles/totalSize
+    * describe the merged layout, same order as the reference's task DAG.
+    */
+  private def mergeSmallFiles(spark: SparkSession, masked: String): Unit = {
+    val on = Seq("hive.merge.mapfiles", "hive.merge.mapredfiles")
+      .exists(k => spark.conf.getOption(k).exists(_.trim.equalsIgnoreCase("true")))
+    if (!on) return
+    // HiveConf 0.8 defaults: avgsize 16 MB, size.per.task 256 MB
+    val avg = spark.conf.getOption("hive.merge.smallfiles.avgsize")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption).getOrElse(16L * 1024 * 1024)
+    val per = spark.conf.getOption("hive.merge.size.per.task")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption).getOrElse(256L * 1024 * 1024)
+    val cat = spark.sessionState.catalog
+    InsertTarget.findAllMatchIn(masked).map(_.group(1)).toSeq.distinct.foreach { t =>
+      try {
+        val ti = spark.sessionState.sqlParser.parseTableIdentifier(t)
+        val meta = cat.getTableMetadata(ti)
+        val provider = meta.provider.getOrElse("parquet")
+        // hetero tables mix formats per partition — a bulk rewrite would
+        // re-serialize old partitions into the current format; skip (the
+        // reference merges within one partition's own format)
+        if (provider != "graft.sources.HiveHeteroSource") {
+          val (fmt, schemaOpt) =
+            if (provider.startsWith("graft.sources.Hive"))
+              (provider, Some(org.apache.spark.sql.types.StructType(
+                meta.schema.filterNot(f =>
+                  meta.partitionColumnNames.contains(f.name)))))
+            else (provider, None)
+          val merged = sources.Compaction.compactIfFragmented(spark,
+            new org.apache.hadoop.fs.Path(meta.location).toString, per, avg,
+            fmt, schemaOpt, meta.storage.properties)
+          if (merged) spark.catalog.refreshTable(t)
+        }
+      } catch { case scala.util.control.NonFatal(_) => } // temp views etc.
+    }
   }
 
   // the hint sits in Hive's hint position (after SELECT); strip happens in
@@ -1059,6 +1254,109 @@ object HiveQl {
         } catch { case _: org.apache.spark.sql.AnalysisException => }
       }
 
+  /** hive.stats.autogather (StatsTask.java:56; HiveConf 0.8 default TRUE):
+    * every INSERT publishes numRows / rawDataSize / numFiles / totalSize
+    * for the written unit, visible in DESCRIBE EXTENDED parameters and in
+    * the catalog stats Catalyst's broadcast planning reads. The reference
+    * piggybacks row counting on the write job's counters; Spark exposes no
+    * such hook, so the count here is a second, column-pruned, PARTITION-
+    * PRUNED count job over the written unit — O(delta), not O(table). The
+    * table-level rollup for partitioned tables sums the per-partition
+    * parameters (metadata-only, no scan). rawDataSize is recorded as the
+    * on-disk byte size — for the text formats the file bytes ARE the row
+    * bytes (the reference's serde-resident size needs its write-path
+    * counter).
+    */
+  private def autogatherStats(spark: SparkSession, masked: String,
+      lits: IndexedSeq[String]): Unit = {
+    // the reference DEFAULTS the conf to true; here gathering activates on
+    // an explicit SET — an implicit default would bill every insert in the
+    // engine a second count job whether or not anyone reads the stats
+    // (ANALYZE remains the on-demand path). The stats*.q family (and any
+    // warehouse that reads Hive stats) sets the conf, same surface.
+    if (!spark.conf.getOption("hive.stats.autogather")
+        .exists(v => !v.trim.equalsIgnoreCase("false"))) return
+    InsertTarget.findAllMatchIn(masked).toSeq.foreach { m =>
+      val specKv: Map[String, String] = Option(m.group(3)).toSeq
+        .flatMap(s => sources.HiveExim.parsePartSpec(unmaskLiterals(s, lits)))
+        .collect { case (k, Some(v)) => k -> stripQuotes(v) }.toMap
+      try gatherStats(spark, m.group(1), specKv)
+      catch { case scala.util.control.NonFatal(_) => } // temp-view target etc.
+    }
+  }
+
+  /** StatsTask's unit of work: count + file-list the named table, or the
+    * partitions a (possibly partial) spec pins, publish Hive's numRows /
+    * rawDataSize / numFiles / totalSize parameters and the Spark catalog
+    * stats Catalyst plans with. Partitioned tables also get the
+    * metadata-only table-level rollup when every partition has stats. */
+  private[graft] def gatherStats(spark: SparkSession, t: String,
+      specKv: Map[String, String]): Unit = {
+    val cat = spark.sessionState.catalog
+    val ti = spark.sessionState.sqlParser.parseTableIdentifier(t)
+    val meta = cat.getTableMetadata(ti)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def fileStats(loc: java.net.URI): (Long, Long) = {
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(hconf)
+      if (!fs.exists(p)) (0L, 0L)
+      else {
+        val files = fs.listStatus(p).filter(st => st.isFile &&
+          !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+        (files.length.toLong, files.map(_.getLen).sum)
+      }
+    }
+    def params(rows: Long, nf: Long, sz: Long) = Map(
+      "numRows" -> rows.toString, "rawDataSize" -> sz.toString,
+      "numFiles" -> nf.toString, "totalSize" -> sz.toString)
+    if (meta.partitionColumnNames.isEmpty) {
+      val rows = spark.table(t).count()
+      val (nf, sz) = fileStats(meta.location)
+      cat.alterTable(cat.getTableMetadata(ti).copy(
+        stats = Some(org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
+          BigInt(sz), Some(BigInt(rows)))),
+        properties = meta.properties ++ params(rows, nf, sz)))
+    } else {
+      // static keys pin partitions (partial specs match all completions);
+      // no keys → every current partition of the target. Hive resolves
+      // partition-spec KEY spellings case-insensitively (stats3.q writes
+      // pcol1/pCol2 for the same columns) — values stay case-sensitive.
+      val byLower = meta.partitionColumnNames.map(c => c.toLowerCase -> c).toMap
+      val normKv = specKv.map { case (k, v) =>
+        byLower.getOrElse(k.toLowerCase, k) -> v }
+      val parts = cat.listPartitions(ti,
+        if (normKv.nonEmpty) Some(normKv) else None)
+      val updated = parts.map { p =>
+        val cond = p.spec.map { case (k, v) => s"$k = '$v'" }.mkString(" AND ")
+        val rows = spark.table(t).where(cond).count()
+        val (nf, sz) = fileStats(p.location)
+        p.copy(
+          stats = Some(org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
+            BigInt(sz), Some(BigInt(rows)))),
+          parameters = p.parameters ++ params(rows, nf, sz))
+      }
+      if (updated.nonEmpty) cat.alterPartitions(ti, updated)
+      // table-level rollup: metadata-only sum over partition parameters
+      val all = cat.listPartitions(ti)
+      if (all.nonEmpty && all.forall(_.parameters.contains("numRows"))) {
+        val rows = all.map(_.parameters("numRows").toLong).sum
+        val nf = all.map(_.parameters.getOrElse("numFiles", "0").toLong).sum
+        val sz = all.map(_.parameters.getOrElse("totalSize", "0").toLong).sum
+        cat.alterTable(cat.getTableMetadata(ti).copy(
+          stats = Some(org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
+            BigInt(sz), Some(BigInt(rows)))),
+          properties = cat.getTableMetadata(ti).properties ++ params(rows, nf, sz)))
+      }
+    }
+  }
+
+  private def stripQuotes(v: String): String = {
+    val t = v.trim
+    if (t.length >= 2 && ((t.startsWith("'") && t.endsWith("'")) ||
+        (t.startsWith("\"") && t.endsWith("\"")))) t.substring(1, t.length - 1)
+    else t
+  }
+
   /** Hive-0.8 STORE-ASSIGNMENT semantics for the driver path: the reference
     * inserts through any type mismatch (LazySimpleSerDe re-parses text;
     * UDFToInteger returns null on malformed — q88's error-semantics
@@ -1071,24 +1369,42 @@ object HiveQl {
     * on failure. The first failure happens at ANALYSIS, before any write,
     * so the retry never double-executes a side effect.
     */
-  // one monitor per SparkSession: the LEGACY flip below is session-global
-  // state, so concurrent retries on the same session must serialize or one
-  // thread's restore races another's flip (and could re-save LEGACY as the
-  // "previous" value, leaking it permanently)
+  // one monitor per SparkSession: the fallback LEGACY flip below is
+  // session-global state, so concurrent retries on the same session must
+  // serialize or one thread's restore races another's flip (and could
+  // re-save LEGACY as the "previous" value, leaking it permanently)
   private val storeRetryLocks =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, Object]()
 
-  private[graft] def withLegacyStoreRetry[T](spark: SparkSession)(body: => T): T =
-    try body catch {
+  private[graft] def withLegacyStoreRetry[T](spark: SparkSession)(
+      run: SparkSession => T): T =
+    try run(spark) catch {
       case e: org.apache.spark.sql.AnalysisException
           if e.getMessage.contains("CANNOT_SAFELY_CAST") =>
-        val lock = storeRetryLocks.computeIfAbsent(spark, _ => new Object)
-        lock.synchronized {
-          val key = "spark.sql.storeAssignmentPolicy"
-          val prev = spark.conf.getOption(key)
-          spark.conf.set(key, "LEGACY")
-          try body
-          finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+        // preferred isolation: the retry runs on a session CLONE (same
+        // shared catalog AND temp views, cloneSession copies session
+        // state) carrying LEGACY — a concurrent statement on the original
+        // session never observes the flip. cloneSession is private[sql];
+        // when unreachable, fall back to the serialized same-session flip.
+        val cloned =
+          try {
+            val m = spark.getClass.getDeclaredMethod("cloneSession")
+            m.setAccessible(true)
+            Some(m.invoke(spark).asInstanceOf[SparkSession])
+          } catch { case scala.util.control.NonFatal(_) => None }
+        cloned match {
+          case Some(c) =>
+            c.conf.set("spark.sql.storeAssignmentPolicy", "LEGACY")
+            run(c)
+          case None =>
+            val lock = storeRetryLocks.computeIfAbsent(spark, _ => new Object)
+            lock.synchronized {
+              val key = "spark.sql.storeAssignmentPolicy"
+              val prev = spark.conf.getOption(key)
+              spark.conf.set(key, "LEGACY")
+              try run(spark)
+              finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+            }
         }
     }
 
@@ -1278,13 +1594,13 @@ object HiveQl {
           if e.getMessage.contains("UNSUPPORTED_OVERWRITE") =>
         val m = SelfReadInsert.findFirstMatchIn(q).getOrElse(throw e)
         val query = q.substring(m.end(1))
-        val snap = withLegacyStoreRetry(spark)(spark.sql(rewrite(query)))
+        val snap = withLegacyStoreRetry(spark)(c => c.sql(rewrite(query)))
           .localCheckpoint(true)
         val tmp = "graft_self_read_" +
           java.util.UUID.randomUUID.toString.replace("-", "")
         snap.createOrReplaceTempView(tmp)
         try withLegacyStoreRetry(spark)(
-          spark.sql(rewrite(s"${m.group(1)} SELECT * FROM $tmp")))
+          c => c.sql(rewrite(s"${m.group(1)} SELECT * FROM $tmp")))
         finally spark.catalog.dropTempView(tmp)
     }
 
@@ -1403,6 +1719,44 @@ object HiveQl {
     cat.alterTable(meta.copy(schema = org.apache.spark.sql.types.StructType(
       dataFields ++ meta.partitionSchema.fields)))
     spark.catalog.refreshTable(table)
+  }
+
+  /** ALTER TABLE [PARTITION] SET FILEFORMAT (AlterTableDesc ADDFILEFORMAT,
+    * DDLTask.java alterTable): table-level converts the table to the
+    * per-file-dispatching hivehetero format and records the new format as
+    * the write default; partition-level is metadata (the partition's files
+    * already self-describe — hivehetero reads dispatch on content), kept
+    * for DESCRIBE surfaces, and validates the partition exists as Hive
+    * does. */
+  private def alterFileFormat(spark: SparkSession, table: String,
+      partSpec: Option[String], fmt: String): Unit = {
+    val norm = graft.sources.HiveHeteroSource.normalize(fmt)
+    val cat = spark.sessionState.catalog
+    val ti = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = cat.getTableMetadata(ti)
+    partSpec match {
+      case Some(spec) =>
+        val kv = sources.HiveExim.parsePartSpec(spec).map {
+          case (k, Some(v)) => k -> v
+          case (k, None) => throw new IllegalArgumentException(
+            s"SET FILEFORMAT needs a full partition spec; $k has no value")
+        }.toMap
+        val p = cat.getPartition(ti, kv) // throws if absent, as Hive does
+        cat.alterPartitions(ti, Seq(p.copy(storage = p.storage.copy(
+          properties = p.storage.properties + ("graft.format" -> norm)))))
+      case None =>
+        val convertible = Set("parquet",
+          "graft.sources.HiveTextSource", "graft.sources.HiveSeqSource",
+          "graft.sources.HiveRCSource", "graft.sources.HiveHeteroSource")
+        val prov = meta.provider.getOrElse("parquet")
+        require(convertible(prov),
+          s"ALTER TABLE SET FILEFORMAT: cannot convert provider $prov")
+        cat.alterTable(meta.copy(
+          provider = Some("graft.sources.HiveHeteroSource"),
+          storage = meta.storage.copy(properties = meta.storage.properties +
+            (graft.sources.HiveHeteroSource.WriteFormatKey -> norm))))
+        spark.catalog.refreshTable(table)
+    }
   }
 
   def statementExec(q: String): Option[SparkSession => Unit] =
@@ -1550,6 +1904,15 @@ object HiveQl {
           toggle.equalsIgnoreCase("ENABLE"), mode))
       case AlterTouch(table) =>
         Some(s => Protect.touch(s, table))
+      case AlterSetFileFormat(table, partSpec, fmt) =>
+        Some(s => alterFileFormat(s, table, Option(partSpec), fmt))
+      case AnalyzeTable(table, partSpec) =>
+        Some { s =>
+          val specKv = Option(partSpec).toSeq
+            .flatMap(sources.HiveExim.parsePartSpec)
+            .collect { case (k, Some(v)) => k -> stripQuotes(v) }.toMap
+          gatherStats(s, table, specKv)
+        }
       case AlterSetSerde(table, serdeClass, _) =>
         Some { s =>
           val known = Seq("LazySimpleSerDe", "LazyBinarySerDe", "ColumnarSerDe",
@@ -1614,7 +1977,7 @@ object HiveQl {
             // store-assignment retry as the handled path (a DIRECTORY
             // branch, e.g., lands here — input13.q)
             bypassStatements.set(true)
-            try withLegacyStoreRetry(s)(s.sql(rewrite(q)))
+            try withLegacyStoreRetry(s)(c => c.sql(rewrite(q)))
             finally bypassStatements.set(false)
           }
         }

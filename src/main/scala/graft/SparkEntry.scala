@@ -29,6 +29,11 @@ object SparkEntry {
     operators.QFileParity9,
     operators.QFileParity10,
     operators.QFileParity11,
+    operators.QFileParity12,
+    operators.QFileParity13,
+    operators.QFileParity14,
+    operators.QFileParity15,
+    operators.QFileParity16,
     operators.Indexes,
     operators.ScaleOps,
     streaming.Streaming)

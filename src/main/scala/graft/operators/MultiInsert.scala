@@ -234,7 +234,7 @@ object MultiInsert {
         // per-branch Hive store-assignment retry (HiveQl.withLegacyStoreRetry):
         // the reject happens at analysis, before any branch writes
         branchSql.foreach(b =>
-          graft.HiveQl.withLegacyStoreRetry(spark)(spark.sql(b)))
+          graft.HiveQl.withLegacyStoreRetry(spark)(c => c.sql(b)))
         lastReport = Some(Report(view, needed, materialize, branchSql,
           branchSql.map { s =>
             // the leg text keeps the .q's original case (insert_into3.q
@@ -307,7 +307,7 @@ object MultiInsert {
         s"$kw $target $part ${spliceFrom(select, newFrom)}"
       }
       branchSql.foreach(b =>
-        graft.HiveQl.withLegacyStoreRetry(spark)(spark.sql(b)))
+        graft.HiveQl.withLegacyStoreRetry(spark)(c => c.sql(b)))
       lastReport = Some(Report(viewFor.values.mkString(","),
         viewFor.keys.flatMap { case (t, cols) => cols.map(c => s"$t.$c") }.toSeq,
         materialize, branchSql,

@@ -34,7 +34,10 @@ object Compaction {
       spark: SparkSession,
       dir: String,
       targetBytes: Long = 128L * 1024 * 1024,
-      smallFileAvgThreshold: Long = 64L * 1024 * 1024): Boolean = {
+      smallFileAvgThreshold: Long = 64L * 1024 * 1024,
+      format: String = "parquet",
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      options: Map[String, String] = Map.empty): Boolean = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val trashAtEntry = new Path(path.getParent, path.getName + "__compact_old")
@@ -72,7 +75,8 @@ object Compaction {
     val partDirs = entries.filter(s => s.isDirectory && s.getPath.getName.contains("="))
     if (partDirs.nonEmpty)
       return partDirs.map(d => compactIfFragmented(spark, d.getPath.toString,
-        targetBytes, smallFileAvgThreshold)).count(identity) > 0
+        targetBytes, smallFileAvgThreshold, format, schema, options))
+        .count(identity) > 0
     val dataFiles = entries.filter(_.isFile)
     if (dataFiles.isEmpty) return false
     val total = dataFiles.map(_.getLen).sum
@@ -81,8 +85,11 @@ object Compaction {
     val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
     val tmp = new Path(path.getParent, path.getName + "__compact_tmp")
     val trash = new Path(path.getParent, path.getName + "__compact_old")
-    spark.read.parquet(dir).repartition(n)
-      .write.mode("overwrite").parquet(tmp.toString)
+    // format-aware rewrite: the graft FileFormats (hivetext/hiveseq/hiverc)
+    // need their DDL schema and delimiter options; parquet self-describes
+    val reader = schema.foldLeft(spark.read.format(format).options(options))(_ schema _)
+    reader.load(dir).repartition(n)
+      .write.mode("overwrite").format(format).options(options).save(tmp.toString)
     // publish: old dir steps aside only after the merged copy is complete
     if (fs.exists(trash)) fs.delete(trash, true)
     if (!fs.rename(path, trash)) {

@@ -77,6 +77,25 @@ object HiveLoad {
       }
       org.apache.hadoop.fs.FileUtil.copy(srcFs, src, fs, dest,
         false /* keep source (LOCAL semantics) */, spark.sparkContext.hadoopConfiguration)
+      // Foreign files carry no Spark bucket ids in their names, and Spark's
+      // bucketed scan resolves bucket membership FROM the file name — a
+      // bucketed catalog spec over loaded files makes every bucketed read
+      // (SMB sort-merge, bucket pruning) silently skip them (smb_mapjoin_1
+      // full-outer read the tables as EMPTY). The reference trusts loaded
+      // buckets blindly (it cannot validate either; Hive.java loadTable);
+      // the safe Spark translation is to demote the table to plain scans
+      // while stashing the declared layout for the surfaces that still
+      // need it (TABLESAMPLE bucket resolution, DESCRIBE).
+      if (meta.bucketSpec.isDefined &&
+          "_\\d{5}[._]".r.findFirstIn(dest.getName).isEmpty) {
+        val bs = meta.bucketSpec.get
+        spark.sessionState.catalog.alterTable(meta.copy(
+          bucketSpec = None,
+          properties = meta.properties ++ Map(
+            "graft.hive.bucket.cols" -> bs.bucketColumnNames.mkString(","),
+            "graft.hive.bucket.sort" -> bs.sortColumnNames.mkString(","),
+            "graft.hive.bucket.n" -> bs.numBuckets.toString)))
+      }
       if (partSpec.nonEmpty) {
         val spec = partSpec.map { case (k, v) => s"$k='$v'" }.mkString(", ")
         spark.sql(s"ALTER TABLE $table ADD IF NOT EXISTS PARTITION ($spec)")
