@@ -279,6 +279,60 @@ class PlanShapeSpec extends SparkSpec {
       s"cluster pairing must stay on the c_id equi-join:\n$p")
   }
 
+  test("engine-written sorted buckets join with ZERO shuffle exchange (SMB)") {
+    // the scale contract behind smb_mapjoin/bucketmapjoin: tables the
+    // ENGINE bucket-writes (hive.enforce.bucketing inserts) carry Spark
+    // bucket ids, so an equi-join on the bucket key needs no exchange on
+    // either side — the sort-merge runs directly over co-bucketed scans.
+    // (LOADED foreign buckets are demoted to plain scans instead — see
+    // HiveLoad — because neither engine can validate them; correctness
+    // beats a zero-exchange plan over files Spark would silently drop.)
+    operators.QFileParity.registerFixtures(spark, sfDir) // the src view
+    val t1 = s"smbshape_a_${System.nanoTime()}"
+    val t2 = s"smbshape_b_${System.nanoTime()}"
+    for (t <- Seq(t1, t2)) {
+      HiveQl.sql(spark, s"create table $t (key int, value string) " +
+        "clustered by (key) sorted by (key) into 4 buckets")
+      HiveQl.sql(spark, s"insert overwrite table $t " +
+        "select cast(key as int), value from src")
+    }
+    // a side this small correctly BROADCASTS by default (the better plan);
+    // pin the sort-merge leg the conf would pick on two large sides
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = spark.sql(s"select a.key from $t1 a join $t2 b on a.key = b.key")
+      df.collect() // materialize while the conf holds (lazy-DF lesson)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected sort-merge join:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle either side:\n$p")
+      assert(p.contains("Bucketed: true"), s"scans must be bucketed:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    Seq(t1, t2).foreach(t => spark.sql(s"drop table $t"))
+  }
+
+  test("bucket TABLESAMPLE over loaded buckets plans as FILE pruning") {
+    // sample6.q's observable semantics: loaded bucket files are selected
+    // by position, visible in the plan as the input_file_name filter the
+    // rewrite injects (resolveBucketFileSampling); the scan itself stays
+    // a plain (demoted) file scan
+    val t = s"sampleshape_${System.nanoTime()}"
+    HiveQl.sql(spark, s"CREATE TABLE $t(key int, value string) CLUSTERED BY (key) " +
+      "INTO 4 BUCKETS STORED AS TEXTFILE")
+    for (f <- Seq("srcbucket20", "srcbucket21", "srcbucket22", "srcbucket23"))
+      HiveQl.sql(spark, "load data local inpath " +
+        s"'/root/reference/data/files/$f.txt' INTO TABLE $t")
+    val df = HiveQl.sql(spark,
+      s"SELECT s.key FROM $t TABLESAMPLE (BUCKET 1 OUT OF 2 on key) s")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("input_file_name"),
+      s"loaded-bucket sample must prune by file, not value hash:\n$p")
+    // positional pruning: buckets 0 and 2 = srcbucket20 + srcbucket22
+    assert(df.count() == 118 + 124, "file-pruned sample row count")
+    spark.sql(s"drop table $t")
+  }
+
   test("q01: aggregation splits into partial + final HashAggregate") {
     val p = plan("q01_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial/final split:\n$p")
