@@ -116,10 +116,22 @@ object Authz {
     spark.conf.getOption("hive.session.user")
       .getOrElse(sys.props.getOrElse("user.name", "anonymous"))
 
+  /** Privilege name, optionally COLUMN-scoped — `select(key, value)` is
+    * Hive's column-level grant (Hive.g privilegeObject columnNameList);
+    * stored canonically as `Select(key,value)`. */
   private def canonPriv(p: String): String = {
-    val k = p.trim.toLowerCase
-    PrivNames.getOrElse(k,
+    val t = p.trim.toLowerCase
+    val (base, cols) = t.indexOf('(') match {
+      case -1 => (t, "")
+      case i =>
+        require(t.endsWith(")"), s"Malformed privilege $p")
+        (t.substring(0, i).trim,
+          t.substring(i + 1, t.length - 1).split(',')
+            .map(_.trim).filter(_.nonEmpty).mkString(","))
+    }
+    val c = PrivNames.getOrElse(base,
       throw new IllegalArgumentException(s"Undefined privilege $p"))
+    if (cols.isEmpty) c else s"$c($cols)"
   }
 
   // ------------------------------------------------------------ roles
@@ -205,14 +217,17 @@ object Authz {
     * principalType, privilege, grantTime, grantor.
     */
   def showGrant(spark: SparkSession, principalType: String, principal: String,
-      obj: Option[(String, String)]): Seq[Row] = synchronized {
+      obj: Option[(String, String)], column: Option[String] = None): Seq[Row] = synchronized {
     ensureLoaded(spark)
     val db = spark.catalog.currentDatabase
     grants.toSeq.filter { g =>
       g.principalType == principalType.toUpperCase &&
         g.principal == principal.toLowerCase &&
         obj.forall { case (ot, on) =>
-          g.objType == ot.toUpperCase && g.objName == on.toLowerCase }
+          g.objType == ot.toUpperCase && g.objName == on.toLowerCase } &&
+        column.forall(c => g.priv.toLowerCase.contains(
+          "(") && g.priv.toLowerCase.drop(g.priv.indexOf('(') + 1)
+          .stripSuffix(")").split(',').contains(c.trim.toLowerCase))
     }.sortBy(g => (g.objType, g.objName, g.priv)).map { g =>
       val (gdb, gtbl) = g.objType match {
         case "TABLE" => (db, g.objName)
@@ -233,12 +248,17 @@ object Authz {
       table: String): Boolean = synchronized {
     ensureLoaded(spark)
     val db = spark.catalog.currentDatabase
+    // the user's groups (SessionState's UNIX groups in the reference) come
+    // from hive.session.groups here — the sandbox has no group database
+    val groups = spark.conf.getOption("hive.session.groups")
+      .getOrElse("").split(",").map(_.trim.toLowerCase).filter(_.nonEmpty)
     val principals =
       ("USER" -> user.toLowerCase) +:
-        rolesOf(user).map("ROLE" -> _)
+        (rolesOf(user).map("ROLE" -> _) ++ groups.map("GROUP" -> _))
     grants.exists { g =>
       principals.contains(g.principalType -> g.principal) &&
-        (g.priv == priv || g.priv == "All") &&
+        (g.priv == priv || g.priv == "All" ||
+          g.priv.startsWith(priv + "(")) && // column grant authorizes reads
         ((g.objType == "TABLE" && g.objName == table.toLowerCase) ||
           (g.objType == "DATABASE" && g.objName == db.toLowerCase))
     }

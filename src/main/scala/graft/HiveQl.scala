@@ -29,8 +29,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object HiveQl {
   private val MapJoin = """(?i)/\*\+\s*MAPJOIN\s*\(([^)]*)\)\s*\*/""".r
   private val StreamTable = """(?i)/\*\+\s*STREAMTABLE\s*\(([^)]*)\)\s*\*/""".r
+  // the path literal takes either quote style (Hive.g StringLiteral;
+  // exim_01_nonpart.q spells LOAD DATA paths with double quotes)
   private val LoadData =
-    """(?is)^\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+'([^']+)'\s+(OVERWRITE\s+)?INTO\s+TABLE\s+([\w.]+)(?:\s+PARTITION\s*\(([^)]*)\))?\s*;?\s*$""".r
+    """(?is)^\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+['"]([^'"]+)['"]\s+(OVERWRITE\s+)?INTO\s+TABLE\s+([\w.]+)(?:\s+PARTITION\s*\(([^)]*)\))?\s*;?\s*$""".r
   // EXPORT TABLE t [PARTITION (spec)] TO 'dir' /
   // IMPORT [[EXTERNAL] TABLE t [PARTITION (spec)]] FROM 'dir' [LOCATION 'loc']
   // (Hive.g:309-317 tableOrPartition; EximUtil partition walk)
@@ -48,8 +50,12 @@ object HiveQl {
   // :591-598 alter-rebuild, :834-836 SHOW INDEXES) → operators.Indexes
   private val CreateIndex =
     """(?is)^\s*CREATE\s+INDEX\s+(\w+)\s+ON\s+TABLE\s+([\w.]+)\s*\(([^)]*)\)\s+AS\s+'([^']+)'(\s+WITH\s+DEFERRED\s+REBUILD)?(?:\s+IDXPROPERTIES\s*\([^)]*\))?(?:\s+COMMENT\s+'([^']*)')?\s*;?\s*$""".r
+  // optional PARTITION spec (index_auto_unused.q): the reference rebuilds
+  // one partition's entries; the graft rebuild is whole-index — with the
+  // (path, length) staleness guard, extra fresh entries only widen what
+  // the rewrite may prune, rows are identical either way
   private val AlterIndexRebuild =
-    """(?is)^\s*ALTER\s+INDEX\s+(\w+)\s+ON\s+([\w.]+)\s+REBUILD\s*;?\s*$""".r
+    """(?is)^\s*ALTER\s+INDEX\s+(\w+)\s+ON\s+([\w.]+)(?:\s+PARTITION\s*\([^)]*\))?\s+REBUILD\s*;?\s*$""".r
   private val DropIndex =
     """(?is)^\s*DROP\s+INDEX\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s+ON\s+([\w.]+)\s*;?\s*$""".r
   private val ShowIndexes =
@@ -137,12 +143,15 @@ object HiveQl {
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+(UN)?ARCHIVE\s+PARTITION\s*\(([^)]*)\)\s*;?\s*$""".r
   // concurrency locking (Hive.g:842-858 lock/unlockStatement, :838 SHOW
   // LOCKS) → graft.Locks
+  // optional PARTITION spec on all three (Hive.g lockStatement /
+  // showStatement; lock2.q locks one partition EXCLUSIVE under a SHARED
+  // table lock)
   private val LockTable =
-    """(?is)^\s*LOCK\s+TABLE\s+([\w.]+)\s+(SHARED|EXCLUSIVE)\s*;?\s*$""".r
+    """(?is)^\s*LOCK\s+TABLE\s+([\w.]+)(?:\s+PARTITION\s*\(([^)]*)\))?\s+(SHARED|EXCLUSIVE)\s*;?\s*$""".r
   private val UnlockTable =
-    """(?is)^\s*UNLOCK\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
+    """(?is)^\s*UNLOCK\s+TABLE\s+([\w.]+)(?:\s+PARTITION\s*\(([^)]*)\))?\s*;?\s*$""".r
   private val ShowLocks =
-    """(?is)^\s*SHOW\s+LOCKS(?:\s+(?!EXTENDED\b)([\w.]+))?(?:\s+(EXTENDED))?\s*;?\s*$""".r
+    """(?is)^\s*SHOW\s+LOCKS(?:\s+(?!EXTENDED\b)([\w.]+))?(?:\s+PARTITION\s*\(([^)]*)\))?(?:\s+(EXTENDED))?\s*;?\s*$""".r
   // authorization statements (Hive.g:860-930) → graft.Authz
   private val CreateRole = """(?is)^\s*CREATE\s+ROLE\s+(\w+)\s*;?\s*$""".r
   private val DropRole = """(?is)^\s*DROP\s+ROLE\s+(\w+)\s*;?\s*$""".r
@@ -150,12 +159,14 @@ object HiveQl {
     """(?is)^\s*GRANT\s+ROLE\s+(\w+)\s+TO\s+USER\s+(\w+)\s*;?\s*$""".r
   private val RevokeRole =
     """(?is)^\s*REVOKE\s+ROLE\s+(\w+)\s+FROM\s+USER\s+(\w+)\s*;?\s*$""".r
+  // privilege lists may be COLUMN-scoped (`select(key)`, Hive.g
+  // privilegeObject), principals may be GROUPs (authorization_1.q)
   private val GrantPriv =
-    """(?is)^\s*GRANT\s+([\w, ]+?)\s+ON\s+(TABLE|DATABASE)\s+([\w.]+)\s+TO\s+(USER|ROLE)\s+(\w+)(\s+WITH\s+GRANT\s+OPTION)?\s*;?\s*$""".r
+    """(?is)^\s*GRANT\s+([\w, ()]+?)\s+ON\s+(TABLE|DATABASE)\s+([\w.]+)\s+TO\s+(USER|ROLE|GROUP)\s+(\w+)(\s+WITH\s+GRANT\s+OPTION)?\s*;?\s*$""".r
   private val RevokePriv =
-    """(?is)^\s*REVOKE\s+([\w, ]+?)\s+ON\s+(TABLE|DATABASE)\s+([\w.]+)\s+FROM\s+(USER|ROLE)\s+(\w+)\s*;?\s*$""".r
+    """(?is)^\s*REVOKE\s+([\w, ()]+?)\s+ON\s+(TABLE|DATABASE)\s+([\w.]+)\s+FROM\s+(USER|ROLE|GROUP)\s+(\w+)\s*;?\s*$""".r
   private val ShowGrant =
-    """(?is)^\s*SHOW\s+GRANT\s+(USER|ROLE)\s+(\w+)(?:\s+ON\s+(TABLE|DATABASE)\s+([\w.]+))?\s*;?\s*$""".r
+    """(?is)^\s*SHOW\s+GRANT\s+(USER|ROLE|GROUP)\s+(\w+)(?:\s+ON\s+(TABLE|DATABASE)\s+([\w.]+?)(?:\s*\(([^)]*)\))?)?\s*;?\s*$""".r
   private val ShowRoleGrant =
     """(?is)^\s*SHOW\s+ROLE\s+GRANT\s+USER\s+(\w+)\s*;?\s*$""".r
   // command-processor lines (ql/processors/): SET k=v (SetProcessor.java)
@@ -614,10 +625,18 @@ object HiveQl {
   private val PartitionedUsing =
     s"""(?is)(PARTITIONED\\s+BY\\s*\\([^)]*\\))\\s+($UsingClause)""".r
 
+  // table-level COMMENT sits between the column list and the format clause
+  // in Hive (exim_02_part.q: `(cols) comment "…" partitioned by … stored as
+  // textfile`); Spark wants USING immediately after the column list
+  private val CommentUsing =
+    s"""(?is)(COMMENT\\s+\\d+)\\s+($UsingClause)""".r
+
   private def hoistUsing(q: String): String = {
     val c = ClusteredUsing.replaceAllIn(q, m =>
       java.util.regex.Matcher.quoteReplacement(s"${m.group(2)} ${m.group(1)}"))
-    PartitionedUsing.replaceAllIn(c, m =>
+    val p = PartitionedUsing.replaceAllIn(c, m =>
+      java.util.regex.Matcher.quoteReplacement(s"${m.group(2)} ${m.group(1)}"))
+    CommentUsing.replaceAllIn(p, m =>
       java.util.regex.Matcher.quoteReplacement(s"${m.group(2)} ${m.group(1)}"))
   }
 
@@ -1954,10 +1973,10 @@ object HiveQl {
           if (un != null) sources.HiveArchive.unarchivePartition(s, table, kv)
           else sources.HiveArchive.archivePartition(s, table, kv)
         }
-      case LockTable(table, mode) =>
-        Some(s => Locks.lockTable(s, table, mode))
-      case UnlockTable(table) =>
-        Some(s => Locks.unlockTable(s, table))
+      case LockTable(table, part, mode) =>
+        Some(s => Locks.lockTable(s, table, mode, Option(part)))
+      case UnlockTable(table, part) =>
+        Some(s => Locks.unlockTable(s, table, Option(part)))
       case CreateRole(role) => Some(s => Authz.createRole(s, role))
       case DropRole(role) => Some(s => Authz.dropRole(s, role))
       case GrantRole(role, user) => Some(s => Authz.grantRole(s, role, user))
@@ -2004,19 +2023,23 @@ object HiveQl {
           s => operators.Indexes.showIndexes(s, table)))
       // DDLTask.showLocks: name + mode, extended adds the
       // HiveLockObjectData triple (queryId, lockTime, lockMode)
-      case ShowLocks(table, extended) =>
+      case ShowLocks(table, part, extended) =>
         val sch =
           if (extended != null)
             schema("tab_name", "mode", "lock_queryid", "lock_time", "lock_mode")
           else schema("tab_name", "mode")
         Some((sch,
-          s => Locks.showLocks(s, Option(table), extended != null)))
+          s => Locks.showLocks(s,
+            Option(table).map(_ + Option(part).filter(_.trim.nonEmpty)
+              .map(p => "@" + p.split(',').map(_.trim.replaceAll("['\"]", ""))
+                .mkString("/")).getOrElse("")),
+            extended != null)))
       // DDLTask.showGrants property set per grant
-      case ShowGrant(pType, principal, objType, objName) =>
+      case ShowGrant(pType, principal, objType, objName, objCol) =>
         Some((schema("database", "table", "principal_name", "principal_type",
           "privilege", "grant_time", "grantor"),
           s => Authz.showGrant(s, pType, principal,
-            Option(objType).map(_ -> objName))))
+            Option(objType).map(_ -> objName), Option(objCol))))
       case ShowRoleGrant(user) =>
         Some((schema("role", "grant_time"),
           s => Authz.showRoleGrant(s, user)))

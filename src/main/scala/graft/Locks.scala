@@ -100,7 +100,10 @@ object Locks {
     override def getLocks(prefix: Option[String]): Seq[HeldLock] =
       synchronized {
         val all = held.toSeq
-        prefix.map(p => all.filter(_.name == p)).getOrElse(all)
+        // a table name also lists ITS partition locks (DDLTask.showLocks
+        // walks table@part names; lock2.q's SHOW LOCKS tstsrcpart)
+        prefix.map(p => all.filter(h =>
+          h.name == p || h.name.startsWith(p + "@"))).getOrElse(all)
       }
 
     /** Test hook. */
@@ -150,20 +153,32 @@ object Locks {
   // ------------------------------------------------- statement handlers
 
   /** `LOCK TABLE t SHARED|EXCLUSIVE` (Hive.g:842-852, DDLTask.lockTable). */
-  def lockTable(spark: SparkSession, table: String, mode: String): Unit = {
+  def lockTable(spark: SparkSession, table: String, mode: String,
+      partSpec: Option[String] = None): Unit = {
     val m = mode.trim.toUpperCase match {
       case "SHARED" => Shared
       case "EXCLUSIVE" => Exclusive
       case other => throw new IllegalArgumentException(s"bad lock mode $other")
     }
-    acquire(spark, Seq((lockName(spark, table), m, data(spark, "EXPLICIT"))))
+    acquire(spark, Seq((lockName(spark, table) + partSuffix(partSpec), m,
+      data(spark, "EXPLICIT"))))
   }
+
+  /** `PARTITION (ds='x', hr='y')` → Hive's lock-name suffix
+    * `@ds=x/hr=y` (HiveLockObject.getDisplayName). */
+  private def partSuffix(partSpec: Option[String]): String =
+    partSpec.filter(_.trim.nonEmpty).map { spec =>
+      "@" + spec.split(',').map(_.trim.replaceAll("['\"]", ""))
+        .mkString("/")
+    }.getOrElse("")
 
   /** `UNLOCK TABLE t` (Hive.g:854-858). Loud when nothing was held — the
     * reference's unlock of an unlocked object errors through DDLTask.
     */
-  def unlockTable(spark: SparkSession, table: String): Unit = {
-    val n = manager.unlock(lockName(spark, table), owner(spark))
+  def unlockTable(spark: SparkSession, table: String,
+      partSpec: Option[String] = None): Unit = {
+    val n = manager.unlock(lockName(spark, table) + partSuffix(partSpec),
+      owner(spark))
     if (n == 0)
       throw new IllegalStateException(s"Table $table is not locked by this session")
   }

@@ -34,6 +34,11 @@ object SparkEntry {
     operators.QFileParity14,
     operators.QFileParity15,
     operators.QFileParity16,
+    operators.QFileParity17,
+    operators.QFileParity18,
+    operators.QFileParity19,
+    operators.QFileParity20,
+    operators.QFileParity21,
     operators.Indexes,
     operators.ScaleOps,
     streaming.Streaming)

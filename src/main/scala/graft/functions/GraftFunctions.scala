@@ -107,6 +107,17 @@ object GraftFunctions {
     // a bogus method sitting in a never-taken CASE branch (udf_case.q)
     reg("reflect", classOf[HiveReflect], es => HiveReflect(es)),
     reg("create_union", classOf[CreateNamedStruct], createUnionBuilder),
+    // Hive `index(container, key)` (GenericUDFIndex, FunctionRegistry
+    // .java:230 registers the backtick-quoted name): arr[i] / map[k] as a
+    // named function — Spark's GetArrayItem/GetMapValue under the hood,
+    // keeping Hive's 0-BASED array indexing (element_at would be 1-based)
+    reg("index", classOf[GetArrayItem], es => {
+      require(es.size == 2, "index(container, key) takes two arguments")
+      es.head.dataType match {
+        case _: org.apache.spark.sql.types.MapType => GetMapValue(es.head, es(1))
+        case _ => GetArrayItem(es.head, es(1))
+      }
+    }),
     // Hive-0.8 statistical names are POPULATION aggregates (GenericUDAFStd /
     // GenericUDAFVariance, FunctionRegistry.java:377-390: std = stddev =
     // stddev_pop, variance = var_pop), while Spark's builtins of the same

@@ -208,7 +208,18 @@ object Indexes extends QueryModule {
     val key = rootKeyFor(spark, table)
     val d = registry.getOrElse((key, name.toLowerCase),
       throw new IllegalArgumentException(s"Index $name does not exist on $table"))
-    val base = spark.read.parquet(d.rootPaths: _*)
+    // read through the table's OWN format when it is a catalog table — the
+    // reference indexes text/RCFile tables too (index_compact_2/3.q); a
+    // partitioned base also contributes its partition columns to the index
+    // table (the .q's `SELECT x.* FROM default__..__ x WHERE x.ds = ...`)
+    val (base, provider, partCols) =
+      try {
+        val ti = spark.sessionState.sqlParser.parseTableIdentifier(table)
+        val m = spark.sessionState.catalog.getTableMetadata(ti)
+        (spark.table(table), m.provider.getOrElse("parquet"),
+          m.partitionColumnNames)
+      } catch { case scala.util.control.NonFatal(_) =>
+        (spark.read.parquet(d.rootPaths: _*), "parquet", Seq.empty[String]) }
     // record (path, length) of every indexed file — the staleness guard:
     // a file the rewrite later sees with a different length (in-place
     // rewrite by an external writer) is treated as unindexed
@@ -221,7 +232,8 @@ object Indexes extends QueryModule {
           !st.getPath.getName.startsWith("."))
         .map(st => canon(st.getPath.toString) -> st.getLen)
     }.toMap
-    val keyCols = d.cols.map(col)
+    val groupCols = d.cols ++ partCols
+    val keyCols = groupCols.map(col)
     val built = d.kind match {
       case "compact" =>
         // CompactIndexHandler.java:105-117: SELECT keys, FILENAME,
@@ -229,18 +241,26 @@ object Indexes extends QueryModule {
         base.select(keyCols :+
             col("_metadata.file_path").as("_bucketname") :+
             col("_metadata.file_block_start").as("__graft_bo"): _*)
-          .groupBy((d.cols :+ "_bucketname").map(col): _*)
+          .groupBy((groupCols :+ "_bucketname").map(col): _*)
           .agg(sort_array(collect_set(col("__graft_bo"))).as("_offsets"))
       case "bitmap" =>
         // BitmapIndexHandler.java:130-145: SELECT keys, FILENAME,
         // BLOCKOFFSET, EWAH_BITMAP(ROWOFFSET) ... GROUP BY FILENAME,
         // BLOCKOFFSET, keys — `_bitmaps` in the reference's on-disk EWAH
-        // word-array form via ewah_encode
+        // word-array form via ewah_encode. `row_index` metadata exists for
+        // parquet only; other formats derive a stable per-file row id
+        val rid =
+          if (provider.equalsIgnoreCase("parquet"))
+            col("_metadata.row_index").cast("int")
+          else
+            (row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("_metadata.file_path"))
+              .orderBy(monotonically_increasing_id())) - 1).cast("int")
         base.select(keyCols :+
             col("_metadata.file_path").as("_bucketname") :+
             col("_metadata.file_block_start").as("_offset") :+
-            col("_metadata.row_index").cast("int").as("__graft_rid"): _*)
-          .groupBy((d.cols :+ "_bucketname" :+ "_offset").map(col): _*)
+            rid.as("__graft_rid"): _*)
+          .groupBy((groupCols :+ "_bucketname" :+ "_offset").map(col): _*)
           .agg(expr("ewah_encode(ewah_bitmap(__graft_rid))").as("_bitmaps"))
     }
     built.write.mode("overwrite").parquet(d.idxPath)

@@ -86,8 +86,15 @@ object HiveExim {
         .getOrElse(throw new IllegalArgumentException(
           s"no table name in $dir/_metadata and none given"))
     }
-    require(!external || location.isDefined,
-      "IMPORT EXTERNAL requires LOCATION (ImportSemanticAnalyzer)")
+    // IMPORT EXTERNAL without LOCATION (exim_11/18_part_external.q): the
+    // table's storage stays INSIDE the export directory — removing the
+    // export removes the data, the reference's external contract (its
+    // post-rm selects return empty); a partition-spec import materializes
+    // just that slice there
+    val effLocation = location.orElse(
+      if (external) Some(new Path(root, "data_" +
+        java.util.UUID.randomUUID.toString.take(8)).toString)
+      else None)
     val raw = spark.read.parquet(new Path(root, "data").toString)
     // restore the EXPORTED schema (the reference loads against the
     // serialized Table descriptor): a partitioned export moves partition
@@ -121,7 +128,7 @@ object HiveExim {
       require(!external, s"IMPORT EXTERNAL target $name already exists")
       df.select(spark.table(name).columns.map(col).toIndexedSeq: _*)
         .write.insertInto(name)
-    } else location match {
+    } else effLocation match {
       case Some(loc) =>
         // unmanaged (external) table over the materialized payload: DROP
         // leaves the files, like a Hive EXTERNAL table

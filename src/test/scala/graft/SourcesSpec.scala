@@ -434,10 +434,17 @@ class SourcesSpec extends SparkSpec {
     spark.sql("DROP TABLE exim_typed_src")
     spark.sql("DROP TABLE exim_p_typed")
 
-    // EXTERNAL without LOCATION refuses (ImportSemanticAnalyzer)
-    val e = intercept[IllegalArgumentException](HiveQl.sql(spark,
-      s"IMPORT EXTERNAL TABLE exim_ext2 FROM '$base/po'"))
-    assert(e.getMessage.contains("LOCATION"), e.getMessage)
+    // EXTERNAL without LOCATION binds the table's storage INSIDE the
+    // export directory (exim_11_managed_external.q: removing the export
+    // removes the data — the reference's external contract)
+    HiveQl.sql(spark, s"IMPORT EXTERNAL TABLE exim_ext2 FROM '$base/po'")
+    assert(spark.table("exim_ext2").count() == perStatus("O"))
+    val extLoc = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("exim_ext2"))
+      .location.toString
+    assert(extLoc.contains(new Path(s"$base/po").toString.stripPrefix("file:")),
+      s"external-no-location storage must live in the export dir: $extLoc")
+    spark.sql("DROP TABLE exim_ext2")
 
     for (t <- Seq("exim_p_src", "exim_p_one", "exim_p_sel"))
       spark.sql(s"DROP TABLE IF EXISTS $t")
