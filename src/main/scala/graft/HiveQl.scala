@@ -586,7 +586,11 @@ object HiveQl {
     val noTransformSerde =
       if (isCreate)
         TransformSerde.replaceAllIn(noSerde, m =>
-          if (lit(m.group(1)).endsWith("LazySimpleSerDe") &&
+          // LazyBinarySerDe CREATEs map the same way (null_column.q's
+          // tt_b): the row serde is metadata over engine-owned storage,
+          // exactly the AlterSetSerde treatment
+          if ((lit(m.group(1)).endsWith("LazySimpleSerDe") ||
+               lit(m.group(1)).endsWith("LazyBinarySerDe")) &&
               !m.after.toString.trim.toUpperCase.startsWith("WITH"))
             "USING graft.sources.HiveTextSource "
           else m.matched)

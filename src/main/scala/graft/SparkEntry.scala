@@ -39,6 +39,7 @@ object SparkEntry {
     operators.QFileParity19,
     operators.QFileParity20,
     operators.QFileParity21,
+    operators.QFileParity22,
     operators.Indexes,
     operators.ScaleOps,
     streaming.Streaming)
