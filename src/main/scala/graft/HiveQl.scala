@@ -135,6 +135,45 @@ object HiveQl {
   private val AnalyzeTable =
     ("""(?is)^\s*ANALYZE\s+TABLE\s+([\w.]+)(?:\s+PARTITION\s*\(([^)]*)\))?""" +
       """\s+COMPUTE\s+STATISTICS\s*;?\s*$""").r
+  // PARTITIONED VIEWS (Hive.g createViewStatement viewPartition,
+  // DDLSemanticAnalyzer ALTERVIEW_ADDPARTS/DROPPARTS over VIRTUAL_VIEW;
+  // create_view_partitioned.q, create_or_replace_view.q): the partitions
+  // are pure metadata decorating the view — recorded in view properties
+  private[graft] val ViewPartColsKey = "graft.view.partcols"
+  private[graft] val ViewPartsKey = "graft.view.parts"
+  private val CreateViewPartitioned =
+    ("""(?is)^(\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+))""" +
+      """\s+PARTITIONED\s+ON\s*\(([^)]*)\)\s*(AS\s.*)$""").r
+  private val AlterViewAddPart =
+    ("""(?is)^\s*ALTER\s+VIEW\s+([\w.]+)\s+ADD\s+(IF\s+NOT\s+EXISTS\s+)?""" +
+      """((?:PARTITION\s*\([^)]*\)\s*)+);?\s*$""").r
+  private val AlterViewDropPart =
+    ("""(?is)^\s*ALTER\s+VIEW\s+([\w.]+)\s+DROP\s+(IF\s+EXISTS\s+)?""" +
+      """PARTITION\s*\(([^)]*)\)\s*;?\s*$""").r
+  private val ShowPartitionsQ =
+    """(?is)^\s*SHOW\s+PARTITIONS\s+([\w.]+)(?:\s+PARTITION\s*\(([^)]*)\))?\s*;?\s*$""".r
+
+  private[graft] def viewParts(
+      m: org.apache.spark.sql.catalyst.catalog.CatalogTable): Seq[String] =
+    m.properties.getOrElse(ViewPartsKey, "")
+      .split("").filter(_.nonEmpty).toSeq
+
+  private def specName(spec: String): String =
+    sources.HiveExim.parsePartSpec(spec).collect {
+      case (k, Some(v)) => s"${k.toLowerCase}=${v.stripPrefix("'").stripSuffix("'")
+        .stripPrefix("\"").stripSuffix("\"")}"
+    }.mkString("/")
+
+  private def alterViewParts(spark: SparkSession, view: String)(
+      f: Seq[String] => Seq[String]): Unit = {
+    val cat = spark.sessionState.catalog
+    val ti = spark.sessionState.sqlParser.parseTableIdentifier(view)
+    val m = cat.getTableMetadata(ti)
+    require(m.properties.contains(ViewPartColsKey),
+      s"$view is not a partitioned view")
+    cat.alterTable(m.copy(properties = m.properties +
+      (ViewPartsKey -> f(viewParts(m)).mkString(""))))
+  }
   private val DropTable =
     """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
   // ALTER TABLE ... [UN]ARCHIVE PARTITION (TOK_ALTERTABLE_ARCHIVE,
@@ -1929,6 +1968,47 @@ object HiveQl {
         Some(s => Protect.touch(s, table))
       case AlterSetFileFormat(table, partSpec, fmt) =>
         Some(s => alterFileFormat(s, table, Option(partSpec), fmt))
+      case CreateViewPartitioned(head, view, cols, body) =>
+        Some { s =>
+          bypassStatements.set(true)
+          try s.sql(rewrite(s"$head $body"))
+          finally bypassStatements.set(false)
+          val cat = s.sessionState.catalog
+          val ti = s.sessionState.sqlParser.parseTableIdentifier(view)
+          val m = cat.getTableMetadata(ti)
+          cat.alterTable(m.copy(properties = m.properties +
+            (ViewPartColsKey -> cols.split(',').map(_.trim.toLowerCase)
+              .filter(_.nonEmpty).mkString(",")) +
+            (ViewPartsKey -> ""))) // OR REPLACE resets the partition list
+        }
+      case AlterViewAddPart(view, ifNot, specs) =>
+        Some { s =>
+          val names = """\(([^)]*)\)""".r.findAllMatchIn(specs)
+            .map(m => specName(m.group(1))).toSeq
+          alterViewParts(s, view) { cur =>
+            names.foldLeft(cur) { (acc, n) =>
+              if (acc.contains(n)) {
+                require(ifNot != null,
+                  s"Partition already exists: $n on view $view")
+                acc
+              } else acc :+ n
+            }
+          }
+        }
+      case AlterViewDropPart(view, ifExists, spec) =>
+        Some { s =>
+          val n = specName(spec)
+          alterViewParts(s, view) { cur =>
+            if (!cur.contains(n)) {
+              // hive.exec.drop.ignorenonexistent (default true) forgives
+              val forgive = ifExists != null ||
+                !s.conf.getOption("hive.exec.drop.ignorenonexistent")
+                  .exists(_.trim.equalsIgnoreCase("false"))
+              require(forgive, s"Partition not found: $n on view $view")
+              cur
+            } else cur.filterNot(_ == n)
+          }
+        }
       case AnalyzeTable(table, partSpec) =>
         Some { s =>
           val specKv = Option(partSpec).toSeq
@@ -2020,6 +2100,37 @@ object HiveQl {
     def schema(names: String*): StructType =
       StructType(names.map(StructField(_, StringType, nullable = true)))
     q match {
+      // SHOW PARTITIONS [PARTITION(spec)]: PARTITIONED VIEWS answer from
+      // their recorded metadata (Hive's view partitions are pure metadata
+      // — DDLSemanticAnalyzer addPartition on VIRTUAL_VIEW;
+      // create_view_partitioned.q); tables delegate to the native command
+      case ShowPartitionsQ(t, spec) if !bypassStatements.get =>
+        Some((schema("partition"), s => {
+          val meta = try Some(s.sessionState.catalog.getTableMetadata(
+            s.sessionState.sqlParser.parseTableIdentifier(t)))
+          catch { case _: Exception => None }
+          meta.filter(m => m.properties.contains(ViewPartColsKey)) match {
+            case Some(m) =>
+              val want = Option(spec).map(sources.HiveExim.parsePartSpec(_)
+                .collect { case (k, Some(v)) =>
+                  k.toLowerCase -> v.stripPrefix("'").stripSuffix("'")
+                    .stripPrefix("\"").stripSuffix("\"") }.toMap)
+                .getOrElse(Map.empty)
+              viewParts(m).filter { p =>
+                val kv = p.split("/").map(_.split("=", 2))
+                  .map(a => a(0).toLowerCase -> a(1)).toMap
+                want.forall { case (k, v) => kv.get(k).contains(v) }
+              }.map(org.apache.spark.sql.Row(_))
+            case None =>
+              // bypass: the dialect parser funnels spark.sql back through
+              // statementRows — without the flag this recurses
+              bypassStatements.set(true)
+              try s.sql(s"SHOW PARTITIONS $t" +
+                Option(spec).map(sp => s" PARTITION($sp)").getOrElse(""))
+                .collect().toSeq
+              finally bypassStatements.set(false)
+          }
+        }))
       // reference SHOW INDEXES schema (ShowIndexesDesc.java:39)
       case ShowIndexes(table) =>
         Some((schema("idx_name", "tab_name", "col_names", "idx_tab_name",

@@ -40,6 +40,7 @@ object SparkEntry {
     operators.QFileParity20,
     operators.QFileParity21,
     operators.QFileParity22,
+    operators.QFileParity23,
     operators.Indexes,
     operators.ScaleOps,
     streaming.Streaming)
