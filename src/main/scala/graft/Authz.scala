@@ -4,7 +4,7 @@ import scala.collection.concurrent.TrieMap
 import scala.collection.mutable
 
 import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation, UnresolvedStar}
 import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan}
 
 /** GRANT/REVOKE authorization (closes the §7.5 authz drop): the
@@ -242,10 +242,18 @@ object Authz {
   // ------------------------------------------------------- enforcement
 
   /** Does `user` hold `priv` (or All) on the table, directly or through a
-    * role, at table or database scope?
+    * role, at table or database scope? A column-scoped grant
+    * (`Select(c1,c2)`) authorizes ONLY Select, and only when every data
+    * column the statement reads from the table is in the grant's list —
+    * the reference (Driver.doAuthorization) checks column privileges
+    * against the TableScan's needed columns; partition columns are pruned
+    * at compile time and never counted. `refCols` is that needed set
+    * (already filtered to the table's data columns); None = unknown (a
+    * `*` projection or unparseable shape) → the grant must cover every
+    * data column of the table.
     */
   def holds(spark: SparkSession, user: String, priv: String,
-      table: String): Boolean = synchronized {
+      table: String, refCols: Option[Set[String]] = None): Boolean = synchronized {
     ensureLoaded(spark)
     val db = spark.catalog.currentDatabase
     // the user's groups (SessionState's UNIX groups in the reference) come
@@ -257,12 +265,28 @@ object Authz {
         (rolesOf(user).map("ROLE" -> _) ++ groups.map("GROUP" -> _))
     grants.exists { g =>
       principals.contains(g.principalType -> g.principal) &&
-        (g.priv == priv || g.priv == "All" ||
-          g.priv.startsWith(priv + "(")) && // column grant authorizes reads
         ((g.objType == "TABLE" && g.objName == table.toLowerCase) ||
-          (g.objType == "DATABASE" && g.objName == db.toLowerCase))
+          (g.objType == "DATABASE" && g.objName == db.toLowerCase)) &&
+        (g.priv == priv || g.priv == "All" ||
+          (priv == "Select" && g.priv.startsWith("Select(") &&
+            g.objType == "TABLE" && {
+              val grantCols = g.priv.stripPrefix("Select(").stripSuffix(")")
+                .split(',').map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
+              refCols.orElse(dataColumns(spark, table))
+                .exists(_.subsetOf(grantCols))
+            }))
     }
   }
+
+  /** The table's non-partition column names, lowercased; None when the
+    * table can't be resolved. */
+  private def dataColumns(spark: SparkSession, table: String): Option[Set[String]] =
+    try {
+      val ti = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      val m = spark.sessionState.catalog.getTableMetadata(ti)
+      Some(m.schema.map(_.name.toLowerCase).toSet --
+        m.partitionColumnNames.map(_.toLowerCase))
+    } catch { case _: Exception => None }
 
   private def deny(priv: String, side: String, db: String, table: String): Nothing =
     throw new SecurityException(
@@ -281,11 +305,27 @@ object Authz {
     val user = currentUser(spark)
     val db = spark.catalog.currentDatabase
     val (inputs, outputs) = referencedTables(plan)
+    // the statement's referenced attribute names (unresolved — a global
+    // set; per-table precision comes from intersecting with each table's
+    // own schema below). A `*` anywhere makes the needed set unknown.
+    val attrs = mutable.LinkedHashSet.empty[String]
+    var star = false
+    def scanExprs(p: LogicalPlan): Unit = p.foreach(_.expressions.foreach(_.foreach {
+      case _: UnresolvedStar => star = true
+      case a: UnresolvedAttribute => attrs += a.nameParts.last.toLowerCase
+      case _ =>
+    }))
+    scanExprs(plan)
+    plan.foreach(_.subqueries.foreach(scanExprs))
     outputs.foreach { t =>
       if (!holds(spark, user, "Update", t)) deny("Update", "outputs", db, t)
     }
     inputs.foreach { t =>
-      if (!holds(spark, user, "Select", t)) deny("Select", "inputs", db, t)
+      val refCols: Option[Set[String]] =
+        if (star) None
+        else dataColumns(spark, t).map(_.intersect(attrs.toSet))
+      if (!holds(spark, user, "Select", t, refCols))
+        deny("Select", "inputs", db, t)
     }
   }
 

@@ -183,10 +183,18 @@ object Bench {
     // "parsed": null because the 2900-char full line lost its head), so it
     // uses the short query key (q64b) and millisecond precision: ~1300 chars
     try {
+      val full = line(identity, _.toString, detail = true).getBytes("UTF-8")
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out,
-        line(identity, _.toString, detail = true).getBytes("UTF-8"))
+      java.nio.file.Files.write(out, full)
+      // driver archives only a truncated stdout tail ("parsed": null since
+      // r12 — 775 queries no longer fit any tail window); the repo-root
+      // copy IS the per-query record of note for round-over-round diffs.
+      // Full-suite runs only: a subset overwrite would masquerade as the
+      // round's vector.
+      if (only.isEmpty)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("bench_full.json"), full)
     } catch { case _: Throwable => () }
     println(line(_.split("_")(0),
       v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)),

@@ -48,18 +48,39 @@ object HiveQl {
     """(?is)^\s*DROP\s+TEMPORARY\s+FUNCTION\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$""".r
   // index DDL (Hive.g:467-490 createIndexStatement, :534-539 drop,
   // :591-598 alter-rebuild, :834-836 SHOW INDEXES) → operators.Indexes
+  // tail clauses after the handler (Hive.g:467-490 order): WITH DEFERRED
+  // REBUILD, IDXPROPERTIES, IN TABLE <name>, ROW FORMAT …, STORED AS <fmt>,
+  // TBLPROPERTIES, COMMENT. ROW FORMAT / STORED AS / TBLPROPERTIES shape the
+  // reference's index TABLE storage; the graft index store is parquet
+  // regardless (index_creation.q's observable is the index table's
+  // existence, name, and schema — not its serde), so they parse and drop.
   private val CreateIndex =
-    """(?is)^\s*CREATE\s+INDEX\s+(\w+)\s+ON\s+TABLE\s+([\w.]+)\s*\(([^)]*)\)\s+AS\s+'([^']+)'(\s+WITH\s+DEFERRED\s+REBUILD)?(?:\s+IDXPROPERTIES\s*\([^)]*\))?(?:\s+COMMENT\s+'([^']*)')?\s*;?\s*$""".r
+    ("""(?is)^\s*CREATE\s+INDEX\s+(`[^`]+`|\w+)\s+ON\s+TABLE\s+((?:`[^`]+`|[\w.])+)\s*\(([^)]*)\)\s+AS\s+'([^']+)'""" +
+      """(\s+WITH\s+DEFERRED\s+REBUILD)?(?:\s+IDXPROPERTIES\s*\([^)]*\))?""" +
+      """(?:\s+IN\s+TABLE\s+(`[^`]+`|[\w.]+))?""" +
+      """(?:\s+ROW\s+FORMAT\s+DELIMITED(?:\s+FIELDS\s+TERMINATED\s+BY\s+'[^']*')?(?:\s+ESCAPED\s+BY\s+'[^']*')?)?""" +
+      """(?:\s+STORED\s+AS\s+\w+)?(?:\s+TBLPROPERTIES\s*\([^)]*\))?""" +
+      """(?:\s+COMMENT\s+'([^']*)')?\s*;?\s*$""").r
   // optional PARTITION spec (index_auto_unused.q): the reference rebuilds
   // one partition's entries; the graft rebuild is whole-index — with the
   // (path, length) staleness guard, extra fresh entries only widen what
   // the rewrite may prune, rows are identical either way
   private val AlterIndexRebuild =
-    """(?is)^\s*ALTER\s+INDEX\s+(\w+)\s+ON\s+([\w.]+)(?:\s+PARTITION\s*\([^)]*\))?\s+REBUILD\s*;?\s*$""".r
+    """(?is)^\s*ALTER\s+INDEX\s+(`[^`]+`|\w+)\s+ON\s+((?:`[^`]+`|[\w.])+)(?:\s+PARTITION\s*\([^)]*\))?\s+REBUILD\s*;?\s*$""".r
   private val DropIndex =
-    """(?is)^\s*DROP\s+INDEX\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s+ON\s+([\w.]+)\s*;?\s*$""".r
+    """(?is)^\s*DROP\s+INDEX\s+(?:(IF\s+EXISTS)\s+)?(`[^`]+`|\w+)\s+ON\s+((?:`[^`]+`|[\w.])+)\s*;?\s*$""".r
   private val ShowIndexes =
-    """(?is)^\s*SHOW\s+(?:FORMATTED\s+)?INDEX(?:ES)?\s+ON\s+([\w.]+)\s*;?\s*$""".r
+    """(?is)^\s*SHOW\s+(?:FORMATTED\s+)?INDEX(?:ES)?\s+ON\s+((?:`[^`]+`|[\w.])+)\s*;?\s*$""".r
+  // SHOW TABLE EXTENDED [IN|FROM db] LIKE pattern [PARTITION(spec)]
+  // (Hive.g:838-840 showStatement, DDLTask.showTableStatus) — the pattern
+  // is a Java regex in the reference (show_tablestatus.q: `src.?`, `^s.*`)
+  private val ShowTableExtended =
+    """(?is)^\s*SHOW\s+TABLE\s+EXTENDED\s+(?:(?:IN|FROM)\s+([\w.]+)\s+)?LIKE\s+(`[^`]+`|'[^']+'|"[^"]+"|\S+?)(?:\s+PARTITION\s*\(([^)]*)\))?\s*;?\s*$""".r
+  // ALTER TABLE t [PARTITION(spec)] CONCATENATE (Hive.g
+  // alterStatementSuffixMergeFiles; DDLSemanticAnalyzer
+  // analyzeAlterTablePartMergeFiles — Hive 0.8's RCFile block merge)
+  private val AlterConcatenate =
+    """(?is)^\s*ALTER\s+TABLE\s+((?:`[^`]+`|[\w.])+)(?:\s+PARTITION\s*\(([^)]*)\))?\s+CONCATENATE\s*;?\s*$""".r
   // CREATE TABLE ... STORED BY 'handler' (Hive.g tableFileFormat
   // KW_STORED KW_BY; HiveStorageHandler) → sources.kv.KvSource DSv2
   private val StoredBy =
@@ -961,7 +982,10 @@ object HiveQl {
     * Partitioned tables prune per partition directory (each holds its own
     * b bucket files). The rewrite happens driver-side at parse time — at
     * scale this is one directory listing per partition, the same metadata
-    * walk the reference's sampling pruner does.
+    * walk the reference's sampling pruner (SamplePruner.java) does — and
+    * the selected files are read DIRECTLY (a temp view over only those
+    * paths), so the scan's I/O is selected/d of the table, not a full scan
+    * with a post-hoc row filter.
     */
   private val TableSampleOnColsPre =
     """(?i)([\w.]+)\s+TABLESAMPLE\s*\(\s*BUCKET\s+(\d+)\s+OUT\s+OF\s+(\d+)\s+ON\s+(\w+(?:\s*,\s*\w+)*)\s*\)(\s+(?:AS\s+)?(\w+))?""".r
@@ -987,25 +1011,43 @@ object HiveQl {
       val cols = m.group(4).split(",").map(_.trim.toLowerCase).toSeq
       bucketSampleFiles(spark, tbl, n, d, cols) match {
         case None => m.matched // not file-prunable: static predicate rewrite
-        case Some((files, residual)) =>
+        case Some((files, residual, meta)) =>
           val explicit = Option(m.group(6)).filterNot(a => NotAnAlias(a.toUpperCase))
           val alias = explicit.getOrElse(tbl.split('.').last)
           val trailer = if (m.group(5) != null && explicit.isEmpty) m.group(5) else ""
-          val filePred =
-            if (files.isEmpty) "false" // empty bucketed table: no files
-            else files.map(f => s"input_file_name() LIKE '%$f'").mkString("(", " OR ", ")")
-          val resPred = residual.fold("")(r => s" AND $r")
-          java.util.regex.Matcher.quoteReplacement(
-            s"(SELECT * FROM $tbl WHERE $filePred$resPred) $alias$trailer")
+          val body =
+            if (files.isEmpty) s"SELECT * FROM $tbl WHERE false" // no files
+            else {
+              // Read ONLY the selected bucket files — the scan's FileIndex is
+              // the pruned list, so I/O shrinks by selected/d (the point of
+              // sampling at 100 TB). basePath recovers partition columns for
+              // partitioned layouts; the residual hash filter (d > b) stays a
+              // row predicate on top.
+              val view = s"graft_bsample_${tbl.replace('.', '_')}_${n}_$d"
+              val provider = meta.provider.getOrElse("parquet")
+              var rd = spark.read.format(provider).schema(meta.schema)
+                .options(meta.storage.properties)
+              if (meta.partitionColumnNames.nonEmpty)
+                rd = rd.option("basePath",
+                  new org.apache.hadoop.fs.Path(meta.location).toString)
+              rd.load(files: _*)
+                .select(meta.schema.map(f =>
+                  org.apache.spark.sql.functions.col(f.name)): _*)
+                .createOrReplaceTempView(view)
+              s"SELECT * FROM $view" + residual.fold("")(r => s" WHERE $r")
+            }
+          java.util.regex.Matcher.quoteReplacement(s"($body) $alias$trailer")
       }
     })
     unmaskLiterals(out, lits)
   }
 
-  /** Selected bucket-file suffixes (+ residual predicate) for a file-pruned
-    * sample, or None when the predicate rewrite should handle it. */
+  /** Selected bucket-file full paths (+ residual predicate + table meta) for
+    * a file-pruned sample, or None when the predicate rewrite should handle
+    * it. */
   private def bucketSampleFiles(spark: SparkSession, tbl: String, n: Int,
-      d: Int, onCols: Seq[String]): Option[(Seq[String], Option[String])] = {
+      d: Int, onCols: Seq[String]): Option[(Seq[String], Option[String],
+      org.apache.spark.sql.catalyst.catalog.CatalogTable)] = {
     val meta = try {
       val parts = tbl.split('.')
       val ti =
@@ -1044,12 +1086,9 @@ object HiveQl {
       if (d > b) Some(s"(hash(${onCols.mkString(", ")}) & 2147483647) % $d = ${n - 1}")
       else None
     val files = perDir.flatMap { fl =>
-      idx.filter(_ < fl.size).map { i =>
-        val p = fl(i)
-        s"/${p.getParent.getName}/${p.getName}" // partition-dir-qualified suffix
-      }
+      idx.filter(_ < fl.size).map(i => fl(i).toString)
     }
-    Some((files, residual))
+    Some((files, residual, meta))
   }
 
   /** TRANSFORM/MAP/REDUCE ... USING '<bare name>' where the name matches a
@@ -1215,7 +1254,7 @@ object HiveQl {
         withLegacyStoreRetry(spark)(c => c.sql(rewrite(q))))
     }
     if (!holdDdl) bumpInsertTargets(spark, maskedQ)
-    mergeSmallFiles(spark, maskedQ)
+    mergeSmallFiles(spark, maskedQ, qLits)
     autogatherStats(spark, maskedQ, qLits)
     result
   }
@@ -1232,7 +1271,8 @@ object HiveQl {
     * nothing. Runs BEFORE autogatherStats so published numFiles/totalSize
     * describe the merged layout, same order as the reference's task DAG.
     */
-  private def mergeSmallFiles(spark: SparkSession, masked: String): Unit = {
+  private def mergeSmallFiles(spark: SparkSession, masked: String,
+      lits: IndexedSeq[String]): Unit = {
     val on = Seq("hive.merge.mapfiles", "hive.merge.mapredfiles")
       .exists(k => spark.conf.getOption(k).exists(_.trim.equalsIgnoreCase("true")))
     if (!on) return
@@ -1242,25 +1282,48 @@ object HiveQl {
     val per = spark.conf.getOption("hive.merge.size.per.task")
       .flatMap(v => scala.util.Try(v.trim.toLong).toOption).getOrElse(256L * 1024 * 1024)
     val cat = spark.sessionState.catalog
-    InsertTarget.findAllMatchIn(masked).map(_.group(1)).toSeq.distinct.foreach { t =>
+    InsertTarget.findAllMatchIn(masked).toSeq.foreach { m =>
+      val t = m.group(1)
       try {
         val ti = spark.sessionState.sqlParser.parseTableIdentifier(t)
         val meta = cat.getTableMetadata(ti)
         val provider = meta.provider.getOrElse("parquet")
         // hetero tables mix formats per partition — a bulk rewrite would
         // re-serialize old partitions into the current format; skip (the
-        // reference merges within one partition's own format)
-        if (provider != "graft.sources.HiveHeteroSource") {
+        // reference merges within one partition's own format). Bucketed
+        // tables are skipped too: Compaction rewrites via plain
+        // .write.save(), whose files carry no Spark bucket-id markers —
+        // a merged bucketed table would silently read empty/misassigned
+        // under bucketed scans (the HiveLoad demotion failure mode). The
+        // reference's MR merge preserves bucket files for the same reason
+        // (it merges per-bucket); a per-bucket merge here buys nothing
+        // Spark's own write-path sizing doesn't already do.
+        if (provider != "graft.sources.HiveHeteroSource" &&
+            meta.bucketSpec.isEmpty) {
           val (fmt, schemaOpt) =
             if (provider.startsWith("graft.sources.Hive"))
               (provider, Some(org.apache.spark.sql.types.StructType(
                 meta.schema.filterNot(f =>
                   meta.partitionColumnNames.contains(f.name)))))
             else (provider, None)
-          val merged = sources.Compaction.compactIfFragmented(spark,
-            new org.apache.hadoop.fs.Path(meta.location).toString, per, avg,
-            fmt, schemaOpt, meta.storage.properties)
-          if (merged) spark.catalog.refreshTable(t)
+          // a STATIC partition spec scopes the merge to the partitions it
+          // pins (O(written unit), like gatherStats) — only a dynamic or
+          // absent spec walks the whole table directory
+          val staticKv: Map[String, String] = Option(m.group(3)).toSeq
+            .flatMap(s => sources.HiveExim.parsePartSpec(unmaskLiterals(s, lits)))
+            .collect { case (k, Some(v)) => k -> stripQuotes(v) }.toMap
+          val byLower = meta.partitionColumnNames.map(c => c.toLowerCase -> c).toMap
+          val normKv = staticKv.map { case (k, v) =>
+            byLower.getOrElse(k.toLowerCase, k) -> v }
+          val dirs: Seq[String] =
+            if (meta.partitionColumnNames.nonEmpty && normKv.nonEmpty &&
+                Option(m.group(3)).exists(!_.split(",").exists(!_.contains("="))))
+              cat.listPartitions(ti, Some(normKv))
+                .map(p => new org.apache.hadoop.fs.Path(p.location).toString)
+            else Seq(new org.apache.hadoop.fs.Path(meta.location).toString)
+          val merged = dirs.map(d => sources.Compaction.compactIfFragmented(
+            spark, d, per, avg, fmt, schemaOpt, meta.storage.properties))
+          if (merged.contains(true)) spark.catalog.refreshTable(t)
         }
       } catch { case scala.util.control.NonFatal(_) => } // temp views etc.
     }
@@ -1389,7 +1452,15 @@ object HiveQl {
       val parts = cat.listPartitions(ti,
         if (normKv.nonEmpty) Some(normKv) else None)
       val updated = parts.map { p =>
-        val cond = p.spec.map { case (k, v) => s"$k = '$v'" }.mkString(" AND ")
+        // Column equality, not a string predicate: values containing a
+        // quote must not break the filter, and the default-partition
+        // sentinel is a NULL value, never equal to its literal spelling
+        val cond = p.spec.map { case (k, v) =>
+          if (v == "__HIVE_DEFAULT_PARTITION__")
+            org.apache.spark.sql.functions.col(k).isNull
+          else org.apache.spark.sql.functions.col(k) ===
+            org.apache.spark.sql.functions.lit(v)
+        }.reduce(_ && _)
         val rows = spark.table(t).where(cond).count()
         val (nf, sz) = fileStats(p.location)
         p.copy(
@@ -1410,6 +1481,161 @@ object HiveQl {
           properties = cat.getTableMetadata(ti).properties ++ params(rows, nf, sz)))
       }
     }
+  }
+
+  /** `ALTER TABLE t [PARTITION spec] CONCATENATE`: block-merge the unit's
+    * files. Spark-first: ONE repartition rewrite sized from on-disk bytes
+    * through [[sources.Compaction]] with the small-file threshold forced
+    * (the reference's RCFile block merger runs unconditionally), published
+    * write-audit-publish. `hive.exec.concatenate.check.index` (default
+    * true) refuses when the table carries indexes — concatenation moves
+    * block offsets, invalidating them (DDLSemanticAnalyzer
+    * analyzeAlterTablePartMergeFiles) — and `=false` forces through, the
+    * alter_concatenate_indexed_table.q contract.
+    */
+  private def alterConcatenate(spark: SparkSession, table: String,
+      spec: Option[String]): Unit = {
+    val cat = spark.sessionState.catalog
+    val plain = stripTicks(table)
+    val ti = spark.sessionState.sqlParser.parseTableIdentifier(plain)
+    val meta = cat.getTableMetadata(ti)
+    val checkIdx = !spark.conf.getOption("hive.exec.concatenate.check.index")
+      .exists(_.trim.equalsIgnoreCase("false"))
+    if (checkIdx &&
+        (try operators.Indexes.showIndexes(spark, plain).nonEmpty
+         catch { case scala.util.control.NonFatal(_) => false }))
+      throw new IllegalStateException(
+        s"can not do merge because source table $plain is indexed")
+    val provider = meta.provider.getOrElse("parquet")
+    val (fmt, schemaOpt) =
+      if (provider.startsWith("graft.sources.Hive"))
+        (provider, Some(org.apache.spark.sql.types.StructType(
+          meta.schema.filterNot(f =>
+            meta.partitionColumnNames.contains(f.name)))))
+      else (provider, None)
+    val dirs: Seq[String] = spec match {
+      case Some(sp) =>
+        val kv = sources.HiveExim.parsePartSpec(sp)
+          .collect { case (k, Some(v)) => k -> stripQuotes(v) }.toMap
+        val byLower = meta.partitionColumnNames.map(c => c.toLowerCase -> c).toMap
+        val norm = kv.map { case (k, v) =>
+          byLower.getOrElse(k.toLowerCase, k) -> v }
+        cat.listPartitions(ti, Some(norm))
+          .map(p => new org.apache.hadoop.fs.Path(p.location).toString)
+      case None => Seq(new org.apache.hadoop.fs.Path(meta.location).toString)
+    }
+    val per = spark.conf.getOption("hive.merge.size.per.task")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .getOrElse(256L * 1024 * 1024)
+    dirs.foreach(d => sources.Compaction.compactIfFragmented(spark, d, per,
+      Long.MaxValue, fmt, schemaOpt, meta.storage.properties))
+    spark.catalog.refreshTable(plain)
+  }
+
+  /** `SHOW TABLE EXTENDED [IN db] LIKE pattern [PARTITION(spec)]` rows —
+    * the reference's DDLTask.showTableStatus line set: one `tab_name`
+    * string row per `key:value` line per matching table (thrift-DDL
+    * column spelling, file census over the named unit's directory).
+    */
+  private def showTableExtended(spark: SparkSession, db: Option[String],
+      pattern: String, spec: Option[String]): Seq[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.types._
+    val cat = spark.sessionState.catalog
+    val database = db.getOrElse(spark.catalog.currentDatabase)
+    val pat = stripQuotes(stripTicks(pattern))
+    val names = cat.externalCatalog.listTables(database)
+      .filter(t => t == pat || (try t.matches(pat)
+        catch { case _: Exception => false })).sorted
+    def thriftType(dt: DataType): String = dt match {
+      case IntegerType => "i32"
+      case LongType => "i64"
+      case ShortType => "i16"
+      case ByteType => "byte"
+      case BooleanType => "bool"
+      case FloatType => "float"
+      case DoubleType => "double"
+      case StringType => "string"
+      case other => other.catalogString
+    }
+    val hconf = spark.sparkContext.hadoopConfiguration
+    names.flatMap { n =>
+      val meta = cat.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(n, Some(database)))
+      val provider = meta.provider.getOrElse("parquet")
+      val (inF, outF) = provider match {
+        case "graft.sources.HiveTextSource" =>
+          ("org.apache.hadoop.mapred.TextInputFormat",
+            "org.apache.hadoop.hive.ql.io.HiveIgnoreKeyTextOutputFormat")
+        case "graft.sources.HiveRCSource" =>
+          ("org.apache.hadoop.hive.ql.io.RCFileInputFormat",
+            "org.apache.hadoop.hive.ql.io.RCFileOutputFormat")
+        case "graft.sources.HiveSeqSource" =>
+          ("org.apache.hadoop.mapred.SequenceFileInputFormat",
+            "org.apache.hadoop.hive.ql.io.HiveSequenceFileOutputFormat")
+        case p => (p, p)
+      }
+      val dataCols = meta.schema.filterNot(f =>
+        meta.partitionColumnNames.contains(f.name))
+      val partCols = meta.schema.filter(f =>
+        meta.partitionColumnNames.contains(f.name))
+      // the census unit: named partition > whole table tree
+      val roots: Seq[org.apache.hadoop.fs.Path] = spec match {
+        case Some(sp) =>
+          val kv = sources.HiveExim.parsePartSpec(sp)
+            .collect { case (k, Some(v)) => k -> stripQuotes(v) }.toMap
+          val byLower = meta.partitionColumnNames.map(c => c.toLowerCase -> c).toMap
+          val norm = kv.map { case (k, v) =>
+            byLower.getOrElse(k.toLowerCase, k) -> v }
+          cat.listPartitions(meta.identifier, Some(norm))
+            .map(p => new org.apache.hadoop.fs.Path(p.location))
+        case None => Seq(new org.apache.hadoop.fs.Path(meta.location))
+      }
+      var (nf, tot, mx, mn, newest) = (0L, 0L, 0L, Long.MaxValue, 0L)
+      roots.foreach { r =>
+        val fs = r.getFileSystem(hconf)
+        if (fs.exists(r)) {
+          val it = fs.listFiles(r, true)
+          while (it.hasNext) {
+            val st = it.next()
+            if (!st.getPath.getName.startsWith("_") &&
+                !st.getPath.getName.startsWith(".")) {
+              nf += 1; tot += st.getLen
+              mx = math.max(mx, st.getLen); mn = math.min(mn, st.getLen)
+              newest = math.max(newest, st.getModificationTime)
+            }
+          }
+        }
+      }
+      if (nf == 0) mn = 0
+      Seq(
+        s"tableName:$n",
+        s"owner:${meta.owner}",
+        s"location:${roots.headOption.map(_.toString).getOrElse(meta.location.toString)}",
+        s"inputformat:$inF",
+        s"outputformat:$outF",
+        "columns:struct columns { " +
+          dataCols.map(f => s"${thriftType(f.dataType)} ${f.name}")
+            .mkString(", ") + "}",
+        s"partitioned:${meta.partitionColumnNames.nonEmpty}",
+        "partitionColumns:" + (if (partCols.isEmpty) "" else
+          "struct partition_columns { " +
+            partCols.map(f => s"${thriftType(f.dataType)} ${f.name}")
+              .mkString(", ") + "}"),
+        s"totalNumberFiles:$nf",
+        s"totalFileSize:$tot",
+        s"maxFileSize:$mx",
+        s"minFileSize:$mn",
+        "lastAccessTime:0",
+        s"lastUpdateTime:$newest"
+      ).map(org.apache.spark.sql.Row(_))
+    }
+  }
+
+  private[graft] def stripTicks(v: String): String = {
+    val t = v.trim
+    if (t.length >= 2 && t.startsWith("`") && t.endsWith("`"))
+      t.substring(1, t.length - 1)
+    else t
   }
 
   private def stripQuotes(v: String): String = {
@@ -1457,7 +1683,19 @@ object HiveQl {
         cloned match {
           case Some(c) =>
             c.conf.set("spark.sql.storeAssignmentPolicy", "LEGACY")
-            run(c)
+            val before = c.sessionState.catalog.getTempViewNames().toSet
+            val out = run(c)
+            // temp views the retried statement registered live in the
+            // throw-away clone's catalog — copy them back so later
+            // statements on the original session can resolve them
+            c.sessionState.catalog.getTempViewNames()
+              .filterNot(before).foreach { name =>
+                c.sessionState.catalog.getRawTempView(name).foreach { v =>
+                  spark.sessionState.catalog.createTempView(name, v,
+                    overrideIfExists = true)
+                }
+              }
+            out
           case None =>
             val lock = storeRetryLocks.computeIfAbsent(spark, _ => new Object)
             lock.synchronized {
@@ -1838,10 +2076,11 @@ object HiveQl {
         Some(s => functions.GraftFunctions.registerAs(s, name, className))
       case DropFunc(name) =>
         Some(s => functions.GraftFunctions.dropFunction(s, name))
-      case CreateIndex(name, table, cols, handler, deferred, comment) =>
-        Some(s => operators.Indexes.createIndex(s, name, table,
-          cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq, handler,
-          deferred != null, Option(comment)))
+      case CreateIndex(name, table, cols, handler, deferred, inTable, comment) =>
+        Some(s => operators.Indexes.createIndex(s, stripTicks(name), table,
+          cols.split(",").map(c => stripTicks(c.trim)).filter(_.nonEmpty).toSeq,
+          handler, deferred != null, Option(comment),
+          Option(inTable).map(stripTicks)))
       case ReplaceCols(table, cols) =>
         Some(s => replaceColumns(s, table, cols))
       case AddCols(table, cols) =>
@@ -1915,10 +2154,13 @@ object HiveQl {
       case ChangeCol(table, oldName, newName, typeStr, comment, pos) =>
         Some(s => changeColumn(s, table, oldName, newName, typeStr,
           Option(comment), Option(pos)))
+      case AlterConcatenate(table, spec) =>
+        Some(s => alterConcatenate(s, table, Option(spec)))
       case AlterIndexRebuild(name, table) =>
-        Some(s => operators.Indexes.rebuild(s, name, table))
+        Some(s => operators.Indexes.rebuild(s, stripTicks(name), table))
       case DropIndex(ifExists, name, table) =>
-        Some(s => operators.Indexes.dropIndex(s, name, table, ifExists != null))
+        Some(s => operators.Indexes.dropIndex(s, stripTicks(name), table,
+          ifExists != null))
       case StoredBy(external, table, cols, handler, serde, tblProps) =>
         Some { s =>
           // the storage-handler dispatch (HiveStorageHandler): the bundled
@@ -2136,6 +2378,10 @@ object HiveQl {
         Some((schema("idx_name", "tab_name", "col_names", "idx_tab_name",
           "idx_type", "comment"),
           s => operators.Indexes.showIndexes(s, table)))
+      // DDLTask.showTableStatus: key:value lines, one row each
+      case ShowTableExtended(db, pattern, spec) =>
+        Some((schema("tab_name"),
+          s => showTableExtended(s, Option(db), pattern, Option(spec))))
       // DDLTask.showLocks: name + mode, extended adds the
       // HiveLockObjectData triple (queryId, lockTime, lockMode)
       case ShowLocks(table, part, extended) =>

@@ -41,6 +41,8 @@ object SparkEntry {
     operators.QFileParity21,
     operators.QFileParity22,
     operators.QFileParity23,
+    operators.QFileParity24,
+    operators.QFileParity25,
     operators.Indexes,
     operators.ScaleOps,
     streaming.Streaming)

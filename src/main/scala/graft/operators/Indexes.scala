@@ -173,7 +173,7 @@ object Indexes extends QueryModule {
     */
   def createIndex(spark: SparkSession, name: String, table: String,
       cols: Seq[String], handler: String, deferred: Boolean,
-      comment: Option[String]): Unit = {
+      comment: Option[String], inTable: Option[String] = None): Unit = {
     ensureLoaded(spark)
     val kind = handler.trim.toLowerCase match {
       case "compact" => "compact"
@@ -189,13 +189,20 @@ object Indexes extends QueryModule {
     val lower = name.toLowerCase
     require(!registry.contains((key, lower)),
       s"Index $name already exists on table $table")
-    // metastore naming convention (MetaStoreUtils.java:925-927)
-    val idxTableName = s"default__${table.split('.').last}_${name}__"
+    // metastore naming convention (MetaStoreUtils.java:925-927);
+    // `IN TABLE x` (Hive.g createIndexStatement) names it explicitly
+    val idxTableName = inTable.getOrElse(
+      s"default__${graft.HiveQl.stripTicks(table.split('.').last)}_${name}__")
     val idxPath = warehouseDir(spark) + "/graft-indexes/" + idxTableName
     val d = IndexDef(lower, table, key, roots, cols.map(_.toLowerCase), kind,
       idxPath, idxTableName, comment, built = false, indexedFiles = Map.empty)
     registry.put((key, lower), d)
     persist(spark)
+    // the reference's DDLTask creates the index TABLE immediately —
+    // DESCRIBE works before any REBUILD (index_creation.q); schema-only,
+    // never executed, replaced by the parquet read at rebuild
+    try builderDF(spark, d)._1.limit(0).createOrReplaceTempView(idxTableName)
+    catch { case scala.util.control.NonFatal(_) => }
     if (!deferred) rebuild(spark, name, table)
   }
 
@@ -203,35 +210,23 @@ object Indexes extends QueryModule {
     * builder query, publish the index table, record the indexed file set
     * (the staleness guard the rewrite needs).
     */
-  def rebuild(spark: SparkSession, name: String, table: String): Unit = {
-    ensureLoaded(spark)
-    val key = rootKeyFor(spark, table)
-    val d = registry.getOrElse((key, name.toLowerCase),
-      throw new IllegalArgumentException(s"Index $name does not exist on $table"))
+  /** The handler's builder plan over the base table (CompactIndexHandler /
+    * BitmapIndexHandler generated queries) — also the index table's schema
+    * source at CREATE time. */
+  private def builderDF(spark: SparkSession,
+      d: IndexDef): (org.apache.spark.sql.DataFrame, Seq[String]) = {
     // read through the table's OWN format when it is a catalog table — the
     // reference indexes text/RCFile tables too (index_compact_2/3.q); a
     // partitioned base also contributes its partition columns to the index
     // table (the .q's `SELECT x.* FROM default__..__ x WHERE x.ds = ...`)
     val (base, provider, partCols) =
       try {
-        val ti = spark.sessionState.sqlParser.parseTableIdentifier(table)
+        val ti = spark.sessionState.sqlParser.parseTableIdentifier(d.tableName)
         val m = spark.sessionState.catalog.getTableMetadata(ti)
-        (spark.table(table), m.provider.getOrElse("parquet"),
+        (spark.table(d.tableName), m.provider.getOrElse("parquet"),
           m.partitionColumnNames)
       } catch { case scala.util.control.NonFatal(_) =>
         (spark.read.parquet(d.rootPaths: _*), "parquet", Seq.empty[String]) }
-    // record (path, length) of every indexed file — the staleness guard:
-    // a file the rewrite later sees with a different length (in-place
-    // rewrite by an external writer) is treated as unindexed
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val files = d.rootPaths.flatMap { r =>
-      val p = new Path(r)
-      val fs = p.getFileSystem(hconf)
-      fs.listStatus(p).filter(st => st.isFile &&
-          !st.getPath.getName.startsWith("_") &&
-          !st.getPath.getName.startsWith("."))
-        .map(st => canon(st.getPath.toString) -> st.getLen)
-    }.toMap
     val groupCols = d.cols ++ partCols
     val keyCols = groupCols.map(col)
     val built = d.kind match {
@@ -263,6 +258,27 @@ object Indexes extends QueryModule {
           .groupBy((groupCols :+ "_bucketname" :+ "_offset").map(col): _*)
           .agg(expr("ewah_encode(ewah_bitmap(__graft_rid))").as("_bitmaps"))
     }
+    (built, partCols)
+  }
+
+  def rebuild(spark: SparkSession, name: String, table: String): Unit = {
+    ensureLoaded(spark)
+    val key = rootKeyFor(spark, table)
+    val d = registry.getOrElse((key, name.toLowerCase),
+      throw new IllegalArgumentException(s"Index $name does not exist on $table"))
+    // record (path, length) of every indexed file — the staleness guard:
+    // a file the rewrite later sees with a different length (in-place
+    // rewrite by an external writer) is treated as unindexed
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val files = d.rootPaths.flatMap { r =>
+      val p = new Path(r)
+      val fs = p.getFileSystem(hconf)
+      fs.listStatus(p).filter(st => st.isFile &&
+          !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(st => canon(st.getPath.toString) -> st.getLen)
+    }.toMap
+    val (built, _) = builderDF(spark, d)
     built.write.mode("overwrite").parquet(d.idxPath)
     // the index table is queryable under its metastore-convention name,
     // like the reference's `default__t_idx__` table

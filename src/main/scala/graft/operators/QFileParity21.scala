@@ -184,6 +184,11 @@ object QFileParity21 extends QueryModule {
         }
         def sel(sec: Int) = dump2(HiveQl.sql(s,
           s"select key, value from $t order by key, value limit 5"), sec, "key", "value")
+        // the .q reads ONLY the granted column under select(key) —
+        // column grants are column-precise (Driver.doAuthorization)
+        def selKey(sec: Int) = dump2(HiveQl.sql(s,
+          s"select key from $t order by key limit 5")
+          .selectExpr("key", "cast(null as string) as value"), sec, "key", "value")
         HiveQl.sql(s, s"grant select on table $t to user hive_test_user")
         HiveQl.sql(s, "set hive.session.user=hive_test_user")
         val g0 = grants(0, "user", "hive_test_user", None)
@@ -194,7 +199,7 @@ object QFileParity21 extends QueryModule {
         HiveQl.sql(s, s"grant select(key) on table $t to user hive_test_user")
         val g3 = grants(3, "user", "hive_test_user", Some("key"))
         HiveQl.sql(s, "set hive.session.user=hive_test_user")
-        val s4 = sel(4)
+        val s4 = selKey(4)
         HiveQl.sql(s, "set hive.session.user=" + sys.props.getOrElse("user.name", "root"))
         HiveQl.sql(s, s"revoke select(key) on table $t from user hive_test_user")
         HiveQl.sql(s, s"grant select on table $t to group hive_test_group1")
@@ -210,11 +215,12 @@ object QFileParity21 extends QueryModule {
       },
       Some(s"""$SrcCte,
           top5 AS (SELECT key, value FROM src ORDER BY key, value LIMIT 5),
+          top5k AS (SELECT key FROM src ORDER BY key LIMIT 5),
           legs AS (
             SELECT 0 AS sec, 'Select' AS c1, 'USER' AS c2
             UNION ALL SELECT 1, key, value FROM top5
             UNION ALL SELECT 3, 'Select(key)', 'USER'
-            UNION ALL SELECT 4, key, value FROM top5
+            UNION ALL SELECT 4, key, CAST(NULL AS VARCHAR) FROM top5k
             UNION ALL SELECT 5, 'Select', 'GROUP'
             UNION ALL SELECT 6, key, value FROM top5)
           SELECT * FROM legs ORDER BY sec, c1, c2""")),

@@ -325,11 +325,26 @@ class PlanShapeSpec extends SparkSpec {
         s"'/root/reference/data/files/$f.txt' INTO TABLE $t")
     val df = HiveQl.sql(spark,
       s"SELECT s.key FROM $t TABLESAMPLE (BUCKET 1 OUT OF 2 on key) s")
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("input_file_name"),
-      s"loaded-bucket sample must prune by file, not value hash:\n$p")
-    // positional pruning: buckets 0 and 2 = srcbucket20 + srcbucket22
+    // positional pruning: buckets 0 and 2 = srcbucket20 + srcbucket22. The
+    // scan must READ only those two files (I/O pruning, not a row filter) —
+    // at 100 TB a 1-of-2 sample that scans all 4 buckets defeats sampling.
+    assert(df.inputFiles.length == 2,
+      s"sampled scan must read exactly the 2 selected bucket files, " +
+        s"got: ${df.inputFiles.mkString(", ")}")
+    assert(df.inputFiles.forall(f =>
+      f.endsWith("srcbucket20.txt") || f.endsWith("srcbucket22.txt")),
+      s"wrong files selected: ${df.inputFiles.mkString(", ")}")
     assert(df.count() == 118 + 124, "file-pruned sample row count")
+
+    // d > b shape: BUCKET 1 OUT OF 8 over 4 buckets → one file (bucket 0)
+    // plus the residual hash%8 row filter on top of the pruned read
+    val df8 = HiveQl.sql(spark,
+      s"SELECT s.key FROM $t TABLESAMPLE (BUCKET 1 OUT OF 8 on key) s")
+    assert(df8.inputFiles.length == 1,
+      s"d>b sample must read 1 file: ${df8.inputFiles.mkString(", ")}")
+    val p8 = df8.queryExecution.executedPlan.toString
+    assert(p8.contains("hash") || p8.contains("pmod") || p8.contains("%"),
+      s"d>b sample must keep the residual hash filter:\n$p8")
     spark.sql(s"drop table $t")
   }
 
