@@ -98,7 +98,7 @@ object HiveQl {
   // table property — the observable `.q` results (what the rows SELECT
   // as) are serde-independent by construction.
   private val AlterSetSerde =
-    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s+SERDE\s+'([^']+)'""" +
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s+SERDE\s+["']([^"']+)["']""" +
       """(?:\s+WITH\s+SERDEPROPERTIES\s*\((.*?)\))?\s*;?\s*$""").r
   private val AlterTouch =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+TOUCH\s*;?\s*$""".r
@@ -150,6 +150,20 @@ object HiveQl {
   private val AlterSetFileFormat =
     ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)(?:\s+PARTITION\s*\(([^)]*)\))?""" +
       """\s+SET\s+FILEFORMAT\s+(\w+)\s*;?\s*$""").r
+  // the INPUTFORMAT "cls" OUTPUTFORMAT "cls" spelling of the same clause
+  // (exim_04_evolved_parts.q) — resolved to the short format the OUTPUT
+  // class names, the side that governs future writes
+  private val AlterSetFileFormatIO =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)(?:\s+PARTITION\s*\(([^)]*)\))?""" +
+      """\s+SET\s+FILEFORMAT\s+INPUTFORMAT\s+["']([^"']+)["']\s+""" +
+      """OUTPUTFORMAT\s+["']([^"']+)["'](?:\s+SERDE\s+["'][^"']+["'])?\s*;?\s*$""").r
+  // ALTER TABLE t CLUSTERED BY (cols) [SORTED BY (cols)] INTO n BUCKETS
+  // (alterStatementSuffixClusterbySortby's re-cluster arm — metadata only,
+  // like the reference: existing files keep their layout, FUTURE writes
+  // bucket by the new spec)
+  private val AlterClusteredBy =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+CLUSTERED\s+BY\s*\(([^)]*)\)""" +
+      """(?:\s+SORTED\s+BY\s*\(([^)]*)\))?\s+INTO\s+(\d+)\s+BUCKETS\s*;?\s*$""").r
   // ANALYZE TABLE t [PARTITION (spec)] COMPUTE STATISTICS (Hive.g
   // analyzeStatement → StatsTask.java:56; stats5-7.q): spec may be partial
   // or fully dynamic (bare keys) — every matching partition is counted
@@ -2210,6 +2224,29 @@ object HiveQl {
         Some(s => Protect.touch(s, table))
       case AlterSetFileFormat(table, partSpec, fmt) =>
         Some(s => alterFileFormat(s, table, Option(partSpec), fmt))
+      case AlterSetFileFormatIO(table, partSpec, _, outF) =>
+        Some { s =>
+          val short =
+            if (outF.contains("SequenceFile")) "SEQUENCEFILE"
+            else if (outF.contains("RCFile")) "RCFILE"
+            else if (outF.contains("Text") || outF.contains("IgnoreKey")) "TEXTFILE"
+            else throw new IllegalStateException(
+              s"SET FILEFORMAT: unmapped OUTPUTFORMAT $outF")
+          alterFileFormat(s, table, Option(partSpec), short)
+        }
+      case AlterClusteredBy(table, cols, sortCols, n) =>
+        Some { s =>
+          val cat = s.sessionState.catalog
+          val ti = s.sessionState.sqlParser.parseTableIdentifier(table)
+          val meta = cat.getTableMetadata(ti)
+          val sorts = Option(sortCols).toSeq.flatMap(_.split(",")).map(
+            _.trim.split("\\s+")(0)).filter(_.nonEmpty) // strip ASC/DESC
+          cat.alterTable(meta.copy(bucketSpec = Some(
+            org.apache.spark.sql.catalyst.catalog.BucketSpec(n.toInt,
+              cols.split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq,
+              sorts.toIndexedSeq))))
+          s.catalog.refreshTable(table)
+        }
       case CreateViewPartitioned(head, view, cols, body) =>
         Some { s =>
           bypassStatements.set(true)

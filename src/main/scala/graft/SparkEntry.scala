@@ -43,6 +43,7 @@ object SparkEntry {
     operators.QFileParity23,
     operators.QFileParity24,
     operators.QFileParity25,
+    operators.QFileParity26,
     operators.Indexes,
     operators.ScaleOps,
     streaming.Streaming)

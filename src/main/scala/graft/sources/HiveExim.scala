@@ -64,7 +64,15 @@ object HiveExim {
     val w = df.write.mode(SaveMode.ErrorIfExists)
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .parquet(new Path(root, "data").toString)
-    val pjson = partCols.map(c => s""""$c"""").mkString("[", ",", "]")
+    // record the TABLE's partitioning (not just the export spec's): the
+    // import side rebuilds the table from this descriptor, and a
+    // partitioned table must come back partitioned (exim_02/04/15-20)
+    val tablePartCols =
+      try {
+        val ti = spark.sessionState.sqlParser.parseTableIdentifier(table)
+        spark.sessionState.catalog.getTableMetadata(ti).partitionColumnNames
+      } catch { case scala.util.control.NonFatal(_) => partCols }
+    val pjson = tablePartCols.map(c => s""""$c"""").mkString("[", ",", "]")
     val meta = s"""{"table":"${table.split('.').last}",""" +
       s""""partitionColumns":$pjson,"schema":${df.schema.json}}"""
     val out = f.create(new Path(root, "_metadata"), false)
@@ -124,16 +132,52 @@ object HiveExim {
     // table would otherwise silently store misaligned data (the reference
     // checks table compatibility before loading); a missing column fails
     // loudly in the select
-    if (spark.catalog.tableExists(name)) {
-      require(!external, s"IMPORT EXTERNAL target $name already exists")
-      df.select(spark.table(name).columns.map(col).toIndexedSeq: _*)
-        .write.insertInto(name)
-    } else effLocation match {
-      case Some(loc) =>
-        // unmanaged (external) table over the materialized payload: DROP
-        // leaves the files, like a Hive EXTERNAL table
-        df.write.option("path", loc).saveAsTable(name)
-      case None => df.write.saveAsTable(name)
+    if (spark.catalog.tableExists(name)) location match {
+      case Some(loc) if partSpec.nonEmpty =>
+        // partition bound to its OWN location (ImportSemanticAnalyzer's
+        // AddPartitionDesc-with-location path — exim_16/17): materialize
+        // the payload there in the table's format, then ADD PARTITION ...
+        // LOCATION. Removing that directory later empties just this
+        // partition, the reference's external-partition contract.
+        val ti = spark.sessionState.sqlParser.parseTableIdentifier(name)
+        val meta = spark.sessionState.catalog.getTableMetadata(ti)
+        val dataCols = meta.schema
+          .filterNot(fd => meta.partitionColumnNames.contains(fd.name))
+          .map(_.name)
+        df.select(dataCols.map(col).toIndexedSeq: _*).write.mode("overwrite")
+          .format(meta.provider.getOrElse("parquet"))
+          .options(meta.storage.properties).save(loc)
+        val specSql = partSpec.collect {
+          case (k, Some(v)) => s"$k='${v.stripPrefix("'").stripSuffix("'")
+            .stripPrefix("\"").stripSuffix("\"")}'" }.mkString(", ")
+        graft.HiveQl.sql(spark,
+          s"ALTER TABLE $name ADD IF NOT EXISTS PARTITION ($specSql) LOCATION '$loc'")
+        spark.catalog.refreshTable(name)
+      case _ =>
+        // load into the existing (compatible) table — a partition-spec
+        // import appends just that partition under the table's own
+        // storage, for EXTERNAL targets too (exim_15: the reference
+        // copies the slice into the table's location; removing the
+        // export afterwards does not touch it)
+        df.select(spark.table(name).columns.map(col).toIndexedSeq: _*)
+          .write.insertInto(name)
+    } else {
+      // recreate WITH the exported partitioning (ImportSemanticAnalyzer
+      // builds the table from the serialized descriptor — exim_04's
+      // evolved partitioned table must come back partitioned)
+      val partCols = """"partitionColumns"\s*:\s*\[([^\]]*)\]""".r
+        .findFirstMatchIn(meta).map(_.group(1)).getOrElse("")
+        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSeq
+      val w0 = df.write
+      val w = if (partCols.nonEmpty) w0.partitionBy(partCols: _*) else w0
+      effLocation match {
+        case Some(loc) =>
+          // unmanaged (external) table over the materialized payload: DROP
+          // leaves the files, like a Hive EXTERNAL table
+          w.option("path", loc).saveAsTable(name)
+        case None => w.saveAsTable(name)
+      }
     }
   }
 }
