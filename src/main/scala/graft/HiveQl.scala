@@ -1056,6 +1056,80 @@ object HiveQl {
     unmaskLiterals(out, lits)
   }
 
+  /** `t TABLESAMPLE (n PERCENT)` — Hive's SPLIT sampling
+    * (SemanticAnalyzer.java splitSample + CombineHiveInputFormat
+    * .sampleSplits): whole input splits are chosen, seeded by
+    * hive.sample.seednumber, until the sampled bytes reach n% of the
+    * total; never fewer than one split. Spark-first shape: the unit is
+    * the FILE (one split per small file at these sizes), the seeded
+    * shuffle orders the name-sorted file list, and the chosen files are
+    * read directly through a pruned listing — at 100 TB a 1% sample does
+    * 1% of the I/O, the same contract as the bucket-file pruning above.
+    */
+  private val TableSamplePercent =
+    """(?i)([\w.]+)\s+TABLESAMPLE\s*\(\s*([0-9.]+)\s+PERCENT\s*\)(\s+(?:AS\s+)?(\w+))?""".r
+
+  def resolveSplitSampling(spark: SparkSession, q: String): String = {
+    if (!q.toUpperCase.contains("TABLESAMPLE")) return q
+    val (masked, lits) =
+      try maskLiterals(q) catch { case _: IllegalArgumentException => return q }
+    if (TableSamplePercent.findFirstIn(masked).isEmpty) return q
+    val out = TableSamplePercent.replaceAllIn(masked, m => {
+      val (tbl, pct) = (m.group(1), m.group(2).toDouble)
+      val explicit = Option(m.group(4)).filterNot(a => NotAnAlias(a.toUpperCase))
+      val alias = explicit.getOrElse(tbl.split('.').last)
+      val trailer = if (m.group(3) != null && explicit.isEmpty) m.group(3) else ""
+      val metaOpt = try {
+        Some(spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(tbl)))
+      } catch { case _: Exception => None }
+      metaOpt match {
+        case None => m.matched // temp view etc.: leave to Spark's sampler
+        case Some(meta) =>
+          val hconf = spark.sparkContext.hadoopConfiguration
+          val root = new org.apache.hadoop.fs.Path(meta.location)
+          val fs = root.getFileSystem(hconf)
+          val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+          if (fs.exists(root)) {
+            val it = fs.listFiles(root, true)
+            while (it.hasNext) {
+              val st = it.next()
+              if (!st.getPath.getName.startsWith("_") &&
+                  !st.getPath.getName.startsWith("."))
+                files += ((st.getPath.toString, st.getLen))
+            }
+          }
+          if (files.isEmpty || pct >= 100.0) m.matched
+          else {
+            val seed = spark.conf.getOption("hive.sample.seednumber")
+              .flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(0)
+            val shuffled = new scala.util.Random(seed)
+              .shuffle(files.sortBy(_._1).toSeq)
+            val target = math.max(1L,
+              math.ceil(shuffled.map(_._2).sum * pct / 100.0).toLong)
+            val chosen = scala.collection.mutable.ArrayBuffer.empty[String]
+            var cum = 0L
+            shuffled.foreach { case (p, len) =>
+              if (cum < target) { chosen += p; cum += len }
+            }
+            val view = s"graft_psample_${tbl.replace('.', '_')}_" +
+              s"${(pct * 100).toInt}_$seed"
+            var rd = spark.read.format(meta.provider.getOrElse("parquet"))
+              .schema(meta.schema).options(meta.storage.properties)
+            if (meta.partitionColumnNames.nonEmpty)
+              rd = rd.option("basePath", root.toString)
+            rd.load(chosen.toSeq: _*)
+              .select(meta.schema.map(f =>
+                org.apache.spark.sql.functions.col(f.name)): _*)
+              .createOrReplaceTempView(view)
+            java.util.regex.Matcher.quoteReplacement(
+              s"(SELECT * FROM $view) $alias$trailer")
+          }
+      }
+    })
+    unmaskLiterals(out, lits)
+  }
+
   /** Selected bucket-file full paths (+ residual predicate + table meta) for
     * a file-pruned sample, or None when the predicate rewrite should handle
     * it. */
@@ -1236,9 +1310,10 @@ object HiveQl {
     val q = bashSafeScriptArgs(absorbTransformRemainder(spark,
       wrapPartialConsumption(spark, injectScriptEnv(spark,
         resolveScriptPaths(spark,
-          resolveBucketFileSampling(spark,
-            resolveDefaultSampleCols(spark,
-              applyTestMode(spark, substituteVars(spark, rawQ)))))))))
+          resolveSplitSampling(spark,
+            resolveBucketFileSampling(spark,
+              resolveDefaultSampleCols(spark,
+                applyTestMode(spark, substituteVars(spark, rawQ))))))))))
     // Driver.doAuthorization layering: enforce before execution on every
     // entry point that funnels through this driver analogue (no-op unless
     // hive.security.authorization.enabled)
