@@ -216,6 +216,36 @@ object Authz {
     * .showGrants writes per grant: database, table, principalName,
     * principalType, privilege, grantTime, grantor.
     */
+  /** `SHOW GRANT ... ON TABLE t[(col)] PARTITION (spec)` — partition-level
+    * privilege model (ObjectStore partition grants): with table property
+    * PARTITION_LEVEL_PRIVILEGE=TRUE, partitions carry copies of the
+    * table's grants and the show renders them partition-scoped (an extra
+    * `partition` field, authorization_6.q's golden); with FALSE/absent,
+    * the partition-scoped show returns NOTHING (same golden, second half).
+    * Simplification vs the reference: partition grants mirror the CURRENT
+    * table grants rather than a creation-time copy — no .q observes the
+    * difference.
+    */
+  def showGrantPartition(spark: SparkSession, principalType: String,
+      principal: String, table: String, partSpec: String,
+      column: Option[String]): Seq[Row] = synchronized {
+    ensureLoaded(spark)
+    val cat = spark.sessionState.catalog
+    val ti = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = cat.getTableMetadata(ti)
+    val plp = meta.properties.exists { case (k, v) =>
+      k.equalsIgnoreCase("PARTITION_LEVEL_PRIVILEGE") &&
+        v.trim.equalsIgnoreCase("TRUE") }
+    if (!plp) return Seq.empty
+    val norm = partSpec.split(',').map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      k.trim.toLowerCase + "=" + v.trim.replaceAll("['\"]", "")
+    }.sorted.mkString("/")
+    showGrant(spark, principalType, principal, Some("TABLE" -> table), column)
+      .map(r => Row(r.get(0), r.get(1), norm, r.get(2), r.get(3), r.get(4),
+        r.get(5), r.get(6)))
+  }
+
   def showGrant(spark: SparkSession, principalType: String, principal: String,
       obj: Option[(String, String)], column: Option[String] = None): Seq[Row] = synchronized {
     ensureLoaded(spark)

@@ -240,7 +240,7 @@ object HiveQl {
   private val RevokePriv =
     """(?is)^\s*REVOKE\s+([\w, ()]+?)\s+ON\s+(TABLE|DATABASE)\s+([\w.]+)\s+FROM\s+(USER|ROLE|GROUP)\s+(\w+)\s*;?\s*$""".r
   private val ShowGrant =
-    """(?is)^\s*SHOW\s+GRANT\s+(USER|ROLE|GROUP)\s+(\w+)(?:\s+ON\s+(TABLE|DATABASE)\s+([\w.]+?)(?:\s*\(([^)]*)\))?)?\s*;?\s*$""".r
+    """(?is)^\s*SHOW\s+GRANT\s+(USER|ROLE|GROUP)\s+(\w+)(?:\s+ON\s+(TABLE|DATABASE)\s+([\w.]+?)(?:\s*\(([^)]*)\))?(?:\s+PARTITION\s*\(([^)]*)\))?)?\s*;?\s*$""".r
   private val ShowRoleGrant =
     """(?is)^\s*SHOW\s+ROLE\s+GRANT\s+USER\s+(\w+)\s*;?\s*$""".r
   // command-processor lines (ql/processors/): SET k=v (SetProcessor.java)
@@ -1037,7 +1037,14 @@ object HiveQl {
               // sampling at 100 TB). basePath recovers partition columns for
               // partitioned layouts; the residual hash filter (d > b) stays a
               // row predicate on top.
-              val view = s"graft_bsample_${tbl.replace('.', '_')}_${n}_$d"
+              // View name must encode the FULL sample identity (ON cols +
+              // chosen files), or two samples of one table in a statement
+              // collide on createOrReplaceTempView and one silently reads
+              // the other's file set.
+              val ident = java.lang.Integer.toHexString(
+                (cols.mkString(",") + "|" + files.mkString(",") + "|" +
+                  residual.getOrElse("")).hashCode)
+              val view = s"graft_bsample_${tbl.replace('.', '_')}_${n}_${d}_$ident"
               val provider = meta.provider.getOrElse("parquet")
               var rd = spark.read.format(provider).schema(meta.schema)
                 .options(meta.storage.properties)
@@ -1112,8 +1119,13 @@ object HiveQl {
             shuffled.foreach { case (p, len) =>
               if (cum < target) { chosen += p; cum += len }
             }
-            val view = s"graft_psample_${tbl.replace('.', '_')}_" +
-              s"${(pct * 100).toInt}_$seed"
+            // Encode the exact pct string + chosen files in the view name:
+            // (pct*100).toInt truncates every sub-0.01% rate to 0, so two
+            // different tiny samples of one table+seed would otherwise
+            // collide on createOrReplaceTempView.
+            val ident = java.lang.Integer.toHexString(
+              (m.group(2) + "|" + chosen.mkString(",")).hashCode)
+            val view = s"graft_psample_${tbl.replace('.', '_')}_${seed}_$ident"
             var rd = spark.read.format(meta.provider.getOrElse("parquet"))
               .schema(meta.schema).options(meta.storage.properties)
             if (meta.partitionColumnNames.nonEmpty)
@@ -1588,6 +1600,13 @@ object HiveQl {
     val plain = stripTicks(table)
     val ti = spark.sessionState.sqlParser.parseTableIdentifier(plain)
     val meta = cat.getTableMetadata(ti)
+    // Bucketed layouts are positional (file k = bucket k): a plain block
+    // merge destroys the layout while bucketSpec metadata still claims it,
+    // so bucket-positional TABLESAMPLE and bucketed scans would silently
+    // read wrong rows (DDLSemanticAnalyzer.java:1191 refuses the same way).
+    if (hiveBucketSpec(meta).isDefined)
+      throw new IllegalStateException(
+        "Merge can not perform on bucketized partition/table.")
     val checkIdx = !spark.conf.getOption("hive.exec.concatenate.check.index")
       .exists(_.trim.equalsIgnoreCase("false"))
     if (checkIdx &&
@@ -2316,10 +2335,36 @@ object HiveQl {
           val meta = cat.getTableMetadata(ti)
           val sorts = Option(sortCols).toSeq.flatMap(_.split(",")).map(
             _.trim.split("\\s+")(0)).filter(_.nonEmpty) // strip ASC/DESC
-          cat.alterTable(meta.copy(bucketSpec = Some(
-            org.apache.spark.sql.catalyst.catalog.BucketSpec(n.toInt,
-              cols.split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq,
-              sorts.toIndexedSeq))))
+          val bucketCols =
+            cols.split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq
+          // Existing data files carry no Spark bucket-id names, so a live
+          // bucketSpec over them fails/misassigns under bucketed scans —
+          // same failure HiveLoad demotes for (HiveLoad.scala). Live spec
+          // only when the table holds no data yet; otherwise stash the
+          // layout in properties (still honored by hiveBucketSpec callers).
+          val loc = new org.apache.hadoop.fs.Path(meta.location)
+          val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val hasData = fs.exists(loc) && {
+            val it = fs.listFiles(loc, true)
+            var found = false
+            while (!found && it.hasNext) {
+              val nm = it.next().getPath.getName
+              found = !nm.startsWith("_") && !nm.startsWith(".")
+            }
+            found
+          }
+          if (hasData)
+            cat.alterTable(meta.copy(
+              bucketSpec = None,
+              properties = meta.properties +
+                ("graft.hive.bucket.cols" -> bucketCols.mkString(",")) +
+                ("graft.hive.bucket.n" -> n.toInt.toString)))
+          else
+            cat.alterTable(meta.copy(bucketSpec = Some(
+              org.apache.spark.sql.catalyst.catalog.BucketSpec(n.toInt,
+                bucketCols, sorts.toIndexedSeq)),
+              properties = meta.properties -
+                "graft.hive.bucket.cols" - "graft.hive.bucket.n"))
           s.catalog.refreshTable(table)
         }
       case CreateViewPartitioned(head, view, cols, body) =>
@@ -2508,11 +2553,17 @@ object HiveQl {
                 .mkString("/")).getOrElse("")),
             extended != null)))
       // DDLTask.showGrants property set per grant
-      case ShowGrant(pType, principal, objType, objName, objCol) =>
-        Some((schema("database", "table", "principal_name", "principal_type",
-          "privilege", "grant_time", "grantor"),
-          s => Authz.showGrant(s, pType, principal,
-            Option(objType).map(_ -> objName), Option(objCol))))
+      case ShowGrant(pType, principal, objType, objName, objCol, objPart) =>
+        if (objPart != null)
+          Some((schema("database", "table", "partition", "principal_name",
+            "principal_type", "privilege", "grant_time", "grantor"),
+            s => Authz.showGrantPartition(s, pType, principal, objName,
+              objPart, Option(objCol))))
+        else
+          Some((schema("database", "table", "principal_name", "principal_type",
+            "privilege", "grant_time", "grantor"),
+            s => Authz.showGrant(s, pType, principal,
+              Option(objType).map(_ -> objName), Option(objCol))))
       case ShowRoleGrant(user) =>
         Some((schema("role", "grant_time"),
           s => Authz.showRoleGrant(s, user)))

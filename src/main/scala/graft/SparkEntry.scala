@@ -44,6 +44,7 @@ object SparkEntry {
     operators.QFileParity24,
     operators.QFileParity25,
     operators.QFileParity26,
+    operators.QFileParity27,
     operators.Indexes,
     operators.ScaleOps,
     streaming.Streaming)

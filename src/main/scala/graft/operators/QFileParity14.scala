@@ -38,13 +38,14 @@ object QFileParity14 extends QueryModule {
   private def srcbucketFixtures(s: SparkSession, dir: String): String = {
     val sfx = fixtures(s, dir)
     val sb = s"srcbucket_$sfx"
-    if (!s.catalog.tableExists(sb)) {
-      fresh(s, sb) // stale warehouse dir from a prior JVM (the q101 pattern)
-      HiveQl.sql(s, s"CREATE TABLE $sb(key int, value string) CLUSTERED BY (key) " +
-        "INTO 2 BUCKETS STORED AS TEXTFILE")
-      for (f <- Seq("srcbucket0", "srcbucket1"))
-        HiveQl.sql(s, s"load data local inpath '$RefData/$f.txt' INTO TABLE $sb")
-    }
+    // ALWAYS rebuilt: q147_qf_sample2 overwrites a same-named table with a
+    // 500-row parquet variant, so trusting tableExists makes the sample
+    // family order-dependent (bit a subset run in round 15)
+    fresh(s, sb)
+    HiveQl.sql(s, s"CREATE TABLE $sb(key int, value string) CLUSTERED BY (key) " +
+      "INTO 2 BUCKETS STORED AS TEXTFILE")
+    for (f <- Seq("srcbucket0", "srcbucket1"))
+      HiveQl.sql(s, s"load data local inpath '$RefData/$f.txt' INTO TABLE $sb")
     val sb2 = s"srcbucket2_$sfx"
     if (!s.catalog.tableExists(sb2)) {
       fresh(s, sb2)

@@ -348,6 +348,31 @@ class PlanShapeSpec extends SparkSpec {
     spark.sql(s"drop table $t")
   }
 
+  test("TABLESAMPLE (n PERCENT) plans as pruned FILE reads") {
+    // split_sample.q's scale contract (CombineHiveInputFormat.sampleSplits):
+    // a 1% sample must do ~1% of the I/O. With three equal one-file
+    // partitions, 1 PERCENT reads exactly one file and 70 PERCENT reads
+    // all three (cumulative 2/3 < 0.7 target) — pinned by inputFiles
+    // count, not predicate presence.
+    val t = s"psampleshape_${System.nanoTime()}"
+    HiveQl.sql(spark,
+      s"CREATE TABLE $t (key int, value string) PARTITIONED BY (p string)")
+    for (p <- Seq("1", "2", "3"))
+      HiveQl.sql(spark, s"INSERT OVERWRITE TABLE $t PARTITION (p='$p') " +
+        "SELECT id, CAST(id AS STRING) FROM (SELECT /*+ COALESCE(1) */ " +
+        "explode(sequence(1, 500)) AS id)")
+    val total = HiveQl.sql(spark, s"SELECT * FROM $t").inputFiles.length
+    assert(total == 3, s"fixture must be 3 one-file partitions, got $total")
+    val df1 = HiveQl.sql(spark, s"SELECT key FROM $t TABLESAMPLE (1 PERCENT)")
+    assert(df1.inputFiles.length == 1,
+      s"1% sample must read exactly 1 of 3 files, got: ${df1.inputFiles.mkString(", ")}")
+    assert(df1.count() == 500, "one whole file's rows")
+    val df70 = HiveQl.sql(spark, s"SELECT key FROM $t TABLESAMPLE (70 PERCENT)")
+    assert(df70.inputFiles.length == 3,
+      s"70% of 3 equal files selects all 3, got: ${df70.inputFiles.mkString(", ")}")
+    spark.sql(s"drop table $t")
+  }
+
   test("q01: aggregation splits into partial + final HashAggregate") {
     val p = plan("q01_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial/final split:\n$p")
