@@ -1063,6 +1063,36 @@ object HiveQl {
     unmaskLiterals(out, lits)
   }
 
+  /** `SET hive.default.fileformat=<fmt>` (HiveConf HIVEDEFAULTFILEFORMAT;
+    * SemanticAnalyzer.getDefaultFormats): a CREATE TABLE that names no
+    * explicit format (no STORED AS / STORED BY / USING / ROW FORMAT and
+    * not a LIKE copy) picks up the session default — sample10.q creates
+    * its bucketed table as RCFILE this way. The clause is inserted where
+    * Hive's grammar puts it (before LOCATION / TBLPROPERTIES / the CTAS
+    * select) so the existing STORED AS → USING swaps handle ordering.
+    */
+  private def applyDefaultFileFormat(spark: SparkSession, q: String): String = {
+    val fmt = spark.conf.getOption("hive.default.fileformat")
+      .map(_.trim.toUpperCase)
+      .filter(Set("TEXTFILE", "SEQUENCEFILE", "RCFILE")).getOrElse(return q)
+    val (masked, lits) =
+      try maskLiterals(q) catch { case _: IllegalArgumentException => return q }
+    val up = masked.toUpperCase
+    if (!"""(?s)^\s*CREATE\s+(TEMPORARY\s+)?(EXTERNAL\s+)?TABLE\b.*""".r
+        .matches(up)) return q
+    if (Seq("STORED AS", "STORED BY", "ROW FORMAT").exists(up.contains) ||
+        """\bUSING\b""".r.findFirstIn(up).isDefined ||
+        """\bLIKE\b""".r.findFirstIn(up).isDefined) return q
+    val clause = s" STORED AS $fmt "
+    val at = """(?i)\b(?:LOCATION\b|TBLPROPERTIES\b|AS\b(?=\s*\(?\s*SELECT\b))""".r
+      .findFirstMatchIn(masked).map(_.start)
+    val out = at match {
+      case Some(i) => masked.substring(0, i) + clause + masked.substring(i)
+      case None => masked.trim.stripSuffix(";") + clause
+    }
+    unmaskLiterals(out, lits)
+  }
+
   /** `t TABLESAMPLE (n PERCENT)` — Hive's SPLIT sampling
     * (SemanticAnalyzer.java splitSample + CombineHiveInputFormat
     * .sampleSplits): whole input splits are chosen, seeded by
@@ -1220,7 +1250,9 @@ object HiveQl {
         val quote = lit.head.toString
         val body = lit.stripPrefix(quote).stripSuffix(quote)
         quote + body.split(" ", -1).map { tok =>
-          if (tok == "\\t" || tok == "\t") "\\'\\\\t\\'" else tok
+          if (tok == "\\t" || tok == "\t") "\\'\\\\t\\'"
+          else if (tok == "\\n") "\\'\\\\n\\'" // bash would eat the \ -> 'n'
+          else tok
         }.mkString(" ") + quote
       }
     }
@@ -1325,7 +1357,8 @@ object HiveQl {
           resolveSplitSampling(spark,
             resolveBucketFileSampling(spark,
               resolveDefaultSampleCols(spark,
-                applyTestMode(spark, substituteVars(spark, rawQ))))))))))
+                applyDefaultFileFormat(spark,
+                  applyTestMode(spark, substituteVars(spark, rawQ)))))))))))
     // Driver.doAuthorization layering: enforce before execution on every
     // entry point that funnels through this driver analogue (no-op unless
     // hive.security.authorization.enabled)

@@ -64,6 +64,22 @@ object QFileParity27 extends QueryModule {
     r.select(lit(sec).as("sec"), joined.as("c1"))
   }
 
+  private val RefData = "/root/reference/data/files"
+
+  private def csv(name: String): String =
+    s"""(SELECT * FROM read_csv('$RefData/$name.txt', delim=chr(1), header=false,
+        auto_detect=false, quote='', columns={'key': 'INT', 'value': 'VARCHAR'}))"""
+
+  /** Java String.hashCode in DuckDB (the q89 recipe): fold c*31+ch under
+    * mod 2^32 (multiplication-homomorphic ≡ Java's int wrap), then recentre
+    * into signed-int range. */
+  private def jh(c: String): String =
+    s"""(((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(1, length($c) + 1),
+          i -> CAST(ascii($c[i:i]) AS BIGINT))),
+        (a, b) -> (a * 31 + b) % 4294967296)
+        + 2147483648) % 4294967296) - 2147483648)"""
+
   private def legSql(sec: Int, cols: Seq[String], from: String): String =
     s"SELECT $sec AS sec, concat_ws('|', " + cols.map(c =>
       s"COALESCE(CAST($c AS VARCHAR), 'NULL')").mkString(", ") + s") AS c1 $from"
@@ -669,6 +685,434 @@ object QFileParity27 extends QueryModule {
           UNION ALL SELECT 10, 'Update', 'USER' UNION ALL SELECT 10, 'Drop', 'USER'
           UNION ALL SELECT 13, 'Select(key)', 'USER'
           UNION ALL SELECT 14, CAST(key AS VARCHAR), 'k' FROM top)
-        SELECT * FROM legs ORDER BY sec, c1, c2"""))
+        SELECT * FROM legs ORDER BY sec, c1, c2""")),
+
+    // ---- clientpositive/sample8.q: sampled sides of a join — the 1/1
+    //      sample degenerates to the full partition, the 1/10 side keeps
+    //      the string-hash residue class, and the conditionless join
+    //      crosses them
+    QueryDef(
+      "q815_qf_sample8",
+      (s, dir) => {
+        fixtures(s, dir)
+        leg(0, HiveQl.sql(s,
+          """SELECT s.key, s.value
+             FROM srcpart TABLESAMPLE (BUCKET 1 OUT OF 1 ON key) s
+             JOIN srcpart TABLESAMPLE (BUCKET 1 OUT OF 10 ON key) t
+             WHERE s.ds='2008-04-08' and s.hr='11' and s.ds='2008-04-08' and s.hr='11'
+             DISTRIBUTE BY key, value
+             SORT BY key, value""")).orderBy("sec", "c1")
+      },
+      Some(s"""$SrcPartCte,
+        tside AS (SELECT key FROM srcpart WHERE (${jh("key")} & 2147483647) % 10 = 0),
+        sside AS (SELECT key, value FROM srcpart WHERE ds='2008-04-08' AND hr='11'),
+        legs AS (${legSql(0, Seq("s.key", "s.value"), "FROM sside s, tside t")})
+        SELECT * FROM legs ORDER BY sec, c1""")),
+
+    // ---- clientpositive/sample9.q: the bucket-file sample inside a
+    //      derived table — the pruned scan survives subquery wrapping
+    QueryDef(
+      "q816_qf_sample9",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val t = s"srcbucket_q816_$sfx"
+        fresh(s, t)
+        HiveQl.sql(s, s"CREATE TABLE $t(key int, value string) CLUSTERED BY (key) " +
+          "INTO 2 BUCKETS STORED AS TEXTFILE")
+        for (f <- Seq("srcbucket0", "srcbucket1"))
+          HiveQl.sql(s, s"load data local inpath '$RefData/$f.txt' INTO TABLE $t")
+        val out = leg(0, HiveQl.sql(s,
+          s"SELECT s.* FROM (SELECT a.* FROM $t TABLESAMPLE (BUCKET 1 OUT OF 2 on key) a) s"))
+          .orderBy("sec", "c1").localCheckpoint(true)
+        HiveQl.sql(s, s"drop table $t")
+        out
+      },
+      Some(s"""WITH legs AS (${legSql(0, Seq("key", "value"),
+        s"FROM ${csv("srcbucket0")} t")})
+        SELECT * FROM legs ORDER BY sec, c1""")),
+
+    // ---- clientpositive/sample10.q: dynamic-partition bucketed RCFILE
+    //      write (via hive.default.fileformat) then bucket samples per
+    //      partition — engine-written layouts sample by the Hive hash
+    //      predicate (Spark bucket files are murmur-placed, so positional
+    //      pruning would change the row set; the rewrite detects the
+    //      bucket-id marker and keeps the predicate)
+    QueryDef(
+      "q817_qf_sample10",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val t = s"srcpartbucket_q817_$sfx"
+        fresh(s, t)
+        HiveQl.sql(s, "set hive.exec.dynamic.partition=true")
+        HiveQl.sql(s, "set hive.exec.dynamic.partition.mode=nonstrict")
+        HiveQl.sql(s, "set hive.enforce.bucketing=true")
+        HiveQl.sql(s, "set hive.default.fileformat=RCFILE")
+        HiveQl.sql(s, s"create table $t (key string, value string) " +
+          "partitioned by (ds string, hr string) clustered by (key) into 4 buckets")
+        HiveQl.sql(s, s"insert overwrite table $t partition(ds, hr) " +
+          "select * from srcpart where ds is not null and key < 10")
+        HiveQl.sql(s, "set hive.default.fileformat=TEXTFILE")
+        val fmt = facts(s, 9, Seq("rcfile" ->
+          s.sessionState.catalog.getTableMetadata(
+            s.sessionState.sqlParser.parseTableIdentifier(t))
+            .provider.exists(_.contains("HiveRC")).toString))
+        val legs = Seq(
+          leg(0, HiveQl.sql(s, s"select ds, count(1) from $t " +
+            "tablesample (bucket 1 out of 4 on key) where ds is not null group by ds")),
+          leg(1, HiveQl.sql(s, s"select ds, count(1) from $t " +
+            "tablesample (bucket 1 out of 2 on key) where ds is not null group by ds")),
+          leg(2, HiveQl.sql(s, s"select * from $t where ds is not null")))
+        val out = (legs :+ fmt.select(col("sec"),
+          concat_ws("|", col("c1"), col("c2")).as("c1")))
+          .reduce(_ union _).orderBy("sec", "c1").localCheckpoint(true)
+        HiveQl.sql(s, s"drop table $t")
+        out
+      },
+      Some(s"""$SrcPartCte,
+        small AS (SELECT key, value, ds, hr FROM srcpart WHERE CAST(key AS DOUBLE) < 10),
+        b4 AS (SELECT ds, count(1) AS c FROM small
+               WHERE (${jh("key")} & 2147483647) % 4 = 0 GROUP BY ds),
+        b2 AS (SELECT ds, count(1) AS c FROM small
+               WHERE (${jh("key")} & 2147483647) % 2 = 0 GROUP BY ds),
+        legs AS (
+          ${legSql(0, Seq("ds", "c"), "FROM b4")}
+          UNION ALL ${legSql(1, Seq("ds", "c"), "FROM b2")}
+          UNION ALL ${legSql(2, Seq("key", "value", "ds", "hr"), "FROM small")}
+          UNION ALL SELECT 9, 'rcfile|true')
+        SELECT * FROM legs ORDER BY sec, c1""")),
+
+    // ---- clientpositive/bucketmapjoin_negative.q: 2-bucket small side vs
+    //      3-bucket partition — bucket counts don't divide, so the bucket
+    //      map join must NOT engage; the hinted join still answers right
+    QueryDef(
+      "q818_qf_bucketmapjoin_negative",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val a = s"srcb_mj_q818_$sfx"
+        val p = s"srcb_mjp_q818_$sfx"
+        val r = s"bmj_result_q818_$sfx"
+        fresh(s, a, p, r)
+        HiveQl.sql(s, s"CREATE TABLE $a(key int, value string) CLUSTERED BY (key) " +
+          "INTO 2 BUCKETS STORED AS TEXTFILE")
+        for (f <- Seq("srcbucket20", "srcbucket21"))
+          HiveQl.sql(s, s"load data local inpath '$RefData/$f.txt' INTO TABLE $a")
+        HiveQl.sql(s, s"CREATE TABLE $p(key int, value string) partitioned by (ds string) " +
+          "CLUSTERED BY (key) INTO 3 BUCKETS STORED AS TEXTFILE")
+        for (f <- Seq("srcbucket20", "srcbucket21", "srcbucket22"))
+          HiveQl.sql(s, s"load data local inpath '$RefData/$f.txt' " +
+            s"INTO TABLE $p partition(ds='2008-04-08')")
+        HiveQl.sql(s, "set hive.optimize.bucketmapjoin = true")
+        HiveQl.sql(s, s"create table $r (key string, value1 string, value2 string)")
+        val ex = facts(s, 0, Seq("explain_rows" ->
+          (HiveQl.sql(s, s"""explain extended
+            insert overwrite table $r
+            select /*+mapjoin(b)*/ a.key, a.value, b.value
+            from $a a join $p b
+            on a.key=b.key where b.ds="2008-04-08"""").count() > 0).toString))
+        HiveQl.sql(s, s"""insert overwrite table $r
+          select /*+mapjoin(b)*/ a.key, a.value, b.value
+          from $a a join $p b
+          on a.key=b.key where b.ds="2008-04-08"""")
+        val d = leg(1, HiveQl.sql(s, s"select * from $r")).localCheckpoint(true)
+        Seq(a, p, r).foreach(t => HiveQl.sql(s, s"drop table $t"))
+        ex.select(col("sec"), concat_ws("|", col("c1"), col("c2")).as("c1"))
+          .union(d).orderBy("sec", "c1")
+      },
+      Some(s"""WITH aa AS (SELECT * FROM ${csv("srcbucket20")}
+          UNION ALL SELECT * FROM ${csv("srcbucket21")}),
+        bb AS (SELECT * FROM ${csv("srcbucket20")}
+          UNION ALL SELECT * FROM ${csv("srcbucket21")}
+          UNION ALL SELECT * FROM ${csv("srcbucket22")}),
+        legs AS (SELECT 0 AS sec, 'explain_rows|true' AS c1
+          UNION ALL ${legSql(1, Seq("a.key", "a.value", "b.value"),
+            "FROM aa a JOIN bb b ON a.key = b.key")})
+        SELECT * FROM legs ORDER BY sec, c1""")),
+
+    // ---- clientpositive/bucketmapjoin_negative2.q: multi-partition big
+    //      side — the per-partition bucket match can't engage across two
+    //      partitions; hinted join result still exact
+    QueryDef(
+      "q819_qf_bucketmapjoin_negative2",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val a = s"srcb_mj_q819_$sfx"
+        val p2 = s"srcb_mjp2_q819_$sfx"
+        val r = s"bmj_result_q819_$sfx"
+        fresh(s, a, p2, r)
+        HiveQl.sql(s, s"CREATE TABLE $a(key int, value string) CLUSTERED BY (key) " +
+          "INTO 2 BUCKETS STORED AS TEXTFILE")
+        for (f <- Seq("srcbucket20", "srcbucket21"))
+          HiveQl.sql(s, s"load data local inpath '$RefData/$f.txt' INTO TABLE $a")
+        HiveQl.sql(s, s"CREATE TABLE $p2(key int, value string) partitioned by (ds string) " +
+          "CLUSTERED BY (key) INTO 2 BUCKETS STORED AS TEXTFILE")
+        for (ds <- Seq("2008-04-08", "2008-04-09"); f <- Seq("srcbucket22", "srcbucket23"))
+          HiveQl.sql(s, s"load data local inpath '$RefData/$f.txt' " +
+            s"INTO TABLE $p2 partition(ds='$ds')")
+        HiveQl.sql(s, "set hive.optimize.bucketmapjoin = true")
+        HiveQl.sql(s, s"create table $r (key string, value1 string, value2 string)")
+        HiveQl.sql(s, s"""insert overwrite table $r
+          select /*+mapjoin(b)*/ a.key, a.value, b.value
+          from $a a join $p2 b on a.key=b.key""")
+        val d = leg(0, HiveQl.sql(s, s"select * from $r")).localCheckpoint(true)
+        Seq(a, p2, r).foreach(t => HiveQl.sql(s, s"drop table $t"))
+        d.orderBy("sec", "c1")
+      },
+      Some(s"""WITH aa AS (SELECT * FROM ${csv("srcbucket20")}
+          UNION ALL SELECT * FROM ${csv("srcbucket21")}),
+        bb AS (SELECT b.* FROM (SELECT * FROM ${csv("srcbucket22")}
+          UNION ALL SELECT * FROM ${csv("srcbucket23")}) b,
+          (VALUES (1),(2)) days(d)),
+        legs AS (${legSql(0, Seq("a.key", "a.value", "b.value"),
+          "FROM aa a JOIN bb b ON a.key = b.key")})
+        SELECT * FROM legs ORDER BY sec, c1""")),
+
+    // ---- clientpositive/global_limit.q: hive.limit.optimize — LIMIT
+    //      without ORDER BY is nondeterministic in WHICH rows, so each
+    //      query gets the battery's count + membership-facts oracle;
+    //      the grouped/distinct/aggregate non-qualifying cases and the
+    //      nested-limit scopes are exact
+    QueryDef(
+      "q820_qf_global_limit",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val src1 = s"gl_src1_q820_$sfx"
+        val src2 = s"gl_src2_q820_$sfx"
+        val part1 = s"gl_src_part1_q820_$sfx"
+        val tgt = s"gl_tgt_q820_$sfx"
+        fresh(s, src1, src2, part1, tgt)
+        HiveQl.sql(s, "set hive.limit.optimize.enable=true")
+        HiveQl.sql(s, "set hive.limit.optimize.limit.file=2")
+        HiveQl.sql(s, s"create table $src1 (key int, value string) stored as textfile")
+        for (_ <- 1 to 3)
+          HiveQl.sql(s, s"load data local inpath '$RefData/srcbucket20.txt' INTO TABLE $src1")
+        HiveQl.sql(s, "set hive.limit.row.max.size=100")
+        val keys = HiveQl.sql(s, s"select distinct key from $src1")
+          .collect().map(_.getInt(0)).toSet
+        def member(sec: Int, name: String, sql: String, lim: Long,
+            ofKeys: Set[Int] = keys, plus: Int = 0): DataFrame = {
+          val got = HiveQl.sql(s, sql).collect().map(_.getAs[Number](0).intValue)
+          facts(s, sec, Seq(
+            s"${name}_cnt" -> got.length.toString,
+            s"${name}_member" -> got.forall(k => ofKeys(k - plus)).toString))
+        }
+        HiveQl.sql(s, s"create table $tgt as select key from $src1 limit 1")
+        val f0 = member(0, "ctas1", s"select * from $tgt", 1)
+        val f1 = facts(s, 1, Seq("split20_cnt" ->
+          HiveQl.sql(s, s"select 'x', split(value,',') from $src1 limit 20")
+            .count().toString))
+        val f2 = facts(s, 2, Seq("limit30_cnt" ->
+          HiveQl.sql(s, s"select key, value, split(value,',') from $src1 limit 30")
+            .count().toString))
+        val f3 = member(3, "limit100", s"select key from $src1 limit 100", 100)
+        HiveQl.sql(s, "set hive.limit.optimize.limit.file=4")
+        val f4 = member(4, "limit30b", s"select key from $src1 limit 30", 30)
+        // non-qualifying cases: exact results
+        val d5 = leg(5, HiveQl.sql(s,
+          s"select key, count(1) from $src1 group by key order by key limit 5"))
+          .localCheckpoint(true)
+        val f6 = {
+          val got = HiveQl.sql(s, s"select distinct key from $src1 limit 10")
+            .collect().map(_.getInt(0))
+          facts(s, 6, Seq("distinct_cnt" -> got.length.toString,
+            "distinct_unique" -> (got.distinct.length == got.length).toString,
+            "distinct_member" -> got.forall(keys).toString))
+        }
+        val f7 = facts(s, 7, Seq("count_all" ->
+          HiveQl.sql(s, s"select count(1) from $src1 limit 1")
+            .collect()(0).getLong(0).toString))
+        val f8 = {
+          // the record's own terminator passes through tr untouched, so each
+          // input yields 6 'a' lines + 1 EMPTY line (the reference golden's
+          // shape: a×6, blank, a...)
+          val got = HiveQl.sql(s, s"""select transform(*) using "tr _ \\n" as t from
+            (select "a_a_a_a_a_a_" from $src1 limit 100) subq""").collect()
+          facts(s, 8, Seq("transform_cnt" -> got.length.toString,
+            "transform_a_cnt" -> got.count(_.getString(0) == "a").toString,
+            "transform_empty_cnt" -> got.count(_.getString(0) == "").toString))
+        }
+        val f9 = member(9, "nested1",
+          s"select key from (select * from (select key,value from $src1)t1 limit 10)t2 limit 2000", 10)
+        val f10 = member(10, "nested2",
+          s"select key from (select * from (select key,value from $src1 limit 10)t1 )t2", 10)
+        val f11 = member(11, "nested3",
+          s"select key from (select * from (select key,value from $src1)t1 limit 10)t2", 10)
+        HiveQl.sql(s, s"insert overwrite table $tgt select key+1 from " +
+          s"(select * from (select key,value from $src1)t1)t2 limit 10")
+        val f12 = member(12, "insert_limit", s"select * from $tgt", 10, keys, 1)
+        HiveQl.sql(s, s"create table $src2 (key int, value string) stored as textfile")
+        val f13 = facts(s, 13, Seq("empty_cnt" ->
+          HiveQl.sql(s, s"select key from $src2 limit 10").count().toString))
+        HiveQl.sql(s, s"create table $part1 (key int, value string) " +
+          "partitioned by (p string) stored as textfile")
+        HiveQl.sql(s, s"load data local inpath '$RefData/srcbucket21.txt' " +
+          s"INTO TABLE $part1 partition(p='11')")
+        for (_ <- 1 to 3)
+          HiveQl.sql(s, s"load data local inpath '$RefData/srcbucket20.txt' " +
+            s"INTO TABLE $part1 partition(p='12')")
+        val k21 = HiveQl.sql(s, s"select distinct key from $part1 where p='11'")
+          .collect().map(_.getInt(0)).toSet
+        val f14 = member(14, "p_like", s"select key from $part1 where p like '1%' limit 10", 10, keys ++ k21)
+        val f15 = member(15, "p11", s"select key from $part1 where p='11' limit 10", 10, k21)
+        val f16 = member(16, "p12", s"select key from $part1 where p='12' limit 10", 10)
+        val f17 = facts(s, 17, Seq("p13_cnt" ->
+          HiveQl.sql(s, s"select key from $part1 where p='13' limit 10").count().toString))
+        HiveQl.sql(s, s"alter table $part1 add partition (p='13')")
+        val f18 = facts(s, 18, Seq("p13_cnt2" ->
+          HiveQl.sql(s, s"select key from $part1 where p='13' limit 10").count().toString))
+        val f19 = facts(s, 19, Seq("p12_all" ->
+          HiveQl.sql(s, s"select key from $part1 where p='12' limit 1000").count().toString))
+        HiveQl.sql(s, "set hive.limit.optimize.enable=false")
+        Seq(src1, src2, part1, tgt).foreach(t => HiveQl.sql(s, s"drop table $t"))
+        val factsDfs = Seq(f0, f1, f2, f3, f4, f6, f7, f8, f9, f10, f11, f12,
+          f13, f14, f15, f16, f17, f18, f19)
+          .map(f => f.select(col("sec"), concat_ws("|", col("c1"), col("c2")).as("c1")))
+        (factsDfs :+ d5).reduce(_ union _).orderBy("sec", "c1")
+      },
+      Some(s"""WITH s20 AS ${csv("srcbucket20")},
+        gb AS (SELECT key, count(1) * 3 AS c FROM s20 GROUP BY key ORDER BY key LIMIT 5),
+        legs AS (SELECT * FROM (VALUES
+          (0, 'ctas1_cnt|1'), (0, 'ctas1_member|true'),
+          (1, 'split20_cnt|20'), (2, 'limit30_cnt|30'),
+          (3, 'limit100_cnt|100'), (3, 'limit100_member|true'),
+          (4, 'limit30b_cnt|30'), (4, 'limit30b_member|true'),
+          (6, 'distinct_cnt|10'), (6, 'distinct_member|true'), (6, 'distinct_unique|true'),
+          (7, 'count_all|354'),
+          (8, 'transform_a_cnt|600'), (8, 'transform_cnt|700'),
+          (8, 'transform_empty_cnt|100'),
+          (9, 'nested1_cnt|10'), (9, 'nested1_member|true'),
+          (10, 'nested2_cnt|10'), (10, 'nested2_member|true'),
+          (11, 'nested3_cnt|10'), (11, 'nested3_member|true'),
+          (12, 'insert_limit_cnt|10'), (12, 'insert_limit_member|true'),
+          (13, 'empty_cnt|0'),
+          (14, 'p_like_cnt|10'), (14, 'p_like_member|true'),
+          (15, 'p11_cnt|10'), (15, 'p11_member|true'),
+          (16, 'p12_cnt|10'), (16, 'p12_member|true'),
+          (17, 'p13_cnt|0'), (18, 'p13_cnt2|0'), (19, 'p12_all|354')) v(sec, c1)
+          UNION ALL SELECT 5, concat_ws('|', CAST(key AS VARCHAR), CAST(c AS VARCHAR)) FROM gb)
+        SELECT * FROM legs ORDER BY sec, c1""")),
+
+    // ---- clientpositive/merge_dynamic_partition2.q: static-ds + dynamic-hr
+    //      insert from a many-small-files source under hive.merge.* — each
+    //      produced partition merges to ONE file
+    QueryDef(
+      "q821_qf_merge_dynamic_partition2",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val src = s"srcpart_merge_dp_q821_$sfx"
+        val t = s"merge_dynamic_part_q821_$sfx"
+        fresh(s, src, t)
+        HiveQl.sql(s, "set hive.exec.dynamic.partition=true")
+        HiveQl.sql(s, "set hive.exec.dynamic.partition.mode=nonstrict")
+        HiveQl.sql(s, s"create table $src (key string, value string) " +
+          "partitioned by (ds string, hr string) stored as textfile")
+        HiveQl.sql(s, s"create table $t (key string, value string) " +
+          "partitioned by (ds string, hr string) stored as textfile")
+        for (f <- Seq("srcbucket20", "srcbucket21", "srcbucket22", "srcbucket23"))
+          HiveQl.sql(s, s"load data local inpath '$RefData/$f.txt' " +
+            s"INTO TABLE $src partition(ds='2008-04-08', hr=11)")
+        for (f <- Seq("srcbucket0", "srcbucket1"))
+          HiveQl.sql(s, s"load data local inpath '$RefData/$f.txt' " +
+            s"INTO TABLE $src partition(ds='2008-04-08', hr=12)")
+        HiveQl.sql(s, "set hive.merge.mapfiles=true")
+        HiveQl.sql(s, "set hive.merge.mapredfiles=true")
+        HiveQl.sql(s, "set hive.merge.smallfiles.avgsize=3000")
+        HiveQl.sql(s, s"insert overwrite table $t partition (ds='2008-04-08', hr) " +
+          s"select key, value, hr from $src where ds='2008-04-08'")
+        HiveQl.sql(s, "set hive.merge.mapfiles=false")
+        HiveQl.sql(s, "set hive.merge.mapredfiles=false")
+        val census = HiveQl.sql(s, s"show table extended like `$t`")
+          .collect().map(_.getString(0))
+          .filter(_.startsWith("totalNumberFiles"))
+          .map(_.split(":")(1).trim).headOption.getOrElse("?")
+        val f0 = facts(s, 0, Seq(
+          "files_after_merge" -> census,
+          "rows_hr11" -> HiveQl.sql(s,
+            s"select count(1) from $t where hr='11'").collect()(0).getLong(0).toString,
+          "rows_hr12" -> HiveQl.sql(s,
+            s"select count(1) from $t where hr='12'").collect()(0).getLong(0).toString))
+        val d1 = leg(1, HiveQl.sql(s,
+          s"select key, value, ds, hr from $t where hr='12'")).localCheckpoint(true)
+        Seq(src, t).foreach(x => HiveQl.sql(s, s"drop table $x"))
+        f0.select(col("sec"), concat_ws("|", col("c1"), col("c2")).as("c1"))
+          .union(d1).orderBy("sec", "c1")
+      },
+      Some(s"""WITH sb AS (SELECT * FROM ${csv("srcbucket0")}
+          UNION ALL SELECT * FROM ${csv("srcbucket1")}),
+        legs AS (SELECT * FROM (VALUES
+          (0, 'files_after_merge|2'), (0, 'rows_hr11|500'), (0, 'rows_hr12|1000')) v(sec, c1)
+          UNION ALL ${legSql(1, Seq("key", "value", "d", "h"),
+            "FROM (SELECT CAST(key AS VARCHAR) AS key, value, '2008-04-08' AS d, '12' AS h FROM sb) x")})
+        SELECT * FROM legs ORDER BY sec, c1""")),
+
+    // ---- clientpositive/merge_dynamic_partition3.q: fully-dynamic (ds, hr)
+    //      insert spanning two ds days × two hr each, merged per partition
+    QueryDef(
+      "q822_qf_merge_dynamic_partition3",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val src = s"srcpart_merge_dp_q822_$sfx"
+        val t = s"merge_dynamic_part_q822_$sfx"
+        fresh(s, src, t)
+        HiveQl.sql(s, "set hive.exec.dynamic.partition=true")
+        HiveQl.sql(s, "set hive.exec.dynamic.partition.mode=nonstrict")
+        HiveQl.sql(s, s"create table $src (key string, value string) " +
+          "partitioned by (ds string, hr string) stored as textfile")
+        HiveQl.sql(s, s"create table $t (key string, value string) " +
+          "partitioned by (ds string, hr string) stored as textfile")
+        for (hr <- Seq("11", "12"); f <- Seq("srcbucket20", "srcbucket21", "srcbucket22", "srcbucket23"))
+          HiveQl.sql(s, s"load data local inpath '$RefData/$f.txt' " +
+            s"INTO TABLE $src partition(ds='2008-04-08', hr=$hr)")
+        for (hr <- Seq("11", "12"); f <- Seq("kv1", "kv2"))
+          HiveQl.sql(s, s"load data local inpath '$RefData/$f.txt' " +
+            s"INTO TABLE $src partition(ds='2008-04-09', hr=$hr)")
+        val parts = facts(s, 0,
+          HiveQl.sql(s, s"show partitions $src").collect()
+            .map(r => (r.getString(0), "present")).sorted)
+        HiveQl.sql(s, "set hive.merge.mapfiles=true")
+        HiveQl.sql(s, "set hive.merge.mapredfiles=true")
+        HiveQl.sql(s, "set hive.merge.smallfiles.avgsize=3000")
+        HiveQl.sql(s, s"insert overwrite table $t partition (ds, hr) " +
+          s"select key, value, ds, hr from $src where ds>='2008-04-08'")
+        HiveQl.sql(s, "set hive.merge.mapfiles=false")
+        HiveQl.sql(s, "set hive.merge.mapredfiles=false")
+        val d1 = leg(1, HiveQl.sql(s, s"select ds, hr, count(1) from $t " +
+          "where ds>='2008-04-08' group by ds, hr order by ds, hr"))
+          .localCheckpoint(true)
+        // the merge contract (reference golden totalNumberFiles:6): the
+        // small-file 04-08 partitions merge to ONE file each; the 04-09
+        // partitions (kv avg > smallfiles.avgsize) are left alone — their
+        // pre-merge file count is writer-dependent, so pin only the
+        // merged-to-one side and the above-threshold average
+        val cat = s.sessionState.catalog
+        val ti = s.sessionState.sqlParser.parseTableIdentifier(t)
+        val fsys = new org.apache.hadoop.fs.Path(
+          cat.getTableMetadata(ti).location)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        def census(ds: String, hr: String): (Int, Long) = {
+          val loc = new org.apache.hadoop.fs.Path(cat.listPartitions(ti,
+            Some(Map("ds" -> ds, "hr" -> hr))).head.location)
+          val fl = fsys.listStatus(loc).filter(st => st.isFile &&
+            !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+          (fl.length, if (fl.isEmpty) 0L else fl.map(_.getLen).sum / fl.length)
+        }
+        val f2 = facts(s, 2, Seq(
+          "merged_0408_11_files" -> census("2008-04-08", "11")._1.toString,
+          "merged_0408_12_files" -> census("2008-04-08", "12")._1.toString,
+          "unmerged_0409_11_above_avg" -> (census("2008-04-09", "11")._2 > 3000).toString,
+          "unmerged_0409_12_above_avg" -> (census("2008-04-09", "12")._2 > 3000).toString))
+        Seq(src, t).foreach(x => HiveQl.sql(s, s"drop table $x"))
+        Seq(parts, f2).map(f => f.select(col("sec"),
+          concat_ws("|", col("c1"), col("c2")).as("c1")))
+          .reduce(_ union _).union(d1).orderBy("sec", "c1")
+      },
+      Some("""SELECT * FROM (VALUES
+        (0, 'ds=2008-04-08/hr=11|present'), (0, 'ds=2008-04-08/hr=12|present'),
+        (0, 'ds=2008-04-09/hr=11|present'), (0, 'ds=2008-04-09/hr=12|present'),
+        (1, '2008-04-08|11|500'), (1, '2008-04-08|12|500'),
+        (1, '2008-04-09|11|1000'), (1, '2008-04-09|12|1000'),
+        (2, 'merged_0408_11_files|1'), (2, 'merged_0408_12_files|1'),
+        (2, 'unmerged_0409_11_above_avg|true'),
+        (2, 'unmerged_0409_12_above_avg|true')) v(sec, c1)
+        ORDER BY sec, c1"""))
   )
 }
