@@ -37,7 +37,8 @@ object Compaction {
       smallFileAvgThreshold: Long = 64L * 1024 * 1024,
       format: String = "parquet",
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      options: Map[String, String] = Map.empty): Boolean = {
+      options: Map[String, String] = Map.empty,
+      parallel: Boolean = true): Boolean = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val trashAtEntry = new Path(path.getParent, path.getName + "__compact_old")
@@ -73,16 +74,42 @@ object Compaction {
     // each with its own threshold check and write-audit-publish swap, so
     // one fragmented partition never rewrites its healthy siblings
     val partDirs = entries.filter(s => s.isDirectory && s.getPath.getName.contains("="))
-    if (partDirs.nonEmpty)
-      return partDirs.map(d => compactIfFragmented(spark, d.getPath.toString,
-        targetBytes, smallFileAvgThreshold, format, schema, options))
-        .count(identity) > 0
+    if (partDirs.nonEmpty) {
+      // a 100-dynamic-partition insert means 100 independent merge checks —
+      // run them on a bounded pool (concurrent Spark jobs from one session
+      // are safe; each dir has its own write-audit-publish swap). At 100 TB
+      // with thousands of partitions a sequential walk IS the merge cost:
+      // the round-15 idle A/B measured rcfile_merge1 (2 tables × 100 dyn
+      // partitions) at 23.5 s sequential, dominated by per-dir driver jobs.
+      // Parallelism only at this top call — workers recurse sequentially,
+      // so a nested tree can never deadlock the pool.
+      val results: Seq[Boolean] =
+        if (parallel && partDirs.size > 1) {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(8, partDirs.size))
+          try partDirs.map(d => pool.submit(
+            new java.util.concurrent.Callable[Boolean] {
+              def call(): Boolean = compactIfFragmented(spark,
+                d.getPath.toString, targetBytes, smallFileAvgThreshold,
+                format, schema, options, parallel = false)
+            })).map(_.get())
+          finally pool.shutdown()
+        } else partDirs.map(d => compactIfFragmented(spark, d.getPath.toString,
+          targetBytes, smallFileAvgThreshold, format, schema, options,
+          parallel = false))
+      return results.count(identity) > 0
+    }
     val dataFiles = entries.filter(_.isFile)
     if (dataFiles.isEmpty) return false
     val total = dataFiles.map(_.getLen).sum
     if (total / dataFiles.size >= smallFileAvgThreshold) return false
 
     val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    // a rewrite that cannot REDUCE the file count is a no-op with I/O cost
+    // (the q663 profile: every 1-file partition under the avg threshold was
+    // being read and rewritten to the same 1 file) — the merge contract is
+    // fewer files, so skip when already at or below the target count
+    if (dataFiles.size <= n) return false
     val tmp = new Path(path.getParent, path.getName + "__compact_tmp")
     val trash = new Path(path.getParent, path.getName + "__compact_old")
     // format-aware rewrite: the graft FileFormats (hivetext/hiveseq/hiverc)
