@@ -335,25 +335,51 @@ object Authz {
     val user = currentUser(spark)
     val db = spark.catalog.currentDatabase
     val (inputs, outputs) = referencedTables(plan)
-    // the statement's referenced attribute names (unresolved — a global
-    // set; per-table precision comes from intersecting with each table's
-    // own schema below). A `*` anywhere makes the needed set unknown.
-    val attrs = mutable.LinkedHashSet.empty[String]
+    // The statement's referenced attribute names (unresolved). Qualified
+    // attributes (a.key) bind to the relation their qualifier aliases —
+    // the reference checks needed columns PER TableScan
+    // (Driver.doAuthorization), so in a multi-table query a column read
+    // only from table B must not inflate table A's needed set just by
+    // sharing a name. Unqualified attributes stay a global fallback set
+    // applied to every input. A `*` anywhere makes the needed set unknown.
+    val unqualified = mutable.LinkedHashSet.empty[String]
+    val qualified = mutable.Map.empty[String, mutable.LinkedHashSet[String]]
     var star = false
+    // alias / bare-name → canonical relation name, from the plan's own
+    // SubqueryAlias(UnresolvedRelation) shells
+    val aliasOf = mutable.Map.empty[String, String]
+    def scanAliases(p: LogicalPlan): Unit = p.foreach {
+      case org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(id, u: UnresolvedRelation) =>
+        aliasOf(id.name.toLowerCase) = u.multipartIdentifier.mkString(".").toLowerCase
+      case u: UnresolvedRelation =>
+        val full = u.multipartIdentifier.mkString(".").toLowerCase
+        aliasOf.getOrElseUpdate(u.multipartIdentifier.last.toLowerCase, full)
+        aliasOf(full) = full
+      case _ =>
+    }
     def scanExprs(p: LogicalPlan): Unit = p.foreach(_.expressions.foreach(_.foreach {
       case _: UnresolvedStar => star = true
-      case a: UnresolvedAttribute => attrs += a.nameParts.last.toLowerCase
+      case a: UnresolvedAttribute =>
+        if (a.nameParts.size > 1)
+          qualified.getOrElseUpdate(a.nameParts.init.mkString(".").toLowerCase,
+            mutable.LinkedHashSet.empty) += a.nameParts.last.toLowerCase
+        else unqualified += a.nameParts.last.toLowerCase
       case _ =>
     }))
+    scanAliases(plan)
     scanExprs(plan)
-    plan.foreach(_.subqueries.foreach(scanExprs))
+    plan.foreach(_.subqueries.foreach { sq => scanAliases(sq); scanExprs(sq) })
     outputs.foreach { t =>
       if (!holds(spark, user, "Update", t)) deny("Update", "outputs", db, t)
     }
     inputs.foreach { t =>
+      val tl = t.toLowerCase
+      val forThis = qualified.collect { case (q, cols)
+        if aliasOf.get(q).contains(tl) || q == tl => cols }.flatten.toSet
       val refCols: Option[Set[String]] =
         if (star) None
-        else dataColumns(spark, t).map(_.intersect(attrs.toSet))
+        else dataColumns(spark, t).map(dc =>
+          dc.intersect(unqualified.toSet) ++ dc.intersect(forThis))
       if (!holds(spark, user, "Select", t, refCols))
         deny("Select", "inputs", db, t)
     }

@@ -117,6 +117,39 @@ class AuthzSpec extends SparkSpec {
     Authz.reset()
   }
 
+  test("column grants check PER-TABLE needed columns, not a global name set") {
+    // Driver.doAuthorization checks each TableScan's own needed columns:
+    // b.value read from table B must not count against table A's
+    // Select(key) grant just because A also has a column named value
+    Authz.reset()
+    spark.sql("DROP TABLE IF EXISTS authz_a")
+    spark.sql("DROP TABLE IF EXISTS authz_b")
+    spark.sql("CREATE TABLE authz_a (key INT, value STRING) USING parquet")
+    spark.sql("CREATE TABLE authz_b (key INT, value STRING) USING parquet")
+    spark.sql("INSERT INTO authz_a VALUES (1, 'a1')")
+    spark.sql("INSERT INTO authz_b VALUES (1, 'b1')")
+    HiveQl.sql(spark, "GRANT SELECT(key) ON TABLE authz_a TO USER carol")
+    HiveQl.sql(spark, "GRANT SELECT ON TABLE authz_b TO USER carol")
+    enforced {
+      asUser("carol") {
+        // qualified b.value binds to B only — A's needed set is {key}
+        assert(HiveQl.sql(spark,
+          "SELECT a.key, b.value FROM authz_a a JOIN authz_b b ON a.key = b.key")
+          .count() == 1)
+        // reading a.value really does exceed the column grant
+        intercept[SecurityException](HiveQl.sql(spark,
+          "SELECT a.value, b.value FROM authz_a a JOIN authz_b b ON a.key = b.key"))
+        // an UNQUALIFIED ambiguous-name read stays conservative: it could
+        // come from A, so A's grant must cover it
+        intercept[SecurityException](HiveQl.sql(spark,
+          "SELECT a.key FROM authz_a a JOIN authz_b b ON a.key = b.key WHERE length(value) > 0"))
+      }
+    }
+    spark.sql("DROP TABLE IF EXISTS authz_a")
+    spark.sql("DROP TABLE IF EXISTS authz_b")
+    Authz.reset()
+  }
+
   test("enforcement is off by default and never blocks the grant DDL itself") {
     Authz.reset()
     Tables.registerAll(spark, sfDir)
