@@ -374,8 +374,72 @@ object HiveQl {
 
   def rewrite(q: String): String = {
     val (masked, lits) = maskLiterals(q)
-    unmaskLiterals(hoistUsing(rewriteMasked(defaultTransformTabDelims(
-      expandTransformComplex(rewriteSerdeFormats(masked, lits))))), lits)
+    unmaskLiterals(hoistUsing(rewriteUnionTypes(rewriteMasked(
+      defaultTransformTabDelims(
+        expandTransformComplex(rewriteSerdeFormats(masked, lits)))))), lits)
+  }
+
+  /** `uniontype<T0,...,Tn>` columns (Hive.g unionType; create_union_table
+    * .q) → the engine's union encoding `struct<tag:int, field0:T0, ...>`
+    * (the create_union function's shape), plus a `unioncols` option on the
+    * hivetext source so the TEXT parse is tag-directed rather than
+    * positional. Top-level column types only — no .q nests a union.
+    */
+  private def rewriteUnionTypes(q: String): String = {
+    val lower = q.toLowerCase
+    if (!lower.contains("uniontype<")) return q
+    val out = new StringBuilder
+    val cols = Seq.newBuilder[String]
+    var i = 0
+    while (i < q.length) {
+      val at = lower.indexOf("uniontype<", i)
+      if (at < 0) { out ++= q.substring(i); i = q.length }
+      else {
+        // the identifier immediately before the type is the column name
+        val head = q.substring(i, at)
+        out ++= head
+        """(\w+)\s*$""".r.findFirstMatchIn(q.substring(0, at).stripSuffix(" "))
+          .foreach(m => cols += m.group(1).toLowerCase)
+        // balanced-angle scan over the type arguments
+        var depth = 1
+        var j = at + "uniontype<".length
+        val inner = new StringBuilder
+        while (j < q.length && depth > 0) {
+          val c = q.charAt(j)
+          if (c == '<') depth += 1
+          else if (c == '>') depth -= 1
+          if (depth > 0) inner += c
+          j += 1
+        }
+        // split the argument list on commas at angle depth zero
+        val args = Seq.newBuilder[String]
+        var d = 0
+        val cur = new StringBuilder
+        inner.toString.foreach {
+          case ',' if d == 0 => args += cur.toString.trim; cur.clear()
+          case c =>
+            if (c == '<') d += 1 else if (c == '>') d -= 1
+            cur += c
+        }
+        if (cur.nonEmpty) args += cur.toString.trim
+        val fields = args.result().zipWithIndex
+          .map { case (t, k) => s"field$k:$t" }
+        out ++= s"struct<tag:int, ${fields.mkString(", ")}>"
+        i = j
+      }
+    }
+    val names = cols.result().distinct
+    if (names.isEmpty) return out.toString
+    val text = out.toString
+    val opt = s"unioncols '${names.mkString(",")}'"
+    val withOpts = """(?i)USING\s+graft\.sources\.HiveTextSource\s+OPTIONS\s*\(""".r
+    val bare = """(?i)USING\s+graft\.sources\.HiveTextSource\b""".r
+    if (withOpts.findFirstIn(text).isDefined)
+      withOpts.replaceAllIn(text, m =>
+        java.util.regex.Matcher.quoteReplacement(m.matched + opt + ", "))
+    else
+      bare.replaceAllIn(text, m =>
+        java.util.regex.Matcher.quoteReplacement(s"${m.matched} OPTIONS ($opt)"))
   }
 
   /** Hive's default TRANSFORM row codec is TAB-delimited text on BOTH
@@ -423,6 +487,13 @@ object HiveQl {
       }.getOrElse("")
       val outFmt =
         if (m.after.toString.matches("(?is)\\s*(ROW\\s+FORMAT|RECORDREADER)\\b.*")) ""
+        // no AS clause = Hive's DEFAULT (key, value) output schema where
+        // value captures the REST of the line including tabs
+        // (ScriptOperator default serde; regexp_extract.q's golden shows
+        // 'val_0<TAB>3<TAB>7' reaching regexp_extract) — an explicit
+        // delimited row format would split strictly and drop the rest, so
+        // leave Spark's native schema-less first-tab/rest behavior alone
+        else if (m.group(2) == null) ""
         else " " + TabFmt
       java.util.regex.Matcher.quoteReplacement(
         s"${inFmt}USING ${m.group(1)}$asClause$outFmt")
@@ -444,6 +515,23 @@ object HiveQl {
   private val RegexSerdeCreate =
     ("""(?is)ROW\s+FORMAT\s+SERDE\s+(\d+)\s+WITH\s+SERDEPROPERTIES\s*""" +
       """\(([^)]*)\)(?:\s+STORED\s+AS\s+TEXTFILE\b)?""").r
+  // LazySimpleSerDe with serialization.last.column.takes.rest=true over
+  // TextInputFormat/HiveBinaryOutputFormat (binary_output_format.q): the
+  // single-string-column whole-line table. HiveBinaryOutputFormat writes
+  // the raw value bytes + newline, which for one string column is exactly
+  // the hivetext writer's bytes; reads honor takes-rest via the lastcol
+  // option (a limit-N field split).
+  private val BinaryOutCreate =
+    ("""(?is)ROW\s+FORMAT\s+SERDE\s+(\d+)\s+WITH\s+SERDEPROPERTIES\s*"""
+      + """\(\s*(\d+)\s*=\s*(\d+)\s*\)\s*STORED\s+AS\s+"""
+      + """INPUTFORMAT\s+(\d+)\s+OUTPUTFORMAT\s+(\d+)""").r
+  // TRANSFORM output read through BinaryRecordReader + takes-rest serde:
+  // one column absorbing the whole output line (tabs included) — the same
+  // never-occurring \x02 field delimiter used by restCaptureDefaultTransform
+  private val BinaryRecordReaderAs =
+    ("""(?is)\bAS\s+(\w+)\s+STRING\s+ROW\s+FORMAT\s+SERDE\s+(\d+)\s+"""
+      + """WITH\s+SERDEPROPERTIES\s*\([^)]*\)\s*RECORDREADER\s+(\d+)""").r
+
   private val TestSerdeBare =
     ("""(?is)ROW\s+FORMAT\s+SERDE\s+(\d+)\s+(?:STORED\s+AS\s+TEXTFILE\b)""").r
   private val SerdePropPair = """(\d+)\s*=\s*(\d+)""".r
@@ -477,7 +565,9 @@ object HiveQl {
   // Anchored to end-of-statement so TRANSFORM row formats never match.
   private val DelimitedBare =
     ("""(?is)ROW\s+FORMAT\s+DELIMITED\s+FIELDS\s+TERMINATED\s+BY\s+((\d+))""" +
-      """(?:\s+ESCAPED\s+BY\s+(\d+))?\s*;?\s*$""").r
+      """(?:\s+ESCAPED\s+BY\s+(\d+))?""" +
+      """(?:\s+COLLECTION\s+ITEMS\s+TERMINATED\s+BY\s+(\d+))?""" +
+      """(?:\s+MAP\s+KEYS\s+TERMINATED\s+BY\s+(\d+))?\s*;?\s*$""").r
 
   private def rewriteSerdeFormats(masked: String, lits: IndexedSeq[String]): String = {
     def lit(n: String): String =
@@ -541,7 +631,19 @@ object HiveQl {
     // the bare-serde branches below. Column types are validated here, the
     // same CREATE-time failure the reference's SerDeException produces
     // (contrib clientnegative/serde_regex.q: INT columns must error)
-    val regexed = RegexSerdeCreate.replaceAllIn(masked, m =>
+    val binCreate = BinaryOutCreate.replaceAllIn(masked, m =>
+      if (!lit(m.group(1)).endsWith("LazySimpleSerDe") ||
+          lit(m.group(2)) != "serialization.last.column.takes.rest" ||
+          !lit(m.group(3)).equalsIgnoreCase("true") ||
+          !lit(m.group(5)).endsWith("HiveBinaryOutputFormat")) m.matched
+      else java.util.regex.Matcher.quoteReplacement(
+        "USING graft.sources.HiveTextSource OPTIONS (lastcol 'true')"))
+    val binReader = BinaryRecordReaderAs.replaceAllIn(binCreate, m =>
+      if (!lit(m.group(2)).endsWith("LazySimpleSerDe") ||
+          !lit(m.group(3)).endsWith("BinaryRecordReader")) m.matched
+      else java.util.regex.Matcher.quoteReplacement(
+        s"AS (${m.group(1)}) ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\002'"))
+    val regexed = RegexSerdeCreate.replaceAllIn(binReader, m =>
       if (!lit(m.group(1)).endsWith("RegexSerDe")) m.matched
       else {
         val colsRe = """(?is)CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[\w.]+\s*\((.*?)\)\s*ROW\s+FORMAT""".r
@@ -638,8 +740,17 @@ object HiveQl {
           val c = delimChar(g).replace("\\", "\\\\").replace("'", "\\'")
           s", esc '$c'"
         }.getOrElse("")
-        java.util.regex.Matcher.quoteReplacement(
-          s"USING graft.sources.HiveTextSource OPTIONS (sep ${sepOption(m.group(1), m.group(2))}$escOpt)")
+        // non-default COLLECTION ITEMS delimiter → the source's level-1
+        // override option (create_struct_table.q's '\001'); the default
+        // \x02 adds nothing; a custom MAP KEYS delimiter stays unsupported
+        // (statement left for the delegate parser to reject loudly)
+        val collOpt = Option(m.group(4)).map(delimChar)
+          .filter(_ != "").map { c =>
+            s", coll '${c.replace("\\", "\\\\").replace("'", "\\'")}'"
+          }.getOrElse("")
+        if (Option(m.group(5)).exists(delimChar(_) != "")) m.matched
+        else java.util.regex.Matcher.quoteReplacement(
+          s"USING graft.sources.HiveTextSource OPTIONS (sep ${sepOption(m.group(1), m.group(2))}$escOpt$collOpt)")
       })
     val noSerde = RowFormatSerde.replaceAllIn(delim, m =>
       if (lit(m.group(1)).matches(""".*(ColumnarSerDe|LazySimpleSerDe)""")) ""
@@ -786,7 +897,14 @@ object HiveQl {
     """(?is)\bCREATE\s+EXTERNAL\s+TABLE\b(?=(?:(?!;).)*\bUSING\s+graft\.sources\.)""".r
 
   private def rewriteMasked(q: String): String = {
-    val eu = ExternalUsing.replaceAllIn(q, "CREATE TABLE")
+    // virtual columns by their HiveQL spellings (VirtualColumn.java:34-38;
+    // virtual_column.q): INPUT__FILE__NAME is Spark's input_file_name();
+    // BLOCK__OFFSET__INSIDE__FILE maps to the engine's per-scan unique id
+    // (byte offsets are a storage detail — the q46 mapping)
+    val vc = q.replaceAll("(?i)\\bINPUT__FILE__NAME\\b", "input_file_name()")
+      .replaceAll("(?i)\\bBLOCK__OFFSET__INSIDE__FILE\\b",
+        "monotonically_increasing_id()")
+    val eu = ExternalUsing.replaceAllIn(vc, "CREATE TABLE")
     val el = ExternalLike.replaceAllIn(eu, m =>
       java.util.regex.Matcher.quoteReplacement(s"CREATE TABLE ${m.group(1)}"))
     val cs = CharsetLiteral.replaceAllIn(el, m =>
@@ -830,12 +948,28 @@ object HiveQl {
       val trailer = if (m.group(5) != null && explicit.isEmpty) m.group(5) else ""
       s"(SELECT * FROM $tbl WHERE (hash($c) & 2147483647) % $y = ${x - 1}) $alias$trailer"
     })
-    sampled match {
+    // Hive.g's native spelling is FROM-first (`FROM UNIQUEJOIN <srcs>
+    // SELECT <cols> [WHERE ...]`, uniquejoin.q) — normalize to the
+    // select-first shape the rewrite below handles
+    val ujNormalized = sampled match {
+      case FromFirstUniqueJoin(srcs, rest) =>
+        val m = """(?i)\b(WHERE|GROUP|ORDER|LIMIT)\b""".r.findFirstMatchIn(rest)
+        val (cols, tail) = m match {
+          case Some(mm) => (rest.substring(0, mm.start), " " + rest.substring(mm.start))
+          case None => (rest, "")
+        }
+        s"SELECT ${cols.trim} FROM UNIQUEJOIN ${srcs.trim}$tail"
+      case other => other
+    }
+    ujNormalized match {
       case UniqueJoin(head, srcs, tail) if srcs.toUpperCase.contains("(") =>
         rewriteUniqueJoin(head, srcs, Option(tail).getOrElse(""))
       case other => other
     }
   }
+
+  private val FromFirstUniqueJoin =
+    """(?is)^\s*FROM\s+UNIQUEJOIN\s+(.*?)\s+SELECT\s+(.*?)\s*;?\s*$""".r
 
   private case class UjSrc(preserve: Boolean, table: String, alias: String,
       keys: Seq[String])
@@ -1229,6 +1363,48 @@ object HiveQl {
     * mode: added files localize into each task container's cwd where the
     * bare name already works — leave the command untouched.
     */
+  /** Hive's DEFAULT TRANSFORM output schema (no AS clause) is (key, value)
+    * where key is the text before the FIRST tab and value is the REST OF
+    * THE LINE INCLUDING TABS (ScriptOperator's default two-column
+    * LazySimpleSerDe; regexp_extract.q's golden shows 'val_0<TAB>3<TAB>7'
+    * reaching regexp_extract). Spark's schema-less TRANSFORM either drops
+    * the rest (explicit row format) or leaves value null (no row format),
+    * so the rewrite pipes the script through `sed "s/\t/\002/"` (first tab
+    * → \x02) and declares AS (key, value) split on \x02 — value keeps its
+    * interior tabs byte-identical.
+    */
+  private def restCaptureDefaultTransform(q: String): String = {
+    if (!q.toUpperCase.contains("USING")) return q
+    val (masked, lits) =
+      try maskLiterals(q) catch { case _: IllegalArgumentException => return q }
+    val hits = scala.collection.mutable.Set.empty[Int]
+    val out = ScriptUsingAs.replaceAllIn(masked, m => {
+      val after = m.after.toString
+      if (m.group(2) != null ||
+          after.matches("(?is)\\s*(ROW\\s+FORMAT|RECORDREADER|AS)\\b.*")) m.matched
+      else {
+        // group(1) is the full <n> placeholder
+        hits += m.group(1).replace("", "").toInt
+        java.util.regex.Matcher.quoteReplacement(
+          s"USING ${m.group(1)} AS (key, value) " +
+            "ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\002'")
+      }
+    })
+    if (hits.isEmpty) return q
+    val newLits = lits.zipWithIndex.map { case (l, i) =>
+      if (!hits(i)) l
+      else {
+        val quote = l.head
+        val body = l.tail.dropRight(1)
+        val inner = if (quote == '\'') '"' else '\''
+        // \t and \002 unescape to raw bytes at the SQL lexer, so sed's
+        // argv carries a literal tab and a literal \x02
+        s"$quote$body | sed $inner" + "s/\\t/\\002/" + s"$inner$quote"
+      }
+    }
+    unmaskLiterals(out, newLits)
+  }
+
   /** Hive's ScriptOperator argv-splits the (SQL-unescaped) command itself
     * on spaces, so a raw TAB produced by the literal escape `\t` survives
     * as its own argument (`USING 'tr \t _'`, insert_into1.q). Spark runs
@@ -1351,14 +1527,15 @@ object HiveQl {
     // bashSafeScriptArgs runs OUTERMOST: it introduces escaped quotes into
     // USING literals that the other TRANSFORM passes' `[^']+` matchers
     // must never see
-    val q = bashSafeScriptArgs(absorbTransformRemainder(spark,
+    val q = bashSafeScriptArgs(restCaptureDefaultTransform(
+      absorbTransformRemainder(spark,
       wrapPartialConsumption(spark, injectScriptEnv(spark,
         resolveScriptPaths(spark,
           resolveSplitSampling(spark,
             resolveBucketFileSampling(spark,
               resolveDefaultSampleCols(spark,
                 applyDefaultFileFormat(spark,
-                  applyTestMode(spark, substituteVars(spark, rawQ)))))))))))
+                  applyTestMode(spark, substituteVars(spark, rawQ))))))))))))
     // Driver.doAuthorization layering: enforce before execution on every
     // entry point that funnels through this driver analogue (no-op unless
     // hive.security.authorization.enabled)
@@ -1385,7 +1562,14 @@ object HiveQl {
     val result = statementExec(q) match {
       case Some(exec) => exec(spark); spark.emptyDataFrame
       case None => withSelfReadOverwriteRetry(spark, q)(
-        withLegacyStoreRetry(spark)(c => c.sql(rewrite(q))))
+        withLegacyStoreRetry(spark) { c =>
+          val fin = rewrite(q)
+          if (spark.conf.getOption("graft.debug.sql").contains("true"))
+            // diagnostic escape: control bytes visible
+            System.err.println("[graft.sql] " + fin.flatMap(ch =>
+              if (ch < ' ' && ch != '\n') f"\\x${ch.toInt}%02x" else ch.toString))
+          c.sql(fin)
+        })
     }
     if (!holdDdl) bumpInsertTargets(spark, maskedQ)
     mergeSmallFiles(spark, maskedQ, qLits)

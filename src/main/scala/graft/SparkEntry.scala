@@ -45,6 +45,7 @@ object SparkEntry {
     operators.QFileParity25,
     operators.QFileParity26,
     operators.QFileParity27,
+    operators.QFileParity28,
     operators.Indexes,
     operators.ScaleOps,
     streaming.Streaming)

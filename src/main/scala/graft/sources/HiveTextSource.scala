@@ -93,6 +93,18 @@ class HiveTextSource extends FileFormat with DataSourceRegister with Serializabl
     val sep = options.getOrElse("sep", HiveText.FieldDelim)
     val esc = options.get("esc").filter(_.nonEmpty).map(_.charAt(0))
     val nullSeq = options.getOrElse("nullvalue", HiveText.NullSequence)
+    val coll = options.get("coll").filter(_.nonEmpty)
+    // 'serialization.last.column.takes.rest' (LazySimpleSerDe): the LAST
+    // declared column absorbs the remainder of the line, separators and
+    // all (binary_output_format.q) — a limit-N split instead of a full one
+    val lastColRest = options.get("lastcol").exists(_.equalsIgnoreCase("true"))
+    val nData = dataSchema.fields.length
+    // columns declared uniontype in the DDL (rewritten to the tag-struct
+    // encoding): tagged parse instead of positional struct parse
+    val unionIdx = options.get("unioncols").map(_.split(',')
+      .map(_.trim.toLowerCase).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    val isUnion = requiredSchema.fields.map(f =>
+      unionIdx.contains(f.name.toLowerCase))
 
     (file: PartitionedFile) => {
       val split = new org.apache.hadoop.mapreduce.lib.input.FileSplit(
@@ -118,7 +130,8 @@ class HiveTextSource extends FileFormat with DataSourceRegister with Serializabl
           // -1: trailing empty fields are real empty strings
           val parts = esc match {
             case Some(e) => HiveTextSource.escapedSplit(line, sep, e)
-            case None => line.split(java.util.regex.Pattern.quote(sep), -1)
+            case None => line.split(java.util.regex.Pattern.quote(sep),
+              if (lastColRest) nData else -1)
           }
           val row = new GenericInternalRow(nRequired)
           var i = 0
@@ -131,8 +144,14 @@ class HiveTextSource extends FileFormat with DataSourceRegister with Serializabl
             // SimpleSerDe writes \N unescaped); escapes strip AFTERWARD
             row.update(i,
               if (raw == null || raw == nullSeq) null
-              else HiveTextSource.decode(esc.fold(raw)(e =>
-                HiveTextSource.unescapeCell(raw, e)), fieldTypes(i)))
+              else {
+                val cell = esc.fold(raw)(e => HiveTextSource.unescapeCell(raw, e))
+                fieldTypes(i) match {
+                  case st: StructType if isUnion(i) =>
+                    HiveTextSource.decodeUnion(cell, st)
+                  case dt => HiveTextSource.decode(cell, dt, coll = coll)
+                }
+              })
             i += 1
           }
           row
@@ -149,7 +168,12 @@ object HiveTextSource {
   /** One field's text → Catalyst value; malformed → null (the Lazy*
     * parsers catch NumberFormatException — Hive's UDFToX contract).
     */
-  def decode(raw: String, dt: DataType, level: Int = 1): Any =
+  /** `coll` overrides the LEVEL-1 (collection items) separator only —
+    * `COLLECTION ITEMS TERMINATED BY '<c>'` with a non-default delimiter
+    * (create_struct_table.q's '\001'); deeper levels keep the ladder.
+    */
+  def decode(raw: String, dt: DataType, level: Int = 1,
+      coll: Option[String] = None): Any =
     try dt match {
       case StringType => UTF8String.fromString(raw)
       case IntegerType => java.lang.Integer.valueOf(raw.trim)
@@ -172,23 +196,23 @@ object HiveTextSource {
       case BinaryType => raw.getBytes("UTF-8")
       case ArrayType(et, _) =>
         org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
-          raw.split(java.util.regex.Pattern.quote(levelSep(level)), -1)
+          raw.split(java.util.regex.Pattern.quote(sepAt(level, coll)), -1)
             .map(e => if (e == HiveText.NullSequence) null
-                      else decode(e, et, level + 1)))
+                      else decode(e, et, level + 1, coll)))
       case MapType(kt, vt, _) =>
         if (raw.isEmpty)
           org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
             Array.empty[Any], Array.empty[Any])
         else {
           val entries = raw.split(
-            java.util.regex.Pattern.quote(levelSep(level)), -1)
+            java.util.regex.Pattern.quote(sepAt(level, coll)), -1)
           val kvs = entries.map { e =>
             val kv = e.split(
               java.util.regex.Pattern.quote(levelSep(level + 1)), 2)
             val k = if (kv(0) == HiveText.NullSequence) null
-                    else decode(kv(0), kt, level + 2)
+                    else decode(kv(0), kt, level + 2, coll)
             val v = if (kv.length < 2 || kv(1) == HiveText.NullSequence) null
-                    else decode(kv(1), vt, level + 2)
+                    else decode(kv(1), vt, level + 2, coll)
             (k, v)
           }
           org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
@@ -196,14 +220,14 @@ object HiveTextSource {
         }
       case StructType(fields) =>
         val parts = raw.split(
-          java.util.regex.Pattern.quote(levelSep(level)), -1)
+          java.util.regex.Pattern.quote(sepAt(level, coll)), -1)
         val r = new GenericInternalRow(fields.length)
         var i = 0
         while (i < fields.length) {
           val p = if (i < parts.length) parts(i) else null
           r.update(i,
             if (p == null || p == HiveText.NullSequence) null
-            else decode(p, fields(i).dataType, level + 1))
+            else decode(p, fields(i).dataType, level + 1, coll))
           i += 1
         }
         r
@@ -218,6 +242,25 @@ object HiveTextSource {
     * (the level-0 field separator is the configurable `sep` option).
     */
   private def levelSep(level: Int): String = (level + 1).toChar.toString
+
+  private def sepAt(level: Int, coll: Option[String]): String =
+    if (level == 1) coll.getOrElse(levelSep(1)) else levelSep(level)
+
+  /** Hive uniontype text (`tag<sep>value` — LazyUnion): the engine encodes
+    * a union as struct<tag:int, field0..fieldN> (the create_union shape),
+    * and the TEXT parse places the value in field(tag), not positionally.
+    * Only the tagged field is non-null; a malformed tag yields null.
+    */
+  def decodeUnion(raw: String, st: StructType, level: Int = 1): Any = {
+    val kv = raw.split(java.util.regex.Pattern.quote(levelSep(level)), 2)
+    val r = new GenericInternalRow(st.length)
+    val tag = try kv(0).trim.toInt catch {
+      case _: NumberFormatException => return null }
+    r.update(0, tag)
+    if (tag + 1 < st.length && kv.length > 1 && kv(1) != HiveText.NullSequence)
+      r.update(tag + 1, decode(kv(1), st.fields(tag + 1).dataType, level + 1))
+    r
+  }
 
   /** One Catalyst value → field text (LazySimpleSerDe.serialize: the
     * primitive's Java toString; booleans lowercase; null handled by the

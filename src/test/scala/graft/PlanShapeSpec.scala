@@ -106,9 +106,19 @@ class PlanShapeSpec extends SparkSpec {
                               // conditionless JOIN/outer selects over the
                               // 3-row in1.txt fixture — cartesians by spec
                               // (same forms as q225's join_nulls.q)
-      "q400_qf_auto_join23")  // auto_join23.q IS an ON-less JOIN with a
+      "q400_qf_auto_join23",  // auto_join23.q IS an ON-less JOIN with a
                               // WHERE range — cross join by spec (same
                               // form as q231's join23.q, auto-convert leg
+      "q807_qf_ppr_pushdown3", // srcpart VALUES side (as q215) in all legs
+      "q808_qf_louter_join_ppr", // ON-clause partition filter on an OUTER
+                              // join can't become a pushdown — it stays a
+                              // join condition (louter_join_ppr.q's point),
+                              // + the srcpart fixture's VALUES side
+      "q809_qf_router_join_ppr", // same, RIGHT OUTER legs
+      "q810_qf_outer_join_ppr",  // same, FULL OUTER legs
+      "q815_qf_sample8")      // sample8.q's executed SELECT joins the two
+                              // sampled sides with NO condition — a
+                              // cartesian by spec (the WHERE only pins s)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.contains("stream")) // streaming fns execute on call
       .map { case (name, fn) =>
