@@ -46,6 +46,7 @@ object SparkEntry {
     operators.QFileParity26,
     operators.QFileParity27,
     operators.QFileParity28,
+    operators.QFileParity29,
     operators.Indexes,
     operators.ScaleOps,
     streaming.Streaming)

@@ -23,35 +23,35 @@ import graft.{HiveQl, QueryDef, QueryModule}
   * TWICE in the registry — once in the r8 tranche (single body per file)
   * and once here/in QFileParity18 under the explicit SET combination.
   * file → query mapping (greppable):
-  *   groupby1_map.q            -> q317, q672
-  *   groupby1_map_nomap.q      -> q318, q674
-  *   groupby1_map_skew.q       -> q319, q673
-  *   groupby1_noskew.q         -> q320, q675
-  *   groupby2_map.q            -> q321, q676
-  *   groupby2_map_skew.q       -> q322, q677
-  *   groupby2_noskew.q         -> q323, q678
-  *   groupby2_map_multi_distinct.q    -> q679
-  *   groupby2_noskew_multi_distinct.q -> q324, q680
-  *   groupby3_map.q            -> q325, q681
-  *   groupby3_map_skew.q       -> q326, q682
-  *   groupby3_noskew.q         -> q327, q683
-  *   groupby3_map_multi_distinct.q    -> q328, q684
-  *   groupby3_noskew_multi_distinct.q -> q329, q685
-  *   groupby4_map.q            -> q330, q686
-  *   groupby4_map_skew.q       -> q331, q687
-  *   groupby4_noskew.q         -> q332, q688
-  *   groupby5_map.q            -> q333, q689
-  *   groupby5_map_skew.q       -> q334, q690
-  *   groupby5_noskew.q         -> q335, q691
-  *   groupby6_map.q            -> q336, q692
-  *   groupby6_map_skew.q       -> q337, q693
-  *   groupby6_noskew.q         -> q338, q694
-  *   groupby7_map.q            -> q339, q695
-  *   groupby7_map_skew.q       -> q340, q696
-  *   groupby7_noskew.q         -> q341, q697
-  *   groupby8_map.q            -> q342, q698
-  *   groupby8_map_skew.q       -> q343, q699
-  *   groupby8_noskew.q         -> q344, q700
+  *   clientpositive/groupby1_map.q            -> q317, q672
+  *   clientpositive/groupby1_map_nomap.q      -> q318, q674
+  *   clientpositive/groupby1_map_skew.q       -> q319, q673
+  *   clientpositive/groupby1_noskew.q         -> q320, q675
+  *   clientpositive/groupby2_map.q            -> q321, q676
+  *   clientpositive/groupby2_map_skew.q       -> q322, q677
+  *   clientpositive/groupby2_noskew.q         -> q323, q678
+  *   clientpositive/groupby2_map_multi_distinct.q    -> q679
+  *   clientpositive/groupby2_noskew_multi_distinct.q -> q324, q680
+  *   clientpositive/groupby3_map.q            -> q325, q681
+  *   clientpositive/groupby3_map_skew.q       -> q326, q682
+  *   clientpositive/groupby3_noskew.q         -> q327, q683
+  *   clientpositive/groupby3_map_multi_distinct.q    -> q328, q684
+  *   clientpositive/groupby3_noskew_multi_distinct.q -> q329, q685
+  *   clientpositive/groupby4_map.q            -> q330, q686
+  *   clientpositive/groupby4_map_skew.q       -> q331, q687
+  *   clientpositive/groupby4_noskew.q         -> q332, q688
+  *   clientpositive/groupby5_map.q            -> q333, q689
+  *   clientpositive/groupby5_map_skew.q       -> q334, q690
+  *   clientpositive/groupby5_noskew.q         -> q335, q691
+  *   clientpositive/groupby6_map.q            -> q336, q692
+  *   clientpositive/groupby6_map_skew.q       -> q337, q693
+  *   clientpositive/groupby6_noskew.q         -> q338, q694
+  *   clientpositive/groupby7_map.q            -> q339, q695
+  *   clientpositive/groupby7_map_skew.q       -> q340, q696
+  *   clientpositive/groupby7_noskew.q         -> q341, q697
+  *   clientpositive/groupby8_map.q            -> q342, q698
+  *   clientpositive/groupby8_map_skew.q       -> q343, q699
+  *   clientpositive/groupby8_noskew.q         -> q344, q700
   * The plain/sibling files are covered outside the variant block:
   * groupby1 q139, groupby2 q203, groupby3 q140, groupby4 q204, groupby5
   * q205, groupby6 q166, groupby7 q151, groupby8 q160, groupby9 q206,

@@ -380,8 +380,8 @@ object QFileParity27 extends QueryModule {
         UNION ALL ${legSql(2, Seq("key"), "FROM srcpart")})
         SELECT * FROM legs ORDER BY sec, c1""")),
 
-    // ---- clientpositive/louter_join_ppr.q + router_join_ppr.q +
-    //      outer_join_ppr.q: predicate pushdown through outer joins where
+    // ---- clientpositive/louter_join_ppr.q + clientpositive/router_join_ppr.q
+    //      + clientpositive/outer_join_ppr.q: predicate pushdown through outer joins where
     //      the partition filter sits in the ON clause vs the WHERE clause,
     //      on the preserved vs null-supplying side — the family most
     //      likely to catch a pruning-vs-join-order divergence
