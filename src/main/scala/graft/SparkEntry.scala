@@ -47,6 +47,7 @@ object SparkEntry {
     operators.QFileParity27,
     operators.QFileParity28,
     operators.QFileParity29,
+    operators.QFileParity30,
     operators.Indexes,
     operators.ScaleOps,
     streaming.Streaming)

@@ -106,7 +106,7 @@ object QFileParity21 extends QueryModule {
           (2, 'default@tstsrcpart@ds=2008-04-08/hr=11', 'EXCLUSIVE'))
           v(sec, c1, c2) ORDER BY sec, c1, c2""")),
 
-    // ---- clientpositive/lock3.q / lock4.q: statement locks RELEASE after
+    // ---- clientpositive/lock3.q / clientpositive/lock4.q: statement locks RELEASE after
     //      each insert (incl. dynamic partitions) — SHOW LOCKS is empty
     QueryDef(
       "q744_qf_lock3",

@@ -33,7 +33,7 @@ object QFileParity29 extends QueryModule {
   private def jh(c: String): String =
     s"""(((list_reduce(list_prepend(CAST(0 AS BIGINT),
         list_transform(range(1, length($c) + 1),
-          i -> CAST(ascii($c[i:i]) AS BIGINT))),
+          i -> CAST(ascii(($c)[i:i]) AS BIGINT))),
         (a, b) -> (a * 31 + b) % 4294967296)
         + 2147483648) % 4294967296) - 2147483648)"""
 
