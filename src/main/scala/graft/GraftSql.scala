@@ -144,6 +144,11 @@ object GraftSql {
       val df = HiveQl.sql(spark, stmt)
       if (df.schema.nonEmpty) {
         val n = maxRows(spark)
+        // hive.cli.print.header (CliDriver.processLocalCmd → printHeader):
+        // a tab-joined column-name line ahead of the rows (print_header.q)
+        if (spark.conf.getOption("hive.cli.print.header")
+            .exists(_.trim.equalsIgnoreCase("true")))
+          out.println(df.schema.fieldNames.mkString("\t"))
         val rows = df.take(n + 1)
         rows.take(n).foreach { r =>
           out.println((0 until r.length)

@@ -101,7 +101,7 @@ object HiveQl {
     ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s+SERDE\s+["']([^"']+)["']""" +
       """(?:\s+WITH\s+SERDEPROPERTIES\s*\((.*?)\))?\s*;?\s*$""").r
   private val AlterTouch =
-    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+TOUCH\s*;?\s*$""".r
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+TOUCH(?:\s+PARTITION\s*\(([^)]*)\))?\s*;?\s*$""".r
   // ALTER TABLE t REPLACE COLUMNS (a int, ...) (alterStatementSuffixAddCol
   // with KW_REPLACE → TOK_ALTERTABLE_REPLACECOLS): swap the whole data
   // schema; files are not rewritten (reinterpret-at-read, as CHANGE)
@@ -243,6 +243,12 @@ object HiveQl {
     """(?is)^\s*SHOW\s+GRANT\s+(USER|ROLE|GROUP)\s+(\w+)(?:\s+ON\s+(TABLE|DATABASE)\s+([\w.]+?)(?:\s*\(([^)]*)\))?(?:\s+PARTITION\s*\(([^)]*)\))?)?\s*;?\s*$""".r
   private val ShowRoleGrant =
     """(?is)^\s*SHOW\s+ROLE\s+GRANT\s+USER\s+(\w+)\s*;?\s*$""".r
+  // DESCRIBE t.col[.path] (dotted column describe, describe_xpath.q) —
+  // segments may be $elem$ / $key$ / $value$; requires >= 2 segments so
+  // plain `DESCRIBE table` stays native
+  private val DescribeColPath =
+    ("""(?is)^\s*DESCRIBE\s+(\w+)\.""" +
+      """((?:\w+|\$\w+\$)(?:\.(?:\w+|\$\w+\$))*)\s*;?\s*$""").r
   // command-processor lines (ql/processors/): SET k=v (SetProcessor.java)
   // and ADD FILE (AddResourceProcessor.java — what TRANSFORM scripts need)
   // parse NATIVELY in Spark SQL, so they fall through `rewrite` untouched;
@@ -926,7 +932,13 @@ object HiveQl {
     // planner must not see it as an unknown hint
     val noHold = HoldDdltime.replaceAllIn(storedAs, "")
     val noStream = StreamTable.replaceAllIn(noHold, "")
-    val hinted = MapJoin.replaceAllIn(noStream, m => s"/*+ BROADCAST(${m.group(1)}) */")
+    val hinted0 = MapJoin.replaceAllIn(noStream, m => s"/*+ BROADCAST(${m.group(1)}) */")
+    // Spark's grammar rejects a hint on a TRANSFORM select
+    // (select_transform_hint.q): the hint only steers the FROM-side join,
+    // which Spark plans without it — strip it there
+    val hinted = """(?is)/\*\+[^*]*\*/(\s*\n?\s*TRANSFORM\s*\()""".r
+      .replaceAllIn(hinted0, m =>
+        java.util.regex.Matcher.quoteReplacement(m.group(1)))
     val randSampled = TableSampleRand.replaceAllIn(hinted, m => {
       val (tbl, x, y) = (m.group(1), m.group(2).toInt, m.group(3).toInt)
       val seed = m.group(4) // optional: ON rand(460476415) — test-mode's seed
@@ -1574,7 +1586,33 @@ object HiveQl {
     if (!holdDdl) bumpInsertTargets(spark, maskedQ)
     mergeSmallFiles(spark, maskedQ, qLits)
     autogatherStats(spark, maskedQ, qLits)
+    applyDefaultTableParams(spark, maskedQ)
     result
+  }
+
+  private val CreateTableName =
+    ("""(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?(?:EXTERNAL\s+)?TABLE\s+""" +
+      """(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)""").r
+
+  /** `hive.table.parameters.default=k1=v1,k2=v2...` (HiveConf
+    * NEWTABLEDEFAULTPARA; create_default_prop.q): every CREATE TABLE —
+    * plain, LIKE, CTAS — lands the listed properties on the new table.
+    * Values may themselves contain '=' (split on the FIRST only). */
+  private def applyDefaultTableParams(spark: SparkSession, masked: String): Unit = {
+    val conf = spark.conf.getOption("hive.table.parameters.default")
+      .map(_.trim).filter(_.nonEmpty).getOrElse(return)
+    val name = CreateTableName.findFirstMatchIn(masked)
+      .map(_.group(1)).getOrElse(return)
+    if (masked.matches("(?is)^\\s*CREATE\\s+TEMPORARY\\s.*")) return
+    val pairs = conf.split(',').toSeq.map(_.split("=", 2))
+      .collect { case Array(k, v) => k.trim -> v }
+    if (pairs.isEmpty) return
+    try {
+      val cat = spark.sessionState.catalog
+      val ti = spark.sessionState.sqlParser.parseTableIdentifier(stripTicks(name))
+      val meta = cat.getTableMetadata(ti)
+      cat.alterTable(meta.copy(properties = meta.properties ++ pairs))
+    } catch { case scala.util.control.NonFatal(_) => () } // temp view etc.
   }
 
   /** The reference's conditional small-file merge job after an INSERT
@@ -2531,8 +2569,23 @@ object HiveQl {
       case AlterProtect(table, toggle, mode) =>
         Some(s => Protect.setMode(s, table,
           toggle.equalsIgnoreCase("ENABLE"), mode))
-      case AlterTouch(table) =>
-        Some(s => Protect.touch(s, table))
+      case AlterTouch(table, partSpec) =>
+        // partition-scoped TOUCH (touch.q): bump the PARTITION's ddl time
+        Some { s =>
+          Option(partSpec) match {
+            case None => Protect.touch(s, table)
+            case Some(sp) =>
+              val cat = s.sessionState.catalog
+              val ti = s.sessionState.sqlParser.parseTableIdentifier(stripTicks(table))
+              val kv = sources.HiveExim.parsePartSpec(sp)
+                .collect { case (k, Some(v)) => k -> stripQuotes(v) }.toMap
+              val parts = cat.listPartitions(ti, Some(kv))
+              require(parts.nonEmpty, s"Partition not found: $sp")
+              val now = (System.currentTimeMillis() / 1000).toString
+              cat.alterPartitions(ti, parts.map(p => p.copy(parameters =
+                p.parameters + ("transient_lastDdlTime" -> now))))
+          }
+        }
       case AlterSetFileFormat(table, partSpec, fmt) =>
         Some(s => alterFileFormat(s, table, Option(partSpec), fmt))
       case AlterSetFileFormatIO(table, partSpec, _, outF) =>
@@ -2716,6 +2769,49 @@ object HiveQl {
     def schema(names: String*): StructType =
       StructType(names.map(StructField(_, StringType, nullable = true)))
     q match {
+      // `DESCRIBE table.col[.path]` with `$elem$`/`$key$`/`$value$` steps
+      // (DDLSemanticAnalyzer getColPath + MetaStoreUtils.getFieldsFromDeserializer;
+      // describe_xpath.q): walk the column's type; a terminal STRUCT lists
+      // its fields, anything else is one (last-segment, type) row. A first
+      // segment that is NOT a table (db.table describes) delegates native.
+      case DescribeColPath(tbl, path) if !bypassStatements.get =>
+        Some((schema("col_name", "data_type", "comment"), s => {
+          import org.apache.spark.sql.types._
+          val meta = try Some(s.sessionState.catalog.getTempViewOrPermanentTableMetadata(
+            s.sessionState.sqlParser.parseTableIdentifier(tbl)))
+          catch { case scala.util.control.NonFatal(_) => None }
+          val parts = path.split('.').toList
+          def walk(dt: DataType, ps: List[String]): Option[DataType] = ps match {
+            case Nil => Some(dt)
+            case p :: rest => (dt, p.toLowerCase) match {
+              case (ArrayType(et, _), "$elem$") => walk(et, rest)
+              case (MapType(kt, _, _), "$key$") => walk(kt, rest)
+              case (MapType(_, vt, _), "$value$") => walk(vt, rest)
+              case (st: StructType, name) =>
+                st.fields.find(_.name.equalsIgnoreCase(name))
+                  .flatMap(f => walk(f.dataType, rest))
+              case _ => None
+            }
+          }
+          val resolved = for {
+            m <- meta
+            head <- m.schema.fields.find(_.name.equalsIgnoreCase(parts.head))
+            t <- walk(head.dataType, parts.tail)
+          } yield t
+          resolved match {
+            case Some(st: StructType) if parts.size > 1 =>
+              st.fields.toSeq.map(f => org.apache.spark.sql.Row(
+                f.name, f.dataType.catalogString, "from deserializer"))
+            case Some(dt) =>
+              Seq(org.apache.spark.sql.Row(parts.last,
+                dt.catalogString, "from deserializer"))
+            case None => // not table.column — a db.table describe: native
+              s.sql(q).collect().toSeq.map(r => org.apache.spark.sql.Row(
+                r.getString(0),
+                if (r.length > 1) r.getString(1) else null,
+                if (r.length > 2) r.getString(2) else null))
+          }
+        }))
       // SHOW PARTITIONS [PARTITION(spec)]: PARTITIONED VIEWS answer from
       // their recorded metadata (Hive's view partitions are pure metadata
       // — DDLSemanticAnalyzer addPartition on VIRTUAL_VIEW;

@@ -48,6 +48,7 @@ object SparkEntry {
     operators.QFileParity28,
     operators.QFileParity29,
     operators.QFileParity30,
+    operators.QFileParity31,
     operators.Indexes,
     operators.ScaleOps,
     streaming.Streaming)
