@@ -49,6 +49,7 @@ object SparkEntry {
     operators.QFileParity29,
     operators.QFileParity30,
     operators.QFileParity31,
+    operators.QFileParity32,
     operators.Indexes,
     operators.ScaleOps,
     streaming.Streaming)
