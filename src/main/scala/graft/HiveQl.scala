@@ -1590,6 +1590,39 @@ object HiveQl {
     result
   }
 
+  // CREATE VIEW v(c1 [COMMENT ...], c2) [TBLPROPERTIES ...] AS body —
+  // Hive names the output columns FROM THE LIST (Hive.g createViewStatement
+  // columnNameCommentList), so the body's expressions need no aliases;
+  // Spark refuses unaliased expressions in permanent views. Lowered to a
+  // wrapper select that aliases the body's output positionally.
+  private val DropIfExistsKind =
+    """(?is)^\s*DROP\s+(TABLE|VIEW)\s+IF\s+EXISTS\s+([\w.]+)\s*;?\s*$""".r
+
+  private val CreateViewCols =
+    ("""(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?""" +
+      """([\w.]+)\s*\(([^)]*)\)\s*(TBLPROPERTIES\s*\([^)]*\))?\s*AS\s+(.*?)\s*;?\s*$""").r
+
+  private def createViewWithColumnList(spark: SparkSession, q: String): Unit = {
+    val (masked, lits) = maskLiterals(q)
+    val m = CreateViewCols.findFirstMatchIn(masked).getOrElse(
+      throw new IllegalStateException("view column-list shape vanished"))
+    val name = m.group(1)
+    // names are the first word of each comma item; COMMENT literals are
+    // placeholders here so commas inside them cannot split
+    val names = m.group(2).split(',').toSeq.map(_.trim)
+      .filter(_.nonEmpty).map(_.split("\\s+")(0))
+    val props = Option(m.group(3)).map(p => " " + unmaskLiterals(p, lits)).getOrElse("")
+    val body = unmaskLiterals(m.group(4), lits)
+    val out = spark.sql(rewrite(body)).schema.fieldNames
+    require(out.length == names.length,
+      s"view $name declares ${names.length} columns but its body yields ${out.length}")
+    val sel = out.zip(names).map { case (o, n) => s"`$o` AS $n" }.mkString(", ")
+    bypassStatements.set(true)
+    try spark.sql(rewrite(
+      s"CREATE VIEW $name$props AS SELECT $sel FROM ($body) graft_vw"))
+    finally bypassStatements.set(false)
+  }
+
   private val CreateTableName =
     ("""(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?(?:EXTERNAL\s+)?TABLE\s+""" +
       """(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)""").r
@@ -2637,6 +2670,10 @@ object HiveQl {
                 "graft.hive.bucket.cols" - "graft.hive.bucket.n"))
           s.catalog.refreshTable(table)
         }
+      case _ if CreateViewCols.findFirstIn(
+          try maskLiterals(q)._1 catch { case _: IllegalArgumentException => "" }
+        ).isDefined =>
+        Some(s => createViewWithColumnList(s, q))
       case CreateViewPartitioned(head, view, cols, body) =>
         Some { s =>
           bypassStatements.set(true)
@@ -2706,15 +2743,21 @@ object HiveQl {
           val meta = try Some(s.sessionState.catalog.getTableMetadata(
             s.sessionState.sqlParser.parseTableIdentifier(table)))
           catch { case _: Exception => None }
-          bypassStatements.set(true)
-          try s.sql(rewrite(q)) finally bypassStatements.set(false)
-          meta.filter(_.provider.contains("graft.sources.kv.KvSource"))
-            .foreach { m =>
-              val p = m.storage.properties.map {
-                case (k, v) => k.toLowerCase -> v }
-              if (!p.get("kv.external").contains("true"))
-                p.get("kv.table.name").foreach(graft.sources.kv.KvStore.drop)
-            }
+          // HIVE-2133: DROP TABLE IF EXISTS silently ignores a VIEW name
+          val viewSkip = q.matches("(?is).*\\bIF\\s+EXISTS\\b.*") &&
+            meta.exists(_.tableType ==
+              org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW)
+          if (!viewSkip) {
+            bypassStatements.set(true)
+            try s.sql(rewrite(q)) finally bypassStatements.set(false)
+            meta.filter(_.provider.contains("graft.sources.kv.KvSource"))
+              .foreach { m =>
+                val p = m.storage.properties.map {
+                  case (k, v) => k.toLowerCase -> v }
+                if (!p.get("kv.external").contains("true"))
+                  p.get("kv.table.name").foreach(graft.sources.kv.KvStore.drop)
+              }
+          }
         }
       case ArchivePartition(table, un, spec) =>
         Some { s =>
@@ -2730,6 +2773,24 @@ object HiveQl {
         Some(s => Locks.lockTable(s, table, mode, Option(part)))
       case UnlockTable(table, part) =>
         Some(s => Locks.unlockTable(s, table, Option(part)))
+      // HIVE-2133 (create_view.q): DROP TABLE IF EXISTS ignores a matching
+      // VIEW name, and DROP VIEW IF EXISTS ignores a matching TABLE name —
+      // Spark raises WRONG_COMMAND_FOR_OBJECT_TYPE for both
+      case DropIfExistsKind(kind, name) =>
+        Some { s =>
+          val meta = try Some(s.sessionState.catalog.getTableMetadata(
+            s.sessionState.sqlParser.parseTableIdentifier(stripTicks(name))))
+          catch { case scala.util.control.NonFatal(_) => None }
+          val isView = meta.exists(_.tableType ==
+            org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW)
+          val mismatch = meta.isDefined &&
+            (if (kind.equalsIgnoreCase("TABLE")) isView else !isView)
+          if (!mismatch) {
+            bypassStatements.set(true)
+            try s.sql(rewrite(q))
+            finally bypassStatements.set(false)
+          }
+        }
       case CreateRole(role) => Some(s => Authz.createRole(s, role))
       case DropRole(role) => Some(s => Authz.dropRole(s, role))
       case GrantRole(role, user) => Some(s => Authz.grantRole(s, role, user))

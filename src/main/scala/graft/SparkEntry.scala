@@ -50,6 +50,7 @@ object SparkEntry {
     operators.QFileParity30,
     operators.QFileParity31,
     operators.QFileParity32,
+    operators.QFileParity33,
     operators.Indexes,
     operators.ScaleOps,
     streaming.Streaming)

@@ -57,7 +57,17 @@ object GraftFunctions {
           (EqualTo(s, Literal("true")), Literal(true)),
           (EqualTo(s, Literal("false")), Literal(false))),
           Literal(null, BooleanType))
-      }))
+      }),
+    // GenericUDFTestTranslate.java: the translate(str, from, to) kernel
+    "org.apache.hadoop.hive.ql.udf.generic.GenericUDFTestTranslate" ->
+      (es => StringTranslate(Cast(es(0), StringType),
+        Cast(es(1), StringType), Cast(es(2), StringType))),
+    // UDAFTestMax.java: plain max (create_view.q's view9)
+    "org.apache.hadoop.hive.ql.udf.UDAFTestMax" ->
+      (es => org.apache.spark.sql.catalyst.expressions.aggregate.Max(es.head)),
+    // GenericUDTFExplode.java: the explode generator (create_view.q view11)
+    "org.apache.hadoop.hive.ql.udf.generic.GenericUDTFExplode" ->
+      (es => Explode(es.head)))
 
   def registerAs(spark: org.apache.spark.sql.SparkSession, name: String,
       className: String): Unit = {
@@ -69,10 +79,20 @@ object GraftFunctions {
           registrations.map(_._2.getClassName).distinct.sorted.mkString(", ")))
     spark.sessionState.functionRegistry.registerFunction(
       new FunctionIdentifier(name), new ExpressionInfo(className, name), builder)
+    // ALSO into the JVM builtin registry: Hive's temporary functions are
+    // usable inside permanent VIEW definitions (create_view.q view8/9/11),
+    // and Spark's temp-object check only passes names found in builtin.
+    // JVM-global like the grant/index stores.
+    org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+      .registerFunction(new FunctionIdentifier(name),
+        new ExpressionInfo(className, name), builder)
   }
 
-  def dropFunction(spark: org.apache.spark.sql.SparkSession, name: String): Boolean =
+  def dropFunction(spark: org.apache.spark.sql.SparkSession, name: String): Boolean = {
+    org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+      .dropFunction(new FunctionIdentifier(name))
     spark.sessionState.functionRegistry.dropFunction(new FunctionIdentifier(name))
+  }
 
   /** `create_union(tag, v0..vn)` → the engine's uniontype encoding
     * `struct<tag: tinyint, field0.., fieldN>` with exactly one live payload
