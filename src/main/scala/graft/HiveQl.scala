@@ -55,7 +55,7 @@ object HiveQl {
   // regardless (index_creation.q's observable is the index table's
   // existence, name, and schema — not its serde), so they parse and drop.
   private val CreateIndex =
-    ("""(?is)^\s*CREATE\s+INDEX\s+(`[^`]+`|\w+)\s+ON\s+TABLE\s+((?:`[^`]+`|[\w.])+)\s*\(([^)]*)\)\s+AS\s+'([^']+)'""" +
+    ("""(?is)^\s*CREATE\s+INDEX\s+(`[^`]+`|\w+)\s+ON\s+TABLE\s+((?:`[^`]+`|[\w.])+)\s*\(([^)]*)\)\s+AS\s+["']([^"']+)["']""" +
       """(\s+WITH\s+DEFERRED\s+REBUILD)?(?:\s+IDXPROPERTIES\s*\([^)]*\))?""" +
       """(?:\s+IN\s+TABLE\s+(`[^`]+`|[\w.]+))?""" +
       """(?:\s+ROW\s+FORMAT\s+DELIMITED(?:\s+FIELDS\s+TERMINATED\s+BY\s+'[^']*')?(?:\s+ESCAPED\s+BY\s+'[^']*')?)?""" +
@@ -67,6 +67,11 @@ object HiveQl {
   // the rewrite may prune, rows are identical either way
   private val AlterIndexRebuild =
     """(?is)^\s*ALTER\s+INDEX\s+(`[^`]+`|\w+)\s+ON\s+((?:`[^`]+`|[\w.])+)(?:\s+PARTITION\s*\([^)]*\))?\s+REBUILD\s*;?\s*$""".r
+  // ALTER INDEX i ON t SET IDXPROPERTIES (...) (alter_index.q): the pairs
+  // land on the index TABLE's properties (DDLTask.alterIndex)
+  private val AlterIndexProps =
+    ("""(?is)^\s*ALTER\s+INDEX\s+(`[^`]+`|\w+)\s+ON\s+((?:`[^`]+`|[\w.])+)\s+""" +
+      """SET\s+IDXPROPERTIES\s*\(([^)]*)\)\s*;?\s*$""").r
   private val DropIndex =
     """(?is)^\s*DROP\s+INDEX\s+(?:(IF\s+EXISTS)\s+)?(`[^`]+`|\w+)\s+ON\s+((?:`[^`]+`|[\w.])+)\s*;?\s*$""".r
   private val ShowIndexes =
@@ -89,7 +94,8 @@ object HiveQl {
   // protect mode + TOUCH (Hive.g:658,750; TOK_NO_DROP/TOK_OFFLINE) and the
   // DROP intercept that enforces NO_DROP → graft.Protect
   private val AlterProtect =
-    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+(ENABLE|DISABLE)\s+(NO_DROP|OFFLINE)\s*;?\s*$""".r
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+(?:PARTITION\s*\(([^)]*)\)\s+)?""" +
+      """(ENABLE|DISABLE)\s+(NO_DROP|OFFLINE)\s*;?\s*$""").r
   // ALTER TABLE t SET SERDE 'class' [WITH SERDEPROPERTIES (...)]
   // (alterStatementSuffixSerdeProperties → TOK_ALTERTABLE_SERIALIZER;
   // timestamp_1.q/timestamp_2.q). The storage layer is engine-owned
@@ -2477,6 +2483,13 @@ object HiveQl {
           cols.split(",").map(c => stripTicks(c.trim)).filter(_.nonEmpty).toSeq,
           handler, deferred != null, Option(comment),
           Option(inTable).map(stripTicks)))
+      case AlterIndexProps(idx, table, pairs) =>
+        Some { _ =>
+          val it = s"default__${stripTicks(table).split('.').last}_${stripTicks(idx)}__"
+          val kvs = """["']([^"']+)["']\s*=\s*["']([^"']*)["']""".r
+            .findAllMatchIn(pairs).map(m => m.group(1) -> m.group(2)).toSeq
+          operators.Indexes.setIdxProperties(it, kvs)
+        }
       case ReplaceCols(table, cols) =>
         Some(s => replaceColumns(s, table, cols))
       case AddCols(table, cols) =>
@@ -2530,14 +2543,14 @@ object HiveQl {
             .collect { case (k, Some(v)) => k -> v }.toMap
           val partCols = cat.getTableMetadata(ti).partitionColumnNames
           val partial = spec.size < partCols.size
-          val matching =
-            if (!partial) Seq(spec)
-            else cat.listPartitions(ti, Some(spec)).map(_.spec)
-          if (matching.isEmpty) {
-            if (ifExists == null) throw new IllegalArgumentException(
-              s"Partition not found: $specText")
-          } else cat.dropPartitions(ti, matching, ignoreIfNotExists =
-            ifExists != null, purge = false, retainData = false)
+          // Hive 0.8's DDLTask.dropPartition iterates the MATCHING
+          // partitions — a spec matching nothing is silently a no-op,
+          // with or without IF EXISTS (protectmode.q drops p='not_exist')
+          val matching = cat.listPartitions(ti, Some(spec)).map(_.spec)
+          val _ = partial // partial and full specs share the match-walk
+          if (matching.nonEmpty)
+            cat.dropPartitions(ti, matching, ignoreIfNotExists = true,
+              purge = false, retainData = false)
           s.catalog.refreshTable(table)
         }
       case AlterNotClustered(table) =>
@@ -2599,9 +2612,15 @@ object HiveQl {
             throw e
           }
         }
-      case AlterProtect(table, toggle, mode) =>
-        Some(s => Protect.setMode(s, table,
-          toggle.equalsIgnoreCase("ENABLE"), mode))
+      case AlterProtect(table, partSpec, toggle, mode) =>
+        Some { s =>
+          Option(partSpec) match {
+            case None => Protect.setMode(s, table,
+              toggle.equalsIgnoreCase("ENABLE"), mode)
+            case Some(sp) => Protect.setModePartition(s, table, sp,
+              toggle.equalsIgnoreCase("ENABLE"), mode)
+          }
+        }
       case AlterTouch(table, partSpec) =>
         // partition-scoped TOUCH (touch.q): bump the PARTITION's ddl time
         Some { s =>

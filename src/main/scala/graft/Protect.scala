@@ -80,7 +80,21 @@ object Protect {
 
   private def key(t: String): String = t.toLowerCase
 
+  /** Partition-scoped protect key: `table@p=p1` with quotes/spaces
+    * stripped, so the ENABLE spec and the later DROP spec normalize
+    * identically (protectmode.q's partition toggles). */
+  private[graft] def partKey(table: String, spec: String): String =
+    key(table) + "@" + spec.toLowerCase.replaceAll("""[\s'"]""", "")
+
   def setMode(spark: SparkSession, table: String, enable: Boolean,
+      mode: String): Unit =
+    setModeKeyed(spark, key(table), enable, mode)
+
+  def setModePartition(spark: SparkSession, table: String, spec: String,
+      enable: Boolean, mode: String): Unit =
+    setModeKeyed(spark, partKey(table, spec), enable, mode)
+
+  private def setModeKeyed(spark: SparkSession, table: String, enable: Boolean,
       mode: String): Unit = {
     ensureLoaded(spark)
     val (noDrop, offline) = modes.getOrElse(key(table), (false, false))
@@ -111,8 +125,18 @@ object Protect {
   /** ErrorMsg.OFFLINE_TABLE_OR_PARTITION for any statement referencing an
     * offline table (checked in the driver layer like the reference).
     */
+  private val DropPartitionStmt =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+(?:IF\s+EXISTS\s+)?PARTITION\s*\(([^)]*)\)""".r
+
   def checkStatement(spark: SparkSession, stmt: String): Unit = {
     ensureLoaded(spark)
+    // partition-level NO_DROP (DDLTask.dropPartition's protect check)
+    DropPartitionStmt.findFirstMatchIn(stmt).foreach { m =>
+      val t = m.group(1).split('.').last
+      if (isNoDrop(partKey(t, m.group(2))))
+        throw new IllegalStateException(
+          s"Partition ${m.group(2)} of table $t is protected from being dropped")
+    }
     if (modes.isEmpty || !modes.values.exists(_._2)) return
     val plan =
       try spark.sessionState.sqlParser.parsePlan(HiveQl.rewrite(stmt))

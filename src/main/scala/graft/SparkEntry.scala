@@ -51,6 +51,7 @@ object SparkEntry {
     operators.QFileParity31,
     operators.QFileParity32,
     operators.QFileParity33,
+    operators.QFileParity34,
     operators.Indexes,
     operators.ScaleOps,
     streaming.Streaming)

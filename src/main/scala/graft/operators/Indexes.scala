@@ -171,6 +171,19 @@ object Indexes extends QueryModule {
     * the index is built immediately; with it, `ALTER INDEX ... REBUILD`
     * does the build (DDLSemanticAnalyzer CREATE INDEX path).
     */
+  // ALTER INDEX ... SET IDXPROPERTIES (DDLTask.alterIndex): the pairs are
+  // index-table metadata; the graft index table is a schema view, so they
+  // live in a registry-side map (JVM-global like the index registry)
+  private val idxProps =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]
+
+  def setIdxProperties(idxTable: String, kvs: Seq[(String, String)]): Unit =
+    idxProps.put(idxTable.toLowerCase,
+      idxProps.getOrElse(idxTable.toLowerCase, Map.empty) ++ kvs)
+
+  def idxProperties(idxTable: String): Map[String, String] =
+    idxProps.getOrElse(idxTable.toLowerCase, Map.empty)
+
   def createIndex(spark: SparkSession, name: String, table: String,
       cols: Seq[String], handler: String, deferred: Boolean,
       comment: Option[String], inTable: Option[String] = None): Unit = {
