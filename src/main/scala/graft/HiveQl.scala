@@ -2886,7 +2886,12 @@ object HiveQl {
               Seq(org.apache.spark.sql.Row(parts.last,
                 dt.catalogString, "from deserializer"))
             case None => // not table.column — a db.table describe: native
-              s.sql(q).collect().toSeq.map(r => org.apache.spark.sql.Row(
+              // bypass guard: the dialect parser re-dispatches statements
+              // through statementRows, so a plain delegate would recurse
+              bypassStatements.set(true)
+              val rows = try s.sql(q).collect().toSeq
+                finally bypassStatements.set(false)
+              rows.map(r => org.apache.spark.sql.Row(
                 r.getString(0),
                 if (r.length > 1) r.getString(1) else null,
                 if (r.length > 2) r.getString(2) else null))

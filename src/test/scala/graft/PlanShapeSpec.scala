@@ -116,9 +116,15 @@ class PlanShapeSpec extends SparkSpec {
                               // + the srcpart fixture's VALUES side
       "q809_qf_router_join_ppr", // same, RIGHT OUTER legs
       "q810_qf_outer_join_ppr",  // same, FULL OUTER legs
-      "q815_qf_sample8")      // sample8.q's executed SELECT joins the two
+      "q815_qf_sample8",      // sample8.q's executed SELECT joins the two
                               // sampled sides with NO condition — a
                               // cartesian by spec (the WHERE only pins s)
+      "q866_qf_no_hooks",     // no_hooks.q IS a conditionless self-join
+                              // with WHERE range filters — cross by spec
+      "q872_qf_mapjoin1",     // srcpart VALUES side (as q215)
+      "q874_qf_mapjoin_subquery", // srcpart VALUES side (as q215)
+      "q875_qf_mapjoin_mapjoin",  // srcpart VALUES side (as q215)
+      "q877_qf_input_part9")  // srcpart VALUES side (as q215)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.contains("stream")) // streaming fns execute on call
       .map { case (name, fn) =>
