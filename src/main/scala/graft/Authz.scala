@@ -323,6 +323,18 @@ object Authz {
       s"Authorization failed:No privilege '$priv' found for $side " +
         s"{ database:$db, table:$table}. Use show grant to get more details.")
 
+  /** LOAD DATA target check (ref LoadSemanticAnalyzer → WriteEntity
+    * outputs; Driver.doAuthorization requires Update on outputs —
+    * load_nonpart/part/exist_part_authsuccess.q). LOAD bypasses
+    * checkStatement because it never reaches Spark's parser.
+    */
+  def checkLoadTarget(spark: SparkSession, table: String): Unit = {
+    if (!enabled(spark)) return
+    val user = currentUser(spark)
+    if (!holds(spark, user, "Update", table))
+      deny("Update", "outputs", spark.catalog.currentDatabase, table)
+  }
+
   /** Driver.doAuthorization for one statement: parse (unresolved is
     * enough — names are what get authorized), inputs need Select, insert
     * targets need Update.

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
 
 /** HiveQL dialect entry point (SURVEY.md §7.2 M1). Spark 4 parses nearly the
   * whole Hive-0.8 grammar natively (SORT/DISTRIBUTE/CLUSTER BY, LATERAL
@@ -32,7 +33,7 @@ object HiveQl {
   // the path literal takes either quote style (Hive.g StringLiteral;
   // exim_01_nonpart.q spells LOAD DATA paths with double quotes)
   private val LoadData =
-    """(?is)^\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+['"]([^'"]+)['"]\s+(OVERWRITE\s+)?INTO\s+TABLE\s+([\w.]+)(?:\s+PARTITION\s*\(([^)]*)\))?\s*;?\s*$""".r
+    """(?is)^\s*LOAD\s+DATA\s+(LOCAL\s+)?INPATH\s+['"]([^'"]+)['"]\s+(OVERWRITE\s+)?INTO\s+TABLE\s+([\w.]+)(?:\s+PARTITION\s*\(([^)]*)\))?\s*;?\s*$""".r
   // EXPORT TABLE t [PARTITION (spec)] TO 'dir' /
   // IMPORT [[EXTERNAL] TABLE t [PARTITION (spec)]] FROM 'dir' [LOCATION 'loc']
   // (Hive.g:309-317 tableOrPartition; EximUtil partition walk)
@@ -60,7 +61,7 @@ object HiveQl {
       """(?:\s+IN\s+TABLE\s+(`[^`]+`|[\w.]+))?""" +
       """(?:\s+ROW\s+FORMAT\s+DELIMITED(?:\s+FIELDS\s+TERMINATED\s+BY\s+'[^']*')?(?:\s+ESCAPED\s+BY\s+'[^']*')?)?""" +
       """(?:\s+STORED\s+AS\s+\w+)?(?:\s+TBLPROPERTIES\s*\([^)]*\))?""" +
-      """(?:\s+COMMENT\s+'([^']*)')?\s*;?\s*$""").r
+      """(?:\s+COMMENT\s+["']([^"']*)["'])?\s*;?\s*$""").r
   // optional PARTITION spec (index_auto_unused.q): the reference rebuilds
   // one partition's entries; the graft rebuild is whole-index — with the
   // (path, length) staleness guard, extra fresh entries only widen what
@@ -78,7 +79,7 @@ object HiveQl {
     """(?is)^\s*SHOW\s+(?:FORMATTED\s+)?INDEX(?:ES)?\s+ON\s+((?:`[^`]+`|[\w.])+)\s*;?\s*$""".r
   // SHOW TABLE EXTENDED [IN|FROM db] LIKE pattern [PARTITION(spec)]
   // (Hive.g:838-840 showStatement, DDLTask.showTableStatus) — the pattern
-  // is a Java regex in the reference (show_tablestatus.q: `src.?`, `^s.*`)
+  // is a Java regex in the reference (clientpositive/show_tablestatus.q: `src.?`, `^s.*`)
   private val ShowTableExtended =
     """(?is)^\s*SHOW\s+TABLE\s+EXTENDED\s+(?:(?:IN|FROM)\s+([\w.]+)\s+)?LIKE\s+(`[^`]+`|'[^']+'|"[^"]+"|\S+?)(?:\s+PARTITION\s*\(([^)]*)\))?\s*;?\s*$""".r
   // ALTER TABLE t [PARTITION(spec)] CONCATENATE (Hive.g
@@ -551,7 +552,11 @@ object HiveQl {
   // `STORED AS INPUTFORMAT '...' OUTPUTFORMAT '...'` (Hive.g:1171-1176
   // tableFileFormat first alternative) → the graft FileFormat for the pair
   private val StoredAsInOut =
-    ("""(?is)\bSTORED\s+AS\s+INPUTFORMAT\s+(\d+)\s+OUTPUTFORMAT\s+(\d+)""").r
+    ("""(?is)\bSTORED\s+AS\s+INPUTFORMAT\s+(\d+)\s+OUTPUTFORMAT\s+(\d+)""" +
+      // optional INPUTDRIVER/OUTPUTDRIVER tail (Hive.g:1179): parsed-and-
+      // dropped — the reference accepts the clause but the drivers appear
+      // nowhere in the stored metadata (inoutdriver.q golden)
+      """(?:\s+INPUTDRIVER\s+\d+\s+OUTPUTDRIVER\s+\d+)?""").r
   // `ROW FORMAT DELIMITED FIELDS TERMINATED BY '<d>' [LINES TERMINATED BY
   // '\n'] STORED AS TEXTFILE` (Hive.g tableRowFormat KW_DELIMITED;
   // LazySimpleSerDe's configurable separator, ctas.q's comma tables) →
@@ -717,7 +722,31 @@ object HiveQl {
           "USING graft.sources.HiveCtlSource" +
             (if (opts.nonEmpty) s" OPTIONS ($opts)" else ""))
       })
-    val delimFull = DelimitedText.replaceAllIn(ctlMapped, m => {
+    // ThriftDeserializer CREATEs (inputddl8.q): the column list comes from
+    // the serde's serialization.class — the engine knows the reference's
+    // test Complex record (HiveThriftSeq.ComplexSchema) and injects its
+    // DDL; the container format comes from the trailing STORED AS clause
+    val thriftSerde = RegexSerdeCreate.replaceAllIn(ctlMapped, m =>
+      if (!lit(m.group(1)).endsWith("thrift.ThriftDeserializer")) m.matched
+      else {
+        val cls = SerdePropPair.findAllMatchIn(m.group(2)).collectFirst {
+          case pm if lit(pm.group(1)) == "serialization.class" => lit(pm.group(2))
+        }.getOrElse("")
+        if (!cls.endsWith("serde2.thrift.test.Complex"))
+          throw new IllegalStateException(
+            s"ThriftDeserializer: no engine mapping for serialization.class $cls")
+        ""
+      })
+    val thriftMapped =
+      if (thriftSerde == ctlMapped) ctlMapped
+      else if ("""(?is)^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[\w.]+\s*\("""
+          .r.findFirstIn(thriftSerde).isDefined) thriftSerde
+      else """(?is)^(\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[\w.]+)""".r
+        .replaceFirstIn(thriftSerde,
+          "$1 (aint INT, astring STRING, lint ARRAY<INT>, lstring ARRAY<STRING>, " +
+            "lintstring ARRAY<STRUCT<myint: INT, mystring: STRING, underscore_int: INT>>, " +
+            "mstringstring MAP<STRING, STRING>)")
+    val delimFull = DelimitedText.replaceAllIn(thriftMapped, m => {
       // collection/map-key/line delimiters other than the engine's fixed
       // LazySimpleSerDe levels (\x02 / \x03 / \n) are unsupported --
       // leave the statement for the delegate parser to reject loudly
@@ -804,6 +833,9 @@ object HiveQl {
       else if (inF.endsWith("SequenceFileInputFormat") &&
           outF.contains("SequenceFileOutputFormat"))
         "USING graft.sources.HiveSeqSource"
+      else if (inF.endsWith("SymlinkTextInputFormat") &&
+          outF.contains("IgnoreKeyTextOutputFormat"))
+        "USING graft.sources.HiveSymlinkSource"
       else if (inF.endsWith("TextInputFormat") &&
           outF.contains("IgnoreKeyTextOutputFormat"))
         "USING graft.sources.HiveTextSource"
@@ -1256,7 +1288,9 @@ object HiveQl {
     * 1% of the I/O, the same contract as the bucket-file pruning above.
     */
   private val TableSamplePercent =
-    """(?i)([\w.]+)\s+TABLESAMPLE\s*\(\s*([0-9.]+)\s+PERCENT\s*\)(\s+(?:AS\s+)?(\w+))?""".r
+    // alias may be GLUED to the closing paren (sample_islocalmode_hook.q's
+    // `tablesample(1 percent)a`) — Hive's lexer splits `)a` fine
+    """(?i)([\w.]+)\s+TABLESAMPLE\s*\(\s*([0-9.]+)\s+PERCENT\s*\)(\s*(?:AS\s+)?(\w+))?""".r
 
   def resolveSplitSampling(spark: SparkSession, q: String): String = {
     if (!q.toUpperCase.contains("TABLESAMPLE")) return q
@@ -1541,6 +1575,115 @@ object HiveQl {
     unmaskLiterals(sampled, lits)
   }
 
+  // ---- CTAS auto-generated column aliases (SemanticAnalyzer.getColAlias
+  // + genSelectPlan position counter; autogen_colalias.q). Hive names every
+  // unaliased non-column select expression `<label><pos>` (label from
+  // hive.autogen.columnalias.prefix.label, default `_c`), or — when
+  // hive.autogen.columnalias.prefix.includefuncname=true and the expression
+  // root is a function — a 20-char prefix derived from the flattened
+  // expression text plus `_<pos>`. Spark derives pretty-printed names
+  // instead, so the dialect layer adds the reference's aliases explicitly.
+  private val CtasSelectHead =
+    ("""(?is)^(\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:EXTERNAL\s+)?(?:TABLE|VIEW)\s+(?:IF\s+NOT\s+EXISTS\s+)?""" +
+      """[\w.]+.*?\bAS\s+SELECT\s+)(DISTINCT\s+)?(.*)$""").r
+
+  private def autogenCtasAliases(spark: SparkSession, q: String): String = {
+    if (!"""(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:EXTERNAL\s+)?(?:TABLE|VIEW)\s[\s\S]*\bAS\s+SELECT\b[\s\S]*""".r
+        .pattern.matcher(q).matches) return q
+    val (masked, lits) =
+      try maskLiterals(q) catch { case _: Exception => return q }
+    val m = CtasSelectHead.findFirstMatchIn(masked).getOrElse(return q)
+    val rest = m.group(3)
+    // find the top-level FROM (depth 0) bounding the select list
+    var depth = 0
+    var fromAt = -1
+    var i = 0
+    while (i < rest.length && fromAt < 0) {
+      rest.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case c if depth == 0 && (c == 'f' || c == 'F') &&
+            rest.regionMatches(true, i, "from", 0, 4) &&
+            (i == 0 || !Character.isLetterOrDigit(rest.charAt(i - 1)) && rest.charAt(i - 1) != '_') &&
+            (i + 4 >= rest.length || !Character.isLetterOrDigit(rest.charAt(i + 4)) && rest.charAt(i + 4) != '_') =>
+          fromAt = i
+        case _ =>
+      }
+      i += 1
+    }
+    val (listText, tail) =
+      if (fromAt >= 0) (rest.substring(0, fromAt), rest.substring(fromAt))
+      else (rest.replaceAll(";\\s*$", ""), rest.substring(rest.replaceAll(";\\s*$", "").length))
+    // a nested SELECT / star / window / script clause in the list → leave
+    // the statement alone (only plain expression lists get Hive names)
+    if ("""(?is)[\s\S]*(\bselect\b|\bover\b|\btransform\b|\busing\b|\bmap\b|\breduce\b|\*)[\s\S]*""".r
+        .pattern.matcher(listText).matches) return q
+    // split on depth-0 commas
+    val items = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    depth = 0
+    listText.foreach {
+      case '(' => depth += 1; sb.append('(')
+      case ')' => depth -= 1; sb.append(')')
+      case ',' if depth == 0 => items += sb.toString; sb.clear()
+      case c => sb.append(c)
+    }
+    items += sb.toString
+    val label = spark.conf
+      .get("hive.autogen.columnalias.prefix.label", "_c")
+    val includeFunc = spark.conf
+      .get("hive.autogen.columnalias.prefix.includefuncname", "false").toBoolean
+    var changed = false
+    val aliased = items.zipWithIndex.map { case (raw, pos) =>
+      // NOT String.trim — it strips every char <= 0x20 including the \x01
+      // literal-mask delimiters, which would make a masked literal look
+      // like a bare numeric column reference
+      val t = raw.replaceAll("^\\s+|\\s+$", "")
+      val needs: Boolean =
+        if ("""(?is)[\s\S]*\sAS\s+[`\w]+$""".r.pattern.matcher(t).matches) false
+        else if ("""(?is)^[`\w.]+$""".r.pattern.matcher(t).matches) false // bare col
+        else if (t.endsWith(")")) true // function / paren expr root
+        else """[A-Za-z_]\w*$|\d[\d.]*$""".r.findFirstMatchIn(t) match {
+          case Some(mm) =>
+            // trailing token: an OPERAND (preceded by an operator) still
+            // needs a name; a space-separated identifier is a bare alias
+            val before = t.substring(0, mm.start).reverse.dropWhile(_.isWhitespace)
+            val sep = mm.start > 0 && t.charAt(mm.start - 1).isWhitespace
+            before.headOption match {
+              case None => true // pure literal/number expression
+              case Some(c) if "+-*/%(<>=&|^,".contains(c) => true
+              case Some('.') => false // qualified col ref
+              case Some(_) if sep &&
+                  """[A-Za-z_]\w*$""".r.pattern.matcher(mm.matched).matches =>
+                false // `expr alias` bare-alias form
+              case Some(_) => true
+            }
+          case None => true
+        }
+      if (!needs) raw
+      else {
+        changed = true
+        val isFunc = """(?is)^[\w.]+\s*\([\s\S]*\)$""".r.pattern.matcher(t).matches
+        val alias =
+          if (includeFunc && isFunc) {
+            // unwrap a whole-expression CAST(x AS type): the reference's
+            // AST drops the TOK_<TYPE> node before flattening
+            val body = """(?is)^cast\s*\(([\s\S]*)\s+as\s+\w+\s*\)$""".r
+              .findFirstMatchIn(t).map(_.group(1)).getOrElse(t)
+            val toks = unmaskLiterals(body, lits).toLowerCase
+              .replaceAll("[^a-z0-9]", " ").trim.replaceAll("\\s+", "_")
+            val cut = if (toks.length > 20) toks.substring(0, 20) else toks
+            s"${cut}_$pos"
+          } else s"$label$pos"
+        s"$raw AS `$alias`"
+      }
+    }
+    if (!changed) return q
+    unmaskLiterals(
+      m.group(1) + Option(m.group(2)).getOrElse("") +
+        aliased.mkString(",") + tail, lits)
+  }
+
   def sql(spark: SparkSession, rawQ: String): DataFrame = {
     // bashSafeScriptArgs runs OUTERMOST: it introduces escaped quotes into
     // USING literals that the other TRANSFORM passes' `[^']+` matchers
@@ -1553,7 +1696,9 @@ object HiveQl {
             resolveBucketFileSampling(spark,
               resolveDefaultSampleCols(spark,
                 applyDefaultFileFormat(spark,
-                  applyTestMode(spark, substituteVars(spark, rawQ))))))))))))
+                  autogenCtasAliases(spark,
+                    applyTestMode(spark,
+                      stripLocationPattern(substituteVars(spark, rawQ))))))))))))))
     // Driver.doAuthorization layering: enforce before execution on every
     // entry point that funnels through this driver analogue (no-op unless
     // hive.security.authorization.enabled)
@@ -1561,6 +1706,29 @@ object HiveQl {
     // OFFLINE protect mode (ErrorMsg.OFFLINE_TABLE_OR_PARTITION; no-op
     // with no offline tables)
     Protect.checkStatement(spark, q)
+    // EXPLAIN over a DIALECT statement (one Spark's parser cannot see —
+    // SHOW INDEXES, LOAD, EXPORT...): the reference explains every
+    // statement kind (ExplainTask over the semantic analyzer's task DAG);
+    // the engine surfaces the statement's dialect dispatch as the plan.
+    // Spark-parseable bodies (EXPLAIN SELECT/DROP FUNCTION...) pass
+    // through to Spark's own ExplainCommand below.
+    """(?is)^\s*EXPLAIN\s+(?:EXTENDED\s+|FORMATTED\s+|DEPENDENCY\s+)?([\s\S]*)$""".r
+      .findFirstMatchIn(q).foreach { m =>
+        val body = m.group(1)
+        val dialect =
+          try statementRows(body).isDefined || statementExec(body).isDefined
+          catch { case _: Exception => false }
+        if (dialect) {
+          import org.apache.spark.sql.types.{StringType, StructField, StructType}
+          return spark.createDataFrame(
+            java.util.Arrays.asList(
+              org.apache.spark.sql.Row("ABSTRACT SYNTAX TREE:"),
+              org.apache.spark.sql.Row("  " + body.trim.takeWhile(_ != '\n')),
+              org.apache.spark.sql.Row("STAGE PLANS: dialect statement " +
+                "(graft statement dispatch)")),
+            StructType(Seq(StructField("plan", StringType, nullable = false))))
+        }
+      }
     statementRows(q) match {
       case Some((schema, rows)) =>
         return spark.createDataFrame(
@@ -1577,6 +1745,9 @@ object HiveQl {
       try maskLiterals(q) catch { case _: IllegalArgumentException => (q, IndexedSeq.empty[String]) }
     val holdDdl = HoldDdltime.findFirstIn(maskedQ).isDefined
     if (holdDdl) checkHoldDdltime(spark, maskedQ, qLits)
+    checkSemanticHooksPre(spark, maskedQ)
+    updateInputAccessTime(spark, q)
+    repointArchivedForDrop(spark, maskedQ)
     val result = statementExec(q) match {
       case Some(exec) => exec(spark); spark.emptyDataFrame
       case None => withSelfReadOverwriteRetry(spark, q)(
@@ -1593,7 +1764,187 @@ object HiveQl {
     mergeSmallFiles(spark, maskedQ, qLits)
     autogatherStats(spark, maskedQ, qLits)
     applyDefaultTableParams(spark, maskedQ)
+    applySemanticHooksPost(spark, maskedQ)
+    recordLocationPattern(spark, rawQ)
+    resolvePatternedPartitions(spark, maskedQ)
     result
+  }
+
+  // ---- Path patterns in table locations (HIVE-1707's `location
+  // 'dir{**/*.data}'`, patterned_partition.q): the `{pattern}` suffix is
+  // stripped from the physical location at CREATE and recorded as a table
+  // property; after ADD PARTITION, a partition whose files live DEEPER
+  // than its directory (matched by the pattern) gets its location
+  // repointed at the matched files' directory, so plain partitioned scans
+  // read exactly the pattern's file set.
+  private def stripLocationPattern(q: String): String =
+    if (!q.contains("{")) q
+    else """(?is)(LOCATION\s+')([^'{]*)\{[^}']*\}([^']*)(')""".r.replaceAllIn(q,
+      mm => java.util.regex.Matcher.quoteReplacement(
+        mm.group(1) + mm.group(2) + mm.group(4)))
+
+  private val PatternedLocationCreate =
+    ("""(?is)^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?""" +
+      """([\w.]+)[\s\S]*LOCATION\s+'[^'{]*\{([^}']*)\}[^']*'""").r
+
+  private def recordLocationPattern(spark: SparkSession, rawQ: String): Unit =
+    PatternedLocationCreate.findFirstMatchIn(rawQ).foreach { m =>
+      try {
+        val ti = TableIdentifier(m.group(1).split('.').last,
+          m.group(1).split('.').dropRight(1).lastOption)
+        val meta = spark.sessionState.catalog.getTableMetadata(ti)
+        spark.sessionState.catalog.alterTable(meta.copy(properties =
+          meta.properties + ("graft.hive.path.pattern" -> m.group(2))))
+      } catch { case _: Exception => }
+    }
+
+  private def resolvePatternedPartitions(spark: SparkSession, masked: String): Unit = {
+    val m = """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+(?:IF\s+NOT\s+EXISTS\s+)?PARTITION""".r
+      .findFirstMatchIn(masked).getOrElse(return)
+    val ti = TableIdentifier(m.group(1).split('.').last,
+      m.group(1).split('.').dropRight(1).lastOption)
+    val cat = spark.sessionState.catalog
+    val meta = try cat.getTableMetadata(ti) catch { case _: Exception => return }
+    val pat = meta.properties.getOrElse("graft.hive.path.pattern", return)
+    // supported shape: any '**/'-style recursion ending in a filename glob
+    val fileGlob = pat.stripPrefix("/").split('/').last
+    val re = java.util.regex.Pattern.compile(
+      fileGlob.replace(".", "\\.").replace("*", ".*").replace("?", "."))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val updated = cat.listPartitions(ti).flatMap { p =>
+      val loc = new org.apache.hadoop.fs.Path(p.location)
+      val fs = loc.getFileSystem(conf)
+      if (!fs.exists(loc)) None
+      else {
+        def walk(d: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+          fs.listStatus(d).toSeq.flatMap { st =>
+            if (st.isDirectory) walk(st.getPath)
+            else if (re.matcher(st.getPath.getName).matches()) Seq(st.getPath)
+            else Nil
+          }
+        walk(loc).map(_.getParent).distinct match {
+          case Seq(one) if one != loc =>
+            Some(p.copy(storage = p.storage.copy(locationUri = Some(one.toUri))))
+          case _ => None
+        }
+      }
+    }
+    if (updated.nonEmpty) cat.alterPartitions(ti, updated)
+  }
+
+  // ---- hive.semantic.analyzer.hook shim (multi_sahooks.q): the
+  // reference's two in-tree test hooks edit the CREATE TABLE descriptor's
+  // properties in listed order (last postAnalyze wins); Hook1 numbers its
+  // instances with a per-statement counter. Unknown classes refuse loudly,
+  // like the reference's reflective load would.
+  private val SemHook1 =
+    "org.apache.hadoop.hive.ql.metadata.DummySemanticAnalyzerHook1"
+  private val SemHook =
+    "org.apache.hadoop.hive.ql.metadata.DummySemanticAnalyzerHook"
+  private val CreatedByHook =
+    "org.apache.hadoop.hive.ql.metadata.DummyCreateTableHook"
+
+  private def semanticHooks(spark: SparkSession): Seq[String] =
+    spark.conf.getOption("hive.semantic.analyzer.hook")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
+  private def checkSemanticHooksPre(spark: SparkSession, masked: String): Unit = {
+    val hooks = semanticHooks(spark)
+    if (hooks.isEmpty) return
+    hooks.find(h => h != SemHook1 && h != SemHook).foreach(h =>
+      throw new IllegalArgumentException(s"hive.semantic.analyzer.hook: $h not found"))
+    if (hooks.contains(SemHook)) {
+      val up = masked.trim.toUpperCase
+      val isCreate = up.startsWith("CREATE TABLE") || up.startsWith("CREATE EXTERNAL TABLE")
+      // DummyCreateTableHook.preAnalyze rejects CTAS
+      if (isCreate && """(?is)\bAS\s+SELECT\b""".r.findFirstIn(masked).isDefined)
+        throw new IllegalArgumentException("CTAS not supported.")
+      // DummySemanticAnalyzerHook.preAnalyze allows only create/drop/desc
+      if (!isCreate && !up.startsWith("DROP TABLE") && !up.startsWith("DESC") &&
+          !up.startsWith("DESCRIBE") && !up.startsWith("SET "))
+        throw new IllegalArgumentException("Operation not supported.")
+    }
+  }
+
+  private def applySemanticHooksPost(spark: SparkSession, masked: String): Unit = {
+    val hooks = semanticHooks(spark)
+    if (hooks.isEmpty) return
+    val created = """(?is)^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)"""
+      .r.findFirstMatchIn(masked).map(_.group(1)).getOrElse(return)
+    // preAnalyze pass assigns Hook1 instance counts in listed order
+    var count = 0
+    var props = Map.empty[String, String]
+    hooks.foreach {
+      case SemHook1 =>
+        props += "createdBy" -> CreatedByHook
+        props += "Message" -> s"Hive rocks!! Count: $count"
+        count += 1
+      case SemHook =>
+        props += "createdBy" -> CreatedByHook
+        props += "Message" -> "Open Source rocks!!"
+      case _ =>
+    }
+    if (props.isEmpty) return
+    try {
+      val ti = TableIdentifier(created.split('.').last,
+        created.split('.').dropRight(1).lastOption)
+      val meta = spark.sessionState.catalog.getTableMetadata(ti)
+      spark.sessionState.catalog.alterTable(
+        meta.copy(properties = meta.properties ++ props))
+    } catch { case _: Exception => }
+  }
+
+  // ---- DROP TABLE over ARCHIVED partitions: Spark's catalog drop deletes
+  // each partition path, and a `har:` URI is not deletable through the
+  // HarFileSystem. The reference drops archived tables fine (the har file
+  // lives INSIDE the table dir) — repoint har partitions at their physical
+  // directories first, so the recursive table-dir delete takes everything.
+  private val DropTableStmt =
+    """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
+
+  private def repointArchivedForDrop(spark: SparkSession, masked: String): Unit =
+    DropTableStmt.findFirstMatchIn(masked).foreach { m =>
+      try {
+        val ti = TableIdentifier(m.group(1).split('.').last,
+          m.group(1).split('.').dropRight(1).lastOption)
+        val cat = spark.sessionState.catalog
+        val meta = cat.getTableMetadata(ti)
+        if (meta.partitionColumnNames.nonEmpty) {
+          val harParts = cat.listPartitions(ti)
+            .filter(p => Option(p.location.getScheme).contains("har"))
+          if (harParts.nonEmpty) {
+            val base = new org.apache.hadoop.fs.Path(meta.location)
+            cat.alterPartitions(ti, harParts.map { p =>
+              val phys = meta.partitionColumnNames.foldLeft(base)((acc, c) =>
+                new org.apache.hadoop.fs.Path(acc,
+                  org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                    .getPartitionPathString(c, p.spec(c))))
+              p.copy(storage = p.storage.copy(locationUri = Some(phys.toUri)))
+            })
+          }
+        }
+      } catch { case _: Exception => }
+    }
+
+  // ---- UpdateInputAccessTimeHook.PreExec shim (updateAccessTime.q): when
+  // listed in hive.exec.pre.hooks, every input table of a query gets its
+  // lastAccessTime stamped before execution.
+  private def updateInputAccessTime(spark: SparkSession, q: String): Unit = {
+    if (!spark.conf.getOption("hive.exec.pre.hooks").exists(
+        _.contains("UpdateInputAccessTimeHook"))) return
+    val plan =
+      try spark.sessionState.sqlParser.parsePlan(rewrite(q))
+      catch { case _: Exception => return }
+    val (inputs, _) = Authz.referencedTables(plan)
+    val now = System.currentTimeMillis()
+    inputs.foreach { t =>
+      try {
+        val ti = TableIdentifier(t.split('.').last,
+          t.split('.').dropRight(1).lastOption)
+        val meta = spark.sessionState.catalog.getTableMetadata(ti)
+        spark.sessionState.catalog.alterTable(meta.copy(lastAccessTime = now))
+      } catch { case _: Exception => }
+    }
   }
 
   // CREATE VIEW v(c1 [COMMENT ...], c2) [TBLPROPERTIES ...] AS body —
@@ -2461,12 +2812,24 @@ object HiveQl {
     }
   }
 
+  // SET system:k=v — SetProcessor's system namespace writes a JVM system
+  // property (set_processor_namespaces.q); hiveconf:/hivevar: prefixes
+  // strip to the plain conf key like the reference's VariableSubstitution
+  private val SetSystemProp =
+    """(?is)^\s*SET\s+system:([^=\s]+)\s*=\s*(.*?)\s*;?\s*$""".r
+
   def statementExec(q: String): Option[SparkSession => Unit] =
     if (bypassStatements.get) None
     else q match {
-      case LoadData(path, overwrite, table, part) =>
-        Some(s => sources.HiveLoad.loadData(s, path, table, overwrite != null,
-          Option(part).map(sources.HiveExim.parsePartSpec).getOrElse(Nil)))
+      case SetSystemProp(k, v) =>
+        Some(_ => { System.setProperty(k.trim, v); () })
+      case LoadData(local, path, overwrite, table, part) =>
+        Some(s => {
+          Authz.checkLoadTarget(s, table)
+          sources.HiveLoad.loadData(s, path, table, overwrite != null,
+            Option(part).map(sources.HiveExim.parsePartSpec).getOrElse(Nil),
+            local = local != null)
+        })
       case ExportTable(table, part, dir) =>
         Some(s => sources.HiveExim.exportTable(s, table, dir,
           Option(part).map(sources.HiveExim.parsePartSpec).getOrElse(Nil)))
@@ -2499,9 +2862,46 @@ object HiveQl {
           val cat = s.sessionState.catalog
           val oldTi = org.apache.spark.sql.catalyst.TableIdentifier(oldName)
           val oldMeta = scala.util.Try(cat.getTableMetadata(oldTi)).toOption
+          // ARCHIVED partitions (har: locations — archive.q's RENAME leg):
+          // Spark's rename cannot move/delete a har: URI. Repoint each at
+          // its physical spec-derived dir first; the .har travels WITH the
+          // table directory, and the har pointer is restored below.
+          def physDir(base: org.apache.hadoop.fs.Path,
+              cols: Seq[String], spec: Map[String, String]) =
+            cols.foldLeft(base)((acc, c) => new org.apache.hadoop.fs.Path(acc,
+              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .getPartitionPathString(c, spec(c))))
+          val archivedSpecs = oldMeta.filter(_.partitionColumnNames.nonEmpty)
+            .map { om =>
+              val harParts = cat.listPartitions(oldTi)
+                .filter(p => Option(p.location.getScheme).contains("har"))
+              if (harParts.nonEmpty) {
+                val base = new org.apache.hadoop.fs.Path(om.location)
+                cat.alterPartitions(oldTi, harParts.map(p =>
+                  p.copy(storage = p.storage.copy(locationUri = Some(
+                    physDir(base, om.partitionColumnNames, p.spec).toUri)))))
+              }
+              harParts.map(_.spec)
+            }.getOrElse(Nil)
           bypassStatements.set(true)
           try s.sql(s"ALTER TABLE $oldName RENAME TO $newName")
           finally bypassStatements.set(false)
+          if (archivedSpecs.nonEmpty) {
+            val newTi = org.apache.spark.sql.catalyst.TableIdentifier(newName)
+            val nm = cat.getTableMetadata(newTi)
+            val base = new org.apache.hadoop.fs.Path(nm.location)
+            val hconf = s.sparkContext.hadoopConfiguration
+            val restored = cat.listPartitions(newTi)
+              .filter(p => archivedSpecs.contains(p.spec)).map { p =>
+                val harDir = new org.apache.hadoop.fs.Path(
+                  physDir(base, nm.partitionColumnNames, p.spec), "data.har")
+                val uri = sources.HiveArchive.harUri(
+                  harDir.getFileSystem(hconf), harDir)
+                p.copy(storage = p.storage.copy(
+                  locationUri = Some(new java.net.URI(uri))))
+              }
+            if (restored.nonEmpty) cat.alterPartitions(newTi, restored)
+          }
           if (oldMeta.exists(_.partitionColumnNames.nonEmpty)) {
             // the in-memory catalog's rename re-encodes each partition
             // location's percent-escapes (':' -> %3A -> %25253A), leaving
@@ -2517,7 +2917,10 @@ object HiveQl {
             val fs = tableDir.getFileSystem(hconf)
             val fixed = cat.listPartitions(newTi).flatMap { part =>
               val cur = new org.apache.hadoop.fs.Path(part.location)
-              if (fs.exists(cur)) None
+              // har:-scheme (archived) pointers are restored above and are
+              // not probeable through the table's filesystem
+              if (Option(part.location.getScheme).contains("har")) None
+              else if (fs.exists(cur)) None
               else {
                 val regen2 = meta.partitionColumnNames.foldLeft(tableDir) {
                   (acc, col) =>

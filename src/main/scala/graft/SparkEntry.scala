@@ -52,6 +52,9 @@ object SparkEntry {
     operators.QFileParity32,
     operators.QFileParity33,
     operators.QFileParity34,
+    operators.QFileParity35,
+    operators.QFileParity36,
+    operators.QFileParity37,
     operators.Indexes,
     operators.ScaleOps,
     streaming.Streaming)

@@ -65,6 +65,16 @@ object GraftFunctions {
     // UDAFTestMax.java: plain max (create_view.q's view9)
     "org.apache.hadoop.hive.ql.udf.UDAFTestMax" ->
       (es => org.apache.spark.sql.catalyst.expressions.aggregate.Max(es.head)),
+    // GenericUDFTestGetJavaString.java: identity, returning a lazy Java
+    // String of the argument (udf_compare_java_string.q — the test is
+    // that String-vs-Text object inspectors still compare equal)
+    "org.apache.hadoop.hive.ql.udf.generic.GenericUDFTestGetJavaString" ->
+      (es => Cast(es.head, StringType)),
+    // GenericUDAFAverage is a PRODUCTION class, but create_genericudaf.q
+    // registers it under a temporary alias — plain avg
+    "org.apache.hadoop.hive.ql.udf.generic.GenericUDAFAverage" ->
+      (es => org.apache.spark.sql.catalyst.expressions.aggregate.Average(
+        Cast(es.head, org.apache.spark.sql.types.DoubleType))),
     // GenericUDTFExplode.java: the explode generator (create_view.q view11)
     "org.apache.hadoop.hive.ql.udf.generic.GenericUDTFExplode" ->
       (es => Explode(es.head)))

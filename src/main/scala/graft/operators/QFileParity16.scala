@@ -417,7 +417,7 @@ object QFileParity16 extends QueryModule {
 
     // ---- clientpositive/mergejoins.q is covered by the join battery
     //      (multi-way equi-join merge is Catalyst's native reordering);
-    //      merge_dynamic_partition.q 1-3 by q576-q592 + merge3/4 above.
+    //      clientpositive/merge_dynamic_partition.q 1-3 by q576-q592 + merge3/4 above.
 
     // ---- clientpositive/stats3.q's LOAD-then-INSERT shape appears in
     //      q654; nothing further here.

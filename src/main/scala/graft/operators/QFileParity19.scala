@@ -148,7 +148,7 @@ object QFileParity19 extends QueryModule {
     deptRoundTrip("q703", "exim_00_nonpart_empty", load = false),
     deptRoundTrip("q704", "exim_01_nonpart", load = true),
 
-    // ---- clientpositive/exim_02_00_part_empty.q / exim_02_part.q
+    // ---- clientpositive/exim_02_00_part_empty.q / clientpositive/exim_02_part.q
     QueryDef(
       "q705_qf_exim_02_00_part_empty",
       (s, dir) => {
@@ -436,7 +436,7 @@ object QFileParity19 extends QueryModule {
           SELECT * FROM legs ORDER BY sec, c1, c2""")),
 
     // ---- clientpositive/exim_12_external_location.q /
-    //      exim_13_managed_location.q: LOCATION-bound imports
+    //      clientpositive/exim_13_managed_location.q: LOCATION-bound imports
     QueryDef(
       "q716_qf_exim_12_external_location",
       (s, dir) => {
@@ -545,7 +545,7 @@ object QFileParity19 extends QueryModule {
           SELECT * FROM legs ORDER BY sec, c1, c2""")),
 
     // ---- clientpositive/exim_19_00_part_external_location.q /
-    //      exim_19_part_external_location.q: whole-table external import
+    //      clientpositive/exim_19_part_external_location.q: whole-table external import
     //      at a named location (19_00 = two partitions, 19 = all four)
     QueryDef(
       "q720_qf_exim_19_00_part_external_location",

@@ -5,10 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.{HiveQl, QueryDef, QueryModule}
 
 /** Parity battery, tranche file 20 (round 13): the index .q families —
-  * index_compact/index_compact_1–3, index_bitmap/index_bitmap1–3,
+  * index_compact/index_compact_1–3 (clientpositive/index_compact_3.q), index_bitmap/index_bitmap1–3 (clientpositive/index_bitmap1.q),
   * index_auto, index_auto_partitioned, index_auto_multiple,
   * index_auto_self_join, index_auto_unused, index_auto_empty,
-  * index_auto_update, index_stale — COMPACT and BITMAP index tables under
+  * index_auto_update, index_stale (clientpositive/index_stale.q) — COMPACT and BITMAP index tables under
   * Hive's default__<table>_<index>__ naming (CompactIndexHandler.java,
   * BitmapIndexHandler.java), manual index-scan extraction (INSERT
   * OVERWRITE DIRECTORY of `_bucketname`/`_offsets`, EWAH `_bitmaps`
@@ -178,6 +178,7 @@ object QFileParity20 extends QueryModule {
     // ---- clientpositive/index_compact_1.q (TEXTFILE) /
     //      index_compact_3.q (RCFILE, table src_index_test_rc)
     compactSingle("q727", "index_compact_1", "TEXTFILE"),
+    // clientpositive/index_compact_3.q
     compactSingle("q728", "index_compact_3", "RCFILE"),
 
     // ---- clientpositive/index_compact_2.q: the srcpart_rc RCFile
@@ -226,7 +227,7 @@ object QFileParity20 extends QueryModule {
           SELECT 0 AS sec, key AS c1, value AS c2 FROM src WHERE key = '100')
           SELECT * FROM legs ORDER BY sec, c1, c2""")),
 
-    // ---- clientpositive/index_bitmap2.q / index_bitmap3.q: TWO bitmap
+    // ---- clientpositive/index_bitmap2.q / clientpositive/index_bitmap3.q: TWO bitmap
     //      indexes combined by UNION (OR) and JOIN (AND) over
     //      (_bucketname, _offset), EWAH-emptiness filtered
     QueryDef(

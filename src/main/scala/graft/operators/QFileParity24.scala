@@ -159,6 +159,7 @@ object QFileParity24 extends QueryModule {
     // ---- clientpositive/index_auto_mult_tables.q (BITMAP) and
     //      index_auto_mult_tables_compact.q (COMPACT)
     multTables("q776", "index_auto_mult_tables", "BITMAP"),
+    // clientpositive/index_auto_mult_tables_compact.q
     multTables("q777", "index_auto_mult_tables_compact", "COMPACT"),
 
     // ---- clientpositive/index_bitmap_auto.q: two bitmap indexes, manual
@@ -316,6 +317,7 @@ object QFileParity24 extends QueryModule {
 
     // ---- clientpositive/index_compression.q / index_bitmap_compression.q
     compressed("q781", "index_compression", "COMPACT"),
+    // clientpositive/index_bitmap_compression.q
     compressed("q782", "index_bitmap_compression", "BITMAP"),
 
     // ---- clientpositive/index_creation.q: the CREATE INDEX DDL battery —

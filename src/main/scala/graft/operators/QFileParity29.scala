@@ -267,7 +267,7 @@ object QFileParity29 extends QueryModule {
         s"SELECT * FROM (VALUES ${rows.mkString(", ")}) v(sec, c1) ORDER BY sec, c1"
       }),
 
-    // ---- clientpositive/type_cast_1.q + num_op_type_conv.q: typed
+    // ---- clientpositive/type_cast_1.q + clientpositive/num_op_type_conv.q: typed
     //      constant arithmetic and null propagation
     QueryDef(
       "q841_qf_type_cast_1",

@@ -66,7 +66,7 @@ object QFileParity30 extends QueryModule {
 
   val defs: Seq[QueryDef] = Seq(
 
-    // ---- clientpositive/fileformat_sequencefile.q + fileformat_text.q
+    // ---- clientpositive/fileformat_sequencefile.q + clientpositive/fileformat_text.q
     fileformatBody("q847_qf_fileformat_sequencefile",
       "org.apache.hadoop.mapred.SequenceFileInputFormat",
       "org.apache.hadoop.mapred.SequenceFileOutputFormat"),

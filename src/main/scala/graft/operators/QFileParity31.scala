@@ -216,7 +216,7 @@ object QFileParity31 extends QueryModule {
           UNION ALL ${legSql(3, Seq("key", "value"), "FROM d")})
         SELECT * FROM legs ORDER BY sec, c1""")),
 
-    // ---- clientpositive/database_location.q + database_properties.q:
+    // ---- clientpositive/database_location.q + clientpositive/database_properties.q:
     //      LOCATION / COMMENT / DBPROPERTIES surfaces + ALTER DATABASE
     QueryDef(
       "q863_qf_database_location",
@@ -433,7 +433,7 @@ object QFileParity31 extends QueryModule {
         (5, 'myint|int|from deserializer')) v(sec, c1)
         ORDER BY sec, c1""")),
 
-    // ---- clientpositive/ct_case_insensitive.q + showparts.q: bucket
+    // ---- clientpositive/ct_case_insensitive.q + clientpositive/showparts.q: bucket
     //      column case-insensitivity; SHOW PARTITIONS over the 4-part table
     QueryDef(
       "q871_qf_ct_case_insensitive",

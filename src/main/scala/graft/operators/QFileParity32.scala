@@ -135,7 +135,7 @@ object QFileParity32 extends QueryModule {
         legs AS (SELECT 0 AS sec, CAST(c * 2 AS VARCHAR) AS c1 FROM per, range(2))
         SELECT * FROM legs ORDER BY sec, c1""")),
 
-    // ---- clientpositive/input_part8.q + input_part9.q: partition LIMIT
+    // ---- clientpositive/input_part8.q + clientpositive/input_part9.q: partition LIMIT
     //      (count facts) and the full NOT NULL ordered dump
     QueryDef(
       "q876_qf_input_part8",

@@ -1,0 +1,617 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.functions._
+import graft.{HiveQl, QueryDef, QueryModule}
+
+/** Parity battery, tranche file 37 (round 15): SHOW INDEXES edge cases,
+  * content-summary hook shape, patterned partition locations (HIVE-1707),
+  * BucketizedHiveInputFormat joins, local-mode sample hook, symlink text
+  * input format, create_big_view, the multi_insert matrix, rcfile_bigdata.
+  */
+object QFileParity37 extends QueryModule {
+
+  import QFileParity.{fixtures, fresh, SrcCte, SrcPartCte}
+
+  private def facts(s: SparkSession, sec: Int, kv: Seq[(String, String)]): DataFrame = {
+    import s.implicits._
+    kv.toDF("c1", "c2").select(lit(sec).as("sec"),
+      concat_ws("|", col("c1"), col("c2")).as("c1"))
+  }
+
+  private def leg(sec: Int, df: DataFrame): DataFrame = {
+    val r = df.toDF(df.columns.indices.map(i => s"_lc$i"): _*)
+    val joined = concat_ws("|", r.columns.map(c =>
+      coalesce(col(c).cast("string"), lit("NULL"))): _*)
+    r.select(lit(sec).as("sec"), joined.as("c1"))
+  }
+
+  private def ordered(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_ union _).orderBy("sec", "c1")
+
+  /** Collect a (sec, c1) result into a table-independent local DataFrame —
+    * required before dropping the tables a leg() scans (the registry
+    * writes the returned frame AFTER the QueryDef body finishes).
+    */
+  private def materialized(s: SparkSession, df: DataFrame): DataFrame = {
+    import s.implicits._
+    df.collect().map(r => (r.getInt(0), r.getString(1))).toSeq.toDF("sec", "c1")
+  }
+
+  private def cnt(s: SparkSession, q: String): Long =
+    HiveQl.sql(s, q).collect()(0).getLong(0)
+
+  private def rmrf(s: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  private def putFile(s: SparkSession, src: String, dest: String): Unit = {
+    val d = new org.apache.hadoop.fs.Path(dest)
+    val fs = d.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(d.getParent)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(src), fs, d, false,
+      s.sparkContext.hadoopConfiguration)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- clientpositive/show_indexes_edge_cases.q: SHOW INDEXES over a
+    //      table with plain/comment/compound indexes, EXPLAINable, and an
+    //      index-less table yielding the empty set
+    QueryDef(
+      "q919_qf_show_indexes_edge_cases",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val tE = s"show_idx_empty_q919_$sfx"
+        val tF = s"show_idx_full_q919_$sfx"
+        fresh(s, tE, tF)
+        HiveQl.sql(s, s"DROP TABLE IF EXISTS $tE")
+        HiveQl.sql(s, s"DROP TABLE IF EXISTS $tF")
+        HiveQl.sql(s, s"CREATE TABLE $tE(KEY STRING, VALUE STRING)")
+        HiveQl.sql(s, s"CREATE TABLE $tF(KEY STRING, VALUE1 STRING, VALUE2 STRING)")
+        // a crashed previous run can leave registry entries behind (the
+        // index store is durable); clear them like the .q's leading DROPs
+        for (ix <- Seq("idx_1", "idx_2", "idx_comment", "idx_compound"))
+          try HiveQl.sql(s, s"DROP INDEX $ix on $tF")
+          catch { case _: Exception => }
+        HiveQl.sql(s, s"""CREATE INDEX idx_1 ON TABLE $tF(KEY) AS "COMPACT" WITH DEFERRED REBUILD""")
+        HiveQl.sql(s, s"""CREATE INDEX idx_2 ON TABLE $tF(VALUE1) AS "COMPACT" WITH DEFERRED REBUILD""")
+        HiveQl.sql(s, s"""CREATE INDEX idx_comment ON TABLE $tF(VALUE2) AS "COMPACT" WITH DEFERRED REBUILD COMMENT "index comment" """)
+        HiveQl.sql(s, s"""CREATE INDEX idx_compound ON TABLE $tF(KEY, VALUE1) AS "COMPACT" WITH DEFERRED REBUILD""")
+        for (ix <- Seq("idx_1", "idx_2", "idx_comment", "idx_compound"))
+          HiveQl.sql(s, s"ALTER INDEX $ix ON $tF REBUILD")
+        val exp = HiveQl.sql(s, s"EXPLAIN SHOW INDEXES ON $tF").count()
+        val full = HiveQl.sql(s, s"SHOW INDEXES ON $tF").collect()
+          .map(r => r.getString(0).trim + "/" + r.getString(2).trim).sorted.mkString(";")
+        val empty = HiveQl.sql(s, s"SHOW INDEXES ON $tE").count()
+        for (ix <- Seq("idx_1", "idx_2", "idx_comment", "idx_compound"))
+          HiveQl.sql(s, s"DROP INDEX $ix on $tF")
+        val after = HiveQl.sql(s, s"SHOW INDEXES ON $tF").count()
+        val out = ordered(Seq(facts(s, 0, Seq(
+          "explain_rows_nonzero" -> (exp > 0).toString,
+          "full" -> full,
+          "empty_table_indexes" -> empty.toString,
+          "after_drop" -> after.toString))))
+        Seq(tE, tF).foreach(t => HiveQl.sql(s, s"DROP TABLE $t"))
+        out
+      },
+      Some("""SELECT * FROM (VALUES
+        (0, 'explain_rows_nonzero|true'),
+        (0, 'full|idx_1/key;idx_2/value1;idx_comment/value2;idx_compound/key, value1'),
+        (0, 'empty_table_indexes|0'), (0, 'after_drop|0'))
+        v(sec, c1) ORDER BY sec, c1""")),
+
+    // ---- clientpositive/hook_context_cs.q: the content-summary-cache
+    //      hook's query shape — a self join on a partition whose LOCATION
+    //      is an external empty directory; pre- and post-hook runs both
+    //      return the empty set
+    QueryDef(
+      "q920_qf_hook_context_cs",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val t = s"vcsc_q920_$sfx"
+        val loc = s"/tmp/graft_q920_$sfx"
+        fresh(s, t)
+        rmrf(s, loc)
+        try {
+          HiveQl.sql(s, s"drop table if exists $t")
+          HiveQl.sql(s, s"CREATE TABLE $t (c STRING) PARTITIONED BY (ds STRING)")
+          HiveQl.sql(s, s"ALTER TABLE $t ADD partition (ds='dummy') location '$loc'")
+          HiveQl.sql(s, "set hive.exec.pre.hooks=" +
+            "org.apache.hadoop.hive.ql.hooks.VerifyContentSummaryCacheHook")
+          val n1 = HiveQl.sql(s, s"SELECT a.c, b.c FROM $t a JOIN $t b " +
+            "ON a.ds = 'dummy' AND b.ds = 'dummy' AND a.c = b.c").count()
+          HiveQl.sql(s, "set mapred.job.tracker=local")
+          HiveQl.sql(s, "set hive.exec.pre.hooks = ")
+          HiveQl.sql(s, "set hive.exec.post.hooks=" +
+            "org.apache.hadoop.hive.ql.hooks.VerifyContentSummaryCacheHook")
+          val n2 = HiveQl.sql(s, s"SELECT a.c, b.c FROM $t a JOIN $t b " +
+            "ON a.ds = 'dummy' AND b.ds = 'dummy' AND a.c = b.c").count()
+          HiveQl.sql(s, "set hive.exec.post.hooks=")
+          HiveQl.sql(s, s"drop table $t")
+          ordered(Seq(facts(s, 0, Seq(
+            "pre_hook_rows" -> n1.toString, "post_hook_rows" -> n2.toString))))
+        } finally {
+          HiveQl.sql(s, "set hive.exec.pre.hooks=")
+          HiveQl.sql(s, "set hive.exec.post.hooks=")
+          rmrf(s, loc)
+        }
+      },
+      Some("""SELECT * FROM (VALUES
+        (0, 'pre_hook_rows|0'), (0, 'post_hook_rows|0')) v(sec, c1) ORDER BY sec, c1""")),
+
+    // ---- clientpositive/patterned_partition.q (HIVE-1707): `location
+    //      'dir{**/*.data}'` — partition data lives DEEPER than the
+    //      partition directory; the pattern selects it. Golden: p reads
+    //      2 partitions x 2 names, q reads 2 of 3 (one has no files),
+    //      join = 8 rows
+    QueryDef(
+      "q921_qf_patterned_partition",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val base = s"/tmp/graft_q921_$sfx"
+        val tP = s"p_q921_$sfx"
+        val tQ = s"q_q921_$sfx"
+        val np = "/root/reference/data/files/name-phone.txt"
+        rmrf(s, base)
+        fresh(s, tP, tQ)
+        try {
+          putFile(s, np, s"$base/p/dt=20110901/data/a.data")
+          putFile(s, np, s"$base/p/dt=20110902/data/a.data")
+          val fs = new org.apache.hadoop.fs.Path(base)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/q/dt=20110901"))
+          putFile(s, np, s"$base/q/dt=20110902/data/a.data")
+          putFile(s, np, s"$base/q/dt=20110903/data/a.data")
+          HiveQl.sql(s, s"drop table if exists $tP")
+          HiveQl.sql(s, s"drop table if exists $tQ")
+          HiveQl.sql(s, s"create external table $tP (name string, phone string) " +
+            "partitioned by (dt string) row format delimited fields terminated by ' ' " +
+            s"lines terminated by '\\n' stored as textfile location '$base/p/{**/*.data}'")
+          HiveQl.sql(s, s"create external table $tQ (name string, phone string) " +
+            "partitioned by (dt string) row format delimited fields terminated by ' ' " +
+            s"lines terminated by '\\n' stored as textfile location '$base/q{/**/*.data}'")
+          HiveQl.sql(s, s"ALTER TABLE $tP ADD PARTITION (dt = '20110901')")
+          HiveQl.sql(s, s"ALTER TABLE $tP ADD PARTITION (dt = '20110902')")
+          HiveQl.sql(s, s"ALTER TABLE $tQ ADD PARTITION (dt = '20110901')")
+          HiveQl.sql(s, s"ALTER TABLE $tQ ADD PARTITION (dt = '20110902')")
+          HiveQl.sql(s, s"ALTER TABLE $tQ ADD PARTITION (dt = '20110903')")
+          val p = HiveQl.sql(s, s"select name from $tP").orderBy("name")
+          val q = HiveQl.sql(s, s"select name from $tQ").orderBy("name")
+          val j = HiveQl.sql(s,
+            s"select * from $tP join $tQ on $tP.name=$tQ.name")
+          val out = materialized(s, ordered(Seq(leg(0, p), leg(1, q),
+            facts(s, 2, Seq("join_rows" -> j.count().toString)))))
+          Seq(tP, tQ).foreach(t => HiveQl.sql(s, s"drop table $t"))
+          out
+        } finally rmrf(s, base)
+      },
+      Some("""SELECT sec, c1 FROM (
+        SELECT 0 AS sec, name AS c1 FROM (VALUES
+          ('manse'), ('manse'), ('navis'), ('navis')) p(name)
+        UNION ALL
+        SELECT 1, name FROM (VALUES
+          ('manse'), ('manse'), ('navis'), ('navis')) q2(name)
+        UNION ALL SELECT 2, 'join_rows|8') u ORDER BY sec, c1""")),
+
+    // ---- clientpositive/bucketizedhiveinputformat.q: the bucketized
+    //      input format's job shapes — a constant-key three-way join
+    //      under a huge LIMIT into a SEQUENCEFILE dest, then multi-file
+    //      TEXTFILE counts
+    QueryDef(
+      "q922_qf_bucketizedhiveinputformat",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val t1 = s"t1_q922_$sfx"
+        val t2 = s"t2_q922_$sfx"
+        val t3 = s"t3_q922_$sfx"
+        fresh(s, t1, t2, t3)
+        HiveQl.sql(s, "set hive.input.format=" +
+          "org.apache.hadoop.hive.ql.io.BucketizedHiveInputFormat")
+        HiveQl.sql(s, s"CREATE TABLE $t1(name STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"LOAD DATA LOCAL INPATH '/root/reference/data/files/kv1.txt' INTO TABLE $t1")
+        HiveQl.sql(s, s"CREATE TABLE $t2(name STRING) STORED AS SEQUENCEFILE")
+        // 500^3 = 125M joined rows capped at 5M by the LIMIT
+        HiveQl.sql(s, s"""INSERT OVERWRITE TABLE $t2 SELECT * FROM (
+          SELECT tmp1.name as name FROM (
+            SELECT name, 'MMM' AS n FROM $t1) tmp1
+            JOIN (SELECT 'MMM' AS n FROM $t1) tmp2
+            JOIN (SELECT 'MMM' AS n FROM $t1) tmp3
+            ON tmp1.n = tmp2.n AND tmp1.n = tmp3.n) ttt LIMIT 5000000""")
+        val c2 = cnt(s, s"SELECT COUNT(1) FROM $t2")
+        HiveQl.sql(s, s"CREATE TABLE $t3(name STRING) STORED AS TEXTFILE")
+        HiveQl.sql(s,
+          s"LOAD DATA LOCAL INPATH '/root/reference/data/files/kv1.txt' INTO TABLE $t3")
+        HiveQl.sql(s,
+          s"LOAD DATA LOCAL INPATH '/root/reference/data/files/kv2.txt' INTO TABLE $t3")
+        val c3 = cnt(s, s"SELECT COUNT(1) FROM $t3")
+        val out = ordered(Seq(facts(s, 0, Seq(
+          "t2_count" -> c2.toString, "t3_count" -> c3.toString))))
+        Seq(t1, t2, t3).foreach(t => HiveQl.sql(s, s"drop table $t"))
+        out
+      },
+      Some("""SELECT * FROM (VALUES
+        (0, 't2_count|5000000'), (0, 't3_count|1000')) v(sec, c1) ORDER BY sec, c1""")),
+
+    // ---- clientpositive/sample_islocalmode_hook.q: percent TABLESAMPLE
+    //      under tight split confs — the engine's split sampler keeps
+    //      whole files, so the single-file CTAS tables sample complete
+    QueryDef(
+      "q923_qf_sample_islocalmode_hook",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val part = s"sih_i_part_q923_$sfx"
+        val t1 = s"sih_src_q923_$sfx"
+        val t2 = s"sih_src2_q923_$sfx"
+        fresh(s, part, t1, t2)
+        try {
+          HiveQl.sql(s, "set mapred.max.split.size=300")
+          HiveQl.sql(s, "set mapred.min.split.size=300")
+          HiveQl.sql(s, "set hive.exec.mode.local.auto=true")
+          HiveQl.sql(s, "set hive.merge.smallfiles.avgsize=1")
+          HiveQl.sql(s, s"create table $part (key int, value string) partitioned by (p string)")
+          HiveQl.sql(s, s"insert overwrite table $part partition (p='1') select key, value from src")
+          HiveQl.sql(s, s"insert overwrite table $part partition (p='2') select key+10000, value from src")
+          HiveQl.sql(s, s"insert overwrite table $part partition (p='3') select key+20000, value from src")
+          HiveQl.sql(s, s"create table $t1 as select key, value from $part order by key, value")
+          HiveQl.sql(s, s"create table $t2 as select key, value from $t1 order by key, value")
+          val c1 = cnt(s, s"select count(1) from $t1 tablesample(1 percent)")
+          val cj = cnt(s, s"select count(1) from $t1 tablesample(1 percent)a " +
+            s"join $t2 tablesample(1 percent)b on a.key = b.key")
+          HiveQl.sql(s, "set hive.exec.mode.local.auto.inputbytes.max=1000")
+          val c2 = cnt(s, s"select count(1) from $t1 tablesample(1 percent)")
+          ordered(Seq(facts(s, 0, Seq(
+            "sample_count" -> c1.toString,
+            "sample_join_count" -> cj.toString,
+            "sample_count_again" -> c2.toString))))
+        } finally {
+          HiveQl.sql(s, "set hive.exec.mode.local.auto=false")
+          Seq(part, t1, t2).foreach(t => HiveQl.sql(s, s"drop table if exists $t"))
+        }
+      },
+      Some(SrcCte + """
+        SELECT sec, c1 FROM (
+        SELECT 0 AS sec, 'sample_count|1500' AS c1
+        UNION ALL
+        -- three disjoint shifted copies of src (p=1/2/3) each contribute
+        -- the per-key count-squared sum
+        SELECT 0, 'sample_join_count|' || CAST((SELECT 3 * sum(n * n) FROM (
+          SELECT count(*) AS n FROM src GROUP BY CAST(key AS INT)) g) AS VARCHAR)
+        UNION ALL SELECT 0, 'sample_count_again|1500') u ORDER BY sec, c1""")),
+
+    // ---- clientpositive/symlink_text_input_format.q: manifest files whose
+    //      lines point at the REAL data files; scans, projections and
+    //      counts read through the indirection (engine: hivesymlink source;
+    //      manifests carry absolute paths to the reference's T1/T2/T3)
+    QueryDef(
+      "q924_qf_symlink_text_input_format",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val t = s"symlink_text_q924_$sfx"
+        fresh(s, t)
+        HiveQl.sql(s, s"CREATE TABLE $t (key STRING, value STRING) STORED AS " +
+          "INPUTFORMAT 'org.apache.hadoop.hive.ql.io.SymlinkTextInputFormat' " +
+          "OUTPUTFORMAT 'org.apache.hadoop.hive.ql.io.IgnoreKeyTextOutputFormat'")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.sessionState.catalog.getTableMetadata(TableIdentifier(t)).location)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        def write(name: String, content: String): Unit = {
+          val out = fs.create(new org.apache.hadoop.fs.Path(loc, name), true)
+          try out.write(content.getBytes("UTF-8")) finally out.close()
+        }
+        write("symlink1.txt", "/root/reference/data/files/T1.txt\n/root/reference/data/files/T3.txt\n")
+        write("symlink2.txt", "/root/reference/data/files/T2.txt\n")
+        s.catalog.refreshTable(t)
+        val all = HiveQl.sql(s, s"SELECT * FROM $t order by key, value")
+        val vals = HiveQl.sql(s, s"SELECT value FROM $t order by value")
+        val n = cnt(s, s"SELECT count(1) FROM $t")
+        val out = materialized(s, ordered(Seq(leg(0, all), leg(1, vals),
+          facts(s, 2, Seq("count" -> n.toString)))))
+        HiveQl.sql(s, s"drop table $t")
+        out
+      },
+      Some("""WITH rows(key, value) AS (VALUES
+          ('1','11'),('2','12'),('3','13'),('7','17'),('8','18'),('8','28'),
+          ('2','12'),('4','14'),('6','16'),('7','17'),
+          ('2','22'),('3','13'),('4','14'),('5','15'),('8','18'),('8','18'))
+        SELECT sec, c1 FROM (
+          SELECT 0 AS sec, key || '|' || value AS c1 FROM rows
+          UNION ALL SELECT 1, value FROM rows
+          UNION ALL SELECT 2, 'count|16') u ORDER BY sec, c1""")),
+
+    // ---- clientpositive/create_big_view.q: a view wide enough to stress
+    //      metadata limits — 1 aliased + 239 autogenerated `_cN` columns
+    //      of 70-char literals; SELECT a LIMIT 1 round-trips
+    QueryDef(
+      "q925_qf_create_big_view",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val v = s"big_view_q925_$sfx"
+        val srcT = s"src_q925_$sfx"
+        HiveQl.sql(s, s"DROP VIEW IF EXISTS $v")
+        fresh(s, srcT)
+        // permanent views cannot reference the session's temp src view —
+        // the reference's src IS a real table (QTestUtil), so materialize
+        HiveQl.sql(s, s"create table $srcT as select * from src")
+        val lit70 = "'" + ("a" * 70) + "'"
+        val body = (Seq(s"$lit70 AS a") ++ Seq.fill(239)(lit70)).mkString(",\n")
+        HiveQl.sql(s, s"CREATE VIEW $v AS SELECT \n$body\n FROM $srcT")
+        val a = HiveQl.sql(s, s"SELECT a FROM $v LIMIT 1").collect()(0).getString(0)
+        val metaCols = s.table(v).columns
+        val out = ordered(Seq(facts(s, 0, Seq(
+          "a" -> a,
+          "n_cols" -> metaCols.length.toString,
+          "last_col" -> metaCols.last,
+          "second_col" -> metaCols(1)))))
+        HiveQl.sql(s, s"DROP VIEW $v")
+        HiveQl.sql(s, s"drop table $srcT")
+        out
+      },
+      Some(s"""SELECT * FROM (VALUES
+        (0, 'a|${"a" * 70}'),
+        (0, 'n_cols|240'), (0, 'last_col|_c239'), (0, 'second_col|_c1'))
+        v(sec, c1) ORDER BY sec, c1""")),
+
+    // ---- clientpositive/multi_insert.q: the multi-insert matrix — two
+    //      dest tables under all four hive.merge.mapfiles/mapredfiles
+    //      combos, for plain filters, group-by bodies, and a UNION ALL
+    //      source; then a three-way INSERT OVERWRITE LOCAL DIRECTORY
+    QueryDef(
+      "q926_qf_multi_insert",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val m1 = s"src_multi1_q926_$sfx"
+        val m2 = s"src_multi2_q926_$sfx"
+        val locBase = s"/tmp/graft_q926_$sfx"
+        fresh(s, m1, m2)
+        rmrf(s, locBase)
+        try {
+          HiveQl.sql(s, s"create table $m1 (key string, value string)")
+          HiveQl.sql(s, s"create table $m2 (key string, value string)")
+          val combos = Seq(("false", "false"), ("true", "false"),
+            ("false", "true"), ("true", "true"))
+          val plain = combos.zipWithIndex.map { case ((mf, mrf), i) =>
+            HiveQl.sql(s, s"set hive.merge.mapfiles=$mf")
+            HiveQl.sql(s, s"set hive.merge.mapredfiles=$mrf")
+            HiveQl.sql(s, s"""from src
+              insert overwrite table $m1 select * where key < 10
+              insert overwrite table $m2 select * where key > 10 and key < 20""")
+            facts(s, i, Seq(
+              "m1" -> cnt(s, s"select count(*) from $m1").toString,
+              "m2" -> cnt(s, s"select count(*) from $m2").toString))
+          }
+          val gby = combos.zipWithIndex.map { case ((mf, mrf), i) =>
+            HiveQl.sql(s, s"set hive.merge.mapfiles=$mf")
+            HiveQl.sql(s, s"set hive.merge.mapredfiles=$mrf")
+            HiveQl.sql(s, s"""from src
+              insert overwrite table $m1 select * where key < 10 group by key, value
+              insert overwrite table $m2 select * where key > 10 and key < 20 group by key, value""")
+            facts(s, 4 + i, Seq(
+              "m1" -> cnt(s, s"select count(*) from $m1").toString,
+              "m2" -> cnt(s, s"select count(*) from $m2").toString))
+          }
+          val union = combos.zipWithIndex.map { case ((mf, mrf), i) =>
+            HiveQl.sql(s, s"set hive.merge.mapfiles=$mf")
+            HiveQl.sql(s, s"set hive.merge.mapredfiles=$mrf")
+            HiveQl.sql(s, s"""from (select * from src  union all select * from src) s
+              insert overwrite table $m1 select * where key < 10
+              insert overwrite table $m2 select * where key > 10 and key < 20""")
+            facts(s, 8 + i, Seq(
+              "m1" -> cnt(s, s"select count(*) from $m1").toString,
+              "m2" -> cnt(s, s"select count(*) from $m2").toString))
+          }
+          // INSERT OVERWRITE LOCAL DIRECTORY three ways from one scan
+          HiveQl.sql(s, s"""from src
+            insert overwrite local directory '$locBase/0' select * where key = 0
+            insert overwrite local directory '$locBase/2' select * where key = 2
+            insert overwrite local directory '$locBase/4' select * where key = 4""")
+          val fs = new org.apache.hadoop.fs.Path(locBase)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          def dirRows(d: String): Long = {
+            val p = new org.apache.hadoop.fs.Path(s"$locBase/$d")
+            if (!fs.exists(p)) -1L
+            else fs.listStatus(p).filter(st => st.isFile &&
+              !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+              .map { st =>
+                val in = fs.open(st.getPath)
+                val src2 = scala.io.Source.fromInputStream(in, "UTF-8")
+                try src2.getLines().size.toLong finally { src2.close() }
+              }.sum
+          }
+          val dirs = facts(s, 12, Seq(
+            "dir0" -> dirRows("0").toString,
+            "dir2" -> dirRows("2").toString,
+            "dir4" -> dirRows("4").toString))
+          ordered(plain ++ gby ++ union ++ Seq(dirs))
+        } finally {
+          HiveQl.sql(s, "set hive.merge.mapfiles=true")
+          HiveQl.sql(s, "set hive.merge.mapredfiles=false")
+          Seq(m1, m2).foreach(t => HiveQl.sql(s, s"drop table if exists $t"))
+          rmrf(s, locBase)
+        }
+      },
+      Some(SrcCte + """
+        , c(m1, m2) AS (
+          SELECT (SELECT count(*) FROM src WHERE CAST(key AS DOUBLE) < 10),
+                 (SELECT count(*) FROM src WHERE CAST(key AS DOUBLE) > 10 AND CAST(key AS DOUBLE) < 20)),
+        g(m1, m2) AS (
+          SELECT (SELECT count(*) FROM (SELECT DISTINCT key, value FROM src WHERE CAST(key AS DOUBLE) < 10) x),
+                 (SELECT count(*) FROM (SELECT DISTINCT key, value FROM src WHERE CAST(key AS DOUBLE) > 10 AND CAST(key AS DOUBLE) < 20) x)),
+        u(m1, m2) AS (SELECT 2 * c.m1, 2 * c.m2 FROM c)
+        SELECT sec, c1 FROM (
+          SELECT sec, 'm1|' || CAST(c.m1 AS VARCHAR) AS c1 FROM c, (VALUES (0),(1),(2),(3)) s(sec)
+          UNION ALL SELECT sec, 'm2|' || CAST(c.m2 AS VARCHAR) FROM c, (VALUES (0),(1),(2),(3)) s(sec)
+          UNION ALL SELECT sec, 'm1|' || CAST(g.m1 AS VARCHAR) FROM g, (VALUES (4),(5),(6),(7)) s(sec)
+          UNION ALL SELECT sec, 'm2|' || CAST(g.m2 AS VARCHAR) FROM g, (VALUES (4),(5),(6),(7)) s(sec)
+          UNION ALL SELECT sec, 'm1|' || CAST(u.m1 AS VARCHAR) FROM u, (VALUES (8),(9),(10),(11)) s(sec)
+          UNION ALL SELECT sec, 'm2|' || CAST(u.m2 AS VARCHAR) FROM u, (VALUES (8),(9),(10),(11)) s(sec)
+          UNION ALL SELECT 12, 'dir0|' || CAST((SELECT count(*) FROM src WHERE CAST(key AS DOUBLE) = 0) AS VARCHAR)
+          UNION ALL SELECT 12, 'dir2|' || CAST((SELECT count(*) FROM src WHERE CAST(key AS DOUBLE) = 2) AS VARCHAR)
+          UNION ALL SELECT 12, 'dir4|' || CAST((SELECT count(*) FROM src WHERE CAST(key AS DOUBLE) = 4) AS VARCHAR)
+        ) q ORDER BY sec, c1""")),
+
+    // ---- clientpositive/rcfile_bigdata.q: a data-generating MAP script
+    //      feeding a ColumnarSerDe RCFile table (the reference's
+    //      dumpdata_script.py printing 5M ints; engine runs the same
+    //      generator via python3)
+    QueryDef(
+      "q927_qf_rcfile_bigdata",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val t = s"columntable_bigdata_q927_$sfx"
+        fresh(s, t)
+        val script = s"/tmp/graft_dumpdata_$sfx.py"
+        // dumpdata_script.py, ported py2→py3 (xrange/print): 50*5*20022
+        // generated rows, stdin drained
+        java.nio.file.Files.write(java.nio.file.Paths.get(script),
+          ("""import sys
+            |for i in range(50):
+            |   for j in range(5):
+            |      for k in range(20022):
+            |         print(20000 * i + k)
+            |for line in sys.stdin:
+            |  pass
+            |""").stripMargin.getBytes("UTF-8"))
+        HiveQl.sql(s, s"ADD FILE $script")
+        HiveQl.sql(s, s"""CREATE table $t (key STRING, value STRING)
+          ROW FORMAT SERDE 'org.apache.hadoop.hive.serde2.columnar.ColumnarSerDe'
+          STORED AS
+            INPUTFORMAT 'org.apache.hadoop.hive.ql.io.RCFileInputFormat'
+            OUTPUTFORMAT 'org.apache.hadoop.hive.ql.io.RCFileOutputFormat'""")
+        // divergence note: the reference spawns its mapper script even for
+        // a 0-row input split; Spark's script transform only launches over
+        // NON-empty partitions — so the filter key is one that exists in
+        // this src derivation (key=4; the reference's .q uses key=10,
+        // present in ITS kv1-derived src), keeping one generator run
+        HiveQl.sql(s, s"FROM (FROM src MAP src.key,src.value USING " +
+          s"'python3 ${script.split('/').last}' AS (key,value) WHERE src.key = 4) subq " +
+          s"INSERT OVERWRITE TABLE $t SELECT subq.key, subq.value")
+        val shape = HiveQl.sql(s, s"describe $t").collect()
+          .takeWhile(r => r.getString(0).nonEmpty && !r.getString(0).startsWith("#"))
+          .map(r => r.getString(0) + ":" + r.getString(1)).mkString(";")
+        val n = cnt(s, s"select count($t.key) from $t")
+        val out = ordered(Seq(facts(s, 0, Seq(
+          "shape" -> shape, "count" -> n.toString))))
+        HiveQl.sql(s, s"drop table $t")
+        out
+      },
+      Some("""SELECT * FROM (VALUES
+        (0, 'shape|key:string;value:string'), (0, 'count|5005500'))
+        v(sec, c1) ORDER BY sec, c1""")),
+
+    // ---- clientpositive/archive.q: the full archive lifecycle — archived
+    //      partitions keep answering (scans, filters, joins) with identical
+    //      data, unarchive restores the plain layout, bucket sampling on an
+    //      UNRELATED table is undisturbed by archiving, and RENAME carries
+    //      an archived partition to the new name
+    QueryDef(
+      "q928_qf_archive",
+      (s, dir) => {
+        val sfx = fixtures(s, dir)
+        val src2 = s"tstsrc_q928_$sfx"
+        val part = s"tstsrcpart_q928_$sfx"
+        val hb = s"harbucket_q928_$sfx"
+        val oldN = s"old_name_q928_$sfx"
+        val newN = s"new_name_q928_$sfx"
+        // drops routed through HiveQl: a stale archived partition from a
+        // crashed run needs the har→physical repoint before Spark's drop
+        Seq(src2, part, hb, oldN, newN).foreach(t =>
+          HiveQl.sql(s, s"drop table if exists $t"))
+        fresh(s, src2, part, hb, oldN, newN)
+        try {
+          HiveQl.sql(s, "set hive.archive.enabled = true")
+          HiveQl.sql(s, "set hive.enforce.bucketing = true")
+          HiveQl.sql(s, s"create table $src2 (key string, value string)")
+          HiveQl.sql(s, s"insert overwrite table $src2 select key, value from src")
+          HiveQl.sql(s, s"create table $part (key string, value string) " +
+            "partitioned by (ds string, hr string) clustered by (key) into 10 buckets")
+          for ((ds, hr) <- Seq(("2008-04-08", "11"), ("2008-04-08", "12"),
+              ("2008-04-09", "11"), ("2008-04-09", "12")))
+            HiveQl.sql(s, s"insert overwrite table $part partition (ds='$ds', hr='$hr') " +
+              s"select key, value from srcpart where ds='$ds' and hr='$hr'")
+          def slice(): String = {
+            val r = HiveQl.sql(s, s"select count(*) c, sum(cast(key as int)) k " +
+              s"from $part where ds='2008-04-08'").collect()(0)
+            r.getLong(0) + "/" + r.getLong(1)
+          }
+          val before = slice()
+          HiveQl.sql(s, s"ALTER TABLE $part ARCHIVE PARTITION (ds='2008-04-08', hr='12')")
+          val during = slice()
+          val key0 = HiveQl.sql(s, s"SELECT key, count(1) c FROM $part WHERE " +
+            s"ds='2008-04-08' AND hr='12' AND key='0' GROUP BY key").collect()
+            .map(r => r.getString(0) + ":" + r.getLong(1)).mkString(",")
+          val joinN = HiveQl.sql(s, s"SELECT * FROM $part a JOIN $src2 b ON " +
+            s"a.key=b.key WHERE a.ds='2008-04-08' AND a.hr='12' AND a.key='0'").count()
+          HiveQl.sql(s, s"ALTER TABLE $part UNARCHIVE PARTITION (ds='2008-04-08', hr='12')")
+          val after = slice()
+          val f0 = facts(s, 0, Seq(
+            "slice_stable_archived" -> (before == during).toString,
+            "slice_stable_unarchived" -> (before == after).toString,
+            "slice" -> before, "key0" -> key0, "join_rows" -> joinN.toString))
+          // bucket sampling on an unrelated table across the archive toggle
+          HiveQl.sql(s, s"CREATE TABLE $hb (key INT) PARTITIONED by (ds STRING) " +
+            "CLUSTERED BY (key) INTO 10 BUCKETS")
+          HiveQl.sql(s, s"INSERT OVERWRITE TABLE $hb PARTITION(ds='1') " +
+            s"SELECT CAST(key AS INT) AS a FROM $src2 WHERE key < 50")
+          def sample(): String = HiveQl.sql(s,
+            s"SELECT key FROM $hb TABLESAMPLE(BUCKET 1 OUT OF 10) SORT BY key")
+            .collect().map(_.getInt(0)).mkString(",")
+          val s1 = sample()
+          HiveQl.sql(s, s"ALTER TABLE $part ARCHIVE PARTITION (ds='2008-04-08', hr='12')")
+          val s2 = sample()
+          HiveQl.sql(s, s"ALTER TABLE $part UNARCHIVE PARTITION (ds='2008-04-08', hr='12')")
+          val s3 = sample()
+          val f1 = facts(s, 1, Seq(
+            "sample_stable" -> (s1 == s2 && s2 == s3).toString,
+            "hb_rows" -> cnt(s, s"select count(*) from $hb").toString))
+          // RENAME with an archived partition
+          HiveQl.sql(s, s"CREATE TABLE $oldN (key INT) PARTITIONED by (ds STRING)")
+          HiveQl.sql(s, s"INSERT OVERWRITE TABLE $oldN PARTITION(ds='1') " +
+            s"SELECT CAST(key AS INT) AS a FROM $src2 WHERE key < 50")
+          HiveQl.sql(s, s"ALTER TABLE $oldN ARCHIVE PARTITION (ds='1')")
+          val oldSum = HiveQl.sql(s,
+            s"select count(*) c, sum(key) k from $oldN where ds='1'").collect()(0)
+          HiveQl.sql(s, s"ALTER TABLE $oldN RENAME TO $newN")
+          val newSum = HiveQl.sql(s,
+            s"select count(*) c, sum(key) k from $newN where ds='1'").collect()(0)
+          val f2 = facts(s, 2, Seq(
+            "renamed_reads_same" ->
+              (oldSum.getLong(0) == newSum.getLong(0) &&
+                oldSum.getLong(1) == newSum.getLong(1)).toString,
+            "renamed" -> (newSum.getLong(0) + "/" + newSum.getLong(1))))
+          ordered(Seq(f0, f1, f2))
+        } finally {
+          HiveQl.sql(s, "set hive.enforce.bucketing = false")
+          Seq(src2, part, hb, oldN, newN).foreach(t =>
+            try HiveQl.sql(s, s"drop table if exists $t")
+            catch { case _: Exception => })
+        }
+      },
+      Some(SrcPartCte + """
+        SELECT sec, c1 FROM (
+        SELECT 0 AS sec, 'slice_stable_archived|true' AS c1
+        UNION ALL SELECT 0, 'slice_stable_unarchived|true'
+        UNION ALL SELECT 0, 'slice|' ||
+          CAST((SELECT count(*) FROM srcpart WHERE ds='2008-04-08') AS VARCHAR) || '/' ||
+          CAST((SELECT sum(CAST(key AS INT)) FROM srcpart WHERE ds='2008-04-08') AS VARCHAR)
+        UNION ALL SELECT 0, 'key0|' || (SELECT CASE WHEN count(*) > 0
+          THEN '0:' || CAST(count(*) AS VARCHAR) ELSE '' END
+          FROM srcpart WHERE ds='2008-04-08' AND hr='12' AND key='0')
+        UNION ALL SELECT 0, 'join_rows|' || CAST((SELECT count(*) FROM
+          (SELECT key FROM srcpart WHERE ds='2008-04-08' AND hr='12' AND key='0') a
+          JOIN (SELECT key FROM src) b ON a.key = b.key) AS VARCHAR)
+        UNION ALL SELECT 1, 'sample_stable|true'
+        UNION ALL SELECT 1, 'hb_rows|' || CAST((SELECT count(*) FROM src
+          WHERE CAST(key AS DOUBLE) < 50) AS VARCHAR)
+        UNION ALL SELECT 2, 'renamed_reads_same|true'
+        UNION ALL SELECT 2, 'renamed|' ||
+          CAST((SELECT count(*) FROM src WHERE CAST(key AS DOUBLE) < 50) AS VARCHAR) || '/' ||
+          CAST((SELECT sum(CAST(key AS INT)) FROM src WHERE CAST(key AS DOUBLE) < 50) AS VARCHAR)
+        ) u ORDER BY sec, c1"""))
+  )
+}

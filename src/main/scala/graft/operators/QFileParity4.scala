@@ -348,7 +348,7 @@ object QFileParity4 extends QueryModule {
       },
       Some("SELECT 3.141592653589793::DOUBLE AS c1")),
 
-    // ---- clientpositive/udf_testlength.q / udf_testlength2.q: CREATE
+    // ---- clientpositive/udf_testlength.q / clientpositive/udf_testlength2.q: CREATE
     //      TEMPORARY FUNCTION against the reference's in-tree TEST UDF
     //      classes (UDFTestLength[2].java: String.length), resolved by
     //      GraftFunctions.testClassBuilders. Readback length-histogram.

@@ -19,7 +19,8 @@ object HiveLoad {
 
   def loadData(spark: SparkSession, path: String, table: String,
       overwrite: Boolean,
-      part: Seq[(String, Option[String])] = Nil): Unit = {
+      part: Seq[(String, Option[String])] = Nil,
+      local: Boolean = true): Unit = {
     // LOAD ... PARTITION (k=v): Hive's MoveTask targets the partition
     // DIRECTORY and loadPartition registers it in the metastore
     // (Hive.java loadPartition). All values must be static for a LOAD.
@@ -56,6 +57,40 @@ object HiveLoad {
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val src = new org.apache.hadoop.fs.Path(path)
       val srcFs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // glob expansion (LoadSemanticAnalyzer.matchFilesOrDir — load_fs.q
+      // loads 'kv*.txt' and a 'load2_*' directory glob): a matched
+      // DIRECTORY contributes its child files
+      val matched = Option(srcFs.globStatus(src)).map(_.toSeq).getOrElse(Nil)
+      if (matched.isEmpty) throw new IllegalArgumentException(
+        s"LOAD DATA: No files matching path $path")
+      val srcFiles = matched.flatMap { st =>
+        if (st.isDirectory)
+          srcFs.listStatus(st.getPath).filter(_.isFile).map(_.getPath).toSeq
+        else Seq(st.getPath)
+      }
+      // LoadSemanticAnalyzer's file-format validation (HiveFileFormatUtils
+      // .checkInputFormat, gated on hive.fileformat.check — default TRUE,
+      // disable_file_format_check.q turns it off): a SEQUENCEFILE target
+      // requires the SEQ container magic and a TEXTFILE target rejects any
+      // SEQ-container file (both SequenceFile AND Hive-0.8 RCFile open with
+      // 'SEQ'; the checker distinguishes them by the header's key class).
+      if (spark.conf.get("hive.fileformat.check", "true").toBoolean)
+        srcFiles.foreach { f =>
+          val header = new Array[Byte](200)
+          val in = srcFs.open(f)
+          val n = try in.read(header) finally in.close()
+          val isSeqContainer = n >= 3 &&
+            header(0) == 'S' && header(1) == 'E' && header(2) == 'Q'
+          val headerStr = new String(header, 0, math.max(n, 0), "ISO-8859-1")
+          val mismatch = provider match {
+            case "graft.sources.HiveSeqSource" =>
+              !isSeqContainer || headerStr.contains("RCFile")
+            case "graft.sources.HiveTextSource" => isSeqContainer
+            case _ => false
+          }
+          if (mismatch) throw new IllegalArgumentException(
+            "Wrong file format. Please check the file's format.")
+        }
       if (overwrite && fs.exists(loc))
         fs.listStatus(loc).filterNot(_.getPath.getName.startsWith("_"))
           .foreach(st => fs.delete(st.getPath, true))
@@ -65,18 +100,25 @@ object HiveLoad {
       // Split at the LAST dot like the reference (Hive.java:1822-1828 uses
       // the filename's final extension): 'a.b.txt' → 'a.b_copy_1.txt',
       // not 'a_copy_1.b.txt' (ADVICE r11)
-      val (base, ext) = src.getName.lastIndexOf('.') match {
-        case -1 => (src.getName, "")
-        case i => (src.getName.substring(0, i), src.getName.substring(i))
+      var dest: org.apache.hadoop.fs.Path = null
+      srcFiles.foreach { f =>
+        val (base, ext) = f.getName.lastIndexOf('.') match {
+          case -1 => (f.getName, "")
+          case i => (f.getName.substring(0, i), f.getName.substring(i))
+        }
+        dest = new org.apache.hadoop.fs.Path(loc, f.getName)
+        var copyN = 0
+        while (fs.exists(dest)) {
+          copyN += 1
+          dest = new org.apache.hadoop.fs.Path(loc, s"${base}_copy_$copyN$ext")
+        }
+        // LOCAL loads COPY (the client-side file survives); non-LOCAL
+        // loads MOVE — the reference's MoveTask renames within the
+        // warehouse FS, emptying the source dir (load_fs.q re-describes
+        // the donor table as 0 files after the glob load)
+        org.apache.hadoop.fs.FileUtil.copy(srcFs, f, fs, dest,
+          !local /* deleteSource */, spark.sparkContext.hadoopConfiguration)
       }
-      var dest = new org.apache.hadoop.fs.Path(loc, src.getName)
-      var copyN = 0
-      while (fs.exists(dest)) {
-        copyN += 1
-        dest = new org.apache.hadoop.fs.Path(loc, s"${base}_copy_$copyN$ext")
-      }
-      org.apache.hadoop.fs.FileUtil.copy(srcFs, src, fs, dest,
-        false /* keep source (LOCAL semantics) */, spark.sparkContext.hadoopConfiguration)
       // Foreign files carry no Spark bucket ids in their names, and Spark's
       // bucketed scan resolves bucket membership FROM the file name — a
       // bucketed catalog spec over loaded files makes every bucketed read
@@ -86,8 +128,8 @@ object HiveLoad {
       // the safe Spark translation is to demote the table to plain scans
       // while stashing the declared layout for the surfaces that still
       // need it (TABLESAMPLE bucket resolution, DESCRIBE).
-      if (meta.bucketSpec.isDefined &&
-          "_\\d{5}[._]".r.findFirstIn(dest.getName).isEmpty) {
+      if (meta.bucketSpec.isDefined && srcFiles.exists(f =>
+          "_\\d{5}[._]".r.findFirstIn(f.getName).isEmpty)) {
         val bs = meta.bucketSpec.get
         spark.sessionState.catalog.alterTable(meta.copy(
           bucketSpec = None,

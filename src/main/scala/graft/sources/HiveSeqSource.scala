@@ -43,7 +43,14 @@ class HiveSeqSource extends FileFormat with DataSourceRegister with Serializable
          DoubleType | FloatType | BooleanType | DateType | TimestampType |
          BinaryType => true
     case _: DecimalType => true
-    case _ => false // nested: HiveText.encodeNested over STRING columns
+    // LazySimpleSerDe's level separators inside the SequenceFile container
+    // (inputddl8.q's thrift-schema table): same row codec as hivetext —
+    // the read/write paths already delegate nested fields to
+    // HiveTextSource.decode/encode
+    case ArrayType(et, _) => supportDataType(et)
+    case MapType(kt, vt, _) => supportDataType(kt) && supportDataType(vt)
+    case StructType(fs) => fs.forall(f => supportDataType(f.dataType))
+    case _ => false
   }
 
   override def prepareWrite(sparkSession: SparkSession, job: Job,
