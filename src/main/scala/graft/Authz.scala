@@ -185,31 +185,107 @@ object Authz {
 
   // ----------------------------------------------------------- grants
 
+  /** Normalized `table@spec` key for partition-scoped grant rows. */
+  private def partObj(table: String, spec: String): String =
+    table.toLowerCase + "@" + spec.toLowerCase.replaceAll("""[\s'\"]""", "")
+
   def grant(spark: SparkSession, privs: Seq[String], principalType: String,
       principal: String, objType: String, objName: String,
-      withGrant: Boolean): Unit = synchronized {
+      withGrant: Boolean, partSpec: Option[String] = None): Unit = synchronized {
     ensureLoaded(spark)
     val pt = principalType.toUpperCase
     if (pt == "ROLE")
       require(roles.contains(principal.toLowerCase),
         s"Role $principal does not exist")
     val t = System.currentTimeMillis()
+    val (ot, on) = partSpec match {
+      case Some(sp) => ("PARTITION", partObj(objName, sp))
+      case None => (objType.toUpperCase, objName.toLowerCase)
+    }
     privs.map(canonPriv).foreach { p =>
-      grants += Grant(pt, principal.toLowerCase, objType.toUpperCase,
-        objName.toLowerCase, p, currentUser(spark), t, withGrant)
+      // re-granting a held privilege is an error in the reference's
+      // ObjectStore (clientnegative authorization_fail_1.q)
+      if (grants.exists(g => g.principalType == pt &&
+          g.principal == principal.toLowerCase && g.objType == ot &&
+          g.objName == on && g.priv == p))
+        throw new IllegalArgumentException(
+          s"Error in metadata: $p is already granted on $on to $principal")
+      grants += Grant(pt, principal.toLowerCase, ot, on, p,
+        currentUser(spark), t, withGrant)
+      // a partition-scoped grant also clears any standing deny for it
+      if (ot == "PARTITION")
+        grants.filterInPlace(g => !(g.objType == "PARTITION_DENY" &&
+          g.objName == on && g.principal == principal.toLowerCase &&
+          g.principalType == pt && g.priv == p))
     }
     persist(spark)
   }
 
   def revoke(spark: SparkSession, privs: Seq[String], principalType: String,
-      principal: String, objType: String, objName: String): Unit = synchronized {
+      principal: String, objType: String, objName: String,
+      partSpec: Option[String] = None): Unit = synchronized {
     ensureLoaded(spark)
     val ps = privs.map(canonPriv).toSet
-    grants.filterInPlace(g => !(g.principalType == principalType.toUpperCase &&
-      g.principal == principal.toLowerCase &&
-      g.objType == objType.toUpperCase && g.objName == objName.toLowerCase &&
-      ps(g.priv)))
+    partSpec match {
+      case Some(sp) =>
+        val on = partObj(objName, sp)
+        val had = grants.exists(g => g.objType == "PARTITION" && g.objName == on &&
+          g.principal == principal.toLowerCase &&
+          g.principalType == principalType.toUpperCase && ps(g.priv))
+        grants.filterInPlace(g => !(g.objType == "PARTITION" && g.objName == on &&
+          g.principal == principal.toLowerCase &&
+          g.principalType == principalType.toUpperCase && ps(g.priv)))
+        // under PARTITION_LEVEL_PRIVILEGE the partitions mirror the
+        // table's grants — revoking a MIRRORED privilege records an
+        // explicit per-partition DENY (ObjectStore drops the partition's
+        // own copy; authorization_fail_5.q / authorization_part.q)
+        if (!had) {
+          val t = System.currentTimeMillis()
+          ps.foreach(p => grants += Grant(principalType.toUpperCase,
+            principal.toLowerCase, "PARTITION_DENY", on, p,
+            currentUser(spark), t, withGrant = false))
+        }
+      case None =>
+        grants.filterInPlace(g => !(g.principalType == principalType.toUpperCase &&
+          g.principal == principal.toLowerCase &&
+          g.objType == objType.toUpperCase && g.objName == objName.toLowerCase &&
+          ps(g.priv)))
+    }
     persist(spark)
+  }
+
+  /** Test-support / DROP-cascade: forget every grant row scoped to this
+    * table (objName equal or partition-scoped under it). */
+  private[graft] def forgetObject(spark: SparkSession, table: String): Unit =
+    synchronized {
+      ensureLoaded(spark)
+      val t = table.toLowerCase
+      val before = grants.size
+      grants.filterInPlace(g => !(g.objName == t || g.objName.startsWith(t + "@")))
+      if (grants.size != before) persist(spark)
+    }
+
+  /** Per-partition DENY rows for a table that match this statement: the
+    * spec is named in the normalized text, or the partition column is
+    * unconstrained (a whole-table read includes the denied partition).
+    */
+  private[graft] def deniedPartition(spark: SparkSession, user: String,
+      table: String, normStmt: String): Option[String] = {
+    ensureLoaded(spark)
+    val groups = spark.conf.getOption("hive.session.groups")
+      .getOrElse("").split(",").map(_.trim.toLowerCase).filter(_.nonEmpty)
+    val principals =
+      ("USER" -> user.toLowerCase) +:
+        (rolesOf(user).map("ROLE" -> _) ++ groups.map("GROUP" -> _))
+    grants.toSeq.filter(g => g.objType == "PARTITION_DENY" &&
+        g.priv == "Select" &&
+        principals.contains(g.principalType -> g.principal) &&
+        g.objName.startsWith(table.toLowerCase + "@"))
+      .map(_.objName.split('@')(1))
+      .find { spec =>
+        val partCol = spec.takeWhile(_ != '=')
+        normStmt.contains(spec) || !normStmt.contains(partCol + "=")
+      }
   }
 
   /** `SHOW GRANT USER u [ON TABLE t]` rows — the property set DDLTask
@@ -339,8 +415,26 @@ object Authz {
     * enough — names are what get authorized), inputs need Select, insert
     * targets need Update.
     */
+  private val AddPartitionAuth =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+(?:IF\s+NOT\s+EXISTS\s+)?PARTITION""".r
+
   def checkStatement(spark: SparkSession, stmt: String): Unit = {
     if (!enabled(spark)) return
+    // DDLSemanticAnalyzer's addPartition output requires CREATE
+    // (authorization_fail_2.q's golden: "No privilege 'Create' found")
+    AddPartitionAuth.findFirstMatchIn(stmt).foreach { m =>
+      val t = m.group(1)
+      if (!holds(spark, currentUser(spark), "Create", t))
+        deny("Create", "inputs", spark.catalog.currentDatabase, t)
+    }
+    // ALTER TABLE ... SET TBLPROPERTIES requires ALTER
+    // (authorization_fail_6.q)
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s+TBLPROPERTIES""".r
+      .findFirstMatchIn(stmt).foreach { m =>
+        val t = m.group(1)
+        if (!holds(spark, currentUser(spark), "Alter", t))
+          deny("Alter", "inputs", spark.catalog.currentDatabase, t)
+      }
     val plan =
       try spark.sessionState.sqlParser.parsePlan(HiveQl.rewrite(stmt))
       catch { case _: Exception => return }
@@ -394,6 +488,16 @@ object Authz {
           dc.intersect(unqualified.toSet) ++ dc.intersect(forThis))
       if (!holds(spark, user, "Select", t, refCols))
         deny("Select", "inputs", db, t)
+      // a partition-scoped REVOKE under PARTITION_LEVEL_PRIVILEGE beats
+      // the surviving table-level grant for statements touching that
+      // partition (authorization_fail_5.q / authorization_part.q)
+      val norm = stmt.toLowerCase.replaceAll("""[\s'"]""", "")
+      deniedPartition(spark, user, tl.split('.').last, norm).foreach { spec =>
+        throw new SecurityException(
+          s"Authorization failed:No privilege 'Select' found for inputs " +
+            s"{ database:$db, table:${tl.split('.').last}, " +
+            s"partitionName:$spec}. Use show grant to get more details.")
+      }
     }
   }
 

@@ -46,7 +46,7 @@ object HiveQl {
   private val CreateFunc =
     """(?is)^\s*CREATE\s+TEMPORARY\s+FUNCTION\s+(\w+)\s+AS\s+'([^']+)'\s*;?\s*$""".r
   private val DropFunc =
-    """(?is)^\s*DROP\s+TEMPORARY\s+FUNCTION\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$""".r
+    """(?is)^\s*DROP\s+TEMPORARY\s+FUNCTION\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$""".r
   // index DDL (Hive.g:467-490 createIndexStatement, :534-539 drop,
   // :591-598 alter-rebuild, :834-836 SHOW INDEXES) → operators.Indexes
   // tail clauses after the handler (Hive.g:467-490 order): WITH DEFERRED
@@ -243,9 +243,9 @@ object HiveQl {
   // privilege lists may be COLUMN-scoped (`select(key)`, Hive.g
   // privilegeObject), principals may be GROUPs (authorization_1.q)
   private val GrantPriv =
-    """(?is)^\s*GRANT\s+([\w, ()]+?)\s+ON\s+(TABLE|DATABASE)\s+([\w.]+)\s+TO\s+(USER|ROLE|GROUP)\s+(\w+)(\s+WITH\s+GRANT\s+OPTION)?\s*;?\s*$""".r
+    """(?is)^\s*GRANT\s+([\w, ()]+?)\s+ON\s+(TABLE|DATABASE)\s+([\w.]+)(?:\s+PARTITION\s*\(([^)]*)\))?\s+TO\s+(USER|ROLE|GROUP)\s+(\w+)(\s+WITH\s+GRANT\s+OPTION)?\s*;?\s*$""".r
   private val RevokePriv =
-    """(?is)^\s*REVOKE\s+([\w, ()]+?)\s+ON\s+(TABLE|DATABASE)\s+([\w.]+)\s+FROM\s+(USER|ROLE|GROUP)\s+(\w+)\s*;?\s*$""".r
+    """(?is)^\s*REVOKE\s+([\w, ()]+?)\s+ON\s+(TABLE|DATABASE)\s+([\w.]+)(?:\s+PARTITION\s*\(([^)]*)\))?\s+FROM\s+(USER|ROLE|GROUP)\s+(\w+)\s*;?\s*$""".r
   private val ShowGrant =
     """(?is)^\s*SHOW\s+GRANT\s+(USER|ROLE|GROUP)\s+(\w+)(?:\s+ON\s+(TABLE|DATABASE)\s+([\w.]+?)(?:\s*\(([^)]*)\))?(?:\s+PARTITION\s*\(([^)]*)\))?)?\s*;?\s*$""".r
   private val ShowRoleGrant =
@@ -1748,6 +1748,56 @@ object HiveQl {
     checkSemanticHooksPre(spark, maskedQ)
     updateInputAccessTime(spark, q)
     repointArchivedForDrop(spark, maskedQ)
+    // index metadata cascades with a dropped table (resolve roots while
+    // the table still exists; NO_DROP protection must veto FIRST so a
+    // refused drop doesn't lose its indexes)
+    DropTableStmt.findFirstMatchIn(maskedQ).foreach { m =>
+      if (spark.catalog.tableExists(m.group(1))) {
+        Protect.checkDrop(spark, m.group(1).split('.').last)
+        operators.Indexes.dropAllForTable(spark, m.group(1))
+      }
+    }
+    checkSampleBounds(spark, maskedQ)
+    plans.StrictMode.check(spark, q)
+    checkReservedPartitionNames(spark, q)
+    checkInsertLockConflicts(spark, maskedQ)
+    checkExecHookClasses(spark)
+    // DDLSemanticAnalyzer archive checks (archive3/4.q): exactly one
+    // PARTITION clause
+    if ("""(?is)^\s*ALTER\s+TABLE\s+[\w.]+\s+(?:UN)?ARCHIVE\s+PARTITION[\s\S]*PARTITION""".r
+        .findFirstIn(maskedQ).isDefined)
+      throw new IllegalArgumentException(
+        "ARCHIVE can only be run on a single partition")
+    // duplicate INSERT OVERWRITE DIRECTORY targets in one multi-insert
+    // (duplicate_insert3.q)
+    locally {
+      val dirs = """(?is)INSERT\s+OVERWRITE\s+(?:LOCAL\s+)?DIRECTORY\s+'([^']+)'""".r
+        .findAllMatchIn(q).map(_.group(1)).toSeq
+      dirs.groupBy(identity).collectFirst { case (d, g) if g.size > 1 => d }
+        .foreach(d => throw new IllegalArgumentException(
+          s"The same output cannot be present multiple times: $d"))
+    }
+    // CREATE OR REPLACE VIEW may not add/drop partition columns while
+    // partitions exist (create_or_replace_view1/2.q)
+    """(?is)^\s*CREATE\s+OR\s+REPLACE\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)""".r
+      .findFirstMatchIn(maskedQ).foreach { m =>
+        val hasPartClause =
+          """(?is)PARTITIONED\s+ON""".r.findFirstIn(maskedQ).isDefined
+        try {
+          val meta = spark.sessionState.catalog.getTableMetadata(
+            spark.sessionState.sqlParser.parseTableIdentifier(m.group(1)))
+          val hadParts = meta.properties.get(ViewPartsKey).exists(_.nonEmpty)
+          val declared = meta.properties.contains(ViewPartColsKey)
+          if (hadParts && declared != hasPartClause)
+            throw new IllegalArgumentException(
+              "Cannot add or drop partition columns with CREATE OR REPLACE " +
+                "VIEW if partitions currently exist")
+        } catch {
+          case e: IllegalArgumentException if e.getMessage != null &&
+              e.getMessage.contains("partition columns") => throw e
+          case _: Exception =>
+        }
+      }
     val result = statementExec(q) match {
       case Some(exec) => exec(spark); spark.emptyDataFrame
       case None => withSelfReadOverwriteRetry(spark, q)(
@@ -1767,6 +1817,13 @@ object HiveQl {
     applySemanticHooksPost(spark, maskedQ)
     recordLocationPattern(spark, rawQ)
     resolvePatternedPartitions(spark, maskedQ)
+    // a DROPPED table's protect flags die with it (the reference keeps
+    // them in table properties) — clear the side store once the catalog
+    // entry is really gone
+    DropTableStmt.findFirstMatchIn(maskedQ).foreach { m =>
+      val gone = !spark.catalog.tableExists(m.group(1))
+      if (gone) Protect.clearTable(spark, m.group(1))
+    }
     result
   }
 
@@ -1893,6 +1950,98 @@ object HiveQl {
         meta.copy(properties = meta.properties ++ props))
     } catch { case _: Exception => }
   }
+
+  // ---- TABLESAMPLE bound checks (SemanticAnalyzer.java sample-clause
+  // validation; clientnegative sample.q / split_sample_out_of_range.q /
+  // split_sample_wrong_format.q). The misspellings are the reference's own
+  // error text.
+  private val AnyBucketSample =
+    """(?i)TABLESAMPLE\s*\(\s*BUCKET\s+(\d+)\s+OUT\s+OF\s+(\d+)""".r
+  private val AnyPercentSample =
+    """(?i)TABLESAMPLE\s*\(\s*([0-9.]+)\s+PERCENT\s*\)""".r
+
+  private def checkSampleBounds(spark: SparkSession, masked: String): Unit = {
+    if (!masked.toUpperCase.contains("TABLESAMPLE")) return
+    AnyBucketSample.findAllMatchIn(masked).foreach { m =>
+      if (m.group(1).toInt > m.group(2).toInt)
+        throw new IllegalArgumentException(
+          "Numberator should not be bigger than denaminator in sample clause")
+    }
+    AnyPercentSample.findAllMatchIn(masked).foreach { m =>
+      val pct = m.group(1).toDouble
+      if (pct < 0 || pct > 100)
+        throw new IllegalArgumentException(
+          "Sampling percentage should be between 0 and 100")
+      val inputFormat = spark.conf.getOption("hive.input.format").getOrElse("")
+      if (inputFormat.endsWith(".HiveInputFormat"))
+        throw new IllegalArgumentException(
+          s"Percentage sampling is not supported in $inputFormat")
+    }
+  }
+
+  // ---- Reserved partition-value substrings (DDLSemanticAnalyzer
+  // validatePartitionValues — default_partition_name.q, archive5.q): the
+  // default-partition sentinel is always reserved; the archive
+  // intermediate markers only while hive.archive.enabled=true.
+  private val AddPartValues =
+    """(?is)^\s*ALTER\s+TABLE\s+[\w.]+\s+ADD\s+(?:IF\s+NOT\s+EXISTS\s+)?((?:PARTITION\s*\([^)]*\)\s*(?:LOCATION\s+'[^']*'\s*)?)+)""".r
+
+  private def checkReservedPartitionNames(spark: SparkSession, q: String): Unit =
+    AddPartValues.findFirstMatchIn(q).foreach { m =>
+      val archiveOn = spark.conf.getOption("hive.archive.enabled")
+        .exists(_.trim.equalsIgnoreCase("true"))
+      // the reserved sentinel is the CONFIGURED default-partition name
+      // (clientpositive default_partition_name.q re-points the conf and
+      // then legally ADDs the literal __HIVE_DEFAULT_PARTITION__)
+      val defaultPart = spark.conf
+        .getOption("hive.exec.default.partition.name")
+        .map(_.trim.stripPrefix("'").stripSuffix("'"))
+        .getOrElse("__HIVE_DEFAULT_PARTITION__")
+      val reserved = Seq(defaultPart) ++
+        (if (archiveOn) Seq("_INTERMEDIATE_ORIGINAL", "_INTERMEDIATE_EXTRACTED",
+          "_INTERMEDIATE_ARCHIVED") else Nil)
+      """\(([^)]*)\)""".r.findAllMatchIn(m.group(1))
+        .flatMap(g => sources.HiveExim.parsePartSpec(g.group(1)))
+        .collect { case (_, Some(v)) => v }
+        .foreach { v =>
+          reserved.find(v.contains).foreach(r =>
+            throw new IllegalArgumentException(
+              s"Partition value contains a reserved substring (User value: $v " +
+                s"Reserved substring: $r)"))
+        }
+    }
+
+  // ---- Implicit write-lock conflict (Driver.acquireReadWriteLocks —
+  // insert_into1-4.q): an INSERT whose target (or target partition) holds
+  // ANY lock refuses like the reference's retry-exhausted acquisition.
+  // Only fires when the session's lock manager actually holds locks, so
+  // un-locked workloads never pay the check.
+  private val InsertTargetStmt =
+    """(?is)\bINSERT\s+(?:INTO|OVERWRITE)\s+TABLE\s+([\w.]+)(?:\s+PARTITION\s*\(([^)]*)\))?""".r
+
+  private def checkInsertLockConflicts(spark: SparkSession, masked: String): Unit =
+    InsertTargetStmt.findAllMatchIn(masked).foreach { m =>
+      val t = m.group(1)
+      val held = Locks.manager.getLocks(Some(Locks.lockName(spark, t)))
+      if (held.nonEmpty)
+        throw new IllegalStateException(
+          "Locks on the underlying objects cannot be acquired. " +
+            "retry after some time")
+    }
+
+  // ---- hive.exec.{pre,post}.hooks class validation (bad_exec_hooks.q):
+  // the reference loads each hook class reflectively and fails on an
+  // unknown one; engine hooks are the reference's own ql.hooks classes.
+  private def checkExecHookClasses(spark: SparkSession): Unit =
+    Seq("hive.exec.pre.hooks", "hive.exec.post.hooks").foreach { k =>
+      spark.conf.getOption(k).getOrElse("").split(",")
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+        .foreach { cls =>
+          if (!cls.startsWith("org.apache.hadoop.hive.ql.hooks."))
+            throw new IllegalArgumentException(
+              s"""Hive Internal Error: java.lang.ClassNotFoundException("$cls")""")
+        }
+    }
 
   // ---- DROP TABLE over ARCHIVED partitions: Spark's catalog drop deletes
   // each partition path, and a `har:` URI is not deletable through the
@@ -2252,6 +2401,12 @@ object HiveQl {
     if (hiveBucketSpec(meta).isDefined)
       throw new IllegalStateException(
         "Merge can not perform on bucketized partition/table.")
+    // DDLSemanticAnalyzer: a partitioned table's CONCATENATE must name the
+    // partition (clientnegative merge_negative_2.q) — an unqualified merge
+    // over every partition is never what the statement said
+    if (meta.partitionColumnNames.nonEmpty && spec.isEmpty)
+      throw new IllegalStateException(
+        "source table " + plain + " is partitioned but no partition desc found")
     val checkIdx = !spark.conf.getOption("hive.exec.concatenate.check.index")
       .exists(_.trim.equalsIgnoreCase("false"))
     if (checkIdx &&
@@ -2299,6 +2454,26 @@ object HiveQl {
     val names = cat.externalCatalog.listTables(database)
       .filter(t => t == pat || (try t.matches(pat)
         catch { case _: Exception => false })).sorted
+    // DDLTask.showTableStatus with a PARTITION spec validates it against
+    // the named table (clientnegative show_tablestatus.q /
+    // show_tablestatus_not_existing_part.q)
+    spec.foreach { sp =>
+      names.foreach { t =>
+        val meta = cat.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(t, Some(database)))
+        if (meta.partitionColumnNames.isEmpty)
+          throw new IllegalArgumentException(
+            s"Table $t is not a partitioned table")
+        val kv = sources.HiveExim.parsePartSpec(sp)
+          .collect { case (k, Some(v)) => k -> stripQuotes(v) }.toMap
+        val found = try cat.listPartitions(
+          org.apache.spark.sql.catalyst.TableIdentifier(t, Some(database)),
+          Some(kv)).nonEmpty catch { case _: Exception => false }
+        if (!found) throw new IllegalArgumentException(
+          s"Partition ${kv.map { case (k, v) => s"$k=$v" }.mkString("{", ", ", "}")} " +
+            s"for table $t does not exist.")
+      }
+    }
     def thriftType(dt: DataType): String = dt match {
       case IntegerType => "i32"
       case LongType => "i64"
@@ -2514,8 +2689,10 @@ object HiveQl {
     * never sees EPIPE: `( cmd ; cat > /dev/null )`.
     */
   def wrapPartialConsumption(spark: SparkSession, q: String): String = {
-    if (!spark.conf.getOption("hive.exec.script.allow.partial.consumption")
-        .exists(_.trim.equalsIgnoreCase("true"))) return q
+    val pcConf = spark.conf
+      .getOption("hive.exec.script.allow.partial.consumption")
+      .map(_.trim.toLowerCase)
+    if (!pcConf.contains("true") && !pcConf.contains("false")) return q
     val (masked, lits) =
       try maskLiterals(q) catch { case _: IllegalArgumentException => return q }
     val hits = ("""(?i)\bUSING\s+(\d+)""").r
@@ -2526,7 +2703,18 @@ object HiveQl {
       else {
         val quote = lit.head.toString
         val body = lit.stripPrefix(quote).stripSuffix(quote)
-        s"$quote( $body ; cat > /dev/null )$quote"
+        if (pcConf.contains("true"))
+          // drain the remainder so the writer never breaks its pipe, but
+          // preserve the SCRIPT's exit status: a bad exit code still
+          // fails under partial consumption (script_broken_pipe3.q)
+          s"$quote( $body ; rc=$$? ; cat > /dev/null ; exit $$rc )$quote"
+        else
+          // allow.partial.consumption=false (Hive's default, set
+          // EXPLICITLY here): a script that exits leaving input behind is
+          // an error (ScriptOperator's broken-pipe check --
+          // script_broken_pipe2.q). Exit 20 marks the leftover.
+          s"$quote( $body ; rc=$$? ; if IFS= read -r graft_leftover ; " +
+            s"then exit 20 ; fi ; exit $$rc )$quote"
       }
     }
     unmaskLiterals(masked, newLits)
@@ -2756,6 +2944,14 @@ object HiveQl {
     // depth-aware split: decimal(10,2) / map<string,int> carry commas of
     // their own; per-column COMMENT clauses are metadata Hive accepts and
     // the swap ignores (columnNameTypeList in Hive.g)
+    // REPLACE/ADD COLUMNS may not name a partition column — the reference
+    // refuses (clientnegative altern1.q "Partition column name ds conflicts")
+    splitColumnSpecs(colsText).map(_.trim).filter(_.nonEmpty).foreach { c =>
+      val cname = c.split("\\s+")(0).toLowerCase
+      if (meta.partitionColumnNames.exists(_.equalsIgnoreCase(cname)))
+        throw new IllegalArgumentException(
+          s"Partition column name $cname conflicts with table columns")
+    }
     val fields = splitColumnSpecs(colsText).map(_.trim).filter(_.nonEmpty).map { c =>
       val noComment =
         """(?is)\s+COMMENT\s+'[^']*'\s*$""".r.replaceAllIn(c, "").trim
@@ -2826,21 +3022,50 @@ object HiveQl {
       case LoadData(local, path, overwrite, table, part) =>
         Some(s => {
           Authz.checkLoadTarget(s, table)
+          Protect.checkLoadTarget(s, table, Option(part))
           sources.HiveLoad.loadData(s, path, table, overwrite != null,
             Option(part).map(sources.HiveExim.parsePartSpec).getOrElse(Nil),
             local = local != null)
         })
       case ExportTable(table, part, dir) =>
-        Some(s => sources.HiveExim.exportTable(s, table, dir,
-          Option(part).map(sources.HiveExim.parsePartSpec).getOrElse(Nil)))
+        Some(s => {
+          // ExportSemanticAnalyzer marks the table a read entity — Select
+          // required under enforcement (exim_22_export_authfail.q)
+          if (Authz.enabled(s) &&
+              !Authz.holds(s, Authz.currentUser(s), "Select", table))
+            throw new SecurityException(
+              s"Authorization failed:No privilege 'Select' found for inputs " +
+                s"{ database:${s.catalog.currentDatabase}, table:$table}. " +
+                "Use show grant to get more details.")
+          sources.HiveExim.exportTable(s, table, dir,
+            Option(part).map(sources.HiveExim.parsePartSpec).getOrElse(Nil))
+        })
       case ImportTable(external, table, part, dir, location) =>
         Some(s => sources.HiveExim.importTable(s, Option(table), dir,
           Option(part).map(sources.HiveExim.parsePartSpec).getOrElse(Nil),
           external != null, Option(location)))
       case CreateFunc(name, className) =>
         Some(s => functions.GraftFunctions.registerAs(s, name, className))
-      case DropFunc(name) =>
-        Some(s => functions.GraftFunctions.dropFunction(s, name))
+      case DropFunc(ifExists, name) =>
+        // FunctionTask refuses dropping an unknown function unless
+        // IF EXISTS (clientnegative drop_function_failure.q)
+        Some { s =>
+          if (functions.GraftFunctions.isTemporary(name))
+            functions.GraftFunctions.dropFunction(s, name)
+          else {
+            val native = s.sessionState.functionRegistry.functionExists(
+              new org.apache.spark.sql.catalyst.FunctionIdentifier(name)) ||
+              org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+                .functionExists(new org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+            if (native)
+              // FunctionTask: natives cannot be dropped (drop_native_udf.q)
+              throw new IllegalArgumentException(
+                s"Cannot drop native function $name")
+            else if (ifExists == null)
+              throw new IllegalArgumentException(s"Invalid function $name")
+          }
+          ()
+        }
       case CreateIndex(name, table, cols, handler, deferred, inTable, comment) =>
         Some(s => operators.Indexes.createIndex(s, stripTicks(name), table,
           cols.split(",").map(c => stripTicks(c.trim)).filter(_.nonEmpty).toSeq,
@@ -2951,6 +3176,13 @@ object HiveQl {
           // with or without IF EXISTS (protectmode.q drops p='not_exist')
           val matching = cat.listPartitions(ti, Some(spec)).map(_.spec)
           val _ = partial // partial and full specs share the match-walk
+          // hive.exec.drop.ignorenonexistent=false + no IF EXISTS: a spec
+          // matching nothing REFUSES (clientnegative
+          // drop_partition_failure.q); default TRUE keeps the silent no-op
+          if (matching.isEmpty && ifExists == null &&
+              s.conf.getOption("hive.exec.drop.ignorenonexistent")
+                .exists(_.trim.equalsIgnoreCase("false")))
+            throw new IllegalArgumentException(s"Partition not found: $specText")
           if (matching.nonEmpty)
             cat.dropPartitions(ti, matching, ignoreIfNotExists = true,
               purge = false, retainData = false)
@@ -3104,15 +3336,39 @@ object HiveQl {
           val cat = s.sessionState.catalog
           val ti = s.sessionState.sqlParser.parseTableIdentifier(view)
           val m = cat.getTableMetadata(ti)
+          // SemanticAnalyzer.validateCreateView: PARTITIONED ON names must
+          // be the view output's RIGHTMOST columns, and at least one
+          // non-partitioning column must remain (create_view_failure6-9.q)
+          val pcols = cols.split(',').map(_.trim.toLowerCase).filter(_.nonEmpty)
+          val outCols = m.schema.fieldNames.map(_.toLowerCase).toSeq
+          if (pcols.length >= outCols.length)
+            throw new IllegalArgumentException(
+              "At least one non-partitioning column must be present in view")
+          if (outCols.takeRight(pcols.length) != pcols.toSeq)
+            throw new IllegalArgumentException(
+              "Rightmost columns in view output do not match PARTITIONED ON clause")
           cat.alterTable(m.copy(properties = m.properties +
-            (ViewPartColsKey -> cols.split(',').map(_.trim.toLowerCase)
-              .filter(_.nonEmpty).mkString(",")) +
+            (ViewPartColsKey -> pcols.mkString(",")) +
             (ViewPartsKey -> ""))) // OR REPLACE resets the partition list
         }
       case AlterViewAddPart(view, ifNot, specs) =>
         Some { s =>
           val names = """\(([^)]*)\)""".r.findAllMatchIn(specs)
             .map(m => specName(m.group(1))).toSeq
+          // every partition column must be valued (alter_view_failure7.q)
+          val declared = s.sessionState.catalog.getTableMetadata(
+            s.sessionState.sqlParser.parseTableIdentifier(view))
+            .properties.getOrElse(ViewPartColsKey, "")
+            .split(',').map(_.trim).filter(_.nonEmpty)
+          """\(([^)]*)\)""".r.findAllMatchIn(specs).foreach { m =>
+            val keys = sources.HiveExim.parsePartSpec(m.group(1))
+              .map(_._1.toLowerCase).toSet
+            if (declared.nonEmpty && keys != declared.toSet)
+              throw new IllegalArgumentException(
+                "table is partitioned but partition spec is not specified " +
+                  s"or does not fully match table partitioning: $keys vs " +
+                  declared.mkString(","))
+          }
           alterViewParts(s, view) { cur =>
             names.foldLeft(cur) { (acc, n) =>
               if (acc.contains(n)) {
@@ -3142,6 +3398,15 @@ object HiveQl {
           val specKv = Option(partSpec).toSeq
             .flatMap(sources.HiveExim.parsePartSpec)
             .collect { case (k, Some(v)) => k -> stripQuotes(v) }.toMap
+          // SemanticAnalyzer: a partitioned table needs an explicit spec
+          // (clientnegative analyze.q); views are not analyzable
+          // (analyze_view.q) — the view case already fails in gatherStats
+          val partCols = try s.sessionState.catalog.getTableMetadata(
+            s.sessionState.sqlParser.parseTableIdentifier(table))
+            .partitionColumnNames catch { case _: Exception => Nil }
+          if (partCols.nonEmpty && Option(partSpec).isEmpty)
+            throw new IllegalArgumentException(
+              "Table is partitioned and partition specification is needed")
           gatherStats(s, table, specKv)
         }
       case AlterSetSerde(table, serdeClass, _) =>
@@ -3217,12 +3482,12 @@ object HiveQl {
       case DropRole(role) => Some(s => Authz.dropRole(s, role))
       case GrantRole(role, user) => Some(s => Authz.grantRole(s, role, user))
       case RevokeRole(role, user) => Some(s => Authz.revokeRole(s, role, user))
-      case GrantPriv(privs, objType, objName, pType, principal, withGrant) =>
+      case GrantPriv(privs, objType, objName, partSpec, pType, principal, withGrant) =>
         Some(s => Authz.grant(s, privs.split(",").map(_.trim).toSeq, pType,
-          principal, objType, objName, withGrant != null))
-      case RevokePriv(privs, objType, objName, pType, principal) =>
+          principal, objType, objName, withGrant != null, Option(partSpec)))
+      case RevokePriv(privs, objType, objName, partSpec, pType, principal) =>
         Some(s => Authz.revoke(s, privs.split(",").map(_.trim).toSeq, pType,
-          principal, objType, objName))
+          principal, objType, objName, Option(partSpec)))
       case _ if statementRows(q).isDefined => None
       case _ if operators.MultiInsert.matches(q) =>
         Some { s =>
@@ -3276,9 +3541,19 @@ object HiveQl {
               case _ => None
             }
           }
+          val headField = meta.flatMap(
+            _.schema.fields.find(_.name.equalsIgnoreCase(parts.head)))
+          // a real column whose PATH doesn't resolve is the reference's
+          // "cannot find field" error (clientnegative describe_xpath1-4.q),
+          // not a fall-through to the native db.table describe
+          headField.foreach { hf =>
+            if (walk(hf.dataType, parts.tail).isEmpty)
+              throw new IllegalArgumentException(
+                s"cannot find field ${parts.tail.headOption.getOrElse(path)} " +
+                  s"from ${hf.dataType.catalogString}")
+          }
           val resolved = for {
-            m <- meta
-            head <- m.schema.fields.find(_.name.equalsIgnoreCase(parts.head))
+            head <- headField
             t <- walk(head.dataType, parts.tail)
           } yield t
           resolved match {

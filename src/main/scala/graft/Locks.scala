@@ -160,8 +160,16 @@ object Locks {
       case "EXCLUSIVE" => Exclusive
       case other => throw new IllegalArgumentException(s"bad lock mode $other")
     }
-    acquire(spark, Seq((lockName(spark, table) + partSuffix(partSpec), m,
-      data(spark, "EXPLICIT"))))
+    val name = lockName(spark, table) + partSuffix(partSpec)
+    // an explicit EXCLUSIVE request conflicts with ANY standing explicit
+    // lock on the name, the session's own SHARED included — the
+    // reference's ZK lock nodes are not mode-upgradable (lockneg1.q)
+    if (m == Exclusive && manager.getLocks(Some(name))
+        .exists(_.data.lockMode == "EXPLICIT"))
+      throw new IllegalStateException(
+        "Locks on the underlying objects cannot be acquired. " +
+          "retry after some time")
+    acquire(spark, Seq((name, m, data(spark, "EXPLICIT"))))
   }
 
   /** `PARTITION (ds='x', hr='y')` → Hive's lock-name suffix
@@ -189,6 +197,31 @@ object Locks {
     */
   def showLocks(spark: SparkSession, table: Option[String],
       extended: Boolean): Seq[Row] = {
+    // DDLTask.showLocks resolves the named table first — SHOW LOCKS on a
+    // nonexistent table refuses (clientnegative lockneg5.q)
+    // DDLTask.showLocks resolves the named unit: SHOW LOCKS on a
+    // nonexistent table/partition refuses (lockneg4.q / lockneg5.q) —
+    // unless locks are actually held under the name (an explicitly
+    // locked identifier is showable whether or not it is cataloged)
+    table.foreach { raw =>
+      val heldAny = manager.getLocks(Some(lockName(spark, raw))).nonEmpty
+      if (!heldAny) {
+        val parts = raw.split('@')
+        val t = parts(0)
+        if (!spark.catalog.tableExists(t))
+          throw new IllegalArgumentException(s"Table $t not found")
+        parts.lift(1).foreach { specPart =>
+          val specText = specPart.split('/')
+            .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+          val exists = try spark.sessionState.catalog.listPartitions(
+            spark.sessionState.sqlParser.parseTableIdentifier(t),
+            Some(specText)).nonEmpty catch { case _: Exception => false }
+          if (!exists) throw new IllegalArgumentException(
+            s"Partition ${specText.map { case (k, v) => s"$k=$v" }.mkString("{", ", ", "}")} " +
+              s"for table $t does not exist")
+        }
+      }
+    }
     val locks = manager.getLocks(table.map(lockName(spark, _)))
       .sortBy(h => (h.name, if (h.mode == Exclusive) 0 else 1))
     if (extended)

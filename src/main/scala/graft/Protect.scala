@@ -108,6 +108,22 @@ object Protect {
     persist(spark)
   }
 
+  /** Remove every protect entry for a dropped table (table-level AND its
+    * partition-scoped keys). The reference stores protect modes in table/
+    * partition PROPERTIES, so they vanish with the object — the engine's
+    * side store must follow or a re-created table would inherit stale
+    * protection. Called from the DROP TABLE post-step.
+    */
+  def clearTable(spark: SparkSession, table: String): Unit = synchronized {
+    ensureLoaded(spark)
+    val k = key(table)
+    val stale = modes.keySet.toSeq.filter(e => e == k || e.startsWith(k + "@"))
+    if (stale.nonEmpty) {
+      stale.foreach(modes.remove)
+      persist(spark)
+    }
+  }
+
   def isNoDrop(table: String): Boolean =
     modes.get(key(table)).exists(_._1)
 
@@ -142,9 +158,48 @@ object Protect {
       try spark.sessionState.sqlParser.parsePlan(HiveQl.rewrite(stmt))
       catch { case _: Exception => return }
     val (in, out) = Authz.referencedTables(plan)
-    (in ++ out).find(t => isOffline(t.split('.').last)).foreach { t =>
+    val refs = (in ++ out).map(_.split('.').last.toLowerCase).toSet
+    refs.find(isOffline).foreach { t =>
       throw new IllegalStateException(
         s"Query against an offline table or partition: $t")
+    }
+    // partition-scoped OFFLINE (protectmode_part/part1/part2.q): block a
+    // statement that reads or writes the offline partition — either it
+    // names the spec (normalized text match, same canon as partKey), or
+    // it doesn't constrain the partition column at all (a whole-table
+    // read INCLUDES the offline partition, the reference's
+    // PartitionPruner outcome). A statement pinned to OTHER values of
+    // the column passes.
+    val norm = stmt.toLowerCase.replaceAll("""[\s'"]""", "")
+    modes.toSeq.collect { case (k, (_, true)) if k.contains("@") => k }
+      .foreach { k =>
+        val Array(t, spec) = k.split("@", 2)
+        if (refs(t)) {
+          val partCol = spec.takeWhile(_ != '=')
+          if (norm.contains(spec) || !norm.contains(partCol + "="))
+            throw new IllegalStateException(
+              s"Query against an offline table or partition: " +
+                s"Table $t Partition $spec")
+        }
+      }
+  }
+
+  /** LOAD-target protect check (LOAD never reaches the parser-based
+    * statement walk): table-level OFFLINE, or the targeted partition's
+    * own OFFLINE flag (protectmode_part2.q).
+    */
+  def checkLoadTarget(spark: SparkSession, table: String,
+      specText: Option[String]): Unit = {
+    ensureLoaded(spark)
+    val t = table.split('.').last
+    if (isOffline(t))
+      throw new IllegalStateException(
+        s"Query against an offline table or partition: $t")
+    specText.foreach { sp =>
+      if (isOffline(partKey(t, sp)))
+        throw new IllegalStateException(
+          s"Query against an offline table or partition: Table $t Partition " +
+            sp.toLowerCase.replaceAll("""[\s'"]""", ""))
     }
   }
 

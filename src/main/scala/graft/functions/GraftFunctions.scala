@@ -79,8 +79,19 @@ object GraftFunctions {
     "org.apache.hadoop.hive.ql.udf.generic.GenericUDTFExplode" ->
       (es => Explode(es.head)))
 
+  /** Names registered through CREATE TEMPORARY FUNCTION — the only ones
+    * DROP TEMPORARY FUNCTION may remove (FunctionTask refuses dropping a
+    * NATIVE function, clientnegative drop_native_udf.q).
+    */
+  private val tempRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def isTemporary(name: String): Boolean =
+    tempRegistered.contains(name.toLowerCase)
+
   def registerAs(spark: org.apache.spark.sql.SparkSession, name: String,
       className: String): Unit = {
+    tempRegistered.add(name.toLowerCase)
     val builder = testClassBuilders.get(className)
       .orElse(registrations.find(_._2.getClassName == className).map(_._3))
       .getOrElse(throw new IllegalArgumentException(

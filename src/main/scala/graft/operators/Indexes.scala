@@ -301,6 +301,44 @@ object Indexes extends QueryModule {
   }
 
   /** `DROP INDEX [IF EXISTS] name ON t` (Hive.g:534-539). */
+  /** Drop every index registered against a table being DROPPED — the
+    * reference's metastore cascades index metadata with the table
+    * (DDLTask.dropTable → dropIndex walk); the durable side registry must
+    * follow or a re-created same-name table inherits orphaned indexes.
+    */
+  def dropAllForTable(spark: SparkSession, table: String): Unit = {
+    ensureLoaded(spark)
+    val key = try rootKeyFor(spark, table) catch { case _: Exception => return }
+    val stale = registry.keySet.toSeq.filter(_._1 == key)
+    if (stale.nonEmpty) {
+      stale.foreach { k =>
+        registry.remove(k).foreach { d =>
+          try {
+            spark.catalog.dropTempView(d.idxTableName)
+            val p = new Path(d.idxPath)
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(p)) fs.delete(p, true)
+          } catch { case _: Exception => }
+        }
+      }
+      persist(spark)
+    }
+  }
+
+  /** Recovery hook: forget registry entries whose root key mentions the
+    * given table name (orphans left by a crashed run that dropped the
+    * table without the cascade). */
+  private[graft] def forgetMatching(spark: SparkSession, table: String): Unit = {
+    ensureLoaded(spark)
+    val t = table.toLowerCase
+    val stale = registry.keySet.toSeq.filter(k =>
+      k._1.toLowerCase.contains(t) || k._2.toLowerCase.contains(t))
+    if (stale.nonEmpty) {
+      stale.foreach(registry.remove)
+      persist(spark)
+    }
+  }
+
   def dropIndex(spark: SparkSession, name: String, table: String,
       ifExists: Boolean): Unit = {
     ensureLoaded(spark)

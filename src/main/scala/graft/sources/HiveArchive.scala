@@ -46,12 +46,13 @@ object HiveArchive {
     val conf = spark.sparkContext.hadoopConfiguration
     val src = new Path(srcDir)
     val fs = src.getFileSystem(conf)
+    val harDir = new Path(src, "data.har")
+    // DDLTask.archive's pre-check (clientnegative archive1.q)
+    require(!fs.exists(harDir), "Specified partition is already archived")
     val files = fs.listStatus(src).filter(st => st.isFile &&
       !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
       .sortBy(_.getPath.getName)
     require(files.nonEmpty, s"nothing to archive under $srcDir")
-    val harDir = new Path(src, "data.har")
-    require(!fs.exists(harDir), s"$harDir already exists")
     fs.mkdirs(harDir)
 
     // ---- part-0: payloads concatenated, offsets recorded

@@ -67,13 +67,27 @@ object HiveExim {
     // record the TABLE's partitioning (not just the export spec's): the
     // import side rebuilds the table from this descriptor, and a
     // partitioned table must come back partitioned (exim_02/04/15-20)
-    val tablePartCols =
+    val metaOpt =
       try {
         val ti = spark.sessionState.sqlParser.parseTableIdentifier(table)
-        spark.sessionState.catalog.getTableMetadata(ti).partitionColumnNames
-      } catch { case scala.util.control.NonFatal(_) => partCols }
+        Some(spark.sessionState.catalog.getTableMetadata(ti))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val tablePartCols = metaOpt.map(_.partitionColumnNames).getOrElse(partCols)
     val pjson = tablePartCols.map(c => s""""$c"""").mkString("[", ",", "]")
+    // storage descriptor facts for the import-side compat check
+    // (ImportSemanticAnalyzer.checkTable — exim_06..11 negatives)
+    val provider = metaOpt.flatMap(_.provider).getOrElse("")
+    // Export/Import is a FILE move in the reference — a storage-handler
+    // (non-native) table has no files to move (exim_12_nonnative_export.q)
+    if (provider.contains(".kv.") || provider.toLowerCase.contains("handler"))
+      throw new IllegalArgumentException(
+        "Export/Import cannot be done for a non-native table.")
+    val bucketN = metaOpt.flatMap(m => m.bucketSpec.map(_.numBuckets)
+      .orElse(m.properties.get("graft.hive.bucket.n").map(_.toInt))).getOrElse(-1)
+    val sortCols = metaOpt.flatMap(m => m.bucketSpec.map(_.sortColumnNames.mkString(","))
+      .orElse(m.properties.get("graft.hive.bucket.sort"))).getOrElse("")
     val meta = s"""{"table":"${table.split('.').last}",""" +
+      s""""provider":"$provider","bucketN":$bucketN,"sortCols":"$sortCols",""" +
       s""""partitionColumns":$pjson,"schema":${df.schema.json}}"""
     val out = f.create(new Path(root, "_metadata"), false)
     try out.write(meta.getBytes("UTF-8")) finally out.close()
@@ -93,6 +107,18 @@ object HiveExim {
         .map(_.group(1))
         .getOrElse(throw new IllegalArgumentException(
           s"no table name in $dir/_metadata and none given"))
+    }
+    // ImportSemanticAnalyzer marks the target a write entity: an existing
+    // table needs Update, a to-be-created one needs Create
+    // (exim_23/24/25_import_*_authfail.q)
+    if (graft.Authz.enabled(spark)) {
+      val user = graft.Authz.currentUser(spark)
+      val priv = if (spark.catalog.tableExists(name)) "Update" else "Create"
+      if (!graft.Authz.holds(spark, user, priv, name))
+        throw new SecurityException(
+          s"Authorization failed:No privilege '$priv' found for outputs " +
+            s"{ database:${spark.catalog.currentDatabase}, table:$name}. " +
+            "Use show grant to get more details.")
     }
     // IMPORT EXTERNAL without LOCATION (exim_11/18_part_external.q): the
     // table's storage stays INSIDE the export directory — removing the
@@ -132,6 +158,107 @@ object HiveExim {
     // table would otherwise silently store misaligned data (the reference
     // checks table compatibility before loading); a missing column fails
     // loudly in the select
+    // ImportSemanticAnalyzer.checkTable / checkPaths (the exim_01..21
+    // clientnegative battery): an EXISTING target must be storage- and
+    // partitioning-compatible with the export, partition imports must
+    // name a full exported spec, and a whole-table import never lands on
+    // a table that already holds data.
+    val exportedPartCols = """"partitionColumns"\s*:\s*\[([^\]]*)\]""".r
+      .findFirstMatchIn(meta).map(_.group(1)).getOrElse("")
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty).toSeq
+    if (partSpec.nonEmpty && exportedPartCols.nonEmpty &&
+        partSpec.map(_._1.toLowerCase).toSet !=
+          exportedPartCols.map(_.toLowerCase).toSet)
+      throw new IllegalArgumentException(
+        "Partition not found - Specified partition not found in import directory")
+    val exportedProvider = """"provider"\s*:\s*"([^"]*)"""".r
+      .findFirstMatchIn(meta).map(_.group(1)).filter(_.nonEmpty)
+    val exportedBucketN = """"bucketN"\s*:\s*(-?\d+)""".r
+      .findFirstMatchIn(meta).map(_.group(1).toInt).getOrElse(-1)
+    // a partition-spec import whose slice matched nothing in the export
+    // (checkPaths — exim_18_part_spec_missing.q)
+    if (partSpec.nonEmpty && df.isEmpty)
+      throw new IllegalArgumentException(
+        "Partition not found - Specified partition not found in import directory")
+    if (spark.catalog.tableExists(name)) {
+      val emeta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(name))
+      if (emeta.partitionColumnNames.map(_.toLowerCase) !=
+          exportedPartCols.map(_.toLowerCase))
+        throw new IllegalArgumentException(
+          "The existing table is not compatible with the import spec. " +
+            "Partition Schema does not match")
+      // exact column schema equality (checkTable — exim_03/04/05): the
+      // reference refuses ANY name/type delta; a silent widening cast (or
+      // a narrowing null-out) is corruption at scale
+      val exportedSchema = df.schema.map(f =>
+        f.name.toLowerCase -> f.dataType.catalogString)
+      val existingSchema = emeta.schema.map(f =>
+        f.name.toLowerCase -> f.dataType.catalogString)
+      if (exportedSchema != existingSchema)
+        throw new IllegalArgumentException(
+          "The existing table is not compatible with the import spec. " +
+            "Column Schema does not match")
+      if (emeta.provider.exists(p2 => p2.contains(".kv.") ||
+          p2.toLowerCase.contains("handler")))
+        throw new IllegalArgumentException(
+          "Export/Import cannot be done for a non-native table.")
+      exportedProvider.foreach { p =>
+        if (emeta.provider.exists(ep => ep != p))
+          throw new IllegalArgumentException(
+            "The existing table is not compatible with the import spec. " +
+              "Table inputformat/outputformats do not match")
+      }
+      val existingBucketN = emeta.bucketSpec.map(_.numBuckets)
+        .orElse(emeta.properties.get("graft.hive.bucket.n").map(_.toInt))
+        .getOrElse(-1)
+      if (existingBucketN != exportedBucketN)
+        throw new IllegalArgumentException(
+          "The existing table is not compatible with the import spec. " +
+            "Table bucketing spec does not match")
+      val exportedSort = """"sortCols"\s*:\s*"([^"]*)"""".r
+        .findFirstMatchIn(meta).map(_.group(1)).getOrElse("")
+      val existingSort = emeta.bucketSpec.map(_.sortColumnNames.mkString(","))
+        .orElse(emeta.properties.get("graft.hive.bucket.sort")).getOrElse("")
+      if (exportedSort.toLowerCase != existingSort.toLowerCase)
+        throw new IllegalArgumentException(
+          "The existing table is not compatible with the import spec. " +
+            "Table sorting spec does not match")
+      // whole-table import with an explicit LOCATION must match the
+      // existing table's location (exim_20_managed_location_over_existing.q)
+      if (partSpec.isEmpty) location.foreach { loc =>
+        val cur = new Path(emeta.location).toUri.getPath
+        if (new Path(loc).toUri.getPath != cur)
+          throw new IllegalArgumentException(
+            "The existing table is not compatible with the import spec. " +
+              "Location does not match")
+      }
+      if (external &&
+          emeta.tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED)
+        throw new IllegalArgumentException(
+          "The existing table is not compatible with the import spec. " +
+            "External table cannot overwrite existing table")
+      if (partSpec.isEmpty && emeta.partitionColumnNames.isEmpty) {
+        val loc = new Path(emeta.location)
+        val efs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasData = efs.exists(loc) && efs.listStatus(loc).exists(st =>
+          !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+        if (hasData) throw new IllegalArgumentException(
+          "Table exists and contains data files")
+      }
+      if (partSpec.nonEmpty) {
+        val specMap = partSpec.collect { case (k, Some(v)) =>
+          k -> v.stripPrefix("'").stripSuffix("'")
+            .stripPrefix("\"").stripSuffix("\"") }.toMap
+        val exists = try spark.sessionState.catalog.listPartitions(
+          spark.sessionState.sqlParser.parseTableIdentifier(name),
+          Some(specMap)).nonEmpty catch { case _: Exception => false }
+        if (exists) throw new IllegalArgumentException(
+          "Partition already exists " + specMap.map { case (k, v) => s"$k=$v" }
+            .mkString(","))
+      }
+    }
     if (spark.catalog.tableExists(name)) location match {
       case Some(loc) if partSpec.nonEmpty =>
         // partition bound to its OWN location (ImportSemanticAnalyzer's

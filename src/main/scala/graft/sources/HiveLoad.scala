@@ -49,6 +49,20 @@ object HiveLoad {
       val meta = spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(table.split('.').last,
           table.split('.').dropRight(1).lastOption))
+      // LoadSemanticAnalyzer: a partitioned destination requires the spec
+      // (clientnegative load_part_nospec.q / nopart_load.q)
+      if (meta.partitionColumnNames.nonEmpty && partSpec.isEmpty)
+        throw new IllegalArgumentException(
+          "Need to specify partition columns because the destination " +
+            "table is partitioned")
+      // the spec must value EVERY partition column (load_wrong_noof_part.q)
+      if (meta.partitionColumnNames.nonEmpty &&
+          partSpec.map(_._1.toLowerCase).toSet !=
+            meta.partitionColumnNames.map(_.toLowerCase).toSet)
+        throw new IllegalArgumentException(
+          "Need to specify partition columns because the destination " +
+            "table is partitioned (partition spec does not match " +
+            s"${meta.partitionColumnNames.mkString(",")})")
       val tableLoc = new org.apache.hadoop.fs.Path(meta.location)
       // partition spec -> the partition's directory under the table root
       val loc = partSpec.foldLeft(tableLoc) { case (p, (k, v)) =>

@@ -88,7 +88,7 @@ class ArchiveSpec extends SparkSpec {
       .write.mode("overwrite").parquet(dir)
     HiveArchive.archive(spark, dir)
     val e = intercept[Exception](HiveArchive.archive(spark, dir))
-    assert(e.getMessage.contains("already exists") ||
+    assert(e.getMessage.contains("already archived") ||
       e.getMessage.contains("nothing to archive"))
     HiveArchive.unarchive(spark, dir)
     val e2 = intercept[Exception](HiveArchive.unarchive(spark, dir))

@@ -46,19 +46,22 @@ class LockSpec extends SparkSpec {
     val e = intercept[IllegalStateException](
       Locks.lockTable(s2, "orders", "EXCLUSIVE"))
     assert(e.getMessage.contains("cannot be acquired"))
-    // release the foreign holder; now exclusive succeeds
+    // release the foreign holder; an explicit EXCLUSIVE still refuses
+    // over the session's OWN standing shared lock — explicit locks are
+    // not mode-upgradable (clientnegative lockneg1.q)
     Locks.unlockTable(spark, "orders")
+    intercept[IllegalStateException](Locks.lockTable(s2, "orders", "EXCLUSIVE"))
+    Locks.unlockTable(s2, "orders")
     Locks.lockTable(s2, "orders", "EXCLUSIVE")
     // any mode against a foreign exclusive fails
     intercept[IllegalStateException](Locks.lockTable(spark, "orders", "SHARED"))
     intercept[IllegalStateException](Locks.lockTable(spark, "orders", "EXCLUSIVE"))
-    // the same session may stack its own locks (reference: one session's
-    // locks never conflict with itself)
+    // a same-session SHARED may still stack beside its own exclusive
     Locks.lockTable(s2, "orders", "SHARED")
     // SHOW LOCKS sorts EXCLUSIVE before SHARED at the same name
     // (DDLTask.showLocks comparator)
     assert(Locks.showLocks(s2, None, extended = false)
-      .map(_.getString(1)).toSeq == Seq("EXCLUSIVE", "SHARED", "SHARED"))
+      .map(_.getString(1)).toSeq == Seq("EXCLUSIVE", "SHARED"))
     Locks.LocalLockManager.clearAll()
   }
 

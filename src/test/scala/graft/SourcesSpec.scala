@@ -340,6 +340,13 @@ class SourcesSpec extends SparkSpec {
     Tables.registerAll(spark, sfDir)
     spark.sql("DROP TABLE IF EXISTS exim_src")
     spark.sql("DROP TABLE IF EXISTS exim_dst")
+    // a crashed prior run can leave the managed dir without its catalog row
+    for (t <- Seq("exim_src", "exim_dst")) {
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     spark.sql("""CREATE TABLE exim_src USING parquet AS
       SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey <= 200""")
     val dir = Files.createTempDirectory("graft-exim").toString + "/exp"
@@ -356,9 +363,12 @@ class SourcesSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
 
     // import with no TABLE clause targets the exported name; the table
-    // exists, so rows append (ImportSemanticAnalyzer load-into-existing)
-    HiveQl.sql(spark, s"IMPORT FROM '$dir'")
-    assert(spark.table("exim_src").count() == 2 * a.size)
+    // exists AND HOLDS DATA, so the import refuses — ImportSemanticAnalyzer
+    // .checkPaths (clientnegative exim_01_nonpart_over_loaded.q); the r15
+    // compat checks replaced the old silent append
+    val over = intercept[Exception](HiveQl.sql(spark, s"IMPORT FROM '$dir'"))
+    assert(over.getMessage.contains("Table exists and contains data files"))
+    assert(spark.table("exim_src").count() == a.size)
 
     // a non-empty EXPORT target is refused, like the reference
     intercept[IllegalArgumentException] {
