@@ -308,6 +308,12 @@ object Indexes extends QueryModule {
     */
   def dropAllForTable(spark: SparkSession, table: String): Unit = {
     ensureLoaded(spark)
+    if (registry.isEmpty) return
+    // cheap prefilter before the root resolution (a plan analysis): a
+    // registered root key is a path that embeds the table name — DROPs of
+    // never-indexed tables must not pay an analyze per statement
+    val tName = table.toLowerCase.split('.').last
+    if (!registry.keysIterator.exists(_._1.toLowerCase.contains(tName))) return
     val key = try rootKeyFor(spark, table) catch { case _: Exception => return }
     val stale = registry.keySet.toSeq.filter(_._1 == key)
     if (stale.nonEmpty) {
