@@ -284,7 +284,11 @@ object Authz {
       .map(_.objName.split('@')(1))
       .find { spec =>
         val partCol = spec.takeWhile(_ != '=')
-        normStmt.contains(spec) || !normStmt.contains(partCol + "=")
+        // token boundary: `other_ds='x'` must not count as pinning `ds`
+        def bounded(needle: String) =
+          ("(^|[^a-z0-9_])" + java.util.regex.Pattern.quote(needle)).r
+            .findFirstIn(normStmt).isDefined
+        bounded(spec) || !bounded(partCol + "=")
       }
   }
 
@@ -491,7 +495,10 @@ object Authz {
       // a partition-scoped REVOKE under PARTITION_LEVEL_PRIVILEGE beats
       // the surviving table-level grant for statements touching that
       // partition (authorization_fail_5.q / authorization_part.q)
-      val norm = stmt.toLowerCase.replaceAll("""[\s'"]""", "")
+      // quotes stripped, `=` tightened, other whitespace KEPT — the token
+      // boundary must survive so `other_ds='x'` cannot pin column `ds`
+      val norm = stmt.toLowerCase.replaceAll("""['"]""", "")
+        .replaceAll("""\s*=\s*""", "=")
       deniedPartition(spark, user, tl.split('.').last, norm).foreach { spec =>
         throw new SecurityException(
           s"Authorization failed:No privilege 'Select' found for inputs " +

@@ -2022,8 +2022,13 @@ object HiveQl {
   private def checkInsertLockConflicts(spark: SparkSession, masked: String): Unit =
     InsertTargetStmt.findAllMatchIn(masked).foreach { m =>
       val t = m.group(1)
+      val me = Locks.owner(spark)
       val held = Locks.manager.getLocks(Some(Locks.lockName(spark, t)))
-      if (held.nonEmpty)
+      // the statement's OWN implicit lock (withStatementLocks acquires it
+      // before compile) never conflicts — Driver.acquireReadWriteLocks only
+      // blocks on locks it did not take itself (lock1-3.q run inserts fine
+      // with concurrency on); explicit locks and other sessions' locks do
+      if (held.exists(h => h.data.lockMode == "EXPLICIT" || h.owner != me))
         throw new IllegalStateException(
           "Locks on the underlying objects cannot be acquired. " +
             "retry after some time")

@@ -170,13 +170,22 @@ object Protect {
     // read INCLUDES the offline partition, the reference's
     // PartitionPruner outcome). A statement pinned to OTHER values of
     // the column passes.
-    val norm = stmt.toLowerCase.replaceAll("""[\s'"]""", "")
+    // quotes stripped and `=` tightened, but OTHER whitespace kept — a
+    // token boundary must survive normalization so `other_ds='x'` cannot
+    // read as a constraint on partition column `ds`
+    val norm = stmt.toLowerCase.replaceAll("""['"]""", "")
+      .replaceAll("""\s*=\s*""", "=")
     modes.toSeq.collect { case (k, (_, true)) if k.contains("@") => k }
       .foreach { k =>
         val Array(t, spec) = k.split("@", 2)
         if (refs(t)) {
           val partCol = spec.takeWhile(_ != '=')
-          if (norm.contains(spec) || !norm.contains(partCol + "="))
+          // token boundary before the column name: `other_ds='x'` must not
+          // count as constraining partition column `ds`
+          def bounded(needle: String) =
+            ("(^|[^a-z0-9_])" + java.util.regex.Pattern.quote(needle)).r
+              .findFirstIn(norm).isDefined
+          if (bounded(spec) || !bounded(partCol + "="))
             throw new IllegalStateException(
               s"Query against an offline table or partition: " +
                 s"Table $t Partition $spec")

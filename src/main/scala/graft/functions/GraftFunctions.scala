@@ -91,7 +91,6 @@ object GraftFunctions {
 
   def registerAs(spark: org.apache.spark.sql.SparkSession, name: String,
       className: String): Unit = {
-    tempRegistered.add(name.toLowerCase)
     val builder = testClassBuilders.get(className)
       .orElse(registrations.find(_._2.getClassName == className).map(_._3))
       .getOrElse(throw new IllegalArgumentException(
@@ -107,9 +106,15 @@ object GraftFunctions {
     org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
       .registerFunction(new FunctionIdentifier(name),
         new ExpressionInfo(className, name), builder)
+    // mark temporary only once registration SUCCEEDED: a failed CREATE
+    // must not leave the name droppable (FunctionTask registers after
+    // class resolution; a later DROP of the never-created name raises
+    // 'Invalid function' in the reference)
+    tempRegistered.add(name.toLowerCase)
   }
 
   def dropFunction(spark: org.apache.spark.sql.SparkSession, name: String): Boolean = {
+    tempRegistered.remove(name.toLowerCase)
     org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
       .dropFunction(new FunctionIdentifier(name))
     spark.sessionState.functionRegistry.dropFunction(new FunctionIdentifier(name))

@@ -77,8 +77,18 @@ object StrictMode {
       })
       case _ =>
     }
+    // write targets are exempt: strict pruning guards READS only — the
+    // reference legally runs `INSERT OVERWRITE TABLE t PARTITION (ds=..)
+    // SELECT ..` in strict mode (input39.q); identity-based so the same
+    // table read elsewhere in the statement is still checked
+    val writeTargets = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
     plan.foreach {
-      case u: UnresolvedRelation =>
+      case i: InsertIntoStatement => writeTargets.add(i.table)
+      case _ =>
+    }
+    plan.foreach {
+      case u: UnresolvedRelation if !writeTargets.contains(u) =>
         val name = u.multipartIdentifier.last
         val meta = try Some(spark.sessionState.catalog.getTableMetadata(
           TableIdentifier(name, u.multipartIdentifier.dropRight(1).lastOption)))
