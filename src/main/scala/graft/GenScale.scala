@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-rehearsal data generator (VERDICT r15 "Next round" #1): produce a
+  * K×-scaled copy of a driver fixture directory with referential
+  * integrity preserved, so the full oracled battery and the bench can run
+  * at sf1 (10× sf0.1) and beyond and yield honest time-vs-sf exponents.
+  *
+  * Method: dimension roots (`region`, `nation`) copy verbatim; every
+  * other table unions K copies with entity keys offset by copy×stride
+  * (stride = max(key)+1 of the source), and FK columns offset by the SAME
+  * stride as their parent so joins land exactly as in the source — join
+  * fan-outs, group cardinalities per key, and selectivities are invariant
+  * while entity counts and bytes scale ×K. Value distributions
+  * (dates, amounts, flags, text) are untouched. `documents.text` is
+  * salted with a per-copy suffix (and `n_chars` recomputed) so the
+  * near-dup structure scales instead of every doc gaining K exact
+  * clones; `embeddings.vec_id` offsets with vectors kept, which preserves
+  * ANN recall structure per copy.
+  *
+  * Deterministic (no rand anywhere) — two runs produce identical data.
+  *
+  * Usage: runMain graft.GenScale <srcDir> <dstDir> <factor>
+  */
+object GenScale {
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, dst, factorS) = args.take(3)
+    val k = factorS.toInt
+    require(k >= 1, "factor must be >= 1")
+    val spark = Sessions.get("graft-genscale")
+    spark.sparkContext.setLogLevel("WARN")
+
+    def rd(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def wr(df: DataFrame, t: String, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite")
+        .parquet(s"$dst/$t.parquet")
+
+    def strideOf(df: DataFrame, key: String): Long =
+      df.agg(max(col(key).cast("long"))).head.getLong(0) + 1L
+
+    /** Union K copies, adding copy*stride to each (column -> stride). */
+    def scaled(df: DataFrame, offsets: Map[String, Long],
+        salt: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
+      (0 until k).map { i =>
+        val shifted = offsets.foldLeft(df) { case (d, (c, s)) =>
+          d.withColumn(c, (col(c).cast("long") + lit(i * s)).cast(
+            df.schema(c).dataType))
+        }
+        salt(shifted, i)
+      }.reduce(_ unionAll _)
+
+    // fixed dims verbatim
+    wr(rd("region"), "region", 1)
+    wr(rd("nation"), "nation", 1)
+
+    val customer = rd("customer")
+    val supplier = rd("supplier")
+    val part = rd("part")
+    val orders = rd("orders")
+    val custS = strideOf(customer, "c_custkey")
+    val suppS = strideOf(supplier, "s_suppkey")
+    val partS = strideOf(part, "p_partkey")
+    val ordS = strideOf(orders, "o_orderkey")
+
+    wr(scaled(customer, Map("c_custkey" -> custS)), "customer",
+      math.max(1, k / 2))
+    wr(scaled(supplier, Map("s_suppkey" -> suppS)), "supplier", 1)
+    wr(scaled(part, Map("p_partkey" -> partS)), "part", math.max(1, k / 2))
+    wr(scaled(orders, Map("o_orderkey" -> ordS, "o_custkey" -> custS)),
+      "orders", math.max(2, k))
+    wr(scaled(rd("lineitem"), Map("l_orderkey" -> ordS,
+      "l_partkey" -> partS, "l_suppkey" -> suppS)), "lineitem",
+      math.max(4, 2 * k))
+
+    val events = rd("events")
+    wr(scaled(events, Map(
+      "event_id" -> strideOf(events, "event_id"),
+      "user_id" -> strideOf(events, "user_id"))), "events",
+      math.max(2, k))
+
+    // documents: per-copy text salt keeps exact-dup rate ~flat per copy
+    val docs = rd("documents")
+    wr(scaled(docs, Map("doc_id" -> strideOf(docs, "doc_id")),
+      salt = (d, i) =>
+        if (i == 0) d
+        else d
+          .withColumn("text", concat(col("text"), lit(s" rv$i"),
+            pmod(col("doc_id"), lit(89)).cast("string")))
+          .withColumn("n_chars", length(col("text")).cast("long"))),
+      "documents", math.max(1, k / 2))
+
+    val emb = rd("embeddings")
+    wr(scaled(emb, Map("vec_id" -> strideOf(emb, "vec_id"))),
+      "embeddings", math.max(1, k / 2))
+
+    println(s"[genscale] wrote ${k}x of $src to $dst")
+    spark.stop()
+  }
+}

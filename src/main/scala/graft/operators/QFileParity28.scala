@@ -183,13 +183,13 @@ object QFileParity28 extends QueryModule {
             .getOrElse("transient_lastDdlTime", "0").toLong
         HiveQl.sql(s, s"create table $t1 (key string, value string)")
         val a0 = tTime(t1)
-        Thread.sleep(1100)
+        // no sleeps: the engine's bump is max(now, prev+1) — strictly
+        // monotonic within a second (the reference needed 1s sleeps only
+        // because Hive's bump is a plain now-seconds write)
         HiveQl.sql(s, s"insert overwrite table $t1 select * from src")
         val a1 = tTime(t1)
-        Thread.sleep(1100)
         HiveQl.sql(s, s"insert overwrite table $t1 select /*+ HOLD_DDLTIME*/ * from src")
         val a2 = tTime(t1)
-        Thread.sleep(1100)
         HiveQl.sql(s, s"insert overwrite table $t1 select * from src")
         val a3 = tTime(t1)
         val f0 = facts(s, 0, Seq(
@@ -202,11 +202,9 @@ object QFileParity28 extends QueryModule {
           "select key, value from src where key > 10")
         val spec = Map("ds" -> "2010-06-21", "hr" -> "1")
         val b0 = pTime(t2, spec)
-        Thread.sleep(1100)
         HiveQl.sql(s, s"insert overwrite table $t2 partition (ds = '2010-06-21', hr='1') " +
           "select /*+ HOLD_DDLTIME */ key, value from src where key > 10")
         val b1 = pTime(t2, spec)
-        Thread.sleep(1100)
         HiveQl.sql(s, s"insert overwrite table $t2 partition (ds='2010-06-01', hr='1') " +
           "select key, value from src where key > 10")
         val b2 = pTime(t2, Map("ds" -> "2010-06-01", "hr" -> "1"))
