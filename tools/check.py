@@ -9,7 +9,7 @@ parquet dir), and compares: schema (column names), row count, and a hash
 of values with columns sorted by name (rows compared in order AND as a
 sorted multiset, so we catch both kinds of mismatch).
 """
-import json, sys, math, glob
+import json, sys, math, glob, os
 from decimal import Decimal
 import duckdb
 
@@ -43,7 +43,11 @@ def main():
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # GenScale fixtures are multi-file parquet DIRECTORIES; the driver
+        # fixtures are single files — glob the former
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     n_pass = n_fail = 0
     names = sorted(oracles.keys())
     for name in names:
