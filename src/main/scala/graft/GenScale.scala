@@ -75,11 +75,31 @@ object GenScale {
       "l_partkey" -> partS, "l_suppkey" -> suppS)), "lineitem",
       math.max(4, 2 * k))
 
+    // events: range-partition by event time, one ascending span per file —
+    // the streaming battery consumes this table file-per-batch, and a
+    // random row-to-file shuffle would put most of batch 2..K behind the
+    // watermark batch 1 advanced (late-data drops that no real,
+    // arrival-ordered stream exhibits)
     val events = rd("events")
-    wr(scaled(events, Map(
+    scaled(events, Map(
       "event_id" -> strideOf(events, "event_id"),
-      "user_id" -> strideOf(events, "user_id"))), "events",
-      math.max(2, k))
+      "user_id" -> strideOf(events, "user_id")))
+      .repartitionByRange(math.max(2, k), col("ts"))
+      .sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+    // FileStreamSource replays files in MODIFICATION-TIME order, and
+    // parallel write tasks finish in arbitrary order — stamp ascending
+    // mtimes in range (= part-number) order so the streamed table arrives
+    // time-ordered, as a real ingest directory would
+    locally {
+      val d = new java.io.File(s"$dst/events.parquet")
+      val parts = Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+      val base = System.currentTimeMillis() - parts.length * 2000L
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(base + i * 2000L)
+      }
+    }
 
     // documents: per-copy text salt keeps exact-dup rate ~flat per copy
     val docs = rd("documents")

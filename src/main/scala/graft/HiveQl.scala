@@ -1824,6 +1824,14 @@ object HiveQl {
       val gone = !spark.catalog.tableExists(m.group(1))
       if (gone) Protect.clearTable(spark, m.group(1))
     }
+    // a DROPPED database takes its DB-scoped grants with it (ObjectStore
+    // .dropDatabase removes the DB_PRIVS rows) — without this, recreating
+    // the database in a later JVM hits 'already granted' on the re-grant
+    """(?is)^\s*DROP\s+(?:DATABASE|SCHEMA)\s+(?:IF\s+EXISTS\s+)?([\w]+)""".r
+      .findFirstMatchIn(maskedQ).foreach { m =>
+        if (!spark.catalog.databaseExists(m.group(1)))
+          Authz.forgetObject(spark, m.group(1))
+      }
     result
   }
 

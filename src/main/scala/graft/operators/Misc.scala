@@ -89,7 +89,12 @@ object Misc extends QueryModule {
         .agg(first(col("path")).as("path"), count(lit(1)).as("cnt"),
           (max(col("rid")) - min(col("rid")) + 1).as("span"))
         .agg(
-          regexp_extract(first(col("path")), "[^/]+$", 0).as("file"),
+          // the FIXTURE path segment, not the leaf: GenScale fixtures are
+          // directories (<t>.parquet/part-*.snappy.parquet), driver
+          // fixtures single files — the first `*.parquet` segment is the
+          // table in both layouts
+          regexp_extract(first(col("path")),
+            "([a-z_]+\\.parquet)", 1).as("file"),
           (sum(when(col("cnt") === col("span"), 0).otherwise(1)) === 0)
             .as("ids_unique"),
           sum(col("cnt")).as("n_rows")),

@@ -104,6 +104,13 @@ object QFileParity extends QueryModule {
       s.conf.get("spark.sql.warehouse.dir"), n)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
+    // the DURABLE metadata stores outlive this JVM's catalog: a prior
+    // run's grants/protect flags for this name persist in the warehouse
+    // even though the table no longer exists here, and a re-grant then
+    // fails with 'already granted' (r16: authsuccess family vs a reused
+    // warehouse). fresh means fresh — forget them.
+    try graft.Authz.forgetObject(s, n) catch { case _: Exception => }
+    try graft.Protect.clearTable(s, n) catch { case _: Exception => }
   }
 
   /** clientpositive/join_nulls.q select inventory (non-SMB section): join

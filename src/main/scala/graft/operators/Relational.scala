@@ -95,10 +95,18 @@ object Relational extends QueryModule {
         .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          // exact DECIMAL accumulation: a double sum over 100k+ rows per
+          // group carries ~0.3 of association-order error at sf1 scale, so
+          // round(sum(double),2) diverges cross-engine; the per-row product
+          // is the SAME IEEE double in both engines, its decimal(30,6) cast
+          // is exact-or-identically-rounded, and decimal addition is
+          // order-independent — then one cast back to double for the gate
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(30,6)")).cast("double"), 2).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("p_brand")),
-      Some("""SELECT p_brand, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+      Some("""SELECT p_brand,
+        round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))) AS DOUBLE),2) AS revenue,
         count(*) AS n_items
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand ORDER BY p_brand""")),

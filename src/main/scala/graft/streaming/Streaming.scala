@@ -31,13 +31,29 @@ object Streaming extends QueryModule {
     * from the file makes that unit error structurally impossible, and
     * FixtureSpec's era-bound assert on min/max(ts) backstops it.
     */
-  def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
+  /** File-source path for a fixture table that is either a single file
+    * (driver fixtures: `<dir>/<t>.parquet`) or a multi-file directory
+    * (GenScale sf1+ fixtures). `pathGlobFilter` matches LEAF file names
+    * only, so for a directory the stream must point AT the directory —
+    * the glob would silently match nothing (0-row streams, r16 sf1 run).
+    */
+  private def sourcePath(spark: SparkSession, sfDir: String,
+      table: String): (String, Option[String]) = {
+    val p = new org.apache.hadoop.fs.Path(s"$sfDir/$table.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.getFileStatus(p).isDirectory) (p.toString, None)
+    else (sfDir, Some(s"$table.parquet"))
+  }
+
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val (path, glob) = sourcePath(spark, sfDir, "events")
+    val reader = spark.readStream
+      .schema(graft.Tables.eventsRawSchema(spark, sfDir))
+      .option("maxFilesPerTrigger", "1")
     graft.Tables.normalizeEventsTs(
-      spark.readStream
-        .schema(graft.Tables.eventsRawSchema(spark, sfDir))
-        .option("pathGlobFilter", "events.parquet")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(sfDir))
+      glob.fold(reader)(g => reader.option("pathGlobFilter", g))
+        .parquet(path))
+  }
 
   /** Runs a streaming DataFrame to completion into an in-memory sink and
     * returns the materialized result.
@@ -145,21 +161,31 @@ object Streaming extends QueryModule {
       "q73b_stream_stream_join",
       (s, dir) => {
         // filter BEFORE the watermark node so only the selected users'
-        // events ever enter the join state store
-        val left = eventsStream(s, dir)
-          .filter(col("user_id") < 20)
+        // events ever enter the join state store. Both join sides branch
+        // off ONE source: two independent readStream instances are not
+        // batch-aligned (each pulls its own file-per-trigger), and a
+        // one-batch skew lets the join watermark evict a side's rows
+        // before their same-file matches arrive (measured at sf1: 15 of
+        // 22 pairs lost); one source also means one scan per batch.
+        val base = eventsStream(s, dir).filter(col("user_id") < 20)
+        val left = base
           .select(col("user_id"), col("ts").as("ts1"), col("event_id").as("e1"))
           .withWatermark("ts1", "10 minutes")
-        val right = eventsStream(s, dir)
-          .filter(col("user_id") < 20)
+        val right = base
           .select(col("user_id").as("user_id2"), col("ts").as("ts2"),
             col("event_id").as("e2"))
           .withWatermark("ts2", "10 minutes")
+        // e1<e2 stays OUT of the join condition: inside it, Spark's
+        // StreamingJoinHelper cannot extract the state-value watermark
+        // from the mixed clause (logged internal error per batch) and the
+        // join falls back to coarser state cleanup; as a post-join filter
+        // the band condition stays cleanly analyzable — identical
+        // semantics for an inner join
         val joined = left.join(right,
           col("user_id") === col("user_id2")
             && col("ts2") >= col("ts1")
-            && col("ts2") <= col("ts1") + expr("INTERVAL 10 MINUTES")
-            && col("e1") < col("e2"))
+            && col("ts2") <= col("ts1") + expr("INTERVAL 10 MINUTES"))
+          .filter(col("e1") < col("e2"))
         runToTable(s, joined, "q73b_sink", OutputMode.Append())
           .selectExpr("user_id", "e1", "e2",
             "unix_millis(ts2) - unix_millis(ts1) AS gap_ms")
@@ -212,11 +238,12 @@ object Streaming extends QueryModule {
           .filter(col("doc_id") % 20 === 7)
           .selectExpr("explode_outer(shingle_md5(trim(text), 8)) AS sh")
           .filter(col("sh").isNotNull).distinct()
-        val hits = s.readStream
+        val (docPath, docGlob) = sourcePath(s, dir, "documents")
+        val reader = s.readStream
           .schema(documentsSchema)
-          .option("pathGlobFilter", "documents.parquet")
           .option("maxFilesPerTrigger", "1")
-          .parquet(dir)
+        val hits = docGlob.fold(reader)(g => reader.option("pathGlobFilter", g))
+          .parquet(docPath)
           .filter(col("doc_id") % 20 =!= 7)
           .repartition(s.sparkContext.defaultParallelism)
           .selectExpr("doc_id", "explode_outer(shingle_md5(trim(text), 8)) AS sh")

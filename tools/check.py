@@ -120,7 +120,6 @@ def main():
             print(f"FAIL {name}: value diffs (first 3): {diffs}")
             n_fail += 1
     # queries with no oracle: rows-only check
-    import os
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = d.rstrip("/").split("/")[-1]
         if name not in oracles:
