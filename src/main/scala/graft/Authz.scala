@@ -79,12 +79,15 @@ object Authz {
       }
     }
 
-  private def persist(spark: SparkSession): Unit = synchronized {
-    MetaPersist.save(spark, "authz_roles",
+  // full-store rewrite — RESET paths only; every normal mutation appends
+  // row-level deltas (MetaPersist delta log, the reference's one-JDBC-
+  // transaction-per-grant altitude)
+  private def overwriteAll(spark: SparkSession): Unit = synchronized {
+    MetaPersist.overwrite(spark, "authz_roles",
       roles.toSeq.sorted.map { case (r, t) => RoleRow(r, t) })
-    MetaPersist.save(spark, "authz_role_members",
+    MetaPersist.overwrite(spark, "authz_role_members",
       roleMembers.toSeq.sortBy(_._1).map { case ((u, r), t) => MemberRow(u, r, t) })
-    MetaPersist.save(spark, "authz_grants", grants.toSeq)
+    MetaPersist.overwrite(spark, "authz_grants", grants.toSeq)
   }
 
   /** Restart simulation for specs: forget in-memory state so the next
@@ -105,7 +108,7 @@ object Authz {
   /** As [[reset]], and clears the persisted snapshot too. */
   def reset(spark: SparkSession): Unit = synchronized {
     reset()
-    persist(spark)
+    overwriteAll(spark)
   }
 
   def enabled(spark: SparkSession): Boolean =
@@ -140,31 +143,42 @@ object Authz {
     ensureLoaded(spark)
     val r = name.toLowerCase
     require(!roles.contains(r), s"Role $name already exists")
-    roles.put(r, System.currentTimeMillis())
-    persist(spark)
+    val t = System.currentTimeMillis()
+    roles.put(r, t)
+    MetaPersist.append(spark, "authz_roles", RoleRow(r, t))
   }
 
   def dropRole(spark: SparkSession, name: String): Unit = synchronized {
     ensureLoaded(spark)
     val r = name.toLowerCase
     require(roles.remove(r).isDefined, s"Role $name does not exist")
-    roleMembers.keys.filter(_._2 == r).foreach(roleMembers.remove)
+    MetaPersist.appendDelete(spark, "authz_roles", RoleRow(r, 0L))
+    roleMembers.keys.filter(_._2 == r).toSeq.foreach { k =>
+      roleMembers.remove(k)
+      MetaPersist.appendDelete(spark, "authz_role_members",
+        MemberRow(k._1, k._2, 0L))
+    }
+    val gone = grants.toSeq.filter(g =>
+      g.principalType == "ROLE" && g.principal == r)
     grants.filterInPlace(g => !(g.principalType == "ROLE" && g.principal == r))
-    persist(spark)
+    gone.foreach(g => MetaPersist.appendDelete(spark, "authz_grants", g))
   }
 
   def grantRole(spark: SparkSession, role: String, user: String): Unit = {
     ensureLoaded(spark)
     val r = role.toLowerCase
     require(roles.contains(r), s"Role $role does not exist")
-    roleMembers.put((user.toLowerCase, r), System.currentTimeMillis())
-    persist(spark)
+    val t = System.currentTimeMillis()
+    roleMembers.put((user.toLowerCase, r), t)
+    MetaPersist.append(spark, "authz_role_members",
+      MemberRow(user.toLowerCase, r, t))
   }
 
   def revokeRole(spark: SparkSession, role: String, user: String): Unit = {
     ensureLoaded(spark)
-    roleMembers.remove((user.toLowerCase, role.toLowerCase))
-    persist(spark)
+    if (roleMembers.remove((user.toLowerCase, role.toLowerCase)).isDefined)
+      MetaPersist.appendDelete(spark, "authz_role_members",
+        MemberRow(user.toLowerCase, role.toLowerCase, 0L))
   }
 
   def rolesOf(user: String): Seq[String] =
@@ -210,15 +224,22 @@ object Authz {
           g.objName == on && g.priv == p))
         throw new IllegalArgumentException(
           s"Error in metadata: $p is already granted on $on to $principal")
-      grants += Grant(pt, principal.toLowerCase, ot, on, p,
+      val added = Grant(pt, principal.toLowerCase, ot, on, p,
         currentUser(spark), t, withGrant)
+      grants += added
+      MetaPersist.append(spark, "authz_grants", added)
       // a partition-scoped grant also clears any standing deny for it
-      if (ot == "PARTITION")
+      if (ot == "PARTITION") {
+        val denies = grants.toSeq.filter(g => g.objType == "PARTITION_DENY" &&
+          g.objName == on && g.principal == principal.toLowerCase &&
+          g.principalType == pt && g.priv == p)
         grants.filterInPlace(g => !(g.objType == "PARTITION_DENY" &&
           g.objName == on && g.principal == principal.toLowerCase &&
           g.principalType == pt && g.priv == p))
+        denies.foreach(g =>
+          MetaPersist.appendDelete(spark, "authz_grants", g))
+      }
     }
-    persist(spark)
   }
 
   def revoke(spark: SparkSession, privs: Seq[String], principalType: String,
@@ -229,29 +250,36 @@ object Authz {
     partSpec match {
       case Some(sp) =>
         val on = partObj(objName, sp)
-        val had = grants.exists(g => g.objType == "PARTITION" && g.objName == on &&
-          g.principal == principal.toLowerCase &&
-          g.principalType == principalType.toUpperCase && ps(g.priv))
-        grants.filterInPlace(g => !(g.objType == "PARTITION" && g.objName == on &&
-          g.principal == principal.toLowerCase &&
-          g.principalType == principalType.toUpperCase && ps(g.priv)))
+        def hit(g: Grant): Boolean = g.objType == "PARTITION" &&
+          g.objName == on && g.principal == principal.toLowerCase &&
+          g.principalType == principalType.toUpperCase && ps(g.priv)
+        val gone = grants.toSeq.filter(hit)
+        grants.filterInPlace(g => !hit(g))
+        gone.foreach(g => MetaPersist.appendDelete(spark, "authz_grants", g))
         // under PARTITION_LEVEL_PRIVILEGE the partitions mirror the
         // table's grants — revoking a MIRRORED privilege records an
         // explicit per-partition DENY (ObjectStore drops the partition's
         // own copy; authorization_fail_5.q / authorization_part.q)
-        if (!had) {
+        if (gone.isEmpty) {
           val t = System.currentTimeMillis()
-          ps.foreach(p => grants += Grant(principalType.toUpperCase,
-            principal.toLowerCase, "PARTITION_DENY", on, p,
-            currentUser(spark), t, withGrant = false))
+          ps.foreach { p =>
+            val deny = Grant(principalType.toUpperCase,
+              principal.toLowerCase, "PARTITION_DENY", on, p,
+              currentUser(spark), t, withGrant = false)
+            grants += deny
+            MetaPersist.append(spark, "authz_grants", deny)
+          }
         }
       case None =>
-        grants.filterInPlace(g => !(g.principalType == principalType.toUpperCase &&
-          g.principal == principal.toLowerCase &&
-          g.objType == objType.toUpperCase && g.objName == objName.toLowerCase &&
-          ps(g.priv)))
+        def hit(g: Grant): Boolean =
+          g.principalType == principalType.toUpperCase &&
+            g.principal == principal.toLowerCase &&
+            g.objType == objType.toUpperCase &&
+            g.objName == objName.toLowerCase && ps(g.priv)
+        val gone = grants.toSeq.filter(hit)
+        grants.filterInPlace(g => !hit(g))
+        gone.foreach(g => MetaPersist.appendDelete(spark, "authz_grants", g))
     }
-    persist(spark)
   }
 
   /** Test-support / DROP-cascade: forget every grant row scoped to this
@@ -260,10 +288,44 @@ object Authz {
     synchronized {
       ensureLoaded(spark)
       val t = table.toLowerCase
-      val before = grants.size
+      val gone = grants.toSeq.filter(g =>
+        g.objName == t || g.objName.startsWith(t + "@"))
       grants.filterInPlace(g => !(g.objName == t || g.objName.startsWith(t + "@")))
-      if (grants.size != before) persist(spark)
+      gone.foreach(g => MetaPersist.appendDelete(spark, "authz_grants", g))
     }
+
+  /** DROP DATABASE cascade (ObjectStore.dropDatabase drops the DB_PRIVS
+    * rows, and the contained tables' TBL_PRIVS rows die with the tables):
+    * purge DATABASE-typed grants on the db name, and table/partition
+    * grants for the tables the db contained — `tables` is captured by the
+    * caller BEFORE the drop, while the catalog could still list them.
+    *
+    * Scoping (ADVICE r16 #4): a TABLE-typed grant whose objName merely
+    * EQUALS the db name — a same-named table in another database — must
+    * survive, so the db-name match is restricted to DATABASE-typed rows.
+    * Grant rows are keyed by the spelling used at GRANT time (`t` or
+    * `db.t`), not a table id, so qualified spellings purge exactly, and a
+    * bare spelling purges only when no same-named table is still
+    * resolvable from the current database (otherwise the row may belong
+    * to the survivor).
+    */
+  private[graft] def forgetDatabase(spark: SparkSession, db: String,
+      tables: Seq[String]): Unit = synchronized {
+    ensureLoaded(spark)
+    val d = db.toLowerCase
+    val qualified = tables.map(t => d + "." + t.toLowerCase).toSet
+    val bare = tables.map(_.toLowerCase).filter { t =>
+      try !spark.catalog.tableExists(t) catch { case _: Exception => true }
+    }.toSet
+    def scoped(g: Grant): Boolean = {
+      val base = g.objName.split('@')(0)
+      (g.objType == "DATABASE" && g.objName == d) ||
+        (g.objType != "DATABASE" && (qualified(base) || bare(base)))
+    }
+    val gone = grants.toSeq.filter(scoped)
+    grants.filterInPlace(g => !scoped(g))
+    gone.foreach(g => MetaPersist.appendDelete(spark, "authz_grants", g))
+  }
 
   /** Per-partition DENY rows for a table that match this statement: the
     * spec is named in the normalized text, or the partition column is

@@ -28,10 +28,14 @@ object GenScale {
 
   def main(args: Array[String]): Unit = {
     val Array(src, dst, factorS) = args.take(3)
-    val k = factorS.toInt
-    require(k >= 1, "factor must be >= 1")
     val spark = Sessions.get("graft-genscale")
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, dst, factorS.toInt)
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
+    require(k >= 1, "factor must be >= 1")
 
     def rd(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
     def wr(df: DataFrame, t: String, parts: Int): Unit =
@@ -81,9 +85,14 @@ object GenScale {
     // watermark batch 1 advanced (late-data drops that no real,
     // arrival-ordered stream exhibits)
     val events = rd("events")
+    // user_id is an FK to customer (streaming q72 joins user_id=c_custkey,
+    // ScaleOps joins o_custkey=user_id) — offset by the PARENT's stride so
+    // copy i's events attach to copy i's customers/orders; offsetting by
+    // events' own max(user_id)+1 re-attached every copy to copy-0 parents
+    // and broke join-selectivity invariance (ADVICE r16 #1)
     scaled(events, Map(
       "event_id" -> strideOf(events, "event_id"),
-      "user_id" -> strideOf(events, "user_id")))
+      "user_id" -> custS))
       .repartitionByRange(math.max(2, k), col("ts"))
       .sortWithinPartitions("ts")
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
@@ -117,6 +126,5 @@ object GenScale {
       "embeddings", math.max(1, k / 2))
 
     println(s"[genscale] wrote ${k}x of $src to $dst")
-    spark.stop()
   }
 }

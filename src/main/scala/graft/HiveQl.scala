@@ -1798,6 +1798,16 @@ object HiveQl {
           case _: Exception =>
         }
       }
+    // tables contained in a database about to be dropped, captured while
+    // the catalog can still list them — the post-drop grant/protect
+    // cascade below needs the names (ADVICE r16 #4)
+    val droppedDbTables: Seq[String] =
+      DropDatabaseStmt.findFirstMatchIn(maskedQ).toSeq.flatMap { m =>
+        if (!spark.catalog.databaseExists(m.group(1))) Seq.empty
+        else try spark.catalog.listTables(m.group(1)).collect()
+          .map(_.name).toSeq
+        catch { case _: Exception => Seq.empty[String] }
+      }
     val result = statementExec(q) match {
       case Some(exec) => exec(spark); spark.emptyDataFrame
       case None => withSelfReadOverwriteRetry(spark, q)(
@@ -1825,13 +1835,23 @@ object HiveQl {
       if (gone) Protect.clearTable(spark, m.group(1))
     }
     // a DROPPED database takes its DB-scoped grants with it (ObjectStore
-    // .dropDatabase removes the DB_PRIVS rows) — without this, recreating
-    // the database in a later JVM hits 'already granted' on the re-grant
-    """(?is)^\s*DROP\s+(?:DATABASE|SCHEMA)\s+(?:IF\s+EXISTS\s+)?([\w]+)""".r
-      .findFirstMatchIn(maskedQ).foreach { m =>
-        if (!spark.catalog.databaseExists(m.group(1)))
-          Authz.forgetObject(spark, m.group(1))
+    // .dropDatabase removes the DB_PRIVS rows), and its tables' grants
+    // and protect flags cascade (TBL_PRIVS / TABLE_PARAMS rows die with
+    // the tables) — without this, recreating the database in a later JVM
+    // hits 'already granted' on the re-grant. Scoped to DB-typed rows +
+    // the captured table list, NOT every objName equal to the db name
+    // (ADVICE r16 #4: a same-named table elsewhere must keep its grant).
+    DropDatabaseStmt.findFirstMatchIn(maskedQ).foreach { m =>
+      if (!spark.catalog.databaseExists(m.group(1))) {
+        Authz.forgetDatabase(spark, m.group(1), droppedDbTables)
+        droppedDbTables.foreach { t =>
+          Protect.clearTable(spark, m.group(1) + "." + t)
+          val stillThere =
+            try spark.catalog.tableExists(t) catch { case _: Exception => false }
+          if (!stillThere) Protect.clearTable(spark, t)
+        }
       }
+    }
     result
   }
 
@@ -2063,6 +2083,9 @@ object HiveQl {
   // directories first, so the recursive table-dir delete takes everything.
   private val DropTableStmt =
     """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
+
+  private val DropDatabaseStmt =
+    """(?is)^\s*DROP\s+(?:DATABASE|SCHEMA)\s+(?:IF\s+EXISTS\s+)?([\w]+)""".r
 
   private def repointArchivedForDrop(spark: SparkSession, masked: String): Unit =
     DropTableStmt.findFirstMatchIn(masked).foreach { m =>

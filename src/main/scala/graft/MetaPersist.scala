@@ -1,6 +1,10 @@
 package graft
 
-import java.io.{ObjectInputStream, ObjectOutputStream}
+import java.io.ObjectInputStream
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.CRC32
+
+import scala.collection.mutable
 
 import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{Encoder, SparkSession}
@@ -8,26 +12,33 @@ import org.apache.spark.sql.{Encoder, SparkSession}
 /** Durable engine metadata (VERDICT r10 #4): the registries the reference
   * keeps in metastore tables — index definitions (`IDXS`), roles and role
   * membership (`ROLES`/`ROLE_MAP`), privilege grants (`TBL_PRIVS`/
-  * `DB_PRIVS`), and table protect flags (`TABLE_PARAMS`) — persisted by
-  * `ObjectStore.java:113`'s JDO layer in the reference, persisted here as
-  * tiny snapshot files under `<warehouse>/_graft_metastore/`.
+  * `DB_PRIVS`), and table protect flags (`TABLE_PARAMS`) — persisted
+  * under `<warehouse>/_graft_metastore/`.
   *
-  * Posture: persist-on-mutation (each DDL rewrites the small snapshot —
-  * these are metadata-sized, never data-sized), load-on-first-use per JVM
-  * (the `loadSigStore` reattach pattern, Dedup.scala): the first session
-  * to touch a module against a warehouse re-reads what an earlier
-  * application left there, so index pruning and authz enforcement survive
-  * a restart instead of silently lapsing.
+  * Layout (r17, VERDICT r16 #4): a DELTA LOG. Each mutation APPENDS one
+  * line per changed row to `<name>.log` — `+` upsert carrying the full
+  * row, `-` delete carrying the row key — matching the reference's
+  * altitude exactly: ObjectStore persists a grant with one row-level JDBC
+  * transaction (ObjectStore.java:113), never a full-store rewrite. Load =
+  * `<name>.snap` (a compacted base) + log replay into a keyed map;
+  * compaction (snap rewrite + log truncate) happens on load once the log
+  * passes a threshold, staged through a UNIQUE temp name and an atomic
+  * rename so two JVMs sharing a warehouse can never publish a torn
+  * snapshot (ADVICE r16 #3).
   *
-  * The write is DRIVER-SIDE — serialize + atomic rename through the
-  * Hadoop FileSystem API (HDFS-safe) — matching the reference's altitude:
-  * ObjectStore persists a grant with one JDBC transaction, never a
-  * cluster job. (Through round 15 each mutation ran a full Spark write
-  * job via Staging.stageAt; on a 30-statement GRANT/REVOKE script that
-  * was ~0.4 s of scheduler latency PER STATEMENT — the q814 profile.)
-  * Snapshots written by earlier rounds as staged parquet directories are
-  * still readable: [[load]] falls back to the legacy parquet layout when
-  * no `.bin` snapshot exists.
+  * The format is line-delimited text with a per-line CRC (no Java
+  * serialization — a recompile that changes a row shape can no longer
+  * silently discard durable authz/protect state, ADVICE r16 #2). Failure
+  * posture: a torn FINAL log line is a crash artifact and is dropped
+  * (write-ahead-log semantics — the interrupted mutation never happened);
+  * any other unreadable content — bad CRC mid-log, corrupt snapshot,
+  * undecodable legacy file — throws loudly instead of loading as absent,
+  * because "absent" here means fail-open for Protect's OFFLINE flags.
+  *
+  * Legacy layouts remain readable and are migrated on first load: the
+  * r16 `.bin` Java-serialized snapshot (read under an ObjectInputFilter
+  * restricted to the graft row classes) and the ≤r15 staged-parquet
+  * directory.
   */
 /** Persisted row shapes. Package-level (not nested in their owning
   * objects) so Spark's product-encoder codegen instantiates them without
@@ -39,84 +50,373 @@ private[graft] final case class MemberRow(user: String, role: String,
 private[graft] final case class ModeRow(table: String, noDrop: Boolean,
     offline: Boolean)
 
+/** Line codec for one persisted row type: a stable field vector plus the
+  * row's identity key (what `-` delete lines carry; `+` lines upsert by
+  * it). Strings are percent-escaped so the separators can never collide
+  * with data.
+  */
+private[graft] trait MetaCodec[T] {
+  def key(t: T): String
+  def encode(t: T): IndexedSeq[String]
+  def decode(f: IndexedSeq[String]): T
+}
+
+/** Companion: implicit codec instances live here so call sites resolve
+  * them from the trait's implicit scope without imports.
+  */
+private[graft] object MetaCodec {
+
+  implicit val roleCodec: MetaCodec[RoleRow] = new MetaCodec[RoleRow] {
+    def key(t: RoleRow): String = MetaPersist.esc(t.role)
+    def encode(t: RoleRow): IndexedSeq[String] =
+      IndexedSeq(MetaPersist.esc(t.role), t.createTime.toString)
+    def decode(f: IndexedSeq[String]): RoleRow = RoleRow(MetaPersist.unesc(f(0)), f(1).toLong)
+  }
+
+  implicit val memberCodec: MetaCodec[MemberRow] = new MetaCodec[MemberRow] {
+    def key(t: MemberRow): String = MetaPersist.esc(t.user) + MetaPersist.ES + MetaPersist.esc(t.role)
+    def encode(t: MemberRow): IndexedSeq[String] =
+      IndexedSeq(MetaPersist.esc(t.user), MetaPersist.esc(t.role), t.grantTime.toString)
+    def decode(f: IndexedSeq[String]): MemberRow =
+      MemberRow(MetaPersist.unesc(f(0)), MetaPersist.unesc(f(1)), f(2).toLong)
+  }
+
+  implicit val modeCodec: MetaCodec[ModeRow] = new MetaCodec[ModeRow] {
+    def key(t: ModeRow): String = MetaPersist.esc(t.table)
+    def encode(t: ModeRow): IndexedSeq[String] =
+      IndexedSeq(MetaPersist.esc(t.table), t.noDrop.toString, t.offline.toString)
+    def decode(f: IndexedSeq[String]): ModeRow =
+      ModeRow(MetaPersist.unesc(f(0)), f(1).toBoolean, f(2).toBoolean)
+  }
+
+  implicit val grantCodec: MetaCodec[Authz.Grant] = new MetaCodec[Authz.Grant] {
+    // identity = the 5-tuple grant() enforces uniqueness on; grantor/time/
+    // withGrant are attributes of that identity
+    def key(t: Authz.Grant): String =
+      Seq(t.principalType, t.principal, t.objType, t.objName, t.priv)
+        .map(MetaPersist.esc).mkString(MetaPersist.ES.toString)
+    def encode(t: Authz.Grant): IndexedSeq[String] =
+      IndexedSeq(MetaPersist.esc(t.principalType), MetaPersist.esc(t.principal), MetaPersist.esc(t.objType),
+        MetaPersist.esc(t.objName), MetaPersist.esc(t.priv), MetaPersist.esc(t.grantor), t.grantTime.toString,
+        t.withGrant.toString)
+    def decode(f: IndexedSeq[String]): Authz.Grant =
+      Authz.Grant(MetaPersist.unesc(f(0)), MetaPersist.unesc(f(1)), MetaPersist.unesc(f(2)), MetaPersist.unesc(f(3)),
+        MetaPersist.unesc(f(4)), MetaPersist.unesc(f(5)), f(6).toLong, f(7).toBoolean)
+  }
+
+  implicit val indexDefCodec: MetaCodec[operators.Indexes.IndexDef] =
+    new MetaCodec[operators.Indexes.IndexDef] {
+      def key(t: operators.Indexes.IndexDef): String =
+        MetaPersist.esc(t.rootKey) + MetaPersist.ES + MetaPersist.esc(t.name.toLowerCase)
+      def encode(t: operators.Indexes.IndexDef): IndexedSeq[String] =
+        IndexedSeq(MetaPersist.esc(t.name), MetaPersist.esc(t.tableName), MetaPersist.esc(t.rootKey),
+          MetaPersist.joinSeq(t.rootPaths), MetaPersist.joinSeq(t.cols), MetaPersist.esc(t.kind), MetaPersist.esc(t.idxPath),
+          MetaPersist.esc(t.idxTableName), MetaPersist.joinSeq(t.comment.toSeq), t.built.toString,
+          MetaPersist.joinMap(t.indexedFiles))
+      def decode(f: IndexedSeq[String]): operators.Indexes.IndexDef =
+        operators.Indexes.IndexDef(MetaPersist.unesc(f(0)), MetaPersist.unesc(f(1)), MetaPersist.unesc(f(2)),
+          MetaPersist.splitSeq(f(3)), MetaPersist.splitSeq(f(4)), MetaPersist.unesc(f(5)), MetaPersist.unesc(f(6)),
+          MetaPersist.unesc(f(7)), MetaPersist.splitSeq(f(8)).headOption, f(9).toBoolean,
+          MetaPersist.splitMap(f(10)))
+    }
+
+}
+
+
 object MetaPersist {
+
+  /** Field / element / key-value separators inside one line. */
+  private val FS = '\u0001'
+  private[graft] val ES = '\u0002'
+  private[graft] val KV = '\u0003'
+
+  /** Compact once the log carries this many lines (load-time check). */
+  private[graft] val CompactThreshold = 512
+
+  // ---- string atoms: percent-escape '%' and all control bytes, so FS/ES/
+  // KV and newlines are unambiguous delimiters
+  private[graft] def esc(s: String): String = {
+    val b = new StringBuilder(s.length)
+    s.foreach { c =>
+      if (c == '%' || c < ' ') b.append(f"%%${c.toInt}%02X") else b.append(c)
+    }
+    b.toString
+  }
+
+  private[graft] def unesc(s: String): String = {
+    if (!s.contains('%')) return s
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%') {
+        b.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
+  private[graft] def joinSeq(xs: Seq[String]): String = xs.map(esc).mkString(ES.toString)
+  private[graft] def splitSeq(s: String): Seq[String] =
+    if (s.isEmpty) Seq.empty
+    else s.split(ES).toSeq.map(unesc)
+  private[graft] def joinMap(m: Map[String, Long]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => esc(k) + KV + v }.mkString(ES.toString)
+  private[graft] def splitMap(s: String): Map[String, Long] =
+    if (s.isEmpty) Map.empty
+    else s.split(ES).map { kv =>
+      val i = kv.lastIndexOf(KV)
+      unesc(kv.substring(0, i)) -> kv.substring(i + 1).toLong
+    }.toMap
+
+  // --------------------------------------------------------------- paths
 
   private def root(spark: SparkSession): String =
     spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") +
       "/_graft_metastore"
 
-  private def dir(spark: SparkSession, name: String): String =
+  private def legacyParquetDir(spark: SparkSession, name: String): String =
     root(spark) + "/" + name
 
-  private def binPath(spark: SparkSession, name: String): Path =
-    new Path(root(spark), name + ".bin")
+  private def p(spark: SparkSession, name: String, suffix: String): Path =
+    new Path(root(spark), name + suffix)
 
-  /** Per-JVM memo of snapshots already migrated off the legacy parquet
-    * layout — saves one FS existence probe per mutation.
+  // ------------------------------------------------------------ line I/O
+
+  private def crcOf(payload: String): String = {
+    val c = new CRC32
+    c.update(payload.getBytes(UTF_8))
+    java.lang.Long.toHexString(c.getValue)
+  }
+
+  private def line(op: String, fields: Seq[String]): String = {
+    val payload = (op +: fields).mkString(FS.toString)
+    payload + FS + crcOf(payload) + "\n"
+  }
+
+  /** Parse one complete line into (op, fields); None = CRC mismatch. */
+  private def parseLine(l: String): Option[(String, IndexedSeq[String])] = {
+    val cut = l.lastIndexOf(FS)
+    if (cut < 0) return None
+    val payload = l.substring(0, cut)
+    if (crcOf(payload) != l.substring(cut + 1)) None
+    else {
+      // limit -1: an empty FINAL field (e.g. IndexDef's empty file map)
+      // must survive the split
+      val f = payload.split(FS.toString, -1).toIndexedSeq
+      Some((f.head, f.tail))
+    }
+  }
+
+  /** The file's complete lines, plus whether its final line was torn
+    * (no trailing newline — an interrupted append).
     */
-  private val legacyRetired =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def readLines(spark: SparkSession, path: Path): (Seq[String], Boolean) = {
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(path)
+    val raw =
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+        new String(bos.toByteArray, UTF_8)
+      } finally in.close()
+    if (raw.isEmpty) (Seq.empty, false)
+    else {
+      val torn = !raw.endsWith("\n")
+      val ls = raw.split("\n", -1).toSeq
+      (if (torn) ls.dropRight(1) else ls.filter(_.nonEmpty), torn)
+    }
+  }
 
-  def save[T](spark: SparkSession, name: String, rows: Seq[T])(
-      implicit enc: Encoder[T]): Unit = {
-    val target = binPath(spark, name)
-    val conf = spark.sparkContext.hadoopConfiguration
+  // ------------------------------------------------------------- mutation
+
+  /** Append one upsert to the store's delta log — O(1) in store size, the
+    * row-level-transaction altitude of the reference's ObjectStore.
+    */
+  def append[T](spark: SparkSession, name: String, row: T)(
+      implicit c: MetaCodec[T]): Unit =
+    appendRaw(spark, name, line("+", c.key(row) +: c.encode(row)))
+
+  /** Append one delete-by-key to the store's delta log. */
+  def appendDelete[T](spark: SparkSession, name: String, row: T)(
+      implicit c: MetaCodec[T]): Unit =
+    appendDeleteKey(spark, name, c.key(row))
+
+  private def appendDeleteKey(spark: SparkSession, name: String, key: String): Unit =
+    appendRaw(spark, name, line("-", Seq(key)))
+
+  private def appendRaw(spark: SparkSession, name: String, l: String): Unit = {
+    val target = p(spark, name, ".log")
     if (target.toUri.getScheme == null || target.toUri.getScheme == "file") {
-      // local warehouse: plain java.nio write + ATOMIC_MOVE — Hadoop's
-      // ChecksumFs create/rename costs ~45 ms per snapshot (measured,
-      // q814 profile), nio is sub-ms
+      // local warehouse: plain nio O_APPEND (Hadoop ChecksumFs has no
+      // append and its create/rename costs ~45 ms — the q814 profile)
       val t = java.nio.file.Paths.get(target.toUri.getPath)
       java.nio.file.Files.createDirectories(t.getParent)
-      val tmp = t.resolveSibling(t.getFileName.toString + ".tmp")
-      val out = new ObjectOutputStream(java.nio.file.Files.newOutputStream(tmp))
-      try out.writeObject(rows.toList) finally out.close()
+      java.nio.file.Files.write(t, l.getBytes(UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } else {
+      val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(target.getParent)
+      val out = if (fs.exists(target)) fs.append(target) else fs.create(target, false)
+      try out.write(l.getBytes(UTF_8)) finally out.close()
+    }
+    ()
+  }
+
+  /** Rewrite the store to exactly `rows`: publish a compacted snapshot
+    * through a unique temp name + atomic rename, then drop the log. Used
+    * by reset paths and by load-time compaction.
+    */
+  def overwrite[T](spark: SparkSession, name: String, rows: Seq[T])(
+      implicit c: MetaCodec[T]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = p(spark, name, ".snap")
+    val body = new StringBuilder()
+    body.append(line("graftmeta", Seq("1", rows.size.toString)))
+    rows.foreach(r => body.append(line("+", c.key(r) +: c.encode(r))))
+    val bytes = body.toString.getBytes(UTF_8)
+    // unique staging name (ADVICE r16 #3): two JVMs compacting the same
+    // store race only at the atomic rename, never on a shared temp file
+    val tmpName = target.getName + ".tmp-" + java.util.UUID.randomUUID()
+    if (target.toUri.getScheme == null || target.toUri.getScheme == "file") {
+      val t = java.nio.file.Paths.get(target.toUri.getPath)
+      java.nio.file.Files.createDirectories(t.getParent)
+      val tmp = t.resolveSibling(tmpName)
+      java.nio.file.Files.write(tmp, bytes)
       java.nio.file.Files.move(tmp, t,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } else {
       val fs = target.getFileSystem(conf)
-      val tmp = new Path(target.getParent, target.getName + ".tmp")
+      val tmp = new Path(target.getParent, tmpName)
       fs.mkdirs(target.getParent)
-      val out = new ObjectOutputStream(fs.create(tmp, true))
-      try out.writeObject(rows.toList) finally out.close()
-      // atomic publish: rename-with-overwrite (HDFS FileContext) — a
-      // crash mid-write leaves only .tmp
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
       FileContext.getFileContext(target.toUri, conf)
         .rename(tmp, target, Options.Rename.OVERWRITE)
     }
-    // retire a legacy staged-parquet snapshot so it cannot shadow later
-    if (legacyRetired.add(dir(spark, name))) {
-      val legacy = new Path(dir(spark, name))
-      val fs = legacy.getFileSystem(conf)
-      if (fs.exists(legacy)) fs.delete(legacy, true)
+    // the snapshot now carries everything — retire the log and any legacy
+    // layouts (crash between rename and these deletes is safe: replaying
+    // the old log over the new snapshot is idempotent upserts/deletes)
+    Seq(p(spark, name, ".log"), p(spark, name, ".bin"),
+      new Path(legacyParquetDir(spark, name))).foreach { stale =>
+      val fs = stale.getFileSystem(conf)
+      if (fs.exists(stale)) fs.delete(stale, true)
     }
     ()
   }
 
+  // ----------------------------------------------------------------- load
+
   def load[T](spark: SparkSession, name: String)(
+      implicit c: MetaCodec[T], enc: Encoder[T]): Option[Seq[T]] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val snap = p(spark, name, ".snap")
+    val log = p(spark, name, ".log")
+    val fsS = snap.getFileSystem(conf)
+    val haveSnap = fsS.exists(snap)
+    val haveLog = log.getFileSystem(conf).exists(log)
+
+    // keyed, insertion-ordered state (grant enumeration order is
+    // grant-time order, like the reference's TBL_PRIVS scan)
+    val state = mutable.LinkedHashMap.empty[String, T]
+
+    val legacyBase: Option[Seq[T]] =
+      if (haveSnap) None else loadLegacy[T](spark, name)
+
+    if (haveSnap) {
+      val (lines, torn) = readLines(spark, snap)
+      if (torn || lines.isEmpty)
+        failCorrupt(snap, "truncated snapshot")
+      val header = parseLine(lines.head).getOrElse(
+        failCorrupt(snap, "bad header CRC"))
+      if (header._1 != "graftmeta" || header._2.headOption.forall(_ != "1"))
+        failCorrupt(snap, s"unrecognized header '${lines.head.takeWhile(_ != FS)}'")
+      val declared = header._2(1).toInt
+      val rows = lines.tail
+      if (rows.size != declared)
+        failCorrupt(snap, s"row count ${rows.size} != declared $declared")
+      rows.foreach { l =>
+        val (op, f) = parseLine(l).getOrElse(failCorrupt(snap, "row CRC mismatch"))
+        if (op != "+") failCorrupt(snap, s"unexpected op '$op' in snapshot")
+        state.put(f.head, c.decode(f.tail))
+      }
+    }
+    legacyBase.foreach(_.foreach(r => state.put(c.key(r), r)))
+
+    var logLines = 0
+    // a torn tail (partial final line, or a complete final line whose CRC
+    // the crash corrupted) is DROPPED — the interrupted mutation never
+    // happened — and the log is compacted away immediately, or the next
+    // append would concatenate onto the partial bytes
+    var tornTail = false
+    if (haveLog) {
+      val (lines, torn) = readLines(spark, log)
+      logLines = lines.size
+      tornTail = torn
+      lines.zipWithIndex.foreach { case (l, i) =>
+        parseLine(l) match {
+          case Some(("+", f)) => state.put(f.head, c.decode(f.tail))
+          case Some(("-", f)) => state.remove(f.head)
+          case _ =>
+            // anything before the final line is corruption and must be
+            // loud (ADVICE r16 #2)
+            if (i == lines.size - 1) tornTail = true
+            else failCorrupt(log, s"CRC mismatch at log line ${i + 1}")
+        }
+      }
+    }
+
+    if (!haveSnap && !haveLog && legacyBase.isEmpty) None
+    else {
+      val rows = state.values.toSeq
+      // compaction: fold a long log (or a legacy layout, or a torn tail)
+      // into the snapshot
+      if (logLines > CompactThreshold || legacyBase.isDefined || tornTail)
+        overwrite(spark, name, rows)
+      Some(rows)
+    }
+  }
+
+  private def failCorrupt(path: Path, why: String): Nothing =
+    throw new IllegalStateException(
+      s"graft metastore snapshot $path is unreadable ($why). Refusing to " +
+        "load it as absent — that would silently discard durable " +
+        "authz/protect/index state. Repair or remove the file explicitly.")
+
+  /** r16 `.bin` (Java serialization, read under a deserialization filter
+    * restricted to the persisted row shapes) and ≤r15 staged-parquet
+    * layouts. An EXISTING but undecodable legacy snapshot throws.
+    */
+  private def loadLegacy[T](spark: SparkSession, name: String)(
       implicit enc: Encoder[T]): Option[Seq[T]] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val bin = binPath(spark, name)
+    val bin = p(spark, name, ".bin")
     val fs = bin.getFileSystem(conf)
     if (fs.exists(bin)) {
       val in = new ObjectInputStream(fs.open(bin))
+      in.setObjectInputFilter(java.io.ObjectInputFilter.Config.createFilter(
+        "graft.*;graft.**;scala.**;java.lang.*;java.util.*;!*"))
       try Some(in.readObject().asInstanceOf[List[T]])
-      catch { case _: Exception => None }
+      catch { case e: Exception => failCorrupt(bin, e.toString) }
       finally in.close()
     } else {
-      // legacy layout (rounds ≤15): a staged parquet directory
-      val p = new Path(dir(spark, name))
-      if (!fs.exists(p)) None
-      else Some(spark.read.schema(enc.schema).parquet(p.toString)
+      val dir = new Path(legacyParquetDir(spark, name))
+      if (!fs.exists(dir)) None
+      else Some(spark.read.schema(enc.schema).parquet(dir.toString)
         .as[T].collect().toSeq)
     }
   }
 
   def delete(spark: SparkSession, name: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    Seq(binPath(spark, name), new Path(dir(spark, name))).foreach { p =>
-      val fs = p.getFileSystem(conf)
-      if (fs.exists(p)) fs.delete(p, true)
+    Seq(p(spark, name, ".snap"), p(spark, name, ".log"),
+      p(spark, name, ".bin"),
+      new Path(legacyParquetDir(spark, name))).foreach { path =>
+      val fs = path.getFileSystem(conf)
+      if (fs.exists(path)) fs.delete(path, true)
     }
   }
 }

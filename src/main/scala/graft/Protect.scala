@@ -49,8 +49,10 @@ object Protect {
       }
     }
 
-  private def persist(spark: SparkSession): Unit = synchronized {
-    MetaPersist.save(spark, "protect",
+  // full-store rewrite — RESET only; setModeKeyed/clearTable append
+  // row-level deltas to the MetaPersist log
+  private def overwriteAll(spark: SparkSession): Unit = synchronized {
+    MetaPersist.overwrite(spark, "protect",
       modes.toSeq.sortBy(_._1).map { case (t, (n, o)) => ModeRow(t, n, o) })
   }
 
@@ -75,7 +77,7 @@ object Protect {
     */
   def reset(spark: SparkSession): Unit = {
     reset()
-    persist(spark)
+    overwriteAll(spark)
   }
 
   private def key(t: String): String = t.toLowerCase
@@ -103,9 +105,14 @@ object Protect {
       case "OFFLINE" => (noDrop, enable)
       case other => throw new IllegalArgumentException(s"bad protect mode $other")
     }
-    if (next == ((false, false))) modes.remove(key(table))
-    else modes.put(key(table), next)
-    persist(spark)
+    if (next == ((false, false))) {
+      modes.remove(key(table))
+      MetaPersist.appendDelete(spark, "protect",
+        ModeRow(key(table), noDrop = false, offline = false))
+    } else {
+      modes.put(key(table), next)
+      MetaPersist.append(spark, "protect", ModeRow(key(table), next._1, next._2))
+    }
   }
 
   /** Remove every protect entry for a dropped table (table-level AND its
@@ -118,9 +125,10 @@ object Protect {
     ensureLoaded(spark)
     val k = key(table)
     val stale = modes.keySet.toSeq.filter(e => e == k || e.startsWith(k + "@"))
-    if (stale.nonEmpty) {
-      stale.foreach(modes.remove)
-      persist(spark)
+    stale.foreach { e =>
+      modes.remove(e)
+      MetaPersist.appendDelete(spark, "protect",
+        ModeRow(e, noDrop = false, offline = false))
     }
   }
 

@@ -112,11 +112,15 @@ object Indexes extends QueryModule {
         } catch { case _: Exception => () }
       })
 
-  // synchronized: concurrent index DDL (q133/q134 run in parallel under
-  // Verify) would race Staging.publish's fixed tmp dir for the snapshot
-  private def persist(spark: SparkSession): Unit = synchronized {
-    graft.MetaPersist.save(spark, "indexes",
-      registry.values.toSeq.sortBy(d => (d.rootKey, d.name)))
+  // row-level delta appends (MetaPersist delta log); synchronized so
+  // concurrent index DDL (q133/q134 run in parallel under Verify)
+  // serializes its log writes per mutation
+  private def persistPut(spark: SparkSession, d: IndexDef): Unit = synchronized {
+    graft.MetaPersist.append(spark, "indexes", d)
+  }
+
+  private def persistRemove(spark: SparkSession, d: IndexDef): Unit = synchronized {
+    graft.MetaPersist.appendDelete(spark, "indexes", d)
   }
 
   /** Restart simulation for specs: forget all in-memory state so the next
@@ -210,7 +214,7 @@ object Indexes extends QueryModule {
     val d = IndexDef(lower, table, key, roots, cols.map(_.toLowerCase), kind,
       idxPath, idxTableName, comment, built = false, indexedFiles = Map.empty)
     registry.put((key, lower), d)
-    persist(spark)
+    persistPut(spark, d)
     // the reference's DDLTask creates the index TABLE immediately —
     // DESCRIBE works before any REBUILD (index_creation.q); schema-only,
     // never executed, replaced by the parquet read at rebuild
@@ -296,8 +300,9 @@ object Indexes extends QueryModule {
     // the index table is queryable under its metastore-convention name,
     // like the reference's `default__t_idx__` table
     spark.read.parquet(d.idxPath).createOrReplaceTempView(d.idxTableName)
-    registry.put((key, d.name), d.copy(built = true, indexedFiles = files))
-    persist(spark)
+    val rebuilt = d.copy(built = true, indexedFiles = files)
+    registry.put((key, d.name), rebuilt)
+    persistPut(spark, rebuilt)
   }
 
   /** `DROP INDEX [IF EXISTS] name ON t` (Hive.g:534-539). */
@@ -316,18 +321,16 @@ object Indexes extends QueryModule {
     if (!registry.keysIterator.exists(_._1.toLowerCase.contains(tName))) return
     val key = try rootKeyFor(spark, table) catch { case _: Exception => return }
     val stale = registry.keySet.toSeq.filter(_._1 == key)
-    if (stale.nonEmpty) {
-      stale.foreach { k =>
-        registry.remove(k).foreach { d =>
-          try {
-            spark.catalog.dropTempView(d.idxTableName)
-            val p = new Path(d.idxPath)
-            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            if (fs.exists(p)) fs.delete(p, true)
-          } catch { case _: Exception => }
-        }
+    stale.foreach { k =>
+      registry.remove(k).foreach { d =>
+        persistRemove(spark, d)
+        try {
+          spark.catalog.dropTempView(d.idxTableName)
+          val p = new Path(d.idxPath)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        } catch { case _: Exception => }
       }
-      persist(spark)
     }
   }
 
@@ -339,10 +342,7 @@ object Indexes extends QueryModule {
     val t = table.toLowerCase
     val stale = registry.keySet.toSeq.filter(k =>
       k._1.toLowerCase.contains(t) || k._2.toLowerCase.contains(t))
-    if (stale.nonEmpty) {
-      stale.foreach(registry.remove)
-      persist(spark)
-    }
+    stale.foreach(k => registry.remove(k).foreach(persistRemove(spark, _)))
   }
 
   def dropIndex(spark: SparkSession, name: String, table: String,
@@ -351,7 +351,7 @@ object Indexes extends QueryModule {
     val key = rootKeyFor(spark, table)
     registry.remove((key, name.toLowerCase)) match {
       case Some(d) =>
-        persist(spark)
+        persistRemove(spark, d)
         spark.catalog.dropTempView(d.idxTableName)
         val p = new Path(d.idxPath)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
