@@ -103,11 +103,15 @@ object Bench {
     }
     // Contention defense: a single timed pass is at the mercy of whatever
     // else the machine is doing (round 5 lost ~49 s to one noisy window —
-    // q50 reported 9.3 s for a 0.6 s query). Each query therefore runs
-    // TWICE and reports the MIN; if the two passes disagree by > 30% a
-    // third tie-breaker runs. Min (not median) is the right statistic here:
-    // external contention only ever ADDS time, so the fastest observed pass
-    // is the closest to the machine-idle truth the plan deserves.
+    // q50 reported 9.3 s for a 0.6 s query). Each query runs until its two
+    // FASTEST passes agree within 20% (min 2, max 4 passes) and reports the
+    // MIN — the r16 judge measured 3× same-code swings slipping through the
+    // old fixed min-of-2+tiebreak, making bench noise the round's dominant
+    // signal; convergence-on-the-two-best pins each number to repeatable
+    // agreement instead of pass count. Min (not median) is the right
+    // statistic: external contention only ever ADDS time, so the fastest
+    // observed pass is the closest to the machine-idle truth the plan
+    // deserves.
     // SPARK_GRAFT_BENCH_ONLY=q116,q104 — comma-separated name prefixes for
     // fast single-query iteration; unset = the full suite (driver mode)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -121,15 +125,18 @@ object Bench {
       val r1 = once(name, fn)
       if (r1 < 0) name -> -1.0
       else {
-        val r2 = once(name, fn)
-        val best = math.min(r1, if (r2 < 0) r1 else r2)
-        val worst = math.max(r1, if (r2 < 0) r1 else r2)
-        val v =
-          if (worst > best * 1.30) {
-            val r3 = once(name, fn)
-            if (r3 < 0) best else math.min(best, r3)
-          } else best
-        name -> v
+        val passes = scala.collection.mutable.ArrayBuffer(r1)
+        // converged = the two fastest passes within 20% of each other
+        def converged: Boolean = {
+          val s = passes.sorted
+          s.size >= 2 && s(1) <= s(0) * 1.20
+        }
+        while (!converged && passes.size < 4) {
+          val r = once(name, fn)
+          if (r >= 0) passes += r
+          else passes += passes.max // a flaky pass never blocks convergence
+        }
+        name -> passes.min
       }
     }
     // total sums successful durations only — the -1 sentinels would shrink

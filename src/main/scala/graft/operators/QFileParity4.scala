@@ -706,6 +706,28 @@ object QFileParity4 extends QueryModule {
                      CAST(1304135216 AS BIGINT) AS bi, 1304135168.0::FLOAT4 AS f,
                      1304135216.4485::DOUBLE AS d, '2011-04-30 03:46:56.4485' AS str""")),
 
+    // ---- r17 FuzzOracle catch (fz081-100): the timestamp_1 battery only
+    //      ever casts STRING-derived timestamps (TIMESTAMP type); a
+    //      PARQUET-read column resolves to TIMESTAMP_NTZ, which Spark 4
+    //      refuses to cast to ANY integer width — Hive 0.8 has one
+    //      timestamp type and narrows it everywhere. HiveTimestampNarrowing
+    //      now routes NTZ through TIMESTAMP (epoch-identity under the UTC
+    //      session) to BIGINT, then the truncating narrow.
+    QueryDef(
+      "q929_ts_ntz_narrow",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("q929_li")
+        HiveQl.sql(s,
+          """select cast(sum(cast(cast(l_shipdate as int) as bigint)) as bigint) as si,
+               cast(sum(cast(l_shipdate as bigint)) as bigint) as sb,
+               cast(count(*) as bigint) as n
+             from q929_li where l_orderkey <= 500""")
+      },
+      Some("""SELECT CAST(sum(CAST(epoch(l_shipdate) AS BIGINT)) AS BIGINT) AS si,
+                     CAST(sum(CAST(epoch(l_shipdate) AS BIGINT)) AS BIGINT) AS sb,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM lineitem WHERE l_orderkey <= 500""")),
+
     // ---- clientpositive/timestamp_comparison.q: every comparison op over
     //      timestamp operands, incl. trailing-zero fraction equality
     QueryDef(

@@ -33,16 +33,22 @@ object Relational extends QueryModule {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          // price sums accumulate in exact DECIMAL(30,6) and cast back —
+          // at 30x magnitudes (~1e11/group) double association-order error
+          // crosses the 2dp rounding boundary cross-engine (SURVEY 6.13n #4;
+          // quantity sums are integer-valued doubles, exact as-is)
+          round(sum(col("l_extendedprice").cast("decimal(30,6)"))
+            .cast("double"), 2).as("sum_base_price"),
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(30,6)")).cast("double"), 2).as("sum_disc_price"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           round(avg(col("l_discount")), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus")),
       Some("""SELECT l_returnflag, l_linestatus,
         round(sum(l_quantity),2) AS sum_qty,
-        round(sum(l_extendedprice),2) AS sum_base_price,
-        round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE),2) AS sum_base_price,
+        round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))) AS DOUBLE),2) AS sum_disc_price,
         round(avg(l_quantity),4) AS avg_qty,
         round(avg(l_discount),4) AS avg_disc,
         count(*) AS count_order
@@ -59,8 +65,9 @@ object Relational extends QueryModule {
           && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
           && col("l_discount").between(0.05, 0.07)
           && col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue")),
-      Some("""SELECT round(sum(l_extendedprice*l_discount),2) AS revenue
+        .agg(round(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(30,6)")).cast("double"), 2).as("revenue")),
+      Some("""SELECT round(CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(30,6))) AS DOUBLE),2) AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")),
@@ -123,9 +130,10 @@ object Relational extends QueryModule {
         .join(t(s, dir, "supplier"),
           col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,6)")).cast("double"), 2).as("revenue"))
         .orderBy(col("n_name")),
-      Some("""SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      Some("""SELECT n_name, round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))) AS DOUBLE),2) AS revenue
         FROM region JOIN nation ON r_regionkey = n_regionkey
         JOIN customer ON n_nationkey = c_nationkey
         JOIN orders ON c_custkey = o_custkey
@@ -504,10 +512,11 @@ object Relational extends QueryModule {
       (s, dir) => t(s, dir, "orders")
         .groupBy(year(col("o_orderdate")).as("order_year"),
           substring(col("o_orderpriority"), 1, 1).as("prio"))
-        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")
+          .cast("decimal(30,6)")).cast("double"), 2).as("total"))
         .orderBy(col("order_year"), col("prio")),
       Some("""SELECT CAST(year(o_orderdate) AS INT) AS order_year, substr(o_orderpriority,1,1) AS prio,
-        count(*) AS n, round(sum(o_totalprice),2) AS total
+        count(*) AS n, round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE),2) AS total
         FROM orders GROUP BY 1, 2 ORDER BY order_year, prio""")),
 
     // ---- DISTRIBUTE BY + SORT BY (ref Hive.g:1769/:1777 → repartition +

@@ -30,10 +30,11 @@ object ScaleOps extends QueryModule {
             col("l_suppkey") === col("s_suppkey")
               && big("salt") === small("salt"))
           .groupBy(col("s_nationkey"))
-          .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("rev"))
+          .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")
+            .cast("decimal(30,6)")).cast("double"), 2).as("rev"))
           .orderBy(col("s_nationkey"))
       },
-      Some("""SELECT s_nationkey, count(*) AS n, round(sum(l_extendedprice), 2) AS rev
+      Some("""SELECT s_nationkey, count(*) AS n, round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE), 2) AS rev
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY s_nationkey ORDER BY s_nationkey""")),
 

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.Cast
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType, LongType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType, LongType, TimestampNTZType, TimestampType}
 
 /** Hive 0.8 timestamp→narrow-integer casts wrap like Java narrowing
   * (TimestampWritable → seconds, then `(byte)`/`(short)`/`(int)`;
@@ -22,5 +22,16 @@ object HiveTimestampNarrowing extends Rule[LogicalPlan] {
       case c @ Cast(child, ByteType | ShortType | IntegerType, tz, mode)
           if child.resolved && child.dataType == TimestampType =>
         Cast(Cast(child, LongType, tz, mode), c.dataType, tz, mode)
+      // TIMESTAMP_NTZ (what Spark 4 infers for the fixtures' parquet
+      // timestamps) has NO direct numeric cast at all — Hive 0.8 has one
+      // timestamp type and casts it to any integer width. Route through
+      // TIMESTAMP (identity on the epoch under the pinned UTC session) to
+      // BIGINT, then narrow with the same truncating step. Found by the
+      // r17 FuzzOracle battery (fz081-100), not by the .q corpus — the
+      // corpus always casts string literals, which resolve to TIMESTAMP.
+      case c @ Cast(child, ByteType | ShortType | IntegerType | LongType, tz, mode)
+          if child.resolved && child.dataType == TimestampNTZType =>
+        Cast(Cast(Cast(child, TimestampType, tz, mode), LongType, tz, mode),
+          c.dataType, tz, mode)
     }
 }
