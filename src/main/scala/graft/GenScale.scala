@@ -28,14 +28,21 @@ object GenScale {
 
   def main(args: Array[String]): Unit = {
     val Array(src, dst, factorS) = args.take(3)
+    // optional 4th arg: comma-separated table subset (e.g. the VERDICT #7
+    // 100x LLM-op rehearsal needs only documents+embeddings — scaling
+    // lineitem 100x would burn disk the rehearsal never reads)
+    val only = args.drop(3).headOption
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = Sessions.get("graft-genscale")
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, src, dst, factorS.toInt)
+    run(spark, src, dst, factorS.toInt, only)
     spark.stop()
   }
 
-  def run(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
+  def run(spark: SparkSession, src: String, dst: String, k: Int,
+      only: Option[Set[String]] = None): Unit = {
     require(k >= 1, "factor must be >= 1")
+    def wanted(t: String): Boolean = only.forall(_.contains(t))
 
     def rd(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
     def wr(df: DataFrame, t: String, parts: Int): Unit =
@@ -57,8 +64,8 @@ object GenScale {
       }.reduce(_ unionAll _)
 
     // fixed dims verbatim
-    wr(rd("region"), "region", 1)
-    wr(rd("nation"), "nation", 1)
+    if (wanted("region")) wr(rd("region"), "region", 1)
+    if (wanted("nation")) wr(rd("nation"), "nation", 1)
 
     val customer = rd("customer")
     val supplier = rd("supplier")
@@ -69,21 +76,26 @@ object GenScale {
     val partS = strideOf(part, "p_partkey")
     val ordS = strideOf(orders, "o_orderkey")
 
-    wr(scaled(customer, Map("c_custkey" -> custS)), "customer",
-      math.max(1, k / 2))
-    wr(scaled(supplier, Map("s_suppkey" -> suppS)), "supplier", 1)
-    wr(scaled(part, Map("p_partkey" -> partS)), "part", math.max(1, k / 2))
-    wr(scaled(orders, Map("o_orderkey" -> ordS, "o_custkey" -> custS)),
-      "orders", math.max(2, k))
-    wr(scaled(rd("lineitem"), Map("l_orderkey" -> ordS,
-      "l_partkey" -> partS, "l_suppkey" -> suppS)), "lineitem",
-      math.max(4, 2 * k))
+    if (wanted("customer")) wr(scaled(customer, Map("c_custkey" -> custS)),
+      "customer", math.max(1, k / 2))
+    if (wanted("supplier"))
+      wr(scaled(supplier, Map("s_suppkey" -> suppS)), "supplier", 1)
+    if (wanted("part"))
+      wr(scaled(part, Map("p_partkey" -> partS)), "part", math.max(1, k / 2))
+    if (wanted("orders"))
+      wr(scaled(orders, Map("o_orderkey" -> ordS, "o_custkey" -> custS)),
+        "orders", math.max(2, k))
+    if (wanted("lineitem"))
+      wr(scaled(rd("lineitem"), Map("l_orderkey" -> ordS,
+        "l_partkey" -> partS, "l_suppkey" -> suppS)), "lineitem",
+        math.max(4, 2 * k))
 
     // events: range-partition by event time, one ascending span per file —
     // the streaming battery consumes this table file-per-batch, and a
     // random row-to-file shuffle would put most of batch 2..K behind the
     // watermark batch 1 advanced (late-data drops that no real,
     // arrival-ordered stream exhibits)
+    if (wanted("events")) {
     val events = rd("events")
     // user_id is an FK to customer (streaming q72 joins user_id=c_custkey,
     // ScaleOps joins o_custkey=user_id) — offset by the PARENT's stride so
@@ -110,7 +122,10 @@ object GenScale {
       }
     }
 
+    }
+
     // documents: per-copy text salt keeps exact-dup rate ~flat per copy
+    if (wanted("documents")) {
     val docs = rd("documents")
     wr(scaled(docs, Map("doc_id" -> strideOf(docs, "doc_id")),
       salt = (d, i) =>
@@ -121,9 +136,13 @@ object GenScale {
           .withColumn("n_chars", length(col("text")).cast("long"))),
       "documents", math.max(1, k / 2))
 
-    val emb = rd("embeddings")
-    wr(scaled(emb, Map("vec_id" -> strideOf(emb, "vec_id"))),
-      "embeddings", math.max(1, k / 2))
+    }
+
+    if (wanted("embeddings")) {
+      val emb = rd("embeddings")
+      wr(scaled(emb, Map("vec_id" -> strideOf(emb, "vec_id"))),
+        "embeddings", math.max(1, k / 2))
+    }
 
     println(s"[genscale] wrote ${k}x of $src to $dst")
   }

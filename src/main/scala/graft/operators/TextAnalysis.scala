@@ -498,10 +498,15 @@ object TextAnalysis extends QueryModule {
             "cast(round(-ln((b + 1) / (u + cast(v AS double))) * 1000000) AS bigint) AS micro")
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_bigrams"), sum(col("micro")).as("m"))
-          // 1000000.0D: a bare decimal literal in SQL text makes the whole
-          // division DECIMAL-typed (driver-gate-unsafe), unlike DSL doubles
+          // the per-doc score stays in exact MICRO-units end to end: a
+          // re-rounded decimal score (round(m/1e6/n, 4)) hit an EXACT
+          // .00005 halfway at 30x (m = n * 4045150 → 4.04515), which
+          // Spark's shortest-repr BigDecimal rounding takes UP and
+          // DuckDB's raw-double rounding takes DOWN. Integer micro-nll
+          // has no such boundary: both engines round the identical
+          // m/n double to the same integer.
           .selectExpr("doc_id", "n_bigrams",
-            "round(m / (1000000.0D * n_bigrams), 4) AS nll")
+            "CAST(round(m / CAST(n_bigrams AS DOUBLE)) AS BIGINT) AS nll_micro")
           .orderBy(col("doc_id"))
       },
       Some("""WITH w AS (
@@ -519,7 +524,7 @@ object TextAnalysis extends QueryModule {
                  CAST(round(-ln((b + 1) / (u + CAST(v AS DOUBLE))) * 1000000) AS BIGINT) AS micro
           FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v)
         SELECT doc_id, count(*) AS n_bigrams,
-               round(CAST(sum(micro) AS BIGINT) / (1000000.0 * count(*)), 4) AS nll
+               CAST(round(CAST(sum(micro) AS DOUBLE) / count(*)) AS BIGINT) AS nll_micro
         FROM scored GROUP BY doc_id ORDER BY doc_id""")),
 
     // ---- Benchmark decontamination (the n-gram overlap rule used to scrub

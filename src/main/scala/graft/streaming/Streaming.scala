@@ -45,11 +45,39 @@ object Streaming extends QueryModule {
     else (sfDir, Some(s"$table.parquet"))
   }
 
+  /** Trigger sizing rule (VERDICT r16 #5). `maxFilesPerTrigger=1` scales
+    * micro-batch COUNT with ingest-directory size — at a million-file
+    * directory that is a million micro-batches of fixed per-batch overhead
+    * (state-store commit, offset log, planning), the q111 α≈1 signature at
+    * sf1. Size the trigger to the DIRECTORY instead: take
+    * ceil(nFiles / 3) files per trigger so batch count stays ~constant
+    * (≤3) as the directory grows, with per-batch overhead amortized over
+    * 1/3 of the data. Watermark safety is unchanged: files are produced
+    * mtime-ascending (GenScale stamps range order — a real ingest
+    * directory's arrival order) and FileStreamSource takes them in mtime
+    * order, so a batch of k consecutive files is a PREFIX of the stream —
+    * the watermark after the batch is ≤ the max event time delivered, and
+    * no later file holds earlier data than what already passed. Explicit
+    * override: SET graft.stream.filesPerTrigger=N (specs use it to force
+    * multi-batch topologies on small fixtures).
+    */
+  private[graft] def filesPerTrigger(spark: SparkSession, path: String): Int =
+    spark.conf.getOption("graft.stream.filesPerTrigger").map(_.toInt)
+      .getOrElse {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val n =
+          if (fs.getFileStatus(p).isDirectory)
+            fs.listStatus(p).count(_.getPath.getName.startsWith("part-"))
+          else 1
+        math.max(1, math.ceil(n / 3.0).toInt)
+      }
+
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     val (path, glob) = sourcePath(spark, sfDir, "events")
     val reader = spark.readStream
       .schema(graft.Tables.eventsRawSchema(spark, sfDir))
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", filesPerTrigger(spark, path).toString)
     graft.Tables.normalizeEventsTs(
       glob.fold(reader)(g => reader.option("pathGlobFilter", g))
         .parquet(path))
@@ -241,7 +269,7 @@ object Streaming extends QueryModule {
         val (docPath, docGlob) = sourcePath(s, dir, "documents")
         val reader = s.readStream
           .schema(documentsSchema)
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", filesPerTrigger(s, docPath).toString)
         val hits = docGlob.fold(reader)(g => reader.option("pathGlobFilter", g))
           .parquet(docPath)
           .filter(col("doc_id") % 20 =!= 7)

@@ -134,6 +134,31 @@ class StreamingSpec extends SparkSpec {
     assert(fin.contains((-1L, 3L)), s"right-unmatched null-pad missing: $fin")
   }
 
+  test("trigger sizing: files-per-trigger scales with directory size, batch count stays ~3") {
+    import graft.streaming.Streaming
+    // single-file fixture (driver layout) → 1 file per trigger
+    assert(Streaming.filesPerTrigger(spark, s"$sfDir/events.parquet") == 1)
+    // synthetic 10-file ingest directory (the sf1 shape) → ceil(10/3) = 4
+    val dir = java.nio.file.Files.createTempDirectory("trig").toString
+    (0 until 10).foreach { i =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, f"part-$i%05d.parquet"), "x")
+    }
+    assert(Streaming.filesPerTrigger(spark, dir) == 4)
+    // a 30-file directory batches 10 per trigger — batch count stays 3 as
+    // the directory grows (the q111 alpha~1 fix, VERDICT r16 #5)
+    (10 until 30).foreach { i =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, f"part-$i%05d.parquet"), "x")
+    }
+    assert(Streaming.filesPerTrigger(spark, dir) == 10)
+    // explicit override wins
+    val s2 = Sessions.isolatedClone(spark)
+    s2.conf.set("graft.stream.filesPerTrigger", "2")
+    assert(Streaming.filesPerTrigger(s2, dir) == 2)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("streamed tumbling aggregation equals the batch plan") {
     val streamed = SparkEntry.queries("q70_stream_tumbling")(spark, sfDir)
     val batch = Tables.load(spark, sfDir, "events")
