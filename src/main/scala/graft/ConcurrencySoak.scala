@@ -226,15 +226,21 @@ object ConcurrencySoak {
       if (locks != 0) fail(s"$locks locks leaked after the soak")
     }
 
-    failure.get match {
+    val rc = failure.get match {
       case null =>
         println(s"[soak] OK: $nWorkers workers x $iterations iterations, " +
           s"${inserted.get} committed inserts, 0 lost, locks clean")
-        spark.stop()
+        0
       case msg =>
         System.err.println(s"[soak] FAIL: $msg")
-        spark.stop()
-        sys.exit(1)
+        1
     }
+    spark.stop()
+    // hard exit: HiveThriftServer2's handler/binary-CLI threads are
+    // NON-daemon and only stop via an async listener on context end — a
+    // lost race leaves the JVM alive forever and the forking spec blocked
+    // on its stdout (observed once under memory pressure)
+    System.out.flush(); System.err.flush()
+    sys.exit(rc)
   }
 }

@@ -1908,6 +1908,78 @@ object Dedup extends QueryModule {
         semdedupPairs(Staging.stage(semdedupAssign(s, dir), "q116_assigned")),
       Some(semdedupOracle)),
 
+    // ---- SemDeDup at the PAPER's operating point: arXiv:2303.09540 runs
+    //      k ≈ √n clusters, so expected cluster size is √n and the
+    //      within-cluster pair space is Σ n_c² ≈ n·√n, not n². The r17
+    //      100× rehearsal demonstrated why the fixed-k teaching variants
+    //      (q104/q116) cannot BE the scale plan: with k pinned at 8,
+    //      cluster sizes grow linearly with the corpus and the pairing
+    //      join went quadratic at 100× (single tasks of 29 CPU-minutes;
+    //      run killed). Here k is derived from the data on BOTH sides
+    //      (GREATEST(8, ceil(√n)) — the oracle computes it as a scalar
+    //      subquery), and q119's WindowGroupLimit membership cap stays on
+    //      as the mega-cluster/skew backstop. Broadcasting k≈√n centroids
+    //      stays cheap at 100 TB scale: 10¹⁰ vectors → 10⁵ centroids ×
+    //      64 dims × 8 B ≈ 50 MB, a normal broadcast.
+    QueryDef(
+      "q931_semdedup_sqrtk",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val embN = t(s, dir, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("vec_id", "vec_normalize(embedding) AS ne")
+        val k = math.max(8L, math.ceil(math.sqrt(
+          t(s, dir, "embeddings").count().toDouble)).toLong)
+        val cents = embN.filter(col("vec_id") < k)
+          .selectExpr("vec_id AS c_id", "ne AS ce")
+        val assigned = embN
+          .crossJoin(broadcast(cents))
+          .selectExpr("vec_id", "ne", "c_id",
+            "round(vec_dot(ne, ce), 6) AS csim")
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("vec_id"))
+              .orderBy(col("csim").desc, col("c_id"))))
+          .filter(col("rk") === 1)
+          .select(col("vec_id"), col("ne"), col("c_id"))
+        val capped = assigned
+          .withColumn("mrk", row_number().over(
+            Window.partitionBy(col("c_id")).orderBy(col("vec_id"))))
+          .filter(col("mrk") <= 64)
+          .select(col("vec_id"), col("ne"), col("c_id"))
+        semdedupPairs(capped)
+      },
+      Some(s"""WITH eN AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE) /
+                   sqrt(list_sum(list_transform(embedding,
+                     y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS ne
+          FROM embeddings),
+        cents AS (SELECT vec_id AS c_id, ne AS ce FROM eN
+          WHERE vec_id < GREATEST(8,
+            CAST(ceil(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT))),
+        assigned AS (
+          SELECT vec_id, ne, c_id FROM (
+            SELECT e.vec_id, e.ne, c.c_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_sum(list_transform(range(1, len(e.ne) + 1),
+                                i -> e.ne[i] * c.ce[i])), 6) DESC,
+                              c.c_id) AS rk
+            FROM eN e CROSS JOIN cents c)
+          WHERE rk = 1),
+        capped AS (
+          SELECT vec_id, ne, c_id FROM (
+            SELECT vec_id, ne, c_id,
+                   row_number() OVER (PARTITION BY c_id ORDER BY vec_id) AS mrk
+            FROM assigned)
+          WHERE mrk <= 64)
+        SELECT b_id AS removed_id, c_id, min(a_id) AS keeper FROM (
+          SELECT a.c_id, a.vec_id AS a_id, b.vec_id AS b_id,
+                 round(list_sum(list_transform(range(1, len(a.ne) + 1),
+                        i -> a.ne[i] * b.ne[i])), 4) AS sim
+          FROM capped a JOIN capped b USING (c_id)
+          WHERE a.vec_id < b.vec_id)
+        WHERE sim >= 0.40 GROUP BY 1, 2 ORDER BY removed_id""")),
+
     // ---- SemDeDup with the paper's CLUSTER-SIZE CAP applied in-engine
     //      (arXiv:2303.09540 caps cluster membership before pairing). The
     //      30× rehearsal (SURVEY §6.10) shows why this is load-bearing:

@@ -68,6 +68,7 @@ class PlanShapeSpec extends SparkSpec {
       "q105_kmeans_step", // broadcast centroid set, both Lloyd passes
       "q117_kmeans_iterated", // broadcast centroid set, per staged round
       "q119_semdedup_capped", // broadcast centroid set (q104's argmax)
+      "q931_semdedup_sqrtk", // broadcast centroid set, k≈√n (r17 100× fix)
       "q28_cluster_by",   // broadcast 1-row sorted_ok verdict scalar
       "q137_bm25",        // broadcast 1-row (N, avgdl) corpus-stats scalar
       "q178_qf_join_filters", // join_filters.q pure-filter ON clauses: the
