@@ -467,13 +467,19 @@ object QFileParity37 extends QueryModule {
         fresh(s, t)
         val script = s"/tmp/graft_dumpdata_$sfx.py"
         // dumpdata_script.py, ported py2→py3 (xrange/print): 50*5*20022
-        // generated rows, stdin drained
+        // generated rows, stdin drained. The j-loop repeats an identical
+        // 20022-line block, so the port renders each block once and writes
+        // it 5 times — byte-identical stdout to the reference's per-line
+        // print loop at ~1/10th the interpreter cost (guide §4: the script
+        // IS the per-task hot loop here; 5M print() calls were ~4 s of the
+        // query's 13 s).
         java.nio.file.Files.write(java.nio.file.Paths.get(script),
           ("""import sys
+            |w = sys.stdout.write
             |for i in range(50):
+            |   block = '\n'.join([str(20000 * i + k) for k in range(20022)]) + '\n'
             |   for j in range(5):
-            |      for k in range(20022):
-            |         print(20000 * i + k)
+            |      w(block)
             |for line in sys.stdin:
             |  pass
             |""").stripMargin.getBytes("UTF-8"))
