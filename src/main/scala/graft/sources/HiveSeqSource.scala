@@ -266,13 +266,25 @@ private class HiveSeqOutputWriter(val path: String, dataSchema: StructType,
     ctype: SequenceFile.CompressionType = SequenceFile.CompressionType.NONE,
     sep: String = HiveText.FieldDelim)
     extends OutputWriter {
+  // An explicit CompressionType.NONE when no codec was requested: Hadoop's
+  // createWriter otherwise falls back to io.seqfile.compression.type, whose
+  // core-default is RECORD — i.e. a zlib Deflater reset+deflate PER RECORD
+  // (jstack of q922's 5M-row insert: BuiltInZlibDeflater.compress +
+  // CompressorStream.resetState dominated both the write and the readback).
+  // The reference writes uncompressed unless hive.exec.compress.output is
+  // set (HiveSequenceFileOutputFormat passes the job's compress flag), so
+  // NONE is both the faithful and the fast default.
   private val writer = SequenceFile.createWriter(context.getConfiguration,
     (Seq(SequenceFile.Writer.file(new Path(path)),
       SequenceFile.Writer.keyClass(classOf[BytesWritable]),
       SequenceFile.Writer.valueClass(classOf[Text])) ++
-      codec.map(c => SequenceFile.Writer.compression(ctype,
-        org.apache.hadoop.util.ReflectionUtils
-          .newInstance(c, context.getConfiguration)))): _*)
+      (codec match {
+        case Some(c) => Seq(SequenceFile.Writer.compression(ctype,
+          org.apache.hadoop.util.ReflectionUtils
+            .newInstance(c, context.getConfiguration)))
+        case None => Seq(SequenceFile.Writer.compression(
+          SequenceFile.CompressionType.NONE))
+      })): _*)
   private val types = dataSchema.fields.map(_.dataType)
   private val emptyKey = new BytesWritable()
   private val value = new Text()
