@@ -74,7 +74,7 @@ class HiveCtlSource extends FileFormat with DataSourceRegister with Serializable
         file.toPath, file.start, file.length, Array.empty[String])
       val reader = new org.apache.hadoop.mapreduce.lib.input.LineRecordReader()
       val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
-        new Configuration(), new org.apache.hadoop.mapreduce.TaskAttemptID())
+        SharedConf.get, new org.apache.hadoop.mapreduce.TaskAttemptID())
       reader.initialize(split, ctx)
       val tok = new HiveCtlSource.Tokenizer(sep, quote)
       new Iterator[InternalRow] {

@@ -158,7 +158,7 @@ object HiveHeteroSource {
   }
 
   private def sniff(path: Path): String = {
-    val fs = path.getFileSystem(new Configuration())
+    val fs = path.getFileSystem(SharedConf.get)
     val in = fs.open(path)
     try {
       val buf = new Array[Byte](256)

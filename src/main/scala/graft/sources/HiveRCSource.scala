@@ -78,7 +78,7 @@ class HiveRCSource extends FileFormat with DataSourceRegister with Serializable 
 
     (file: PartitionedFile) => {
       val p = file.toPath
-      val fs = p.getFileSystem(new Configuration())
+      val fs = p.getFileSystem(SharedConf.get)
       // sync-resync split read: this task owns records [start, start+len)
       // by the Hadoop boundary rule (HiveRCFile.readSplit); COLUMN PRUNING:
       // only the projected columns' blobs are read off disk — unprojected

@@ -87,7 +87,7 @@ class HiveRegexSource extends FileFormat with DataSourceRegister with Serializab
         file.toPath, file.start, file.length, Array.empty[String])
       val reader = new org.apache.hadoop.mapreduce.lib.input.LineRecordReader()
       val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
-        new Configuration(), new org.apache.hadoop.mapreduce.TaskAttemptID())
+        SharedConf.get, new org.apache.hadoop.mapreduce.TaskAttemptID())
       reader.initialize(split, ctx)
       new Iterator[InternalRow] {
         private var row: InternalRow = _

@@ -94,7 +94,7 @@ class HiveSeqSource extends FileFormat with DataSourceRegister with Serializable
           val reader = new org.apache.hadoop.mapreduce.lib.input
             .SequenceFileRecordReader[Writable, Writable]()
           val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
-            new Configuration(), new org.apache.hadoop.mapreduce.TaskAttemptID())
+            SharedConf.get, new org.apache.hadoop.mapreduce.TaskAttemptID())
           reader.initialize(split, ctx)
           new Iterator[String] {
             private var ready = false
@@ -185,7 +185,7 @@ object HiveSeqSource {
     * Hadoop split boundary rule via the same sync resync as RCFile.
     */
   def rawValues(path: Path, start: Long, end: Long): Iterator[String] = {
-    val fs = path.getFileSystem(new Configuration())
+    val fs = path.getFileSystem(SharedConf.get)
     val in = fs.open(path)
     val magic = new Array[Byte](4)
     in.readFully(magic)

@@ -54,7 +54,7 @@ class HiveSymlinkSource extends FileFormat with DataSourceRegister with Serializ
     val sep = options.getOrElse("sep", HiveText.FieldDelim)
 
     (file: PartitionedFile) => {
-      val conf = new Configuration()
+      val conf = SharedConf.get
       val manifest = file.toPath
       val fs = manifest.getFileSystem(conf)
       val targets = {

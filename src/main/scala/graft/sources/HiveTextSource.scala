@@ -111,7 +111,7 @@ class HiveTextSource extends FileFormat with DataSourceRegister with Serializabl
         file.toPath, file.start, file.length, Array.empty[String])
       val reader = new org.apache.hadoop.mapreduce.lib.input.LineRecordReader()
       val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
-        new Configuration(), new org.apache.hadoop.mapreduce.TaskAttemptID())
+        SharedConf.get, new org.apache.hadoop.mapreduce.TaskAttemptID())
       reader.initialize(split, ctx)
       new Iterator[InternalRow] {
         private var ready = false
